@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_broadcast_dims",
+    "agg_having_topk",
+    "window_topk_per_group",
+    "ts_asof_join",
+    "ts_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_knn_cosine",
+    "text_bigram_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.removeprefix("sf")) if "sf" in Path(sf_dir).name else 0.1
+
+    from lakehouses_spark.registry import load_all_queries
+    from lakehouses_spark.session import get_spark
+
+    registry = load_all_queries()
+    spark = get_spark(app_name="lakehouses-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    # warm the JVM + parquet footers once (outside timed region)
+    registry["q1_pricing_summary"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in registry:
+            continue
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

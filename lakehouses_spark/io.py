@@ -1,0 +1,48 @@
+"""Table loading over the driver-generated parquet testdata.
+
+The reference reads landing-zone files and registers bronze/silver/gold tables
+in the metastore (``notebooks/02.ingestas_ficheros/03.ingesta_incremental_v2
+[json].py:221-228``); here the equivalent batch surface is a parquet scan per
+table (SURVEY §2.1 S1) plus temp-view registration for the SQL entry point
+(S4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1: columnar parquet scan. Filters/projections placed on top of this
+    are pushed into the scan by Catalyst (PushedFilters / ReadSchema)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the file; with nanosAsLong it scans as
+        # long. Integer-divide to micros (never float-divide: nanos exceed
+        # 2^53) and rebuild the timestamp — same truncation DuckDB applies.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register every testdata table as a temp view for spark.sql queries."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

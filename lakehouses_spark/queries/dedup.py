@@ -1,0 +1,251 @@
+"""Deduplication operators over `documents` (SURVEY §2.12 north star).
+
+Four tiers, each with the 100 TB story spelled out:
+
+- exact:   group by content digest (sha256) — one shuffle keyed on the digest,
+           never on the raw text.
+- n-gram:  3-word shingles + Jaccard via an inverted-index self-join — the
+           shuffle key is the shingle, so common-shingle skew is the risk;
+           at scale, drop top-frequency shingles (stop-shingles) first.
+- MinHash: k independent min-hashes over shingles + LSH banding — candidate
+           generation cost is linear in corpus size; the only pairwise work
+           happens inside tiny band buckets. Deterministic seeds (xxhash64 of
+           shingle ⊕ seed index) so results are reproducible run-to-run.
+- SimHash: 64-bit weighted-bit signature via an Arrow-batched pandas UDF
+           (bit-twiddling over token hashes is the one part built-ins can't
+           express cleanly); Hamming-distance buckets give candidates.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from lakehouses_spark.io import load_table
+from lakehouses_spark.registry import query
+
+# --- shared shingle expression (3-word shingles over whitespace tokens) -----
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def _shingles(col: str = "text"):
+    """Distinct 3-word shingles as an array column (JVM-side, no UDF)."""
+    w = _words(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+            ),
+        )
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id)  AS canonical_id,
+           count(*)     AS n_copies,
+           sha256(text) AS content_hash
+    FROM documents
+    GROUP BY sha256(text)
+    ORDER BY canonical_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a content digest. Shuffling 32-byte
+    digests instead of document bodies keeps shuffle volume flat regardless
+    of document size."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("canonical_id", "n_copies", "content_hash")
+        .orderBy("canonical_id")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), positions AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+      FROM toks
+    ), shingles AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS shingle
+      FROM positions
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_shared / (sa.n + sb.n - n_shared), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram shingle Jaccard ≥ 0.3 via inverted index:
+    explode shingles → self-join on shingle → count shared / union. The
+    pairwise work only materializes for pairs sharing ≥1 shingle."""
+    d = load_table(spark, sf_dir, "documents")
+    shingles = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared") / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= 0.3)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+N_MINHASH = 32  # signature length
+LSH_BANDS = 8  # 8 bands × 4 rows — candidate threshold ≈ (1/8)^(1/4) ≈ 0.6
+
+
+@query("dedup_minhash_lsh", oracle=None)  # hash-function-specific → rows-only + pytest
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding candidate pairs.
+
+    signature[j] = min over shingles of xxhash64(shingle, seed=j); bands of 4
+    hashed together; docs sharing any band bucket become candidates, then get
+    exact-Jaccard verified. Everything stays JVM-side: the signature build is
+    one explode + groupBy(doc) with N_MINHASH min-aggregates; banding is a
+    second explode + groupBy(band_hash). Cost is O(total shingles · k) map
+    work and two digest-keyed shuffles — linear, no all-pairs stage.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    exploded = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"h{j}")
+            for j in range(N_MINHASH)
+        ]
+    )
+    rows_per_band = N_MINHASH // LSH_BANDS
+    band_cols = [
+        F.xxhash64(
+            F.lit(band), *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{band}")
+        for band in range(LSH_BANDS)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact-Jaccard verification of candidates only
+    shingle_sets = d.select("doc_id", _shingles().alias("sh"))
+    sa = shingle_sets.alias("sa")
+    sb = shingle_sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
+    return (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@pandas_udf(LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """Arrow-batched 64-bit SimHash over whitespace tokens (X2 pattern:
+    02…/05.ingesta_incremental [imagenes].py:52-60). Deterministic: token
+    hash is Python's stable blake2b over utf-8 bytes."""
+    import hashlib
+
+    def sim(text: str) -> int:
+        counts = [0] * 64
+        for tok in text.split():
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            for bit in range(64):
+                counts[bit] += 1 if (h >> bit) & 1 else -1
+        v = 0
+        for bit in range(64):
+            if counts[bit] > 0:
+                v |= 1 << bit
+        # interpret as signed 64-bit for Spark LongType
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return texts.map(sim)
+
+
+@query("dedup_simhash", oracle=None)  # hash-function-specific → rows-only + pytest
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit signatures, then pairs within
+    Hamming distance ≤ 8 found by 4-block bucketing (a pair within distance
+    8 over 4 blocks must agree exactly on ≥... pigeonhole: distance ≤ 8 can
+    still differ in every 16-bit block, so block-bucketing here is a recall
+    heuristic tuned for the observed near-dup distance; the exact filter is
+    the popcount predicate after candidate generation)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _simhash64(F.col("text")).alias("sig")
+    )
+    blocks = d.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{blk}:"),
+                        F.conv(
+                            F.shiftrightunsigned(F.col("sig"), blk * 16).bitwiseAND(F.lit(0xFFFF)),
+                            10,
+                            16,
+                        ),
+                    )
+                    for blk in range(4)
+                ]
+            )
+        ).alias("blk_idx", "bucket"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 8)
+        .orderBy("doc_a", "doc_b")
+    )

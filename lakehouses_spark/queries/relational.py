@@ -1,0 +1,636 @@
+"""Relational core: scans, filters, joins, aggregations, sorts, set ops.
+
+Covers SURVEY §2.1 S1/S4, §2.2 P1-P9, §2.3 J2-J4, §2.4 A1-A8, §2.6 O1-O3,
+§2.7 U1/U3. Reference evidence cited per query. All plans are declarative
+DataFrame chains — Catalyst handles pushdown, pruning, join strategy; the only
+explicit physical hint is ``F.broadcast`` on bounded dimension tables (J3),
+which at 100 TB keeps the big fact table shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouses_spark.io import load_table
+from lakehouses_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1 shape (SURVEY §7.2) — scan → filter → groupBy → agg → sort
+# Exercises S1, P6, A2, A7, O1 in one plan. The filter is pushed into the
+# parquet scan; aggregation is partial (map-side) then final after a 2-key
+# shuffle — the canonical scale-friendly plan.
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: 3-way join + group + top-k (J2, A7, O1).
+# customer is small relative to the fact tables → Catalyst/AQE broadcasts it;
+# orders⋈lineitem is the real shuffle, keyed on orderkey.
+# ---------------------------------------------------------------------------
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR)        AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '2000-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("2000-03-15 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: 6-way star join (J2 + J3). region/nation/supplier are tiny
+# dims → explicitly broadcast so the only shuffles are fact-fact.
+# ---------------------------------------------------------------------------
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join matrix (J2/J4). Reference has MERGE-only joins
+# (02.delta_lake_primer.py:312-320); the silver star schema + testdata imply
+# the standard matrix.
+# ---------------------------------------------------------------------------
+@query(
+    "join_inner_agg",
+    oracle="""
+    SELECT c_nationkey,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def join_inner_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey)                       AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+           count(DISTINCT c.c_custkey)            AS n_customers,
+           count(DISTINCT s.s_suppkey)            AS n_suppliers
+    FROM customer c FULL OUTER JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    GROUP BY coalesce(c.c_nationkey, s.s_nationkey)
+    ORDER BY nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    j = cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+    return (
+        j.groupBy(F.coalesce(cust.c_nationkey, supp.s_nationkey).alias("nationkey"))
+        .agg(
+            F.count_distinct(cust.c_custkey).alias("n_customers"),
+            F.count_distinct(supp.s_suppkey).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    ORDER BY c_custkey
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left-semi — 'customers having at least one big order'. The
+    procedural analog in the reference is the already-ingested-files set
+    check (02…/03.ingesta_incremental_v2 [json].py:211-218)."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left-anti — 'customers with no orders' (new-files-only set logic)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: explicit broadcast of bounded dims — at 100 TB the customer scan
+    never shuffles; each task hash-probes the 25-row nation / 5-row region
+    maps locally."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A8)
+# ---------------------------------------------------------------------------
+@query(
+    "agg_count_by_key",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: groupBy-count (02.delta_lake_primer.py:62-66)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_sum_all_numeric",
+    oracle="""
+    SELECT l_linestatus,
+           round(sum(l_quantity), 2)      AS sum_quantity,
+           round(sum(l_extendedprice), 2) AS sum_extendedprice,
+           round(sum(l_discount), 4)      AS sum_discount,
+           round(sum(l_tax), 4)           AS sum_tax
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def agg_sum_all_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: grouped sum of all numeric measure columns
+    (02.delta_lake_primer.py:166-169 `.groupBy(k).sum()`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_quantity"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_extendedprice"),
+            F.round(F.sum("l_discount"), 4).alias("sum_discount"),
+            F.round(F.sum("l_tax"), 4).alias("sum_tax"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "agg_global_scalars",
+    oracle="""
+    SELECT max(o_totalprice)             AS max_price,
+           min(o_totalprice)             AS min_price,
+           round(avg(o_totalprice), 4)   AS avg_price,
+           count(*)                      AS n_orders,
+           count(DISTINCT o_custkey)     AS n_customers
+    FROM orders
+    """,
+)
+def agg_global_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4: global scalar aggregate (03.iceberg_primer.py:276)."""
+    return load_table(spark, sf_dir, "orders").agg(
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+    )
+
+
+@query(
+    "distinct_projection",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus
+    FROM lineitem ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: distinct (02…/02.ingesta_incremental [json].py:145-148)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_having_topk",
+    oracle="""
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING sum(o_totalprice) > 500000
+    ORDER BY total_spend DESC, o_custkey
+    LIMIT 10
+    """,
+)
+def agg_having_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: agg + having-style post-filter + sort-on-agg + limit
+    (02.delta_lake_primer.py:370-376). Plans as TakeOrderedAndProject —
+    no global sort materialization at scale."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("_raw_spend"))
+        .where(F.col("_raw_spend") > 500000)
+        .select("o_custkey", F.round("_raw_spend", 2).alias("total_spend"))
+        .orderBy(F.col("total_spend").desc(), "o_custkey")
+        .limit(10)
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: rollup (subtotal hierarchy) — Catalyst expands to an Expand node;
+    partial aggregation still applies."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: cube — all grouping-set combinations."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+@query("agg_approx_distinct", oracle=None)  # HLL sketch differs per engine → rows-only
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: approx_count_distinct — HyperLogLog++ sketch, constant memory per
+    group at any scale (the exact count needs a full shuffle of the keys)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters (P6/P7/P8 are covered in scalar.py for array ops)
+# ---------------------------------------------------------------------------
+@query(
+    "filter_between_in",
+    oracle="""
+    SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND l_discount IS NOT NULL
+    """,
+)
+def filter_between_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P7: range + membership + null predicates, all pushed to the scan
+    (01.parquet_primer.py:144-157 demonstrates PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_discount").isNotNull()
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total"))
+
+
+@query(
+    "sql_over_path",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sql_over_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: SQL directly over a parquet path — `select * from parquet.`path``
+    (01.parquet_primer.py:179, 02…/02.ingesta_incremental [json].py:136-141)."""
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, count(*) AS n
+        FROM parquet.`{sf_dir}/orders.parquet`
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits (O1-O3)
+# ---------------------------------------------------------------------------
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: orderBy desc + limit → TakeOrderedAndProject (per-partition top-k
+    then driver merge of k·p rows, never a global sort)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (U1/U3)
+# ---------------------------------------------------------------------------
+@query(
+    "union_by_name",
+    oracle="""
+    SELECT kind, count(*) AS n FROM (
+      SELECT 'customer' AS kind, c_name AS name FROM customer
+      UNION ALL
+      SELECT 'supplier' AS kind, s_name AS name FROM supplier
+    ) GROUP BY kind ORDER BY kind
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: unionByName (05.movielens/03.movielens-gold.py:167)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.lit("customer").alias("kind"), F.col("c_name").alias("name"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_name").alias("name"), F.lit("supplier").alias("kind"))
+    )
+    return cust.unionByName(supp).groupBy("kind").agg(F.count(F.lit(1)).alias("n")).orderBy("kind")
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: intersect — nations having both customers and suppliers."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp).orderBy("nationkey")
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: except — nations with customers but no suppliers."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    # subtract = EXCEPT DISTINCT (exceptAll would keep surplus multiplicity)
+    return cust.subtract(supp).orderBy("nationkey")
+
+
+@query("random_split_sample", oracle=None)  # RNG differs per engine → rows-only
+def random_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: seeded randomSplit (02.delta_lake_primer.py:59,
+    05.movielens/03.movielens-gold.py:46) — deterministic within Spark."""
+    train, test = load_table(spark, sf_dir, "orders").randomSplit([0.8, 0.2], seed=42)
+    return train.agg(F.count(F.lit(1)).alias("n_train")).crossJoin(
+        test.agg(F.count(F.lit(1)).alias("n_test"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / rename surface (P1-P5, P9-P10 patterns)
+# ---------------------------------------------------------------------------
+@query(
+    "project_rename_derive",
+    oracle="""
+    SELECT o_orderkey                         AS _order_id,
+           upper(o_orderstatus)               AS status,
+           round(o_totalprice * 1.1, 2)       AS price_with_fee,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    ORDER BY _order_id
+    """,
+)
+def project_rename_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P3: projection + bulk rename (the `_`-prefix loop of
+    03…/02…[json].py:98-100) + withColumn derivations."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    return (
+        orders.withColumn("status", F.upper("o_orderstatus"))
+        .withColumn("price_with_fee", F.round(F.col("o_totalprice") * 1.1, 2))
+        .withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .select(
+            F.col("o_orderkey").alias("_order_id"),
+            "status",
+            "price_with_fee",
+            "order_year",
+        )
+        .orderBy("_order_id")
+    )

@@ -1,0 +1,255 @@
+"""Scalar function families (SURVEY §2.8 F1-F11) + struct expansion (P4/P8).
+
+Everything stays JVM-side in whole-stage codegen — no Python UDFs in any of
+these paths (the reference's `parse_title` UDF X1 is re-expressed with
+built-in split/regexp in silver.py; see lakehouses_spark/medallion.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouses_spark.io import load_table
+from lakehouses_spark.registry import query
+
+
+@query(
+    "fn_string_family",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment)                          AS seg_upper,
+           lower(c_name)                                AS name_lower,
+           length(c_name)                               AS name_len,
+           substring(c_name, 10, 9)                     AS digits,
+           concat(c_name, ':', c_mktsegment)            AS name_seg,
+           replace(c_name, 'Customer#', '')             AS bare_id,
+           ltrim(c_name, 'Customer#0')                  AS trimmed,
+           CAST(regexp_extract(c_name, '([1-9][0-9]*)$', 1) AS VARCHAR) AS key_digits
+    FROM customer
+    WHERE c_custkey % 37 = 0
+    ORDER BY c_custkey
+    """,
+)
+def fn_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F5: upper/lower/length/substring/concat/replace/trim/regexp_extract
+    (05.movielens/02.movielens-silver.py:137-139, 02…/05…[imagenes].py:48-50,
+    02…/03…v2 [json].py:115)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 37 == 0)
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 10, 9).alias("digits"),
+        F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("name_seg"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("")).alias("bare_id"),
+        F.ltrim(F.col("c_name"), F.lit("Customer#0")).alias("trimmed"),
+        F.regexp_extract("c_name", r"([1-9][0-9]*)$", 1).cast("string").alias("key_digits"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "fn_date_family",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate)  AS INTEGER)                       AS order_year,
+           CAST(month(o_orderdate) AS INTEGER)                       AS order_month,
+           CAST(day(o_orderdate)   AS INTEGER)                       AS order_day,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT)
+             AS days_to_2002,
+           CAST(epoch(o_orderdate) AS BIGINT)                        AS epoch_s,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def fn_date_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: year/month/day, date_trunc, datediff, epoch, date arithmetic
+    (03.iceberg_primer.py:124,151-153,283; 05.movielens/02…-silver.py:173-178)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days_to_2002"),
+        F.unix_timestamp("o_orderdate").cast("bigint").alias("epoch_s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_array_family",
+    oracle="""
+    SELECT p_partkey,
+           string_split(p_name, ' ')[1]                       AS first_word,
+           string_split(p_name, ' ')[-1]                      AS last_word,
+           CAST(len(string_split(p_name, ' ')) AS INTEGER)    AS n_words,
+           list_contains(string_split(p_name, ' '), 'widget') AS has_widget,
+           array_to_string(list_sort(string_split(p_name, ' ')), '_') AS sorted_words
+    FROM part
+    WHERE p_partkey % 13 = 0
+    ORDER BY p_partkey
+    """,
+)
+def fn_array_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/P8: split→array, element access, size, array_contains, array_sort
+    (05.movielens/02.movielens-silver.py:137-139,274)."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 13 == 0)
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.size(words).cast("int").alias("n_words"),
+        F.array_contains(words, "widget").alias("has_widget"),
+        F.array_join(F.array_sort(words), "_").alias("sorted_words"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "fn_json_family",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_value
+    FROM events
+    WHERE event_id % 41 = 0
+    ORDER BY event_id
+    """,
+)
+def fn_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: JSON extraction from string payloads (from_json over Kafka values,
+    03…/02…[json].py:117-128). get_json_object is the scan-friendly
+    single-field path; from_json the full-schema path — both shown."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 41 == 0)
+    parsed = F.from_json(F.col("props"), "k INT")
+    return e.select(
+        "event_id",
+        parsed.getField("k").cast("int").alias("k_value"),
+        F.get_json_object("props", "$.missing").alias("missing_value"),
+    ).orderBy("event_id")
+
+
+@query(
+    "fn_struct_expand",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus AS status, round(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_orderkey % 61 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def fn_struct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: pack into a struct then expand with `col.*` — the Kafka
+    value-unwrap pattern (03…/02…[json].py:130 `select("*", "value.*")`)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 61 == 0)
+    packed = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 2).alias("price"),
+        ).alias("payload"),
+    )
+    return packed.select("o_orderkey", "payload.*").orderBy("o_orderkey")
+
+
+@query(
+    "fn_map_family",
+    oracle="""
+    SELECT s_suppkey,
+           map(['name', 'nation'], [s_name, CAST(s_nationkey AS VARCHAR)])['name'][1]  AS m_name,
+           CAST(2 AS INTEGER) AS n_keys
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+)
+def fn_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: map construction + element_at + cardinality."""
+    s = load_table(spark, sf_dir, "supplier")
+    m = F.create_map(
+        F.lit("name"), F.col("s_name"),
+        F.lit("nation"), F.col("s_nationkey").cast("string"),
+    )
+    return s.select(
+        "s_suppkey",
+        F.element_at(m, "name").alias("m_name"),
+        F.size(m).cast("int").alias("n_keys"),
+    ).orderBy("s_suppkey")
+
+
+@query(
+    "fn_math_conditional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey % 7 AS BIGINT)                      AS key_mod,
+           round(abs(l_discount - 0.05), 4)                    AS disc_dev,
+           CAST(ceil(l_quantity) AS BIGINT)                    AS qty_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT)       AS price_bucket,
+           round(sqrt(l_quantity), 4)                          AS qty_sqrt,
+           round(ln(l_extendedprice + 1), 4)                   AS log_price,
+           round(power(l_tax + 1, 2), 6)                       AS tax_sq,
+           CASE WHEN l_quantity > 25 THEN 'bulk'
+                WHEN l_quantity > 10 THEN 'mid'
+                ELSE 'small' END                               AS qty_class,
+           coalesce(nullif(l_returnflag, 'N'), 'none')         AS flag_or_none
+    FROM lineitem
+    WHERE l_orderkey % 199 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def fn_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 + conditionals: modulo/abs/ceil/floor/sqrt/ln/power, CASE WHEN,
+    coalesce/nullif (01.parquet_primer.py:29, 03.iceberg_primer.py:183-185)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 199 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_bucket"),
+        F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("log_price"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
+        F.when(F.col("l_quantity") > 25, "bulk")
+        .when(F.col("l_quantity") > 10, "mid")
+        .otherwise("small")
+        .alias("qty_class"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "fn_cast_family",
+    oracle="""
+    SELECT c_custkey,
+           CAST(floor(c_acctbal) AS BIGINT)     AS bal_floor,
+           CAST(c_custkey AS VARCHAR)           AS key_str,
+           CAST(c_nationkey AS DOUBLE)          AS nation_dbl,
+           CAST(CAST(c_custkey AS VARCHAR) AS BIGINT) AS key_roundtrip
+    FROM customer
+    WHERE c_custkey % 29 = 0
+    ORDER BY c_custkey
+    """,
+)
+def fn_cast_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: cast matrix (binary→string casts appear in the Kafka path; here
+    the numeric/string lattice). double→int uses explicit floor() because
+    Spark truncates while DuckDB rounds — the engine pins the semantics."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 29 == 0)
+    return c.select(
+        "c_custkey",
+        F.floor("c_acctbal").cast("bigint").alias("bal_floor"),
+        F.col("c_custkey").cast("string").alias("key_str"),
+        F.col("c_nationkey").cast("double").alias("nation_dbl"),
+        F.col("c_custkey").cast("string").cast("bigint").alias("key_roundtrip"),
+    ).orderBy("c_custkey")

@@ -1,0 +1,185 @@
+"""Embedding similarity search over `embeddings` (SURVEY §2.12).
+
+Brute-force cosine is the correctness baseline; the LSH-bucketed variant is
+the scale path (candidate generation linear in corpus size). Dot products are
+pure `zip_with`/`aggregate` higher-order functions — JVM-side, no Python in
+the hot loop.
+
+At 100 TB the brute-force all-pairs is infeasible (O(n²) shuffle); the
+shipped design is: normalize once → random-hyperplane LSH signatures →
+bucket-join candidates → exact re-rank within buckets. Query-vector top-k
+stays brute force (a single map + TakeOrderedAndProject, embarrassingly
+parallel, no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouses_spark.io import load_table
+from lakehouses_spark.registry import query
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product over array columns (F8 higher-order funcs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _emb_double(df: DataFrame) -> DataFrame:
+    """float32 → float64 once at scan time; all math happens in double so
+    results match any double-precision oracle."""
+    return df.withColumn("embedding", F.col("embedding").cast("array<double>"))
+
+
+@query(
+    "sim_knn_cosine",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for one query vector: broadcast the query,
+    one map over the corpus, TakeOrderedAndProject — zero shuffles; this is
+    the shape that scales to any corpus size."""
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "sim_pairs_threshold",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.95
+    ORDER BY vec_a, vec_b
+    """,
+)
+def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.95). Correctness
+    baseline is the all-pairs join; `sim_ann_lsh` is the linear-cost variant
+    of the same output."""
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(sim >= 0.95)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+N_PLANES = 16  # 16-bit random-hyperplane signature
+
+
+def _lsh_signature(emb: Column, dim: int = 64) -> Column:
+    """Deterministic random-hyperplane signature: plane p's component d is a
+    pseudo-random ±-uniform derived from xxhash64(p, d) — reproducible with
+    no stored model, identical on every executor."""
+    def plane_component(p: int, d: Column) -> Column:
+        h = F.xxhash64(F.lit(p), d)
+        # map hash to (-0.5, 0.5)
+        return (h.cast("double") / F.lit(float(2**64))) % 1.0
+
+    def signature_bit(p: int) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                emb,
+                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda d: plane_component(p, d)),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
+
+    bits = [signature_bit(p) for p in range(N_PLANES)]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total
+
+
+@query("sim_ann_lsh", oracle=None)  # LSH plane choice is engine-specific → rows-only
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN near-dup pairs via random-hyperplane LSH: bucket on a 16-bit
+    signature, exact cosine re-rank inside buckets only. Linear candidate
+    generation; pytest checks recall against `sim_pairs_threshold`."""
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "sig", _lsh_signature(F.col("embedding"))
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(sim >= 0.95)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query(
+    "sim_centroids",
+    oracle="""
+    SELECT label, CAST(i - 1 AS INTEGER) AS dim_idx,
+           round(avg(embedding[i]), 6) AS centroid
+    FROM (SELECT label, embedding,
+                 unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings)
+    GROUP BY label, i
+    ORDER BY label, dim_idx
+    """,
+)
+def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer training step: per-label centroid, computed as a
+    flat (label, dim) aggregation — posexplode turns the vector math into
+    plain hash aggregation that partial-aggregates map-side."""
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim_idx", "v"))
+        .groupBy("label", "dim_idx")
+        .agg(F.round(F.avg("v"), 6).alias("centroid"))
+        .select("label", F.col("dim_idx").cast("int").alias("dim_idx"), "centroid")
+        .orderBy("label", "dim_idx")
+    )

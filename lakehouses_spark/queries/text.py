@@ -1,0 +1,230 @@
+"""Text analysis over `documents` (SURVEY §2.12): token stats, quality
+scoring, language-ID heuristic, bag-of-words fingerprinting, n-gram
+frequencies.
+
+All pure built-ins (split / higher-order array funcs / sha2) — the entire
+text pipeline runs inside whole-stage codegen, so it scales as a plain map +
+agg with no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F
+
+from lakehouses_spark.io import load_table
+from lakehouses_spark.registry import query
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def _words(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER)                AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique,
+           length(text)                                                 AS n_chars_measured,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4)                     AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct count, char stats."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words()
+    return d.select(
+        "doc_id",
+        F.size(w).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("int").alias("n_unique"),
+        F.length("text").alias("n_chars_measured"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / F.size(w), 4
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_score",
+    oracle=None,  # oracle assigned at module foot (built from STOPWORDS)
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, lexical diversity, length band —
+    composite score in [0,1]."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words()
+    n_tokens = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    diversity = F.size(F.array_distinct(w)).cast("double") / n_tokens
+    length_band = F.when((n_tokens >= 20) & (n_tokens <= 80), 1.0).otherwise(0.5)
+    raw_score = (1.0 - stop_ratio) * 0.3 + diversity * 0.4 + length_band * 0.3
+    # floor(x*1e4+0.5)/1e4: rounding-mode-independent half-up (Spark rounds
+    # half-up, DuckDB half-even — scores land exactly on .5 boundaries)
+    score = F.floor(raw_score * 10000 + 0.5) / 10000
+    return d.select(
+        "doc_id",
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(diversity, 4).alias("diversity"),
+        length_band.alias("length_band"),
+        score.alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+# real oracle for text_quality_score (built after the decorator for clarity)
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+from lakehouses_spark.registry import QUERIES as _Q  # noqa: E402
+
+_Q["text_quality_score"].oracle = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         w -> list_contains({_STOP_SQL}, w))) AS n_stop,
+         len(list_distinct(string_split(text, ' '))) AS n_unique
+  FROM documents
+)
+SELECT doc_id,
+       round(CAST(n_stop AS DOUBLE) / n_tokens, 4)   AS stop_ratio,
+       round(CAST(n_unique AS DOUBLE) / n_tokens, 4) AS diversity,
+       CAST(CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.5 END AS DOUBLE)
+         AS length_band,
+       floor(((1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+              + CAST(n_unique AS DOUBLE) / n_tokens * 0.4
+              + CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1.0 ELSE 0.5 END * 0.3)
+             * 10000 + 0.5) / 10000
+         AS quality_score
+FROM base
+ORDER BY doc_id
+"""
+
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+}
+
+
+@query(
+    "text_langid",
+    oracle=None,  # oracle assigned at module foot (built from LANG_MARKERS)
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: count marker-stopword hits per language,
+    argmax with deterministic preference order (en > es > fr > de > unk)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words()
+    def marker_hits(markers: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    guess = (
+        F.when(best == 0, "unk")
+        .when(scores["en"] == best, "en")
+        .when(scores["es"] == best, "es")
+        .when(scores["fr"] == best, "fr")
+        .otherwise("de")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        guess.alias("guessed_lang"),
+        (guess == F.col("lang")).alias("correct"),
+    ).orderBy("doc_id")
+
+
+def _markers_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+
+
+_Q["text_langid"].oracle = f"""
+WITH scores AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), w -> list_contains({_markers_sql('en')}, w))) AS s_en,
+         len(list_filter(string_split(text, ' '), w -> list_contains({_markers_sql('es')}, w))) AS s_es,
+         len(list_filter(string_split(text, ' '), w -> list_contains({_markers_sql('fr')}, w))) AS s_fr,
+         len(list_filter(string_split(text, ' '), w -> list_contains({_markers_sql('de')}, w))) AS s_de
+  FROM documents
+), guessed AS (
+  SELECT doc_id, lang,
+         CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'unk'
+              WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+              WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+              WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+              ELSE 'de' END AS guessed_lang
+  FROM scores
+)
+SELECT doc_id, lang, guessed_lang, guessed_lang = lang AS correct
+FROM guessed
+ORDER BY doc_id
+"""
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT min(doc_id) AS canonical_id, count(*) AS n_docs,
+           sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint
+    FROM documents
+    GROUP BY 3
+    ORDER BY canonical_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: canonical bag-of-words digest — docs that are
+    permutations/repetitions of the same vocabulary collide. The digest is
+    the shuffle key, so clustering cost is independent of document length."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.sha2(F.array_join(F.array_sort(F.array_distinct(_words())), " "), 256)
+    return (
+        d.groupBy(fp.alias("fingerprint"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+        .select("canonical_id", "n_docs", "fingerprint")
+        .orderBy("canonical_id")
+    )
+
+
+@query(
+    "text_bigram_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), positions AS (
+      SELECT doc_id, words, unnest(generate_series(1, len(words) - 1)) AS i
+      FROM toks
+    ), bigrams AS (
+      SELECT words[i] || ' ' || words[i + 1] AS bigram FROM positions
+    )
+    SELECT bigram, count(*) AS n
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 bigrams: shingle-explode + count + TakeOrdered. The
+    classic n-gram LM-corpus statistics job."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words()
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

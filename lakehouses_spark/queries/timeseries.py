@@ -1,0 +1,263 @@
+"""Time-series operators over the `events` table (SURVEY §2.3 J5/J6, §2.9 T8
+batch analogs): tumbling windows, as-of join, range join, sessionization.
+
+These are the operators the reference lacks but a 100 TB event pipeline
+needs. Each is expressed as a composition of built-in DataFrame ops (window
+functions + range predicates), never `applyInPandas` — the JVM handles all of
+it, and every plan shuffles at most once on the natural key (user_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouses_spark.io import load_table
+from lakehouses_spark.registry import query
+
+
+@query(
+    "ts_tumbling_window",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def ts_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 batch analog: tumbling 1-hour aggregation via F.window (the same
+    expression powers the streaming path with a watermark; see
+    lakehouses_spark/streaming/windows.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "ts_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) - n) * 1800 * 1000000 AS BIGINT))
+               AS window_start,
+             value
+      FROM events, (VALUES (0), (1)) t(n)
+    )
+    SELECT CAST(window_start AS VARCHAR) AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM starts
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def ts_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: sliding window (1h window, 30m slide) — each event lands in 2
+    overlapping windows. Spark's F.window handles the expansion natively."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").cast("string").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "ts_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           c.event_id AS prior_click_id,
+           round(c.value, 2) AS prior_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: as-of join — each purchase matched to the user's most recent
+    prior click. Implemented as the scalable union+window merge (one shuffle
+    on user_id, sequential scan per partition) rather than an O(n·m)
+    inequality join: tag both streams, union, then last-non-null over an
+    event-time-ordered window."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event_id"),
+        F.col("value").alias("c_value"),
+    )
+    # union with stream tag; clicks sort before purchases at identical ts
+    # (ASOF `>=` semantics: a click at exactly purchase-ts matches).
+    tagged = purchases.select(
+        "user_id",
+        F.col("ts").alias("evt_ts"),
+        F.lit(1).alias("is_purchase"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("c_event_id"),
+        F.lit(None).cast("double").alias("c_value"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            F.col("c_ts").alias("evt_ts"),
+            F.lit(0).alias("is_purchase"),
+            F.lit(None).cast("long").alias("event_id"),
+            "c_event_id",
+            "c_value",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("evt_ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("prior_click_id", F.last("c_event_id", ignorenulls=True).over(w))
+        .withColumn("prior_click_value", F.round(F.last("c_value", ignorenulls=True).over(w), 2))
+        .where(F.col("is_purchase") == 1)
+        .select("event_id", "user_id", "prior_click_id", "prior_click_value")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "ts_range_join",
+    oracle="""
+    SELECT o_orderkey, count(*) AS n_shipped_in_window
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <  o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderkey
+    ORDER BY o_orderkey
+    """,
+)
+def ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: equi + range predicate join — lineitems shipped within 60 days of
+    their order. The equi key (orderkey) carries the shuffle; the range
+    predicate evaluates post-match, so this stays a hash join, not a
+    cartesian."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+    )
+    return (
+        o.join(li, cond)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_shipped_in_window"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "ts_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800.0
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(max(session_id) AS BIGINT)  AS n_sessions,
+           count(*)                         AS n_events,
+           round(sum(value), 2)             AS total_value
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands, 30-min inactivity gap) — the batch
+    analog of F.session_window. lag → new-session flag → running sum as
+    session id; one shuffle on user_id serves all three windows."""
+    e = load_table(spark, sf_dir, "events")
+    by_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(by_time).isNull()
+            | (
+                F.col("ts").cast("double") - F.lag("ts").over(by_time).cast("double")
+                > 1800.0
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(running))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "ts_daily_rollup",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+           count(*)                                   AS n_events,
+           count(DISTINCT user_id)                    AS n_users,
+           round(avg(value), 4)                       AS avg_value,
+           round(max(value), 2)                       AS max_value
+    FROM events
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def ts_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style daily rollup: time-bucket + multi-agg. At scale this
+    is the continuous-aggregate pattern — partition the table by day, and
+    the rollup prunes to changed partitions."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    return (
+        e.groupBy(F.date_trunc("day", "ts").cast("date").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .orderBy("day")
+    )

@@ -1,0 +1,177 @@
+"""Window functions (SURVEY §2.5 W1-W3 + rank/ntile breadth).
+
+Absent from the reference but required for parity breadth (top-k per group,
+as-of, dedup-keep-latest). All built-in `Window` specs — a single shuffle on
+the partition key, then per-partition sort; no custom state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouses_spark.io import load_table
+from lakehouses_spark.registry import query
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, rnk FROM (
+      SELECT o_orderpriority, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 5
+    ORDER BY o_orderpriority, rnk
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: row_number top-k per group — the scalable 'top 5 orders per
+    priority class'. One shuffle on the group key; with AQE, skewed groups
+    split across tasks."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("o_orderpriority", "o_orderkey", "rnk")
+        .orderBy("o_orderpriority", "rnk")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: running sum over an explicit ROWS frame."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.sum("value").over(w), 2).alias("running_total"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+             AS delta
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: lag delta — per-user change between consecutive events."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+    SELECT p_partkey, p_type,
+           rank()       OVER (PARTITION BY p_type ORDER BY p_size DESC, p_partkey) AS rnk,
+           dense_rank() OVER (PARTITION BY p_type ORDER BY p_size DESC)            AS drnk
+    FROM part
+    ORDER BY p_type, rnk
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank with deterministic tie handling on an int key."""
+    by_size = Window.partitionBy("p_type").orderBy(F.col("p_size").desc(), F.col("p_partkey"))
+    by_size_ties = Window.partitionBy("p_type").orderBy(F.col("p_size").desc())
+    return (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_type",
+            F.rank().over(by_size).alias("rnk"),
+            F.dense_rank().over(by_size_ties).alias("drnk"),
+        )
+        .orderBy("p_type", "rnk")
+    )
+
+
+@query(
+    "window_lead_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           lead(o_orderkey) OVER (ORDER BY o_orderkey) AS next_key,
+           ntile(4)         OVER (ORDER BY o_orderkey) AS quartile
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def window_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead + ntile on a filtered key set (global window kept small — an
+    unpartitioned window is a single-task sort and only acceptable on
+    bounded data; at scale, partition it)."""
+    w = Window.orderBy("o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            F.lead("o_orderkey").over(w).alias("next_key"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "window_dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id AS latest_event_id FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def window_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-keep-latest — the standard CDC/compaction pattern (one row per
+    (user, event_type), newest wins). Same shape backs MERGE source dedup."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("latest_event_id"))
+        .orderBy("user_id", "event_type")
+    )
