@@ -40,6 +40,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition before CPU-heavy per-row work.
+
+    The testdata tables arrive as single parquet files → single input
+    partition; any expensive map (shingling, hashing, vector math) would run
+    on one core. At real scale the scan itself is parallel and this becomes a
+    no-op decision, but the operator code shouldn't silently serialize."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> None:

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-from lakehouses_spark.io import load_table
+from lakehouses_spark.io import load_table, spread
 from lakehouses_spark.registry import query
 
 # --- shared shingle expression (3-word shingles over whitespace tokens) -----
@@ -142,7 +142,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     second explode + groupBy(band_hash). Cost is O(total shingles · k) map
     work and two digest-keyed shuffles — linear, no all-pairs stage.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     exploded = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
     sig = exploded.groupBy("doc_id").agg(
         *[
@@ -158,11 +158,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for band in range(LSH_BANDS)
     ]
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bucket"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # single-pass pair generation: bucket members → sorted id array → all
+    # (i<j) pairs via nested transform. Avoids the banded-self-join, which
+    # would execute the whole signature lineage twice. Buckets are tiny by
+    # construction (near-dup groups), so collect_set per bucket is bounded;
+    # a pathological hot bucket would need a salt, which LSH keys never do.
+    ids = F.array_sort(F.collect_set("doc_id"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     candidates = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        banded.groupBy("bucket")
+        .agg(ids.alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     # exact-Jaccard verification of candidates only
