@@ -1,0 +1,663 @@
+"""LakeTable — ACID table over parquet + JSON log (SURVEY §2.10).
+
+Design decisions, and why they hold at 100 TB:
+
+- **Log-defined state.** Readers plan purely from the log's file list +
+  stats; no directory listing, no parquet-footer fan-out at plan time.
+- **Clustered, not hive-partitioned.** `partition_by` repartitions data so
+  each file covers a narrow range of the cluster key, and per-file min/max
+  stats drive file skipping. Same pruning power as directory partitioning
+  without the small-file/directory-explosion failure mode on high-cardinality
+  keys (the reference hits exactly that problem at
+  02.delta_lake_primer.py:46-49).
+- **Copy-on-write DML.** DELETE/UPDATE/MERGE touch only files that provably
+  contain affected rows, discovered with the `_metadata.file_path` hidden
+  column — a distributed scan whose *result* (a file list) is bounded by
+  file count, never row count. This mirrors Delta's join-against-file-index
+  strategy (SURVEY §3.1 step 4; reference DML at
+  02.delta_lake_primer.py:213-320, 03.iceberg_primer.py:183-215).
+- **Optimistic concurrency.** Single-winner commit via atomic link; losers
+  raise ConcurrentWriteError and may retry on fresh state.
+- **Checkpoints.** Every CHECKPOINT_INTERVAL commits the full state is
+  snapshotted so replay cost stays O(interval), matching Delta's parquet
+  checkpoints (01.parquet_primer.py:386).
+"""
+
+from __future__ import annotations
+
+import json
+import operator
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from lakehouses_spark.tables import log as txlog
+from lakehouses_spark.tables.log import ConcurrentWriteError  # noqa: F401  (re-export)
+
+MAX_STAT_COLS = 8
+CHECKPOINT_INTERVAL = 10
+
+
+class SchemaMismatchError(ValueError):
+    """Append schema differs from table schema and merge_schema is off
+    (mirrors Delta's enforcement, 02.delta_lake_primer.py:354-358)."""
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str | Path):
+        self.spark = spark
+        self.path = Path(path)
+
+    # ------------------------------------------------------------------ #
+    # creation / conversion
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str | Path,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        mode: str = "error",
+        num_files: int | None = None,
+    ) -> "LakeTable":
+        """CTAS (02.delta_lake_primer.py:93-99). `partition_by` is the
+        cluster key (see module docstring)."""
+        t = cls(spark, path)
+        if txlog.list_versions(path):
+            if mode == "error":
+                raise FileExistsError(f"table already exists: {path}")
+            if mode == "ignore":
+                return t
+            # mode == "overwrite"
+            t.overwrite(df)
+            return t
+        adds = t._write_files(df, partition_by or [], num_files=num_files)
+        t._commit(
+            0,
+            operation="CREATE TABLE AS SELECT",
+            add=adds,
+            schema=df.schema.json(),
+            partition_by=partition_by or [],
+        )
+        return t
+
+    @classmethod
+    def convert_from_parquet(
+        cls,
+        spark: SparkSession,
+        path: str | Path,
+        partition_spec: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        """S6: in-place convert an existing parquet directory — register its
+        files in a fresh log without rewriting data
+        (01.parquet_primer.py:185,348-369). Hive-partitioned dirs require
+        `partition_spec` ({"col": "type"}), mirroring convertToDelta's
+        mandatory spec; without it conversion fails."""
+        path = Path(path)
+        if txlog.list_versions(path):
+            return cls(spark, path)  # idempotent
+        files = sorted(p for p in path.rglob("*.parquet") if not p.name.startswith("."))
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        partitioned = any("=" in str(p.relative_to(path).parent) for p in files)
+        if partitioned and not partition_spec:
+            raise ValueError(
+                "directory is hive-partitioned; partition_spec {col: type} is "
+                "required (convertToDelta semantics, 01.parquet_primer.py:348-369)"
+            )
+        t = cls(spark, path)
+        if partitioned:
+            # one read per partition directory-value group, partition columns
+            # injected as literals so data files become self-contained
+            df = spark.read.option("basePath", str(path)).parquet(
+                *[str(f) for f in files]
+            )
+            adds = t._write_files(df, list(partition_spec))
+            t._commit(
+                0,
+                operation="CONVERT",
+                add=adds,
+                schema=df.schema.json(),
+                partition_by=list(partition_spec),
+                operation_parameters={"partition_spec": partition_spec, "rewritten": True},
+            )
+            return t
+        df = spark.read.parquet(str(path))
+        schema = df.schema
+        stats_df = (
+            spark.read.parquet(*[str(f) for f in files])
+            .groupBy(F.col("_metadata.file_path").alias("fp"))
+            .agg(F.count(F.lit(1)).alias("n"), *_stat_aggs(schema))
+        )
+        adds = _adds_from_stats(stats_df.collect(), path, schema)
+        t._commit(0, operation="CONVERT", add=adds, schema=schema.json(), partition_by=[])
+        return t
+
+    # ------------------------------------------------------------------ #
+    # state / read
+    # ------------------------------------------------------------------ #
+    def state(self, version: int | None = None, timestamp_ms: int | None = None):
+        return txlog.replay(self.path, version=version, timestamp_ms=timestamp_ms)
+
+    @property
+    def version(self) -> int:
+        return self.state().version
+
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.state().schema_json))
+
+    def read(
+        self,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+        filters: list[tuple[str, str, Any]] | None = None,
+    ) -> DataFrame:
+        """Snapshot read with time travel (D5/D6) and stats-based file
+        skipping: `filters` [(col, op, value), ...] prunes files whose
+        min/max range contradicts the predicate, then applies the residual
+        predicate row-wise."""
+        st = self.state(version=version, timestamp_ms=timestamp_ms)
+        schema = StructType.fromJson(json.loads(st.schema_json))
+        paths = [
+            str(self.path / rel)
+            for rel, add in st.files.items()
+            if _file_may_match(add, filters)
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(*paths)
+        for col, op, val in filters or []:
+            df = df.where(_predicate(col, op, val))
+        return df
+
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY (D7, 02.delta_lake_primer.py:405). Reads every
+        commit file directly (replay may start from a checkpoint)."""
+        commits = [
+            txlog.read_commit(self.path, v) for v in txlog.list_versions(self.path)
+        ]
+        rows = [
+            {
+                "version": c["version"],
+                "timestamp_ms": c["timestamp_ms"],
+                "operation": c["operation"],
+                "operation_parameters": json.dumps(c.get("operation_parameters") or {}),
+                "num_added_files": len(c.get("add") or []),
+                "num_removed_files": len(c.get("remove") or []),
+            }
+            for c in commits
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version long, timestamp_ms long, operation string, "
+            "operation_parameters string, num_added_files long, num_removed_files long",
+        )
+
+    def detail(self) -> dict[str, Any]:
+        """DESCRIBE DETAIL (D7)."""
+        st = self.state()
+        return {
+            "location": str(self.path),
+            "version": st.version,
+            "num_files": len(st.files),
+            "num_records": st.num_records,
+            "size_bytes": st.size_bytes,
+            "partition_by": st.partition_by,
+            "schema": st.schema_json,
+        }
+
+    # ------------------------------------------------------------------ #
+    # writes
+    # ------------------------------------------------------------------ #
+    def append(self, df: DataFrame, merge_schema: bool = False) -> None:
+        """D1/S5 append with schema enforcement; merge_schema=True widens the
+        table schema with new columns (02.delta_lake_primer.py:354-362)."""
+        st = self.state()
+        schema = StructType.fromJson(json.loads(st.schema_json))
+        new_schema = _check_schema(schema, df.schema, merge_schema)
+        df = _conform(df, new_schema)
+        adds = self._write_files(df, st.partition_by)
+        self._commit(
+            st.version + 1,
+            operation="WRITE",
+            operation_parameters={"mode": "Append"},
+            add=adds,
+            schema=new_schema.json() if new_schema != schema else None,
+        )
+
+    def overwrite(self, df: DataFrame) -> None:
+        st = self.state()
+        adds = self._write_files(df, st.partition_by)
+        self._commit(
+            st.version + 1,
+            operation="WRITE",
+            operation_parameters={"mode": "Overwrite"},
+            add=adds,
+            remove=sorted(st.files),
+            schema=df.schema.json(),
+        )
+
+    def insert_values(self, rows: list[dict]) -> None:
+        """D1: INSERT INTO ... VALUES (02.delta_lake_primer.py:148)."""
+        schema = self.schema()
+        self.append(self.spark.createDataFrame(rows, schema))
+
+    # ------------------------------------------------------------------ #
+    # DML (copy-on-write)
+    # ------------------------------------------------------------------ #
+    def _affected_files(self, cond) -> list[str]:
+        """Distributed file-index lookup: which live files contain rows
+        matching cond? Returns absolute paths (bounded by file count)."""
+        st = self.state()
+        schema = StructType.fromJson(json.loads(st.schema_json))
+        paths = [str(self.path / rel) for rel in st.files]
+        if not paths:
+            return []
+        hits = (
+            self.spark.read.schema(schema)
+            .parquet(*paths)
+            .where(cond)
+            .select(F.col("_metadata.file_path").alias("fp"))
+            .distinct()
+            .collect()
+        )
+        return [_strip_scheme(r.fp) for r in hits]
+
+    def delete(self, where: str) -> dict[str, int]:
+        """D2: DELETE FROM ... WHERE (02.delta_lake_primer.py:213-224)."""
+        st = self.state()
+        cond = F.expr(where)
+        affected = self._affected_files(cond)
+        if not affected:
+            self._commit(st.version + 1, operation="DELETE",
+                         operation_parameters={"predicate": where})
+            return {"rewritten_files": 0}
+        schema = StructType.fromJson(json.loads(st.schema_json))
+        kept = self.spark.read.schema(schema).parquet(*affected).where(~cond)
+        adds = self._write_files(kept, st.partition_by)
+        self._commit(
+            st.version + 1,
+            operation="DELETE",
+            operation_parameters={"predicate": where},
+            add=adds,
+            remove=[_rel(self.path, p) for p in affected],
+        )
+        return {"rewritten_files": len(affected)}
+
+    def update(self, set_exprs: dict[str, str], where: str = "true") -> dict[str, int]:
+        """D3: UPDATE ... SET ... WHERE (02.delta_lake_primer.py:252-261)."""
+        st = self.state()
+        cond = F.expr(where)
+        affected = self._affected_files(cond)
+        if not affected:
+            self._commit(st.version + 1, operation="UPDATE",
+                         operation_parameters={"predicate": where})
+            return {"rewritten_files": 0}
+        schema = StructType.fromJson(json.loads(st.schema_json))
+        src = self.spark.read.schema(schema).parquet(*affected)
+        updated = src.select(
+            *[
+                F.when(cond, F.expr(set_exprs[c]).cast(src.schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in src.columns
+            ]
+        )
+        adds = self._write_files(updated, st.partition_by)
+        self._commit(
+            st.version + 1,
+            operation="UPDATE",
+            operation_parameters={"predicate": where, "set": set_exprs},
+            add=adds,
+            remove=[_rel(self.path, p) for p in affected],
+        )
+        return {"rewritten_files": len(affected)}
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: str,
+        when_matched_update: dict[str, str] | str | None = "all",
+        when_not_matched_insert: dict[str, str] | str | None = "all",
+        when_matched_delete: bool = False,
+    ) -> dict[str, int]:
+        """D4/J1: MERGE INTO — upsert with matched-update / not-matched-insert
+        (02.delta_lake_primer.py:312-320, 03.iceberg_primer.py:203-215).
+
+        `on` references columns as t.<col> / s.<col>. Only files containing
+        matched rows are rewritten; inserts are appended. A source row that
+        matches nothing inserts; matching target rows update in place.
+        """
+        st = self.state()
+        schema = StructType.fromJson(json.loads(st.schema_json))
+        paths = [str(self.path / rel) for rel in st.files]
+        cond = F.expr(on)
+        src = source.alias("s")
+
+        affected: list[str] = []
+        if paths:
+            t_all = self.spark.read.schema(schema).parquet(*paths).alias("t")
+            affected = [
+                _strip_scheme(r.fp)
+                for r in t_all.join(src, cond, "left_semi")
+                .select(F.col("t._metadata.file_path").alias("fp"))
+                .distinct()
+                .collect()
+            ]
+
+        adds: list[dict] = []
+        n_rewritten = 0
+        out_parts: list[DataFrame] = []
+        if affected:
+            t_aff = self.spark.read.schema(schema).parquet(*affected).alias("t")
+            matched = t_aff.join(src, cond, "inner")
+            if when_matched_delete:
+                rewritten = t_aff.join(src, cond, "left_anti").select(
+                    *[F.col(f"t.{c}") for c in schema.names]
+                )
+            elif when_matched_update == "all":
+                rewritten = t_aff.join(src, cond, "left").select(
+                    *[
+                        F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+                        if c in source.columns
+                        else F.col(f"t.{c}")
+                        for c in schema.names
+                    ]
+                )
+            elif when_matched_update:
+                is_matched = F.col("s.__m__").isNotNull()
+                marked = t_aff.join(
+                    src.withColumn("__m__", F.lit(1)).alias("s"), cond, "left"
+                )
+                rewritten = marked.select(
+                    *[
+                        F.when(is_matched, F.expr(when_matched_update[c]).cast(schema[c].dataType))
+                        .otherwise(F.col(f"t.{c}"))
+                        .alias(c)
+                        if c in when_matched_update
+                        else F.col(f"t.{c}").alias(c)
+                        for c in schema.names
+                    ]
+                )
+            else:
+                rewritten = t_aff.select(*[F.col(f"t.{c}") for c in schema.names])
+            out_parts.append(rewritten)
+            n_rewritten = len(affected)
+
+        if when_not_matched_insert:
+            if paths:
+                t_all = self.spark.read.schema(schema).parquet(*paths).alias("t")
+                inserts = src.join(t_all, cond, "left_anti")
+            else:
+                inserts = src
+            if when_not_matched_insert == "all":
+                ins = _conform(inserts, schema)
+            else:
+                ins = inserts.select(
+                    *[
+                        F.expr(when_not_matched_insert[c]).cast(schema[c].dataType).alias(c)
+                        if c in when_not_matched_insert
+                        else F.lit(None).cast(schema[c].dataType).alias(c)
+                        for c in schema.names
+                    ]
+                )
+            out_parts.append(ins)
+
+        if out_parts:
+            out = out_parts[0]
+            for p in out_parts[1:]:
+                out = out.unionByName(p)
+            adds = self._write_files(out, st.partition_by)
+
+        self._commit(
+            st.version + 1,
+            operation="MERGE",
+            operation_parameters={"predicate": on},
+            add=adds,
+            remove=[_rel(self.path, p) for p in affected],
+        )
+        return {"rewritten_files": n_rewritten, "added_files": len(adds)}
+
+    # ------------------------------------------------------------------ #
+    # maintenance
+    # ------------------------------------------------------------------ #
+    def vacuum(self, retain_versions: int = 0, dry_run: bool = False) -> list[str]:
+        """D8: delete data files unreferenced by the current state (and the
+        last `retain_versions` snapshots) — 02.delta_lake_primer.py:442.
+        Time travel older than the retention horizon stops working, exactly
+        like Delta's VACUUM."""
+        versions = txlog.list_versions(self.path)
+        keep_versions = versions[-(retain_versions + 1):]
+        live: set[str] = set()
+        for v in keep_versions:
+            live |= set(txlog.replay(self.path, version=v).files)
+        on_disk = {
+            _rel(self.path, str(p))
+            for p in (self.path / txlog.DATA_DIR).rglob("*.parquet")
+        } if (self.path / txlog.DATA_DIR).is_dir() else set()
+        orphans = sorted(on_disk - live)
+        if not dry_run:
+            for rel in orphans:
+                (self.path / rel).unlink(missing_ok=True)
+            st = self.state()
+            self._commit(
+                st.version + 1,
+                operation="VACUUM",
+                operation_parameters={"retain_versions": retain_versions,
+                                      "removed": len(orphans)},
+            )
+        return orphans
+
+    def optimize(self, target_records_per_file: int = 1_000_000) -> dict[str, int]:
+        """OPTIMIZE-style small-file compaction (the problem demonstrated at
+        02.delta_lake_primer.py:46-49): bin-pack under-sized files and
+        rewrite them as full ones."""
+        st = self.state()
+        small = {
+            rel: a
+            for rel, a in st.files.items()
+            if (a.get("num_records") or 0) < target_records_per_file
+        }
+        if len(small) < 2:
+            return {"compacted_files": 0}
+        schema = StructType.fromJson(json.loads(st.schema_json))
+        df = self.spark.read.schema(schema).parquet(
+            *[str(self.path / rel) for rel in small]
+        )
+        total = sum(a.get("num_records") or 0 for a in small.values())
+        n_out = max(1, -(-total // target_records_per_file))
+        adds = self._write_files(df.repartition(n_out), st.partition_by, skip_cluster=True)
+        self._commit(
+            st.version + 1,
+            operation="OPTIMIZE",
+            operation_parameters={"target_records_per_file": target_records_per_file},
+            add=adds,
+            remove=sorted(small),
+        )
+        return {"compacted_files": len(small)}
+
+    # ------------------------------------------------------------------ #
+    # internals
+    # ------------------------------------------------------------------ #
+    def _write_files(
+        self,
+        df: DataFrame,
+        partition_by: list[str],
+        skip_cluster: bool = False,
+        num_files: int | None = None,
+    ) -> list[dict]:
+        """Write part-files for one commit + collect per-file stats (one
+        metadata job over just-written files).
+
+        Clustering uses range partitioning on the cluster key so each file
+        covers a contiguous key range (tight min/max → effective skipping).
+        Without an explicit num_files, AQE sizes the shuffle output to the
+        data volume — the behavior you want at scale."""
+        abs_dir, rel = txlog.new_data_subdir(self.path)
+        if partition_by and not skip_cluster:
+            cols = [F.col(c) for c in partition_by]
+            df = (
+                df.repartitionByRange(num_files, *cols)
+                if num_files
+                else df.repartitionByRange(*cols)
+            )
+        df.write.parquet(str(abs_dir))
+        files = sorted(str(p) for p in abs_dir.rglob("*.parquet"))
+        if not files:
+            return []
+        stats_df = (
+            self.spark.read.parquet(*files)
+            .groupBy(F.col("_metadata.file_path").alias("fp"))
+            .agg(F.count(F.lit(1)).alias("n"), *_stat_aggs(df.schema))
+        )
+        return _adds_from_stats(stats_df.collect(), self.path, df.schema)
+
+    def _commit(self, version: int, operation: str, add=None, remove=None,
+                schema=None, partition_by=None, operation_parameters=None) -> None:
+        actions: dict[str, Any] = {"operation": operation}
+        if operation_parameters:
+            actions["operation_parameters"] = operation_parameters
+        if add:
+            actions["add"] = add
+        if remove:
+            actions["remove"] = remove
+        if schema:
+            actions["schema"] = schema
+        if partition_by is not None:
+            actions["partition_by"] = partition_by
+        txlog.try_commit(self.path, version, actions)
+        if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+            txlog.write_checkpoint(self.path, txlog.replay(self.path, version=version))
+
+
+# ---------------------------------------------------------------------- #
+# helpers
+# ---------------------------------------------------------------------- #
+_OPS = {
+    "=": operator.eq, "==": operator.eq, "<": operator.lt, "<=": operator.le,
+    ">": operator.gt, ">=": operator.ge,
+}
+
+
+def _predicate(col: str, op: str, val):
+    if op in ("=", "=="):
+        return F.col(col) == F.lit(val)
+    return {"<": F.col(col) < F.lit(val), "<=": F.col(col) <= F.lit(val),
+            ">": F.col(col) > F.lit(val), ">=": F.col(col) >= F.lit(val)}[op]
+
+
+def _file_may_match(add: dict, filters) -> bool:
+    """Stats-based file skipping: False only if stats PROVE no row matches."""
+    if not filters:
+        return True
+    stats = add.get("stats") or {}
+    for col, op, val in filters:
+        s = stats.get(col)
+        if not s or s.get("min") is None or s.get("max") is None:
+            continue
+        lo, hi = s["min"], s["max"]
+        try:
+            if op in ("=", "==") and (val < lo or val > hi):
+                return False
+            if op == "<" and not (lo < val):
+                return False
+            if op == "<=" and not (lo <= val):
+                return False
+            if op == ">" and not (hi > val):
+                return False
+            if op == ">=" and not (hi >= val):
+                return False
+        except TypeError:
+            continue  # incomparable types: never skip
+    return True
+
+
+def _stat_cols(schema: StructType) -> list[str]:
+    out = []
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t in ("integer", "long", "short", "byte", "double", "float", "string",
+                 "date", "timestamp", "boolean"):
+            out.append(f.name)
+        if len(out) >= MAX_STAT_COLS:
+            break
+    return out
+
+
+def _stat_aggs(schema: StructType):
+    aggs = []
+    for c in _stat_cols(schema):
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    return aggs
+
+
+def _json_safe(v):
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _adds_from_stats(rows, table_path: Path, schema: StructType) -> list[dict]:
+    adds = []
+    for r in rows:
+        fp = _strip_scheme(r.fp)
+        stats = {
+            c: {"min": _json_safe(r[f"__min_{c}"]), "max": _json_safe(r[f"__max_{c}"])}
+            for c in _stat_cols(schema)
+        }
+        p = Path(fp)
+        adds.append(
+            {
+                "path": _rel(table_path, fp),
+                "num_records": r.n,
+                "size_bytes": p.stat().st_size if p.exists() else None,
+                "stats": stats,
+            }
+        )
+    return sorted(adds, key=lambda a: a["path"])
+
+
+def _strip_scheme(p: str) -> str:
+    return p.removeprefix("file://").removeprefix("file:")
+
+
+def _rel(table_path: Path, abs_path: str) -> str:
+    return str(Path(_strip_scheme(abs_path)).relative_to(table_path))
+
+
+def _check_schema(table: StructType, incoming: StructType, merge: bool) -> StructType:
+    t_fields = {f.name: f for f in table.fields}
+    new = [f for f in incoming.fields if f.name not in t_fields]
+    for f in incoming.fields:
+        tf = t_fields.get(f.name)
+        if tf is not None and tf.dataType.simpleString() != f.dataType.simpleString():
+            raise SchemaMismatchError(
+                f"column {f.name}: table has {tf.dataType.simpleString()}, "
+                f"incoming {f.dataType.simpleString()}"
+            )
+    if new and not merge:
+        raise SchemaMismatchError(
+            f"incoming columns not in table schema: {[f.name for f in new]} "
+            "(use merge_schema=True to evolve)"
+        )
+    if not new:
+        return table
+    return StructType(table.fields + new)
+
+
+def _conform(df: DataFrame, schema: StructType) -> DataFrame:
+    """Project df to the table schema, nulling absent columns."""
+    return df.select(
+        *[
+            F.col(f.name).cast(f.dataType) if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )

@@ -1,0 +1,196 @@
+"""LakeTable ACID/DML/time-travel tests mirroring the reference's
+delta_lake_primer sequence (SURVEY §5 items 2 & 4):
+
+- CTAS → INSERT → DELETE → UPDATE → MERGE with version-N snapshot checks
+  (02.delta_lake_primer.py:93-320, 404-421)
+- schema enforcement negative test + mergeSchema evolution (:354-362)
+- convertToDelta incl. the mandatory-partition-spec failure (01.parquet_
+  primer.py:185,348-369)
+- VACUUM orphan cleanup (:442), OPTIMIZE compaction, stats-based skipping
+- optimistic-concurrency conflict
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouses_spark.tables import LakeCatalog, LakeTable, SchemaMismatchError
+from lakehouses_spark.tables.log import ConcurrentWriteError, try_commit
+
+
+@pytest.fixture
+def people(spark):
+    return spark.createDataFrame(
+        [(1, "ana", 30000.0), (2, "luis", 40000.0), (3, "eva", 50000.0)],
+        "id int, name string, salario double",
+    )
+
+
+def test_ctas_read_roundtrip(spark, tmp_path, people):
+    t = LakeTable.create(spark, tmp_path / "t", people)
+    assert t.version == 0
+    got = sorted(tuple(r) for r in t.read().collect())
+    assert got == [(1, "ana", 30000.0), (2, "luis", 40000.0), (3, "eva", 50000.0)]
+    assert t.detail()["num_records"] == 3
+
+
+def test_dml_sequence_and_time_travel(spark, tmp_path, people):
+    """The delta_lake_primer DML arc with per-version snapshot assertions."""
+    t = LakeTable.create(spark, tmp_path / "t", people)
+    t.insert_values([{"id": 4, "name": "joan", "salario": 60000.0}])  # v1 INSERT
+    t.delete("id = 2")                                                # v2 DELETE
+    t.update({"salario": "salario * 1.10"}, where="id = 1")           # v3 UPDATE
+    src = spark.createDataFrame(
+        [(1, "ana maria", 99000.0), (5, "noa", 70000.0)],
+        "id int, name string, salario double",
+    )
+    t.merge(src, "t.id = s.id")                                       # v4 MERGE
+
+    assert t.version == 4
+    # current state: 1 updated by merge, 2 deleted, 3 untouched, 4 inserted, 5 merged-in
+    cur = {r.id: (r.name, round(r.salario, 2)) for r in t.read().collect()}
+    assert cur == {
+        1: ("ana maria", 99000.0),
+        3: ("eva", 50000.0),
+        4: ("joan", 60000.0),
+        5: ("noa", 70000.0),
+    }
+    # VERSION AS OF checks (02.delta_lake_primer.py:404-421)
+    assert t.read(version=0).count() == 3
+    assert t.read(version=1).count() == 4
+    assert {r.id for r in t.read(version=2).collect()} == {1, 3, 4}
+    v3 = {r.id: round(r.salario, 2) for r in t.read(version=3).collect()}
+    assert v3[1] == 33000.0  # 30000 * 1.10
+    # TIMESTAMP AS OF: travel to v1's commit time
+    ts1 = t.history().where("version = 1").collect()[0].timestamp_ms
+    assert t.read(timestamp_ms=ts1).count() == 4
+    # history operations recorded (DESCRIBE HISTORY)
+    ops = [r.operation for r in t.history().orderBy("version").collect()]
+    assert ops == ["CREATE TABLE AS SELECT", "WRITE", "DELETE", "UPDATE", "MERGE"]
+
+
+def test_merge_insert_only_and_delete(spark, tmp_path, people):
+    t = LakeTable.create(spark, tmp_path / "t", people)
+    src = spark.createDataFrame([(3, "x", 1.0), (9, "nine", 9.0)],
+                                "id int, name string, salario double")
+    # matched-delete + not-matched-insert
+    t.merge(src, "t.id = s.id", when_matched_update=None,
+            when_matched_delete=True, when_not_matched_insert="all")
+    got = {r.id for r in t.read().collect()}
+    assert got == {1, 2, 9}
+
+
+def test_schema_enforcement_and_evolution(spark, tmp_path, people):
+    t = LakeTable.create(spark, tmp_path / "t", people)
+    widened = people.withColumn("depto", F.lit("eng"))
+    with pytest.raises(SchemaMismatchError):
+        t.append(widened)  # 02.delta_lake_primer.py:354-358 expected failure
+    t.append(widened, merge_schema=True)  # :362 mergeSchema
+    assert set(t.schema().names) == {"id", "name", "salario", "depto"}
+    # old rows read as null in the new column
+    assert t.read().where("depto IS NULL").count() == 3
+    # type conflict is always rejected
+    bad = spark.createDataFrame([(1, "x", "notadouble", "d")],
+                                "id int, name string, salario string, depto string")
+    with pytest.raises(SchemaMismatchError):
+        t.append(bad, merge_schema=True)
+
+
+def test_convert_from_parquet(spark, tmp_path, people):
+    plain = tmp_path / "plain"
+    people.write.parquet(str(plain))
+    t = LakeTable.convert_from_parquet(spark, plain)
+    assert t.read().count() == 3
+    # data files were registered in place, not rewritten
+    assert t.history().collect()[0].operation == "CONVERT"
+    # now DML works on what was a plain parquet dir
+    t.delete("id = 1")
+    assert t.read().count() == 2
+
+
+def test_convert_partitioned_requires_spec(spark, tmp_path, people):
+    part = tmp_path / "part"
+    people.withColumn("m", F.col("id") % 2).write.partitionBy("m").parquet(str(part))
+    with pytest.raises(ValueError, match="partition_spec"):
+        LakeTable.convert_from_parquet(spark, part)  # 01.parquet_primer.py:348-369
+    t = LakeTable.convert_from_parquet(spark, part, partition_spec={"m": "int"})
+    assert t.read().count() == 3
+    assert "m" in t.schema().names
+
+
+def test_vacuum(spark, tmp_path, people):
+    t = LakeTable.create(spark, tmp_path / "t", people)
+    t.delete("id = 1")  # v1 rewrites the file; v0's file becomes historical
+    orphans_if_keep_current_only = t.vacuum(dry_run=True)
+    assert orphans_if_keep_current_only  # v0 file is vacuum-able
+    assert t.read(version=0).count() == 3  # still readable pre-vacuum
+    t.vacuum()
+    with pytest.raises(Exception):
+        t.read(version=0).collect()  # time travel beyond horizon gone
+    assert t.read().count() == 2  # current snapshot intact
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    t = LakeTable.create(spark, tmp_path / "t", df.repartition(8))
+    assert t.detail()["num_files"] == 8
+    res = t.optimize(target_records_per_file=1000)
+    assert res["compacted_files"] == 8
+    assert t.detail()["num_files"] == 1
+    assert t.read().count() == 100
+
+
+def test_stats_based_file_skipping(spark, tmp_path):
+    df = spark.range(1000).withColumn("bucket", (F.col("id") / 100).cast("int"))
+    t = LakeTable.create(spark, tmp_path / "t", df, partition_by=["bucket"], num_files=5)
+    st = t.state()
+    # clustered write → several files, each with narrow bucket range
+    pruned = [
+        add for add in st.files.values()
+        if not __import__("lakehouses_spark.tables.table", fromlist=["_file_may_match"])
+        ._file_may_match(add, [("bucket", "=", 3)])
+    ]
+    assert pruned, "expected stats to prune at least one file"
+    assert t.read(filters=[("bucket", "=", 3)]).count() == 100
+
+
+def test_concurrent_commit_conflict(spark, tmp_path, people):
+    t = LakeTable.create(spark, tmp_path / "t", people)
+    # a competing writer claims version 1 first
+    try_commit(t.path, 1, {"operation": "WRITE"})
+    with pytest.raises(ConcurrentWriteError):
+        try_commit(t.path, 1, {"operation": "WRITE"})
+
+
+def test_checkpoint_replay(spark, tmp_path, people):
+    t = LakeTable.create(spark, tmp_path / "t", people)
+    for i in range(12):
+        t.insert_values([{"id": 100 + i, "name": f"p{i}", "salario": 1.0}])
+    ckpts = list((t.path / "_tx_log").glob("checkpoint-*.json"))
+    assert ckpts, "checkpoint should exist after 10+ commits"
+    assert t.read().count() == 3 + 12
+    assert t.read(version=5).count() == 3 + 5  # pre-checkpoint time travel intact
+
+
+def test_catalog_ddl_and_sql(spark, tmp_path, people):
+    cat = LakeCatalog(spark, tmp_path / "wh")
+    cat.create_database("bronze")
+    assert "bronze" in cat.databases()
+    cat.create_table("bronze.people", people)
+    assert cat.tables("bronze") == ["people"]
+    view = cat.register("bronze.people")
+    assert spark.sql(f"SELECT count(*) AS n FROM {view}").collect()[0].n == 3
+    # time-travel view after DML
+    cat.table("bronze.people").delete("id = 1")
+    v0 = cat.register("bronze.people", view_name="people_v0", version=0)
+    assert spark.sql(f"SELECT count(*) AS n FROM {v0}").collect()[0].n == 3
+    cat.drop_table("bronze.people")
+    assert cat.tables("bronze") == []
+    cat.create_table("bronze.again", people)
+    with pytest.raises(ValueError, match="not empty"):
+        cat.drop_database("bronze")
+    cat.drop_database("bronze", cascade=True)
+    assert "bronze" not in cat.databases()
