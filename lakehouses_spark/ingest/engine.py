@@ -1,0 +1,219 @@
+"""Config-driven ingestion engine (SURVEY §3.3, §7.1 item 4).
+
+Port of the reference's engine spec (notebooks/04.ingestas_motor/
+01.ingestas_motor.py:72-242): a config dict describes one (datasource,
+dataset) pipeline; `read_stream` builds the source DataFrame with metadata
+columns, `write_stream` runs it into a bronze LakeTable through foreachBatch
+with landing→raw archival, `run` drains with availableNow (T1) or keeps a
+processingTime trigger alive (T2), `await_all` joins parallel queries (T7).
+
+Config shape (same fields as the reference's `configuracion` dicts):
+
+    {
+      "datasource": "retail",
+      "dataset": "sales_orders",
+      "source": {
+        "format": "json" | "csv" | "parquet" | "binaryFile" | "kafka",
+        "options": {...},                # passed through to the reader
+        "schema_hints": {"col": "type"}, # cloudFiles.schemaHints analog
+        # kafka only:
+        "topic": "...", "topic_pattern": "...", "value_format": "json",
+        "json_schema": "a INT, b STRING", "servers": "host:port",
+      },
+      "sink": {"partition_by": ["_topic"]},
+    }
+
+Exactly-once: the Spark checkpoint pins which source files/offsets each
+micro-batch contains; the bronze write is idempotent on (pipeline id,
+batch id) via LakeTable.append_idempotent; archival skips already-moved
+files. A crash at any point replays into the same end state.
+
+Scale notes: the only driver-side materialization is the per-batch distinct
+source-file list (bounded by files-per-trigger, never row count — the one
+reference pattern SURVEY §2.12 flags, made bounded here by construction).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from lakehouses_spark import fs
+from lakehouses_spark.ingest.autoloader import IncrementalFileSource
+from lakehouses_spark.tables.table import LakeTable
+from lakehouses_spark.tables import log as txlog
+
+METADATA_COLS = ("_ingested_at", "_ingested_filename", "_datasource", "_dataset")
+
+
+class IngestionEngine:
+    """One engine per lakehouse root:
+
+    <root>/landing/<datasource>/<dataset>/...   immutable extracts
+    <root>/raw/<datasource>/<dataset>/...       archived extracts
+    <root>/bronze/<datasource>_<dataset>/       LakeTable (append-only)
+    <root>/_checkpoints/, <root>/_schemas/      stream + schema state
+    """
+
+    def __init__(self, spark: SparkSession, root: str | Path):
+        self.spark = spark
+        self.root = Path(root)
+
+    # --- path conventions ---------------------------------------------- #
+    def landing_dir(self, cfg: dict) -> Path:
+        return self.root / "landing" / cfg["datasource"] / cfg["dataset"]
+
+    def raw_dir(self, cfg: dict) -> Path:
+        return self.root / "raw" / cfg["datasource"] / cfg["dataset"]
+
+    def bronze_path(self, cfg: dict) -> Path:
+        return self.root / "bronze" / f"{cfg['datasource']}_{cfg['dataset']}"
+
+    def _checkpoint(self, cfg: dict) -> Path:
+        return self.root / "_checkpoints" / cfg["datasource"] / cfg["dataset"]
+
+    def _schema_loc(self, cfg: dict) -> Path:
+        return self.root / "_schemas" / cfg["datasource"] / cfg["dataset"]
+
+    def file_source(self, cfg: dict) -> IncrementalFileSource:
+        src = cfg.get("source", {})
+        return IncrementalFileSource(
+            self.spark,
+            self.landing_dir(cfg),
+            fmt=src.get("format", "json"),
+            schema_location=self._schema_loc(cfg),
+            schema_hints=src.get("schema_hints"),
+            options={"recursiveFileLookup": "true", **src.get("options", {})},
+        )
+
+    # --- source construction (S10-S14) ---------------------------------- #
+    def read_stream(self, cfg: dict) -> DataFrame:
+        src = cfg.get("source", {})
+        fmt = src.get("format", "json")
+        if fmt == "kafka":
+            df = self._read_kafka(src)
+            fname = F.lit(None).cast("string")
+        else:
+            df = self.file_source(cfg).stream()
+            fname = F.col("_metadata.file_path")
+        # P10 metadata enrichment + P9 metadata-first column order
+        # (02…/02.ingesta_incremental [json].py:95-96, 03…v2:109-119)
+        df = (
+            df.withColumn("_ingested_at", F.current_timestamp())
+            .withColumn("_ingested_filename", fname)
+            .withColumn("_datasource", F.lit(cfg["datasource"]))
+            .withColumn("_dataset", F.lit(cfg["dataset"]))
+        )
+        data_cols = [c for c in df.columns if c not in METADATA_COLS]
+        return df.select(*METADATA_COLS, *data_cols)
+
+    def _read_kafka(self, src: dict) -> DataFrame:
+        """S12/S13: Kafka singleplex/multiplex. Requires the
+        spark-sql-kafka jar (not bundled in this environment — the builder
+        raises a clear error at start() if absent; tests replay the events
+        table as a file stream instead, SURVEY §7.0)."""
+        reader = (
+            self.spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", src.get("servers", "localhost:9092"))
+            .option("startingOffsets", src.get("starting_offsets", "earliest"))
+        )
+        if src.get("topic_pattern"):
+            reader = reader.option("subscribePattern", src["topic_pattern"])  # multiplex
+        else:
+            reader = reader.option("subscribe", src["topic"])  # singleplex
+        for k, v in src.get("options", {}).items():
+            reader = reader.option(k, v)
+        df = reader.load()
+        df = df.select(
+            *[F.col(c).alias(f"_{c}") for c in df.columns]  # P2 bulk _-prefix rename
+        )
+        if src.get("value_format") == "json" and src.get("json_schema"):
+            # 03…/02…[json].py:117-131: cast value → from_json → expand → drop
+            df = (
+                df.withColumn(
+                    "value", F.from_json(F.col("_value").cast("string"), src["json_schema"])
+                )
+                .select("*", "value.*")
+                .drop("value")
+            )
+        return df
+
+    # --- sink + lifecycle (S17/S18, T1-T3, T7) --------------------------- #
+    def write_stream(
+        self,
+        cfg: dict,
+        df: DataFrame,
+        trigger: dict[str, Any] | None = None,
+        archive: bool = True,
+    ) -> StreamingQuery:
+        """foreachBatch bronze writer: idempotent LakeTable append + source
+        archival (02…/03.ingesta_incremental_v2 [json].py:211-235)."""
+        bronze = self.bronze_path(cfg)
+        landing = self.landing_dir(cfg)
+        raw = self.raw_dir(cfg)
+        app_id = f"{cfg['datasource']}.{cfg['dataset']}"
+        partition_by = (cfg.get("sink") or {}).get("partition_by")
+        spark = self.spark
+
+        def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.persist()
+            try:
+                if not txlog.list_versions(bronze):
+                    LakeTable.create(
+                        spark, bronze,
+                        batch_df.limit(0), partition_by=partition_by,
+                    )
+                table = LakeTable(spark, bronze)
+                table.append_idempotent(
+                    batch_df, app_id=app_id, txn_version=batch_id, merge_schema=True
+                )
+                if archive:
+                    _archive_batch_files(batch_df, landing, raw)
+            finally:
+                batch_df.unpersist()
+
+        writer = (
+            df.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", str(self._checkpoint(cfg)))
+            .queryName(app_id)
+        )
+        trigger = trigger or {"availableNow": True}
+        writer = writer.trigger(**trigger)
+        return writer.start()
+
+    def run(self, cfg: dict, archive: bool = True) -> None:
+        """T1: drain everything pending and stop (the reference's scheduled
+        incremental ingestion semantics, 02…/02…[json].py:109-123)."""
+        q = self.write_stream(cfg, self.read_stream(cfg), archive=archive)
+        q.awaitTermination()
+
+    @staticmethod
+    def await_all(queries: list[StreamingQuery]) -> None:
+        """T7: join N parallel pipelines (04…/01.ingestas_motor.py:232-242)."""
+        for q in queries:
+            q.awaitTermination()
+
+    def bronze_table(self, cfg: dict) -> LakeTable:
+        return LakeTable(self.spark, self.bronze_path(cfg))
+
+
+def _archive_batch_files(batch_df: DataFrame, landing: Path, raw: Path) -> None:
+    """Move this micro-batch's source files landing→raw (S18).
+
+    The distinct-filename list is bounded by maxFilesPerTrigger, not row
+    count. Idempotent: a file already archived by a previous attempt of this
+    batch is silently skipped."""
+    names = [
+        r.f
+        for r in batch_df.select(F.col("_ingested_filename").alias("f")).distinct().collect()
+        if r.f
+    ]
+    for uri in names:
+        src = Path(uri.removeprefix("file://").removeprefix("file:"))
+        if not src.exists():
+            continue  # retried batch: already moved
+        fs.mv(src, raw / src.relative_to(landing))

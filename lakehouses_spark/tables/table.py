@@ -229,6 +229,40 @@ class LakeTable:
             schema=new_schema.json() if new_schema != schema else None,
         )
 
+    def last_txn_version(self, app_id: str) -> int:
+        """Highest committed transaction version for a writer app (scan the
+        log newest-first; cost bounded by commit count)."""
+        for v in reversed(txlog.list_versions(self.path)):
+            c = txlog.read_commit(self.path, v)
+            p = c.get("operation_parameters") or {}
+            if p.get("txn_app") == app_id:
+                return int(p["txn_version"])
+        return -1
+
+    def append_idempotent(
+        self, df: DataFrame, app_id: str, txn_version: int, merge_schema: bool = False
+    ) -> bool:
+        """Exactly-once streaming append: the (app_id, txn_version) pair is
+        recorded in the commit; a replayed micro-batch (foreachBatch retry)
+        with txn_version <= the last committed one is skipped. This is
+        Delta's txnAppId/txnVersion idempotent-write contract, which is what
+        makes foreachBatch sinks exactly-once (S18/T3)."""
+        if txn_version <= self.last_txn_version(app_id):
+            return False
+        st = self.state()
+        schema = StructType.fromJson(json.loads(st.schema_json))
+        new_schema = _check_schema(schema, df.schema, merge_schema)
+        df = _conform(df, new_schema)
+        adds = self._write_files(df, st.partition_by)
+        self._commit(
+            st.version + 1,
+            operation="STREAMING UPDATE",
+            operation_parameters={"txn_app": app_id, "txn_version": txn_version},
+            add=adds,
+            schema=new_schema.json() if new_schema != schema else None,
+        )
+        return True
+
     def overwrite(self, df: DataFrame) -> None:
         st = self.state()
         adds = self._write_files(df, st.partition_by)

@@ -1,0 +1,147 @@
+"""Ingestion-engine tests (SURVEY §5 item 3): exactly-once availableNow
+drains over staged file drops, re-run ingests nothing, archival moves
+landing→raw, schema evolution, rescued data, landing-file naming."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouses_spark.ingest import IncrementalFileSource, IngestionEngine, land_file
+
+
+def _drop_json(landing: Path, name: str, rows: list[dict]) -> Path:
+    landing.mkdir(parents=True, exist_ok=True)
+    f = landing / name
+    f.write_text("\n".join(json.dumps(r) for r in rows))
+    return f
+
+
+CFG = {"datasource": "shop", "dataset": "orders", "source": {"format": "json"}}
+
+
+def test_incremental_ingest_exactly_once_and_archival(spark, tmp_path):
+    eng = IngestionEngine(spark, tmp_path)
+    landing = eng.landing_dir(CFG)
+    _drop_json(landing, "a.json", [{"id": 1, "v": "x"}, {"id": 2, "v": "y"}])
+    _drop_json(landing, "b.json", [{"id": 3, "v": "z"}])
+
+    eng.run(CFG)
+    t = eng.bronze_table(CFG)
+    assert t.read().count() == 3
+    # metadata columns present and ordered first (P9/P10)
+    assert t.read().columns[:4] == ["_ingested_at", "_ingested_filename",
+                                    "_datasource", "_dataset"]
+    # ingestion completeness via distinct _ingested_filename
+    # (02…/02.ingesta_incremental [json].py:145-149)
+    files = {Path(r.f).name for r in t.read()
+             .select(F.col("_ingested_filename").alias("f")).distinct().collect()}
+    assert files == {"a.json", "b.json"}
+    # archival: landing drained, raw has the files (03…v2 [json].py:211-218)
+    assert not list(landing.rglob("*.json"))
+    assert {p.name for p in eng.raw_dir(CFG).rglob("*.json")} == {"a.json", "b.json"}
+
+    # re-run: nothing new (exactly-once)
+    eng.run(CFG)
+    assert eng.bronze_table(CFG).read().count() == 3
+
+    # new file arrives → only it is ingested
+    _drop_json(landing, "c.json", [{"id": 4, "v": "w"}])
+    eng.run(CFG)
+    assert eng.bronze_table(CFG).read().count() == 4
+    assert not list(landing.rglob("*.json"))
+
+
+def test_schema_evolution_add_new_columns(spark, tmp_path):
+    eng = IngestionEngine(spark, tmp_path)
+    landing = eng.landing_dir(CFG)
+    _drop_json(landing, "a.json", [{"id": 1, "v": "x"}])
+    eng.run(CFG)
+    # new column appears in later files (cloudFiles.schemaEvolutionMode=
+    # addNewColumns, 00.databricks_autoloader.py:45-52)
+    _drop_json(landing, "b.json", [{"id": 2, "v": "y", "extra": 7}])
+    src = eng.file_source(CFG)
+    schema, new = src.evolve()
+    assert new == ["extra"]
+    eng.run(CFG)
+    t = eng.bronze_table(CFG)
+    assert "extra" in t.read().columns
+    got = {r.id: r.extra for r in t.read().select("id", "extra").collect()}
+    assert got == {1: None, 2: 7}
+
+
+def test_rescued_data_for_corrupt_rows(spark, tmp_path):
+    eng = IngestionEngine(spark, tmp_path)
+    landing = eng.landing_dir(CFG)
+    f = landing
+    f.mkdir(parents=True, exist_ok=True)
+    (f / "a.json").write_text('{"id": 1, "v": "ok"}\n{"id": "NOT_A_NUMBER and broken')
+    eng.run(CFG)
+    rows = eng.bronze_table(CFG).read().select("id", "_rescued_data").collect()
+    rescued = [r for r in rows if r._rescued_data is not None]
+    clean = [r for r in rows if r._rescued_data is None]
+    assert len(clean) == 1 and clean[0].id == 1
+    assert len(rescued) == 1  # malformed row captured, not dropped
+    # mirror of the silver-layer check: rescued count expected == 0 on clean
+    # data (05.movielens/02.movielens-silver.py:117,169)
+
+
+def test_schema_hints(spark, tmp_path):
+    cfg = {"datasource": "s", "dataset": "d",
+           "source": {"format": "json", "schema_hints": {"id": "double"}}}
+    eng = IngestionEngine(spark, tmp_path)
+    _drop_json(eng.landing_dir(cfg), "a.json", [{"id": 1, "v": "x"}])
+    eng.run(cfg)
+    t = eng.bronze_table(cfg)
+    assert dict(t.read().dtypes)["id"] == "double"
+
+
+def test_idempotent_batch_replay(spark, tmp_path):
+    """A retried foreachBatch (same batch id) must not double-append."""
+    from lakehouses_spark.tables import LakeTable
+
+    df = spark.createDataFrame([(1,)], "id int")
+    t = LakeTable.create(spark, tmp_path / "t", df)
+    assert t.append_idempotent(df, app_id="p", txn_version=0) is True
+    assert t.read().count() == 2
+    assert t.append_idempotent(df, app_id="p", txn_version=0) is False  # replay
+    assert t.read().count() == 2
+    assert t.append_idempotent(df, app_id="p", txn_version=1) is True
+    assert t.read().count() == 3
+    # independent writer app has its own sequence
+    assert t.append_idempotent(df, app_id="q", txn_version=0) is True
+
+
+def test_land_file_naming(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    ts = datetime(2026, 3, 14, 9, 30, tzinfo=timezone.utc)
+    dest = land_file(df, tmp_path, "retail", "sales", fmt="json", ts=ts)
+    # {root}/{datasource}/{dataset}/YYYY/MM/DD/{datasource}-{dataset}-{ts}.{fmt}
+    assert dest.relative_to(tmp_path).parts[:5] == ("retail", "sales", "2026", "03", "14")
+    assert dest.name.startswith("retail-sales-20260314") and dest.suffix == ".json"
+    assert json.loads(dest.read_text())["id"] == 1
+
+
+def test_binary_file_source(spark, tmp_path):
+    """S11: one row per file with path/length/content (02…/05.ingesta_
+    incremental [imagenes].py:85-96)."""
+    cfg = {"datasource": "cam", "dataset": "imgs",
+           "source": {"format": "binaryFile",
+                      "options": {"pathGlobFilter": "*.jpg"}}}
+    eng = IngestionEngine(spark, tmp_path)
+    landing = eng.landing_dir(cfg)
+    landing.mkdir(parents=True)
+    (landing / "x.jpg").write_bytes(b"\xff\xd8fakejpeg")
+    (landing / "skip.txt").write_text("not matched by glob")
+    src = IncrementalFileSource(spark, landing, fmt="binaryFile",
+                                options={"pathGlobFilter": "*.jpg"})
+    batch = spark.read.format("binaryFile").option("pathGlobFilter", "*.jpg") \
+        .load(str(landing))
+    row = batch.collect()[0]
+    assert row.length == 10 and bytes(row.content).startswith(b"\xff\xd8")
+    assert src.stream().isStreaming

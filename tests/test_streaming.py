@@ -1,0 +1,110 @@
+"""Streaming analytics tests (T4-T8): availableNow drain of a staged file
+stream, checked against the identical batch expression (stream/batch
+unification is the invariant — SURVEY §5 item 3)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouses_spark.io import load_table
+from lakehouses_spark.streaming import (
+    dedup_within_watermark,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Stage the events table as parquet files for file-stream replay (the
+    Kafka substitute, SURVEY §7.0)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    load_table(spark, SF, "events").repartition(4).write.mode("overwrite") \
+        .parquet(str(d / "data"))
+    return d
+
+
+def _drain(spark, stream_df, tmp: Path, name: str):
+    """Run a streaming aggregation to completion, return the result rows."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _stream(spark, events_dir):
+    schema = spark.read.parquet(str(events_dir / "data")).schema
+    return spark.readStream.schema(schema).parquet(str(events_dir / "data"))
+
+
+def _norm(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir, tmp_path):
+    batch = spark.read.parquet(str(events_dir / "data"))
+    got = _drain(spark, tumbling_window_agg(_stream(spark, events_dir)),
+                 tmp_path, "tumbling")
+    want = tumbling_window_agg(batch)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _norm(got, cols) == _norm(want, cols)
+
+
+def test_sliding_stream_matches_batch(spark, events_dir, tmp_path):
+    batch = spark.read.parquet(str(events_dir / "data"))
+    got = _drain(spark, sliding_window_agg(_stream(spark, events_dir)),
+                 tmp_path, "sliding")
+    want = sliding_window_agg(batch)
+    cols = ["window_start", "n_events", "total_value"]
+    assert _norm(got, cols) == _norm(want, cols)
+
+
+def test_session_stream_matches_batch(spark, events_dir, tmp_path):
+    batch = spark.read.parquet(str(events_dir / "data"))
+    got = _drain(spark, session_window_agg(_stream(spark, events_dir)),
+                 tmp_path, "sessions")
+    want = session_window_agg(batch)
+    cols = ["session_start", "user_id", "n_events", "total_value"]
+    assert _norm(got, cols) == _norm(want, cols)
+    # sanity: session count matches the batch gaps-and-islands operator
+    n_sessions_stream = got.count()
+    from lakehouses_spark.queries.timeseries import ts_sessionize
+    n_sessions_batch = (
+        ts_sessionize(spark, SF).agg(F.sum("n_sessions").alias("s")).collect()[0].s
+    )
+    assert n_sessions_stream == n_sessions_batch
+
+
+def test_dedup_within_watermark(spark, events_dir, tmp_path):
+    # duplicate the stream: replay the same files twice under one source dir
+    dup_dir = tmp_path / "dup"
+    import shutil
+
+    shutil.copytree(events_dir / "data", dup_dir / "a")
+    shutil.copytree(events_dir / "data", dup_dir / "b")
+    schema = spark.read.parquet(str(events_dir / "data")).schema
+    stream = spark.readStream.schema(schema).option("recursiveFileLookup", "true") \
+        .parquet(str(dup_dir))
+    deduped = dedup_within_watermark(stream, keys=("event_id",), watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_unique = spark.read.parquet(str(events_dir / "data")).count()
+    assert spark.sql("SELECT count(*) AS n FROM dedup").collect()[0].n == n_unique
