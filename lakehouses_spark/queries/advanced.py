@@ -1,0 +1,102 @@
+"""Driver-facing queries for the non-SQL-expressible subsystems (rows-only
+checks per the driver contract): lakehouse DML, ALS gold, multimodal
+metadata. Each runs end-to-end inside one call so the driver exercises the
+real engine paths at sf0.01.
+"""
+
+from __future__ import annotations
+
+import struct
+import tempfile
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StructField, StructType, StringType
+
+from lakehouses_spark.io import load_table
+from lakehouses_spark.registry import query
+
+
+@query("lake_dml_roundtrip", oracle=None)  # stateful multi-step → rows-only
+def lake_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.10 arc as one driver-checkable query: CTAS from orders →
+    DELETE → UPDATE → MERGE → per-version row counts + current aggregate.
+    Exercises the full transaction-log path (create/commit/replay/COW DML/
+    time travel) on real testdata."""
+    from lakehouses_spark.tables import LakeTable
+
+    orders = load_table(spark, sf_dir, "orders").limit(1000)
+    with tempfile.TemporaryDirectory() as tmp:
+        t = LakeTable.create(spark, f"{tmp}/orders", orders)
+        t.delete("o_orderstatus = 'F'")
+        t.update({"o_totalprice": "o_totalprice * 1.05"}, where="o_orderpriority = '1-URGENT'")
+        src = orders.limit(50).withColumn("o_totalprice", F.lit(1.0))
+        t.merge(src, "t.o_orderkey = s.o_orderkey")
+        rows = [
+            (v, t.read(version=v).count()) for v in range(t.version + 1)
+        ]
+        cur = t.read().agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
+        return spark.createDataFrame(
+            [(v, n, float(cur)) for v, n in rows],
+            "version int, n_rows long, current_total double",
+        )
+
+
+@query("gold_als_recommendations", oracle=None)  # iterative ML → rows-only
+def gold_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: ALS recommender over implicit ratings derived from events
+    (user_id × json-extracted item k, value as rating strength) — the
+    movielens-gold pipeline shape on the testdata."""
+    from lakehouses_spark.medallion import recommend_for_all_users, train_als
+
+    ratings = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").cast("int"),
+            F.get_json_object("props", "$.k").cast("int").alias("item_id"),
+            (F.col("value") / 100.0).alias("rating"),
+        )
+        .where(F.col("item_id").isNotNull())
+        .groupBy("user_id", "item_id")
+        .agg(F.avg("rating").alias("rating"))
+    )
+    model = train_als(ratings)
+    recs = recommend_for_all_users(model, k=5)
+    return recs.select(
+        "user_id", "rank", "item_id", F.round("rating", 4).alias("score")
+    ).orderBy("user_id", "rank")
+
+
+def _fake_png(width: int, height: int) -> bytes:
+    """Deterministic minimal-but-valid PNG header bytes (IHDR only + fake
+    payload) — stands in for real image files in this container."""
+    ihdr = struct.pack(">II", width, height) + b"\x08\x06\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+        + b"fakepayload" * width
+    )
+
+
+@query("multimodal_metadata", oracle=None)  # binary plumbing → rows-only
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 multimodal: synthesize deterministic binary 'images' from the
+    documents table, run the mapInPandas metadata extractor + JVM-side
+    rollup. Real Spark plumbing (schema/partitioning/Arrow batches); only
+    pixel decode is stubbed per contract."""
+    from lakehouses_spark.multimodal import extract_media_metadata, media_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("mem://doc/"), F.col("doc_id")).alias("path"),
+        F.udf(
+            lambda n: _fake_png(64 + n % 32, 48 + n % 16),
+            BinaryType(),
+        )(F.col("doc_id").cast("int")).alias("content"),
+    )
+    meta = extract_media_metadata(media)
+    return media_summary(meta)

@@ -51,6 +51,7 @@ def load_all_queries() -> dict[str, RegisteredQuery]:
     registry."""
     # Imports deferred so `import lakehouses_spark` stays cheap.
     from lakehouses_spark.queries import (  # noqa: F401
+        advanced,
         dedup,
         relational,
         scalar,

@@ -19,6 +19,7 @@ implementation and needs no extra session config.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -38,6 +39,14 @@ def get_spark(
     ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (the bench harness contract),
     else all local cores.
     """
+    # Python workers (pandas UDF / mapInPandas) unpickle engine functions by
+    # module reference — make the package importable in workers regardless of
+    # the caller's cwd. Must happen before the JVM forks the first worker.
+    repo_root = str(Path(__file__).resolve().parent.parent)
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
+
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     shuffle = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
@@ -59,6 +68,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- local-harness hygiene ---
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.streaming.schemaInference", "true")
         # events.parquet stores TIMESTAMP(NANOS) which Spark has no native

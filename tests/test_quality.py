@@ -1,0 +1,172 @@
+"""Self-consistency checks for the approximate operators (the rows-only
+queries): MinHash-LSH recall vs exact Jaccard, ANN-LSH recall vs brute-force
+cosine, SimHash sanity, medallion UDF-vs-builtin parity, multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouses_spark.registry import load_all_queries
+
+SF = "/root/testdata/sf0.01"
+REGISTRY = load_all_queries()
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """Every high-similarity pair found exactly must be recovered by the
+    LSH candidate pipeline (8 bands × 4 rows ⇒ candidate prob at j=0.5 is
+    ~1-(1-0.5^4)^8 ≈ 0.40, at j=0.7 ≈ 0.88, at j=0.9 ≈ 0.997 — so assert
+    full recall only above 0.8)."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, SF).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, SF).collect()
+    }
+    high = {p for p, j in exact.items() if j >= 0.8}
+    assert high, "fixture should contain near-dup pairs above 0.8"
+    missed = high - set(approx)
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+    # verified candidates report the same jaccard as the exact pipeline
+    for p in high:
+        assert abs(approx[p] - exact[p]) < 1e-9
+    # no false positives below the verification threshold
+    assert all(j >= 0.3 for j in approx.values())
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    exact = {
+        (r.vec_a, r.vec_b) for r in REGISTRY["sim_pairs_threshold"].fn(spark, SF).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b) for r in REGISTRY["sim_ann_lsh"].fn(spark, SF).collect()
+    }
+    assert approx <= exact, "ANN must not invent pairs (exact re-rank applied)"
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.5, f"ANN recall too low: {recall:.2f} ({len(approx)}/{len(exact)})"
+
+
+def test_simhash_near_dup_candidates(spark):
+    """Docs flagged by simhash hamming<=8 should overlap with real near-dups;
+    identical docs must collide exactly."""
+    df = REGISTRY["dedup_simhash"].fn(spark, SF)
+    rows = df.collect()
+    assert all(r.hamming <= 8 for r in rows)
+    # cross-check: the top exact-jaccard pair should be in hamming range
+    exact = REGISTRY["dedup_ngram_jaccard"].fn(spark, SF).orderBy(F.desc("jaccard")).limit(1).collect()
+    if exact:
+        top = (exact[0].doc_a, exact[0].doc_b)
+        pairs = {(r.doc_a, r.doc_b) for r in rows}
+        assert top in pairs, f"top jaccard pair {top} not captured by simhash"
+
+
+def test_medallion_udf_builtin_parity(spark):
+    """X1 (Python UDF) and X3 (builtin regexp) title parsers agree."""
+    from lakehouses_spark.medallion import parse_title, parse_title_udf
+
+    df = spark.createDataFrame(
+        [("Toy Story (1995)",), ("Heat (1995)",), ("Notitle",), ("Weird (abc)",)],
+        "title_raw string",
+    )
+    both = df.select(
+        parse_title("title_raw").alias("b"),
+        parse_title_udf("title_raw").alias("u"),
+    ).collect()
+    for r in both:
+        assert r.b.title == (r.u[0] if r.u else None)
+        assert (str(r.b.year) if r.b.year is not None else None) == r.u[1]
+
+
+def test_medallion_silver_helpers(spark):
+    from lakehouses_spark.medallion import (
+        assert_no_rescued_rows,
+        epoch_to_timestamp,
+        snake_case_columns,
+        split_multivalue,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Action|Comedy", 828124615), (2, "(no genres listed)", 828124616)],
+        "movieId int, genresRaw string, ratingTs long",
+    )
+    out = snake_case_columns(df).select(
+        "movie_id",
+        split_multivalue("genres_raw").alias("genres"),
+        epoch_to_timestamp("rating_ts").alias("ts"),
+    )
+    rows = {r.movie_id: r for r in out.collect()}
+    assert rows[1].genres == ["Action", "Comedy"]
+    assert rows[2].genres == []
+    assert rows[1].ts.year == 1996
+    # rescued-rows gate
+    clean = spark.createDataFrame([(1, None)], "id int, _rescued_data string")
+    assert "_rescued_data" not in assert_no_rescued_rows(clean).columns
+    dirty = spark.createDataFrame([(1, "bad")], "id int, _rescued_data string")
+    with pytest.raises(ValueError, match="rescued"):
+        assert_no_rescued_rows(dirty)
+
+
+def test_als_pipeline(spark):
+    """X5: seeded ALS trains, evaluates, and recommends top-k per user."""
+    from lakehouses_spark.medallion import evaluate_rmse, recommend_for_all_users, train_als
+
+    ratings = (
+        spark.range(0, 300)
+        .select(
+            (F.col("id") % 20).cast("int").alias("user_id"),
+            (F.col("id") % 15).cast("int").alias("item_id"),
+            ((F.col("id") % 5) + 1.0).alias("rating"),
+        )
+    )
+    train, test = ratings.randomSplit([0.8, 0.2], seed=42)
+    model = train_als(train)
+    rmse = evaluate_rmse(model, test)
+    assert 0.0 < rmse < 3.0
+    recs = recommend_for_all_users(model, k=3)
+    assert recs.columns == ["user_id", "rank", "item_id", "rating"]
+    per_user = recs.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_user == 3
+
+
+def test_multimodal_metadata_extraction(spark):
+    """Header probe decodes PNG/JPEG/GIF/WAV dims without media libs; stub
+    decoder raises NotImplementedError; frame sampler emits bounded rows."""
+    from lakehouses_spark.multimodal import (
+        _decode_stub,
+        extract_media_metadata,
+        header_probe,
+        sample_frames,
+    )
+    from lakehouses_spark.queries.advanced import _fake_png
+
+    png = _fake_png(64, 48)
+    assert header_probe(png) == {"format": "png", "width": 64, "height": 48, "n_channels": 4}
+    wav = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"\x00" * 10 + (2).to_bytes(2, "little") + (44100).to_bytes(4, "little") + (176400).to_bytes(4, "little") + b"\x00" * 100
+    meta = header_probe(wav)
+    assert meta["format"] == "wav" and meta["sample_rate"] == 44100
+
+    media = spark.createDataFrame(
+        [("a.png", bytearray(png)), ("b.bin", bytearray(b"unknownformat"))],
+        "path string, content binary",
+    )
+    got = {r.path: r for r in extract_media_metadata(media).collect()}
+    assert got["a.png"].width == 64 and got["a.png"].format == "png"
+    assert got["b.bin"].format is None
+
+    frames = sample_frames(media, every_n_bytes=16, max_frames=4).collect()
+    assert all(f.frame_idx < 4 for f in frames)
+    assert {f.path for f in frames} == {"a.png", "b.bin"}
+
+    with pytest.raises(Exception, match="NotImplementedError|media library"):
+        sample_frames(media, decoder=_decode_stub).collect()
+
+
+def test_driver_advanced_queries_run(spark):
+    for name in ("lake_dml_roundtrip", "gold_als_recommendations", "multimodal_metadata"):
+        df = REGISTRY[name].fn(spark, SF)
+        assert df.count() > 0, name
