@@ -105,7 +105,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-gram shingle Jaccard ≥ 0.3 via inverted index:
     explode shingles → self-join on shingle → count shared / union. The
     pairwise work only materializes for pairs sharing ≥1 shingle."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     shingles = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
@@ -143,7 +143,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     work and two digest-keyed shuffles — linear, no all-pairs stage.
     """
     d = spread(load_table(spark, sf_dir, "documents"))
-    exploded = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    # materialize shingle sets once — three consumers (signatures, both sides
+    # of the verification join) would otherwise recompute the tokenize+
+    # shingle lineage end-to-end. At cluster scale this is a persisted
+    # intermediate table; locally localCheckpoint gives the same cut.
+    shingle_sets = d.select("doc_id", _shingles().alias("sh")).localCheckpoint()
+    exploded = shingle_sets.select("doc_id", F.explode("sh").alias("shingle"))
     sig = exploded.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"h{j}")
@@ -182,7 +187,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # exact-Jaccard verification of candidates only
-    shingle_sets = d.select("doc_id", _shingles().alias("sh"))
     sa = shingle_sets.alias("sa")
     sb = shingle_sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F
 
-from lakehouses_spark.io import load_table
+from lakehouses_spark.io import load_table, spread
 from lakehouses_spark.registry import query
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -215,7 +215,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 bigrams: shingle-explode + count + TakeOrdered. The
     classic n-gram LM-corpus statistics job."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     w = _words()
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size(w) - 2),
