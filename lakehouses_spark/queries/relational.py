@@ -604,6 +604,64 @@ def random_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Subqueries (Catalyst decorrelation — SURVEY §4)
+# ---------------------------------------------------------------------------
+@query(
+    "subquery_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — Catalyst decorrelates it into a
+    left-semi join on the correlation key."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT count(*) AS n,
+           round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: scalar subquery in a predicate — planned as a
+    single-row broadcast against the scan."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT count(*) AS n,
+               round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem
+        WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Projection / rename surface (P1-P5, P9-P10 patterns)
 # ---------------------------------------------------------------------------
 @query(

@@ -53,6 +53,7 @@ def load_all_queries() -> dict[str, RegisteredQuery]:
     from lakehouses_spark.queries import (  # noqa: F401
         advanced,
         dedup,
+        extensions,
         relational,
         scalar,
         similarity,

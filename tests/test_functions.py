@@ -1,0 +1,61 @@
+"""Function-extension tests: Confluent header helpers, gated avro, Kafka
+gating, UDTF/UDAF oracle parity (covered in test_oracle via registry)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouses_spark.functions import (
+    AvroUnavailableError,
+    from_avro_confluent,
+    strip_confluent_header,
+)
+from lakehouses_spark.functions.avro import schema_registry_id
+
+
+def test_strip_confluent_header(spark):
+    payload = b"\x00\x00\x00\x00\x2aAVRODATA"
+    df = spark.createDataFrame([(bytearray(payload),)], "value binary")
+    out = df.select(
+        strip_confluent_header("value").alias("body"),
+        schema_registry_id("value").alias("sid"),
+    ).collect()[0]
+    assert bytes(out.body) == b"AVRODATA"
+    assert out.sid == 42  # big-endian id from bytes 2-5
+
+
+def test_from_avro_gated(spark):
+    """No spark-avro jar in this environment → clear error, not a stack."""
+    df = spark.createDataFrame([(bytearray(b"\x00\x00\x00\x00\x01xx"),)], "value binary")
+    with pytest.raises(AvroUnavailableError, match="spark-avro"):
+        df.select(from_avro_confluent("value", '{"type": "string"}')).collect()
+
+
+def test_kafka_source_gated(spark, tmp_path):
+    """S12 path: building the reader is lazy; starting it without the Kafka
+    jar must fail with the standard missing-data-source error."""
+    from lakehouses_spark.ingest import IngestionEngine
+
+    eng = IngestionEngine(spark, tmp_path)
+    cfg = {"datasource": "k", "dataset": "orders",
+           "source": {"format": "kafka", "topic": "orders",
+                      "value_format": "json", "json_schema": "id INT"}}
+    with pytest.raises(Exception, match="[Kk]afka"):
+        eng.read_stream(cfg)
+
+
+def test_udtf_direct(spark):
+    from lakehouses_spark.functions.extended import Tokenize
+
+    spark.udtf.register("tokenize_t", Tokenize)
+    rows = spark.sql("SELECT * FROM tokenize_t('spark is fast')").collect()
+    assert [(r.pos, r.word) for r in rows] == [(0, "spark"), (1, "is"), (2, "fast")]
+
+
+def test_udaf_direct(spark):
+    from lakehouses_spark.functions.extended import weighted_avg
+
+    df = spark.createDataFrame([(1.0, 1.0), (3.0, 3.0)], "v double, w double")
+    got = df.agg(weighted_avg("v", "w").alias("wa")).collect()[0].wa
+    assert got == pytest.approx(2.5)  # (1*1 + 3*3) / 4
