@@ -1,0 +1,110 @@
+"""Plan-shape regression tests (SURVEY §5: the reference asserts plan
+properties in prose at 01.parquet_primer.py:149-165,293-319 — here they are
+executable). These pin the 100 TB discipline: pushdown reaches the scan,
+small dims broadcast, top-k never global-sorts, column pruning works, and
+engine paths stay inside whole-stage codegen."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouses_spark.io import load_table
+from lakehouses_spark.registry import load_all_queries
+
+SF = "/root/testdata/sf0.01"
+REGISTRY = load_all_queries()
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """The negative rule from the reference: a filter absent from
+    PushedFilters means Spark filters after the read — inefficient."""
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_partition_like_pruning_via_filters(spark):
+    p = plan_of(
+        load_table(spark, SF, "lineitem").where(F.col("l_quantity") > 30)
+        .select("l_orderkey")
+    )
+    assert "GreaterThan(l_quantity,30" in p
+
+
+def test_column_pruning(spark):
+    """A 2-column projection must not read all 11 lineitem columns."""
+    p = plan_of(load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity"))
+    assert "ReadSchema" in p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    plan = plan_of(REGISTRY["join_broadcast_dims"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # nothing this small should SMJ
+
+
+def test_topk_plans_take_ordered(spark):
+    """orderBy+limit must plan TakeOrderedAndProject, not a global Sort."""
+    plan = plan_of(REGISTRY["sort_limit_topk"].fn(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_strategies(spark):
+    for name, wanted in (("join_semi", "LeftSemi"), ("join_anti", "LeftAnti")):
+        plan = plan_of(REGISTRY[name].fn(spark, SF), "simple")
+        assert wanted in plan, f"{name} should plan a {wanted} join"
+
+
+def test_exists_subquery_decorrelates(spark):
+    """Correlated EXISTS must become a semi join, not a per-row subquery."""
+    plan = plan_of(REGISTRY["subquery_exists"].fn(spark, SF), "simple")
+    assert "LeftSemi" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    """AQE finalizes the plan at execution — check the executed plan."""
+    df = REGISTRY["q1_pricing_summary"].fn(spark, SF)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "WholeStageCodegen" in executed
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    """The as-of join must be the union+window merge — exactly one shuffle
+    on user_id and zero join nodes with inequality conditions."""
+    plan = plan_of(REGISTRY["ts_asof_join"].fn(spark, SF), "simple")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_python_udf_in_relational_paths(spark):
+    """Core relational/text queries stay JVM-side (BatchEvalPython /
+    ArrowEvalPython nodes would mean a Python boundary crossing)."""
+    for name in ("q1_pricing_summary", "text_quality_score", "text_bigram_topk",
+                 "sim_knn_cosine", "ts_sessionize"):
+        plan = plan_of(REGISTRY[name].fn(spark, SF), "simple")
+        assert "EvalPython" not in plan, f"{name} crosses into Python"
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """Map-side partial aggregation (HashAggregate appears before and after
+    the exchange) — the property that keeps groupBy shuffle volume
+    proportional to groups, not rows."""
+    plan = plan_of(REGISTRY["agg_count_by_key"].fn(spark, SF), "simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
