@@ -81,7 +81,8 @@ def test_whole_stage_codegen_on_hot_path(spark):
     df = REGISTRY["q1_pricing_summary"].fn(spark, SF)
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "WholeStageCodegen" in executed
+    # codegen stages print as `*(N) Operator` in the final adaptive plan
+    assert "*(1)" in executed and "partial_sum" in executed
 
 
 def test_asof_join_is_single_shuffle_window(spark):
