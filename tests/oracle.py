@@ -41,6 +41,8 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            v = 0.0  # collapse -0.0 (DuckDB keeps the sign, Spark doesn't)
         return f"{v:.9g}"
     if isinstance(v, bool):
         return str(v)
