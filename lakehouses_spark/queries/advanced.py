@@ -68,6 +68,46 @@ def gold_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "rank")
 
 
+@query("streaming_windowed_drain", oracle=None)  # stateful stream → rows-only
+def streaming_windowed_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T4/T8 as one driver-checkable query: stage events as a file
+    stream, drain a watermarked tumbling aggregation with availableNow, and
+    return the windowed result (equal to the batch expression — the
+    stream/batch unification contract)."""
+    import tempfile
+    import uuid
+
+    from lakehouses_spark.streaming import tumbling_window_agg
+
+    events = load_table(spark, sf_dir, "events")
+    name = f"drain_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as tmp:
+        events.write.parquet(f"{tmp}/data")
+        stream = spark.readStream.schema(events.schema).parquet(f"{tmp}/data")
+        q = (
+            tumbling_window_agg(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = (
+            spark.sql(f"SELECT * FROM {name}")
+            .select(
+                F.col("window_start").cast("string").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+            .orderBy("window_start", "event_type")
+        )
+        rows = result.collect()  # materialize before tmp/checkpoint vanish
+        return spark.createDataFrame(rows, result.schema)
+
+
 def _fake_png(width: int, height: int) -> bytes:
     """Deterministic minimal-but-valid PNG header bytes (IHDR only + fake
     payload) — stands in for real image files in this container."""

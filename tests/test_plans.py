@@ -102,6 +102,23 @@ def test_no_python_udf_in_relational_paths(spark):
         assert "EvalPython" not in plan, f"{name} crosses into Python"
 
 
+def test_hive_partition_pruning(spark, tmp_path):
+    """S2 + §4: a hive-partitioned write, read back with a partition filter,
+    must prune at the directory level (PartitionFilters, not PushedFilters —
+    01.parquet_primer.py:285-298)."""
+    load_table(spark, SF, "orders").write.partitionBy("o_orderstatus") \
+        .parquet(str(tmp_path / "p"))
+    df = spark.read.parquet(str(tmp_path / "p")).where(F.col("o_orderstatus") == "F")
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "o_orderstatus" in pf_line
+    # the partition predicate must NOT appear as a data-file filter (the
+    # PushedFilters line may be absent entirely — also correct)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert not pushed or "o_orderstatus" not in pushed[0]
+
+
 def test_partial_aggregation_before_shuffle(spark):
     """Map-side partial aggregation (HashAggregate appears before and after
     the exchange) — the property that keeps groupBy shuffle volume
