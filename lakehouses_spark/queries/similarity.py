@@ -14,7 +14,7 @@ parallel, no shuffle at all).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouses_spark.io import load_table
@@ -155,6 +155,77 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             F.round(sim, 6).alias("cos_sim"),
         )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+IVF_CELLS = 16
+IVF_NPROBE = 2
+
+
+@query("sim_ann_ivf", oracle=None)  # clustering choice is engine-specific → rows-only
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN near-dup pairs — the second scale path the north star
+    names (alongside LSH):
+
+    1. train a coarse quantizer: deterministic seeds (first IVF_CELLS
+       vectors) + one Lloyd iteration, all in DataFrame ops (assign via
+       broadcast cross-join argmin, update via posexplode mean)
+    2. multi-assign every vector to its IVF_NPROBE nearest cells (the
+       batch analog of query-time nprobe — pairs split across a cell
+       boundary still co-occur somewhere)
+    3. exact cosine re-rank inside cells only
+
+    Candidate cost is O(n · cells) for assignment (cells is small and the
+    centroid table broadcasts) + intra-cell pairs — never all-pairs.
+    pytest checks recall against `sim_pairs_threshold`.
+    """
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    seeds = emb.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+
+    def assign(points: DataFrame, centroids: DataFrame, keep: int) -> DataFrame:
+        """Per-point `keep` nearest centroids (broadcast cross-join + window)."""
+        sim = cosine(F.col("embedding"), F.col("centroid"))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("cell"))
+        return (
+            points.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "embedding", "cell", sim.alias("sim"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= keep)
+        )
+
+    # one Lloyd iteration: hard-assign → per-cell mean (posexplode keeps the
+    # update a flat hash aggregation)
+    assigned = assign(emb, seeds, keep=1)
+    centroids = (
+        assigned.select("cell", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("cell", "i")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("parts"))
+        .select("cell", F.transform("parts", lambda s: s.m).alias("centroid"))
+    )
+    # nprobe multi-assignment + intra-cell exact re-rank
+    probed = assign(emb, centroids, keep=IVF_NPROBE).select("cell", "vec_id", "embedding")
+    a = probed.alias("a")
+    b = probed.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.95)
+        .distinct()
         .orderBy("vec_a", "vec_b")
     )
 

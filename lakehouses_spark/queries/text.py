@@ -169,6 +169,36 @@ ORDER BY doc_id
 """
 
 
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH}')) AS INTEGER) AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS INTEGER)               AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER)   AS n_number_tokens,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INTEGER)
+             AS n_punct_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: pre-tokenizer regex (letter runs / digit
+    runs / single punctuation — the GPT-2 pre-tokenization shape) alongside
+    the whitespace count. Pure regexp_extract_all, JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH), 0)).cast("int").alias("n_bpe_tokens"),
+        F.size(_words()).cast("int").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).cast("int").alias("n_number_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9\s]"), 0)).cast("int").alias("n_punct_tokens"),
+    ).orderBy("doc_id")
+
+
 @query(
     "text_fingerprint",
     oracle="""

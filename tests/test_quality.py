@@ -51,6 +51,19 @@ def test_ann_lsh_recall_vs_brute_force(spark):
         assert recall >= 0.5, f"ANN recall too low: {recall:.2f} ({len(approx)}/{len(exact)})"
 
 
+def test_ann_ivf_recall_vs_brute_force(spark):
+    exact = {
+        (r.vec_a, r.vec_b) for r in REGISTRY["sim_pairs_threshold"].fn(spark, SF).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b) for r in REGISTRY["sim_ann_ivf"].fn(spark, SF).collect()
+    }
+    assert approx <= exact, "IVF must not invent pairs (exact re-rank applied)"
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.5, f"IVF recall too low: {recall:.2f} ({len(approx)}/{len(exact)})"
+
+
 def test_simhash_near_dup_candidates(spark):
     """Docs flagged by simhash hamming<=8 should overlap with real near-dups;
     identical docs must collide exactly."""
