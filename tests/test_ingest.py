@@ -127,6 +127,56 @@ def test_land_file_naming(spark, tmp_path):
     assert json.loads(dest.read_text())["id"] == 1
 
 
+def test_dml_on_plain_parquet_fails(spark, tmp_path):
+    """Mirror of the reference's expected-failure cells: DELETE/UPDATE on a
+    plain parquet dir must fail until converted
+    (02.delta_lake_primer.py:16,213-224,252-261)."""
+    from lakehouses_spark.tables import LakeTable
+
+    plain = tmp_path / "plain"
+    spark.range(5).write.parquet(str(plain))
+    t = LakeTable(spark, plain)  # not a lake table: no transaction log
+    with pytest.raises(FileNotFoundError, match="_tx_log"):
+        t.delete("id = 1")
+    with pytest.raises(FileNotFoundError, match="_tx_log"):
+        t.update({"id": "id + 1"})
+    # after conversion the same calls succeed (the reference's resolution)
+    t = LakeTable.convert_from_parquet(spark, plain)
+    t.delete("id = 1")
+    assert t.read().count() == 4
+
+
+def test_max_files_per_trigger_batching(spark, tmp_path):
+    """S10 maxFilesPerTrigger: 3 files with a 1-file trigger cap drain as 3
+    micro-batches → 3 idempotent STREAMING UPDATE commits."""
+    cfg = {"datasource": "s", "dataset": "t",
+           "source": {"format": "json", "options": {"maxFilesPerTrigger": "1"}}}
+    eng = IngestionEngine(spark, tmp_path)
+    landing = eng.landing_dir(cfg)
+    for i in range(3):
+        _drop_json(landing, f"f{i}.json", [{"id": i, "v": "x"}])
+    eng.run(cfg)
+    t = eng.bronze_table(cfg)
+    assert t.read().count() == 3
+    ops = [r.operation for r in t.history().collect()]
+    assert ops.count("STREAMING UPDATE") == 3  # one commit per micro-batch
+
+
+def test_csv_incremental_ingest(spark, tmp_path):
+    """S9 through the engine: CSV with header + inferred then persisted
+    schema (05.movielens/01.movielens-bronze.py pattern)."""
+    cfg = {"datasource": "ml", "dataset": "ratings", "source": {"format": "csv"}}
+    eng = IngestionEngine(spark, tmp_path)
+    landing = eng.landing_dir(cfg)
+    landing.mkdir(parents=True)
+    (landing / "r1.csv").write_text("userId,movieId,rating\n1,10,4.5\n2,20,3.0\n")
+    eng.run(cfg)
+    t = eng.bronze_table(cfg)
+    rows = {(r.userId, r.movieId, r.rating) for r in
+            t.read().select("userId", "movieId", "rating").collect()}
+    assert rows == {(1, 10, 4.5), (2, 20, 3.0)}  # typed, not strings
+
+
 def test_binary_file_source(spark, tmp_path):
     """S11: one row per file with path/length/content (02…/05.ingesta_
     incremental [imagenes].py:85-96)."""
