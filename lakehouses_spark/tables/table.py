@@ -213,21 +213,39 @@ class LakeTable:
     # ------------------------------------------------------------------ #
     # writes
     # ------------------------------------------------------------------ #
-    def append(self, df: DataFrame, merge_schema: bool = False) -> None:
+    def append(self, df: DataFrame, merge_schema: bool = False,
+               max_retries: int = 10) -> None:
         """D1/S5 append with schema enforcement; merge_schema=True widens the
-        table schema with new columns (02.delta_lake_primer.py:354-362)."""
+        table schema with new columns (02.delta_lake_primer.py:354-362).
+
+        Blind appends are the one operation that auto-resolves optimistic
+        conflicts (Delta's semantics): the part-files are already written in
+        a private subdir, so losing the commit race just means re-reading
+        the log and re-committing at the next version — provided the schema
+        didn't change underneath. DML conflicts are NOT retried: the state
+        they were computed against is gone, so the caller must re-run."""
         st = self.state()
         schema = StructType.fromJson(json.loads(st.schema_json))
         new_schema = _check_schema(schema, df.schema, merge_schema)
         df = _conform(df, new_schema)
         adds = self._write_files(df, st.partition_by)
-        self._commit(
-            st.version + 1,
-            operation="WRITE",
-            operation_parameters={"mode": "Append"},
-            add=adds,
-            schema=new_schema.json() if new_schema != schema else None,
-        )
+        for attempt in range(max_retries + 1):
+            try:
+                self._commit(
+                    st.version + 1,
+                    operation="WRITE",
+                    operation_parameters={"mode": "Append"},
+                    add=adds,
+                    schema=new_schema.json() if new_schema != schema else None,
+                )
+                return
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise
+                st = self.state()  # competitor won: replay fresh state
+                current = StructType.fromJson(json.loads(st.schema_json))
+                if current.simpleString() != schema.simpleString():
+                    raise  # schema moved underneath us — not blindly safe
 
     def last_txn_version(self, app_id: str) -> int:
         """Highest committed transaction version for a writer app (scan the
@@ -515,6 +533,48 @@ class LakeTable:
             remove=sorted(small),
         )
         return {"compacted_files": len(small)}
+
+    def optimize_zorder(self, cols: list[str], num_files: int = 16,
+                        bits: int = 10) -> dict[str, int]:
+        """OPTIMIZE ZORDER BY — multi-dimensional clustering rewrite.
+
+        Single-column range clustering gives tight min/max on ONE key;
+        Z-ordering interleaves the bit representations of several keys so
+        every file covers a small hyper-rectangle — per-file min/max stats
+        then skip effectively on ANY of the clustered columns. This is the
+        Delta OPTIMIZE ZORDER capability, built from plain expressions:
+        normalize each column to `bits` bits via global min/max, interleave
+        with shift/mask, range-repartition on the z-value."""
+        st = self.state()
+        schema = StructType.fromJson(json.loads(st.schema_json))
+        df = self.spark.read.schema(schema).parquet(
+            *[str(self.path / rel) for rel in st.files]
+        )
+        ranges = df.agg(
+            *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+        ).collect()[0]
+        max_val = (1 << bits) - 1
+        z = F.lit(0).cast("long")
+        for i, c in enumerate(cols):
+            lo, hi = ranges[f"__lo_{c}"], ranges[f"__hi_{c}"]
+            span = (hi - lo) or 1.0
+            norm = F.floor(
+                (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * max_val
+            ).cast("long")
+            for b in range(bits):
+                bit = F.shiftrightunsigned(norm, b).bitwiseAND(F.lit(1))
+                z = z + F.shiftleft(bit, b * len(cols) + i)
+        clustered = df.withColumn("__z", z).repartitionByRange(num_files, "__z").drop("__z")
+        adds = self._write_files(clustered, [], skip_cluster=True)
+        self._commit(
+            st.version + 1,
+            operation="OPTIMIZE",
+            operation_parameters={"zorder_by": cols, "bits": bits},
+            add=adds,
+            remove=sorted(st.files),
+        )
+        return {"rewritten_files": len(st.files), "new_files": len(adds)}
 
     # ------------------------------------------------------------------ #
     # internals

@@ -157,6 +157,46 @@ def test_stats_based_file_skipping(spark, tmp_path):
     assert t.read(filters=[("bucket", "=", 3)]).count() == 100
 
 
+def test_concurrent_appends_auto_resolve(spark, tmp_path, people):
+    """Blind appends retry through optimistic conflicts: N racing writers
+    all land, one version each, no lost updates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = LakeTable.create(spark, tmp_path / "t", people.limit(0))
+    def write(i: int) -> None:
+        df = spark.createDataFrame([(100 + i, f"w{i}", float(i))],
+                                   "id int, name string, salario double")
+        LakeTable(spark, tmp_path / "t").append(df)
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        list(ex.map(write, range(6)))
+    assert t.read().count() == 6
+    assert t.version == 6  # six distinct commits, no clobbering
+
+
+def test_optimize_zorder_multi_dim_skipping(spark, tmp_path):
+    """Z-order rewrite gives file skipping on BOTH clustered columns."""
+    from lakehouses_spark.tables.table import _file_may_match
+
+    df = (
+        spark.range(4000)
+        .selectExpr("id", "CAST(id % 64 AS INT) AS x", "CAST(CAST(id / 64 AS INT) AS INT) AS y")
+    )
+    t = LakeTable.create(spark, tmp_path / "t", df)
+    t.optimize_zorder(["x", "y"], num_files=16)
+    st = t.state()
+    assert len(st.files) >= 8
+
+    def skipped(filters) -> int:
+        return sum(0 if _file_may_match(a, filters) else 1 for a in st.files.values())
+
+    # both dimensions must prune a majority of files
+    assert skipped([("x", "=", 3)]) > len(st.files) // 2
+    assert skipped([("y", "=", 3)]) > len(st.files) // 2
+    # and results stay correct through the pruned read path
+    assert t.read(filters=[("x", "=", 3)]).count() == df.where("x = 3").count()
+
+
 def test_concurrent_commit_conflict(spark, tmp_path, people):
     t = LakeTable.create(spark, tmp_path / "t", people)
     # a competing writer claims version 1 first
