@@ -1,0 +1,153 @@
+"""`laketable` — a Spark Python Data Source (Spark 4 API) that streams a
+LakeTable by tailing its transaction log (SURVEY §2.1 S16: "Delta/Iceberg as
+stream source", 02.delta_lake_primer.py:133-137).
+
+Offsets are log versions; each micro-batch is exactly the set of files added
+by commits in (start_version, end_version]. That is Delta's streaming-source
+design: the log IS the changelog, so no directory diffing and no state
+beyond one integer.
+
+Scaling structure: `partitions()` emits one InputPartition per added file —
+the read side fans out across executors, each opening its own parquet file
+via Arrow and yielding RecordBatches (zero row-by-row Python). Batch-mode
+`reader()` reads the current snapshot the same way.
+
+Non-append commits (DELETE/UPDATE/MERGE/OPTIMIZE remove files) break the
+append-only contract; like Delta, the source fails fast unless
+`ignoreChanges=true` is set (then rewritten files are skipped — consumers
+see only net-new appended files).
+
+Usage:
+    spark.dataSource.register(LakeTableDataSource)
+    spark.readStream.format("laketable").option("path", p).load()
+
+Note: Spark's PythonMicroBatchStream does not implement Trigger.AvailableNow
+(falls back to one catch-up batch per start — fine for drain-style runs);
+continuous tailing uses processingTime triggers.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+
+class FileSlice(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _replay(table_path: str, version: int | None = None):
+    from lakehouses_spark.tables import log as txlog
+
+    return txlog.replay(table_path, version=version)
+
+
+def _versions(table_path: str) -> list[int]:
+    from lakehouses_spark.tables import log as txlog
+
+    return txlog.list_versions(table_path)
+
+
+def _commit(table_path: str, v: int) -> dict:
+    from lakehouses_spark.tables import log as txlog
+
+    return txlog.read_commit(table_path, v)
+
+
+class LakeTableDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "laketable"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("laketable source requires .option('path', <table dir>)")
+        return p
+
+    def schema(self) -> StructType:
+        st = _replay(self._path())
+        return StructType.fromJson(json.loads(st.schema_json))
+
+    def reader(self, schema: StructType) -> "LakeTableBatchReader":
+        return LakeTableBatchReader(self._path())
+
+    def streamReader(self, schema: StructType) -> "LakeTableStreamReader":
+        return LakeTableStreamReader(
+            self._path(),
+            ignore_changes=str(self.options.get("ignorechanges", "false")).lower()
+            == "true",
+        )
+
+
+def _read_file_batches(path: str):
+    """Executor-side: one parquet file → Arrow RecordBatches (never rows)."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path)
+    yield from table.to_batches(max_chunksize=10_000)
+
+
+class LakeTableBatchReader(DataSourceReader):
+    def __init__(self, table_path: str):
+        self.table_path = table_path
+        st = _replay(table_path)
+        self.files = [str(Path(table_path) / rel) for rel in st.files]
+
+    def partitions(self):
+        return [FileSlice(f) for f in self.files]
+
+    def read(self, partition: FileSlice):
+        yield from _read_file_batches(partition.path)
+
+
+class LakeTableStreamReader(DataSourceStreamReader):
+    def __init__(self, table_path: str, ignore_changes: bool = False):
+        self.table_path = table_path
+        self.ignore_changes = ignore_changes
+
+    def initialOffset(self) -> dict:
+        # start BEFORE version 0 so the initial snapshot is batch 0
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        versions = _versions(self.table_path)
+        return {"version": versions[-1] if versions else -1}
+
+    def _added_files(self, start_v: int, end_v: int) -> list[str]:
+        out: list[str] = []
+        for v in _versions(self.table_path):
+            if not (start_v < v <= end_v):
+                continue
+            c = _commit(self.table_path, v)
+            if c.get("remove") and not self.ignore_changes:
+                raise RuntimeError(
+                    f"commit {v} ({c.get('operation')}) removed files from the "
+                    "streamed table; set .option('ignoreChanges', 'true') to "
+                    "stream only appended files (Delta-source semantics)"
+                )
+            out.extend(a["path"] for a in c.get("add") or [])
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        rels = self._added_files(int(start["version"]), int(end["version"]))
+        return [FileSlice(str(Path(self.table_path) / rel)) for rel in rels] or [
+            FileSlice("")
+        ]
+
+    def read(self, partition: FileSlice):
+        if not partition.path:  # empty batch placeholder
+            return
+        yield from _read_file_batches(partition.path)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress is durable in the sink checkpoint; nothing to clean
