@@ -21,5 +21,10 @@ same semantics are implemented Spark-natively:
   with merge_schema=True (:362)
 """
 
-from lakehouses_spark.tables.table import LakeTable, SchemaMismatchError, ConcurrentWriteError  # noqa: F401
+from lakehouses_spark.tables.table import (  # noqa: F401
+    ConcurrentWriteError,
+    ConstraintViolationError,
+    LakeTable,
+    SchemaMismatchError,
+)
 from lakehouses_spark.tables.catalog import LakeCatalog  # noqa: F401

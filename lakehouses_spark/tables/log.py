@@ -99,12 +99,18 @@ class TableState:
     """Log replay result: the set of live files + current schema."""
 
     def __init__(self, version: int, files: dict[str, dict], schema_json: str | None,
-                 partition_by: list[str], commits: list[dict]):
+                 partition_by: list[str], commits: list[dict],
+                 column_mapping: dict[str, str] | None = None,
+                 constraints: dict[str, str] | None = None):
         self.version = version
         self.files = files  # rel path -> add action
         self.schema_json = schema_json
         self.partition_by = partition_by
         self.commits = commits
+        # logical name -> physical (in-file) name; identity entries omitted
+        self.column_mapping = column_mapping or {}
+        # constraint name -> boolean SQL expr every row must satisfy
+        self.constraints = constraints or {}
 
     @property
     def num_records(self) -> int:
@@ -128,6 +134,8 @@ def write_checkpoint(table_path: str | Path, state: "TableState") -> None:
                 "files": state.files,
                 "schema": state.schema_json,
                 "partition_by": state.partition_by,
+                "column_mapping": state.column_mapping,
+                "constraints": state.constraints,
             },
             fh,
         )
@@ -163,6 +171,8 @@ def replay(
     files: dict[str, dict] = {}
     schema_json: str | None = None
     partition_by: list[str] = []
+    column_mapping: dict[str, str] = {}
+    constraints: dict[str, str] = {}
     commits: list[dict] = []
     effective = -1
     if timestamp_ms is None:
@@ -171,6 +181,8 @@ def replay(
             files = dict(ckpt["files"])
             schema_json = ckpt["schema"]
             partition_by = ckpt["partition_by"]
+            column_mapping = dict(ckpt.get("column_mapping") or {})
+            constraints = dict(ckpt.get("constraints") or {})
             effective = ckpt["version"]
             versions = [v for v in versions if v > ckpt["version"]]
     for v in versions:
@@ -183,13 +195,18 @@ def replay(
             schema_json = c["schema"]
         if c.get("partition_by") is not None:
             partition_by = c["partition_by"]
+        if c.get("column_mapping") is not None:
+            column_mapping = dict(c["column_mapping"])
+        if c.get("constraints") is not None:
+            constraints = dict(c["constraints"])
         for rel in c.get("remove", []):
             files.pop(rel, None)
         for add in c.get("add", []):
             files[add["path"]] = add
     if timestamp_ms is not None and effective < 0:
         raise ValueError(f"no commit at or before timestamp_ms={timestamp_ms}")
-    return TableState(effective, files, schema_json, partition_by, commits)
+    return TableState(effective, files, schema_json, partition_by, commits,
+                      column_mapping, constraints)
 
 
 def new_data_subdir(table_path: str | Path) -> tuple[Path, str]:

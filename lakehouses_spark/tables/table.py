@@ -32,7 +32,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from lakehouses_spark.tables import log as txlog
 from lakehouses_spark.tables.log import ConcurrentWriteError  # noqa: F401  (re-export)
@@ -44,6 +44,10 @@ CHECKPOINT_INTERVAL = 10
 class SchemaMismatchError(ValueError):
     """Append schema differs from table schema and merge_schema is off
     (mirrors Delta's enforcement, 02.delta_lake_primer.py:354-358)."""
+
+
+class ConstraintViolationError(ValueError):
+    """A write produced rows violating a CHECK constraint."""
 
 
 class LakeTable:
@@ -161,17 +165,38 @@ class LakeTable:
         min/max range contradicts the predicate, then applies the residual
         predicate row-wise."""
         st = self.state(version=version, timestamp_ms=timestamp_ms)
-        schema = StructType.fromJson(json.loads(st.schema_json))
+        # stats are keyed by physical names — translate filters for skipping
+        phys_filters = [
+            (st.column_mapping.get(c, c), op, v) for c, op, v in filters or []
+        ]
         paths = [
             str(self.path / rel)
             for rel, add in st.files.items()
-            if _file_may_match(add, filters)
+            if _file_may_match(add, phys_filters)
         ]
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(*paths)
+        df = self._snapshot(st, paths)
         for col, op, val in filters or []:
             df = df.where(_predicate(col, op, val))
+        return df
+
+    def _snapshot(self, st, paths: list[str] | None = None) -> DataFrame:
+        """Read data files as the LOGICAL schema. Files store PHYSICAL column
+        names (immutable once written); renames/drops only move the
+        logical→physical mapping in the log — Delta's column-mapping design,
+        which is what makes ALTER TABLE metadata-only at any scale."""
+        schema = StructType.fromJson(json.loads(st.schema_json))
+        phys = _physical_schema(schema, st.column_mapping)
+        paths = paths if paths is not None else [str(self.path / rel) for rel in st.files]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(phys).parquet(*paths)
+        if st.column_mapping:
+            df = df.select(
+                *[
+                    F.col(st.column_mapping.get(f.name, f.name)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
         return df
 
     def history(self) -> DataFrame:
@@ -228,7 +253,8 @@ class LakeTable:
         schema = StructType.fromJson(json.loads(st.schema_json))
         new_schema = _check_schema(schema, df.schema, merge_schema)
         df = _conform(df, new_schema)
-        adds = self._write_files(df, st.partition_by)
+        self._verify_constraints(df, st)
+        adds = self._write_files(df, st.partition_by, state=st)
         for attempt in range(max_retries + 1):
             try:
                 self._commit(
@@ -271,7 +297,8 @@ class LakeTable:
         schema = StructType.fromJson(json.loads(st.schema_json))
         new_schema = _check_schema(schema, df.schema, merge_schema)
         df = _conform(df, new_schema)
-        adds = self._write_files(df, st.partition_by)
+        self._verify_constraints(df, st)
+        adds = self._write_files(df, st.partition_by, state=st)
         self._commit(
             st.version + 1,
             operation="STREAMING UPDATE",
@@ -283,7 +310,8 @@ class LakeTable:
 
     def overwrite(self, df: DataFrame) -> None:
         st = self.state()
-        adds = self._write_files(df, st.partition_by)
+        self._verify_constraints(df, st)
+        adds = self._write_files(df, st.partition_by, state=st)
         self._commit(
             st.version + 1,
             operation="WRITE",
@@ -305,19 +333,40 @@ class LakeTable:
         """Distributed file-index lookup: which live files contain rows
         matching cond? Returns absolute paths (bounded by file count)."""
         st = self.state()
-        schema = StructType.fromJson(json.loads(st.schema_json))
         paths = [str(self.path / rel) for rel in st.files]
         if not paths:
             return []
-        hits = (
-            self.spark.read.schema(schema)
-            .parquet(*paths)
-            .where(cond)
-            .select(F.col("_metadata.file_path").alias("fp"))
-            .distinct()
-            .collect()
+        schema = StructType.fromJson(json.loads(st.schema_json))
+        phys = _physical_schema(schema, st.column_mapping)
+        raw = self.spark.read.schema(phys).parquet(*paths)
+        logical = raw.select(
+            F.col("_metadata.file_path").alias("__fp"),
+            *[
+                F.col(st.column_mapping.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ],
         )
-        return [_strip_scheme(r.fp) for r in hits]
+        hits = logical.where(cond).select("__fp").distinct().collect()
+        return [_strip_scheme(r["__fp"]) for r in hits]
+
+    def _affected_files_for_merge(self, st, src, cond) -> list[str]:
+        """Files containing at least one merge-matched row (semi-join against
+        the source on the merge condition)."""
+        schema = StructType.fromJson(json.loads(st.schema_json))
+        phys = _physical_schema(schema, st.column_mapping)
+        paths = [str(self.path / rel) for rel in st.files]
+        raw = self.spark.read.schema(phys).parquet(*paths)
+        logical = raw.select(
+            F.col("_metadata.file_path").alias("__fp"),
+            *[
+                F.col(st.column_mapping.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ],
+        ).alias("t")
+        hits = (
+            logical.join(src, cond, "left_semi").select("__fp").distinct().collect()
+        )
+        return [_strip_scheme(r["__fp"]) for r in hits]
 
     def delete(self, where: str) -> dict[str, int]:
         """D2: DELETE FROM ... WHERE (02.delta_lake_primer.py:213-224)."""
@@ -328,9 +377,8 @@ class LakeTable:
             self._commit(st.version + 1, operation="DELETE",
                          operation_parameters={"predicate": where})
             return {"rewritten_files": 0}
-        schema = StructType.fromJson(json.loads(st.schema_json))
-        kept = self.spark.read.schema(schema).parquet(*affected).where(~cond)
-        adds = self._write_files(kept, st.partition_by)
+        kept = self._snapshot(st, affected).where(~cond)
+        adds = self._write_files(kept, st.partition_by, state=st)
         self._commit(
             st.version + 1,
             operation="DELETE",
@@ -349,8 +397,7 @@ class LakeTable:
             self._commit(st.version + 1, operation="UPDATE",
                          operation_parameters={"predicate": where})
             return {"rewritten_files": 0}
-        schema = StructType.fromJson(json.loads(st.schema_json))
-        src = self.spark.read.schema(schema).parquet(*affected)
+        src = self._snapshot(st, affected)
         updated = src.select(
             *[
                 F.when(cond, F.expr(set_exprs[c]).cast(src.schema[c].dataType))
@@ -361,7 +408,8 @@ class LakeTable:
                 for c in src.columns
             ]
         )
-        adds = self._write_files(updated, st.partition_by)
+        self._verify_constraints(updated, st)
+        adds = self._write_files(updated, st.partition_by, state=st)
         self._commit(
             st.version + 1,
             operation="UPDATE",
@@ -394,21 +442,13 @@ class LakeTable:
 
         affected: list[str] = []
         if paths:
-            t_all = self.spark.read.schema(schema).parquet(*paths).alias("t")
-            affected = [
-                _strip_scheme(r.fp)
-                for r in t_all.join(src, cond, "left_semi")
-                .select(F.col("t._metadata.file_path").alias("fp"))
-                .distinct()
-                .collect()
-            ]
+            affected = self._affected_files_for_merge(st, src, cond)
 
         adds: list[dict] = []
         n_rewritten = 0
         out_parts: list[DataFrame] = []
         if affected:
-            t_aff = self.spark.read.schema(schema).parquet(*affected).alias("t")
-            matched = t_aff.join(src, cond, "inner")
+            t_aff = self._snapshot(st, affected).alias("t")
             if when_matched_delete:
                 rewritten = t_aff.join(src, cond, "left_anti").select(
                     *[F.col(f"t.{c}") for c in schema.names]
@@ -444,7 +484,7 @@ class LakeTable:
 
         if when_not_matched_insert:
             if paths:
-                t_all = self.spark.read.schema(schema).parquet(*paths).alias("t")
+                t_all = self._snapshot(st).alias("t")
                 inserts = src.join(t_all, cond, "left_anti")
             else:
                 inserts = src
@@ -465,7 +505,8 @@ class LakeTable:
             out = out_parts[0]
             for p in out_parts[1:]:
                 out = out.unionByName(p)
-            adds = self._write_files(out, st.partition_by)
+            self._verify_constraints(out, st)
+            adds = self._write_files(out, st.partition_by, state=st)
 
         self._commit(
             st.version + 1,
@@ -475,6 +516,101 @@ class LakeTable:
             remove=[_rel(self.path, p) for p in affected],
         )
         return {"rewritten_files": n_rewritten, "added_files": len(adds)}
+
+    # ------------------------------------------------------------------ #
+    # ALTER TABLE surface (D9) + CHECK constraints
+    # ------------------------------------------------------------------ #
+    def alter_add_column(self, name: str, dtype_ddl: str) -> None:
+        """ALTER TABLE ADD COLUMN (03.iceberg_primer.py:232) — metadata-only:
+        old files simply read NULL for the new column."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        st = self.state()
+        schema = StructType.fromJson(json.loads(st.schema_json))
+        if name in schema.names:
+            raise ValueError(f"column exists: {name}")
+        new = StructType(
+            schema.fields + [StructField(name, _parse_datatype_string(dtype_ddl), True)]
+        )
+        self._commit(st.version + 1, operation="ALTER TABLE",
+                     operation_parameters={"add_column": name}, schema=new.json())
+
+    def alter_rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN — metadata-only via column mapping
+        (Delta column-mapping mode, 02.delta_lake_primer.py:238-242): the
+        physical name in existing files never changes."""
+        st = self.state()
+        schema = StructType.fromJson(json.loads(st.schema_json))
+        if old not in schema.names:
+            raise ValueError(f"no such column: {old}")
+        if new in schema.names:
+            raise ValueError(f"column exists: {new}")
+        mapping = dict(st.column_mapping)
+        mapping[new] = mapping.pop(old, old)
+        fields = [
+            StructField(new, f.dataType, f.nullable) if f.name == old else f
+            for f in schema.fields
+        ]
+        self._commit(
+            st.version + 1,
+            operation="ALTER TABLE",
+            operation_parameters={"rename_column": {old: new}},
+            schema=StructType(fields).json(),
+            column_mapping=mapping,
+        )
+
+    def alter_drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN — metadata-only: the physical data stays
+        in the files, the logical schema stops projecting it."""
+        st = self.state()
+        schema = StructType.fromJson(json.loads(st.schema_json))
+        if name not in schema.names:
+            raise ValueError(f"no such column: {name}")
+        mapping = dict(st.column_mapping)
+        mapping.pop(name, None)
+        fields = [f for f in schema.fields if f.name != name]
+        self._commit(
+            st.version + 1,
+            operation="ALTER TABLE",
+            operation_parameters={"drop_column": name},
+            schema=StructType(fields).json(),
+            column_mapping=mapping,
+        )
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """ALTER TABLE ADD CONSTRAINT CHECK (Delta CHECK constraints):
+        existing data is validated first, then every future write."""
+        st = self.state()
+        n_bad = self._snapshot(st).where(~F.expr(expr)).count()
+        if n_bad:
+            raise ConstraintViolationError(
+                f"cannot add constraint {name}: {n_bad} existing rows violate ({expr})"
+            )
+        constraints = {**st.constraints, name: expr}
+        self._commit(st.version + 1, operation="ALTER TABLE",
+                     operation_parameters={"add_constraint": {name: expr}},
+                     constraints=constraints)
+
+    def drop_constraint(self, name: str) -> None:
+        st = self.state()
+        constraints = {k: v for k, v in st.constraints.items() if k != name}
+        self._commit(st.version + 1, operation="ALTER TABLE",
+                     operation_parameters={"drop_constraint": name},
+                     constraints=constraints)
+
+    def _verify_constraints(self, df: DataFrame, st) -> None:
+        """One extra job per write when constraints exist — the price of
+        write-time enforcement (same as Delta's CHECK)."""
+        if not st.constraints:
+            return
+        cond = F.lit(True)
+        for expr in st.constraints.values():
+            cond = cond & F.expr(expr)
+        n_bad = df.where(~cond).count()
+        if n_bad:
+            raise ConstraintViolationError(
+                f"{n_bad} rows violate constraints {list(st.constraints)}"
+            )
 
     # ------------------------------------------------------------------ #
     # maintenance
@@ -518,13 +654,11 @@ class LakeTable:
         }
         if len(small) < 2:
             return {"compacted_files": 0}
-        schema = StructType.fromJson(json.loads(st.schema_json))
-        df = self.spark.read.schema(schema).parquet(
-            *[str(self.path / rel) for rel in small]
-        )
+        df = self._snapshot(st, [str(self.path / rel) for rel in small])
         total = sum(a.get("num_records") or 0 for a in small.values())
         n_out = max(1, -(-total // target_records_per_file))
-        adds = self._write_files(df.repartition(n_out), st.partition_by, skip_cluster=True)
+        adds = self._write_files(df.repartition(n_out), st.partition_by,
+                                 skip_cluster=True, state=st)
         self._commit(
             st.version + 1,
             operation="OPTIMIZE",
@@ -546,10 +680,7 @@ class LakeTable:
         normalize each column to `bits` bits via global min/max, interleave
         with shift/mask, range-repartition on the z-value."""
         st = self.state()
-        schema = StructType.fromJson(json.loads(st.schema_json))
-        df = self.spark.read.schema(schema).parquet(
-            *[str(self.path / rel) for rel in st.files]
-        )
+        df = self._snapshot(st)
         ranges = df.agg(
             *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
             *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
@@ -566,7 +697,7 @@ class LakeTable:
                 bit = F.shiftrightunsigned(norm, b).bitwiseAND(F.lit(1))
                 z = z + F.shiftleft(bit, b * len(cols) + i)
         clustered = df.withColumn("__z", z).repartitionByRange(num_files, "__z").drop("__z")
-        adds = self._write_files(clustered, [], skip_cluster=True)
+        adds = self._write_files(clustered, [], skip_cluster=True, state=st)
         self._commit(
             st.version + 1,
             operation="OPTIMIZE",
@@ -585,6 +716,7 @@ class LakeTable:
         partition_by: list[str],
         skip_cluster: bool = False,
         num_files: int | None = None,
+        state=None,
     ) -> list[dict]:
         """Write part-files for one commit + collect per-file stats (one
         metadata job over just-written files).
@@ -601,6 +733,10 @@ class LakeTable:
                 if num_files
                 else df.repartitionByRange(*cols)
             )
+        mapping = state.column_mapping if state is not None else {}
+        if mapping:
+            # files always store physical names (rename is metadata-only)
+            df = df.select(*[F.col(c).alias(mapping.get(c, c)) for c in df.columns])
         df.write.parquet(str(abs_dir))
         files = sorted(str(p) for p in abs_dir.rglob("*.parquet"))
         if not files:
@@ -613,7 +749,8 @@ class LakeTable:
         return _adds_from_stats(stats_df.collect(), self.path, df.schema)
 
     def _commit(self, version: int, operation: str, add=None, remove=None,
-                schema=None, partition_by=None, operation_parameters=None) -> None:
+                schema=None, partition_by=None, operation_parameters=None,
+                column_mapping=None, constraints=None) -> None:
         actions: dict[str, Any] = {"operation": operation}
         if operation_parameters:
             actions["operation_parameters"] = operation_parameters
@@ -625,6 +762,10 @@ class LakeTable:
             actions["schema"] = schema
         if partition_by is not None:
             actions["partition_by"] = partition_by
+        if column_mapping is not None:
+            actions["column_mapping"] = column_mapping
+        if constraints is not None:
+            actions["constraints"] = constraints
         txlog.try_commit(self.path, version, actions)
         if version > 0 and version % CHECKPOINT_INTERVAL == 0:
             txlog.write_checkpoint(self.path, txlog.replay(self.path, version=version))
@@ -637,6 +778,15 @@ _OPS = {
     "=": operator.eq, "==": operator.eq, "<": operator.lt, "<=": operator.le,
     ">": operator.gt, ">=": operator.ge,
 }
+
+
+def _physical_schema(logical: StructType, mapping: dict[str, str]) -> StructType:
+    if not mapping:
+        return logical
+    return StructType(
+        [StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+         for f in logical.fields]
+    )
 
 
 def _predicate(col: str, op: str, val):
