@@ -28,3 +28,4 @@ from lakehouses_spark.tables.table import (  # noqa: F401
     SchemaMismatchError,
 )
 from lakehouses_spark.tables.catalog import LakeCatalog  # noqa: F401
+from lakehouses_spark.tables.sql import LakeSQL, LakeSQLError  # noqa: F401

@@ -222,6 +222,24 @@ class LakeTable:
             "operation_parameters string, num_added_files long, num_removed_files long",
         )
 
+    def files(self, version: int | None = None) -> DataFrame:
+        """D11 metadata table (Iceberg `.files` / Delta add-action analog,
+        03.iceberg_primer.py:322-402): one row per live data file with
+        record counts, sizes, and per-column min/max stats as JSON."""
+        st = self.state(version=version)
+        rows = [
+            {
+                "path": rel,
+                "num_records": a.get("num_records"),
+                "size_bytes": a.get("size_bytes"),
+                "stats": json.dumps(a.get("stats") or {}),
+            }
+            for rel, a in sorted(st.files.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "path string, num_records long, size_bytes long, stats string"
+        )
+
     def detail(self) -> dict[str, Any]:
         """DESCRIBE DETAIL (D7)."""
         st = self.state()
@@ -391,6 +409,10 @@ class LakeTable:
     def update(self, set_exprs: dict[str, str], where: str = "true") -> dict[str, int]:
         """D3: UPDATE ... SET ... WHERE (02.delta_lake_primer.py:252-261)."""
         st = self.state()
+        schema_names = StructType.fromJson(json.loads(st.schema_json)).names
+        unknown = [c for c in set_exprs if c not in schema_names]
+        if unknown:
+            raise ValueError(f"UPDATE SET references unknown columns: {unknown}")
         cond = F.expr(where)
         affected = self._affected_files(cond)
         if not affected:
