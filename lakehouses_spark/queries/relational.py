@@ -661,6 +661,104 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "subquery_in_having",
+    oracle="""
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 120
+    )
+    ORDER BY c_custkey, o_orderkey
+    """,
+)
+def subquery_in_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over an aggregated-HAVING subquery (large-order
+    customers) — decorrelates to a semi join against the aggregate."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 120
+        )
+        ORDER BY c_custkey, o_orderkey
+        """
+    )
+
+
+@query(
+    "subquery_not_exists_avg",
+    oracle="""
+    SELECT substring(c_name, 10, 4) AS key_prefix,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY substring(c_name, 10, 4)
+    ORDER BY key_prefix
+    """,
+)
+def subquery_not_exists_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + anti-join (positive-
+    balance customers who never ordered)."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT substring(c_name, 10, 4) AS key_prefix,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY substring(c_name, 10, 4)
+        ORDER BY key_prefix
+        """
+    )
+
+
+@query(
+    "join_count_distribution",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers FROM (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def join_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left join with a non-key predicate in the ON clause,
+    double aggregation (customer-order-count histogram)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
 # ---------------------------------------------------------------------------
 # Projection / rename surface (P1-P5, P9-P10 patterns)
 # ---------------------------------------------------------------------------

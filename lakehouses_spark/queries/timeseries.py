@@ -232,6 +232,100 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_funnel",
+    oracle="""
+    WITH stage1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), stage2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN stage1 s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.t1
+      GROUP BY e.user_id
+    ), stage3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN stage2 s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM stage1) AS n_viewed,
+           (SELECT count(*) FROM stage2) AS n_clicked_after_view,
+           (SELECT count(*) FROM stage3) AS n_purchased_after_click
+    """,
+)
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view → click → purchase, each stage strictly after
+    the user's first entry into the previous stage. Three aggregations
+    joined on user_id — the standard scalable funnel (no per-user state,
+    no window over the whole stream)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame | None, prev_col: str, out: str) -> DataFrame:
+        base = e.where(F.col("event_type") == event_type)
+        if prev is not None:
+            base = base.join(prev, "user_id").where(F.col("ts") > F.col(prev_col))
+        return base.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    s1 = first_after("view", None, "", "t1")
+    s2 = first_after("click", s1, "t1", "t2")
+    s3 = first_after("purchase", s2, "t2", "t3")
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
+
+
+@query(
+    "ts_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(day_offset AS INTEGER) AS day_offset,
+           count(*) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def ts_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users grouped by first-seen day, activity counted
+    per day-offset (the classic triangle). Two shuffles on user_id, then a
+    small (cohort, offset) aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.where(F.col("day_offset") <= 7)
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.col("day_offset").cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
     "ts_daily_rollup",
     oracle="""
     SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
