@@ -101,7 +101,8 @@ class TableState:
     def __init__(self, version: int, files: dict[str, dict], schema_json: str | None,
                  partition_by: list[str], commits: list[dict],
                  column_mapping: dict[str, str] | None = None,
-                 constraints: dict[str, str] | None = None):
+                 constraints: dict[str, str] | None = None,
+                 tombstones: list[dict] | None = None):
         self.version = version
         self.files = files  # rel path -> add action
         self.schema_json = schema_json
@@ -111,6 +112,8 @@ class TableState:
         self.column_mapping = column_mapping or {}
         # constraint name -> boolean SQL expr every row must satisfy
         self.constraints = constraints or {}
+        # merge-on-read delete predicates: [{"predicate": str, "version": int}]
+        self.tombstones = tombstones or []
 
     @property
     def num_records(self) -> int:
@@ -136,6 +139,7 @@ def write_checkpoint(table_path: str | Path, state: "TableState") -> None:
                 "partition_by": state.partition_by,
                 "column_mapping": state.column_mapping,
                 "constraints": state.constraints,
+                "tombstones": state.tombstones,
             },
             fh,
         )
@@ -173,6 +177,7 @@ def replay(
     partition_by: list[str] = []
     column_mapping: dict[str, str] = {}
     constraints: dict[str, str] = {}
+    tombstones: list[dict] = []
     commits: list[dict] = []
     effective = -1
     if timestamp_ms is None:
@@ -183,6 +188,7 @@ def replay(
             partition_by = ckpt["partition_by"]
             column_mapping = dict(ckpt.get("column_mapping") or {})
             constraints = dict(ckpt.get("constraints") or {})
+            tombstones = list(ckpt.get("tombstones") or [])
             effective = ckpt["version"]
             versions = [v for v in versions if v > ckpt["version"]]
     for v in versions:
@@ -199,14 +205,20 @@ def replay(
             column_mapping = dict(c["column_mapping"])
         if c.get("constraints") is not None:
             constraints = dict(c["constraints"])
+        if c.get("tombstone"):
+            tombstones.append({"predicate": c["tombstone"], "version": v})
+        if c.get("clear_tombstones"):
+            tombstones = []
         for rel in c.get("remove", []):
             files.pop(rel, None)
         for add in c.get("add", []):
-            files[add["path"]] = add
+            # remember which commit added each file: tombstones only apply to
+            # files that existed when the tombstone was committed
+            files[add["path"]] = {**add, "__v": v}
     if timestamp_ms is not None and effective < 0:
         raise ValueError(f"no commit at or before timestamp_ms={timestamp_ms}")
     return TableState(effective, files, schema_json, partition_by, commits,
-                      column_mapping, constraints)
+                      column_mapping, constraints, tombstones)
 
 
 def new_data_subdir(table_path: str | Path) -> tuple[Path, str]:

@@ -189,15 +189,41 @@ class LakeTable:
         paths = paths if paths is not None else [str(self.path / rel) for rel in st.files]
         if not paths:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(phys).parquet(*paths)
-        if st.column_mapping:
-            df = df.select(
-                *[
-                    F.col(st.column_mapping.get(f.name, f.name)).alias(f.name)
-                    for f in schema.fields
-                ]
+
+        def load(group_paths: list[str]) -> DataFrame:
+            df = self.spark.read.schema(phys).parquet(*group_paths)
+            if st.column_mapping:
+                df = df.select(
+                    *[
+                        F.col(st.column_mapping.get(f.name, f.name)).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
+            return df
+
+        if not st.tombstones:
+            return load(paths)
+        # merge-on-read: a tombstone filters only files that already existed
+        # when it was committed (rewritten/appended files post-date it, so
+        # updated or re-inserted rows can never be shadowed). Group files by
+        # their applicable tombstone set; one filtered scan per group.
+        add_version = {str(self.path / rel): a.get("__v", 0) for rel, a in st.files.items()}
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for p in paths:
+            preds = tuple(
+                t["predicate"] for t in st.tombstones if add_version.get(p, 0) < t["version"]
             )
-        return df
+            groups.setdefault(preds, []).append(p)
+        parts = []
+        for preds, group_paths in groups.items():
+            df = load(group_paths)
+            for pred in preds:
+                df = df.where(~F.expr(pred))
+            parts.append(df)
+        out = parts[0]
+        for p_df in parts[1:]:
+            out = out.unionByName(p_df)
+        return out
 
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY (D7, 02.delta_lake_primer.py:405). Reads every
@@ -386,8 +412,23 @@ class LakeTable:
         )
         return [_strip_scheme(r["__fp"]) for r in hits]
 
-    def delete(self, where: str) -> dict[str, int]:
-        """D2: DELETE FROM ... WHERE (02.delta_lake_primer.py:213-224)."""
+    def delete(self, where: str, lazy: bool = False) -> dict[str, int]:
+        """D2: DELETE FROM ... WHERE (02.delta_lake_primer.py:213-224).
+
+        lazy=True is merge-on-read: commit a predicate tombstone instead of
+        rewriting files (Delta deletion-vector economics — O(1) write cost
+        for frequent small deletes). Readers apply active tombstones as a
+        residual filter; OPTIMIZE / the next copy-on-write DML materializes
+        them. Tombstones are versioned, so time travel is exact."""
+        if lazy:
+            st = self.state()
+            self._commit(
+                st.version + 1,
+                operation="DELETE",
+                operation_parameters={"predicate": where, "lazy": True},
+                tombstone=where,
+            )
+            return {"rewritten_files": 0, "tombstones": len(st.tombstones) + 1}
         st = self.state()
         cond = F.expr(where)
         affected = self._affected_files(cond)
@@ -405,6 +446,24 @@ class LakeTable:
             remove=[_rel(self.path, p) for p in affected],
         )
         return {"rewritten_files": len(affected)}
+
+    def materialize_tombstones(self) -> dict[str, int]:
+        """Rewrite all live files with active tombstones applied, then clear
+        them — the merge-on-read → copy-on-write compaction step."""
+        st = self.state()
+        if not st.tombstones:
+            return {"rewritten_files": 0}
+        cleaned = self._snapshot(st)
+        adds = self._write_files(cleaned, st.partition_by, state=st)
+        self._commit(
+            st.version + 1,
+            operation="DELETE",
+            operation_parameters={"materialized_tombstones": len(st.tombstones)},
+            add=adds,
+            remove=sorted(st.files),
+            clear_tombstones=True,
+        )
+        return {"rewritten_files": len(st.files)}
 
     def update(self, set_exprs: dict[str, str], where: str = "true") -> dict[str, int]:
         """D3: UPDATE ... SET ... WHERE (02.delta_lake_primer.py:252-261)."""
@@ -772,7 +831,8 @@ class LakeTable:
 
     def _commit(self, version: int, operation: str, add=None, remove=None,
                 schema=None, partition_by=None, operation_parameters=None,
-                column_mapping=None, constraints=None) -> None:
+                column_mapping=None, constraints=None, tombstone=None,
+                clear_tombstones=False) -> None:
         actions: dict[str, Any] = {"operation": operation}
         if operation_parameters:
             actions["operation_parameters"] = operation_parameters
@@ -788,6 +848,10 @@ class LakeTable:
             actions["column_mapping"] = column_mapping
         if constraints is not None:
             actions["constraints"] = constraints
+        if tombstone is not None:
+            actions["tombstone"] = tombstone
+        if clear_tombstones:
+            actions["clear_tombstones"] = True
         txlog.try_commit(self.path, version, actions)
         if version > 0 and version % CHECKPOINT_INTERVAL == 0:
             txlog.write_checkpoint(self.path, txlog.replay(self.path, version=version))

@@ -87,6 +87,44 @@ def test_session_stream_matches_batch(spark, events_dir, tmp_path):
     assert n_sessions_stream == n_sessions_batch
 
 
+def test_processing_time_live_appends(spark, tmp_path):
+    """T2/T5: a processingTime-triggered query keeps consuming while new
+    files land (the reference's live stream-plus-inserts demo,
+    02.delta_lake_primer.py:144-151), then stops cleanly."""
+    import time
+
+    src = tmp_path / "live_src"
+    src.mkdir()
+    schema = "id long, v double"
+    spark.createDataFrame([(1, 1.0)], schema).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "live_out"))
+        .option("checkpointLocation", str(tmp_path / "live_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        for i in range(2, 5):  # concurrent producer
+            spark.createDataFrame([(i, float(i))], schema).write.mode("append") \
+                .parquet(str(src))
+            time.sleep(1.2)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(str(tmp_path / "live_out")).count() >= 4:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = sorted(r.id for r in spark.read.parquet(str(tmp_path / "live_out")).collect())
+    assert got == [1, 2, 3, 4]
+
+
 def test_dedup_within_watermark(spark, events_dir, tmp_path):
     # duplicate the stream: replay the same files twice under one source dir
     dup_dir = tmp_path / "dup"
