@@ -233,7 +233,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     still differ in every 16-bit block, so block-bucketing here is a recall
     heuristic tuned for the observed near-dup distance; the exact filter is
     the popcount predicate after candidate generation)."""
-    d = load_table(spark, sf_dir, "documents").select(
+    d = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", _simhash64(F.col("text")).alias("sig")
     )
     blocks = d.select(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakehouses_spark.io import load_table
+from lakehouses_spark.io import load_table, spread
 from lakehouses_spark.registry import query
 
 
@@ -40,6 +40,17 @@ def _emb_double(df: DataFrame) -> DataFrame:
     """float32 → float64 once at scan time; all math happens in double so
     results match any double-precision oracle."""
     return df.withColumn("embedding", F.col("embedding").cast("array<double>"))
+
+
+def _emb_unit(df: DataFrame) -> DataFrame:
+    """Normalize to unit vectors ONCE (O(n·d)) so every pairwise similarity
+    is a single dot product instead of dot+two norms (O(pairs·3d) → O(pairs·d)).
+    The win at scale: normalization is a map over the corpus; the pairwise
+    stage — the expensive part — gets 3x cheaper per candidate."""
+    e = F.col("embedding").cast("array<double>")
+    n = F.sqrt(F.aggregate(F.zip_with(e, e, lambda x, y: x * y), F.lit(0.0),
+                           lambda acc, x: acc + x))
+    return df.withColumn("unit", F.transform(e, lambda x: x / n))
 
 
 @query(
@@ -81,21 +92,24 @@ def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.95
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
     ORDER BY vec_a, vec_b
     """,
 )
 def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.95). Correctness
-    baseline is the all-pairs join; `sim_ann_lsh` is the linear-cost variant
-    of the same output."""
-    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
-    a = emb.alias("a")
+    """Embedding-cosine high-similarity pairs. The threshold (0.4) sits in
+    the far tail of this corpus's similarity distribution (p999≈0.38, no
+    true near-dups in the testdata), so the query is non-vacuous while
+    staying selective. Correctness baseline is the all-pairs join; the ANN
+    variants below are the linear-cost paths for genuine near-dup regimes
+    (cos ≳ 0.9), where locality hashing actually buckets pairs together."""
+    emb = _emb_unit(load_table(spark, sf_dir, "embeddings")).select("vec_id", "unit")
+    a = spread(emb).alias("a")
     b = emb.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    sim = dot(F.col("a.unit"), F.col("b.unit"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .where(sim >= 0.95)
+        .where(sim >= 0.4)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -105,15 +119,32 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_PLANES = 16  # 16-bit random-hyperplane signature
+def brute_force_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs cosine ≥ threshold over (vec_id, embedding) — the exact
+    baseline the ANN variants are measured against."""
+    u = _emb_unit(emb).select("vec_id", "unit")
+    a = spread(u).alias("a")
+    b = u.alias("b")
+    sim = dot(F.col("a.unit"), F.col("b.unit"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(sim >= threshold)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+                F.round(sim, 6).alias("cos_sim"))
+    )
 
 
-def _lsh_signature(emb: Column, dim: int = 64) -> Column:
+N_PLANES = 16  # bits per signature table
+N_TABLES = 4   # independent hash tables: candidate if ANY table collides
+               # (recall 1-(1-p^bits)^tables — the standard LSH amplification)
+
+
+def _lsh_signature(emb: Column, dim: int = 64, table: int = 0) -> Column:
     """Deterministic random-hyperplane signature: plane p's component d is a
-    pseudo-random ±-uniform derived from xxhash64(p, d) — reproducible with
-    no stored model, identical on every executor."""
+    pseudo-random ±-uniform derived from xxhash64(table, p, d) — reproducible
+    with no stored model, identical on every executor."""
     def plane_component(p: int, d: Column) -> Column:
-        h = F.xxhash64(F.lit(p), d)
+        h = F.xxhash64(F.lit(table), F.lit(p), d)
         # map hash to (-0.5, 0.5)
         return (h.cast("double") / F.lit(float(2**64))) % 1.0
 
@@ -136,35 +167,53 @@ def _lsh_signature(emb: Column, dim: int = 64) -> Column:
     return total
 
 
-@query("sim_ann_lsh", oracle=None)  # LSH plane choice is engine-specific → rows-only
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN near-dup pairs via random-hyperplane LSH: bucket on a 16-bit
-    signature, exact cosine re-rank inside buckets only. Linear candidate
-    generation; pytest checks recall against `sim_pairs_threshold`."""
-    emb = _emb_double(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "sig", _lsh_signature(F.col("embedding"))
+def ann_lsh_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs with multi-table amplification:
+    N_TABLES independent 16-bit signatures; a pair is a candidate if ANY
+    table buckets it together; exact re-rank inside buckets only. At
+    cos=0.99 per-bit agreement ≈ 0.986 → per-table hit ≈ 0.8 → 4-table
+    recall ≈ 0.998. Candidate generation stays linear (explode ×N_TABLES)."""
+    e = F.col("embedding").cast("array<double>")
+    sigs = F.array(*[_lsh_signature(e, dim=dim, table=t) for t in range(N_TABLES)])
+    u = (
+        spread(_emb_unit(emb))
+        .select("vec_id", "unit", F.posexplode(sigs).alias("tbl", "sig"))
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    a = u.alias("a")
+    b = u.alias("b")
+    sim = dot(F.col("a.unit"), F.col("b.unit"))
     return (
-        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .where(sim >= 0.95)
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.round(sim, 6).alias("cos_sim"),
         )
+        .where(F.col("cos_sim") >= threshold)
+        .distinct()
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query("sim_ann_lsh", oracle=None)  # LSH plane choice is engine-specific → rows-only
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN near-dup pairs over the embeddings table (threshold 0.95 — this
+    corpus has no true near-dups, so an empty result is the correct answer;
+    pytest verifies recall on synthetic near-dup injections instead)."""
+    return ann_lsh_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
 IVF_CELLS = 16
 IVF_NPROBE = 2
 
 
-@query("sim_ann_ivf", oracle=None)  # clustering choice is engine-specific → rows-only
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_pairs(emb_src: DataFrame, threshold: float = 0.95,
+                  cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> DataFrame:
     """IVF-style ANN near-dup pairs — the second scale path the north star
     names (alongside LSH):
 
@@ -180,16 +229,18 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid table broadcasts) + intra-cell pairs — never all-pairs.
     pytest checks recall against `sim_pairs_threshold`.
     """
-    emb = _emb_double(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "embedding"
-    )
-    seeds = emb.where(F.col("vec_id") < IVF_CELLS).select(
+    emb = spread(
+        _emb_unit(emb_src)
+    ).select("vec_id", F.col("unit").alias("embedding")).localCheckpoint()
+    seeds = emb.orderBy("vec_id").limit(cells).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
     )
 
     def assign(points: DataFrame, centroids: DataFrame, keep: int) -> DataFrame:
-        """Per-point `keep` nearest centroids (broadcast cross-join + window)."""
-        sim = cosine(F.col("embedding"), F.col("centroid"))
+        """Per-point `keep` nearest centroids (broadcast cross-join + window).
+        Points are unit vectors; centroids are re-normalized after each mean,
+        so cosine reduces to a plain dot product."""
+        sim = dot(F.col("embedding"), F.col("centroid"))
         w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("cell"))
         return (
             points.crossJoin(F.broadcast(centroids))
@@ -207,13 +258,14 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.avg("v").alias("m"))
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("parts"))
-        .select("cell", F.transform("parts", lambda s: s.m).alias("centroid"))
+        .select("cell", F.transform("parts", lambda s: s.m).alias("raw"))
+        .select("cell", F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("centroid"))
     )
     # nprobe multi-assignment + intra-cell exact re-rank
-    probed = assign(emb, centroids, keep=IVF_NPROBE).select("cell", "vec_id", "embedding")
+    probed = assign(emb, centroids, keep=nprobe).select("cell", "vec_id", "embedding")
     a = probed.alias("a")
     b = probed.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    sim = dot(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(
             b,
@@ -224,10 +276,17 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             F.round(sim, 6).alias("cos_sim"),
         )
-        .where(F.col("cos_sim") >= 0.95)
+        .where(F.col("cos_sim") >= threshold)
         .distinct()
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query("sim_ann_ivf", oracle=None)  # clustering choice is engine-specific → rows-only
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the embeddings table (threshold 0.95 — empty on this
+    corpus by construction; recall verified on synthetic near-dups)."""
+    return ann_ivf_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
 @query(

@@ -38,30 +38,60 @@ def test_minhash_recall_vs_exact_jaccard(spark):
     assert all(j >= 0.3 for j in approx.values())
 
 
-def test_ann_lsh_recall_vs_brute_force(spark):
-    exact = {
-        (r.vec_a, r.vec_b) for r in REGISTRY["sim_pairs_threshold"].fn(spark, SF).collect()
-    }
-    approx = {
-        (r.vec_a, r.vec_b) for r in REGISTRY["sim_ann_lsh"].fn(spark, SF).collect()
-    }
+@pytest.fixture(scope="module")
+def near_dup_corpus(spark):
+    """The testdata embeddings carry NO true near-dups (max pairwise cos
+    ≈ 0.5), so ANN recall must be measured on injected ones: 40 vectors get
+    a slightly-perturbed twin (cos ≈ 0.999) appended with vec_id + 10000."""
+    import numpy as np
+
+    from lakehouses_spark.io import load_table
+
+    rng = np.random.default_rng(42)
+    base = load_table(spark, SF, "embeddings").orderBy("vec_id").collect()
+    rows = [(r.vec_id, [float(x) for x in r.embedding]) for r in base]
+    twins = []
+    for r in base[:40]:
+        v = np.array(r.embedding, dtype=np.float64)
+        noise = rng.normal(0, 0.01, v.shape)
+        twins.append((r.vec_id + 10000, [float(x) for x in v + noise]))
+    return spark.createDataFrame(rows + twins, "vec_id long, embedding array<double>")
+
+
+def _recall(approx: set, exact: set) -> float:
+    return len(approx & exact) / len(exact)
+
+
+def test_ann_lsh_recall_on_injected_near_dups(spark, near_dup_corpus):
+    from lakehouses_spark.queries.similarity import ann_lsh_pairs, brute_force_pairs
+
+    exact = {(r.vec_a, r.vec_b) for r in
+             brute_force_pairs(near_dup_corpus, 0.95).collect()}
+    assert len(exact) >= 35, "injection should create ≥35 true near-dup pairs"
+    approx = {(r.vec_a, r.vec_b) for r in
+              ann_lsh_pairs(near_dup_corpus, 0.95).collect()}
     assert approx <= exact, "ANN must not invent pairs (exact re-rank applied)"
-    if exact:
-        recall = len(approx) / len(exact)
-        assert recall >= 0.5, f"ANN recall too low: {recall:.2f} ({len(approx)}/{len(exact)})"
+    recall = _recall(approx, exact)
+    assert recall >= 0.7, f"LSH recall too low: {recall:.2f} ({len(approx)}/{len(exact)})"
 
 
-def test_ann_ivf_recall_vs_brute_force(spark):
-    exact = {
-        (r.vec_a, r.vec_b) for r in REGISTRY["sim_pairs_threshold"].fn(spark, SF).collect()
-    }
-    approx = {
-        (r.vec_a, r.vec_b) for r in REGISTRY["sim_ann_ivf"].fn(spark, SF).collect()
-    }
-    assert approx <= exact, "IVF must not invent pairs (exact re-rank applied)"
-    if exact:
-        recall = len(approx) / len(exact)
-        assert recall >= 0.5, f"IVF recall too low: {recall:.2f} ({len(approx)}/{len(exact)})"
+def test_ann_ivf_recall_on_injected_near_dups(spark, near_dup_corpus):
+    from lakehouses_spark.queries.similarity import ann_ivf_pairs, brute_force_pairs
+
+    exact = {(r.vec_a, r.vec_b) for r in
+             brute_force_pairs(near_dup_corpus, 0.95).collect()}
+    approx = {(r.vec_a, r.vec_b) for r in
+              ann_ivf_pairs(near_dup_corpus, 0.95).collect()}
+    assert approx <= exact
+    recall = _recall(approx, exact)
+    assert recall >= 0.7, f"IVF recall too low: {recall:.2f} ({len(approx)}/{len(exact)})"
+
+
+def test_ann_queries_empty_on_clean_corpus(spark):
+    """On the real table (no near-dups), both ANN queries must return empty
+    — not garbage pairs."""
+    assert REGISTRY["sim_ann_lsh"].fn(spark, SF).count() == 0
+    assert REGISTRY["sim_ann_ivf"].fn(spark, SF).count() == 0
 
 
 def test_simhash_near_dup_candidates(spark):
