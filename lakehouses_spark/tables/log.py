@@ -42,6 +42,15 @@ from typing import Any
 LOG_DIR = "_tx_log"
 DATA_DIR = "data"
 
+# Reader/writer protocol (Delta-style): bump READER_VERSION when a log
+# feature changes what a correct reader must understand; older engines then
+# fail fast instead of silently misreading the table.
+READER_VERSION = 1
+
+
+class ProtocolError(RuntimeError):
+    """The table requires a newer reader than this engine implements."""
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first (optimistic conflict)."""
@@ -197,6 +206,12 @@ def replay(
             break
         commits.append(c)
         effective = v
+        required = (c.get("protocol") or {}).get("min_reader", 1)
+        if required > READER_VERSION:
+            raise ProtocolError(
+                f"table requires reader protocol {required}, this engine "
+                f"implements {READER_VERSION} — upgrade before reading"
+            )
         if c.get("schema"):
             schema_json = c["schema"]
         if c.get("partition_by") is not None:

@@ -86,6 +86,7 @@ class LakeTable:
             add=adds,
             schema=df.schema.json(),
             partition_by=partition_by or [],
+            protocol={"min_reader": txlog.READER_VERSION},
         )
         return t
 
@@ -749,6 +750,24 @@ class LakeTable:
         )
         return {"compacted_files": len(small)}
 
+    def recluster(self, partition_by: list[str], num_files: int | None = None) -> dict[str, int]:
+        """Change the table's cluster key (partition evolution): full
+        range-clustered rewrite + the new key recorded for future writes —
+        Iceberg's partition-spec evolution, done as one transactional
+        rewrite."""
+        st = self.state()
+        df = self._snapshot(st)
+        adds = self._write_files(df, partition_by, num_files=num_files, state=st)
+        self._commit(
+            st.version + 1,
+            operation="RECLUSTER",
+            operation_parameters={"partition_by": partition_by},
+            add=adds,
+            remove=sorted(st.files),
+            partition_by=partition_by,
+        )
+        return {"rewritten_files": len(st.files), "new_files": len(adds)}
+
     def optimize_zorder(self, cols: list[str], num_files: int = 16,
                         bits: int = 10) -> dict[str, int]:
         """OPTIMIZE ZORDER BY — multi-dimensional clustering rewrite.
@@ -832,7 +851,7 @@ class LakeTable:
     def _commit(self, version: int, operation: str, add=None, remove=None,
                 schema=None, partition_by=None, operation_parameters=None,
                 column_mapping=None, constraints=None, tombstone=None,
-                clear_tombstones=False) -> None:
+                clear_tombstones=False, protocol=None) -> None:
         actions: dict[str, Any] = {"operation": operation}
         if operation_parameters:
             actions["operation_parameters"] = operation_parameters
@@ -852,6 +871,8 @@ class LakeTable:
             actions["tombstone"] = tombstone
         if clear_tombstones:
             actions["clear_tombstones"] = True
+        if protocol is not None:
+            actions["protocol"] = protocol
         txlog.try_commit(self.path, version, actions)
         if version > 0 and version % CHECKPOINT_INTERVAL == 0:
             txlog.write_checkpoint(self.path, txlog.replay(self.path, version=version))

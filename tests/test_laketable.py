@@ -197,6 +197,35 @@ def test_optimize_zorder_multi_dim_skipping(spark, tmp_path):
     assert t.read(filters=[("x", "=", 3)]).count() == df.where("x = 3").count()
 
 
+def test_protocol_version_guard(spark, tmp_path, people):
+    """A table demanding a newer reader protocol fails fast on read."""
+    from lakehouses_spark.tables.log import ProtocolError, try_commit
+
+    t = LakeTable.create(spark, tmp_path / "t", people)
+    try_commit(t.path, 1, {"operation": "UPGRADE",
+                           "protocol": {"min_reader": 99}})
+    with pytest.raises(ProtocolError, match="reader protocol 99"):
+        t.read()
+
+
+def test_recluster_partition_evolution(spark, tmp_path):
+    from lakehouses_spark.tables.table import _file_may_match
+
+    df = spark.range(1000).selectExpr(
+        "id", "CAST(id % 10 AS INT) AS a", "CAST(id % 7 AS INT) AS b"
+    )
+    t = LakeTable.create(spark, tmp_path / "t", df, partition_by=["a"], num_files=5)
+    res = t.recluster(["b"], num_files=5)
+    assert res["rewritten_files"] >= 1
+    assert t.state().partition_by == ["b"]
+    # stats now cluster on b → pruning works on the new key
+    st = t.state()
+    pruned = sum(0 if _file_may_match(add, [("b", "=", 3)]) else 1
+                 for add in st.files.values())
+    assert pruned > 0
+    assert t.read().count() == 1000
+
+
 def test_concurrent_commit_conflict(spark, tmp_path, people):
     t = LakeTable.create(spark, tmp_path / "t", people)
     # a competing writer claims version 1 first
