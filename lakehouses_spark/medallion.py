@@ -119,6 +119,44 @@ def train_als(
     return als.fit(ratings)
 
 
+def tune_als(
+    ratings: DataFrame,
+    rank_grid: tuple[int, ...] = (5, 10),
+    reg_grid: tuple[float, ...] = (0.1,),
+    num_folds: int = 2,
+    seed: int = 42,
+):
+    """Hyperparameter tuning via CrossValidator + ParamGridBuilder — the
+    reference's gold-layer model selection (03.movielens-gold.py:88-129:
+    3-fold CV over rank/regParam, RMSE evaluator). Returns (best_model,
+    rmse_per_candidate)."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.recommendation import ALS
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    als = ALS(
+        maxIter=5, seed=seed, userCol="user_id", itemCol="item_id",
+        ratingCol="rating", coldStartStrategy="drop",
+    )
+    grid = (
+        ParamGridBuilder()
+        .addGrid(als.rank, list(rank_grid))
+        .addGrid(als.regParam, list(reg_grid))
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=als,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(
+            metricName="rmse", labelCol="rating", predictionCol="prediction"
+        ),
+        numFolds=num_folds,
+        seed=seed,
+    )
+    model = cv.fit(ratings)
+    return model.bestModel, list(model.avgMetrics)
+
+
 def evaluate_rmse(model, test: DataFrame, rating_col: str = "rating") -> float:
     """RMSE on a held-out split (03.movielens-gold.py:110-129)."""
     from pyspark.ml.evaluation import RegressionEvaluator

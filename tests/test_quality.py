@@ -176,6 +176,22 @@ def test_als_pipeline(spark):
     assert per_user == 3
 
 
+def test_als_cross_validation(spark):
+    """X5: CrossValidator + ParamGridBuilder model selection (the
+    reference's 3-fold CV, scaled down to a 2x1 grid for test time)."""
+    from lakehouses_spark.medallion import tune_als
+
+    ratings = spark.range(0, 400).selectExpr(
+        "CAST(id % 25 AS INT) AS user_id",
+        "CAST(id % 12 AS INT) AS item_id",
+        "CAST((id % 5) + 1.0 AS DOUBLE) AS rating",
+    )
+    best, metrics = tune_als(ratings)
+    assert len(metrics) == 2  # one RMSE per grid candidate
+    assert all(0.0 < m < 5.0 for m in metrics)
+    assert best.rank in (5, 10)
+
+
 def test_multimodal_metadata_extraction(spark):
     """Header probe decodes PNG/JPEG/GIF/WAV dims without media libs; stub
     decoder raises NotImplementedError; frame sampler emits bounded rows."""
