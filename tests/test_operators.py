@@ -1,0 +1,69 @@
+"""Operator-library tests: the cogrouped-pandas as-of join must agree with
+the JVM union+window implementation, plus the merge_asof-only features
+(tolerance, forward direction)."""
+
+from __future__ import annotations
+
+from lakehouses_spark.io import load_table
+from lakehouses_spark.operators import asof_join_pandas, top_k_per_group
+
+SF = "/root/testdata/sf0.001"
+
+from pyspark.sql import functions as F
+
+
+def test_asof_pandas_matches_jvm_window_impl(spark):
+    from lakehouses_spark.queries.timeseries import ts_asof_join
+
+    e = load_table(spark, SF, "events")
+    purchases = e.where("event_type = 'purchase'").select("user_id", "ts", "event_id")
+    clicks = e.where("event_type = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    got = {
+        (r.event_id): r.click_id
+        for r in asof_join_pandas(purchases, clicks, on="ts", by="user_id").collect()
+    }
+    want = {
+        r.event_id: r.prior_click_id for r in ts_asof_join(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_asof_tolerance_and_forward(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b")], "k int, t long, v string"
+    ).withColumn("t", F.timestamp_seconds("t"))
+    right = spark.createDataFrame(
+        [(1, 95, 9.5), (1, 250, 25.0)], "k int, t long, r double"
+    ).withColumn("t", F.timestamp_seconds("t"))
+    # backward with 3s tolerance: t=100 matches 95? gap 5s > 3s → null
+    tol = {
+        r.v: r.r for r in asof_join_pandas(
+            left, right, on="t", by="k", tolerance="3 seconds"
+        ).collect()
+    }
+    assert tol == {"a": None, "b": None}
+    # forward: each left row takes the next right value at/after it
+    fwd = {
+        r.v: r.r for r in asof_join_pandas(
+            left, right, on="t", by="k", direction="forward"
+        ).collect()
+    }
+    assert fwd == {"a": 25.0, "b": 25.0}
+
+
+def test_asof_key_missing_on_right(spark):
+    left = spark.createDataFrame([(7, 100, "x")], "k int, t long, v string") \
+        .withColumn("t", F.timestamp_seconds("t"))
+    right = spark.createDataFrame([(8, 90, 1.0)], "k int, t long, r double") \
+        .withColumn("t", F.timestamp_seconds("t"))
+    rows = asof_join_pandas(left, right, on="t", by="k").collect()
+    assert len(rows) == 1 and rows[0].r is None  # left row kept, null fill
+
+
+def test_top_k_per_group_operator(spark):
+    orders = load_table(spark, SF, "orders")
+    top = top_k_per_group(orders, ["o_orderpriority"], "o_totalprice", k=3)
+    counts = top.groupBy("o_orderpriority").count().collect()
+    assert all(r["count"] == 3 for r in counts)
