@@ -185,11 +185,38 @@ class IngestionEngine:
         writer = writer.trigger(**trigger)
         return writer.start()
 
-    def run(self, cfg: dict, archive: bool = True) -> None:
+    def run(self, cfg: dict, archive: bool = True, maintain: bool = False) -> None:
         """T1: drain everything pending and stop (the reference's scheduled
-        incremental ingestion semantics, 02…/02…[json].py:109-123)."""
+        incremental ingestion semantics, 02…/02…[json].py:109-123).
+        maintain=True compacts accumulated micro-batch files afterwards."""
         q = self.write_stream(cfg, self.read_stream(cfg), archive=archive)
         q.awaitTermination()
+        if maintain:
+            self.maintain(cfg)
+
+    def maintain(
+        self,
+        cfg: dict,
+        target_records_per_file: int = 1_000_000,
+        min_files_to_compact: int = 8,
+        vacuum_retain_versions: int | None = None,
+    ) -> dict:
+        """Bronze table upkeep: every availableNow drain appends one file set
+        per micro-batch, so continuous ingestion accumulates small files (the
+        problem the reference demonstrates at 02.delta_lake_primer.py:46-49).
+        Compacts when fragmentation crosses the threshold; optionally vacuums
+        history beyond `vacuum_retain_versions`."""
+        table = self.bronze_table(cfg)
+        result: dict = {"compacted_files": 0, "vacuumed_files": 0}
+        if len(table.state().files) >= min_files_to_compact:
+            result["compacted_files"] = table.optimize(
+                target_records_per_file
+            )["compacted_files"]
+        if vacuum_retain_versions is not None:
+            result["vacuumed_files"] = len(
+                table.vacuum(retain_versions=vacuum_retain_versions)
+            )
+        return result
 
     @staticmethod
     def await_all(queries: list[StreamingQuery]) -> None:

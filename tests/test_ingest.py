@@ -127,6 +127,24 @@ def test_land_file_naming(spark, tmp_path):
     assert json.loads(dest.read_text())["id"] == 1
 
 
+def test_engine_maintenance_compacts_bronze(spark, tmp_path):
+    """Per-micro-batch appends fragment bronze; maintain() compacts."""
+    cfg = {"datasource": "m", "dataset": "frag",
+           "source": {"format": "json", "options": {"maxFilesPerTrigger": "1"}}}
+    eng = IngestionEngine(spark, tmp_path)
+    landing = eng.landing_dir(cfg)
+    for i in range(8):
+        _drop_json(landing, f"f{i}.json", [{"id": i}])
+    eng.run(cfg)
+    t = eng.bronze_table(cfg)
+    assert len(t.state().files) >= 8  # one file set per micro-batch
+    res = eng.maintain(cfg, vacuum_retain_versions=0)
+    assert res["compacted_files"] >= 8
+    assert res["vacuumed_files"] >= 8  # pre-compaction files reclaimed
+    assert len(t.state().files) == 1
+    assert t.read().count() == 8
+
+
 def test_partitioned_sink_clusters_bronze(spark, tmp_path):
     """T6: the multiplex pattern — sink partition_by clusters bronze on the
     routing column (the reference's partitionBy('_topic'),
