@@ -60,7 +60,7 @@ class LakeSQL:
     def sql(self, statement: str) -> DataFrame:
         s = statement.strip().rstrip(";")
         for handler in (
-            self._insert, self._delete, self._update, self._merge,
+            self._ddl, self._insert, self._delete, self._update, self._merge,
             self._describe, self._vacuum, self._optimize, self._select,
         ):
             out = handler(s)
@@ -69,6 +69,40 @@ class LakeSQL:
         raise LakeSQLError(
             f"unsupported statement (see lakehouses_spark.tables.sql grammar): {s[:80]}"
         )
+
+    # --- DDL (D10) ------------------------------------------------------ #
+    def _ddl(self, s: str) -> DataFrame | None:
+        m = _m(rf"CREATE{_WS}(?:DATABASE|SCHEMA)(?:{_WS}IF{_WS}NOT{_WS}EXISTS)?{_WS}({_ID})$", s)
+        if m:
+            self.catalog.create_database(m.group(1), if_not_exists="IF NOT EXISTS" in s.upper())
+            return self._result(created=1)
+        m = _m(rf"DROP{_WS}(?:DATABASE|SCHEMA){_WS}({_ID})(?:{_WS}(CASCADE))?$", s)
+        if m:
+            self.catalog.drop_database(m.group(1), cascade=bool(m.group(2)))
+            return self._result(dropped=1)
+        m = _m(rf"CREATE{_WS}TABLE{_WS}({_ID}){_WS}AS{_WS}(SELECT.+)$", s)
+        if m:
+            df = self._select(m.group(2))
+            self.catalog.create_table(m.group(1), df)
+            return self._result(rows=df.count())
+        m = _m(rf"DROP{_WS}TABLE(?:{_WS}IF{_WS}EXISTS)?{_WS}({_ID})$", s)
+        if m:
+            self.catalog.drop_table(m.group(1))
+            return self._result(dropped=1)
+        m = _m(r"SHOW\s+(?:DATABASES|SCHEMAS)$", s)
+        if m:
+            return self.spark.createDataFrame(
+                [(d,) for d in self.catalog.databases()] or [(None,)],
+                "database string",
+            ).where("database IS NOT NULL")
+        m = _m(rf"SHOW{_WS}TABLES(?:{_WS}IN{_WS}({_ID}))?$", s)
+        if m:
+            db = m.group(1) or "default"
+            return self.spark.createDataFrame(
+                [(db, t) for t in self.catalog.tables(db)] or [(None, None)],
+                "database string, table string",
+            ).where("table IS NOT NULL")
+        return None
 
     # --- DML ----------------------------------------------------------- #
     def _insert(self, s: str) -> DataFrame | None:

@@ -127,6 +127,40 @@ def test_land_file_naming(spark, tmp_path):
     assert json.loads(dest.read_text())["id"] == 1
 
 
+def test_crash_between_append_and_archive_recovers_exactly_once(spark, tmp_path, monkeypatch):
+    """Crash injection: the batch commits to bronze but dies before
+    archival. The retried batch must skip the (already-committed) append
+    and finish only the archival — the idempotency contract that makes
+    foreachBatch exactly-once (S18/T3)."""
+    import lakehouses_spark.ingest.engine as engine_mod
+
+    cfg = {"datasource": "c", "dataset": "crash", "source": {"format": "json"}}
+    eng = IngestionEngine(spark, tmp_path)
+    _drop_json(eng.landing_dir(cfg), "a.json", [{"id": 1}, {"id": 2}])
+
+    real_archive = engine_mod._archive_batch_files
+    calls = {"n": 0}
+
+    def dying_archive(batch_df, landing, raw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash after append, before archive")
+        real_archive(batch_df, landing, raw)
+
+    monkeypatch.setattr(engine_mod, "_archive_batch_files", dying_archive)
+    with pytest.raises(Exception, match="simulated crash"):
+        eng.run(cfg)
+    # append landed before the crash; file NOT yet archived
+    assert eng.bronze_table(cfg).read().count() == 2
+    assert list(eng.landing_dir(cfg).rglob("*.json"))
+    # retry: no duplicate rows, archival completes
+    eng.run(cfg)
+    t = eng.bronze_table(cfg)
+    assert t.read().count() == 2
+    assert not list(eng.landing_dir(cfg).rglob("*.json"))
+    assert list(eng.raw_dir(cfg).rglob("*.json"))
+
+
 def test_engine_maintenance_compacts_bronze(spark, tmp_path):
     """Per-micro-batch appends fragment bronze; maintain() compacts."""
     cfg = {"datasource": "m", "dataset": "frag",

@@ -79,6 +79,21 @@ def test_sql_vacuum_optimize(spark, lake):
     assert files.count() >= 1 and "stats" in files.columns
 
 
+def test_sql_ddl(spark, lake):
+    """D10: the full DDL statement set through SQL (00.cleanup.py:3,
+    03.iceberg_primer.py:68-105)."""
+    lake.sql("CREATE DATABASE IF NOT EXISTS gold")
+    assert [r.database for r in lake.sql("SHOW DATABASES").collect()] \
+        == sorted(["bronze", "gold"])
+    lake.sql("CREATE TABLE gold.rich AS SELECT * FROM bronze.emp WHERE salario > 35000")
+    assert [r.table for r in lake.sql("SHOW TABLES IN gold").collect()] == ["rich"]
+    assert lake.sql("SELECT count(*) AS n FROM gold.rich").collect()[0].n == 2
+    lake.sql("DROP TABLE gold.rich")
+    assert lake.sql("SHOW TABLES IN gold").count() == 0
+    lake.sql("DROP DATABASE gold CASCADE")
+    assert [r.database for r in lake.sql("SHOW DATABASES").collect()] == ["bronze"]
+
+
 def test_sql_errors(spark, lake):
     with pytest.raises(LakeSQLError, match="unsupported"):
         lake.sql("CREATE INDEX idx ON bronze.emp (id)")
