@@ -19,6 +19,11 @@ semantics, and no driver-side row loops in any engine path.
 """
 
 from lakehouses_spark.session import get_spark  # noqa: F401
-from lakehouses_spark.io import TABLES, load_table, register_views  # noqa: F401
+from lakehouses_spark.io import TABLES, load_table, register_views, spread  # noqa: F401
+from lakehouses_spark.tables import (  # noqa: F401
+    LakeCatalog,
+    LakeSQL,
+    LakeTable,
+)
 
 __version__ = "0.1.0"

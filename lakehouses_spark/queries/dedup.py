@@ -148,10 +148,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle lineage end-to-end. At cluster scale this is a persisted
     # intermediate table; locally localCheckpoint gives the same cut.
     shingle_sets = d.select("doc_id", _shingles().alias("sh")).localCheckpoint()
-    exploded = shingle_sets.select("doc_id", F.explode("sh").alias("shingle"))
+    # hash each shingle string ONCE, then derive the k independent hashes by
+    # re-hashing the 8-byte value — 2x cheaper than k string hashes
+    exploded = shingle_sets.select(
+        "doc_id", F.explode("sh").alias("shingle")
+    ).select("doc_id", F.xxhash64("shingle").alias("h0"))
     sig = exploded.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"h{j}")
+            F.min(F.xxhash64(F.col("h0"), F.lit(j))).alias(f"h{j}")
             for j in range(N_MINHASH)
         ]
     )

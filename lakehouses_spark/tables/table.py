@@ -26,7 +26,6 @@ Design decisions, and why they hold at 100 TB:
 from __future__ import annotations
 
 import json
-import operator
 from pathlib import Path
 from typing import Any
 
@@ -881,12 +880,6 @@ class LakeTable:
 # ---------------------------------------------------------------------- #
 # helpers
 # ---------------------------------------------------------------------- #
-_OPS = {
-    "=": operator.eq, "==": operator.eq, "<": operator.lt, "<=": operator.le,
-    ">": operator.gt, ">=": operator.ge,
-}
-
-
 def _physical_schema(logical: StructType, mapping: dict[str, str]) -> StructType:
     if not mapping:
         return logical
