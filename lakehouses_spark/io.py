@@ -26,9 +26,52 @@ TABLES = (
 )
 
 
+_SHIPPED_TO: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Pandas-UDF/mapInPandas queries unpickle engine functions by module
+    reference inside Python workers. For sessions WE create, session.py puts
+    the repo on PYTHONPATH before the JVM forks workers — but the driver
+    harness hands us ITS session, whose workers know nothing about this
+    package. addPyFile ships a zip of the package to every executor once
+    per application."""
+    from pathlib import Path
+
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_TO:
+        return
+    _SHIPPED_TO.add(app_id)
+    import tempfile
+    import zipfile
+
+    pkg_dir = Path(__file__).resolve().parent
+    ztmp = tempfile.NamedTemporaryFile(suffix=".zip", delete=False)
+    with zipfile.ZipFile(ztmp.name, "w") as z:
+        for p in pkg_dir.rglob("*.py"):
+            z.write(p, arcname=str(Path("lakehouses_spark") / p.relative_to(pkg_dir)))
+    spark.sparkContext.addPyFile(ztmp.name)
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any externally-created SparkSession (e.g. the driver harness's)
+    behave like ours for query purposes. Both confs are runtime-settable:
+
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which Spark can
+      only scan as long (converted below) — without this every events query
+      dies with PARQUET_TYPE_ILLEGAL
+    - UTC session timezone: timestamp→string rendering must match the
+      timezone-naive DuckDB oracles
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ship_package(spark)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1: columnar parquet scan. Filters/projections placed on top of this
     are pushed into the scan by Catalyst (PushedFilters / ReadSchema)."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file; with nanosAsLong it scans as
