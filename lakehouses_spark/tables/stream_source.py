@@ -90,10 +90,24 @@ class LakeTableDataSource(DataSource):
 
 
 def _read_file_batches(path: str):
-    """Executor-side: one parquet file → Arrow RecordBatches (never rows)."""
+    """Executor-side: one parquet file → Arrow RecordBatches (never rows).
+
+    Spark's default INT96 timestamps surface as nanoseconds in pyarrow,
+    which Spark's Arrow ingestion rejects — cast any ns column to µs."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     table = pq.read_table(path)
+    fields = []
+    changed = False
+    for f in table.schema:
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            fields.append(pa.field(f.name, pa.timestamp("us", tz=f.type.tz)))
+            changed = True
+        else:
+            fields.append(f)
+    if changed:
+        table = table.cast(pa.schema(fields))
     yield from table.to_batches(max_chunksize=10_000)
 
 
