@@ -204,6 +204,70 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Union near-dup pairs into clusters: (doc_id, cluster_id) where
+    cluster_id is the minimum doc_id reachable through the pair graph.
+
+    Iterative min-label propagation — each round, every node adopts the
+    smallest label among itself and its neighbors; converges in O(diameter)
+    rounds (near-dup clusters are tiny, so 2-3 rounds in practice; the loop
+    stops at the first fixpoint). All joins are keyed shuffles; no driver-
+    side graph state — this is how you canonicalize duplicates at corpus
+    scale without a graph framework."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()  # cut lineage: iterative plans otherwise explode
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .where(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@query("dedup_clusters", oracle=None)  # iterative fixpoint → rows-only
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: ngram-Jaccard pairs → connected components →
+    per-cluster canonical doc (min id) + member count. The keep-list a
+    training pipeline actually consumes."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"),
+             F.min("doc_id").alias("canonical_id"))
+        .select("canonical_id", "n_members")
+        .orderBy("canonical_id")
+    )
+
+
 @pandas_udf(LongType())
 def _simhash64(texts: pd.Series) -> pd.Series:
     """Arrow-batched 64-bit SimHash over whitespace tokens (X2 pattern:

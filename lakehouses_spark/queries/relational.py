@@ -478,6 +478,34 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`). The approx_percentile sketch is the scale path;
+    this pins the exact semantics."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @query("agg_approx_distinct", oracle=None)  # HLL sketch differs per engine → rows-only
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: approx_count_distinct — HyperLogLog++ sketch, constant memory per
