@@ -74,6 +74,28 @@ def asof_join_pandas(
     )
 
 
+def zscore_pandas(df: DataFrame, by: str, value_col: str = "value",
+                  out_col: str = "zscore") -> DataFrame:
+    """GROUPED_MAP applyInPandas: per-group standardization in one pandas
+    call per group. The JVM window expression (queries/relational.py::
+    window_zscore) is the engine path; this exists for transforms that
+    genuinely need whole-group pandas semantics (rank-based normalization,
+    per-group model fits) and is equivalence-tested against the window form."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, DoubleType(), True)])
+
+    def standardize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].astype(float)
+        sd = v.std(ddof=1)
+        pdf[out_col] = (v - v.mean()) / sd if sd and not np.isnan(sd) else None
+        return pdf
+
+    return df.groupBy(by).applyInPandas(standardize, out_schema)
+
+
 def top_k_per_group(df: DataFrame, group_cols: Iterable[str], order_col: str,
                     k: int, descending: bool = True) -> DataFrame:
     """The W1 pattern as a reusable operator (row_number ≤ k per group)."""

@@ -811,6 +811,112 @@ def join_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "subquery_correlated_min",
+    oracle="""
+    SELECT s_name, p_partkey, round(ps_cost, 2) AS cost
+    FROM (
+      SELECT s.s_name, p.p_partkey,
+             s.s_acctbal + p.p_retailprice AS ps_cost
+      FROM part p JOIN supplier s ON p.p_partkey % 10 = s.s_suppkey
+    ) x
+    WHERE ps_cost = (
+      SELECT min(s2.s_acctbal + p2.p_retailprice)
+      FROM part p2 JOIN supplier s2 ON p2.p_partkey % 10 = s2.s_suppkey
+      WHERE p2.p_partkey = x.p_partkey
+    )
+    ORDER BY p_partkey, s_name
+    """,
+)
+def subquery_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar MIN subquery (cheapest supplier per
+    part) — decorrelates into an aggregate + self-join."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT s_name, p_partkey, round(ps_cost, 2) AS cost
+        FROM (
+          SELECT s.s_name, p.p_partkey,
+                 s.s_acctbal + p.p_retailprice AS ps_cost
+          FROM part p JOIN supplier s ON p.p_partkey % 10 = s.s_suppkey
+        ) x
+        WHERE ps_cost = (
+          SELECT min(s2.s_acctbal + p2.p_retailprice)
+          FROM part p2 JOIN supplier s2 ON p2.p_partkey % 10 = s2.s_suppkey
+          WHERE p2.p_partkey = x.p_partkey
+        )
+        ORDER BY p_partkey, s_name
+        """
+    )
+
+
+@query(
+    "subquery_exists_not_exists",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_waiting_orders
+    FROM orders o1
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o1.o_orderkey AND l_shipdate > o_orderdate)
+      AND NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o1.o_orderkey AND l_quantity > 45)
+    GROUP BY o_custkey
+    HAVING count(*) >= 2
+    ORDER BY n_waiting_orders DESC, o_custkey
+    """,
+)
+def subquery_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS on the same correlation key —
+    plans as a semi join followed by an anti join."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_custkey, count(*) AS n_waiting_orders
+        FROM orders o1
+        WHERE o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o1.o_orderkey AND l_shipdate > o_orderdate)
+          AND NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o1.o_orderkey AND l_quantity > 45)
+        GROUP BY o_custkey
+        HAVING count(*) >= 2
+        ORDER BY n_waiting_orders DESC, o_custkey
+        """
+    )
+
+
+@query(
+    "window_zscore",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS zscore
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standardization via window aggregates (one shuffle). The
+    GROUPED_MAP applyInPandas equivalent lives in operators.zscore_pandas —
+    equivalence-tested; this JVM form is the engine path."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 4
+            ).alias("zscore"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Projection / rename surface (P1-P5, P9-P10 patterns)
 # ---------------------------------------------------------------------------

@@ -266,6 +266,20 @@ class LakeTable:
             rows, "path string, num_records long, size_bytes long, stats string"
         )
 
+    def partitions(self) -> DataFrame:
+        """D11 `.partitions` metadata table (03.iceberg_primer.py:322-402):
+        per-cluster-key-value row counts, computed as a plain aggregation
+        over the snapshot (the cluster key is a column, not a directory)."""
+        st = self.state()
+        if not st.partition_by:
+            return self._snapshot(st).agg(F.count(F.lit(1)).alias("num_records"))
+        return (
+            self._snapshot(st)
+            .groupBy(*st.partition_by)
+            .agg(F.count(F.lit(1)).alias("num_records"))
+            .orderBy(*st.partition_by)
+        )
+
     def detail(self) -> dict[str, Any]:
         """DESCRIBE DETAIL (D7)."""
         st = self.state()

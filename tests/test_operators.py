@@ -62,6 +62,33 @@ def test_asof_key_missing_on_right(spark):
     assert len(rows) == 1 and rows[0].r is None  # left row kept, null fill
 
 
+def test_zscore_pandas_matches_window_form(spark):
+    """GROUPED_MAP applyInPandas standardization == JVM window expression."""
+    from lakehouses_spark.operators import zscore_pandas
+    from lakehouses_spark.registry import load_all_queries
+
+    SF01 = "/root/testdata/sf0.001"
+    want = {
+        r.event_id: r.zscore
+        for r in load_all_queries()["window_zscore"].fn(spark, SF01).collect()
+    }
+    e = load_table(spark, SF01, "events").select("event_id", "user_id", "value")
+    got = {
+        r.event_id: round(r.zscore, 4) if r.zscore is not None else None
+        for r in zscore_pandas(e, by="user_id").collect()
+    }
+    assert got == want
+
+
+def test_lake_partitions_metadata_table(spark, tmp_path):
+    from lakehouses_spark.tables import LakeTable
+
+    df = spark.range(100).selectExpr("id", "CAST(id % 4 AS INT) AS bucket")
+    t = LakeTable.create(spark, tmp_path / "t", df, partition_by=["bucket"])
+    rows = {r.bucket: r.num_records for r in t.partitions().collect()}
+    assert rows == {0: 25, 1: 25, 2: 25, 3: 25}
+
+
 def test_top_k_per_group_operator(spark):
     orders = load_table(spark, SF, "orders")
     top = top_k_per_group(orders, ["o_orderpriority"], "o_totalprice", k=3)
