@@ -737,6 +737,55 @@ class LakeTable:
             )
         return orphans
 
+    def cleanup_log(self, keep_versions: int = 30) -> list[int]:
+        """Delta's log-retention analog: drop commit JSONs older than the
+        newest checkpoint while keeping at least `keep_versions` recent
+        commits. Replay stays correct (it starts from the checkpoint); time
+        travel older than the horizon stops working, exactly like VACUUM
+        does for data files. Keeps the log O(retention), not O(history)."""
+        versions = txlog.list_versions(self.path)
+        ckpt = txlog._latest_checkpoint(self.path, versions[-1]) if versions else None
+        if ckpt is None:
+            return []
+        horizon = min(ckpt["version"], versions[-1] - keep_versions + 1)
+        removable = [v for v in versions if v < horizon]
+        for v in removable:
+            (txlog.log_dir(self.path) / f"{v:010d}.json").unlink(missing_ok=True)
+        return removable
+
+    def fsck(self, deep: bool = False) -> dict[str, Any]:
+        """Consistency check: every live file exists (and with deep=True,
+        per-file row counts match the log's num_records). Returns a report;
+        raises nothing — operators decide what to do with drift."""
+        st = self.state()
+        missing = [rel for rel in st.files if not (self.path / rel).exists()]
+        report: dict[str, Any] = {
+            "version": st.version,
+            "num_files": len(st.files),
+            "missing_files": missing,
+            "ok": not missing,
+        }
+        if deep and not missing and st.files:
+            phys = _physical_schema(
+                StructType.fromJson(json.loads(st.schema_json)), st.column_mapping
+            )
+            actual = {
+                _rel(self.path, r.fp): r.n
+                for r in self.spark.read.schema(phys)
+                .parquet(*[str(self.path / rel) for rel in st.files])
+                .groupBy(F.col("_metadata.file_path").alias("fp"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            mismatched = {
+                rel: {"logged": a.get("num_records"), "actual": actual.get(rel)}
+                for rel, a in st.files.items()
+                if actual.get(rel) != a.get("num_records")
+            }
+            report["count_mismatches"] = mismatched
+            report["ok"] = report["ok"] and not mismatched
+        return report
+
     def optimize(self, target_records_per_file: int = 1_000_000) -> dict[str, int]:
         """OPTIMIZE-style small-file compaction (the problem demonstrated at
         02.delta_lake_primer.py:46-49): bin-pack under-sized files and

@@ -234,6 +234,25 @@ def test_concurrent_commit_conflict(spark, tmp_path, people):
         try_commit(t.path, 1, {"operation": "WRITE"})
 
 
+def test_log_cleanup_and_fsck(spark, tmp_path, people):
+    t = LakeTable.create(spark, tmp_path / "t", people)
+    for i in range(14):  # cross the checkpoint interval
+        t.insert_values([{"id": 100 + i, "name": f"p{i}", "salario": 1.0}])
+    removed = t.cleanup_log(keep_versions=4)
+    assert removed and max(removed) < 11
+    # current state fully intact after log truncation
+    assert t.read().count() == 3 + 14
+    assert t.version == 14
+    # fsck: healthy table
+    rep = t.fsck(deep=True)
+    assert rep["ok"] and not rep["missing_files"] and not rep["count_mismatches"]
+    # fsck detects a manually-deleted data file
+    victim = next(iter(t.state().files))
+    (t.path / victim).unlink()
+    rep = t.fsck()
+    assert not rep["ok"] and rep["missing_files"] == [victim]
+
+
 def test_checkpoint_replay(spark, tmp_path, people):
     t = LakeTable.create(spark, tmp_path / "t", people)
     for i in range(12):
