@@ -521,6 +521,7 @@ class LakeTable:
         when_matched_update: dict[str, str] | str | None = "all",
         when_not_matched_insert: dict[str, str] | str | None = "all",
         when_matched_delete: bool = False,
+        merge_schema: bool = False,
     ) -> dict[str, int]:
         """D4/J1: MERGE INTO — upsert with matched-update / not-matched-insert
         (02.delta_lake_primer.py:312-320, 03.iceberg_primer.py:203-215).
@@ -531,6 +532,11 @@ class LakeTable:
         """
         st = self.state()
         schema = StructType.fromJson(json.loads(st.schema_json))
+        old_schema = schema
+        if merge_schema:
+            # automatic schema evolution (Delta's autoMerge): source-only
+            # columns widen the target; existing rows read them as NULL
+            schema = _check_schema(schema, source.schema, merge=True)
         paths = [str(self.path / rel) for rel in st.files]
         cond = F.expr(on)
         src = source.alias("s")
@@ -546,16 +552,24 @@ class LakeTable:
             t_aff = self._snapshot(st, affected).alias("t")
             if when_matched_delete:
                 rewritten = t_aff.join(src, cond, "left_anti").select(
-                    *[F.col(f"t.{c}") for c in schema.names]
-                )
-            elif when_matched_update == "all":
-                rewritten = t_aff.join(src, cond, "left").select(
                     *[
-                        F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
-                        if c in source.columns
-                        else F.col(f"t.{c}")
+                        F.col(f"t.{c}").alias(c) if c in old_schema.names
+                        else F.lit(None).cast(schema[c].dataType).alias(c)
                         for c in schema.names
                     ]
+                )
+            elif when_matched_update == "all":
+                def matched_col(c: str):
+                    in_src = c in source.columns
+                    in_tgt = c in old_schema.names
+                    if in_src and in_tgt:
+                        return F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+                    if in_src:  # evolved column: only the source has it
+                        return F.col(f"s.{c}").alias(c)
+                    return F.col(f"t.{c}").alias(c)
+
+                rewritten = t_aff.join(src, cond, "left").select(
+                    *[matched_col(c) for c in schema.names]
                 )
             elif when_matched_update:
                 is_matched = F.col("s.__m__").isNotNull()
@@ -573,7 +587,13 @@ class LakeTable:
                     ]
                 )
             else:
-                rewritten = t_aff.select(*[F.col(f"t.{c}") for c in schema.names])
+                rewritten = t_aff.select(
+                    *[
+                        F.col(f"t.{c}").alias(c) if c in old_schema.names
+                        else F.lit(None).cast(schema[c].dataType).alias(c)
+                        for c in schema.names
+                    ]
+                )
             out_parts.append(rewritten)
             n_rewritten = len(affected)
 
@@ -609,6 +629,7 @@ class LakeTable:
             operation_parameters={"predicate": on},
             add=adds,
             remove=[_rel(self.path, p) for p in affected],
+            schema=schema.json() if schema != old_schema else None,
         )
         return {"rewritten_files": n_rewritten, "added_files": len(adds)}
 

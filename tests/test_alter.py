@@ -59,6 +59,27 @@ def test_rename_chain_and_drop(spark, t):
     assert t.read().count() == 3
 
 
+def test_merge_schema_evolution(spark, t):
+    """MERGE with merge_schema=True: source-only columns widen the target
+    (Delta autoMerge); untouched rows read NULL, matched rows take the
+    source value, inserts carry it."""
+    src = spark.createDataFrame(
+        [(1, "ana m", 31000.0, "eng"), (9, "noa", 70000.0, "ops")],
+        "id int, name string, salario double, depto string",
+    )
+    # without evolution, extra source columns are ignored (schema unchanged)
+    t.merge(src.limit(0), "t.id = s.id")
+    assert "depto" not in t.schema().names
+    t.merge(src, "t.id = s.id", merge_schema=True)
+    got = {r.id: (r.name, r.depto) for r in t.read().collect()}
+    assert got == {
+        1: ("ana m", "eng"),   # matched: updated + evolved column set
+        2: ("luis", None),     # untouched: evolved column NULL
+        9: ("noa", "ops"),     # inserted with the new column
+    }
+    assert "depto" in t.schema().names
+
+
 def test_check_constraints(spark, t):
     t.add_constraint("positive_salary", "salario > 0")
     # violating append rejected before commit
