@@ -758,6 +758,28 @@ class LakeTable:
             )
         return orphans
 
+    def restore(self, version: int) -> dict[str, int]:
+        """RESTORE TABLE TO VERSION AS OF (Delta's RESTORE command): roll the
+        live state back to an old snapshot as a NEW commit — history is
+        preserved (the rollback itself is auditable and reversible), no data
+        files are copied, and vacuum rules still protect the referenced
+        files."""
+        target = self.state(version=version)
+        cur = self.state()
+        self._commit(
+            cur.version + 1,
+            operation="RESTORE",
+            operation_parameters={"restored_version": version},
+            add=[{k: v for k, v in a.items() if k != "__v"}
+                 for a in target.files.values()],
+            remove=sorted(set(cur.files) - set(target.files)),
+            schema=target.schema_json,
+            partition_by=target.partition_by,
+            column_mapping=target.column_mapping,
+            constraints=target.constraints,
+        )
+        return {"restored_to": version, "new_version": cur.version + 1}
+
     def cleanup_log(self, keep_versions: int = 30) -> list[int]:
         """Delta's log-retention analog: drop commit JSONs older than the
         newest checkpoint while keeping at least `keep_versions` recent

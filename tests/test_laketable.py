@@ -234,6 +234,22 @@ def test_concurrent_commit_conflict(spark, tmp_path, people):
         try_commit(t.path, 1, {"operation": "WRITE"})
 
 
+def test_restore_to_version(spark, tmp_path, people):
+    """RESTORE: roll back as a new auditable commit; forward history kept."""
+    t = LakeTable.create(spark, tmp_path / "t", people)          # v0: 3 rows
+    t.delete("id = 1")                                           # v1: 2 rows
+    t.insert_values([{"id": 9, "name": "x", "salario": 1.0}])    # v2: 3 rows
+    res = t.restore(0)
+    assert res == {"restored_to": 0, "new_version": 3}
+    assert {r.id for r in t.read().collect()} == {1, 2, 3}       # v0 content
+    # the rollback itself is in history and reversible
+    ops = [r.operation for r in t.history().orderBy("version").collect()]
+    assert ops[-1] == "RESTORE"
+    assert t.read(version=2).count() == 3 and {r.id for r in t.read(version=2).collect()} == {2, 3, 9}
+    t.restore(2)  # roll forward again
+    assert {r.id for r in t.read().collect()} == {2, 3, 9}
+
+
 def test_log_cleanup_and_fsck(spark, tmp_path, people):
     t = LakeTable.create(spark, tmp_path / "t", people)
     for i in range(14):  # cross the checkpoint interval
