@@ -152,20 +152,62 @@ def write_checkpoint(table_path: str | Path, state: "TableState") -> None:
             },
             fh,
         )
+        fh.flush()
+        os.fsync(fh.fileno())  # a torn checkpoint must never become visible
     os.replace(tmp, f)  # checkpoints are derived data; last-writer-wins is fine
+
+
+def list_checkpoints(table_path: str | Path) -> list[int]:
+    """Versions of readable checkpoints on disk, ascending."""
+    d = log_dir(table_path)
+    out = []
+    for f in d.glob("checkpoint-*.json"):
+        try:
+            with open(f) as fh:
+                json.load(fh)
+            out.append(int(f.stem.split("-")[1]))
+        except (json.JSONDecodeError, OSError, ValueError):
+            continue
+    return sorted(out)
 
 
 def _latest_checkpoint(table_path: str | Path, max_version: int) -> dict[str, Any] | None:
     d = log_dir(table_path)
-    best = None
-    for f in d.glob("checkpoint-*.json"):
-        v = int(f.stem.split("-")[1])
-        if v <= max_version and (best is None or v > best[0]):
-            best = (v, f)
-    if best is None:
-        return None
-    with open(best[1]) as fh:
-        return json.load(fh)
+    candidates = sorted(
+        (int(f.stem.split("-")[1]), f)
+        for f in d.glob("checkpoint-*.json")
+        if int(f.stem.split("-")[1]) <= max_version
+    )
+    # Newest first; an unreadable (torn) checkpoint falls back to the previous
+    # one rather than bricking every read.
+    for _v, f in reversed(candidates):
+        try:
+            with open(f) as fh:
+                return json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            continue
+    return None
+
+
+def resolve_timestamp(table_path: str | Path, timestamp_ms: int) -> int:
+    """Map a timestamp to the newest commit version at or before it (D6).
+
+    Only surviving commit files can answer this; after `cleanup_log`
+    truncation, timestamps older than the retention horizon are gone and we
+    raise — the same contract VACUUM imposes on old data files. Resolving
+    first (then replaying by version, which goes through the checkpoint
+    path) is what keeps TIMESTAMP AS OF correct after log truncation."""
+    best = -1
+    for v in list_versions(table_path):
+        c = read_commit(table_path, v)
+        if c["timestamp_ms"] <= timestamp_ms:
+            best = v
+    if best < 0:
+        raise ValueError(
+            f"no commit at or before timestamp_ms={timestamp_ms} "
+            f"(history may have been truncated by log cleanup)"
+        )
+    return best
 
 
 def replay(
@@ -177,6 +219,11 @@ def replay(
     versions = list_versions(table_path)
     if not versions:
         raise FileNotFoundError(f"not a lake table (no {LOG_DIR}): {table_path}")
+    if timestamp_ms is not None:
+        # Resolve to a version first so the replay below always goes through
+        # the checkpoint path — replaying raw commits from an empty state
+        # silently loses data once cleanup_log has truncated old commits.
+        version = resolve_timestamp(table_path, timestamp_ms)
     if version is not None:
         if version not in versions:
             raise ValueError(f"version {version} does not exist; have {versions}")
@@ -189,21 +236,30 @@ def replay(
     tombstones: list[dict] = []
     commits: list[dict] = []
     effective = -1
-    if timestamp_ms is None:
-        ckpt = _latest_checkpoint(table_path, versions[-1])
-        if ckpt:
-            files = dict(ckpt["files"])
-            schema_json = ckpt["schema"]
-            partition_by = ckpt["partition_by"]
-            column_mapping = dict(ckpt.get("column_mapping") or {})
-            constraints = dict(ckpt.get("constraints") or {})
-            tombstones = list(ckpt.get("tombstones") or [])
-            effective = ckpt["version"]
-            versions = [v for v in versions if v > ckpt["version"]]
+    ckpt = _latest_checkpoint(table_path, versions[-1])
+    if ckpt:
+        files = dict(ckpt["files"])
+        schema_json = ckpt["schema"]
+        partition_by = ckpt["partition_by"]
+        column_mapping = dict(ckpt.get("column_mapping") or {})
+        constraints = dict(ckpt.get("constraints") or {})
+        tombstones = list(ckpt.get("tombstones") or [])
+        effective = ckpt["version"]
+        versions = [v for v in versions if v > ckpt["version"]]
+    # Versions are dense integers (every commit is previous+1), so the commits
+    # between the replay start point and the target must be contiguous. A gap
+    # means cleanup/corruption removed a commit we need — fail loudly instead
+    # of silently reconstructing a partial table.
+    expected = list(range(effective + 1, (versions[-1] + 1) if versions else effective + 1))
+    if versions != expected:
+        missing = sorted(set(expected) - set(versions))
+        raise RuntimeError(
+            f"cannot replay {table_path} to version "
+            f"{versions[-1] if versions else effective}: commit files "
+            f"{missing} are missing below/after checkpoint v{effective}"
+        )
     for v in versions:
         c = read_commit(table_path, v)
-        if timestamp_ms is not None and c["timestamp_ms"] > timestamp_ms:
-            break
         commits.append(c)
         effective = v
         required = (c.get("protocol") or {}).get("min_reader", 1)
@@ -224,14 +280,18 @@ def replay(
             tombstones.append({"predicate": c["tombstone"], "version": v})
         if c.get("clear_tombstones"):
             tombstones = []
+        if c.get("set_tombstones") is not None:
+            # full replacement with explicit per-tombstone versions (RESTORE
+            # re-establishing the target snapshot's merge-on-read deletes)
+            tombstones = [dict(t) for t in c["set_tombstones"]]
         for rel in c.get("remove", []):
             files.pop(rel, None)
         for add in c.get("add", []):
             # remember which commit added each file: tombstones only apply to
-            # files that existed when the tombstone was committed
-            files[add["path"]] = {**add, "__v": v}
-    if timestamp_ms is not None and effective < 0:
-        raise ValueError(f"no commit at or before timestamp_ms={timestamp_ms}")
+            # files that existed when the tombstone was committed. RESTORE
+            # re-adds old files with their ORIGINAL add version so the
+            # restored tombstones keep applying to them.
+            files[add["path"]] = {**add, "__v": add.get("add_version", v)}
     return TableState(effective, files, schema_json, partition_by, commits,
                       column_mapping, constraints, tombstones)
 

@@ -49,6 +49,12 @@ class ConstraintViolationError(ValueError):
     """A write produced rows violating a CHECK constraint."""
 
 
+class MergeMultipleMatchesError(ValueError):
+    """Multiple source rows matched one target row in a MERGE with an
+    update clause — the result would be nondeterministic, so we raise,
+    matching Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW error."""
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, path: str | Path):
         self.spark = spark
@@ -550,6 +556,30 @@ class LakeTable:
         out_parts: list[DataFrame] = []
         if affected:
             t_aff = self._snapshot(st, affected).alias("t")
+            if when_matched_update and not when_matched_delete:
+                # Delta raises when several source rows match one target row
+                # and the merge updates it (the result would depend on join
+                # order). Detect with a synthetic row id — one extra job,
+                # scoped to the affected files only.
+                t_chk = (
+                    self._snapshot(st, affected)
+                    .withColumn("__tid__", F.monotonically_increasing_id())
+                    .alias("t")
+                )
+                n_dup = (
+                    t_chk.join(src, cond, "inner")
+                    .groupBy("__tid__")
+                    .agg(F.count(F.lit(1)).alias("__n__"))
+                    .where(F.col("__n__") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if n_dup:
+                    raise MergeMultipleMatchesError(
+                        "MERGE: multiple source rows matched the same target "
+                        "row with an update clause; dedupe the source on the "
+                        "merge key first"
+                    )
             if when_matched_delete:
                 rewritten = t_aff.join(src, cond, "left_anti").select(
                     *[
@@ -559,18 +589,27 @@ class LakeTable:
                     ]
                 )
             elif when_matched_update == "all":
+                # UPDATE SET *: matched rows take source values VERBATIM —
+                # a NULL in the source must overwrite a non-NULL target
+                # (coalesce would not), so gate on an explicit matched flag.
+                is_matched = F.col("s.__m__").isNotNull()
+
                 def matched_col(c: str):
                     in_src = c in source.columns
                     in_tgt = c in old_schema.names
                     if in_src and in_tgt:
-                        return F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+                        return (
+                            F.when(is_matched, F.col(f"s.{c}"))
+                            .otherwise(F.col(f"t.{c}"))
+                            .alias(c)
+                        )
                     if in_src:  # evolved column: only the source has it
                         return F.col(f"s.{c}").alias(c)
                     return F.col(f"t.{c}").alias(c)
 
-                rewritten = t_aff.join(src, cond, "left").select(
-                    *[matched_col(c) for c in schema.names]
-                )
+                rewritten = t_aff.join(
+                    src.withColumn("__m__", F.lit(1)).alias("s"), cond, "left"
+                ).select(*[matched_col(c) for c in schema.names])
             elif when_matched_update:
                 is_matched = F.col("s.__m__").isNotNull()
                 marked = t_aff.join(
@@ -770,13 +809,21 @@ class LakeTable:
             cur.version + 1,
             operation="RESTORE",
             operation_parameters={"restored_version": version},
-            add=[{k: v for k, v in a.items() if k != "__v"}
+            # keep each file's ORIGINAL add version so the restored
+            # tombstones (below) still apply to exactly the files they
+            # applied to in the target snapshot
+            add=[{**{k: v for k, v in a.items() if k != "__v"},
+                  "add_version": a.get("__v", 0)}
                  for a in target.files.values()],
             remove=sorted(set(cur.files) - set(target.files)),
             schema=target.schema_json,
             partition_by=target.partition_by,
             column_mapping=target.column_mapping,
             constraints=target.constraints,
+            # full tombstone replacement: restoring to a version with active
+            # lazy deletes must not resurrect the deleted rows, and current
+            # tombstones newer than the target must be dropped
+            set_tombstones=target.tombstones,
         )
         return {"restored_to": version, "new_version": cur.version + 1}
 
@@ -787,10 +834,17 @@ class LakeTable:
         travel older than the horizon stops working, exactly like VACUUM
         does for data files. Keeps the log O(retention), not O(history)."""
         versions = txlog.list_versions(self.path)
-        ckpt = txlog._latest_checkpoint(self.path, versions[-1]) if versions else None
-        if ckpt is None:
+        if not versions:
             return []
-        horizon = min(ckpt["version"], versions[-1] - keep_versions + 1)
+        # The horizon must itself be a checkpoint version: every kept version
+        # v >= horizon then replays from a surviving checkpoint (<= v, >=
+        # horizon) over commits that all survive — no kept snapshot can ever
+        # need a deleted commit file.
+        keep_floor = versions[-1] - keep_versions + 1
+        eligible = [c for c in txlog.list_checkpoints(self.path) if c <= keep_floor]
+        if not eligible:
+            return []
+        horizon = max(eligible)
         removable = [v for v in versions if v < horizon]
         for v in removable:
             (txlog.log_dir(self.path) / f"{v:010d}.json").unlink(missing_ok=True)
@@ -956,7 +1010,7 @@ class LakeTable:
     def _commit(self, version: int, operation: str, add=None, remove=None,
                 schema=None, partition_by=None, operation_parameters=None,
                 column_mapping=None, constraints=None, tombstone=None,
-                clear_tombstones=False, protocol=None) -> None:
+                clear_tombstones=False, set_tombstones=None, protocol=None) -> None:
         actions: dict[str, Any] = {"operation": operation}
         if operation_parameters:
             actions["operation_parameters"] = operation_parameters
@@ -976,6 +1030,8 @@ class LakeTable:
             actions["tombstone"] = tombstone
         if clear_tombstones:
             actions["clear_tombstones"] = True
+        if set_tombstones is not None:
+            actions["set_tombstones"] = set_tombstones
         if protocol is not None:
             actions["protocol"] = protocol
         txlog.try_commit(self.path, version, actions)
