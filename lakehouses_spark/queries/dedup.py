@@ -102,27 +102,70 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by 3-gram shingle Jaccard ≥ 0.3 via inverted index:
-    explode shingles → self-join on shingle → count shared / union. The
-    pairwise work only materializes for pairs sharing ≥1 shingle."""
+    """Near-dup pairs by 3-gram shingle Jaccard ≥ 0.3: inverted-index
+    candidate generation (with the stop-shingle skew cut) + exact
+    verification over the full shingle sets. Reported jaccard is always the
+    exact value — the df cut only prunes candidate *generation*."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    shingles = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    shingle_sets = d.select("doc_id", _shingles().alias("sh")).localCheckpoint()
+    cand = ngram_candidate_pairs(shingle_sets)
+    return verify_jaccard(cand, shingle_sets, threshold=0.3)
+
+
+# Stop-shingle cut: a shingle present in more than max(STOP_SHINGLE_MIN_DF,
+# STOP_SHINGLE_FRAC · n_docs) documents is dropped from the inverted index
+# BEFORE the self-join. One hot shingle ("the the the") otherwise produces a
+# df² pair explosion on a single shuffle key — the classic skew that stalls a
+# 1000-executor job on one straggler task. Ubiquitous shingles carry no
+# near-dup signal: any true near-dup pair (jaccard ≥ 0.3) shares many rare
+# shingles too, so recall is preserved (pinned by the pytest fixture).
+STOP_SHINGLE_FRAC = 0.05
+STOP_SHINGLE_MIN_DF = 16
+
+
+def ngram_candidate_pairs(
+    shingle_sets: DataFrame,
+    stop_frac: float = STOP_SHINGLE_FRAC,
+    min_df: int = STOP_SHINGLE_MIN_DF,
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing ≥1 non-stop shingle."""
+    n_docs = shingle_sets.count()  # already checkpointed by callers
+    cut = max(min_df, int(stop_frac * n_docs))
+    exploded = shingle_sets.select("doc_id", F.explode("sh").alias("shingle"))
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > cut)
+        .select("shingle")
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_shared") / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
+    # the hot set is tiny by definition (heavy hitters) → broadcast anti-join
+    filtered = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    a = filtered.alias("a")
+    b = filtered.alias("b")
     return (
-        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame, shingle_sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over the FULL shingle sets for candidate pairs only."""
+    sa = shingle_sets.alias("sa")
+    sb = shingle_sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
+    return (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .where(jac >= 0.3)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -191,17 +234,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # exact-Jaccard verification of candidates only
-    sa = shingle_sets.alias("sa")
-    sb = shingle_sets.alias("sb")
-    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
-    union = F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
-    return (
-        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
-        .where(F.col("jaccard") >= 0.3)
-        .orderBy("doc_a", "doc_b")
-    )
+    return verify_jaccard(candidates, shingle_sets, threshold=0.3)
 
 
 def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:

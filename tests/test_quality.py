@@ -234,3 +234,42 @@ def test_driver_advanced_queries_run(spark):
     for name in ("lake_dml_roundtrip", "gold_als_recommendations", "multimodal_metadata"):
         df = REGISTRY[name].fn(spark, SF)
         assert df.count() > 0, name
+
+
+def test_stop_shingle_cut_preserves_recall(spark):
+    """Skew mitigation: a ubiquitous shingle (df = corpus size) must be cut
+    from the inverted index — collapsing the candidate explosion — while
+    every true near-dup pair is still found with its exact jaccard."""
+    from lakehouses_spark.queries.dedup import (
+        _shingles,
+        ngram_candidate_pairs,
+        verify_jaccard,
+    )
+
+    n, words = 60, 12
+    rows = []
+    for i in range(n):
+        body = " ".join(f"w{i}_{k}" for k in range(words))
+        # every doc ends with the same hot phrase -> universal shingles
+        rows.append((i, body + " the quick brown fox jumps"))
+    # near-dup twins of docs 0-4: same body, one word changed
+    for i in range(5):
+        body = " ".join(f"w{i}_{k}" if k else "CHANGED" for k in range(words))
+        rows.append((1000 + i, body + " the quick brown fox jumps"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = docs.select("doc_id", _shingles().alias("sh")).localCheckpoint()
+
+    # without the cut every doc pair shares the hot shingles -> O(n^2) pairs
+    no_cut = ngram_candidate_pairs(sets, stop_frac=2.0, min_df=10**9)
+    assert no_cut.count() == (65 * 64) // 2
+    # with the cut (df > max(16, 0.05*65)=16; hot shingles have df=65) the
+    # candidate set collapses to pairs sharing rare shingles only
+    cut = ngram_candidate_pairs(sets)
+    assert cut.count() < 100
+
+    expected = verify_jaccard(no_cut, sets, threshold=0.3)
+    got = verify_jaccard(cut, sets, threshold=0.3)
+    exp = {(r.doc_a, r.doc_b): r.jaccard for r in expected.collect()}
+    assert {(i, 1000 + i) for i in range(5)} <= set(exp)
+    assert {(r.doc_a, r.doc_b): r.jaccard for r in got.collect()} == exp, \
+        "stop-shingle cut must not lose any true near-dup pair"
