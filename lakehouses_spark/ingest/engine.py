@@ -112,35 +112,41 @@ class IngestionEngine:
         return df.select(*METADATA_COLS, *data_cols)
 
     def _read_kafka(self, src: dict) -> DataFrame:
-        """S12/S13: Kafka singleplex/multiplex. Requires the
-        spark-sql-kafka jar (not bundled in this environment — the builder
-        raises a clear error at start() if absent; tests replay the events
-        table as a file stream instead, SURVEY §7.0)."""
-        reader = (
-            self.spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", src.get("servers", "localhost:9092"))
-            .option("startingOffsets", src.get("starting_offsets", "earliest"))
-        )
-        if src.get("topic_pattern"):
-            reader = reader.option("subscribePattern", src["topic_pattern"])  # multiplex
-        else:
-            reader = reader.option("subscribe", src["topic"])  # singleplex
-        for k, v in src.get("options", {}).items():
-            reader = reader.option(k, v)
-        df = reader.load()
-        df = df.select(
-            *[F.col(c).alias(f"_{c}") for c in df.columns]  # P2 bulk _-prefix rename
-        )
-        if src.get("value_format") == "json" and src.get("json_schema"):
-            # 03…/02…[json].py:117-131: cast value → from_json → expand → drop
+        """S12/S13: Kafka singleplex/multiplex.
+
+        `src["simulate_path"]` swaps the wire protocol for a file-backed
+        broker (kafka_sim.FileTopicBroker) with the IDENTICAL 7-column
+        record schema and subscribe/subscribePattern semantics — everything
+        downstream (rename, decode, multiplex partitioning, checkpointed
+        exactly-once) is the same code either way. Without it, the real
+        spark-sql-kafka reader is built (requires the runtime jar, absent in
+        this environment — start() raises a clear error)."""
+        if src.get("simulate_path"):
+            from lakehouses_spark.ingest.kafka_sim import KAFKA_SCHEMA
+
             df = (
-                df.withColumn(
-                    "value", F.from_json(F.col("_value").cast("string"), src["json_schema"])
-                )
-                .select("*", "value.*")
-                .drop("value")
+                self.spark.readStream.schema(KAFKA_SCHEMA)
+                .parquet(str(src["simulate_path"]))
             )
-        return df
+            # subscribe / subscribePattern semantics on the simulated log
+            if src.get("topic_pattern"):
+                df = df.where(F.col("topic").rlike(src["topic_pattern"]))
+            else:
+                df = df.where(F.col("topic") == src["topic"])
+        else:
+            reader = (
+                self.spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", src.get("servers", "localhost:9092"))
+                .option("startingOffsets", src.get("starting_offsets", "earliest"))
+            )
+            if src.get("topic_pattern"):
+                reader = reader.option("subscribePattern", src["topic_pattern"])  # multiplex
+            else:
+                reader = reader.option("subscribe", src["topic"])  # singleplex
+            for k, v in src.get("options", {}).items():
+                reader = reader.option(k, v)
+            df = reader.load()
+        return kafka_bronze_transform(df, src)
 
     # --- sink + lifecycle (S17/S18, T1-T3, T7) --------------------------- #
     def write_stream(
@@ -226,6 +232,27 @@ class IngestionEngine:
 
     def bronze_table(self, cfg: dict) -> LakeTable:
         return LakeTable(self.spark, self.bronze_path(cfg))
+
+
+def kafka_bronze_transform(df: DataFrame, src: dict) -> DataFrame:
+    """The reference's Kafka→bronze column contract, shared by the real
+    connector and the file-backed simulator:
+
+    - P2 bulk `_`-prefix rename of all 7 Kafka columns
+      (03…/02.ingesta_incremental_singleplex [json].py:98-100)
+    - optional JSON value decode: cast binary value → from_json with the
+      declared DDL schema → struct expand → drop (03…/02…[json].py:117-131)
+    """
+    df = df.select(*[F.col(c).alias(f"_{c}") for c in df.columns])
+    if src.get("value_format") == "json" and src.get("json_schema"):
+        df = (
+            df.withColumn(
+                "value", F.from_json(F.col("_value").cast("string"), src["json_schema"])
+            )
+            .select("*", "value.*")
+            .drop("value")
+        )
+    return df
 
 
 def _archive_batch_files(batch_df: DataFrame, landing: Path, raw: Path) -> None:

@@ -271,3 +271,117 @@ def test_binary_file_source(spark, tmp_path):
     row = batch.collect()[0]
     assert row.length == 10 and bytes(row.content).startswith(b"\xff\xd8")
     assert src.stream().isStreaming
+
+
+# --------------------------------------------------------------------- #
+# Kafka path via file-backed topic simulator (S12/S13 without the jar)
+# --------------------------------------------------------------------- #
+
+PIZZA_SCHEMA = (
+    "id INT, shop STRING, pizzas ARRAY<STRUCT<pizzaName: STRING, "
+    "additionalToppings: ARRAY<STRING>>>"
+)
+
+# reference bronze contract: metadata cols + the 7 _-prefixed Kafka cols
+KAFKA_BRONZE_COLS = [
+    "_ingested_at", "_ingested_filename", "_datasource", "_dataset",
+    "_key", "_value", "_topic", "_partition", "_offset", "_timestamp",
+    "_timestampType",
+]
+
+
+def _orders(n, shop="acme"):
+    return [
+        {"id": i, "shop": shop,
+         "pizzas": [{"pizzaName": "margherita", "additionalToppings": ["olives"]}]}
+        for i in range(n)
+    ]
+
+
+def test_kafka_singleplex_schema_contract(spark, tmp_path):
+    """S12: one topic → one bronze table; the output schema must match the
+    reference contract (7 renamed Kafka cols + decoded JSON fields),
+    03…/02.ingesta_incremental_singleplex [json].py:62-131."""
+    from lakehouses_spark.ingest.kafka_sim import FileTopicBroker
+
+    broker = FileTopicBroker(spark, tmp_path / "broker")
+    broker.produce("orders", _orders(5))
+    broker.produce("payments", [{"id": 99, "shop": "x", "pizzas": []}])  # other topic
+
+    cfg = {
+        "datasource": "pizza", "dataset": "orders",
+        "source": {
+            "format": "kafka", "topic": "orders",
+            "simulate_path": tmp_path / "broker",
+            "value_format": "json", "json_schema": PIZZA_SCHEMA,
+        },
+    }
+    eng = IngestionEngine(spark, tmp_path / "lake")
+    eng.run(cfg, archive=False)
+    bronze = eng.bronze_table(cfg).read()
+    assert bronze.columns == KAFKA_BRONZE_COLS + ["id", "shop", "pizzas"]
+    assert bronze.count() == 5  # subscribe filters to the one topic
+    assert {r._topic for r in bronze.collect()} == {"orders"}
+    # decoded nested JSON survives with its declared types
+    row = bronze.where("id = 0").collect()[0]
+    assert row.pizzas[0].pizzaName == "margherita"
+    assert row.pizzas[0].additionalToppings == ["olives"]
+    assert bronze.schema["_key"].dataType.typeName() == "binary"
+    assert bronze.schema["_value"].dataType.typeName() == "binary"
+    assert bronze.schema["_timestamp"].dataType.typeName() == "timestamp"
+    # exactly-once: draining again with no new messages appends nothing
+    eng.run(cfg, archive=False)
+    assert eng.bronze_table(cfg).read().count() == 5
+    # new segment → only the delta ingests
+    broker.produce("orders", _orders(3, shop="later"))
+    eng.run(cfg, archive=False)
+    assert eng.bronze_table(cfg).read().count() == 8
+
+
+def test_kafka_multiplex_topic_partitioned_sink(spark, tmp_path):
+    """S13/T6: subscribePattern fans all topics into one bronze table
+    partitioned by _topic (03…/03.ingesta_incremental_multiplex
+    [json].py:86,131-142); per-topic reads prune to the topic's files."""
+    from lakehouses_spark.ingest.kafka_sim import FileTopicBroker
+
+    broker = FileTopicBroker(spark, tmp_path / "broker")
+    broker.produce("orders", _orders(4))
+    broker.produce("payments", _orders(2, shop="pay"))
+    broker.produce("refunds", _orders(1, shop="ref"))
+
+    cfg = {
+        "datasource": "pizza", "dataset": "all_events",
+        "source": {
+            "format": "kafka", "topic_pattern": "[a-z]+",
+            "simulate_path": tmp_path / "broker",
+        },
+        "sink": {"partition_by": ["_topic"]},
+    }
+    eng = IngestionEngine(spark, tmp_path / "lake")
+    eng.run(cfg, archive=False)
+    t = eng.bronze_table(cfg)
+    bronze = t.read()
+    assert bronze.count() == 7
+    counts = {r._topic: r.n for r in
+              bronze.groupBy("_topic").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"orders": 4, "payments": 2, "refunds": 1}
+    # raw (undecoded) multiplex keeps value binary for downstream per-topic decode
+    assert bronze.schema["_value"].dataType.typeName() == "binary"
+    assert t.state().partition_by == ["_topic"]
+    # P7 equality filter on the partition column (03…/03…[json].py:166)
+    assert bronze.where("_topic = 'orders'").count() == 4
+
+
+def test_kafka_offsets_are_per_topic_partition(spark, tmp_path):
+    from lakehouses_spark.ingest.kafka_sim import FileTopicBroker, KAFKA_SCHEMA
+
+    broker = FileTopicBroker(spark, tmp_path / "broker")
+    broker.produce("a", _orders(3))
+    broker.produce("b", _orders(2))
+    broker.produce("a", _orders(2))  # offsets continue: 3, 4
+    log = spark.read.schema(KAFKA_SCHEMA).parquet(str(tmp_path / "broker"))
+    offs = {
+        (r.topic, r.partition): r.o
+        for r in log.groupBy("topic", "partition").agg(F.max("offset").alias("o")).collect()
+    }
+    assert offs == {("a", 0): 4, ("b", 0): 1}
