@@ -49,15 +49,32 @@ class LakeCatalog:
     # --- tables -------------------------------------------------------- #
     def table_path(self, name: str) -> Path:
         db, _, tbl = name.rpartition(".")
-        return self.warehouse / (db or "default") / tbl
+        slot = self.warehouse / (db or "default") / tbl
+        # external table (CREATE TABLE ... LOCATION '<path>', S19): the
+        # catalog slot holds a pointer file to the real location
+        ptr = slot.parent / f"{slot.name}.location"
+        if ptr.exists():
+            return Path(ptr.read_text().strip())
+        return slot
 
     def create_table(
         self, name: str, df: DataFrame, partition_by: list[str] | None = None,
-        mode: str = "error",
+        mode: str = "error", location: str | Path | None = None,
     ) -> LakeTable:
-        p = self.table_path(name)
-        p.parent.mkdir(parents=True, exist_ok=True)
-        return LakeTable.create(self.spark, p, df, partition_by=partition_by, mode=mode)
+        """CREATE TABLE; `location` makes it external (data lives at the
+        explicit path, the catalog keeps only a pointer — the reference's
+        `CREATE TABLE ... USING delta LOCATION '/tmp/...'` at
+        02.delta_lake_primer.py:93-99 / saveAsTable-with-path S19)."""
+        db, _, tbl = name.rpartition(".")
+        slot = self.warehouse / (db or "default") / tbl
+        slot.parent.mkdir(parents=True, exist_ok=True)
+        if location is not None:
+            ptr = slot.parent / f"{slot.name}.location"
+            ptr.write_text(str(location))
+            return LakeTable.create(
+                self.spark, location, df, partition_by=partition_by, mode=mode
+            )
+        return LakeTable.create(self.spark, slot, df, partition_by=partition_by, mode=mode)
 
     def table(self, name: str) -> LakeTable:
         p = self.table_path(name)
@@ -69,12 +86,17 @@ class LakeCatalog:
         p = self.table_path(name)
         if p.exists():
             shutil.rmtree(p)
+        db, _, tbl = name.rpartition(".")
+        ptr = self.warehouse / (db or "default") / f"{tbl}.location"
+        ptr.unlink(missing_ok=True)
 
     def tables(self, database: str = "default") -> list[str]:
         d = self.warehouse / database
         if not d.is_dir():
             return []
-        return sorted(p.name for p in d.iterdir() if txlog.list_versions(p))
+        out = [p.name for p in d.iterdir() if txlog.list_versions(p)]
+        out += [p.stem for p in d.glob("*.location")]
+        return sorted(set(out))
 
     # --- SQL bridge ---------------------------------------------------- #
     def register(self, name: str, view_name: str | None = None,

@@ -111,7 +111,8 @@ class TableState:
                  partition_by: list[str], commits: list[dict],
                  column_mapping: dict[str, str] | None = None,
                  constraints: dict[str, str] | None = None,
-                 tombstones: list[dict] | None = None):
+                 tombstones: list[dict] | None = None,
+                 properties: dict[str, str] | None = None):
         self.version = version
         self.files = files  # rel path -> add action
         self.schema_json = schema_json
@@ -123,6 +124,8 @@ class TableState:
         self.constraints = constraints or {}
         # merge-on-read delete predicates: [{"predicate": str, "version": int}]
         self.tombstones = tombstones or []
+        # TBLPROPERTIES (ALTER TABLE SET TBLPROPERTIES, 02.delta_lake_primer.py:238-242)
+        self.properties = properties or {}
 
     @property
     def num_records(self) -> int:
@@ -149,6 +152,7 @@ def write_checkpoint(table_path: str | Path, state: "TableState") -> None:
                 "column_mapping": state.column_mapping,
                 "constraints": state.constraints,
                 "tombstones": state.tombstones,
+                "properties": state.properties,
             },
             fh,
         )
@@ -234,6 +238,7 @@ def replay(
     column_mapping: dict[str, str] = {}
     constraints: dict[str, str] = {}
     tombstones: list[dict] = []
+    properties: dict[str, str] = {}
     commits: list[dict] = []
     effective = -1
     ckpt = _latest_checkpoint(table_path, versions[-1])
@@ -244,6 +249,7 @@ def replay(
         column_mapping = dict(ckpt.get("column_mapping") or {})
         constraints = dict(ckpt.get("constraints") or {})
         tombstones = list(ckpt.get("tombstones") or [])
+        properties = dict(ckpt.get("properties") or {})
         effective = ckpt["version"]
         versions = [v for v in versions if v > ckpt["version"]]
     # Versions are dense integers (every commit is previous+1), so the commits
@@ -276,6 +282,8 @@ def replay(
             column_mapping = dict(c["column_mapping"])
         if c.get("constraints") is not None:
             constraints = dict(c["constraints"])
+        if c.get("properties") is not None:
+            properties = dict(c["properties"])
         if c.get("tombstone"):
             tombstones.append({"predicate": c["tombstone"], "version": v})
         if c.get("clear_tombstones"):
@@ -293,7 +301,7 @@ def replay(
             # restored tombstones keep applying to them.
             files[add["path"]] = {**add, "__v": add.get("add_version", v)}
     return TableState(effective, files, schema_json, partition_by, commits,
-                      column_mapping, constraints, tombstones)
+                      column_mapping, constraints, tombstones, properties)
 
 
 def new_data_subdir(table_path: str | Path) -> tuple[Path, str]:

@@ -9,24 +9,37 @@ SELECT (and anything else Spark parses) goes straight to `spark.sql` over
 registered snapshot views; the Delta-specific statement shapes are parsed
 here and dispatched to the LakeTable API.
 
-Grammar (case-insensitive, one statement per call):
+Grammar (case-insensitive; multiple `;`-separated statements per call — the
+reference's %sql cells batch statements, e.g. 03.iceberg_primer.py:67-70):
 
+    CREATE DATABASE|SCHEMA [IF NOT EXISTS] <db> / DROP DATABASE|SCHEMA [IF EXISTS] <db> [CASCADE]
+    CREATE TABLE <t> (col type, ...) [USING fmt] [PARTITIONED BY (expr, ...)]
+    CREATE TABLE <t> [USING fmt] [LOCATION '<path>'] AS SELECT ...
+    DROP TABLE [IF EXISTS] <t>
+    USE <db> / SHOW CATALOGS / SHOW DATABASES / SHOW TABLES [IN db] / DESCRIBE SCHEMA <db>
     INSERT INTO <table> VALUES (...), (...)
     DELETE FROM <table> WHERE <predicate>
     UPDATE <table> SET c1 = e1, c2 = e2 [WHERE <predicate>]
-    MERGE INTO <table> [AS] t USING <view> [AS] s ON <cond>
+    MERGE INTO <table> [AS] <ta> USING <view | (subquery)> [AS] <sa> ON <cond>
         [WHEN MATCHED THEN UPDATE SET *] [WHEN MATCHED THEN DELETE]
         [WHEN NOT MATCHED THEN INSERT *]
-    DESCRIBE HISTORY <table>
-    DESCRIBE DETAIL <table>
+    ALTER TABLE <t> ADD COLUMN[S] <col> <type> / DROP COLUMN <col>
+        / RENAME COLUMN <a> TO <b> / SET TBLPROPERTIES ('k' = 'v', ...)
+        / ADD CONSTRAINT <n> CHECK (<expr>) / DROP CONSTRAINT <n>
+    DESCRIBE HISTORY|DETAIL|EXTENDED <table>
     VACUUM <table> [RETAIN <n> VERSIONS]
     OPTIMIZE <table> [ZORDER BY (c1, c2)]
-    SELECT ... FROM <table> [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
+    RESTORE TABLE <t> TO VERSION AS OF <n>
+    SELECT ... FROM <table> [VERSION AS OF n | TIMESTAMP AS OF 'ts' | @v<n>] ...
 
 Predicates/expressions inside the statements are NOT re-parsed — they pass
 through to Spark expression parsing, so the full Catalyst expression grammar
 works. Only the statement skeleton is matched here, with exact errors on
 anything outside the grammar.
+
+Name resolution mirrors the metastore's 3-level convention
+(hive_metastore.bronze.orders): the last two components are (database,
+table); a bare table name resolves in the current database (`USE`).
 """
 
 from __future__ import annotations
@@ -56,12 +69,23 @@ class LakeSQL:
     def __init__(self, catalog: LakeCatalog):
         self.catalog = catalog
         self.spark: SparkSession = catalog.spark
+        self.current_db = "default"
 
     def sql(self, statement: str) -> DataFrame:
-        s = statement.strip().rstrip(";")
+        """Run one or more `;`-separated statements; returns the last
+        statement's result (the reference's %sql cell behavior)."""
+        out: DataFrame | None = None
+        for s in _split_statements(statement):
+            out = self._one(s)
+        if out is None:
+            raise LakeSQLError("empty statement")
+        return out
+
+    def _one(self, s: str) -> DataFrame:
         for handler in (
-            self._ddl, self._insert, self._delete, self._update, self._merge,
-            self._describe, self._vacuum, self._optimize, self._select,
+            self._use, self._ddl, self._alter, self._insert, self._delete,
+            self._update, self._merge, self._describe, self._vacuum,
+            self._optimize, self._restore, self._select,
         ):
             out = handler(s)
             if out is not None:
@@ -70,25 +94,85 @@ class LakeSQL:
             f"unsupported statement (see lakehouses_spark.tables.sql grammar): {s[:80]}"
         )
 
+    # --- name resolution ------------------------------------------------ #
+    def _qualify(self, name: str) -> str:
+        """Last two dotted components are (db, table); bare names resolve in
+        the current database. `hive_metastore.bronze.orders` → `bronze.orders`."""
+        parts = name.split(".")
+        if len(parts) == 1:
+            return f"{self.current_db}.{parts[0]}"
+        return ".".join(parts[-2:])
+
+    def _table(self, name: str):
+        return self.catalog.table(self._qualify(name))
+
+    def _use(self, s: str) -> DataFrame | None:
+        m = _m(rf"USE{_WS}({_ID})$", s)
+        if not m:
+            return None
+        name = m.group(1).split(".")[-1]
+        # USE <catalog> (03.iceberg_primer.py:90) keeps the db; USE <db> sets it
+        if name in self.catalog.databases() or name == "default":
+            self.current_db = name
+        return self._result(ok=1)
+
     # --- DDL (D10) ------------------------------------------------------ #
     def _ddl(self, s: str) -> DataFrame | None:
         m = _m(rf"CREATE{_WS}(?:DATABASE|SCHEMA)(?:{_WS}IF{_WS}NOT{_WS}EXISTS)?{_WS}({_ID})$", s)
         if m:
-            self.catalog.create_database(m.group(1), if_not_exists="IF NOT EXISTS" in s.upper())
+            self.catalog.create_database(
+                m.group(1).split(".")[-1],
+                if_not_exists="IF NOT EXISTS" in s.upper(),
+            )
             return self._result(created=1)
-        m = _m(rf"DROP{_WS}(?:DATABASE|SCHEMA){_WS}({_ID})(?:{_WS}(CASCADE))?$", s)
+        m = _m(rf"DROP{_WS}(?:DATABASE|SCHEMA)(?:{_WS}IF{_WS}EXISTS)?{_WS}({_ID})(?:{_WS}(CASCADE))?$", s)
         if m:
-            self.catalog.drop_database(m.group(1), cascade=bool(m.group(2)))
+            self.catalog.drop_database(m.group(1).split(".")[-1], cascade=bool(m.group(2)))
             return self._result(dropped=1)
-        m = _m(rf"CREATE{_WS}TABLE{_WS}({_ID}){_WS}AS{_WS}(SELECT.+)$", s)
+        # CREATE TABLE t [USING fmt] [LOCATION 'p'] AS SELECT ...
+        # (CTAS, 02.delta_lake_primer.py:93-99)
+        m = _m(
+            rf"CREATE{_WS}TABLE{_WS}({_ID})"
+            rf"(?:{_WS}USING{_WS}\w+)?"
+            rf"(?:{_WS}LOCATION{_WS}'([^']+)')?"
+            rf"{_WS}AS{_WS}((?:SELECT|WITH).+)$",
+            s,
+        )
         if m:
-            df = self._select(m.group(2))
-            self.catalog.create_table(m.group(1), df)
+            df = self._select(m.group(3))
+            self.catalog.create_table(
+                self._qualify(m.group(1)), df, location=m.group(2)
+            )
             return self._result(rows=df.count())
+        # CREATE TABLE t (col type, ...) [USING fmt] [PARTITIONED BY (...)]
+        # (explicit schema + partition transforms, 03.iceberg_primer.py:114-124)
+        m = _m(
+            rf"CREATE{_WS}TABLE{_WS}({_ID}){_WS}?\((.+?)\)"
+            rf"(?:{_WS}USING{_WS}\w+)?"
+            rf"(?:{_WS}LOCATION{_WS}'([^']+)')?"
+            rf"(?:{_WS}PARTITIONED{_WS}BY{_WS}?\((.+)\))?$",
+            s,
+        )
+        if m:
+            name, cols_ddl, location, part = m.groups()
+            empty = self.spark.createDataFrame([], cols_ddl)
+            partition_by = (
+                [p.strip().lower() for p in _split_top_level(part)] if part else None
+            )
+            self.catalog.create_table(
+                self._qualify(name), empty,
+                partition_by=partition_by, location=location,
+            )
+            return self._result(created=1)
         m = _m(rf"DROP{_WS}TABLE(?:{_WS}IF{_WS}EXISTS)?{_WS}({_ID})$", s)
         if m:
-            self.catalog.drop_table(m.group(1))
+            self.catalog.drop_table(self._qualify(m.group(1)))
             return self._result(dropped=1)
+        m = _m(r"SHOW\s+CATALOGS$", s)
+        if m:
+            return self.spark.createDataFrame(
+                [("spark_catalog",), (self.catalog.warehouse.name,)], "catalog string"
+            )
         m = _m(r"SHOW\s+(?:DATABASES|SCHEMAS)$", s)
         if m:
             return self.spark.createDataFrame(
@@ -97,12 +181,70 @@ class LakeSQL:
             ).where("database IS NOT NULL")
         m = _m(rf"SHOW{_WS}TABLES(?:{_WS}IN{_WS}({_ID}))?$", s)
         if m:
-            db = m.group(1) or "default"
+            db = (m.group(1) or self.current_db).split(".")[-1]
             return self.spark.createDataFrame(
                 [(db, t) for t in self.catalog.tables(db)] or [(None, None)],
                 "database string, table string",
             ).where("table IS NOT NULL")
+        m = _m(rf"DESCRIBE{_WS}(?:DATABASE|SCHEMA){_WS}({_ID})$", s)
+        if m:
+            db = m.group(1).split(".")[-1]
+            if db not in self.catalog.databases() and db != "default":
+                raise LakeSQLError(f"database not found: {db}")
+            return self.spark.createDataFrame(
+                [(db, str(self.catalog.warehouse / db))],
+                "database string, location string",
+            )
         return None
+
+    # --- ALTER TABLE (D9) ----------------------------------------------- #
+    def _alter(self, s: str) -> DataFrame | None:
+        m = _m(rf"ALTER{_WS}TABLE{_WS}({_ID}){_WS}(.+)$", s)
+        if not m:
+            return None
+        t = self._table(m.group(1))
+        rest = m.group(2)
+        m2 = _m(rf"ADD{_WS}COLUMNS?{_WS}\(?\s*(\w+){_WS}([^),]+)\)?$", rest)
+        if m2:
+            t.alter_add_column(m2.group(1), m2.group(2).strip())
+            return self._result(ok=1)
+        m2 = _m(rf"DROP{_WS}COLUMN{_WS}(\w+)$", rest)
+        if m2:
+            t.alter_drop_column(m2.group(1))
+            return self._result(ok=1)
+        m2 = _m(rf"RENAME{_WS}COLUMN{_WS}(\w+){_WS}TO{_WS}(\w+)$", rest)
+        if m2:
+            t.alter_rename_column(m2.group(1), m2.group(2))
+            return self._result(ok=1)
+        m2 = _m(rf"SET{_WS}TBLPROPERTIES{_WS}?\((.+)\)$", rest)
+        if m2:
+            props = {}
+            for part in _split_top_level(m2.group(1)):
+                k, _, v = part.partition("=")
+                props[k.strip().strip("'\"")] = v.strip().strip("'\"")
+            t.set_properties(props)
+            return self._result(ok=len(props))
+        m2 = _m(rf"UNSET{_WS}TBLPROPERTIES{_WS}?\((.+)\)$", rest)
+        if m2:
+            keys = [p.strip().strip("'\"") for p in _split_top_level(m2.group(1))]
+            t.unset_properties(keys)
+            return self._result(ok=len(keys))
+        m2 = _m(rf"ADD{_WS}CONSTRAINT{_WS}(\w+){_WS}CHECK{_WS}?\((.+)\)$", rest)
+        if m2:
+            t.add_constraint(m2.group(1), m2.group(2))
+            return self._result(ok=1)
+        m2 = _m(rf"DROP{_WS}CONSTRAINT{_WS}(\w+)$", rest)
+        if m2:
+            t.drop_constraint(m2.group(1))
+            return self._result(ok=1)
+        raise LakeSQLError(f"unsupported ALTER TABLE clause: {rest[:60]}")
+
+    def _restore(self, s: str) -> DataFrame | None:
+        m = _m(rf"RESTORE{_WS}TABLE{_WS}({_ID}){_WS}TO{_WS}VERSION{_WS}AS{_WS}OF{_WS}(\d+)$", s)
+        if not m:
+            return None
+        res = self._table(m.group(1)).restore(int(m.group(2)))
+        return self._result(**res)
 
     # --- DML ----------------------------------------------------------- #
     def _insert(self, s: str) -> DataFrame | None:
@@ -110,7 +252,7 @@ class LakeSQL:
         if not m:
             return None
         table, values = m.group(1), m.group(2)
-        t = self.catalog.table(table)
+        t = self._table(table)
         schema = t.schema()
         # let Spark parse the VALUES clause — full literal/expression grammar.
         # Literals come back at their own types (60000.0 → DECIMAL(6,1) under
@@ -126,7 +268,7 @@ class LakeSQL:
         m = _m(rf"DELETE{_WS}FROM{_WS}({_ID}){_WS}WHERE{_WS}(.+)$", s)
         if not m:
             return None
-        res = self.catalog.table(m.group(1)).delete(m.group(2))
+        res = self._table(m.group(1)).delete(m.group(2))
         return self._result(**res)
 
     def _update(self, s: str) -> DataFrame | None:
@@ -141,31 +283,47 @@ class LakeSQL:
             if not expr.strip() or not re.fullmatch(_ID, col):
                 raise LakeSQLError(f"bad SET clause: {part!r} (expected col = expr)")
             sets[col] = expr.strip()
-        res = self.catalog.table(table).update(sets, where=where)
+        res = self._table(table).update(sets, where=where)
         return self._result(**res)
 
     def _merge(self, s: str) -> DataFrame | None:
+        # arbitrary target/source aliases (the reference uses d/m at
+        # 02.delta_lake_primer.py:312-320 and t/s at 03.iceberg_primer.py:205);
+        # source is a view name or a parenthesized subquery
         m = _m(
-            rf"MERGE{_WS}INTO{_WS}({_ID})(?:{_WS}AS)?{_WS}t{_WS}"
-            rf"USING{_WS}({_ID})(?:{_WS}AS)?{_WS}s{_WS}ON{_WS}(.+?)"
+            rf"MERGE{_WS}INTO{_WS}({_ID})(?:{_WS}AS)?{_WS}(\w+){_WS}"
+            rf"USING{_WS}(\((?:.+)\)|{_ID})(?:{_WS}AS)?{_WS}(\w+){_WS}ON{_WS}(.+?)"
             rf"((?:{_WS}WHEN{_WS}.+)?)$",
             s,
         )
         if not m:
             if _m(rf"MERGE{_WS}", s):
                 raise LakeSQLError(
-                    "MERGE must use aliases t (target) and s (source): "
-                    "MERGE INTO <table> t USING <view> s ON <cond> ..."
+                    "MERGE shape: MERGE INTO <table> [AS] <ta> USING "
+                    "<view | (subquery)> [AS] <sa> ON <cond> [WHEN ...]"
                 )
             return None
-        table, source_view, on, clauses = m.groups()
+        table, t_alias, source, s_alias, on, clauses = m.groups()
+        if source.startswith("("):
+            src_df = self._select(source[1:-1].strip())
+            if src_df is None:
+                raise LakeSQLError(f"bad MERGE source subquery: {source[:60]}")
+        else:
+            src_df = self.spark.table(source)
+        # LakeTable.merge's expression namespace is t (target) / s (source);
+        # rewrite the statement's aliases onto it
+        def realias(expr: str) -> str:
+            expr = re.sub(rf"\b{re.escape(t_alias)}\.", "t.", expr)
+            return re.sub(rf"\b{re.escape(s_alias)}\.", "s.", expr)
+
+        on = realias(on)
         matched_update = "all" if _m(rf".*WHEN{_WS}MATCHED{_WS}THEN{_WS}UPDATE{_WS}SET{_WS}\*", clauses) else None
         matched_delete = bool(_m(rf".*WHEN{_WS}MATCHED{_WS}THEN{_WS}DELETE", clauses))
-        insert = "all" if _m(rf".*WHEN{_WS}NOT{_WS}MATCHED{_WS}THEN{_WS}INSERT{_WS}\*", clauses) else None
+        insert = "all" if _m(rf".*WHEN{_WS}NOT{_WS}MATCHED(?:{_WS}THEN)?{_WS}(?:THEN{_WS})?INSERT{_WS}\*", clauses) else None
         if not (matched_update or matched_delete or insert):
             matched_update, insert = "all", "all"  # bare MERGE = full upsert
-        res = self.catalog.table(table).merge(
-            self.spark.table(source_view),
+        res = self._table(table).merge(
+            src_df,
             on,
             when_matched_update=matched_update,
             when_not_matched_insert=insert,
@@ -175,20 +333,20 @@ class LakeSQL:
 
     # --- maintenance / metadata ---------------------------------------- #
     def _describe(self, s: str) -> DataFrame | None:
-        m = _m(rf"DESCRIBE{_WS}(HISTORY|DETAIL){_WS}({_ID})$", s)
+        m = _m(rf"DESCRIBE{_WS}(HISTORY|DETAIL|EXTENDED){_WS}({_ID})$", s)
         if not m:
             return None
-        t = self.catalog.table(m.group(2))
+        t = self._table(m.group(2))
         if m.group(1).upper() == "HISTORY":
             return t.history()
-        d = t.detail()
+        d = t.detail()  # DETAIL and EXTENDED share the detail surface
         return self.spark.createDataFrame([{k: str(v) for k, v in d.items()}])
 
     def _vacuum(self, s: str) -> DataFrame | None:
         m = _m(rf"VACUUM{_WS}({_ID})(?:{_WS}RETAIN{_WS}(\d+){_WS}VERSIONS)?$", s)
         if not m:
             return None
-        removed = self.catalog.table(m.group(1)).vacuum(
+        removed = self._table(m.group(1)).vacuum(
             retain_versions=int(m.group(2) or 0)
         )
         return self._result(files_removed=len(removed))
@@ -199,7 +357,7 @@ class LakeSQL:
         )
         if not m:
             return None
-        t = self.catalog.table(m.group(1))
+        t = self._table(m.group(1))
         if m.group(2):
             cols = [c.strip() for c in m.group(2).split(",")]
             res = t.optimize_zorder(cols)
@@ -216,10 +374,15 @@ class LakeSQL:
     def _select(self, s: str) -> DataFrame | None:
         if not _m(r"(SELECT|WITH)\b", s):
             return None
+        # `tbl@v3` shorthand (02.delta_lake_primer.py:457) → VERSION AS OF
+        s = re.sub(
+            rf"\b({_ID})@v(\d+)\b", r"\1 VERSION AS OF \2", s, flags=re.IGNORECASE
+        )
+
         # rewrite `tbl VERSION AS OF n` / `TIMESTAMP AS OF 'ts'` into
         # registered snapshot views, then hand the statement to Spark
         def replace(m: re.Match) -> str:
-            name = m.group("table")
+            name = self._qualify(m.group("table"))
             if m.group("v") is not None:
                 return self.catalog.register(
                     name, f"_v{m.group('v')}_{name.replace('.', '_')}",
@@ -234,18 +397,45 @@ class LakeSQL:
             )
 
         rewritten = re.sub(self._TRAVEL, replace, s, flags=re.IGNORECASE)
-        # register plain table references that exist in the catalog
+        # register dotted table references that exist in the catalog
         for name in set(re.findall(rf"\b({_ID}\.{_ID})\b", rewritten)):
             try:
-                view = name.replace(".", "_")
-                self.catalog.register(name, view)
+                q = self._qualify(name)
+                view = q.replace(".", "_")
+                self.catalog.register(q, view)
                 rewritten = re.sub(rf"\b{re.escape(name)}\b", view, rewritten)
             except FileNotFoundError:
                 pass  # not a lake table — leave for Spark to resolve
+        # register bare names that are tables in the current database
+        for tbl in self.catalog.tables(self.current_db):
+            if re.search(rf"\b{re.escape(tbl)}\b", rewritten):
+                self.catalog.register(f"{self.current_db}.{tbl}", tbl)
         return self.spark.sql(rewritten)
 
     def _result(self, **kv) -> DataFrame:
         return self.spark.createDataFrame([{k: int(v) for k, v in kv.items()}])
+
+
+def _split_statements(text: str) -> list[str]:
+    """Split a %sql cell into statements on `;` outside quotes/parens."""
+    parts, depth, buf, quote = [], 0, [], None
+    for ch in text:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == ";" and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
 
 
 def _split_top_level(clause: str) -> list[str]:

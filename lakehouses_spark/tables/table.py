@@ -26,6 +26,7 @@ Design decisions, and why they hold at 100 TB:
 from __future__ import annotations
 
 import json
+import re
 from pathlib import Path
 from typing import Any
 
@@ -279,11 +280,15 @@ class LakeTable:
         st = self.state()
         if not st.partition_by:
             return self._snapshot(st).agg(F.count(F.lit(1)).alias("num_records"))
+        # the cluster key may be a partition transform (YEAR(col)) — alias it
+        # to a sane column name for the metadata table
+        names = [re.sub(r"\W+", "_", p).strip("_") for p in st.partition_by]
+        keys = [F.expr(p).alias(n) for p, n in zip(st.partition_by, names)]
         return (
             self._snapshot(st)
-            .groupBy(*st.partition_by)
+            .groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("num_records"))
-            .orderBy(*st.partition_by)
+            .orderBy(*names)
         )
 
     def detail(self) -> dict[str, Any]:
@@ -297,7 +302,24 @@ class LakeTable:
             "size_bytes": st.size_bytes,
             "partition_by": st.partition_by,
             "schema": st.schema_json,
+            "properties": st.properties,
         }
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        """ALTER TABLE SET TBLPROPERTIES (02.delta_lake_primer.py:238-242):
+        merge key/value pairs into the table's property map (metadata-only
+        commit)."""
+        st = self.state()
+        self._commit(st.version + 1, operation="ALTER TABLE",
+                     operation_parameters={"set_tblproperties": props},
+                     properties={**st.properties, **props})
+
+    def unset_properties(self, keys: list[str]) -> None:
+        st = self.state()
+        self._commit(st.version + 1, operation="ALTER TABLE",
+                     operation_parameters={"unset_tblproperties": keys},
+                     properties={k: v for k, v in st.properties.items()
+                                 if k not in keys})
 
     # ------------------------------------------------------------------ #
     # writes
@@ -820,6 +842,7 @@ class LakeTable:
             partition_by=target.partition_by,
             column_mapping=target.column_mapping,
             constraints=target.constraints,
+            properties=target.properties,
             # full tombstone replacement: restoring to a version with active
             # lazy deletes must not resurrect the deleted rows, and current
             # tombstones newer than the target must be dropped
@@ -986,7 +1009,12 @@ class LakeTable:
         data volume — the behavior you want at scale."""
         abs_dir, rel = txlog.new_data_subdir(self.path)
         if partition_by and not skip_cluster:
-            cols = [F.col(c) for c in partition_by]
+            # F.expr so the cluster key can be a partition TRANSFORM
+            # (Iceberg's `PARTITIONED BY (YEAR(col))`, 03.iceberg_primer.py:124)
+            # as well as a plain column; range clustering on the transform
+            # gives contiguous value ranges per file, so min/max stats on the
+            # base column still prune
+            cols = [F.expr(c) for c in partition_by]
             df = (
                 df.repartitionByRange(num_files, *cols)
                 if num_files
@@ -1010,7 +1038,8 @@ class LakeTable:
     def _commit(self, version: int, operation: str, add=None, remove=None,
                 schema=None, partition_by=None, operation_parameters=None,
                 column_mapping=None, constraints=None, tombstone=None,
-                clear_tombstones=False, set_tombstones=None, protocol=None) -> None:
+                clear_tombstones=False, set_tombstones=None, properties=None,
+                protocol=None) -> None:
         actions: dict[str, Any] = {"operation": operation}
         if operation_parameters:
             actions["operation_parameters"] = operation_parameters
@@ -1032,6 +1061,8 @@ class LakeTable:
             actions["clear_tombstones"] = True
         if set_tombstones is not None:
             actions["set_tombstones"] = set_tombstones
+        if properties is not None:
+            actions["properties"] = properties
         if protocol is not None:
             actions["protocol"] = protocol
         txlog.try_commit(self.path, version, actions)

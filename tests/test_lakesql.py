@@ -97,7 +97,148 @@ def test_sql_ddl(spark, lake):
 def test_sql_errors(spark, lake):
     with pytest.raises(LakeSQLError, match="unsupported"):
         lake.sql("CREATE INDEX idx ON bronze.emp (id)")
-    with pytest.raises(LakeSQLError, match="aliases"):
+    with pytest.raises(LakeSQLError, match="MERGE shape"):
         lake.sql("MERGE INTO bronze.emp USING x ON bad = syntax")
     with pytest.raises(FileNotFoundError):
         lake.sql("DELETE FROM bronze.ghost WHERE id = 1")
+
+
+def test_delta_lake_primer_replay(spark, tmp_path):
+    """End-to-end replay of the 02.delta_lake_primer.py %sql script shapes:
+    CTAS USING delta LOCATION, DESCRIBE DETAIL/EXTENDED, SET TBLPROPERTIES,
+    UPDATE, DELETE, MERGE with d/m aliases + INSERT with schema check,
+    DESCRIBE HISTORY, VERSION AS OF, @v0, VACUUM."""
+    cat = LakeCatalog(spark, tmp_path / "wh")
+    lake = LakeSQL(cat)
+    spark.createDataFrame(
+        [("AZ", 10), ("CA", 25), ("TX", 12), ("WA", 7)], "addr_state string, count int"
+    ).createOrReplaceTempView("loan_by_state")
+
+    lake.sql("DROP TABLE IF EXISTS loan_by_state_delta")
+    lake.sql(
+        f"""CREATE TABLE loan_by_state_delta
+         USING delta
+         LOCATION '{tmp_path}/loan_by_state_delta'
+         AS SELECT * FROM loan_by_state
+        """
+    )  # :93-99
+    assert (tmp_path / "loan_by_state_delta" / "_tx_log").is_dir()  # external
+    assert lake.sql("SELECT * FROM loan_by_state_delta").count() == 4
+    assert lake.sql("DESCRIBE DETAIL loan_by_state_delta").collect()[0].num_files
+    lake.sql("DESCRIBE EXTENDED loan_by_state_delta")
+    # :238-242 column mapping property + ADD/DROP COLUMN
+    lake.sql(
+        "ALTER TABLE loan_by_state_delta SET TBLPROPERTIES ("
+        "'delta.columnMapping.mode' = 'name')"
+    )
+    det = lake.sql("DESCRIBE EXTENDED loan_by_state_delta").collect()[0]
+    assert "columnMapping" in det.properties
+    lake.sql("ALTER TABLE loan_by_state_delta ADD COLUMN test string")
+    assert "test" in lake.sql("SELECT * FROM loan_by_state_delta").columns
+    lake.sql("ALTER TABLE loan_by_state_delta DROP COLUMN test")
+    assert "test" not in lake.sql("SELECT * FROM loan_by_state_delta").columns
+    # :252-261 UPDATE / :213-224 DELETE
+    lake.sql("UPDATE loan_by_state_delta SET count = count + 100 WHERE addr_state = 'WA'")
+    lake.sql("DELETE FROM loan_by_state_delta WHERE addr_state = 'TX'")
+    # :312-320 MERGE with the reference's d/m aliases
+    spark.createDataFrame(
+        [("CA", 999), ("NY", 1)], "addr_state string, count int"
+    ).createOrReplaceTempView("merge_table")
+    lake.sql(
+        """MERGE INTO loan_by_state_delta as d
+           USING merge_table as m
+           on d.addr_state = m.addr_state
+           WHEN MATCHED THEN
+             UPDATE SET *
+           WHEN NOT MATCHED
+             THEN INSERT *"""
+    )
+    got = {r.addr_state: r["count"]
+           for r in lake.sql("SELECT * FROM loan_by_state_delta").collect()}
+    assert got == {"AZ": 10, "CA": 999, "WA": 107, "NY": 1}
+    # :404-421 history + time travel (both syntaxes), :442 VACUUM
+    hist_ops = [r.operation for r in
+                lake.sql("DESCRIBE HISTORY loan_by_state_delta").collect()]
+    assert {"CREATE TABLE AS SELECT", "UPDATE", "DELETE", "MERGE"} <= set(hist_ops)
+    v0 = lake.sql("SELECT * FROM loan_by_state_delta VERSION AS OF 0")
+    assert {r.addr_state for r in v0.collect()} == {"AZ", "CA", "TX", "WA"}
+    assert lake.sql("SELECT * from loan_by_state_delta@v0;").count() == 4
+    lake.sql("VACUUM loan_by_state_delta;")
+    assert lake.sql("SELECT * FROM loan_by_state_delta").count() == 4
+
+
+def test_iceberg_primer_replay(spark, tmp_path):
+    """End-to-end replay of the 03.iceberg_primer.py %sql script shapes:
+    multi-statement cells, catalog-qualified names, USE, explicit-schema
+    CREATE with a YEAR() partition transform, INSERT VALUES with TO_DATE,
+    UPDATE;DELETE cell, MERGE with subquery source, ALTER ADD COLUMN +
+    evolved INSERT, RESTORE-style time travel."""
+    cat = LakeCatalog(spark, tmp_path / "wh")
+    lake = LakeSQL(cat)
+    # :67-70 one cell, three statements, catalog-qualified
+    lake.sql(
+        """DROP TABLE IF EXISTS iceberg_catalog.default.empleados;
+           DROP DATABASE IF EXISTS iceberg_catalog.default;
+           CREATE SCHEMA IF NOT EXISTS iceberg_catalog.default;"""
+    )
+    assert lake.sql("SHOW CATALOGS").count() >= 1  # :79
+    lake.sql("USE iceberg_catalog")  # :90
+    lake.sql("SHOW DATABASES")  # :99
+    assert lake.sql("DESCRIBE SCHEMA default").collect()[0].database == "default"
+    # :114-124 explicit schema + partition transform
+    lake.sql(
+        """CREATE TABLE default.empleados (
+          id INT,
+          nombre STRING,
+          departamento STRING,
+          salario DOUBLE,
+          fecha_ingreso DATE
+        )
+        USING iceberg
+        PARTITIONED BY (YEAR(fecha_ingreso));"""
+    )
+    # :150-153 INSERT VALUES with TO_DATE expressions
+    lake.sql(
+        """INSERT INTO default.empleados VALUES
+           (1, 'Ana', 'IT', 50000,    TO_DATE('2025-06-01','yyyy-MM-dd')),
+           (2, 'Luis', 'RRHH', 40000, TO_DATE('2025-06-12','yyyy-MM-dd')),
+           (3, 'Marta', 'IT', 52000,  TO_DATE('2024-06-10','yyyy-MM-dd'));"""
+    )
+    # partition transform is live: .partitions groups by year(fecha_ingreso)
+    parts = {r.year_fecha_ingreso: r.num_records
+             for r in cat.table("default.empleados").partitions().collect()}
+    assert parts == {2024: 1, 2025: 2}
+    # :183-188 UPDATE + DELETE in one cell
+    lake.sql(
+        """UPDATE default.empleados SET salario = salario * 1.10
+           WHERE departamento = 'IT';
+           DELETE FROM default.empleados WHERE nombre = 'Luis';"""
+    )
+    # :205-215 MERGE with inline subquery source
+    lake.sql(
+        """MERGE INTO default.empleados t
+           USING (
+             SELECT 2 as id, 'Luis' as nombre, 'Ventas' as departamento,
+                    43000.0 as salario, TO_DATE('2025-06-20','yyyy-MM-dd') as fecha_ingreso
+           ) s
+           ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *;"""
+    )
+    got = {r.id: r.departamento for r in
+           lake.sql("SELECT * FROM default.empleados").collect()}
+    assert got == {1: "IT", 2: "Ventas", 3: "IT"}
+    # :232-234 schema evolution: ADD COLUMN then evolved INSERT (one cell)
+    lake.sql(
+        """ALTER TABLE default.empleados ADD COLUMN edad INT;
+           INSERT INTO default.empleados VALUES
+           (4, 'Carlos', 'Marketing', 48000, TO_DATE('2023-01-01','yyyy-MM-dd'), 35);"""
+    )
+    rows = {r.id: r.edad for r in lake.sql("SELECT * FROM default.empleados").collect()}
+    assert rows == {1: None, 2: None, 3: None, 4: 35}
+    # ordinal sort passthrough (:303) + aggregate over the table
+    top = lake.sql(
+        "SELECT departamento, count(*) AS n FROM default.empleados "
+        "GROUP BY departamento ORDER BY 1"
+    ).collect()
+    assert [r.departamento for r in top] == ["IT", "Marketing", "Ventas"]
