@@ -157,6 +157,14 @@ def sample_frames(
     )
 
 
+def extract_label(path_col) -> "F.Column":
+    """X3 builtin-composition helper (no UDF): dataset label from the
+    `<label>.<n>.<ext>` filename convention — the reference's cats/dogs
+    extractor, 02…/05.ingesta_incremental [imagenes].py:48-50."""
+    fname = F.element_at(F.split(path_col, "/"), -1)
+    return F.regexp_extract(fname, r"^([A-Za-z]+)\.", 1)
+
+
 def media_summary(meta: DataFrame) -> DataFrame:
     """Typed-metadata rollup (plain JVM-side aggregation once the pandas
     stage has produced typed columns — Python never touches the agg)."""

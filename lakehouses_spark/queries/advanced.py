@@ -126,6 +126,23 @@ def _fake_png(width: int, height: int) -> bytes:
     )
 
 
+def _fake_gif(width: int, height: int) -> bytes:
+    """Deterministic GIF89a header + fake payload."""
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"p" * (64 + width)
+
+
+def _fake_wav(seconds: float, rate: int = 8000, channels: int = 1) -> bytes:
+    """Deterministic minimal WAV (PCM header + silence)."""
+    byte_rate = rate * channels * 2
+    n_data = int(seconds * byte_rate)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + n_data) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate,
+                                channels * 2, 16)
+        + b"data" + struct.pack("<I", n_data) + b"\x00" * n_data
+    )
+
+
 @query("multimodal_metadata", oracle=None)  # binary plumbing → rows-only
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 multimodal: synthesize deterministic binary 'images' from the
@@ -147,3 +164,56 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     meta = extract_media_metadata(media)
     return media_summary(meta)
+
+
+MM_LABELS = ["cat", "dog", "fox", "owl", "bee", "ant", "elk", "bat", "koi", "emu"]
+
+
+@query("multimodal_image_pipeline", oracle=None)  # filesystem source → rows-only
+def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full image-ingestion pipeline as one driver query
+    (02…/05.ingesta_incremental [imagenes].py:48-96): generate a
+    deterministic multi-file media directory (PNG/GIF/WAV, `<label>.<n>.<ext>`
+    naming), read it with the binaryFile source (S11: one row per file with
+    path/length/content, glob + recursive lookup), probe headers via the
+    Arrow-batched mapInPandas extractor (X2), derive the label with the
+    builtin regexp helper (X3), and roll up per-(label, format) stats
+    JVM-side. 10 labels × 3 formats = 30 deterministic output rows."""
+    import tempfile
+    from pathlib import Path
+
+    from lakehouses_spark.multimodal import extract_label, extract_media_metadata
+
+    with tempfile.TemporaryDirectory() as tmp:
+        for li, label in enumerate(MM_LABELS):
+            d = Path(tmp) / label  # nested dirs: recursiveFileLookup is real
+            d.mkdir()
+            for j in range(2):
+                (d / f"{label}.{j}.png").write_bytes(
+                    _fake_png(32 + 4 * li + j, 24 + 2 * li)
+                )
+                (d / f"{label}.{j}.gif").write_bytes(
+                    _fake_gif(16 + li, 16 + j)
+                )
+            (d / f"{label}.0.wav").write_bytes(_fake_wav(0.5 + 0.1 * li))
+        media = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.*")
+            .option("recursiveFileLookup", "true")
+            .load(tmp)
+        )
+        meta = extract_media_metadata(media)
+        out = (
+            meta.withColumn("label", extract_label(F.col("path")))
+            .groupBy("label", "format")
+            .agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("length").alias("total_bytes"),
+                F.round(F.avg("width"), 2).alias("avg_width"),
+                F.round(F.avg("height"), 2).alias("avg_height"),
+                F.round(F.sum("duration_s"), 3).alias("total_duration_s"),
+            )
+            .orderBy("label", "format")
+        )
+        rows = out.collect()  # materialize before tmp vanishes
+        return spark.createDataFrame(rows, out.schema)

@@ -174,7 +174,10 @@ def test_als_pipeline(spark):
     train, test = ratings.randomSplit([0.8, 0.2], seed=42)
     model = train_als(train)
     rmse = evaluate_rmse(model, test)
-    assert 0.0 < rmse < 3.0
+    # pinned band, the reference's practice of anchoring the model metric
+    # (RMSE ≈ 0.878 ± noise on MovieLens, 03.movielens-gold.py:122-129):
+    # seeded split + seeded ALS on this fixture reproduces 0.0507
+    assert abs(rmse - 0.0507) < 0.02, f"ALS RMSE drifted: {rmse}"
     recs = recommend_for_all_users(model, k=3)
     assert recs.columns == ["user_id", "rank", "item_id", "rating"]
     per_user = recs.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
@@ -273,3 +276,15 @@ def test_stop_shingle_cut_preserves_recall(spark):
     assert {(i, 1000 + i) for i in range(5)} <= set(exp)
     assert {(r.doc_a, r.doc_b): r.jaccard for r in got.collect()} == exp, \
         "stop-shingle cut must not lose any true near-dup pair"
+
+
+def test_multimodal_image_pipeline_deterministic(spark):
+    """S11→X2→X3 pipeline: 10 labels × {png, gif, wav} with pinned stats."""
+    df = REGISTRY["multimodal_image_pipeline"].fn(spark, SF)
+    rows = {(r.label, r.format): r for r in df.collect()}
+    assert len(rows) == 30
+    assert rows[("cat", "png")].n_files == 2
+    assert rows[("cat", "png")].avg_width == 32.5   # (32 + 33) / 2
+    assert rows[("cat", "gif")].avg_height == 16.5  # (16 + 17) / 2
+    assert rows[("cat", "wav")].total_duration_s == 0.5
+    assert rows[("emu", "wav")].total_duration_s == 1.4  # 0.5 + 0.1*9

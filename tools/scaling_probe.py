@@ -33,6 +33,11 @@ QUERIES = [
     "window_topk_per_group",     # window over orders
     "ts_range_join",             # equi+range join
     "agg_having_topk",           # agg + TakeOrdered
+    # the quadratic-risk self-join shapes — the point of the bucketed designs
+    "dedup_ngram_jaccard",       # inverted-index join (stop-shingle cut)
+    "dedup_minhash_lsh",         # banded LSH buckets
+    "sim_ann_lsh",               # hyperplane-LSH buckets
+    "sim_pairs_threshold",       # brute-force all-pairs BASELINE: α≈2 EXPECTED
 ]
 
 
@@ -54,8 +59,49 @@ def materialize(spark, base: str, factor: int, out: Path) -> str:
         for p in parts[1:]:
             u = u.unionByName(p)
         u.write.mode("overwrite").parquet(str(out / f"{name}.parquet"))
+    # documents: replicate with per-copy word prefixes so copies are NOT
+    # near-duplicates of each other (disjoint shingle sets) — otherwise the
+    # dedup operators' OUTPUT would grow quadratically in the factor and the
+    # probe would measure pair-count growth, not engine scaling
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    parts = []
+    for i in range(factor):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 100_000_000))
+        if i > 0:
+            d = d.withColumn(
+                "text",
+                F.concat_ws(
+                    " ",
+                    F.transform(F.split("text", " "), lambda w: F.concat(F.lit(f"c{i}"), w)),
+                ),
+            )
+        parts.append(d)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    # embeddings: per-copy deterministic ±1 sign flip pattern — copies end up
+    # near-orthogonal to the originals (cos ≈ 0), so no fabricated near-dups
+    emb = spark.read.parquet(f"{base}/embeddings.parquet")
+    import random
+
+    parts = []
+    for i in range(factor):
+        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 100_000_000))
+        if i > 0:
+            rng = random.Random(i)
+            signs = F.lit([rng.choice((-1.0, 1.0)) for _ in range(64)])
+            e = e.withColumn(
+                "embedding",
+                F.zip_with("embedding", signs, lambda x, s: (x * s).cast("float")),
+            )
+        parts.append(e)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
     # small dims copied as-is
-    for name in ("region", "nation", "supplier", "part", "documents", "embeddings"):
+    for name in ("region", "nation", "supplier", "part"):
         spark.read.parquet(f"{base}/{name}.parquet").write.mode("overwrite") \
             .parquet(str(out / f"{name}.parquet"))
     return str(out)
