@@ -948,3 +948,86 @@ def project_rename_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_order_id")
     )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide reshape): order counts per priority × status. Explicit
+    pivot values skip the extra distinct-values job Spark otherwise runs —
+    the form you want at scale (one pass, map-side partial aggregation)."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(value, 2) AS value FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    )
+    WHERE l_orderkey <= 100
+    ORDER BY l_orderkey, l_linenumber, measure
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (long reshape): three lineitem measures into (measure, value)
+    rows — `df.unpivot` maps to a single generate stage, no shuffle."""
+    l = load_table(spark, sf_dir, "lineitem").where("l_orderkey <= 100")
+    return (
+        l.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure",
+            "value",
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "measure",
+            F.round("value", 2).alias("value"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+@query(
+    "lateral_tokens_posexplode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id < 5
+    )
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, words[i] AS token
+    FROM (SELECT doc_id, words, unnest(generate_series(1, len(words))) AS i FROM t)
+    ORDER BY doc_id, pos
+    """,
+)
+def lateral_tokens_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral view / posexplode: one row per (doc, position, token) — the
+    generator runs inside codegen; no Python, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").where("doc_id < 5")
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+        .orderBy("doc_id", "pos")
+    )

@@ -258,3 +258,41 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+# end-to-end curation keep-list: the operator a training-data pipeline
+# actually runs — exact-dedup canonicalization ∩ quality gate. SQL-expressible
+# end to end, so it gets a full oracle (unlike the MinHash tier).
+_QUALITY_SUBQUERY = _Q["text_quality_score"].oracle.replace("ORDER BY doc_id", "")
+
+
+@query("curation_keeplist", oracle=None)  # oracle assigned below
+def curation_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-list: canonical (min-doc_id per exact-content group) documents
+    whose quality score clears 0.75 — dedup + quality filter composed, the
+    shape of a pretraining corpus curation pass. Both stages shuffle only
+    digests/scores, never document bodies."""
+    from lakehouses_spark.queries.dedup import dedup_exact
+
+    canon = dedup_exact(spark, sf_dir).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    return (
+        canon.join(quality, "doc_id")
+        .where(F.col("quality_score") >= 0.75)
+        .orderBy("doc_id")
+    )
+
+
+_Q["curation_keeplist"].oracle = f"""
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+), quality AS (
+{_QUALITY_SUBQUERY}
+)
+SELECT c.doc_id, q.quality_score
+FROM canon c JOIN quality q ON q.doc_id = c.doc_id
+WHERE q.quality_score >= 0.75
+ORDER BY c.doc_id
+"""
