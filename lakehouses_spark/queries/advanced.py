@@ -10,7 +10,7 @@ import struct
 import tempfile
 import zlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, StructField, StructType, StringType
 
@@ -164,6 +164,55 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     meta = extract_media_metadata(media)
     return media_summary(meta)
+
+
+@query(
+    "streaming_stateful_totals",
+    oracle="""
+    SELECT user_id AS key, count(*) AS n,
+           floor(sum(value) * 100 + 0.5) / 100 AS total
+    FROM events GROUP BY user_id ORDER BY key
+    """,
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) with a
+    HARD oracle: drain events through per-key running-totals state with
+    availableNow; the final emission per key must equal the batch aggregate
+    — the stream/batch unification contract as a checkable equation."""
+    import tempfile
+    import uuid
+
+    from lakehouses_spark.streaming.stateful import running_totals
+
+    events = load_table(spark, sf_dir, "events")
+    name = f"totals_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as tmp:
+        events.coalesce(4).write.parquet(f"{tmp}/data")
+        stream = spark.readStream.schema(events.schema).parquet(f"{tmp}/data")
+        q = (
+            running_totals(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # update mode appends one row per key per micro-batch; the row with
+        # the highest n is the final cumulative state for that key
+        result = (
+            spark.sql(f"SELECT * FROM {name}")
+            .withColumn(
+                "__rk",
+                F.row_number().over(Window.partitionBy("key").orderBy(F.desc("n"))),
+            )
+            .where("__rk = 1")
+            .select("key", "n", "total")
+            .orderBy("key")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
 
 
 MM_LABELS = ["cat", "dog", "fox", "owl", "bee", "ant", "elk", "bat", "koi", "emu"]

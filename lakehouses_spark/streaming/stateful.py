@@ -29,13 +29,18 @@ def running_totals(
     """Streaming per-key cumulative (n, total) via applyInPandasWithState."""
 
     def update(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import math
+
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf[value_col].sum())
         state.update((n, total))
+        # floor(x*100+0.5)/100: half-up like Spark's round(), not Python's
+        # banker's rounding — keeps the emitted value oracle-comparable
         yield pd.DataFrame(
-            {"key": [key_tuple[0]], "n": [n], "total": [round(total, 2)]}
+            {"key": [key_tuple[0]], "n": [n],
+             "total": [math.floor(total * 100 + 0.5) / 100]}
         )
 
     return (
