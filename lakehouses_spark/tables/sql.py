@@ -397,6 +397,22 @@ class LakeSQL:
             )
 
         rewritten = re.sub(self._TRAVEL, replace, s, flags=re.IGNORECASE)
+        # Iceberg-style metadata-table references: <table>.snapshots /
+        # .files / .partitions / .history (03.iceberg_primer.py:322-402)
+        def meta_replace(m: re.Match) -> str:
+            name, kind = m.group(1), m.group(2).lower()
+            try:
+                t = self._table(name)
+            except FileNotFoundError:
+                return m.group(0)
+            view = f"_meta_{kind}_{self._qualify(name).replace('.', '_')}"
+            getattr(t, kind)().createOrReplaceTempView(view)
+            return view
+
+        rewritten = re.sub(
+            r"\b([A-Za-z_][A-Za-z0-9_.]*?)\.(snapshots|files|partitions|history)\b",
+            meta_replace, rewritten, flags=re.IGNORECASE,
+        )
         # register dotted table references that exist in the catalog
         for name in set(re.findall(rf"\b({_ID}\.{_ID})\b", rewritten)):
             try:

@@ -273,6 +273,45 @@ class LakeTable:
             rows, "path string, num_records long, size_bytes long, stats string"
         )
 
+    def snapshots(self) -> DataFrame:
+        """D11 `.snapshots` metadata table (Iceberg's snapshot list the
+        reference inspects at 03.iceberg_primer.py:322-402): one row per
+        commit with the operation, per-commit file/record deltas, and the
+        cumulative totals of the snapshot it produced. Single incremental
+        walk over surviving commit files — no per-version replay."""
+        files: dict[str, int] = {}  # rel -> num_records
+        sizes: dict[str, int] = {}
+        rows = []
+        for v in txlog.list_versions(self.path):
+            c = txlog.read_commit(self.path, v)
+            added = c.get("add") or []
+            removed = c.get("remove") or []
+            for rel in removed:
+                files.pop(rel, None)
+                sizes.pop(rel, None)
+            for a in added:
+                files[a["path"]] = a.get("num_records") or 0
+                sizes[a["path"]] = a.get("size_bytes") or 0
+            rows.append(
+                {
+                    "version": c["version"],
+                    "timestamp_ms": c["timestamp_ms"],
+                    "operation": c["operation"],
+                    "added_files": len(added),
+                    "removed_files": len(removed),
+                    "added_records": sum(a.get("num_records") or 0 for a in added),
+                    "total_files": len(files),
+                    "total_records": sum(files.values()),
+                    "total_bytes": sum(sizes.values()),
+                }
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version long, timestamp_ms long, operation string, "
+            "added_files long, removed_files long, added_records long, "
+            "total_files long, total_records long, total_bytes long",
+        )
+
     def partitions(self) -> DataFrame:
         """D11 `.partitions` metadata table (03.iceberg_primer.py:322-402):
         per-cluster-key-value row counts, computed as a plain aggregation

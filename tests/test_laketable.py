@@ -298,3 +298,28 @@ def test_catalog_ddl_and_sql(spark, tmp_path, people):
         cat.drop_database("bronze")
     cat.drop_database("bronze", cascade=True)
     assert "bronze" not in cat.databases()
+
+
+def test_snapshots_metadata_table(spark, tmp_path, people):
+    """D11 .snapshots: per-commit deltas + cumulative totals, and the SQL
+    surface resolves <table>.snapshots like Iceberg's metadata tables."""
+    from lakehouses_spark.tables import LakeSQL
+
+    cat = LakeCatalog(spark, tmp_path / "wh")
+    cat.create_table("default.emp", people)
+    t = cat.table("default.emp")
+    t.insert_values([{"id": 9, "name": "x", "salario": 1.0}])
+    t.delete("id = 1")
+    snaps = {r.version: r for r in t.snapshots().collect()}
+    assert [snaps[v].operation for v in sorted(snaps)] \
+        == ["CREATE TABLE AS SELECT", "WRITE", "DELETE"]
+    assert snaps[0].total_records == 3
+    assert snaps[1].total_records == 4 and snaps[1].added_records == 1
+    assert snaps[2].total_records == 3 and snaps[2].removed_files >= 1
+    lake = LakeSQL(cat)
+    via_sql = lake.sql(
+        "SELECT version, operation, total_records FROM default.emp.snapshots "
+        "ORDER BY version"
+    ).collect()
+    assert [(r.version, r.total_records) for r in via_sql] == [(0, 3), (1, 4), (2, 3)]
+    assert lake.sql("SELECT count(*) AS n FROM default.emp.files").collect()[0].n >= 1
