@@ -190,17 +190,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the verification join) would otherwise recompute the tokenize+
     # shingle lineage end-to-end. At cluster scale this is a persisted
     # intermediate table; locally localCheckpoint gives the same cut.
-    shingle_sets = d.select("doc_id", _shingles().alias("sh")).localCheckpoint()
-    # hash each shingle string ONCE, then derive the k independent hashes by
-    # re-hashing the 8-byte value — 2x cheaper than k string hashes
-    exploded = shingle_sets.select(
-        "doc_id", F.explode("sh").alias("shingle")
-    ).select("doc_id", F.xxhash64("shingle").alias("h0"))
-    sig = exploded.groupBy("doc_id").agg(
+    # the checkpoint stores BOTH the shingle strings (verification) and the
+    # per-shingle base hashes (signatures) — hashing each shingle string
+    # exactly once, materialized so the 32 signature expressions below each
+    # reference a stored column instead of inlining the hash subtree 32×
+    shingle_sets = d.select(
+        "doc_id",
+        _shingles().alias("sh"),
+        F.transform(_shingles(), lambda s: F.xxhash64(s)).alias("hs"),
+    ).localCheckpoint()
+    # signature[j] = min over shingles of xxhash64(xxhash64(shingle), j),
+    # computed as a pure per-row map: array_min over the k re-hashes.
+    # ZERO shuffle — the explode+groupBy formulation moves
+    # |docs|·|shingles| rows through a 32-way min aggregation for values a
+    # map can produce in place.
+    sig = shingle_sets.select(
+        "doc_id",
         *[
-            F.min(F.xxhash64(F.col("h0"), F.lit(j))).alias(f"h{j}")
+            F.array_min(
+                F.transform("hs", lambda h: F.xxhash64(h, F.lit(j)))
+            ).alias(f"h{j}")
             for j in range(N_MINHASH)
-        ]
+        ],
     )
     rows_per_band = N_MINHASH // LSH_BANDS
     band_cols = [
