@@ -296,7 +296,48 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-@query("dedup_clusters", oracle=None)  # iterative fixpoint → rows-only
+@query(
+    "dedup_clusters",
+    # connected components ARE SQL-expressible: transitive closure via a
+    # recursive CTE over the exact-jaccard edge set, cluster = min reachable
+    # id — so the iterative Spark fixpoint gets a full differential oracle
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), positions AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+      FROM toks
+    ), shingles AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS shingle
+      FROM positions
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), jpairs AS (
+      SELECT doc_a, doc_b
+      FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.3
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jpairs
+      UNION
+      SELECT doc_b, doc_a FROM jpairs
+    ), reach(a, r) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.a
+    )
+    SELECT cluster_id AS canonical_id, count(*) AS n_members FROM (
+      SELECT a, min(r) AS cluster_id FROM reach GROUP BY a
+    )
+    GROUP BY cluster_id
+    ORDER BY canonical_id
+    """,
+)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup: ngram-Jaccard pairs → connected components →
     per-cluster canonical doc (min id) + member count. The keep-list a

@@ -242,3 +242,16 @@ def test_iceberg_primer_replay(spark, tmp_path):
         "GROUP BY departamento ORDER BY 1"
     ).collect()
     assert [r.departamento for r in top] == ["IT", "Marketing", "Ventas"]
+
+
+def test_sql_restore_and_metadata_tables(spark, lake):
+    """RESTORE TABLE statement + metadata-table SELECT surface."""
+    lake.sql("DELETE FROM bronze.emp WHERE id = 1")
+    assert lake.sql("SELECT count(*) AS n FROM bronze.emp").collect()[0].n == 2
+    res = lake.sql("RESTORE TABLE bronze.emp TO VERSION AS OF 0").collect()[0]
+    assert res.restored_to == 0
+    assert lake.sql("SELECT count(*) AS n FROM bronze.emp").collect()[0].n == 3
+    snaps = lake.sql(
+        "SELECT version, operation FROM bronze.emp.snapshots ORDER BY version"
+    ).collect()
+    assert [r.operation for r in snaps][-1] == "RESTORE"
