@@ -18,20 +18,58 @@ from lakehouses_spark.io import load_table
 from lakehouses_spark.registry import query
 
 
-@query("lake_dml_roundtrip", oracle=None)  # stateful multi-step → rows-only
+@query(
+    "lake_dml_roundtrip",
+    # the whole DML arc is deterministic (key-range selections), so the
+    # transaction-log path gets a REAL differential oracle: DuckDB replays
+    # the same CREATE→DELETE→UPDATE→MERGE sequence relationally
+    oracle="""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey <= 4000),
+    v1 AS (SELECT * FROM base WHERE o_orderstatus <> 'F'),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN o_totalprice * 1.05 ELSE o_totalprice END AS p
+      FROM v1
+    ),
+    src AS (SELECT o_orderkey FROM orders WHERE o_orderkey <= 200),
+    n AS (
+      SELECT (SELECT count(*) FROM base) AS n0,
+             (SELECT count(*) FROM v1)   AS n1,
+             (SELECT count(*) FROM v1)
+             + (SELECT count(*) FROM src
+                WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v2)) AS n3
+    ),
+    total AS (
+      SELECT round(
+        (SELECT sum(CASE WHEN o_orderkey IN (SELECT o_orderkey FROM src)
+                         THEN 1.0 ELSE p END) FROM v2)
+        + (SELECT count(*) FROM src
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v2)) * 1.0,
+        2) AS t
+    )
+    SELECT 0 AS version, n0 AS n_rows, t AS current_total FROM n, total
+    UNION ALL SELECT 1, n1, t FROM n, total
+    UNION ALL SELECT 2, n1, t FROM n, total
+    UNION ALL SELECT 3, n3, t FROM n, total
+    ORDER BY version
+    """,
+)
 def lake_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2.10 arc as one driver-checkable query: CTAS from orders →
     DELETE → UPDATE → MERGE → per-version row counts + current aggregate.
     Exercises the full transaction-log path (create/commit/replay/COW DML/
-    time travel) on real testdata."""
+    time travel) on real testdata. Selections are key-range (not limit), so
+    the sequence is deterministic and oracle-checkable."""
     from lakehouses_spark.tables import LakeTable
 
-    orders = load_table(spark, sf_dir, "orders").limit(1000)
+    orders = load_table(spark, sf_dir, "orders").where("o_orderkey <= 4000")
     with tempfile.TemporaryDirectory() as tmp:
         t = LakeTable.create(spark, f"{tmp}/orders", orders)
         t.delete("o_orderstatus = 'F'")
         t.update({"o_totalprice": "o_totalprice * 1.05"}, where="o_orderpriority = '1-URGENT'")
-        src = orders.limit(50).withColumn("o_totalprice", F.lit(1.0))
+        src = load_table(spark, sf_dir, "orders").where("o_orderkey <= 200") \
+            .withColumn("o_totalprice", F.lit(1.0))
         t.merge(src, "t.o_orderkey = s.o_orderkey")
         # per-version counts straight from log metadata (num_records in the
         # add actions) — the metadata-only count(*) optimization; no scan jobs
@@ -72,7 +110,18 @@ def gold_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "rank")
 
 
-@query("streaming_windowed_drain", oracle=None)  # stateful stream → rows-only
+@query(
+    "streaming_windowed_drain",
+    # an availableNow drain of a tumbling-window agg equals the batch
+    # date_trunc aggregate — stream/batch unification as a hard oracle
+    oracle="""
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
 def streaming_windowed_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T4/T8 as one driver-checkable query: stage events as a file
     stream, drain a watermarked tumbling aggregation with availableNow, and
