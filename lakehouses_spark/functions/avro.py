@@ -57,15 +57,26 @@ def avro_available() -> bool:
         return False
 
 
-def from_avro_confluent(value: Column | str, json_format_schema: str) -> Column:
-    """from_avro over a header-stripped Confluent payload. Requires the
-    spark-avro module jar on the classpath."""
-    if not avro_available():
-        raise AvroUnavailableError(
-            "spark-avro module not on the classpath; start the session with "
-            "--packages org.apache.spark:spark-avro_2.13:<spark-version> "
-            "(not bundled in this environment)"
-        )
-    from pyspark.sql.avro.functions import from_avro
+def from_avro_confluent(
+    value: Column | str, json_format_schema: str, fallback: bool = True
+) -> Column:
+    """from_avro over a header-stripped Confluent payload.
 
-    return from_avro(strip_confluent_header(value), json_format_schema)
+    Uses the JVM decoder when the spark-avro jar is on the classpath; with
+    `fallback=True` (default) it otherwise decodes with the pure-Python
+    Avro codec (`functions/avro_py.py`, Arrow-batched) so the S14 pipeline
+    stays functional in jar-less environments. `fallback=False` restores
+    the hard error with the --packages remedy."""
+    if avro_available():
+        from pyspark.sql.avro.functions import from_avro
+
+        return from_avro(strip_confluent_header(value), json_format_schema)
+    if fallback:
+        from lakehouses_spark.functions.avro_py import from_avro_py
+
+        return from_avro_py(strip_confluent_header(value), json_format_schema)
+    raise AvroUnavailableError(
+        "spark-avro module not on the classpath; start the session with "
+        "--packages org.apache.spark:spark-avro_2.13:<spark-version> "
+        "(not bundled in this environment)"
+    )

@@ -252,6 +252,19 @@ def kafka_bronze_transform(df: DataFrame, src: dict) -> DataFrame:
             .select("*", "value.*")
             .drop("value")
         )
+    elif src.get("value_format") == "avro" and src.get("avro_schema"):
+        # S14: Confluent-framed Avro — strip the 5-byte header, decode (JVM
+        # spark-avro when present, pure-Python codec otherwise), expand
+        # (03…/05.ingesta_incremental_singleplex [avro].py:134-152)
+        from lakehouses_spark.functions.avro import from_avro_confluent
+
+        df = (
+            df.withColumn(
+                "value", from_avro_confluent(F.col("_value"), src["avro_schema"])
+            )
+            .select("*", "value.*")
+            .drop("value")
+        )
     return df
 
 

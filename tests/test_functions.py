@@ -25,11 +25,20 @@ def test_strip_confluent_header(spark):
     assert out.sid == 42  # big-endian id from bytes 2-5
 
 
-def test_from_avro_gated(spark):
-    """No spark-avro jar in this environment → clear error, not a stack."""
-    df = spark.createDataFrame([(bytearray(b"\x00\x00\x00\x00\x01xx"),)], "value binary")
+def test_from_avro_gated_and_fallback(spark):
+    """fallback=False keeps the clear jar-missing error; the default decodes
+    through the pure-Python codec even without the jar."""
+    from lakehouses_spark.functions.avro_py import confluent_frame
+
+    schema = ('{"type": "record", "name": "R", "fields": '
+              '[{"name": "a", "type": "int"}, {"name": "b", "type": "string"}]}')
+    df = spark.createDataFrame(
+        [(bytearray(confluent_frame({"a": 7, "b": "hi"}, schema)),)], "value binary"
+    )
     with pytest.raises(AvroUnavailableError, match="spark-avro"):
-        df.select(from_avro_confluent("value", '{"type": "string"}')).collect()
+        df.select(from_avro_confluent("value", schema, fallback=False)).collect()
+    row = df.select(from_avro_confluent("value", schema).alias("v")).collect()[0].v
+    assert (row.a, row.b) == (7, "hi")
 
 
 def test_kafka_source_gated(spark, tmp_path):
