@@ -297,3 +297,108 @@ def from_avro_py(value: Column | str, json_format_schema: str) -> Column:
 
     c = F.col(value) if isinstance(value, str) else value
     return decode(c)
+
+
+# --------------------------------------------------------------------- #
+# Avro Object Container Files (S15 — the .avro files Iceberg stores its
+# snapshot/manifest metadata in, 03.iceberg_primer.py:433,452-456)
+# --------------------------------------------------------------------- #
+_OCF_META_SCHEMA = {"type": "map", "values": "bytes"}
+
+
+def read_ocf_bytes(data: bytes) -> tuple[dict, list]:
+    """Parse one Avro Object Container File: returns (writer schema, rows).
+    Supports null and deflate codecs (deflate = raw zlib, per spec)."""
+    import zlib
+
+    buf = io.BytesIO(data)
+    if buf.read(4) != b"Obj\x01":
+        raise AvroSchemaError("not an Avro object container file (bad magic)")
+    meta = _decode(buf, _OCF_META_SCHEMA)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    sync = buf.read(16)
+    rows = []
+    while True:
+        try:
+            n = _read_long(buf)
+        except EOFError:
+            break
+        size = _read_long(buf)
+        block = buf.read(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise AvroSchemaError(f"unsupported OCF codec: {codec}")
+        bbuf = io.BytesIO(block)
+        for _ in range(n):
+            rows.append(_decode(bbuf, schema))
+        if buf.read(16) != sync:
+            raise AvroSchemaError("OCF sync marker mismatch (corrupt file)")
+    return schema, rows
+
+
+def write_ocf_bytes(rows: list, schema: str | dict) -> bytes:
+    """Encode rows as an Avro Object Container File (null codec)."""
+    import os as _os
+
+    s = _parse_schema(schema)
+    buf = io.BytesIO()
+    buf.write(b"Obj\x01")
+    _encode(buf, _OCF_META_SCHEMA,
+            {"avro.schema": json.dumps(s).encode(), "avro.codec": b"null"})
+    sync = _os.urandom(16)
+    buf.write(sync)
+    body = io.BytesIO()
+    for r in rows:
+        _encode(body, s, r)
+    _write_long(buf, len(rows))
+    _write_long(buf, len(body.getvalue()))
+    buf.write(body.getvalue())
+    buf.write(sync)
+    return buf.getvalue()
+
+
+def read_avro_files(spark, path: str, json_format_schema: str | dict | None = None):
+    """S15: distributed Avro file read — files are discovered and shipped by
+    the binaryFile source (one row per file, parallel by file), each decoded
+    in an Arrow-batched mapInPandas pass with the pure-Python OCF reader.
+
+    The reader schema defaults to the first file's embedded writer schema
+    (resolved on the driver from one file's header); pass
+    `json_format_schema` to project with an explicit reader schema."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    if json_format_schema is None:
+        sample = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.avro")
+            .load(path)
+            .select("content")
+            .limit(1)
+            .collect()
+        )
+        if not sample:
+            raise FileNotFoundError(f"no .avro files under {path}")
+        json_format_schema, _ = read_ocf_bytes(bytes(sample[0].content))
+    schema = _parse_schema(json_format_schema)
+    spark_type = avro_to_spark_type(schema)
+    if not isinstance(spark_type, StructType):
+        raise AvroSchemaError("top-level avro schema must be a record")
+
+    def run(batches):
+        cols = [f.name for f in spark_type.fields]
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                _, rows = read_ocf_bytes(bytes(content))
+                out.extend({c: r.get(c) for c in cols} for r in rows)
+            yield pd.DataFrame(out, columns=cols)
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("content")
+        .mapInPandas(run, spark_type)
+    )
