@@ -315,3 +315,61 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()  # materialize before tmp vanishes
         return spark.createDataFrame(rows, out.schema)
+
+
+AVRO_EVENT_SCHEMA = {
+    "type": "record", "name": "Event",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "user_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "value", "type": "double"},
+    ],
+}
+
+
+@query(
+    "avro_file_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           floor(sum(value) * 100 + 0.5) / 100 AS total_value
+    FROM events WHERE user_id < 20
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def avro_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15/F10 as a driver-checkable query: stage a bounded events slice as
+    Avro Object Container Files (3 files, pure-Python writer), read them
+    back DISTRIBUTED (binaryFile source + mapInPandas OCF decode, schema
+    taken from the file headers), and aggregate — checked against the same
+    aggregate over the original parquet. The staging collect is a bounded
+    fixture-generation step (≤ a few thousand rows), not an engine path."""
+    import tempfile
+    from pathlib import Path
+
+    from lakehouses_spark.functions.avro_py import read_avro_files, write_ocf_bytes
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where("user_id < 20")
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    rows = [r.asDict() for r in events.collect()]
+    with tempfile.TemporaryDirectory() as tmp:
+        third = max(1, len(rows) // 3)
+        for i in range(3):
+            chunk = rows[i * third:] if i == 2 else rows[i * third:(i + 1) * third]
+            (Path(tmp) / f"part-{i}.avro").write_bytes(
+                write_ocf_bytes(chunk, AVRO_EVENT_SCHEMA)
+            )
+        df = read_avro_files(spark, tmp)
+        out = (
+            df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (F.floor(F.sum("value") * 100 + 0.5) / 100).alias("total_value"),
+            )
+            .orderBy("event_type")
+        )
+        res = out.collect()
+        return spark.createDataFrame(res, out.schema)

@@ -70,6 +70,7 @@ _SWEEP_PRIORITY = [
     # new in round 2
     "pivot_status_by_priority", "unpivot_measures", "lateral_tokens_posexplode",
     "curation_keeplist", "streaming_stateful_totals", "multimodal_image_pipeline",
+    "avro_file_roundtrip",
     # upgraded rows-only → oracle in round 2
     "dedup_clusters", "lake_dml_roundtrip", "streaming_windowed_drain",
 ]
