@@ -230,6 +230,15 @@ class IngestionEngine:
         for q in queries:
             q.awaitTermination()
 
+    def run_all(self, cfgs: list[dict], archive: bool = True) -> None:
+        """The reference's main loop: start every configured pipeline as an
+        independent streaming query on the shared session, then join them
+        (04…/01.ingestas_motor.py:232-242). Queries run concurrently —
+        one slow source doesn't serialize the others."""
+        self.await_all(
+            [self.write_stream(c, self.read_stream(c), archive=archive) for c in cfgs]
+        )
+
     def bronze_table(self, cfg: dict) -> LakeTable:
         return LakeTable(self.spark, self.bronze_path(cfg))
 

@@ -462,3 +462,23 @@ def test_kafka_avro_singleplex_via_python_decoder(spark, tmp_path):
     from lakehouses_spark.functions.avro import schema_registry_id
     ids = {r.sid for r in bronze.select(schema_registry_id("_value").alias("sid")).collect()}
     assert ids == {42}
+
+
+def test_run_all_parallel_pipelines(spark, tmp_path):
+    """T7: the config-driven main loop drains N pipelines concurrently on
+    one session (04…/01.ingestas_motor.py:232-242)."""
+    from lakehouses_spark.ingest.kafka_sim import FileTopicBroker
+
+    broker = FileTopicBroker(spark, tmp_path / "broker")
+    broker.produce("alpha", _orders(3, shop="a"))
+    broker.produce("beta", _orders(2, shop="b"))
+    cfgs = [
+        {"datasource": "pizza", "dataset": name,
+         "source": {"format": "kafka", "topic": name,
+                    "simulate_path": tmp_path / "broker"}}
+        for name in ("alpha", "beta")
+    ]
+    eng = IngestionEngine(spark, tmp_path / "lake")
+    eng.run_all(cfgs, archive=False)
+    assert eng.bronze_table(cfgs[0]).read().count() == 3
+    assert eng.bronze_table(cfgs[1]).read().count() == 2
