@@ -317,6 +317,92 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
 
 
+def _mm_manifest_rows() -> list[tuple]:
+    """Ground-truth manifest of the generated media directory, derived from
+    the generator FORMULAS (not from probe output): PNG length is
+    33 + 11·width, GIF length 74 + width, WAV length 44 + int(seconds·16000).
+    Shared by the Spark query's file generator and the static DuckDB oracle,
+    so the header probe must reproduce every field to hash-match."""
+    rows = []
+    for li, label in enumerate(MM_LABELS):
+        for j in range(2):
+            w, h = 32 + 4 * li + j, 24 + 2 * li
+            rows.append((f"{label}.{j}.png", label, "png", w, h, 4,
+                         33 + 11 * w, None, None))
+            gw, gh = 16 + li, 16 + j
+            rows.append((f"{label}.{j}.gif", label, "gif", gw, gh, 3,
+                         74 + gw, None, None))
+        secs = 0.5 + 0.1 * li
+        n_data = int(secs * 16000)
+        rows.append((f"{label}.0.wav", label, "wav", None, None, 1,
+                     44 + n_data, round(n_data / 16000, 3), 8000))
+    return sorted(rows)
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return f"'{v}'"
+    return repr(v)
+
+
+_MM_MANIFEST_ORACLE = (
+    "SELECT fname, label, format, CAST(width AS INTEGER) AS width, "
+    "CAST(height AS INTEGER) AS height, CAST(n_channels AS INTEGER) AS n_channels, "
+    "CAST(length AS BIGINT) AS length, CAST(duration_s AS DOUBLE) AS duration_s, "
+    "CAST(sample_rate AS INTEGER) AS sample_rate FROM (VALUES "
+    + ", ".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")"
+        for row in _mm_manifest_rows()
+    )
+    + ") AS t(fname, label, format, width, height, n_channels, length, "
+    "duration_s, sample_rate) ORDER BY fname"
+)
+
+
+@query("multimodal_manifest_probe", oracle=_MM_MANIFEST_ORACLE)
+def multimodal_manifest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11+X2 with a REAL hash check (the multimodal pillar's first): write
+    the deterministic media directory, scan it with the binaryFile source,
+    run the Arrow-batched header probe, and emit one row per file — fname,
+    label, format, dimensions, channels, byte length, audio duration/rate.
+    The oracle is the generator's ground-truth manifest as a static VALUES
+    table: every probed field must round-trip exactly."""
+    from pathlib import Path
+
+    from lakehouses_spark.multimodal import extract_label, extract_media_metadata
+
+    with tempfile.TemporaryDirectory() as tmp:
+        for li, label in enumerate(MM_LABELS):
+            d = Path(tmp) / label
+            d.mkdir()
+            for j in range(2):
+                (d / f"{label}.{j}.png").write_bytes(
+                    _fake_png(32 + 4 * li + j, 24 + 2 * li)
+                )
+                (d / f"{label}.{j}.gif").write_bytes(_fake_gif(16 + li, 16 + j))
+            (d / f"{label}.0.wav").write_bytes(_fake_wav(0.5 + 0.1 * li))
+        media = (
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .load(tmp)
+        )
+        meta = extract_media_metadata(media)
+        out = (
+            meta.select(
+                F.element_at(F.split("path", "/"), -1).alias("fname"),
+                extract_label(F.col("path")).alias("label"),
+                "format", "width", "height", "n_channels", "length",
+                "duration_s",
+                F.col("sample_rate").cast("int").alias("sample_rate"),
+            )
+            .orderBy("fname")
+        )
+        rows = out.collect()  # materialize before tmp vanishes
+        return spark.createDataFrame(rows, out.schema)
+
+
 AVRO_EVENT_SCHEMA = {
     "type": "record", "name": "Event",
     "fields": [

@@ -156,7 +156,12 @@ def ngram_candidate_pairs(
 def verify_jaccard(
     candidates: DataFrame, shingle_sets: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard over the FULL shingle sets for candidate pairs only."""
+    """Exact Jaccard over the FULL shingle sets for candidate pairs only.
+
+    The threshold filter compares the UNROUNDED ratio (matching the oracle
+    SQL's WHERE clause); round(.,4) is applied only in the projected column —
+    filtering on the rounded value would admit pairs in [thr-5e-5, thr).
+    """
     sa = shingle_sets.alias("sa")
     sb = shingle_sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
@@ -164,8 +169,8 @@ def verify_jaccard(
     return (
         candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where((inter / union) >= threshold)
         .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -173,10 +178,69 @@ def verify_jaccard(
 N_MINHASH = 32  # signature length
 LSH_BANDS = 8  # 8 bands × 4 rows — candidate threshold ≈ (1/8)^(1/4) ≈ 0.6
 
+# Twin injection (mirrors similarity.py's ANN upgrade): the approximate dedup
+# paths are hash-function-specific, so they can't be oracled directly — but
+# their END-TO-END CONTRACT (find every near-dup pair, invent none) can be.
+# The driver queries append one marker word to the first N_DOC_TWINS docs
+# (jaccard vs the original ≈ (W-2)/W ≥ 0.9 on this corpus) and the oracle is
+# the EXACT inverted-index ngram-Jaccard pair set over the same augmented
+# corpus: the LSH/SimHash candidate generation only hash-matches if it
+# recovers every true pair — full recall — and exact verification guarantees
+# zero invented pairs.
+N_DOC_TWINS = 25
+DOC_TWIN_ID_OFFSET = 1_000_000
+DOC_TWIN_SUFFIX = "zztwinmark"
 
-@query("dedup_minhash_lsh", oracle=None)  # hash-function-specific → rows-only + pytest
+
+def with_doc_twins(d: DataFrame) -> DataFrame:
+    """Corpus ∪ deterministic near-duplicate documents (1 appended word)."""
+    base = d.select("doc_id", "text")
+    twins = base.where(F.col("doc_id") < N_DOC_TWINS).select(
+        (F.col("doc_id") + DOC_TWIN_ID_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + DOC_TWIN_SUFFIX)).alias("text"),
+    )
+    return base.unionByName(twins)
+
+
+_TWIN_PAIR_ORACLE = f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {DOC_TWIN_ID_OFFSET} AS doc_id,
+             text || ' {DOC_TWIN_SUFFIX}' AS text
+      FROM documents WHERE doc_id < {N_DOC_TWINS}
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM corpus
+    ), positions AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+      FROM toks
+    ), shingles AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS shingle
+      FROM positions
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_shared / (sa.n + sb.n - n_shared), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.3
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_TWIN_PAIR_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding candidate pairs.
+    """MinHash + LSH banding candidate pairs over the twin-augmented corpus,
+    checked against the exact all-pairs ngram-Jaccard oracle (full recall
+    required to hash-match; exact verification forbids invented pairs).
 
     signature[j] = min over shingles of xxhash64(shingle, seed=j); bands of 4
     hashed together; docs sharing any band bucket become candidates, then get
@@ -185,7 +249,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     second explode + groupBy(band_hash). Cost is O(total shingles · k) map
     work and two digest-keyed shuffles — linear, no all-pairs stage.
     """
-    d = spread(load_table(spark, sf_dir, "documents"))
+    d = spread(with_doc_twins(load_table(spark, sf_dir, "documents")))
     # materialize shingle sets once — three consumers (signatures, both sides
     # of the verification join) would otherwise recompute the tokenize+
     # shingle lineage end-to-end. At cluster scale this is a persisted
@@ -378,47 +442,68 @@ def _simhash64(texts: pd.Series) -> pd.Series:
     return texts.map(sim)
 
 
-@query("dedup_simhash", oracle=None)  # hash-function-specific → rows-only + pytest
+SIMHASH_BLOCKS = 8  # 8 blocks × 8 bits: pigeonhole-complete for hamming ≤ 7
+SIMHASH_MAX_HAMMING = 8
+
+
+@query("dedup_simhash", oracle=_TWIN_PAIR_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: 64-bit signatures, then pairs within
-    Hamming distance ≤ 8 found by 4-block bucketing (a pair within distance
-    8 over 4 blocks must agree exactly on ≥... pigeonhole: distance ≤ 8 can
-    still differ in every 16-bit block, so block-bucketing here is a recall
-    heuristic tuned for the observed near-dup distance; the exact filter is
-    the popcount predicate after candidate generation)."""
-    d = spread(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", _simhash64(F.col("text")).alias("sig")
-    )
-    blocks = d.select(
+    """SimHash near-dup pairs over the twin-augmented corpus, checked
+    against the exact ngram-Jaccard oracle.
+
+    Pipeline (the Manku et al. multi-table shape): 64-bit signatures → 8
+    tables keyed on one 8-bit block each (a pair within Hamming distance 7
+    MUST agree exactly on some block — pigeonhole-complete candidate
+    generation) → cheap JVM-side popcount filter (bit_count over the XOR,
+    ≤ SIMHASH_MAX_HAMMING) → exact-Jaccard verification of survivors only.
+
+    Scale notes: signature bits are correlated across documents (shared
+    common tokens), so 8-bit buckets grow superlinearly — the pair expansion
+    is therefore a bucket-keyed JOIN (AQE skew-split can parallelize a hot
+    bucket), never a per-bucket collected array; the popcount predicate runs
+    inside the join before anything wide is materialized. At larger corpora
+    widen the blocks (more tables × more bits) to keep buckets sparse —
+    block width trades table count against bucket occupancy, the standard
+    simhash-index dial."""
+    d = spread(with_doc_twins(load_table(spark, sf_dir, "documents")))
+    shingle_sets = d.select("doc_id", _shingles().alias("sh")).localCheckpoint()
+    sigs = d.select("doc_id", _simhash64(F.col("text")).alias("sig"))
+    block_width = 64 // SIMHASH_BLOCKS
+    mask = (1 << block_width) - 1
+    blocks = sigs.select(
         "doc_id",
         "sig",
-        F.posexplode(
+        F.explode(
             F.array(
                 *[
                     F.concat(
                         F.lit(f"{blk}:"),
                         F.conv(
-                            F.shiftrightunsigned(F.col("sig"), blk * 16).bitwiseAND(F.lit(0xFFFF)),
+                            F.shiftrightunsigned(F.col("sig"), blk * block_width)
+                            .bitwiseAND(F.lit(mask)),
                             10,
                             16,
                         ),
                     )
-                    for blk in range(4)
+                    for blk in range(SIMHASH_BLOCKS)
                 ]
             )
-        ).alias("blk_idx", "bucket"),
+        ).alias("bucket"),
     )
     a = blocks.alias("a")
     b = blocks.alias("b")
     hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (hamming <= SIMHASH_MAX_HAMMING),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
         )
         .distinct()
-        .where(F.col("hamming") <= 8)
-        .orderBy("doc_a", "doc_b")
     )
+    return verify_jaccard(candidates, shingle_sets, threshold=0.3)

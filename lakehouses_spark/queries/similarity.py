@@ -86,6 +86,25 @@ def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# All-pairs guard (VERDICT r2 "weak" item): the exact baselines below are
+# O(n²) by design — correct at validation scale, a scale-killer beyond it.
+# Rather than silently launching a quadratic join on a big corpus, refuse
+# loudly and point at the linear/blocked paths.
+ALL_PAIRS_MAX_VECTORS = 50_000  # ≈1.25e9 pair evaluations — the sanity line
+
+
+def _guard_all_pairs(df: DataFrame, cap: int = ALL_PAIRS_MAX_VECTORS) -> DataFrame:
+    n = df.count()
+    if n > cap:
+        raise ValueError(
+            f"all-pairs cosine over {n} vectors is O(n²) — refusing above "
+            f"{cap}. Use sim_ann_lsh / sim_ann_ivf (bucketed, linear) for "
+            f"near-dup thresholds, or sim_pairs_blocked (blocked matmul, "
+            f"n²/B shuffle rows + BLAS inner loop) for moderate thresholds."
+        )
+    return df
+
+
 @query(
     "sim_pairs_threshold",
     oracle="""
@@ -104,8 +123,11 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     true near-dups in the testdata), so the query is non-vacuous while
     staying selective. Correctness baseline is the all-pairs join; the ANN
     variants below are the linear-cost paths for genuine near-dup regimes
-    (cos ≳ 0.9), where locality hashing actually buckets pairs together."""
-    emb = _emb_unit(load_table(spark, sf_dir, "embeddings")).select("vec_id", "unit")
+    (cos ≳ 0.9), where locality hashing actually buckets pairs together.
+    Guarded: refuses corpora above ALL_PAIRS_MAX_VECTORS."""
+    emb = _guard_all_pairs(
+        _emb_unit(load_table(spark, sf_dir, "embeddings"))
+    ).select("vec_id", "unit")
     a = spread(emb).alias("a")
     b = emb.alias("b")
     sim = dot(F.col("a.unit"), F.col("b.unit"))
@@ -121,10 +143,12 @@ def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def brute_force_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+def brute_force_pairs(emb: DataFrame, threshold: float,
+                      max_vectors: int = ALL_PAIRS_MAX_VECTORS) -> DataFrame:
     """All-pairs cosine ≥ threshold over (vec_id, embedding) — the exact
-    baseline the ANN variants are measured against."""
-    u = _emb_unit(emb).select("vec_id", "unit")
+    baseline the ANN variants are measured against. Guarded: refuses
+    corpora above `max_vectors` (use the ANN or blocked paths instead)."""
+    u = _guard_all_pairs(_emb_unit(emb), cap=max_vectors).select("vec_id", "unit")
     a = spread(u).alias("a")
     b = u.alias("b")
     sim = dot(F.col("a.unit"), F.col("b.unit"))
@@ -381,3 +405,101 @@ def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.col("dim_idx").cast("int").alias("dim_idx"), "centroid")
         .orderBy("label", "dim_idx")
     )
+
+
+# --- blocked all-pairs matmul: the moderate-threshold scale path ----------- #
+#
+# LSH/IVF only bucket genuinely-near pairs (cos ≳ 0.9); a moderate threshold
+# (0.3–0.8) has no locality to exploit, so SOME form of all-pairs work is
+# inherent. The blocked design makes it tractable: group vectors into blocks
+# of B, join block PAIRS (n²/B² block-pair rows instead of n² vector-pair
+# rows — shuffle volume n²/B row-payloads), and compute each block-pair's
+# B×B similarity tile as ONE numpy/BLAS matmul inside an Arrow-batched
+# mapInPandas. Per-pair cost drops from an interpreted zip_with fold to a
+# fused SIMD multiply — measured α in SCALING.md.
+
+BLOCK_SIZE = 1024
+
+
+def sim_pairs_blocked(emb: DataFrame, threshold: float,
+                      block_size: int = BLOCK_SIZE) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via blocked matmul (X2 boundary:
+    per-tile BLAS is the one part builtins can't express)."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    u = _emb_unit(emb).select("vec_id", "unit")
+    n = u.count()
+    n_blocks = max(1, -(-n // block_size))
+    # deterministic balanced blocking independent of vec_id density
+    blocked = u.select(
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).alias("blk"),
+        F.struct("vec_id", "unit").alias("row"),
+    )
+    per_block = blocked.groupBy("blk").agg(F.collect_list("row").alias("rows"))
+    a = per_block.alias("a")
+    b = per_block.alias("b")
+    tiles = a.join(b, F.col("a.blk") <= F.col("b.blk")).select(
+        F.col("a.blk").alias("blk_a"), F.col("a.rows").alias("rows_a"),
+        F.col("b.blk").alias("blk_b"), F.col("b.rows").alias("rows_b"),
+    )
+
+    out_schema = StructType([
+        StructField("vec_a", LongType()),
+        StructField("vec_b", LongType()),
+        StructField("cos_sim", DoubleType()),
+    ])
+
+    def tile_pairs(batches):
+        import numpy as np
+
+        for pdf in batches:
+            outs = []
+            for _, r in pdf.iterrows():
+                ids_a = np.array([x["vec_id"] for x in r.rows_a], dtype=np.int64)
+                X = np.array([x["unit"] for x in r.rows_a], dtype=np.float64)
+                if r.blk_a == r.blk_b:
+                    ids_b, Y = ids_a, X
+                else:
+                    ids_b = np.array([x["vec_id"] for x in r.rows_b], dtype=np.int64)
+                    Y = np.array([x["unit"] for x in r.rows_b], dtype=np.float64)
+                sims = X @ Y.T  # unit vectors: dot == cosine
+                ii, jj = np.nonzero(sims >= threshold)
+                if ii.size == 0:
+                    continue
+                va, vb, s = ids_a[ii], ids_b[jj], sims[ii, jj]
+                keep = va != vb
+                va, vb, s = va[keep], vb[keep], s[keep]
+                lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+                outs.append(pd.DataFrame(
+                    {"vec_a": lo, "vec_b": hi, "cos_sim": s}
+                ))
+            if outs:
+                yield pd.concat(outs)
+
+    return (
+        tiles.mapInPandas(tile_pairs, schema=out_schema)
+        .groupBy("vec_a", "vec_b")  # same-block tiles emit both (i,j),(j,i)
+        .agg(F.round(F.max("cos_sim"), 6).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query(
+    "sim_pairs_blocked",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+)
+def sim_pairs_blocked_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-matmul exact pairs at the moderate threshold (0.4) — same
+    oracle as sim_pairs_threshold, different physical strategy (tiled BLAS
+    vs quadratic theta-join)."""
+    return sim_pairs_blocked(load_table(spark, sf_dir, "embeddings"), 0.4)

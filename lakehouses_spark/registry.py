@@ -53,26 +53,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # emitted FIRST, so the hard signal lands on them; everything already
 # driver-verified in round 1 follows in registration order.
 _SWEEP_PRIORITY = [
-    # windows (judge-oracled r1, never driver-checked)
-    "window_topk_per_group", "window_running_sum", "window_lag_delta",
-    "window_rank_dense", "window_lead_ntile", "window_dedup_keep_latest",
-    # timeseries
-    "ts_asof_join", "ts_range_join", "ts_tumbling_window", "ts_sliding_window",
-    "ts_sessionize", "ts_daily_rollup", "ts_retention_cohorts", "ts_funnel",
-    # text
-    "text_token_stats", "text_quality_score", "text_langid",
-    "text_bpe_token_count", "text_fingerprint", "text_bigram_topk",
-    # scalar tails without r1 rows
-    "fn_cast_family", "fn_math_conditional", "fn_map_family", "fn_struct_expand",
-    # similarity (3 judge-oracled + 2 newly oracle-upgraded ANN paths)
-    "sim_knn_cosine", "sim_pairs_threshold", "sim_centroids",
-    "sim_ann_lsh", "sim_ann_ivf",
-    # new in round 2
-    "pivot_status_by_priority", "unpivot_measures", "lateral_tokens_posexplode",
-    "curation_keeplist", "streaming_stateful_totals", "multimodal_image_pipeline",
-    "avro_file_roundtrip",
-    # upgraded rows-only → oracle in round 2
-    "dedup_clusters", "lake_dml_roundtrip", "streaming_windowed_drain",
+    # round-3 rotation: queries UPGRADED to a real oracle this round first
+    # (rows-only → twin-injection hash checks), then brand-new queries, then
+    # the 36 queries whose latest driver row is round 1 (CORRECTNESS_r01 ∖
+    # r02) — so no query's most recent driver verification is ever more than
+    # two rounds old. Everything already driver-verified in round 2 follows
+    # in registration order and fills the rest of the 50-entry budget.
+    "dedup_minhash_lsh", "dedup_simhash",           # upgraded (twin oracles)
+    "sim_pairs_blocked", "multimodal_manifest_probe",  # new in round 3
+    # the 34 remaining r1-only queries
+    "agg_count_by_key", "agg_sum_all_numeric", "agg_global_scalars",
+    "agg_having_topk", "agg_rollup", "agg_cube", "agg_grouping_sets",
+    "agg_percentiles", "agg_approx_distinct",
+    "dedup_exact", "dedup_ngram_jaccard",
+    "join_anti", "join_broadcast_dims", "join_count_distribution",
+    "subquery_scalar", "subquery_exists", "subquery_exists_not_exists",
+    "subquery_in_having", "subquery_not_exists_avg", "subquery_correlated_min",
+    "project_rename_derive", "distinct_projection", "filter_between_in",
+    "sort_limit_topk", "set_intersect", "set_except", "union_by_name",
+    "window_zscore", "udaf_weighted_avg", "udtf_tokenize",
+    "sql_over_path", "gold_als_recommendations", "multimodal_metadata",
+    "random_split_sample",
 ]
 
 

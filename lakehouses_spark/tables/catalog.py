@@ -83,12 +83,18 @@ class LakeCatalog:
         return LakeTable(self.spark, p)
 
     def drop_table(self, name: str) -> None:
-        p = self.table_path(name)
-        if p.exists():
-            shutil.rmtree(p)
+        """DROP TABLE. External tables (a `.location` pointer exists) drop
+        only the catalog pointer — the data at the user's LOCATION survives,
+        matching Delta/Spark external-table semantics. Managed tables
+        (data lives in the warehouse slot) are deleted."""
         db, _, tbl = name.rpartition(".")
         ptr = self.warehouse / (db or "default") / f"{tbl}.location"
-        ptr.unlink(missing_ok=True)
+        if ptr.exists():
+            ptr.unlink()
+            return
+        slot = self.warehouse / (db or "default") / tbl
+        if slot.exists():
+            shutil.rmtree(slot)
 
     def tables(self, database: str = "default") -> list[str]:
         d = self.warehouse / database

@@ -304,6 +304,8 @@ class LakeSQL:
                 )
             return None
         table, t_alias, source, s_alias, on, clauses = m.groups()
+        if t_alias == s_alias:
+            raise LakeSQLError(f"MERGE target and source share alias {t_alias!r}")
         if source.startswith("("):
             src_df = self._select(source[1:-1].strip())
             if src_df is None:
@@ -311,10 +313,14 @@ class LakeSQL:
         else:
             src_df = self.spark.table(source)
         # LakeTable.merge's expression namespace is t (target) / s (source);
-        # rewrite the statement's aliases onto it
+        # rewrite the statement's aliases onto it. Single-pass alternation so a
+        # user alias that is literally "t" or "s" can't be rewritten twice
+        # (e.g. MERGE INTO tgt AS m USING v AS t: sequential subs would turn
+        # m.id -> t.id and then t.id -> s.id).
         def realias(expr: str) -> str:
-            expr = re.sub(rf"\b{re.escape(t_alias)}\.", "t.", expr)
-            return re.sub(rf"\b{re.escape(s_alias)}\.", "s.", expr)
+            repl = {t_alias: "t.", s_alias: "s."}
+            pat = rf"\b({re.escape(t_alias)}|{re.escape(s_alias)})\."
+            return re.sub(pat, lambda mm: repl[mm.group(1)], expr)
 
         on = realias(on)
         matched_update = "all" if _m(rf".*WHEN{_WS}MATCHED{_WS}THEN{_WS}UPDATE{_WS}SET{_WS}\*", clauses) else None

@@ -278,11 +278,22 @@ class LakeTable:
         reference inspects at 03.iceberg_primer.py:322-402): one row per
         commit with the operation, per-commit file/record deltas, and the
         cumulative totals of the snapshot it produced. Single incremental
-        walk over surviving commit files — no per-version replay."""
+        walk over surviving commit files — no per-version replay. When
+        cleanup_log has truncated commits below a checkpoint, the walk is
+        seeded from that checkpoint's files map (mirroring replay()) so the
+        cumulative totals of every kept version still count files added
+        before the truncation horizon."""
         files: dict[str, int] = {}  # rel -> num_records
         sizes: dict[str, int] = {}
         rows = []
-        for v in txlog.list_versions(self.path):
+        versions = txlog.list_versions(self.path)
+        if versions and versions[0] > 0:
+            ckpt = txlog._latest_checkpoint(self.path, versions[0])
+            if ckpt:
+                for rel, a in ckpt["files"].items():
+                    files[rel] = a.get("num_records") or 0
+                    sizes[rel] = a.get("size_bytes") or 0
+        for v in versions:
             c = txlog.read_commit(self.path, v)
             added = c.get("add") or []
             removed = c.get("remove") or []

@@ -46,6 +46,33 @@ def test_sql_dml_sequence(spark, lake):
     }
 
 
+def test_sql_merge_source_aliased_t(spark, lake):
+    """ADVICE r2: a source alias that is literally 't' must not be clobbered
+    by the target-alias rewrite (m.id -> t.id -> s.id would degenerate the ON
+    condition into s.id = s.id and merge the wrong rows)."""
+    spark.createDataFrame(
+        [(3, "eva maria", 51000.0), (6, "iris", 45000.0)],
+        "id int, name string, salario double",
+    ).createOrReplaceTempView("updates_t")
+    lake.sql(
+        """MERGE INTO bronze.emp AS m USING updates_t AS t ON m.id = t.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *"""
+    )
+    got = {
+        r.id: (r.name, round(r.salario, 2))
+        for r in lake.sql("SELECT * FROM bronze.emp").collect()
+    }
+    assert got == {
+        1: ("ana", 30000.0),
+        2: ("luis", 40000.0),
+        3: ("eva maria", 51000.0),
+        6: ("iris", 45000.0),
+    }
+    with pytest.raises(LakeSQLError, match="share alias"):
+        lake.sql("MERGE INTO bronze.emp AS x USING updates_t AS x ON x.id = x.id")
+
+
 def test_sql_time_travel_and_describe(spark, lake):
     lake.sql("DELETE FROM bronze.emp WHERE id = 1")
     n_now = lake.sql("SELECT count(*) AS n FROM bronze.emp").collect()[0].n

@@ -279,6 +279,28 @@ def test_checkpoint_replay(spark, tmp_path, people):
     assert t.read(version=5).count() == 3 + 5  # pre-checkpoint time travel intact
 
 
+def test_drop_external_table_keeps_data(spark, tmp_path, people):
+    """ADVICE r2: DROP TABLE on an external table (CREATE ... LOCATION) must
+    remove only the catalog pointer — the user's data directory survives,
+    matching Delta/Spark external-table semantics."""
+    cat = LakeCatalog(spark, tmp_path / "wh")
+    cat.create_database("bronze")
+    ext = tmp_path / "external" / "people_data"
+    cat.create_table("bronze.ext_people", people, location=ext)
+    assert cat.tables("bronze") == ["ext_people"]
+    cat.drop_table("bronze.ext_people")
+    assert cat.tables("bronze") == []
+    # external data untouched and still a readable lake table
+    assert (ext / "_tx_log").is_dir()
+    assert LakeTable(spark, ext).read().count() == 3
+    # managed tables are still physically deleted
+    cat.create_table("bronze.managed", people)
+    slot = tmp_path / "wh" / "bronze" / "managed"
+    assert slot.is_dir()
+    cat.drop_table("bronze.managed")
+    assert not slot.exists()
+
+
 def test_catalog_ddl_and_sql(spark, tmp_path, people):
     cat = LakeCatalog(spark, tmp_path / "wh")
     cat.create_database("bronze")

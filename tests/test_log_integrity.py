@@ -45,6 +45,29 @@ def test_timestamp_read_after_log_cleanup(spark, tmp_path, people):
         t.read(timestamp_ms=1)
 
 
+def test_snapshots_totals_survive_log_cleanup(spark, tmp_path, people):
+    """ADVICE r2: after cleanup_log truncates commits below the checkpoint,
+    snapshots() must seed its cumulative walk from the checkpoint — kept
+    versions' total_files/total_records must still count files added before
+    the truncation horizon."""
+    t = _grown(spark, tmp_path, people)
+    before = {
+        r.version: (r.total_files, r.total_records, r.total_bytes)
+        for r in t.snapshots().collect()
+    }
+    assert t.cleanup_log(keep_versions=4)
+    after = {
+        r.version: (r.total_files, r.total_records, r.total_bytes)
+        for r in t.snapshots().collect()
+    }
+    assert after  # kept versions still listed
+    for v, totals in after.items():
+        assert totals == before[v], f"v{v} totals drifted after cleanup"
+    # the newest version's totals agree with the live snapshot
+    top = max(after)
+    assert after[top][1] == t.read().count()
+
+
 def test_replay_raises_on_missing_commit_gap(spark, tmp_path, people):
     """A commit file deleted out-of-band must fail replay loudly, never
     silently reconstruct a partial table."""

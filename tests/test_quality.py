@@ -99,18 +99,35 @@ def test_ann_queries_find_exactly_injected_twins(spark):
         assert got == expected, f"{name}: {got ^ expected}"
 
 
-def test_simhash_near_dup_candidates(spark):
-    """Docs flagged by simhash hamming<=8 should overlap with real near-dups;
-    identical docs must collide exactly."""
-    df = REGISTRY["dedup_simhash"].fn(spark, SF)
-    rows = df.collect()
-    assert all(r.hamming <= 8 for r in rows)
-    # cross-check: the top exact-jaccard pair should be in hamming range
-    exact = REGISTRY["dedup_ngram_jaccard"].fn(spark, SF).orderBy(F.desc("jaccard")).limit(1).collect()
-    if exact:
-        top = (exact[0].doc_a, exact[0].doc_b)
-        pairs = {(r.doc_a, r.doc_b) for r in rows}
-        assert top in pairs, f"top jaccard pair {top} not captured by simhash"
+def test_simhash_full_recall_vs_exact_jaccard(spark):
+    """The upgraded simhash pipeline (8×8-bit block tables → popcount filter
+    → exact verify) must recover EVERY exact ngram-Jaccard pair on the
+    twin-augmented corpus and invent none — the same contract its DuckDB
+    oracle enforces, pinned here with a readable diff."""
+    from lakehouses_spark.io import load_table, spread
+    from lakehouses_spark.queries.dedup import (
+        _shingles,
+        ngram_candidate_pairs,
+        verify_jaccard,
+        with_doc_twins,
+    )
+
+    d = spread(with_doc_twins(load_table(spark, SF, "documents")))
+    sets = d.select("doc_id", _shingles().alias("sh")).localCheckpoint()
+    no_cut = ngram_candidate_pairs(sets, stop_frac=2.0, min_df=10**9)
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in verify_jaccard(no_cut, sets, 0.3).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["dedup_simhash"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(exact), f"simhash diff: {set(got) ^ set(exact)}"
+    # twins must be present (the injected recall probes)
+    from lakehouses_spark.queries.dedup import DOC_TWIN_ID_OFFSET
+
+    assert any(b >= DOC_TWIN_ID_OFFSET for _, b in got)
 
 
 def test_medallion_udf_builtin_parity(spark):
@@ -276,6 +293,65 @@ def test_stop_shingle_cut_preserves_recall(spark):
     assert {(i, 1000 + i) for i in range(5)} <= set(exp)
     assert {(r.doc_a, r.doc_b): r.jaccard for r in got.collect()} == exp, \
         "stop-shingle cut must not lose any true near-dup pair"
+
+
+def test_all_pairs_guard_refuses_large_corpus(spark):
+    """VERDICT r2 weak item: the exact all-pairs baselines must refuse a
+    corpus beyond ALL_PAIRS_MAX_VECTORS and point at the scale paths."""
+    from lakehouses_spark.queries.similarity import (
+        ALL_PAIRS_MAX_VECTORS,
+        brute_force_pairs,
+    )
+
+    big = spark.range(ALL_PAIRS_MAX_VECTORS + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="refusing"):
+        brute_force_pairs(big, 0.9)
+    # and the blocked path handles the same corpus without the guard
+    from lakehouses_spark.queries.similarity import sim_pairs_blocked
+
+    small = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.rand(seed=7)).alias("embedding"),
+    )
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in brute_force_pairs(small, 0.95).collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in sim_pairs_blocked(small, 0.95, block_size=16).collect()
+    }
+    assert set(got) == set(exact)
+    for p, s in got.items():
+        assert abs(s - exact[p]) < 1e-9
+
+
+def test_stop_shingle_cut_lossless_on_oracle_corpus(spark):
+    """Corpus-property pin (ADVICE r2): the dedup_ngram_jaccard ORACLE has no
+    stop-shingle cut, so the engine-with-cut only hash-matches it while no
+    qualifying pair on the sweep corpus relies solely on stop shingles.
+    Assert that property explicitly on the actual sf0.01 documents table so
+    corpus drift is caught here, not as an opaque oracle mismatch."""
+    from lakehouses_spark.io import load_table, spread
+    from lakehouses_spark.queries.dedup import (
+        _shingles,
+        ngram_candidate_pairs,
+        verify_jaccard,
+    )
+
+    d = spread(load_table(spark, SF, "documents"))
+    sets = d.select("doc_id", _shingles().alias("sh")).localCheckpoint()
+    no_cut = ngram_candidate_pairs(sets, stop_frac=2.0, min_df=10**9)
+    cut = ngram_candidate_pairs(sets)
+    exact = {(r.doc_a, r.doc_b) for r in verify_jaccard(no_cut, sets, 0.3).collect()}
+    got = {(r.doc_a, r.doc_b) for r in verify_jaccard(cut, sets, 0.3).collect()}
+    assert got == exact, (
+        f"stop-shingle cut dropped qualifying pairs on the oracle corpus: "
+        f"{sorted(exact - got)[:10]}"
+    )
 
 
 def test_multimodal_image_pipeline_deterministic(spark):
