@@ -15,6 +15,15 @@ Two timed passes per query:
 The headline `value` is the cold total (the honest number); round-1's
 12.967 s anchor was a warm measurement and is compared against `warm_total`
 (see BASELINE.md).
+
+Contamination evidence (VERDICT r2: the driver's r2 artifact was polluted by
+concurrent load — its warm q1 exceeded its own cold q1, which is physically
+impossible on a quiet machine): the JSON now embeds `loadavg_start`/
+`loadavg_end` (1/5/15-min) and per-pass wall-clock. A query whose warm time
+exceeds its cold time is retried once (interference, not physics); if the
+inversion persists, `warm_gt_cold` lists it so the artifact self-reports its
+own invalidity. Interpret any run with loadavg_start[0] >> cpu count or a
+non-empty warm_gt_cold as contaminated — see BASELINE.md.
 """
 
 from __future__ import annotations
@@ -59,16 +68,20 @@ def main() -> None:
     from lakehouses_spark.io import TABLES, load_table
 
     names = [n for n in HEADLINE if n in registry]
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    wall_start = time.time()
 
     # warm JVM + codegen once, outside any timed region
     registry["q1_pricing_summary"].fn(spark, sf_dir).collect()
 
     cold: dict[str, float] = {}
+    cold_t0 = time.perf_counter()
     for name in names:
         spark.catalog.clearCache()  # force the parquet scan path
         t0 = time.perf_counter()
         registry[name].fn(spark, sf_dir).collect()
         cold[name] = round(time.perf_counter() - t0, 3)
+    cold_wall = round(time.perf_counter() - cold_t0, 3)
 
     # warm pass: inputs pinned in memory (Spark's cache is keyed on the
     # analyzed plan, so each query's fresh load_table() scan resolves to
@@ -76,10 +89,24 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).cache().count()
     warm: dict[str, float] = {}
+    warm_t0 = time.perf_counter()
     for name in names:
         t0 = time.perf_counter()
         registry[name].fn(spark, sf_dir).collect()
         warm[name] = round(time.perf_counter() - t0, 3)
+    warm_wall = round(time.perf_counter() - warm_t0, 3)
+
+    # warm > cold on the same query is physically impossible on a quiet
+    # machine (warm removes IO) — retry once; a persistent inversion means
+    # external load and is reported rather than hidden.
+    retried: list[str] = []
+    for name in names:
+        if warm[name] > cold[name]:
+            t0 = time.perf_counter()
+            registry[name].fn(spark, sf_dir).collect()
+            warm[name] = min(warm[name], round(time.perf_counter() - t0, 3))
+            retried.append(name)
+    warm_gt_cold = [n for n in names if warm[n] > cold[n]]
 
     cold_total = round(sum(cold.values()), 3)
     warm_total = round(sum(warm.values()), 3)
@@ -96,6 +123,14 @@ def main() -> None:
                 "r1_warm_total": R1_WARM_TOTAL,
                 "warm_vs_r1": round(warm_total / R1_WARM_TOTAL, 3),
                 "sf": sf,
+                "loadavg_start": loadavg_start,
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "cpus": os.cpu_count(),
+                "cold_pass_wall_s": cold_wall,
+                "warm_pass_wall_s": warm_wall,
+                "total_wall_s": round(time.time() - wall_start, 3),
+                "warm_retried": retried,
+                "warm_gt_cold": warm_gt_cold,
             }
         )
     )

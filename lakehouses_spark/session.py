@@ -32,12 +32,22 @@ def get_spark(
     shuffle_partitions: int | None = None,
     driver_memory: str | None = None,
     warehouse_dir: str | None = None,
+    hive_metastore_dir: str | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the configured SparkSession.
 
     ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (the bench harness contract),
     else all local cores.
+
+    ``hive_metastore_dir`` switches the session catalog to a PERSISTENT
+    Derby-backed Hive metastore rooted at that directory (the reference's
+    hive_metastore contract, 02…/03.ingesta_incremental_v2 [json].py:221-228):
+    catalog views published via ``LakeCatalog.publish`` then resolve by
+    3-level name in plain ``spark.sql`` from any later session pointed at the
+    same directory. Caveats: ``spark.sql.catalogImplementation`` is a static
+    conf — this must be the FIRST session built in the process — and Derby
+    allows one live session per metastore directory.
     """
     # Python workers (pandas UDF / mapInPandas) unpickle engine functions by
     # module reference — make the package importable in workers regardless of
@@ -78,6 +88,17 @@ def get_spark(
     )
     if warehouse_dir:
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    if hive_metastore_dir:
+        ms = Path(hive_metastore_dir)
+        ms.mkdir(parents=True, exist_ok=True)
+        builder = (
+            builder.config("spark.sql.catalogImplementation", "hive")
+            .config("spark.sql.warehouse.dir", warehouse_dir or str(ms / "warehouse"))
+            .config(
+                "spark.hadoop.javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={ms / 'metastore_db'};create=true",
+            )
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

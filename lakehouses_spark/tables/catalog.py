@@ -27,6 +27,7 @@ class LakeCatalog:
         self.spark = spark
         self.warehouse = Path(warehouse_dir)
         self.warehouse.mkdir(parents=True, exist_ok=True)
+        self._published: set[str] = set()  # names with a live catalog view
 
     # --- databases ---------------------------------------------------- #
     def create_database(self, name: str, if_not_exists: bool = True) -> None:
@@ -88,6 +89,10 @@ class LakeCatalog:
         matching Delta/Spark external-table semantics. Managed tables
         (data lives in the warehouse slot) are deleted."""
         db, _, tbl = name.rpartition(".")
+        key = f"{db or 'default'}.{tbl}"
+        if key in self._published:
+            self.spark.sql(f"DROP VIEW IF EXISTS `{db or 'default'}`.`{tbl}`")
+            self._published.discard(key)
         ptr = self.warehouse / (db or "default") / f"{tbl}.location"
         if ptr.exists():
             ptr.unlink()
@@ -113,3 +118,93 @@ class LakeCatalog:
         self.table(name).read(version=version, timestamp_ms=timestamp_ms) \
             .createOrReplaceTempView(view)
         return view
+
+    # --- session-catalog publication ----------------------------------- #
+    # The reference resolves 3-level names through the Hive metastore
+    # (02…/03.ingesta_incremental_v2 [json].py:202,221-228:
+    # spark.sql("SELECT … FROM bronze.retail_sales_orders") with no view
+    # setup). publish() reproduces that: the table becomes a catalog VIEW
+    # over its CURRENT snapshot — plain-SQL self-contained (a glob scan of
+    # the table's data dir pinned to the live file set via
+    # _metadata.file_path, with column mapping and merge-on-read tombstones
+    # expressed inline), so with a persistent metastore
+    # (session.get_spark(hive_metastore_dir=…), Derby-backed) it resolves in
+    # a FRESH session with no attach step at all. LakeSQL republishes after
+    # DML so the view always reflects the latest committed snapshot.
+
+    def publish(self, name: str) -> str:
+        t = self.table(name)
+        st = t.state()
+        db, _, tbl = name.rpartition(".")
+        db = db or "default"
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+        self.spark.sql(
+            f"CREATE OR REPLACE VIEW `{db}`.`{tbl}` AS {self._snapshot_sql(t, st)}"
+        )
+        self._published.add(f"{db}.{tbl}")
+        return f"{db}.{tbl}"
+
+    def publish_all(self) -> dict[str, str]:
+        """Publish every table in the warehouse; returns {name: status}
+        ('ok' or the error message — one unexpressible table must not block
+        the rest)."""
+        out: dict[str, str] = {}
+        for db in self.databases():
+            for tbl in self.tables(db):
+                name = f"{db}.{tbl}"
+                try:
+                    self.publish(name)
+                    out[name] = "ok"
+                except Exception as ex:  # noqa: BLE001 — report, don't block
+                    out[name] = f"{type(ex).__name__}: {ex}"
+        return out
+
+    def republish_if_published(self, name: str) -> None:
+        """Refresh the catalog view after DML (no-op for unpublished tables)."""
+        db, _, tbl = name.rpartition(".")
+        if f"{db or 'default'}.{tbl}" in self._published:
+            self.publish(name)
+
+    def _snapshot_sql(self, t: LakeTable, st) -> str:
+        """The table's current snapshot as one self-contained SQL statement
+        (mirrors LakeTable._snapshot: pinned live files, logical column
+        mapping, per-file-group tombstone filters)."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(_json.loads(st.schema_json))
+        if not st.files:
+            cols = ", ".join(
+                f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+                for f in schema.fields
+            )
+            return f"SELECT {cols} WHERE 1 = 0"
+        proj = ", ".join(
+            f"`{st.column_mapping.get(f.name, f.name)}` AS `{f.name}`"
+            if st.column_mapping
+            else f"`{f.name}`"
+            for f in schema.fields
+        )
+        glob = f"{t.path}/data/*/*.parquet"
+        # group live files by their applicable tombstone set (a tombstone
+        # only filters files that existed when it was committed) — same
+        # grouping as LakeTable._snapshot
+        groups: dict[tuple[str, ...], list[str]] = {}
+        for rel, a in sorted(st.files.items()):
+            preds = tuple(
+                tb["predicate"]
+                for tb in st.tombstones
+                if a.get("__v", 0) < tb["version"]
+            )
+            groups.setdefault(preds, []).append(f"file:{t.path / rel}")
+        parts = []
+        for preds, paths in groups.items():
+            in_list = ", ".join(f"'{p}'" for p in paths)
+            where = [f"_metadata.file_path IN ({in_list})"]
+            where += [f"NOT ({p})" for p in preds]
+            parts.append(
+                f"SELECT {proj} FROM parquet.`{glob}` WHERE "
+                + " AND ".join(where)
+            )
+        return " UNION ALL ".join(parts)

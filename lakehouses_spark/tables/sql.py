@@ -70,25 +70,36 @@ class LakeSQL:
         self.catalog = catalog
         self.spark: SparkSession = catalog.spark
         self.current_db = "default"
+        self._touched: set[str] = set()  # tables resolved by the current stmt
 
     def sql(self, statement: str) -> DataFrame:
         """Run one or more `;`-separated statements; returns the last
         statement's result (the reference's %sql cell behavior)."""
         out: DataFrame | None = None
-        for s in _split_statements(statement):
+        for s in _split_statements(_strip_comments(statement)):
             out = self._one(s)
         if out is None:
             raise LakeSQLError("empty statement")
         return out
 
     def _one(self, s: str) -> DataFrame:
+        mutators = {
+            self._ddl, self._alter, self._insert, self._delete,
+            self._update, self._merge, self._optimize, self._restore,
+        }
         for handler in (
             self._use, self._ddl, self._alter, self._insert, self._delete,
             self._update, self._merge, self._describe, self._vacuum,
             self._optimize, self._restore, self._select,
         ):
+            self._touched: set[str] = set()
             out = handler(s)
             if out is not None:
+                if handler in mutators:
+                    # keep published catalog views in sync with the new
+                    # snapshot (no-op for unpublished tables)
+                    for name in self._touched:
+                        self.catalog.republish_if_published(name)
                 return out
         raise LakeSQLError(
             f"unsupported statement (see lakehouses_spark.tables.sql grammar): {s[:80]}"
@@ -104,7 +115,9 @@ class LakeSQL:
         return ".".join(parts[-2:])
 
     def _table(self, name: str):
-        return self.catalog.table(self._qualify(name))
+        q = self._qualify(name)
+        self._touched.add(q)
+        return self.catalog.table(q)
 
     def _use(self, s: str) -> DataFrame | None:
         m = _m(rf"USE{_WS}({_ID})$", s)
@@ -272,10 +285,14 @@ class LakeSQL:
         return self._result(**res)
 
     def _update(self, s: str) -> DataFrame | None:
-        m = _m(rf"UPDATE{_WS}({_ID}){_WS}SET{_WS}(.+?)(?:{_WS}WHERE{_WS}(.+))?$", s)
+        m = _m(rf"UPDATE{_WS}({_ID}){_WS}SET{_WS}(.+)$", s)
         if not m:
             return None
-        table, set_clause, where = m.group(1), m.group(2), m.group(3) or "true"
+        # split SET/WHERE quote-aware: a literal like 'x WHERE y' in the SET
+        # clause must not be taken for the real WHERE keyword
+        table = m.group(1)
+        set_clause, where = _split_on_keyword(m.group(2), "WHERE")
+        where = where or "true"
         sets: dict[str, str] = {}
         for part in _split_top_level(set_clause):
             col, _, expr = part.partition("=")
@@ -292,8 +309,7 @@ class LakeSQL:
         # source is a view name or a parenthesized subquery
         m = _m(
             rf"MERGE{_WS}INTO{_WS}({_ID})(?:{_WS}AS)?{_WS}(\w+){_WS}"
-            rf"USING{_WS}(\((?:.+)\)|{_ID})(?:{_WS}AS)?{_WS}(\w+){_WS}ON{_WS}(.+?)"
-            rf"((?:{_WS}WHEN{_WS}.+)?)$",
+            rf"USING{_WS}(\((?:.+)\)|{_ID})(?:{_WS}AS)?{_WS}(\w+){_WS}ON{_WS}(.+)$",
             s,
         )
         if not m:
@@ -303,7 +319,11 @@ class LakeSQL:
                     "<view | (subquery)> [AS] <sa> ON <cond> [WHEN ...]"
                 )
             return None
-        table, t_alias, source, s_alias, on, clauses = m.groups()
+        table, t_alias, source, s_alias, tail = m.groups()
+        # ON condition ends at the first top-level WHEN (quote-aware — a
+        # quoted 'WHEN' inside the condition is data, not a clause)
+        on, when_tail = _split_on_keyword(tail, "WHEN")
+        clauses = f" WHEN {when_tail}" if when_tail is not None else ""
         if t_alias == s_alias:
             raise LakeSQLError(f"MERGE target and source share alias {t_alias!r}")
         if source.startswith("("):
@@ -436,6 +456,65 @@ class LakeSQL:
 
     def _result(self, **kv) -> DataFrame:
         return self.spark.createDataFrame([{k: int(v) for k, v in kv.items()}])
+
+
+def _strip_comments(text: str) -> str:
+    """Remove `-- line` and `/* block */` comments OUTSIDE string literals
+    (a quoted '--' or '/*' is data, and a ';' inside a comment must not
+    split statements)."""
+    out, i, n, quote = [], 0, len(text), None
+    while i < n:
+        ch = text[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            out.append(ch)
+            i += 1
+        elif ch in "'\"":
+            quote = ch
+            out.append(ch)
+            i += 1
+        elif text.startswith("--", i):
+            j = text.find("\n", i)
+            i = n if j < 0 else j  # keep the newline as whitespace
+        elif text.startswith("/*", i):
+            j = text.find("*/", i + 2)
+            if j < 0:
+                raise LakeSQLError("unterminated /* comment")
+            out.append(" ")
+            i = j + 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _split_on_keyword(s: str, keyword: str) -> tuple[str, str | None]:
+    """Split at the FIRST occurrence of a keyword that sits outside string
+    literals and parens (so `SET note = 'x WHERE y'` is never split at the
+    quoted WHERE). Returns (before, after) or (s, None)."""
+    depth, quote, i, n = 0, None, 0, len(s)
+    kw, kn = keyword.lower(), len(keyword)
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and s[i : i + kn].lower() == kw
+            and (i == 0 or not s[i - 1].isalnum() and s[i - 1] != "_")
+            and (i + kn >= n or not s[i + kn].isalnum() and s[i + kn] != "_")
+        ):
+            return s[:i].rstrip(), s[i + kn :].lstrip()
+        i += 1
+    return s, None
 
 
 def _split_statements(text: str) -> list[str]:

@@ -72,6 +72,12 @@ class LakeTableDataSource(DataSource):
         p = self.options.get("path")
         if not p:
             raise ValueError("laketable source requires .option('path', <table dir>)")
+        # catalog-registered tables (CREATE TABLE ... USING laketable) hand
+        # the location through as a file: URI — normalize to a local path
+        if p.startswith("file:"):
+            from urllib.parse import urlparse
+
+            p = urlparse(p).path
         return p
 
     def schema(self) -> StructType:

@@ -121,6 +121,63 @@ def test_sql_ddl(spark, lake):
     assert [r.database for r in lake.sql("SHOW DATABASES").collect()] == ["bronze"]
 
 
+def test_sql_literals_containing_keywords(spark, lake):
+    """VERDICT r2 directive #8: the classic regex-router traps — keywords
+    and semicolons inside string literals, comments, wild case — must parse
+    correctly or reject loudly, never silently do the wrong thing."""
+    lake.sql("ALTER TABLE bronze.emp ADD COLUMN note string")
+    # keyword WHERE inside a SET literal: must update ALL rows (no WHERE),
+    # not split the statement at the quoted keyword
+    lake.sql("UPDATE bronze.emp SET note = 'a WHERE b'")
+    assert {r.note for r in lake.sql("SELECT note FROM bronze.emp").collect()} \
+        == {"a WHERE b"}
+    # DML keyword inside a literal + real WHERE after it
+    lake.sql("UPDATE bronze.emp SET note = 'DELETE FROM x; DROP TABLE y' WHERE id = 1")
+    got = {r.id: r.note for r in lake.sql("SELECT id, note FROM bronze.emp").collect()}
+    assert got[1] == "DELETE FROM x; DROP TABLE y" and got[2] == "a WHERE b"
+    assert lake.sql("SELECT count(*) AS n FROM bronze.emp").collect()[0].n == 3
+    # semicolon inside a literal must not split the statement
+    lake.sql("INSERT INTO bronze.emp VALUES (7, 'semi;colon', 1.0, 'x;y')")
+    assert lake.sql(
+        "SELECT note FROM bronze.emp WHERE id = 7"
+    ).collect()[0].note == "x;y"
+
+
+def test_sql_comments_and_case(spark, lake):
+    out = lake.sql(
+        """-- leading comment with a fake terminator ; DROP TABLE bronze.emp
+        SeLeCt CoUnT(*) As n FrOm bronze.emp  /* block ; comment */
+        """
+    )
+    assert out.collect()[0].n == 3
+    # a quoted '--' is data, not a comment
+    lake.sql("ALTER TABLE bronze.emp ADD COLUMN tag string")
+    lake.sql("UPDATE bronze.emp SET tag = '--not a comment' WHERE id = 1")
+    assert lake.sql(
+        "SELECT tag FROM bronze.emp WHERE id = 1"
+    ).collect()[0].tag == "--not a comment"
+    with pytest.raises(LakeSQLError, match="unterminated"):
+        lake.sql("SELECT 1 /* never closed")
+    # mixed-case DML keywords route correctly
+    lake.sql("dElEtE fRoM bronze.emp WhErE id = 2")
+    assert lake.sql("SELECT count(*) AS n FROM bronze.emp").collect()[0].n == 2
+
+
+def test_sql_merge_on_condition_with_quoted_when(spark, lake):
+    spark.createDataFrame(
+        [(1, "WHEN", 11.0), (8, "nina", 8.0)],
+        "id int, name string, salario double",
+    ).createOrReplaceTempView("updates_w")
+    lake.sql(
+        """MERGE INTO bronze.emp t USING updates_w s
+           ON t.id = s.id AND s.name != 'WHEN MATCHED'
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *"""
+    )
+    got = {r.id: r.name for r in lake.sql("SELECT id, name FROM bronze.emp").collect()}
+    assert got == {1: "WHEN", 2: "luis", 3: "eva", 8: "nina"}
+
+
 def test_sql_errors(spark, lake):
     with pytest.raises(LakeSQLError, match="unsupported"):
         lake.sql("CREATE INDEX idx ON bronze.emp (id)")

@@ -295,6 +295,24 @@ def test_stop_shingle_cut_preserves_recall(spark):
         "stop-shingle cut must not lose any true near-dup pair"
 
 
+def test_simhash_signatures_pinned(spark):
+    """The numpy-vectorized _simhash64 must stay bit-identical to the
+    original scalar formulation — pinned against values computed with the
+    per-token/per-bit Python walk."""
+    from lakehouses_spark.queries.dedup import _simhash64
+
+    expected = {
+        "the quick brown fox": 202806156967688757,
+        "hello world": 13723176454590477,
+        "": 0,
+        "a": 4681665781835383343,
+        "repeated repeated repeated token": -3239682553675964579,
+    }
+    df = spark.createDataFrame([(t,) for t in expected], "text string")
+    got = {r.text: r.sig for r in df.select("text", _simhash64(F.col("text")).alias("sig")).collect()}
+    assert got == expected
+
+
 def test_all_pairs_guard_refuses_large_corpus(spark):
     """VERDICT r2 weak item: the exact all-pairs baselines must refuse a
     corpus beyond ALL_PAIRS_MAX_VECTORS and point at the scale paths."""

@@ -27,6 +27,9 @@ from lakehouses_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 FACTORS = (1, 2, 4, 8)
+DEEP_FACTORS = (1, 2, 4, 8, 16, 32)  # self-join tier probed further out —
+# at ×8 fixed job overhead still dominates; ×16/×32 is where a hidden
+# quadratic stage would actually surface (VERDICT r2 directive #9)
 QUERIES = [
     "q1_pricing_summary",        # scan+agg: should be ~linear
     "q3_shipping_priority",      # 3-way join + top-k
@@ -36,9 +39,22 @@ QUERIES = [
     # the quadratic-risk self-join shapes — the point of the bucketed designs
     "dedup_ngram_jaccard",       # inverted-index join (stop-shingle cut)
     "dedup_minhash_lsh",         # banded LSH buckets
+    "dedup_simhash",             # 8×8-bit block tables + popcount filter
     "sim_ann_lsh",               # hyperplane-LSH buckets
+    "sim_pairs_blocked",         # tiled-matmul exact pairs (n²/B shuffle)
     "sim_pairs_threshold",       # brute-force all-pairs BASELINE: α≈2 EXPECTED
 ]
+# which queries run at the deep factors (the bucketed self-join designs whose
+# 100 TB claim rests on staying sublinear); the all-pairs baseline stays at
+# ×8 (α≈2 established; ×32 would just burn minutes proving it again) and the
+# relational shapes are scan-bound (α<1 at ×8, nothing left to learn)
+DEEP = {
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_ann_lsh",
+    "sim_pairs_blocked",
+}
 
 
 def materialize(spark, base: str, factor: int, out: Path) -> str:
@@ -115,12 +131,13 @@ def main() -> None:
     rows: dict[int, int] = {}
 
     with tempfile.TemporaryDirectory() as tmp:
-        for factor in FACTORS:
+        for factor in DEEP_FACTORS:
             d = Path(tmp) / f"x{factor}"
             d.mkdir()
             sf = materialize(spark, SF_DIR, factor, d)
             rows[factor] = spark.read.parquet(f"{sf}/lineitem.parquet").count()
-            for q in QUERIES:
+            qs = QUERIES if factor in FACTORS else [q for q in QUERIES if q in DEEP]
+            for q in qs:
                 registry[q].fn(spark, sf).count()  # warm (plan+cache parity)
                 t0 = time.perf_counter()
                 registry[q].fn(spark, sf).count()
@@ -129,24 +146,32 @@ def main() -> None:
     lines = [
         "# SCALING — measured behavior as data grows (generated by tools/scaling_probe.py)",
         "",
-        f"sf0.1 lineitem replicated ×{FACTORS}: "
-        + ", ".join(f"×{f}={rows[f]:,} rows" for f in FACTORS),
+        f"sf0.1 lineitem replicated ×{DEEP_FACTORS}: "
+        + ", ".join(f"×{f}={rows[f]:,} rows" for f in DEEP_FACTORS),
         "",
-        "| query | " + " | ".join(f"×{f} (s)" for f in FACTORS) + " | exponent α (t∝n^α) |",
-        "|---|" + "---|" * (len(FACTORS) + 1),
+        "Self-join-tier queries (the bucketed designs) run at every factor up "
+        f"to ×{DEEP_FACTORS[-1]}; relational shapes and the quadratic baseline "
+        f"stop at ×{FACTORS[-1]} (— below).",
+        "",
+        "| query | "
+        + " | ".join(f"×{f} (s)" for f in DEEP_FACTORS)
+        + " | exponent α (t∝n^α) |",
+        "|---|" + "---|" * (len(DEEP_FACTORS) + 1),
     ]
     for q in QUERIES:
-        ts = [results[q][f] for f in FACTORS]
+        facs = [f for f in DEEP_FACTORS if f in results[q]]
+        ts = [results[q][f] for f in facs]
         # least-squares slope of log t vs log n
-        xs = [math.log(f) for f in FACTORS]
+        xs = [math.log(f) for f in facs]
         ys = [math.log(max(t, 1e-3)) for t in ts]
         mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
         alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
             (x - mx) ** 2 for x in xs
         )
-        lines.append(
-            f"| {q} | " + " | ".join(f"{t:.2f}" for t in ts) + f" | {alpha:.2f} |"
-        )
+        cells = [
+            f"{results[q][f]:.2f}" if f in results[q] else "—" for f in DEEP_FACTORS
+        ]
+        lines.append(f"| {q} | " + " | ".join(cells) + f" | {alpha:.2f} |")
     lines += [
         "",
         "α ≲ 1: linear (scan/agg/shuffle-bound — survives scale-out by adding",
@@ -154,6 +179,22 @@ def main() -> None:
         "volume (driver collect, broadcast overflow, skew). Fixed per-query",
         "overhead (~0.3-0.5 s of job scheduling at this tiny scale) biases α",
         "DOWNWARD at small n; the signal is the absence of α ≫ 1.",
+        "",
+        "Self-join tier (replicated docs/embeddings are perturbed per copy so",
+        "replication does not fabricate cross-copy near-dups) now probed to",
+        "×16/×32 (160k docs / 32k vectors), past the overhead-dominated zone —",
+        "a hidden quadratic stage in the bucketed designs would surface here",
+        "as α drifting toward 2 between ×8 and ×32.",
+        "",
+        "Notes: `sim_pairs_blocked` is the tiled-matmul EXACT path (n²/B",
+        "shuffle rows, BLAS tiles) — expected α→~2 asymptotically like any",
+        "exact all-pairs, but with a per-pair constant ~2 orders of magnitude",
+        "below the zip_with theta-join; it exists for moderate thresholds",
+        "where LSH/IVF have no locality to exploit. `dedup_simhash`'s 8-bit",
+        "block tables keep buckets sparse at this scale; at much larger corpora",
+        "widen blocks (more tables × more bits) — bucket occupancy is the dial.",
+        "`_simhash64` signatures are numpy-vectorized + batch-memoized (12×",
+        "over the scalar walk on sf0.1 documents, bit-identical, pinned).",
     ]
     Path(__file__).resolve().parent.parent.joinpath("SCALING.md").write_text(
         "\n".join(lines) + "\n"
