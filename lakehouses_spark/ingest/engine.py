@@ -191,14 +191,19 @@ class IngestionEngine:
         writer = writer.trigger(**trigger)
         return writer.start()
 
-    def run(self, cfg: dict, archive: bool = True, maintain: bool = False) -> None:
+    def run(self, cfg: dict, archive: bool = True, maintain: bool = False,
+            publish: bool = False) -> None:
         """T1: drain everything pending and stop (the reference's scheduled
         incremental ingestion semantics, 02…/02…[json].py:109-123).
-        maintain=True compacts accumulated micro-batch files afterwards."""
+        maintain=True compacts accumulated micro-batch files afterwards;
+        publish=True (or sink.publish in the config) refreshes the bronze
+        table's session-catalog view after the drain."""
         q = self.write_stream(cfg, self.read_stream(cfg), archive=archive)
         q.awaitTermination()
         if maintain:
             self.maintain(cfg)
+        if publish or (cfg.get("sink") or {}).get("publish"):
+            self.publish(cfg)
 
     def maintain(
         self,
@@ -241,6 +246,26 @@ class IngestionEngine:
 
     def bronze_table(self, cfg: dict) -> LakeTable:
         return LakeTable(self.spark, self.bronze_path(cfg))
+
+    def publish(self, cfg: dict, database: str = "bronze") -> str:
+        """Expose the pipeline's bronze table in the session catalog as
+        `<database>.<datasource>_<dataset>` — the reference's contract that
+        ingested tables resolve by 3-level name in plain spark.sql
+        (02…/03.ingesta_incremental_v2 [json].py:202,221-228:
+        bronze.retail_sales_orders). With a persistent metastore
+        (session.get_spark(hive_metastore_dir=…)) the name survives into
+        fresh sessions. Call after a drain (the view pins the snapshot at
+        publish time)."""
+        from lakehouses_spark.tables.catalog import snapshot_sql
+
+        t = self.bronze_table(cfg)
+        name = f"{database}.{cfg['datasource']}_{cfg['dataset']}"
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{database}`")
+        self.spark.sql(
+            f"CREATE OR REPLACE VIEW `{database}`."
+            f"`{cfg['datasource']}_{cfg['dataset']}` AS {snapshot_sql(t, t.state())}"
+        )
+        return name
 
 
 def kafka_bronze_transform(df: DataFrame, src: dict) -> DataFrame:

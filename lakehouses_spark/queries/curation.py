@@ -1,0 +1,257 @@
+"""Training-corpus curation operators over `documents` (SURVEY §2.12 north
+star — the ops a pretraining-data pipeline runs beyond dedup/quality):
+
+- benchmark decontamination: n-gram overlap between the training split and a
+  held-out benchmark split (the GPT-3 appendix-C / open-LM-eval hygiene
+  pass). The benchmark side is tiny by construction, so its distinct-gram
+  set BROADCASTS and the training grams never shuffle at all.
+- stratified sampling: deterministic per-language quota sampling (mixture
+  building). The "random" order is md5(doc_id) — reproducible run-to-run
+  and engine-independent, so it oracle-checks exactly.
+- sequence packing: concat-and-chunk packing of documents into fixed
+  token-budget bins (the GPT-style pretraining batch layout). Packing is
+  per-source so the running-offset window is partitioned — no global
+  serial cumsum; each shard packs independently, exactly how a 1000-node
+  packing job shards.
+- boilerplate n-grams: global heavy-hitter trigrams (CCNet/RefinedWeb-style
+  boilerplate detection) and each document's boilerplate occupancy. The
+  heavy-hitter set is a TakeOrdered top-K broadcast back over the corpus.
+
+All four are pure built-ins (split / higher-order array funcs / windows) —
+JVM-side end to end, no Python boundary.
+
+Note on gram size: real decontamination uses 8-13-gram collisions; this
+synthetic corpus draws from a ~40-word vocabulary, so TRIgrams here have
+the same collision statistics that long n-grams have on natural text. The
+operator is parameterized; only the registered default is 3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouses_spark.io import load_table, spread
+from lakehouses_spark.registry import query
+
+BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 => held-out "benchmark" split
+GRAM_N = 3
+PACK_CONTEXT = 512  # tokens per packed sequence bin
+STRATUM_QUOTA = 40  # sampled docs per language
+BOILER_TOP_K = 100
+
+
+def _word_ngrams(col: str = "text", n: int = GRAM_N) -> Column:
+    """Word n-grams as space-joined strings, [] when the doc is shorter than
+    n tokens (guards F.sequence's descending-range behavior)."""
+    w = F.split(F.col(col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + k + 1) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _grams_sql(n: int = GRAM_N) -> str:
+    """DuckDB CTE producing (doc_id, g) word n-grams — list slice is 1-based
+    inclusive, range() half-open, mirroring _word_ngrams exactly."""
+    return f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS g
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - {n - 2})) AS i FROM toks)
+    )"""
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH {_grams_sql()}
+    SELECT t.doc_id, count(DISTINCT t.g) AS n_overlap
+    FROM grams t
+    JOIN (SELECT DISTINCT g FROM grams WHERE doc_id % {BENCH_MOD} = 0) b USING (g)
+    WHERE t.doc_id % {BENCH_MOD} <> 0
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents (doc_id % 97 != 0) that
+    share any word n-gram with the benchmark split (doc_id % 97 == 0), with
+    the count of distinct shared grams. Downstream, these doc_ids are the
+    drop-list a training pipeline subtracts before tokenization.
+
+    100 TB shape: the benchmark gram set is bounded by the benchmark corpus
+    (MBs, not TBs) — built once, made distinct, and BROADCAST; the training
+    side explodes grams and probes the broadcast hash map in place, so the
+    only shuffle is the final per-doc count keyed on doc_id. At real scale
+    grams would be pre-hashed to 8-byte keys before the probe (same plan,
+    smaller rows)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    grams = d.select("doc_id", F.explode(_word_ngrams()).alias("g"))
+    bench = (
+        grams.where(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
+    )
+    train = grams.where(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_overlap"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS INTEGER) AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, sample_rank
+    FROM ranked WHERE sample_rank <= {STRATUM_QUOTA}
+    ORDER BY lang, sample_rank
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quota sampling: exactly min(quota, |stratum|) documents per
+    language, in a deterministic pseudo-random order (md5 of the doc id) —
+    the mixture-building step of a corpus pipeline, reproducible across runs
+    and engines (no RNG state; the hash IS the shuffle).
+
+    100 TB shape: one shuffle partitioned on the stratum key; rank-and-cut
+    inside each partition. Skewed strata (one language dominating) are the
+    known hazard — for quota ≪ stratum size, swap the exact row_number for
+    a per-partition top-quota pre-cut (TakeOrdered per stratum shard) before
+    the final rank, which bounds any partition at quota × shards rows."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .where(F.col("sample_rank") <= STRATUM_QUOTA)
+        .orderBy("lang", "sample_rank")
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+             ) - n_tokens AS start_offset
+      FROM toks
+    )
+    SELECT source, CAST(floor(start_offset / {PACK_CONTEXT}) AS BIGINT) AS bin_id,
+           count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM packed
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concat-and-chunk documents (per source, in doc_id
+    order) into fixed {PACK_CONTEXT}-token context bins — each doc's bin is
+    the chunk its starting token offset falls in. Reports bin occupancy,
+    the layout a pretraining dataloader materializes.
+
+    100 TB shape: the running offset is a window PARTITIONED BY source —
+    no global serial cumsum; every source shard packs independently in one
+    shuffle, which is exactly how a distributed packing job shards (pack
+    within shard, never across). Bin stats are a second keyed aggregation
+    on (source, bin)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.select(
+        "source",
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (F.sum(n_tokens).over(w) - n_tokens).alias("start_offset"),
+    )
+    return (
+        packed.groupBy(
+            "source",
+            F.floor(F.col("start_offset") / PACK_CONTEXT).alias("bin_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH {_grams_sql()},
+    top AS (
+      SELECT g FROM grams GROUP BY g
+      ORDER BY count(*) DESC, g LIMIT {BOILER_TOP_K}
+    ), per_doc AS (
+      SELECT grams.doc_id, count(*) AS n_grams, count(t.g) AS n_boiler
+      FROM grams LEFT JOIN top t USING (g)
+      GROUP BY grams.doc_id
+    )
+    SELECT doc_id, n_grams, n_boiler,
+           floor(CAST(n_boiler AS DOUBLE) / n_grams * 10000 + 0.5) / 10000
+             AS boiler_ratio
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: the corpus's top-{BOILER_TOP_K} most frequent
+    trigrams are 'boilerplate'; each document reports how much of it is made
+    of them (occupancy ratio) — the CCNet/RefinedWeb-style signal used to
+    drop templated/navigation text before training.
+
+    100 TB shape: pass 1 is a partial-aggregated gram count (map-side
+    combine, shuffle on gram) cut to top-K via TakeOrderedAndProject; the
+    K-row result BROADCASTS back over pass 2's gram stream, so the only
+    full shuffle keys on doc_id. At extreme scale pass 1's exact count
+    swaps for a count-min/Misra-Gries heavy-hitter sketch — same broadcast
+    contract. Ties at the K boundary break on the gram string, so the top
+    set is deterministic and engine-independent."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    grams = d.select("doc_id", F.explode(_word_ngrams()).alias("g"))
+    top = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "g")
+        .limit(BOILER_TOP_K)
+        .select("g", F.lit(1).alias("boiler"))
+    )
+    per_doc = (
+        grams.join(F.broadcast(top), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("boiler"), F.lit(0))).alias("n_boiler"),
+        )
+    )
+    ratio = F.floor(
+        F.col("n_boiler").cast("double") / F.col("n_grams") * 10000 + 0.5
+    ) / 10000
+    return per_doc.select(
+        "doc_id", "n_grams", "n_boiler", ratio.alias("boiler_ratio")
+    ).orderBy("doc_id")

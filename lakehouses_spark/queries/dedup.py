@@ -1,6 +1,6 @@
 """Deduplication operators over `documents` (SURVEY §2.12 north star).
 
-Four tiers, each with the 100 TB story spelled out:
+Five tiers, each with the 100 TB story spelled out:
 
 - exact:   group by content digest (sha256) — one shuffle keyed on the digest,
            never on the raw text.
@@ -13,7 +13,11 @@ Four tiers, each with the 100 TB story spelled out:
            shingle ⊕ seed index) so results are reproducible run-to-run.
 - SimHash: 64-bit weighted-bit signature via an Arrow-batched pandas UDF
            (bit-twiddling over token hashes is the one part built-ins can't
-           express cleanly); Hamming-distance buckets give candidates.
+           express cleanly); block-table buckets + popcount filter give
+           candidates, exact Jaccard verifies.
+- embedding-cosine: semantic near-dups via the embeddings table — exact
+           tiled-matmul pairs at moderate thresholds (sim_pairs_blocked),
+           ANN buckets at near-dup thresholds, clustered into keep-lists.
 """
 
 from __future__ import annotations
@@ -525,3 +529,69 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return verify_jaccard(candidates, shingle_sets, threshold=0.3)
+
+
+EMB_DEDUP_THRESHOLD = 0.4  # far tail of this corpus's cosine distribution
+
+
+@query(
+    "dedup_embedding_cosine",
+    # transitive closure over the exact cosine>=0.4 pair graph, joined back
+    # to documents for per-cluster content stats — the recursive-CTE oracle
+    # pattern proven by dedup_clusters
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= {EMB_DEDUP_THRESHOLD}
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(a, r) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.a
+    ), clusters AS (
+      SELECT a AS doc_id, min(r) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT cluster_id AS canonical_id, count(*) AS n_members,
+           sum(d.n_chars) AS total_chars
+    FROM clusters c JOIN documents d USING (doc_id)
+    GROUP BY cluster_id
+    ORDER BY canonical_id
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup — the semantic tier of the dedup
+    family (exact / ngram / MinHash / SimHash / EMBEDDING): documents whose
+    embeddings sit within cosine ≥ 0.4 are near-dup candidates; the pair
+    graph is clustered (connected components) and each cluster reports its
+    canonical doc (min id), member count, and total content volume from the
+    documents table.
+
+    Pairs come from the tiled-BLAS blocked matmul (sim_pairs_blocked) — the
+    exact moderate-threshold path (n²/B shuffle rows, SIMD tiles), since at
+    cosine 0.4 locality hashing has nothing to bucket on. At near-dup
+    thresholds (≥0.9) swap in ann_lsh_pairs/ann_ivf_pairs for linear cost —
+    same downstream clustering."""
+    from lakehouses_spark.queries.similarity import sim_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = sim_pairs_blocked(emb, EMB_DEDUP_THRESHOLD).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        comp.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .select("canonical_id", "n_members", "total_chars")
+        .orderBy("canonical_id")
+    )

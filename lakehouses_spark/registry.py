@@ -61,6 +61,9 @@ _SWEEP_PRIORITY = [
     # in registration order and fills the rest of the 50-entry budget.
     "dedup_minhash_lsh", "dedup_simhash",           # upgraded (twin oracles)
     "sim_pairs_blocked", "multimodal_manifest_probe",  # new in round 3
+    "dedup_embedding_cosine",                          # new in round 3
+    "text_decontaminate", "sample_stratified",         # new in round 3
+    "pack_sequences", "text_boilerplate_ngrams",       # (curation family)
     # the 34 remaining r1-only queries
     "agg_count_by_key", "agg_sum_all_numeric", "agg_global_scalars",
     "agg_having_topk", "agg_rollup", "agg_cube", "agg_grouping_sets",
@@ -91,6 +94,7 @@ def load_all_queries() -> dict[str, RegisteredQuery]:
         dedup,
         extensions,
         advanced,
+        curation,
     )
 
     ordered = {n: QUERIES[n] for n in _SWEEP_PRIORITY if n in QUERIES}

@@ -166,45 +166,49 @@ class LakeCatalog:
             self.publish(name)
 
     def _snapshot_sql(self, t: LakeTable, st) -> str:
-        """The table's current snapshot as one self-contained SQL statement
-        (mirrors LakeTable._snapshot: pinned live files, logical column
-        mapping, per-file-group tombstone filters)."""
-        import json as _json
+        return snapshot_sql(t, st)
 
-        from pyspark.sql.types import StructType
 
-        schema = StructType.fromJson(_json.loads(st.schema_json))
-        if not st.files:
-            cols = ", ".join(
-                f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
-                for f in schema.fields
-            )
-            return f"SELECT {cols} WHERE 1 = 0"
-        proj = ", ".join(
-            f"`{st.column_mapping.get(f.name, f.name)}` AS `{f.name}`"
-            if st.column_mapping
-            else f"`{f.name}`"
+def snapshot_sql(t: LakeTable, st) -> str:
+    """A LakeTable's current snapshot as one self-contained SQL statement
+    (mirrors LakeTable._snapshot: pinned live files, logical column
+    mapping, per-file-group tombstone filters). Usable as a catalog VIEW
+    body — shared by LakeCatalog.publish and IngestionEngine.publish."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(_json.loads(st.schema_json))
+    if not st.files:
+        cols = ", ".join(
+            f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
             for f in schema.fields
         )
-        glob = f"{t.path}/data/*/*.parquet"
-        # group live files by their applicable tombstone set (a tombstone
-        # only filters files that existed when it was committed) — same
-        # grouping as LakeTable._snapshot
-        groups: dict[tuple[str, ...], list[str]] = {}
-        for rel, a in sorted(st.files.items()):
-            preds = tuple(
-                tb["predicate"]
-                for tb in st.tombstones
-                if a.get("__v", 0) < tb["version"]
-            )
-            groups.setdefault(preds, []).append(f"file:{t.path / rel}")
-        parts = []
-        for preds, paths in groups.items():
-            in_list = ", ".join(f"'{p}'" for p in paths)
-            where = [f"_metadata.file_path IN ({in_list})"]
-            where += [f"NOT ({p})" for p in preds]
-            parts.append(
-                f"SELECT {proj} FROM parquet.`{glob}` WHERE "
-                + " AND ".join(where)
-            )
-        return " UNION ALL ".join(parts)
+        return f"SELECT {cols} WHERE 1 = 0"
+    proj = ", ".join(
+        f"`{st.column_mapping.get(f.name, f.name)}` AS `{f.name}`"
+        if st.column_mapping
+        else f"`{f.name}`"
+        for f in schema.fields
+    )
+    glob = f"{t.path}/data/*/*.parquet"
+    # group live files by their applicable tombstone set (a tombstone only
+    # filters files that existed when it was committed) — same grouping as
+    # LakeTable._snapshot
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for rel, a in sorted(st.files.items()):
+        preds = tuple(
+            tb["predicate"]
+            for tb in st.tombstones
+            if a.get("__v", 0) < tb["version"]
+        )
+        groups.setdefault(preds, []).append(f"file:{t.path / rel}")
+    parts = []
+    for preds, paths in groups.items():
+        in_list = ", ".join(f"'{p}'" for p in paths)
+        where = [f"_metadata.file_path IN ({in_list})"]
+        where += [f"NOT ({p})" for p in preds]
+        parts.append(
+            f"SELECT {proj} FROM parquet.`{glob}` WHERE " + " AND ".join(where)
+        )
+    return " UNION ALL ".join(parts)

@@ -179,6 +179,28 @@ def test_engine_maintenance_compacts_bronze(spark, tmp_path):
     assert t.read().count() == 8
 
 
+def test_engine_publish_resolves_three_level_name(spark, tmp_path):
+    """The reference's metastore contract (02…/03.ingesta_incremental_v2
+    [json].py:202,221-228): after ingest, the bronze table resolves by
+    3-level name in PLAIN spark.sql — no register(), no view setup."""
+    cfg = {"datasource": "retail", "dataset": "sales_orders",
+           "source": {"format": "json"}, "sink": {"publish": True}}
+    eng = IngestionEngine(spark, tmp_path)
+    _drop_json(eng.landing_dir(cfg), "a.json",
+               [{"order_id": 1, "amount": 10.0}, {"order_id": 2, "amount": 5.5}])
+    eng.run(cfg)
+    got = spark.sql(
+        "SELECT order_id, amount FROM bronze.retail_sales_orders ORDER BY order_id"
+    ).collect()
+    assert [(r.order_id, r.amount) for r in got] == [(1, 10.0), (2, 5.5)]
+    # a second drain refreshes the published view to the new snapshot
+    _drop_json(eng.landing_dir(cfg), "b.json", [{"order_id": 3, "amount": 7.0}])
+    eng.run(cfg)
+    n = spark.sql("SELECT count(*) AS n FROM bronze.retail_sales_orders").collect()[0].n
+    assert n == 3
+    spark.sql("DROP VIEW bronze.retail_sales_orders")
+
+
 def test_partitioned_sink_clusters_bronze(spark, tmp_path):
     """T6: the multiplex pattern — sink partition_by clusters bronze on the
     routing column (the reference's partitionBy('_topic'),

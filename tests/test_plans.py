@@ -126,3 +126,51 @@ def test_partial_aggregation_before_shuffle(spark):
     plan = plan_of(REGISTRY["agg_count_by_key"].fn(spark, SF), "simple")
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_blocked_matmul_plan_shape(spark):
+    """sim_pairs_blocked: the only Python boundary is the Arrow-batched
+    tile matmul (MapInPandas), fed by BLOCK-aggregated rows — the raw
+    vector rows must never meet in a row-level cartesian."""
+    plan = plan_of(REGISTRY["sim_pairs_blocked"].fn(spark, SF), "simple")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    # per-block collect_list aggregation happens BEFORE the block-pair join
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_candidate_join_is_bucket_keyed(spark):
+    """dedup_simhash: candidate generation must be an equi-join on the
+    block bucket (shuffle/broadcast hash join), never a nested loop over
+    documents; the popcount filter rides inside the join."""
+    plan = plan_of(REGISTRY["dedup_simhash"].fn(spark, SF), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "bit_count" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """text_decontaminate: the benchmark gram set must broadcast (training
+    grams probe it in place — no shuffle of the exploded training stream
+    except the final per-doc count)."""
+    plan = plan_of(REGISTRY["text_decontaminate"].fn(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_boilerplate_topk_broadcasts_back(spark):
+    """text_boilerplate_ngrams: heavy-hitter cut is TakeOrdered (never a
+    global sort) and the K-row top set broadcasts over the gram stream."""
+    plan = plan_of(REGISTRY["text_boilerplate_ngrams"].fn(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """pack_sequences: the running-offset window must be partitioned by
+    source (hashpartitioning, not a single global sort partition)."""
+    plan = plan_of(REGISTRY["pack_sequences"].fn(spark, SF))
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan

@@ -43,6 +43,9 @@ QUERIES = [
     "sim_ann_lsh",               # hyperplane-LSH buckets
     "sim_pairs_blocked",         # tiled-matmul exact pairs (n²/B shuffle)
     "sim_pairs_threshold",       # brute-force all-pairs BASELINE: α≈2 EXPECTED
+    # curation family: gram-explode + broadcast probe — should be ~linear
+    "text_decontaminate",        # broadcast benchmark-gram probe
+    "text_boilerplate_ngrams",   # heavy-hitter top-K broadcast back
 ]
 # which queries run at the deep factors (the bucketed self-join designs whose
 # 100 TB claim rests on staying sublinear); the all-pairs baseline stays at
