@@ -163,7 +163,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: concat-and-chunk documents (per source, in doc_id
-    order) into fixed {PACK_CONTEXT}-token context bins — each doc's bin is
+    order) into fixed 512-token context bins — each doc's bin is
     the chunk its starting token offset falls in. Reports bin occupancy,
     the layout a pretraining dataloader materializes.
 
@@ -220,7 +220,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boilerplate detection: the corpus's top-{BOILER_TOP_K} most frequent
+    """Boilerplate detection: the corpus's top-100 most frequent
     trigrams are 'boilerplate'; each document reports how much of it is made
     of them (occupancy ratio) — the CCNet/RefinedWeb-style signal used to
     drop templated/navigation text before training.
@@ -255,3 +255,107 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select(
         "doc_id", "n_grams", "n_boiler", ratio.alias("boiler_ratio")
     ).orderBy("doc_id")
+
+
+@query(
+    "text_perplexity_proxy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), counts AS (
+      SELECT w, count(*) AS c FROM toks GROUP BY w
+    ), total AS (
+      SELECT sum(c) AS n FROM counts
+    )
+    SELECT doc_id, count(*) AS n_tokens, round(avg(-ln(c / n)), 4) AS avg_nll
+    FROM toks JOIN counts USING (w) CROSS JOIN total
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal: each document's mean negative
+    log-likelihood under the corpus's own unigram LM (p(w) = count/total) —
+    the cheap stand-in for the KenLM-perplexity filter in CCNet-style
+    curation: low avg_nll = repetitive/common text, high = rare-token soup.
+
+    100 TB shape: the unigram table is one partial-aggregated count keyed on
+    the token (vocabulary-sized output, ≪ corpus), BROADCAST back over the
+    token stream; the per-doc mean is the only corpus-sized shuffle (keyed
+    on doc_id). Two linear passes, no Python."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))
+    logp = counts.crossJoin(F.broadcast(total)).select(
+        "w", F.log(F.col("c") / F.col("n")).alias("lp")
+    )
+    return (
+        toks.join(F.broadcast(logp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.col("lp")), 4).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEMP_TAU = 0.5  # mixture temperature: weight_lang = n_lang^tau
+TEMP_BUDGET = 200
+
+
+@query(
+    "sample_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), quotas AS (
+      SELECT lang, CAST(floor({TEMP_BUDGET} * sqrt(n) / sum(sqrt(n)) OVER ())
+                        AS INTEGER) AS quota
+      FROM counts
+    ), ranked AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS INTEGER) AS sample_rank
+      FROM documents
+    )
+    SELECT r.lang, r.doc_id, r.sample_rank, q.quota
+    FROM ranked r JOIN quotas q USING (lang)
+    WHERE r.sample_rank <= q.quota
+    ORDER BY r.lang, r.sample_rank
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling: per-language quotas
+    proportional to n^τ (τ=0.5) normalized to a 200-doc
+    budget — the standard multilingual-pretraining rebalance (upsample the
+    tail, downsample the head) — then a deterministic md5-ordered cut per
+    stratum, so the draw reproduces across runs and engines.
+
+    100 TB shape: the quota table is stratum-sized (a handful of rows —
+    computed from one tiny aggregation and broadcast); the corpus pays one
+    shuffle partitioned on the stratum key for the rank-and-cut, same plan
+    as sample_stratified."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    wsum = counts.agg(F.sum(F.sqrt("n")).alias("w_total"))
+    quotas = counts.crossJoin(F.broadcast(wsum)).select(
+        "lang",
+        F.floor(TEMP_BUDGET * F.sqrt("n") / F.col("w_total"))
+        .cast("int")
+        .alias("quota"),
+    )
+    rank_w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(rank_w).alias("sample_rank")
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "lang")
+        .where(F.col("sample_rank") <= F.col("quota"))
+        .select("lang", "doc_id", "sample_rank", "quota")
+        .orderBy("lang", "sample_rank")
+    )

@@ -174,3 +174,21 @@ def test_pack_sequences_window_is_partitioned(spark):
     plan = plan_of(REGISTRY["pack_sequences"].fn(spark, SF))
     assert "hashpartitioning(source" in plan
     assert "SinglePartition" not in plan
+
+
+def test_perplexity_vocab_broadcasts(spark):
+    """text_perplexity_proxy: the unigram log-prob table (vocabulary-sized)
+    must broadcast back over the token stream — the corpus-sized side never
+    shuffles on the token."""
+    plan = plan_of(REGISTRY["text_perplexity_proxy"].fn(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_temperature_quota_broadcasts(spark):
+    """sample_temperature: the stratum quota table joins by broadcast; the
+    only corpus shuffle is the rank window partitioned on the stratum."""
+    plan = plan_of(REGISTRY["sample_temperature"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(lang" in plan
