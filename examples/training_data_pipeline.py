@@ -4,9 +4,12 @@ end-to-end on the documents/embeddings testdata:
 
     raw documents
       → text statistics + quality scoring (JVM-side expressions)
+      → benchmark decontamination (n-gram overlap drop-list)
       → exact dedup (content digest)
       → near-dup clustering (MinHash-LSH candidates → connected components)
       → curated LakeTable with provenance + CHECK constraint
+      → temperature-weighted mixture rebalance over the curated set
+      → sequence packing into fixed token-budget bins
       → embedding near-dup audit (ANN over unit vectors)
 
     python examples/training_data_pipeline.py [workdir]
@@ -44,6 +47,11 @@ def main() -> None:
     keep_quality = quality.where(F.col("quality_score") >= 0.55).select("doc_id")
     print(f"pass quality gate: {keep_quality.count()}")
 
+    # 1b. benchmark decontamination: docs sharing an n-gram with the
+    #     held-out split are dropped from the training side
+    contaminated = registry["text_decontaminate"].fn(spark, SF).select("doc_id")
+    print(f"decontamination drop-list: {contaminated.count()} docs")
+
     # 2. exact dedup: one canonical doc per content digest
     exact = registry["dedup_exact"].fn(spark, SF)
     canon = exact.select(F.col("canonical_id").alias("doc_id"))
@@ -61,6 +69,7 @@ def main() -> None:
     curated_ids = (
         keep_quality.join(canon, "doc_id", "inner")
         .join(drop_near_dups, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
     )
     curated = docs.join(curated_ids, "doc_id").withColumn(
         "_curated_at", F.current_timestamp()
@@ -75,7 +84,47 @@ def main() -> None:
                 .agg(F.count(F.lit(1)).alias("n")).collect()}
     print(f"per-language: {dict(sorted(per_lang.items()))}")
 
-    # 5. embedding audit: any near-identical vectors sneaking through?
+    # 5. mixture rebalance: temperature-weighted per-language quotas over
+    #    the CURATED set (upsample tail languages, downsample the head)
+    cur = t.read()
+    counts = cur.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    wsum = counts.agg(F.sum(F.sqrt("n")).alias("w_total"))
+    quotas = counts.crossJoin(F.broadcast(wsum)).select(
+        "lang",
+        F.floor(150 * F.sqrt("n") / F.col("w_total")).cast("int").alias("quota"),
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    mixture = (
+        cur.select("doc_id", "lang", "text",
+                   F.row_number().over(rank_w).alias("rk"))
+        .join(F.broadcast(quotas), "lang")
+        .where(F.col("rk") <= F.col("quota"))
+    )
+    print(f"mixture after temperature rebalance: {mixture.count()} docs "
+          f"({ {r.lang: r.quota for r in quotas.collect()} })")
+
+    # 6. sequence packing: concat-and-chunk the mixture into 512-token bins
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    pack_w = (
+        Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bins = (
+        mixture.select("lang", "doc_id", n_tokens.alias("n_tokens"),
+                       (F.sum(n_tokens).over(pack_w) - n_tokens).alias("off"))
+        .groupBy("lang", F.floor(F.col("off") / 512).alias("bin_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"))
+    )
+    nb = bins.count()
+    print(f"packed into {nb} 512-token bins; mean fill "
+          f"{bins.agg(F.round(F.avg('total_tokens'), 1).alias('m')).collect()[0].m}")
+
+    # 7. embedding audit: any near-identical vectors sneaking through?
     emb = load_table(spark, SF, "embeddings")
     near = ann_lsh_pairs(emb, threshold=0.95).count()
     print(f"embedding near-dup audit (cos>=0.95): {near} pairs "
