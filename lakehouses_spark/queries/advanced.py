@@ -459,3 +459,97 @@ def avro_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         res = out.collect()
         return spark.createDataFrame(res, out.schema)
+
+
+def _fake_video(label: str, j: int, size: int) -> bytes:
+    """Deterministic fake 'video' blob — an opaque byte pattern standing in
+    for a real container (decode is the stubbed seam per the multimodal
+    contract; the Spark-side plumbing around it is what's under test)."""
+    pattern = f"{label}:{j}:".encode()
+    return (pattern * (size // len(pattern) + 1))[:size]
+
+
+def _mm_video_size(li: int, j: int) -> int:
+    return 3000 + 1700 * li + 900 * j
+
+
+FRAME_BYTES = 1024
+FRAME_MAX = 16
+
+
+def _mm_frame_rows() -> list[tuple]:
+    """Ground-truth frame table computed from the generator formulas with
+    plain Python slicing + hashlib — the Spark side must reproduce every
+    offset, length, and content digest through the binaryFile scan +
+    mapInPandas slice + JVM sha2 pipeline to hash-match."""
+    import hashlib
+
+    rows = []
+    for li, label in enumerate(MM_LABELS[:5]):
+        for j in range(2):
+            blob = _fake_video(label, j, _mm_video_size(li, j))
+            n = min(FRAME_MAX, max(1, len(blob) // FRAME_BYTES))
+            for idx in range(n):
+                frame = blob[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                rows.append(
+                    (f"{label}.{j}.vid", label, idx, idx * FRAME_BYTES,
+                     len(frame), hashlib.sha256(frame).hexdigest())
+                )
+    return sorted(rows)
+
+
+_MM_FRAME_ORACLE = (
+    "SELECT fname, label, CAST(frame_idx AS INTEGER) AS frame_idx, "
+    "CAST(frame_offset AS BIGINT) AS frame_offset, "
+    "CAST(frame_len AS INTEGER) AS frame_len, frame_sha FROM (VALUES "
+    + ", ".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")"
+        for row in _mm_frame_rows()
+    )
+    + ") AS t(fname, label, frame_idx, frame_offset, frame_len, frame_sha) "
+    "ORDER BY fname, frame_idx"
+)
+
+
+@query("multimodal_frame_manifest", oracle=_MM_FRAME_ORACLE)
+def multimodal_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling with a REAL hash check: write a deterministic fake
+    video directory, scan via binaryFile, slice fixed-stride frames through
+    the Arrow-batched `sample_frames` plumbing (multimodal.py — the exact
+    schema/batching a real ffmpeg-backed decoder would use), digest each
+    frame JVM-side (sha2), and emit one row per frame. The oracle is the
+    generator's ground-truth frame table (offsets/lengths/digests computed
+    by plain Python slicing) as a static VALUES relation — byte-identical
+    round-trip of every frame is required to hash-match."""
+    from pathlib import Path
+
+    from lakehouses_spark.multimodal import extract_label, sample_frames
+
+    with tempfile.TemporaryDirectory() as tmp:
+        for li, label in enumerate(MM_LABELS[:5]):
+            d = Path(tmp) / label
+            d.mkdir()
+            for j in range(2):
+                (d / f"{label}.{j}.vid").write_bytes(
+                    _fake_video(label, j, _mm_video_size(li, j))
+                )
+        media = (
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .load(tmp)
+        )
+        frames = sample_frames(media, every_n_bytes=FRAME_BYTES,
+                               max_frames=FRAME_MAX)
+        out = (
+            frames.select(
+                F.element_at(F.split("path", "/"), -1).alias("fname"),
+                extract_label(F.col("path")).alias("label"),
+                "frame_idx",
+                F.col("offset").alias("frame_offset"),
+                F.length("frame").alias("frame_len"),
+                F.lower(F.sha2("frame", 256)).alias("frame_sha"),
+            )
+            .orderBy("fname", "frame_idx")
+        )
+        rows = out.collect()  # materialize before tmp vanishes
+        return spark.createDataFrame(rows, out.schema)
