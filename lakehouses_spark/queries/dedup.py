@@ -595,3 +595,79 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("canonical_id", "n_members", "total_chars")
         .orderBy("canonical_id")
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH digests AS (
+      SELECT doc_id,
+             sha256(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS digest
+      FROM documents
+    ), existing AS (
+      SELECT digest, min(doc_id) AS first_existing FROM digests
+      WHERE doc_id % 2 = 0 GROUP BY digest
+    ), incoming AS (
+      SELECT doc_id, digest,
+             min(doc_id) OVER (PARTITION BY digest) AS first_incoming
+      FROM digests WHERE doc_id % 2 = 1
+    )
+    SELECT i.doc_id,
+           CASE WHEN e.first_existing IS NOT NULL THEN 'dup_of_existing'
+                WHEN i.first_incoming < i.doc_id THEN 'dup_within_batch'
+                ELSE 'accepted' END AS status,
+           CASE WHEN e.first_existing IS NOT NULL THEN e.first_existing
+                WHEN i.first_incoming < i.doc_id THEN i.first_incoming
+                ELSE NULL END AS dup_of
+    FROM incoming i LEFT JOIN existing e USING (digest)
+    ORDER BY i.doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape of the exact tier: an
+    INCOMING batch (odd doc_ids) deduplicates against the EXISTING corpus
+    index (even doc_ids) and against itself, in one pass. Each incoming doc
+    gets a verdict: accepted / dup_of_existing (canonical existing doc id) /
+    dup_within_batch (earlier incoming doc with the same content). The
+    dedup key is the canonicalized content digest (sorted distinct words —
+    normalization-then-hash, the standard pre-ingest canonical form).
+
+    100 TB shape: the existing side is represented by its (digest →
+    first_doc) index, which in production is a LakeTable maintained by
+    MERGE after every accepted batch (shuffle keys are 32-byte digests,
+    never bodies — same discipline as dedup_exact). One digest-keyed
+    shuffle joins batch vs index; the within-batch window shares that same
+    hash partitioning, so Catalyst plans a single exchange for both
+    checks. The index join is a broadcast only when the index is small;
+    here it shuffles, as it would at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.sha2(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "),
+        256,
+    )
+    digests = d.select("doc_id", digest.alias("digest"))
+    existing = (
+        digests.where(F.col("doc_id") % 2 == 0)
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("first_existing"))
+    )
+    from pyspark.sql import Window
+
+    incoming = digests.where(F.col("doc_id") % 2 == 1).withColumn(
+        "first_incoming", F.min("doc_id").over(Window.partitionBy("digest"))
+    )
+    joined = incoming.join(existing, "digest", "left")
+    status = (
+        F.when(F.col("first_existing").isNotNull(), "dup_of_existing")
+        .when(F.col("first_incoming") < F.col("doc_id"), "dup_within_batch")
+        .otherwise("accepted")
+    )
+    dup_of = (
+        F.when(F.col("first_existing").isNotNull(), F.col("first_existing"))
+        .when(F.col("first_incoming") < F.col("doc_id"), F.col("first_incoming"))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return joined.select(
+        "doc_id", status.alias("status"), dup_of.alias("dup_of")
+    ).orderBy("doc_id")

@@ -65,7 +65,7 @@ _SWEEP_PRIORITY = [
     "text_decontaminate", "sample_stratified",         # new in round 3
     "pack_sequences", "text_boilerplate_ngrams",       # (curation family)
     "text_perplexity_proxy", "sample_temperature",     # (curation family)
-    "multimodal_frame_manifest",                       # new in round 3
+    "multimodal_frame_manifest", "dedup_incremental", # new in round 3
     # the 34 remaining r1-only queries
     "agg_count_by_key", "agg_sum_all_numeric", "agg_global_scalars",
     "agg_having_topk", "agg_rollup", "agg_cube", "agg_grouping_sets",
