@@ -171,7 +171,9 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     no global serial cumsum; every source shard packs independently in one
     shuffle, which is exactly how a distributed packing job shards (pack
     within shard, never across). Bin stats are a second keyed aggregation
-    on (source, bin)."""
+    on (source, bin). If one source dwarfs the rest, widen the partition
+    key to (source, doc_id div N) — packing quality is unaffected because
+    chunk boundaries never carry information across bins."""
     d = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
     w = (
@@ -282,7 +284,11 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the unigram table is one partial-aggregated count keyed on
     the token (vocabulary-sized output, ≪ corpus), BROADCAST back over the
     token stream; the per-doc mean is the only corpus-sized shuffle (keyed
-    on doc_id). Two linear passes, no Python."""
+    on doc_id). Two linear passes, no Python. The broadcast is safe because
+    LM-filter vocabularies are CAPPED by construction (real KenLM filters
+    train on a fixed top-K vocab with OOV smoothing); on an uncapped web
+    corpus, first cut the count table to top-K by frequency (TakeOrdered,
+    like text_boilerplate_ngrams) so the broadcast stays bounded."""
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))

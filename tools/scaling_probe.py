@@ -198,6 +198,11 @@ def main() -> None:
         "widen blocks (more tables × more bits) — bucket occupancy is the dial.",
         "`_simhash64` signatures are numpy-vectorized + batch-memoized (12×",
         "over the scalar walk on sf0.1 documents, bit-identical, pinned).",
+        "`text_decontaminate`/`text_boilerplate_ngrams` are the curation",
+        "tier's gram-explode + broadcast-probe shapes — linear by design",
+        "(the broadcast side is benchmark-/K-bounded); their sub-second",
+        "jitter at this scale is scheduling noise, the signal is no upward",
+        "drift.",
     ]
     Path(__file__).resolve().parent.parent.joinpath("SCALING.md").write_text(
         "\n".join(lines) + "\n"
