@@ -365,3 +365,89 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "sample_rank", "quota")
         .orderBy("lang", "sample_rank")
     )
+
+
+@query(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH {_grams_sql()},
+    per_gram AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id, sum(c) AS n_grams,
+           sum(c) - count(*) AS n_repeated,
+           floor((sum(c) - count(*)) * 10000.0 / sum(c) + 0.5) / 10000
+             AS rep_ratio
+    FROM per_gram GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (the Gopher/MassiveText quality filter):
+    fraction of a doc's trigrams that are repeats of an earlier trigram in
+    the SAME doc — high ratio flags looping/spammy generations and
+    boilerplate-stuffed pages.
+
+    100 TB shape: entirely per-row higher-order array functions — distinct
+    count vs total count of the in-row gram array. ZERO hash shuffle (the
+    plan's only exchange is the deterministic output ordering); this is an
+    embarrassingly parallel map that scales with executors, period."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = _word_ngrams()
+    n_grams = F.size(grams).cast("long")
+    n_rep = (F.size(grams) - F.size(F.array_distinct(grams))).cast("long")
+    ratio = F.floor(n_rep * 10000.0 / n_grams + 0.5) / 10000
+    return d.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_rep.alias("n_repeated"),
+        ratio.alias("rep_ratio"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_word_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w
+    ), tot AS (
+      SELECT doc_id, sum(c) AS n FROM freq GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           round(-sum((c / n) * ln(c / n)), 4) AS word_entropy,
+           round(ln(count(*)), 4) AS max_entropy
+    FROM freq f JOIN tot USING (doc_id)
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """,
+)
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-distribution entropy per document (gibberish / diversity
+    signal): Shannon entropy of the doc's own word frequencies in nats,
+    with ln(n_distinct) as the attainable maximum — near-zero entropy is a
+    single word repeated, near-max is no word reused.
+
+    100 TB shape: per-row higher-order functions again — in-row frequency
+    vector via array_distinct + filter counts, entropy via F.aggregate.
+    ZERO hash shuffle; the DuckDB oracle computes the identical quantity
+    the relational way (explode → per-doc GROUP BY), making this a
+    cross-paradigm differential check of the same statistic."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w).cast("double")
+    dist = F.array_distinct(w)
+    counts = F.transform(
+        dist, lambda x: F.size(F.filter(w, lambda y: y == x)).cast("double")
+    )
+    entropy = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + (c / n) * F.log(c / n),
+    )
+    return d.select(
+        "doc_id",
+        F.round(entropy, 4).alias("word_entropy"),
+        F.round(F.log(F.size(dist).cast("double")), 4).alias("max_entropy"),
+    ).orderBy("doc_id")

@@ -66,6 +66,7 @@ _SWEEP_PRIORITY = [
     "pack_sequences", "text_boilerplate_ngrams",       # (curation family)
     "text_perplexity_proxy", "sample_temperature",     # (curation family)
     "multimodal_frame_manifest", "dedup_incremental", # new in round 3
+    "text_repetition_filter", "text_word_entropy",     # (quality filters)
     # the 34 remaining r1-only queries
     "agg_count_by_key", "agg_sum_all_numeric", "agg_global_scalars",
     "agg_having_topk", "agg_rollup", "agg_cube", "agg_grouping_sets",

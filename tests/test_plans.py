@@ -192,3 +192,13 @@ def test_temperature_quota_broadcasts(spark):
     plan = plan_of(REGISTRY["sample_temperature"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning(lang" in plan
+
+
+def test_per_row_quality_filters_have_no_hash_shuffle(spark):
+    """text_repetition_filter / text_word_entropy: per-row higher-order
+    array computation — the only exchange allowed is the deterministic
+    output ordering (range partitioning), never a hash shuffle."""
+    for name in ("text_repetition_filter", "text_word_entropy"):
+        plan = plan_of(REGISTRY[name].fn(spark, SF))
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "BatchEvalPython" not in plan, name
