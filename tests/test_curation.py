@@ -1,0 +1,162 @@
+"""Invariant tests for the corpus-curation operators (beyond the DuckDB
+oracle differential): packing conservation, quota arithmetic, injected
+contamination recall, repetition/entropy bounds, incremental-dedup verdict
+consistency. Synthetic corpora are written as documents.parquet into a tmp
+dir so the registered query fns run unchanged."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouses_spark.queries.curation import (
+    PACK_CONTEXT,
+    TEMP_BUDGET,
+    pack_sequences,
+    sample_temperature,
+    text_decontaminate,
+    text_repetition_filter,
+    text_word_entropy,
+)
+from lakehouses_spark.queries.dedup import dedup_incremental
+
+SF = "/root/testdata/sf0.01"
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_docs(spark, tmp_path, rows):
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows], DOC_SCHEMA
+    ).write.mode("overwrite").parquet(path)
+    return str(tmp_path)
+
+
+def test_pack_sequences_conserves_docs_and_tokens(spark):
+    """Concat-and-chunk must partition the corpus: every doc in exactly one
+    bin, token totals conserved, bin ids contiguous from 0 per source."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    n_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).collect()[0].n
+    bins = pack_sequences(spark, SF).collect()
+    assert sum(r.n_docs for r in bins) == n_docs
+    assert sum(r.total_tokens for r in bins) == n_tokens
+    by_source: dict[str, list[int]] = {}
+    for r in bins:
+        by_source.setdefault(r.source, []).append(r.bin_id)
+    for src, ids in by_source.items():
+        assert sorted(ids) == list(range(len(ids))), src
+    # a bin's payload can only exceed the context by its last doc's spill
+    for r in bins:
+        assert r.n_docs >= 1
+        assert r.first_doc <= r.last_doc
+
+
+def test_sample_temperature_quota_arithmetic(spark):
+    """Quota sum never exceeds the budget; each stratum delivers exactly
+    min(quota, stratum size) docs; the draw is deterministic."""
+    out = sample_temperature(spark, SF)
+    rows = out.collect()
+    quotas = {r.lang: r.quota for r in rows}
+    assert sum(quotas.values()) <= TEMP_BUDGET
+    sizes = {
+        r.lang: r.n
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    from collections import Counter
+
+    drawn = Counter(r.lang for r in rows)
+    for lang, quota in quotas.items():
+        assert drawn[lang] == min(quota, sizes[lang]), lang
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in rows]
+
+
+def test_decontaminate_flags_injected_overlap(spark, tmp_path):
+    """A training doc sharing a trigram with the benchmark split (doc 0)
+    must be flagged; a disjoint doc must not."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "alpha beta gamma delta epsilon"),  # benchmark (0 % 97 == 0)
+            (1, "alpha beta gamma something else entirely"),  # overlaps
+            (2, "zeta eta theta iota kappa"),  # disjoint
+        ],
+    )
+    got = {r.doc_id: r.n_overlap for r in text_decontaminate(spark, sf).collect()}
+    assert got == {1: 1}
+
+
+def test_repetition_filter_detects_within_doc_repeats(spark, tmp_path):
+    """'a b c a b c a b c' repeats its trigrams; an all-distinct doc has
+    rep_ratio 0."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a b c a b c a b c"),
+            (2, "one two three four five six"),
+        ],
+    )
+    got = {r.doc_id: r for r in text_repetition_filter(spark, sf).collect()}
+    assert got[2].n_repeated == 0 and got[2].rep_ratio == 0.0
+    # 7 trigrams, only 3 distinct ('a b c','b c a','c a b') => 4 repeats
+    assert got[1].n_grams == 7 and got[1].n_repeated == 4
+    assert got[1].rep_ratio == pytest.approx(4 / 7, abs=1e-4)
+
+
+def test_word_entropy_bounds(spark, tmp_path):
+    """0 <= entropy <= max_entropy; single repeated word => 0; all-distinct
+    doc achieves the maximum exactly."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "same same same same"),
+            (2, "w1 w2 w3 w4 w5"),
+        ],
+    )
+    got = {r.doc_id: r for r in text_word_entropy(spark, sf).collect()}
+    assert got[1].word_entropy == 0.0
+    assert got[2].word_entropy == got[2].max_entropy
+    for r in got.values():
+        assert -1e-9 <= r.word_entropy <= r.max_entropy + 1e-9
+    full = text_word_entropy(spark, SF).collect()
+    assert all(0 <= r.word_entropy <= r.max_entropy + 1e-9 for r in full)
+
+
+def test_incremental_dedup_verdicts_consistent(spark):
+    """Every incoming doc gets exactly one verdict; dup targets precede the
+    doc and are accepted-or-existing; accepted digests are unique across
+    existing ∪ accepted."""
+    rows = dedup_incremental(spark, SF).collect()
+    incoming = {r.doc_id for r in rows}
+    assert all(r.doc_id % 2 == 1 for r in rows)
+    accepted = {r.doc_id for r in rows if r.status == "accepted"}
+    for r in rows:
+        if r.status == "accepted":
+            assert r.dup_of is None
+        elif r.status == "dup_of_existing":
+            assert r.dup_of is not None and r.dup_of % 2 == 0
+        else:
+            assert r.status == "dup_within_batch"
+            assert r.dup_of in incoming and r.dup_of < r.doc_id
+            # the within-batch canonical target must itself not be an
+            # existing-dup — otherwise existing would have claimed this doc
+            target = next(x for x in rows if x.doc_id == r.dup_of)
+            assert target.status in ("accepted", "dup_of_existing")
+    # accepted docs never collide with each other
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    digest = F.sha2(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "),
+        256,
+    )
+    dg = {r.doc_id: r.d for r in docs.select("doc_id", digest.alias("d")).collect()}
+    acc_digests = [dg[i] for i in accepted]
+    assert len(acc_digests) == len(set(acc_digests))
+    existing_digests = {dg[i] for i in dg if i % 2 == 0}
+    assert not (set(acc_digests) & existing_digests)
