@@ -74,12 +74,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file; with nanosAsLong it scans as
-        # long. Integer-divide to micros (never float-divide: nanos exceed
-        # 2^53) and rebuild the timestamp — same truncation DuckDB applies.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        # ts is TIMESTAMP(NANOS) in the file. Depending on scan-conf timing
+        # Spark surfaces it either as long (legacy nanosAsLong) or as
+        # timestamp_ntz (native nanos→micros truncation). Normalize both to
+        # a session-tz timestamp with the same micro truncation DuckDB
+        # applies. Integer-divide the long form (never float-divide: nanos
+        # exceed 2^53).
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

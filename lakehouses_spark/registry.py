@@ -98,6 +98,7 @@ def load_all_queries() -> dict[str, RegisteredQuery]:
         extensions,
         advanced,
         curation,
+        tpch,
     )
 
     ordered = {n: QUERIES[n] for n in _SWEEP_PRIORITY if n in QUERIES}
