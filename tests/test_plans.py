@@ -202,3 +202,46 @@ def test_per_row_quality_filters_have_no_hash_shuffle(spark):
         plan = plan_of(REGISTRY[name].fn(spark, SF))
         assert "Exchange hashpartitioning" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_q6_filters_all_pushed(spark):
+    """q6: every predicate (shipdate range, discount band, quantity cap)
+    must reach the parquet scan — the canonical pushdown probe."""
+    plan = plan_of(REGISTRY["q6_forecast_revenue"].fn(spark, SF))
+    assert "PushedFilters" in plan
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24",
+    ):
+        assert frag in plan, f"missing pushed filter: {frag}"
+
+
+def test_q19_disjunction_stays_hash_join(spark):
+    """q19: Catalyst must extract the common l_partkey=p_partkey conjunct
+    from the OR clauses — a nested-loop join here is the classic failure."""
+    plan = plan_of(REGISTRY["q19_disjunctive_revenue"].fn(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_exclusion_is_anti_join(spark):
+    plan = plan_of(REGISTRY["q16_supplier_part_count"].fn(spark, SF), "simple")
+    assert "LeftAnti" in plan
+
+
+def test_q22_dormancy_is_anti_join(spark):
+    plan = plan_of(REGISTRY["q22_dormant_customers"].fn(spark, SF), "simple")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan  # scalar threshold broadcasts
+
+
+def test_q2_correlation_is_single_window_shuffle(spark):
+    """q2: the correlated max must plan as a window over the derived pair
+    relation — no per-row subquery re-execution, no nested loop."""
+    plan = plan_of(REGISTRY["q2_best_supplier"].fn(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
