@@ -296,3 +296,76 @@ FROM canon c JOIN quality q ON q.doc_id = c.doc_id
 WHERE q.quality_score >= 0.75
 ORDER BY c.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — the redaction stage of a training-data pipeline. The
+# corpus has no natural PII, so (twin-injection pattern, as with the
+# minhash/ANN oracles) both engines deterministically append synthetic
+# emails/phones keyed on doc_id, then must produce byte-identical scrubbed
+# text (md5-compared) and identical match counts. All JVM-side regexp —
+# no Python, no shuffle beyond output ordering.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com now' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' or call 415-555-0142 today' ELSE '' END
+               AS text
+      FROM documents
+      WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS clean_hash
+    FROM injected
+    ORDER BY doc_id
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 11 == 0)
+    )
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" or call 415-555-0142 today")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return (
+        injected.select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).alias("n_emails"),
+            F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).alias("n_phones"),
+            F.md5(scrubbed).alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+    )

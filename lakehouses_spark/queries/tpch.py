@@ -609,3 +609,100 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: nested IN chain — region-filtered suppliers whose shipped
+# volume of a part class clears a HAVING threshold. Both IN subqueries
+# decorrelate to semi joins; the volume filter is a keyed pre-aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "q20_volume_suppliers",
+    oracle="""
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'AFRICA')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%red%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 500)
+    ORDER BY s_name
+    """,
+)
+def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AFRICA")
+    red = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= _ts("1997-01-01 00:00:00")
+    )
+    heavy = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 500)
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+            "left_semi",
+        )
+        .join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: double-correlated EXISTS / NOT EXISTS. Decorrelated to per-order
+# distinct-supplier aggregates (one shuffle on l_orderkey) joined back:
+#   EXISTS other-supplier line       ⇔ order has ≥2 distinct suppliers
+#   NOT EXISTS other-supplier return ⇔ order has exactly 1 returning supplier
+# (the probe line itself is a return, so that supplier is the probe's).
+# ---------------------------------------------------------------------------
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    per_order = li.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    probe = li.where(F.col("l_returnflag") == "R")
+    return (
+        probe.join(orders, probe.l_orderkey == orders.o_orderkey)
+        .join(per_order, probe.l_orderkey == per_order.agg_orderkey)
+        .where((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+        .join(F.broadcast(supp), probe.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )

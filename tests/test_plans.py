@@ -245,3 +245,11 @@ def test_q2_correlation_is_single_window_shuffle(spark):
     plan = plan_of(REGISTRY["q2_best_supplier"].fn(spark, SF), "simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pii_scrub_is_jvm_side_single_scan(spark):
+    """text_pii_scrub: injection + regexp redaction must stay inside
+    whole-stage codegen — no Python evaluation, no hash shuffle."""
+    plan = plan_of(REGISTRY["text_pii_scrub"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
