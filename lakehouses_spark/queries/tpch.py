@@ -3,8 +3,10 @@
 The reference's silver/gold layers imply the standard relational algebra
 (multi-way joins, correlated subqueries, disjunctive predicates, CASE
 aggregation — `05.movielens/02.movielens-silver.py`, `03.movielens-gold.py`);
-q1/q3/q5 shapes live in ``relational.py``. This module completes the family so
-a reference user has every canonical warehouse query shape available.
+q1/q3/q5 shapes live in ``relational.py``; the q13 shape is
+``join_count_distribution`` and the q18 shape is ``agg_having_topk`` (both in
+``relational.py``). This module completes the family — all 22 canonical
+warehouse query shapes are registered and oracle-checked.
 
 Adaptations forced by the reduced schema (no partsupp, no
 l_commitdate/l_receiptdate/l_shipmode/c_phone):
@@ -705,4 +707,91 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: value-concentration HAVING against a global-scalar subquery.
+# The scalar total is computed once and broadcast — never re-evaluated
+# per group. (partsupp-less adaptation: retained value = shipped value.)
+# ---------------------------------------------------------------------------
+@query(
+    "q11_value_concentration",
+    oracle="""
+    SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * l_quantity) > (
+      SELECT 0.001 * sum(l_extendedprice * l_quantity)
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    scoped = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("v"))
+    )
+    per_part = scoped.groupBy("l_partkey").agg(F.sum("v").alias("raw_value"))
+    threshold = scoped.agg((0.001 * F.sum("v")).alias("cutoff"))
+    return (
+        per_part.join(F.broadcast(threshold))
+        .where(F.col("raw_value") > F.col("cutoff"))
+        .select("l_partkey", F.round("raw_value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: argmax over an aggregate (top-revenue supplier, ties kept).
+# The quarterly revenue relation is tiny (one row per supplier), so the
+# scalar max broadcasts; no second scan of lineitem.
+# ---------------------------------------------------------------------------
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_revenue"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(best))
+        .where(F.col("total_revenue") == F.col("best_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
     )
