@@ -192,7 +192,22 @@ def _fake_wav(seconds: float, rate: int = 8000, channels: int = 1) -> bytes:
     )
 
 
-@query("multimodal_metadata", oracle=None)  # binary plumbing → rows-only
+@query(
+    "multimodal_metadata",
+    # upgraded from rows-only (the manifest-probe trick): the synthesized
+    # PNG for doc_id has width 64+id%32, height 48+id%16, and byte length
+    # 33+11·width by construction, so the whole generate→mapInPandas-probe→
+    # rollup pipeline must reproduce the analytic formula — the header probe
+    # and the Arrow plumbing are both on the hook for the hash to match
+    oracle="""
+    SELECT 'png' AS format,
+           count(*) AS n_files,
+           sum(33 + 11 * (64 + doc_id % 32)) AS total_bytes,
+           round(avg(64 + doc_id % 32), 2) AS avg_width,
+           round(avg(48 + doc_id % 16), 2) AS avg_height
+    FROM documents
+    """,
+)
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 multimodal: synthesize deterministic binary 'images' from the
     documents table, run the mapInPandas metadata extractor + JVM-side
@@ -553,3 +568,67 @@ def multimodal_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()  # materialize before tmp vanishes
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "streaming_matview_rollup",
+    # the maintained gold table must equal the batch aggregate over ALL
+    # source data — after an initial drain AND an incremental second drain
+    # that MERGE-updates only the affected windows
+    oracle="""
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS window_start,
+           CAST(date_trunc('hour', CAST(ts AS TIMESTAMP))
+                + INTERVAL 1 HOUR AS VARCHAR) AS window_end,
+           event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+)
+def streaming_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized view end-to-end (T1/T3/T4/T5 + D-family MERGE
+    in one arc): events land in a bronze LakeTable in two batches; each
+    batch is drained through the laketable stream source → watermarked
+    tumbling aggregation → foreachBatch MERGE into a partitioned gold
+    LakeTable (the hypertable continuous-aggregate shape,
+    streaming/materialized.py). The second drain arrives AFTER the first
+    completed, so it must MERGE-update existing windows / insert new ones
+    rather than rebuild — and the final gold content must still equal the
+    one-shot batch aggregate over everything (the oracle).
+
+    100 TB shape: each drain touches only the NEW files (log-version
+    offsets), stream state is O(open windows), and the MERGE rewrites only
+    files containing updated window rows (gold is partitioned on
+    window_start, so an update prunes to its hour partitions)."""
+    from lakehouses_spark.streaming.materialized import start_rollup_view
+    from lakehouses_spark.tables import LakeTable
+
+    events = load_table(spark, sf_dir, "events")
+    # time-ordered split: batch 2 is strictly later than batch 1, so the
+    # checkpointed watermark never classifies it as late-beyond-horizon
+    split_day = 15
+    with tempfile.TemporaryDirectory() as tmp:
+        bronze = LakeTable.create(
+            spark, f"{tmp}/bronze", events.where(F.dayofmonth("ts") <= split_day)
+        )
+        for batch in (None, events.where(F.dayofmonth("ts") > split_day)):
+            if batch is not None:
+                bronze.append(batch)
+            q = start_rollup_view(
+                spark, bronze.path, f"{tmp}/gold", f"{tmp}/ckpt"
+            )
+            q.awaitTermination()
+        gold = LakeTable(spark, f"{tmp}/gold")
+        result = (
+            gold.read()
+            .select(
+                F.col("window_start").cast("string").alias("window_start"),
+                F.col("window_end").cast("string").alias("window_end"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+            .orderBy("window_start", "event_type")
+        )
+        rows = result.collect()  # materialize before tmp vanishes
+        return spark.createDataFrame(rows, result.schema)

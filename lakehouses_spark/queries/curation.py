@@ -451,3 +451,59 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(entropy, 4).alias("word_entropy"),
         F.round(F.log(F.size(dist).cast("double")), 4).alias("max_entropy"),
     ).orderBy("doc_id")
+
+
+SPLIT_SEED = "corpus-split-v1"  # version the assignment; bump => full re-split
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # test gets the remainder
+
+
+@query(
+    "sample_hash_split",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(
+               md5('{SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)
+             ) AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM buckets
+    ORDER BY doc_id
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by seeded content-key hash —
+    the production replacement for randomSplit (U2): the same document lands
+    in the same split on every run, on every engine, regardless of partition
+    layout or row order, because the assignment is a pure function
+    md5(seed:doc_id) → bucket ∈ [0,100) → split. Seeded, so a new SPLIT_SEED
+    re-rolls the assignment; keyed on the stable doc_id so re-ingesting a
+    shard can't migrate documents between splits (keying on a content digest
+    instead gives the dedup-aware variant — same plan).
+
+    100 TB shape: a per-row map, ZERO shuffle — the narrowest possible plan
+    (the ORDER BY here is presentation for the differential check). Contrast
+    with randomSplit, whose per-partition RNG makes the assignment depend on
+    partitioning and is rows-only-checkable; this one hash-matches DuckDB
+    exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(SPLIT_SEED), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return d.select("doc_id", "source", split.alias("split")).orderBy("doc_id")

@@ -60,9 +60,11 @@ _SWEEP_PRIORITY = [
     # two rounds old. Everything already driver-verified in round 2 follows
     # in registration order and fills the rest of the 50-entry budget.
     "dedup_minhash_lsh", "dedup_simhash",           # upgraded (twin oracles)
+    "multimodal_metadata",                          # upgraded (manifest formula)
     "sim_pairs_blocked", "multimodal_manifest_probe",  # new in round 3
     "dedup_embedding_cosine",                          # new in round 3
     "text_decontaminate", "sample_stratified",         # new in round 3
+    "sample_hash_split", "streaming_matview_rollup",   # new in round 3
     "pack_sequences", "text_boilerplate_ngrams",       # (curation family)
     "text_perplexity_proxy", "sample_temperature",     # (curation family)
     "multimodal_frame_manifest", "dedup_incremental", # new in round 3
@@ -78,8 +80,7 @@ _SWEEP_PRIORITY = [
     "project_rename_derive", "distinct_projection", "filter_between_in",
     "sort_limit_topk", "set_intersect", "set_except", "union_by_name",
     "window_zscore", "udaf_weighted_avg", "udtf_tokenize",
-    "sql_over_path", "gold_als_recommendations", "multimodal_metadata",
-    "random_split_sample",
+    "sql_over_path", "gold_als_recommendations", "random_split_sample",
 ]
 
 

@@ -160,3 +160,52 @@ def test_incremental_dedup_verdicts_consistent(spark):
     assert len(acc_digests) == len(set(acc_digests))
     existing_digests = {dg[i] for i in dg if i % 2 == 0}
     assert not (set(acc_digests) & existing_digests)
+
+
+def test_hash_split_deterministic_and_partition_independent(spark):
+    from lakehouses_spark.queries.curation import sample_hash_split
+
+    a = {r.doc_id: r.split for r in sample_hash_split(spark, SF).collect()}
+    # re-running yields the identical assignment (pure function of doc_id —
+    # no RNG state, no partition-layout dependence, the randomSplit failure
+    # mode this operator exists to eliminate)
+    b = {r.doc_id: r.split for r in sample_hash_split(spark, SF).collect()}
+    assert a == b
+    # proportions near 90/5/5 (md5 buckets are uniform; 500 docs → loose band)
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    assert 0.82 <= frac_train <= 0.97
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_matview_rollup_merges_instead_of_rebuilding(spark, tmp_path):
+    """The second drain must arrive as MERGE commits on the SAME gold table
+    (not a rebuild): version strictly increases and windows from batch one
+    survive untouched when batch two only adds later windows."""
+    from lakehouses_spark.io import load_table
+    from lakehouses_spark.streaming.materialized import start_rollup_view
+    from lakehouses_spark.tables import LakeTable
+
+    events = load_table(spark, SF, "events")
+    bronze = LakeTable.create(
+        spark, tmp_path / "bronze", events.where(F.dayofmonth("ts") <= 3)
+    )
+    q = start_rollup_view(spark, bronze.path, tmp_path / "gold", tmp_path / "ck")
+    q.awaitTermination()
+    gold = LakeTable(spark, tmp_path / "gold")
+    v1 = gold.version
+    first = {
+        (str(r.window_start), r.event_type): (r.n_events, r.total_value)
+        for r in gold.read().collect()
+    }
+    bronze.append(events.where(F.dayofmonth("ts") == 4))
+    q = start_rollup_view(spark, bronze.path, tmp_path / "gold", tmp_path / "ck")
+    q.awaitTermination()
+    assert gold.version > v1
+    after = {
+        (str(r.window_start), r.event_type): (r.n_events, r.total_value)
+        for r in gold.read().collect()
+    }
+    # day ≤ 3 windows unchanged; day-4 windows appeared
+    assert all(after[k] == v for k, v in first.items() if k in after)
+    assert set(after) > set(first)
