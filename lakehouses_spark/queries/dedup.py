@@ -5,8 +5,9 @@ Five tiers, each with the 100 TB story spelled out:
 - exact:   group by content digest (sha256) — one shuffle keyed on the digest,
            never on the raw text.
 - n-gram:  3-word shingles + Jaccard via an inverted-index self-join — the
-           shuffle key is the shingle, so common-shingle skew is the risk;
-           at scale, drop top-frequency shingles (stop-shingles) first.
+           shuffle key is the 8-byte shingle hash (strings never shuffle),
+           and common-shingle skew is the risk; at scale, drop
+           top-frequency shingles (stop-shingles) first.
 - MinHash: k independent min-hashes over shingles + LSH banding — candidate
            generation cost is linear in corpus size; the only pairwise work
            happens inside tiny band buckets. Deterministic seeds (xxhash64 of
@@ -39,17 +40,40 @@ def _words(col: str = "text"):
     return F.split(F.col(col), " ")
 
 
+def _raw_shingles(col: str = "text"):
+    w = _words(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+        ),
+    )
+
+
 def _shingles(col: str = "text"):
     """Distinct 3-word shingles as an array column (JVM-side, no UDF)."""
-    w = _words(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(w) - 3, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
-            ),
-        )
-    )
+    return F.array_distinct(_raw_shingles(col))
+
+
+def _hashed_shingles(col: str = "text"):
+    """Distinct 3-word shingles pre-hashed to 8-byte keys (xxhash64).
+
+    Everything downstream — the inverted index, MinHash signatures, and
+    exact-Jaccard verification — consumes these longs, never the shingle
+    strings: shuffle rows and checkpoint bytes shrink ~3×, and set
+    intersection compares 8-byte integers instead of ~20-byte strings.
+    Jaccard over the hashed sets equals Jaccard over the string sets unless
+    xxhash64 collides within a document pair's union (P ≈ m²/2⁶⁵ for m
+    distinct shingles — ~1e-9 at probe scale); the DuckDB oracles compute
+    the string-exact value, so a collision would surface as a hash-row
+    MISMATCH, not slip through silently."""
+    return F.array_distinct(F.transform(_raw_shingles(col), lambda s: F.xxhash64(s)))
+
+
+def hashed_shingle_sets(d: DataFrame) -> DataFrame:
+    """(doc_id, hs: array<long>) — the materialization unit the dedup tier
+    shares across candidate generation and verification."""
+    return d.select("doc_id", _hashed_shingles().alias("hs"))
 
 
 @query(
@@ -111,7 +135,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification over the full shingle sets. Reported jaccard is always the
     exact value — the df cut only prunes candidate *generation*."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    shingle_sets = d.select("doc_id", _shingles().alias("sh")).localCheckpoint()
+    shingle_sets = hashed_shingle_sets(d).localCheckpoint()
     cand = ngram_candidate_pairs(shingle_sets)
     return verify_jaccard(cand, shingle_sets, threshold=0.3)
 
@@ -132,24 +156,26 @@ def ngram_candidate_pairs(
     stop_frac: float = STOP_SHINGLE_FRAC,
     min_df: int = STOP_SHINGLE_MIN_DF,
 ) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing ≥1 non-stop shingle."""
+    """Distinct (doc_a < doc_b) pairs sharing ≥1 non-stop shingle. The
+    inverted index is keyed on the 8-byte shingle hash — long-keyed shuffle
+    and join, never strings."""
     n_docs = shingle_sets.count()  # already checkpointed by callers
     cut = max(min_df, int(stop_frac * n_docs))
-    exploded = shingle_sets.select("doc_id", F.explode("sh").alias("shingle"))
+    exploded = shingle_sets.select("doc_id", F.explode("hs").alias("h"))
     hot = (
-        exploded.groupBy("shingle")
+        exploded.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > cut)
-        .select("shingle")
+        .select("h")
     )
     # the hot set is tiny by definition (heavy hitters) → broadcast anti-join
-    filtered = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    filtered = exploded.join(F.broadcast(hot), "h", "left_anti")
     a = filtered.alias("a")
     b = filtered.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -160,7 +186,9 @@ def ngram_candidate_pairs(
 def verify_jaccard(
     candidates: DataFrame, shingle_sets: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard over the FULL shingle sets for candidate pairs only.
+    """Exact Jaccard over the FULL (hashed) shingle sets for candidate pairs
+    only — integer-set intersection, identical to the string-set value
+    absent an in-pair xxhash64 collision (see _hashed_shingles).
 
     The threshold filter compares the UNROUNDED ratio (matching the oracle
     SQL's WHERE clause); round(.,4) is applied only in the projected column —
@@ -168,8 +196,8 @@ def verify_jaccard(
     """
     sa = shingle_sets.alias("sa")
     sb = shingle_sets.alias("sb")
-    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
-    union = F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh")))
+    inter = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
+    union = F.size(F.array_union(F.col("sa.hs"), F.col("sb.hs")))
     return (
         candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
@@ -258,15 +286,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the verification join) would otherwise recompute the tokenize+
     # shingle lineage end-to-end. At cluster scale this is a persisted
     # intermediate table; locally localCheckpoint gives the same cut.
-    # the checkpoint stores BOTH the shingle strings (verification) and the
-    # per-shingle base hashes (signatures) — hashing each shingle string
-    # exactly once, materialized so the 32 signature expressions below each
-    # reference a stored column instead of inlining the hash subtree 32×
-    shingle_sets = d.select(
-        "doc_id",
-        _shingles().alias("sh"),
-        F.transform(_shingles(), lambda s: F.xxhash64(s)).alias("hs"),
-    ).localCheckpoint()
+    # Only the 8-byte shingle hashes are stored — signatures re-hash them and
+    # verification intersects them directly, so no shingle string survives
+    # tokenization (one third the checkpoint bytes of the string variant).
+    shingle_sets = hashed_shingle_sets(d).localCheckpoint()
     # signature[j] = min over shingles of xxhash64(xxhash64(shingle), j),
     # computed as a pure per-row map: array_min over the k re-hashes.
     # ZERO shuffle — the explode+groupBy formulation moves
@@ -488,7 +511,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     block width trades table count against bucket occupancy, the standard
     simhash-index dial."""
     d = spread(with_doc_twins(load_table(spark, sf_dir, "documents")))
-    shingle_sets = d.select("doc_id", _shingles().alias("sh")).localCheckpoint()
+    shingle_sets = hashed_shingle_sets(d).localCheckpoint()
     sigs = d.select("doc_id", _simhash64(F.col("text")).alias("sig"))
     block_width = 64 // SIMHASH_BLOCKS
     mask = (1 << block_width) - 1

@@ -106,14 +106,14 @@ def test_simhash_full_recall_vs_exact_jaccard(spark):
     oracle enforces, pinned here with a readable diff."""
     from lakehouses_spark.io import load_table, spread
     from lakehouses_spark.queries.dedup import (
-        _shingles,
+        hashed_shingle_sets,
         ngram_candidate_pairs,
         verify_jaccard,
         with_doc_twins,
     )
 
     d = spread(with_doc_twins(load_table(spark, SF, "documents")))
-    sets = d.select("doc_id", _shingles().alias("sh")).localCheckpoint()
+    sets = hashed_shingle_sets(d).localCheckpoint()
     no_cut = ngram_candidate_pairs(sets, stop_frac=2.0, min_df=10**9)
     exact = {
         (r.doc_a, r.doc_b): r.jaccard
@@ -261,7 +261,7 @@ def test_stop_shingle_cut_preserves_recall(spark):
     from the inverted index — collapsing the candidate explosion — while
     every true near-dup pair is still found with its exact jaccard."""
     from lakehouses_spark.queries.dedup import (
-        _shingles,
+        hashed_shingle_sets,
         ngram_candidate_pairs,
         verify_jaccard,
     )
@@ -277,7 +277,7 @@ def test_stop_shingle_cut_preserves_recall(spark):
         body = " ".join(f"w{i}_{k}" if k else "CHANGED" for k in range(words))
         rows.append((1000 + i, body + " the quick brown fox jumps"))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    sets = docs.select("doc_id", _shingles().alias("sh")).localCheckpoint()
+    sets = hashed_shingle_sets(docs).localCheckpoint()
 
     # without the cut every doc pair shares the hot shingles -> O(n^2) pairs
     no_cut = ngram_candidate_pairs(sets, stop_frac=2.0, min_df=10**9)
@@ -355,13 +355,13 @@ def test_stop_shingle_cut_lossless_on_oracle_corpus(spark):
     corpus drift is caught here, not as an opaque oracle mismatch."""
     from lakehouses_spark.io import load_table, spread
     from lakehouses_spark.queries.dedup import (
-        _shingles,
+        hashed_shingle_sets,
         ngram_candidate_pairs,
         verify_jaccard,
     )
 
     d = spread(load_table(spark, SF, "documents"))
-    sets = d.select("doc_id", _shingles().alias("sh")).localCheckpoint()
+    sets = hashed_shingle_sets(d).localCheckpoint()
     no_cut = ngram_candidate_pairs(sets, stop_frac=2.0, min_df=10**9)
     cut = ngram_candidate_pairs(sets)
     exact = {(r.doc_a, r.doc_b) for r in verify_jaccard(no_cut, sets, 0.3).collect()}
