@@ -282,7 +282,56 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_LABELS = ["cat", "dog", "fox", "owl", "bee", "ant", "elk", "bat", "koi", "emu"]
 
 
-@query("multimodal_image_pipeline", oracle=None)  # filesystem source → rows-only
+def _mm_manifest_rows() -> list[tuple]:
+    """Ground-truth manifest of the generated media directory, derived from
+    the generator FORMULAS (not from probe output): PNG length is
+    33 + 11·width, GIF length 74 + width, WAV length 44 + int(seconds·16000).
+    Shared by the Spark query's file generator and the static DuckDB oracle,
+    so the header probe must reproduce every field to hash-match."""
+    rows = []
+    for li, label in enumerate(MM_LABELS):
+        for j in range(2):
+            w, h = 32 + 4 * li + j, 24 + 2 * li
+            rows.append((f"{label}.{j}.png", label, "png", w, h, 4,
+                         33 + 11 * w, None, None))
+            gw, gh = 16 + li, 16 + j
+            rows.append((f"{label}.{j}.gif", label, "gif", gw, gh, 3,
+                         74 + gw, None, None))
+        secs = 0.5 + 0.1 * li
+        n_data = int(secs * 16000)
+        rows.append((f"{label}.0.wav", label, "wav", None, None, 1,
+                     44 + n_data, round(n_data / 16000, 3), 8000))
+    return sorted(rows)
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return f"'{v}'"
+    return repr(v)
+
+
+# the image-pipeline rollup over the SAME formula-derived manifest: the
+# binaryFile scan + header probe + label regexp + JVM agg must reproduce the
+# analytic per-(label, format) stats — upgrades the pipeline from rows-only
+_MM_PIPELINE_ORACLE = (
+    "SELECT label, format, count(*) AS n_files, "
+    "CAST(sum(length) AS BIGINT) AS total_bytes, "
+    "round(avg(width), 2) AS avg_width, round(avg(height), 2) AS avg_height, "
+    "round(sum(duration_s), 3) AS total_duration_s FROM (VALUES "
+    + ", ".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")"
+        for row in _mm_manifest_rows()
+    )
+    + ") AS t(fname, label, format, width, height, n_channels, length, "
+    "duration_s, sample_rate) GROUP BY label, format ORDER BY label, format"
+)
+
+
+
+
+@query("multimodal_image_pipeline", oracle=_MM_PIPELINE_ORACLE)
 def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full image-ingestion pipeline as one driver query
     (02…/05.ingesta_incremental [imagenes].py:48-96): generate a
@@ -330,36 +379,6 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()  # materialize before tmp vanishes
         return spark.createDataFrame(rows, out.schema)
-
-
-def _mm_manifest_rows() -> list[tuple]:
-    """Ground-truth manifest of the generated media directory, derived from
-    the generator FORMULAS (not from probe output): PNG length is
-    33 + 11·width, GIF length 74 + width, WAV length 44 + int(seconds·16000).
-    Shared by the Spark query's file generator and the static DuckDB oracle,
-    so the header probe must reproduce every field to hash-match."""
-    rows = []
-    for li, label in enumerate(MM_LABELS):
-        for j in range(2):
-            w, h = 32 + 4 * li + j, 24 + 2 * li
-            rows.append((f"{label}.{j}.png", label, "png", w, h, 4,
-                         33 + 11 * w, None, None))
-            gw, gh = 16 + li, 16 + j
-            rows.append((f"{label}.{j}.gif", label, "gif", gw, gh, 3,
-                         74 + gw, None, None))
-        secs = 0.5 + 0.1 * li
-        n_data = int(secs * 16000)
-        rows.append((f"{label}.0.wav", label, "wav", None, None, 1,
-                     44 + n_data, round(n_data / 16000, 3), 8000))
-    return sorted(rows)
-
-
-def _sql_lit(v) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, str):
-        return f"'{v}'"
-    return repr(v)
 
 
 _MM_MANIFEST_ORACLE = (

@@ -61,6 +61,7 @@ _SWEEP_PRIORITY = [
     # in registration order and fills the rest of the 50-entry budget.
     "dedup_minhash_lsh", "dedup_simhash",           # upgraded (twin oracles)
     "multimodal_metadata",                          # upgraded (manifest formula)
+    "multimodal_image_pipeline",                    # upgraded (manifest formula)
     "sim_pairs_blocked", "multimodal_manifest_probe",  # new in round 3
     "dedup_embedding_cosine",                          # new in round 3
     "text_decontaminate", "sample_stratified",         # new in round 3
