@@ -65,9 +65,11 @@ def materialize(spark, base: str, factor: int, out: Path) -> str:
     cardinalities scale together."""
     for name, key_cols in (("lineitem", ("l_orderkey",)), ("orders", ("o_orderkey", "o_custkey")),
                            ("customer", ("c_custkey",)), ("events", ("event_id", "user_id"))):
-        df = spark.read.parquet(f"{base}/{name}.parquet")
-        if name == "events":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # load_table normalizes events.ts (TIMESTAMP(NANOS) → session-tz
+        # timestamp) whichever way the scan surfaces it
+        from lakehouses_spark.io import load_table
+
+        df = load_table(spark, base, name)
         parts = []
         for i in range(factor):
             shifted = df
@@ -198,6 +200,11 @@ def main() -> None:
         "widen blocks (more tables × more bits) — bucket occupancy is the dial.",
         "`_simhash64` signatures are numpy-vectorized + batch-memoized (12×",
         "over the scalar walk on sf0.1 documents, bit-identical, pinned).",
+        "The whole dedup tier shuffles/verifies on 8-byte shingle hashes",
+        "(xxhash64) — shingle strings never leave the tokenization",
+        "expression, cutting inverted-index shuffle rows and checkpoint",
+        "bytes ~3× versus string keys (collision analysis in",
+        "queries/dedup.py::_hashed_shingles).",
         "`text_decontaminate`/`text_boilerplate_ngrams` are the curation",
         "tier's gram-explode + broadcast-probe shapes — linear by design",
         "(the broadcast side is benchmark-/K-bounded); their sub-second",
