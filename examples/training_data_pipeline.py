@@ -129,6 +129,35 @@ def main() -> None:
     near = ann_lsh_pairs(emb, threshold=0.95).count()
     print(f"embedding near-dup audit (cos>=0.95): {near} pairs "
           f"({'clean' if near == 0 else 'REVIEW'})")
+
+    # 8. deterministic train/val/test split over the mixture — seeded hash
+    #    buckets, so re-running the pipeline (or re-ingesting a shard) never
+    #    migrates a document across splits (no RNG, no layout dependence)
+    from lakehouses_spark.queries.curation import (
+        SPLIT_SEED, SPLIT_TRAIN_PCT, SPLIT_VAL_PCT,
+    )
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(SPLIT_SEED),
+                                  F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    split_counts = {
+        r.split: r.n
+        for r in mixture.select(split.alias("split"))
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(f"hash-split (seed {SPLIT_SEED!r}): {dict(sorted(split_counts.items()))}")
     spark.stop()
 
 
