@@ -53,35 +53,41 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # emitted FIRST, so the hard signal lands on them; everything already
 # driver-verified in round 1 follows in registration order.
 _SWEEP_PRIORITY = [
-    # round-3 rotation: queries UPGRADED to a real oracle this round first
-    # (rows-only → twin-injection hash checks), then brand-new queries, then
-    # the 36 queries whose latest driver row is round 1 (CORRECTNESS_r01 ∖
-    # r02) — so no query's most recent driver verification is ever more than
-    # two rounds old. Everything already driver-verified in round 2 follows
-    # in registration order and fills the rest of the 50-entry budget.
-    "dedup_minhash_lsh", "dedup_simhash",           # upgraded (twin oracles)
-    "multimodal_metadata",                          # upgraded (manifest formula)
-    "multimodal_image_pipeline",                    # upgraded (manifest formula)
-    "sim_pairs_blocked", "multimodal_manifest_probe",  # new in round 3
-    "dedup_embedding_cosine",                          # new in round 3
-    "text_decontaminate", "sample_stratified",         # new in round 3
-    "sample_hash_split", "streaming_matview_rollup",   # new in round 3
-    "pack_sequences", "text_boilerplate_ngrams",       # (curation family)
-    "text_perplexity_proxy", "sample_temperature",     # (curation family)
-    "multimodal_frame_manifest", "dedup_incremental", # new in round 3
-    "text_repetition_filter", "text_word_entropy",     # (quality filters)
-    # the 34 remaining r1-only queries
-    "agg_count_by_key", "agg_sum_all_numeric", "agg_global_scalars",
-    "agg_having_topk", "agg_rollup", "agg_cube", "agg_grouping_sets",
-    "agg_percentiles", "agg_approx_distinct",
-    "dedup_exact", "dedup_ngram_jaccard",
-    "join_anti", "join_broadcast_dims", "join_count_distribution",
-    "subquery_scalar", "subquery_exists", "subquery_exists_not_exists",
-    "subquery_in_having", "subquery_not_exists_avg", "subquery_correlated_min",
-    "project_rename_derive", "distinct_projection", "filter_between_in",
-    "sort_limit_topk", "set_intersect", "set_except", "union_by_name",
-    "window_zscore", "udaf_weighted_avg", "udtf_tokenize",
-    "sql_over_path", "gold_als_recommendations", "random_split_sample",
+    # Round-3 rotation, sized to the 50-entry budget exactly:
+    #   1. all 33 NEVER-swept queries (no row in r1 ∪ r2) — every new round-3
+    #      operator gets its first driver row,
+    #   2. the 4 queries UPGRADED from rows-only to a real oracle since their
+    #      last driver row,
+    #   3. 13 slots of r1-only refresh, led by the queries whose code the
+    #      round-3 hashed-shingle rewrite touched (dedup_exact/ngram) and the
+    #      most complex SQL surfaces.
+    # The ~20 remaining r1-only rows rotate to the FRONT of round 4's sweep
+    # (the in-repo oracle replica re-verifies all 119 locally every round).
+    # --- 1. never-swept: round-3 TPC-H shape family ---
+    "q2_best_supplier", "q4_priority_check", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_value_concentration", "q12_priority_split",
+    "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_count",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "q20_volume_suppliers", "q21_waiting_suppliers", "q22_dormant_customers",
+    # --- 1. never-swept: round-3 curation/dedup/multimodal/streaming ---
+    "text_pii_scrub",
+    "sim_pairs_blocked", "multimodal_manifest_probe",
+    "dedup_embedding_cosine",
+    "text_decontaminate", "sample_stratified",
+    "sample_hash_split", "streaming_matview_rollup",
+    "pack_sequences", "text_boilerplate_ngrams",
+    "text_perplexity_proxy", "sample_temperature",
+    "multimodal_frame_manifest", "dedup_incremental",
+    "text_repetition_filter", "text_word_entropy",
+    # --- 2. upgraded to a real oracle since their last driver row ---
+    "dedup_minhash_lsh", "dedup_simhash",           # twin-injection oracles
+    "multimodal_metadata", "multimodal_image_pipeline",  # manifest formulas
+    # --- 3. r1-only refresh (13 slots) ---
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_percentiles",
+    "join_anti", "join_broadcast_dims",
+    "window_zscore", "udaf_weighted_avg", "udtf_tokenize", "sql_over_path",
 ]
 
 
