@@ -489,6 +489,26 @@ def _simhash64(texts: pd.Series) -> pd.Series:
 
 SIMHASH_BLOCKS = 8  # 8 blocks × 8 bits: pigeonhole-complete for hamming ≤ 7
 SIMHASH_MAX_HAMMING = 8
+SIMHASH_TARGET_OCCUPANCY = 16  # docs per bucket the index aims for
+
+
+def simhash_block_width(n_docs: int) -> int:
+    """Block width (bits) for the corpus size — the simhash-index dial.
+
+    An 8-bit block has only 256 bucket values per table, so bucket
+    occupancy grows LINEARLY with corpus size and the in-bucket pair
+    expansion quadratically (measured: the ×16→×32 probe hop went α≈1.9
+    before this dial). Widening the block restores ~O(1) occupancy:
+    pick the smallest power-of-two width whose table has ≥ n_docs /
+    TARGET_OCCUPANCY buckets. Wider blocks mean fewer tables (64/width)
+    and a tighter pigeonhole guarantee (hamming ≤ tables−1): candidate
+    recall for mid-hamming pairs is traded for a linear index — the
+    standard Manku et al. trade, now corpus-size-aware instead of
+    hardcoded."""
+    width = 64 // SIMHASH_BLOCKS  # 8 bits — the small-corpus default
+    while (1 << width) * SIMHASH_TARGET_OCCUPANCY < n_docs and width < 32:
+        width *= 2
+    return width
 
 
 @query("dedup_simhash", oracle=_TWIN_PAIR_ORACLE)
@@ -496,24 +516,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over the twin-augmented corpus, checked
     against the exact ngram-Jaccard oracle.
 
-    Pipeline (the Manku et al. multi-table shape): 64-bit signatures → 8
-    tables keyed on one 8-bit block each (a pair within Hamming distance 7
+    Pipeline (the Manku et al. multi-table shape): 64-bit signatures → k
+    tables keyed on one block each (a pair within Hamming distance k−1
     MUST agree exactly on some block — pigeonhole-complete candidate
-    generation) → cheap JVM-side popcount filter (bit_count over the XOR,
-    ≤ SIMHASH_MAX_HAMMING) → exact-Jaccard verification of survivors only.
+    generation up to that distance) → cheap JVM-side popcount filter
+    (bit_count over the XOR, ≤ SIMHASH_MAX_HAMMING) → exact-Jaccard
+    verification of survivors only.
 
-    Scale notes: signature bits are correlated across documents (shared
-    common tokens), so 8-bit buckets grow superlinearly — the pair expansion
-    is therefore a bucket-keyed JOIN (AQE skew-split can parallelize a hot
-    bucket), never a per-bucket collected array; the popcount predicate runs
-    inside the join before anything wide is materialized. At larger corpora
-    widen the blocks (more tables × more bits) to keep buckets sparse —
-    block width trades table count against bucket occupancy, the standard
-    simhash-index dial."""
+    Scale notes: the block width adapts to corpus size
+    (simhash_block_width) so bucket occupancy stays ~O(1) and the bucket
+    join stays linear; the pair expansion is a bucket-keyed JOIN (AQE
+    skew-split can parallelize a hot bucket), never a per-bucket collected
+    array, and the popcount predicate runs inside the join before anything
+    wide is materialized."""
     d = spread(with_doc_twins(load_table(spark, sf_dir, "documents")))
     shingle_sets = hashed_shingle_sets(d).localCheckpoint()
     sigs = d.select("doc_id", _simhash64(F.col("text")).alias("sig"))
-    block_width = 64 // SIMHASH_BLOCKS
+    block_width = simhash_block_width(shingle_sets.count())
     mask = (1 << block_width) - 1
     blocks = sigs.select(
         "doc_id",
@@ -530,7 +549,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                             16,
                         ),
                     )
-                    for blk in range(SIMHASH_BLOCKS)
+                    for blk in range(64 // block_width)
                 ]
             )
         ).alias("bucket"),

@@ -382,3 +382,16 @@ def test_multimodal_image_pipeline_deterministic(spark):
     assert rows[("cat", "gif")].avg_height == 16.5  # (16 + 17) / 2
     assert rows[("cat", "wav")].total_duration_s == 0.5
     assert rows[("emu", "wav")].total_duration_s == 1.4  # 0.5 + 0.1*9
+
+
+def test_simhash_block_width_dial():
+    """The corpus-size-aware block width keeps expected bucket occupancy
+    bounded: 8-bit blocks for oracle-scale corpora (unchanged driver
+    behavior), wider power-of-two blocks once 2^width * occupancy < n."""
+    from lakehouses_spark.queries.dedup import simhash_block_width
+
+    assert simhash_block_width(525) == 8        # sf0.01 oracle corpus
+    assert simhash_block_width(5_025) == 16     # sf0.1
+    assert simhash_block_width(160_000) == 16   # probe x32
+    assert simhash_block_width(5_000_000) == 32
+    assert simhash_block_width(10**9) == 32     # capped: >=2 tables always
