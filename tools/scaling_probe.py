@@ -195,9 +195,11 @@ def main() -> None:
         "shuffle rows, BLAS tiles) — expected α→~2 asymptotically like any",
         "exact all-pairs, but with a per-pair constant ~2 orders of magnitude",
         "below the zip_with theta-join; it exists for moderate thresholds",
-        "where LSH/IVF have no locality to exploit. `dedup_simhash`'s 8-bit",
-        "block tables keep buckets sparse at this scale; at much larger corpora",
-        "widen blocks (more tables × more bits) — bucket occupancy is the dial.",
+        "where LSH/IVF have no locality to exploit. `dedup_simhash`'s block",
+        "width is corpus-size-aware (simhash_block_width: 8 bits at oracle",
+        "scale, 16 at ≥4k docs, 32 beyond 16M) so bucket occupancy stays",
+        "~O(1) — the hardcoded-8-bit version measured α≈1.9 on the ×16→×32",
+        "hop before the dial.",
         "`_simhash64` signatures are numpy-vectorized + batch-memoized (12×",
         "over the scalar walk on sf0.1 documents, bit-identical, pinned).",
         "The whole dedup tier shuffles/verifies on 8-byte shingle hashes",
