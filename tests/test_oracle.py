@@ -35,3 +35,27 @@ def test_rows_only_query_runs(spark, name):
     n = df.count()
     assert n >= 0
     assert df.columns  # stable, non-empty schema
+
+
+def test_sweep_priority_covers_never_swept_queries():
+    """Driver-budget guard: the correctness sweep walks the registry in
+    order and stops at 50 entries, so every query without a row in ANY
+    prior round's CORRECTNESS file must sit inside the first 50 — a newly
+    registered query that silently lands outside the window would never
+    get a driver row."""
+    import glob
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    swept: set[str] = set()
+    for f in glob.glob(str(repo / "CORRECTNESS_r*.json")):
+        swept |= set(json.load(open(f)))
+    if not swept:
+        pytest.skip("no driver CORRECTNESS artifacts yet")
+    order = list(load_all_queries())
+    first_budget = set(order[:50])
+    missed = [n for n in order if n not in swept and n not in first_budget]
+    assert not missed, (
+        f"queries with no driver row outside the 50-entry sweep window: {missed}"
+    )
