@@ -64,7 +64,14 @@ def start_rollup_view(
                              partition_by=["window_start"])
         gold = LakeTable(spark, gold_path)
         if batch_id <= gold.last_txn_version(app_id):
-            return  # replayed micro-batch: MERGE already applied
+            # Replayed micro-batch: the MERGE already applied. Still CONSUME
+            # the batch — Spark validates that foreachBatch processed every
+            # partition (stateful operators commit their state stores through
+            # the tasks), so an early return without consumption fails the
+            # query with STATE_STORE_COMMIT_VALIDATION_FAILED. count() runs
+            # the (already tiny, aggregated) batch and discards it.
+            batch_df.count()
+            return
         cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
         batch_df.persist()
         try:

@@ -55,3 +55,29 @@ def test_rollup_view_maintains_gold(spark, tmp_path, bronze):
     q = start_rollup_view(spark, table.path, gold_path, ckpt)
     q.awaitTermination()
     assert gold.version == v  # nothing new to process → no commits
+
+
+def test_rollup_view_replay_after_checkpoint_loss_is_idempotent(
+    spark, tmp_path, bronze
+):
+    """Exactly-once under the worst replay: the stream checkpoint is lost
+    entirely, so a restarted view reprocesses the source from offset zero
+    and re-presents batch 0 — the (app_id, batch_id) transaction guard must
+    skip the already-applied MERGE rather than double-apply it."""
+    import shutil
+
+    table, _ = bronze
+    gold_path = tmp_path / "gold"
+    ckpt = tmp_path / "ckpt"
+
+    q = start_rollup_view(spark, table.path, gold_path, ckpt)
+    q.awaitTermination()
+    gold = LakeTable(spark, gold_path)
+    v = gold.version
+    before = _norm(gold.read())
+
+    shutil.rmtree(ckpt)  # simulate losing the streaming checkpoint
+    q = start_rollup_view(spark, table.path, gold_path, ckpt)
+    q.awaitTermination()
+    assert gold.version == v, "replayed batch must not commit again"
+    assert _norm(gold.read()) == before
