@@ -133,25 +133,9 @@ def main() -> None:
     # 8. deterministic train/val/test split over the mixture — seeded hash
     #    buckets, so re-running the pipeline (or re-ingesting a shard) never
     #    migrates a document across splits (no RNG, no layout dependence)
-    from lakehouses_spark.queries.curation import (
-        SPLIT_SEED, SPLIT_TRAIN_PCT, SPLIT_VAL_PCT,
-    )
+    from lakehouses_spark.queries.curation import SPLIT_SEED, hash_split_col
 
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.lit(SPLIT_SEED),
-                                  F.col("doc_id").cast("string"))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long") % 100
-    )
-    split = (
-        F.when(bucket < SPLIT_TRAIN_PCT, "train")
-        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
-        .otherwise("test")
-    )
+    split = hash_split_col(F.col("doc_id"))
     split_counts = {
         r.split: r.n
         for r in mixture.select(split.alias("split"))

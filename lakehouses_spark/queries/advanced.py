@@ -202,7 +202,7 @@ def _fake_wav(seconds: float, rate: int = 8000, channels: int = 1) -> bytes:
     oracle="""
     SELECT 'png' AS format,
            count(*) AS n_files,
-           sum(33 + 11 * (64 + doc_id % 32)) AS total_bytes,
+           CAST(sum(33 + 11 * (64 + doc_id % 32)) AS BIGINT) AS total_bytes,
            round(avg(64 + doc_id % 32), 2) AS avg_width,
            round(avg(48 + doc_id % 16), 2) AS avg_height
     FROM documents
@@ -623,14 +623,17 @@ def streaming_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouses_spark.tables import LakeTable
 
     events = load_table(spark, sf_dir, "events")
-    # time-ordered split: batch 2 is strictly later than batch 1, so the
-    # checkpointed watermark never classifies it as late-beyond-horizon
-    split_day = 15
+    # time-ordered split at the corpus's temporal midpoint: batch 2 is
+    # strictly later than batch 1 BY CONSTRUCTION (not by a calendar
+    # assumption about the generator), so the checkpointed watermark never
+    # classifies it as late-beyond-horizon
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cutoff = lo + (hi - lo) / 2
     with tempfile.TemporaryDirectory() as tmp:
         bronze = LakeTable.create(
-            spark, f"{tmp}/bronze", events.where(F.dayofmonth("ts") <= split_day)
+            spark, f"{tmp}/bronze", events.where(F.col("ts") <= F.lit(cutoff))
         )
-        for batch in (None, events.where(F.dayofmonth("ts") > split_day)):
+        for batch in (None, events.where(F.col("ts") > F.lit(cutoff))):
             if batch is not None:
                 bronze.append(batch)
             q = start_rollup_view(

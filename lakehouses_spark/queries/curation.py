@@ -458,6 +458,27 @@ SPLIT_TRAIN_PCT = 90
 SPLIT_VAL_PCT = 5  # test gets the remainder
 
 
+def hash_split_col(key_col: Column) -> Column:
+    """'train'/'val'/'test' assignment column for a stable key — THE split
+    function (sample_hash_split and any pipeline embedding the split must
+    call this, never re-derive the expression, or assignments drift):
+    bucket = first 8 hex chars of md5(seed:key) as an int mod 100."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(SPLIT_SEED), key_col.cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+    return (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
 @query(
     "sample_hash_split",
     oracle=f"""
@@ -492,18 +513,5 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning and is rows-only-checkable; this one hash-matches DuckDB
     exactly."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.lit(SPLIT_SEED), F.col("doc_id").cast("string"))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long") % 100
-    )
-    split = (
-        F.when(bucket < SPLIT_TRAIN_PCT, "train")
-        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
-        .otherwise("test")
-    )
+    split = hash_split_col(F.col("doc_id"))
     return d.select("doc_id", "source", split.alias("split")).orderBy("doc_id")

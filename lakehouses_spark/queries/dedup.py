@@ -50,11 +50,6 @@ def _raw_shingles(col: str = "text"):
     )
 
 
-def _shingles(col: str = "text"):
-    """Distinct 3-word shingles as an array column (JVM-side, no UDF)."""
-    return F.array_distinct(_raw_shingles(col))
-
-
 def _hashed_shingles(col: str = "text"):
     """Distinct 3-word shingles pre-hashed to 8-byte keys (xxhash64).
 
@@ -517,11 +512,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact ngram-Jaccard oracle.
 
     Pipeline (the Manku et al. multi-table shape): 64-bit signatures → k
-    tables keyed on one block each (a pair within Hamming distance k−1
-    MUST agree exactly on some block — pigeonhole-complete candidate
-    generation up to that distance) → cheap JVM-side popcount filter
-    (bit_count over the XOR, ≤ SIMHASH_MAX_HAMMING) → exact-Jaccard
-    verification of survivors only.
+    tables keyed on one block each → popcount filter (bit_count over the
+    XOR, ≤ SIMHASH_MAX_HAMMING) → exact-Jaccard verification of survivors
+    only. Candidate generation is pigeonhole-COMPLETE only up to Hamming
+    distance k−1 (a pair that close must agree on some block); between k−1
+    and SIMHASH_MAX_HAMMING candidates are caught opportunistically when a
+    block happens to agree. Widening blocks (fewer tables) therefore trades
+    mid-Hamming recall for a linear index — at the 8-bit oracle scale k=8
+    covers the filter's whole range minus one, and the sweep corpus's true
+    pairs sit within it (pinned by the oracle row + recall pytest).
 
     Scale notes: the block width adapts to corpus size
     (simhash_block_width) so bucket occupancy stays ~O(1) and the bucket

@@ -59,8 +59,10 @@ _SWEEP_PRIORITY = [
     #   2. the 4 queries UPGRADED from rows-only to a real oracle since their
     #      last driver row,
     #   3. 13 slots of r1-only refresh, led by the queries whose code the
-    #      round-3 hashed-shingle rewrite touched (dedup_exact/ngram) and the
-    #      most complex SQL surfaces.
+    #      round-3 hashed-shingle rewrite touched (dedup_ngram_jaccard and,
+    #      via it, dedup_clusters; dedup_exact is digest-based and merely
+    #      rides along as the tier's cheapest re-check) and the most complex
+    #      SQL surfaces.
     # The ~20 remaining r1-only rows rotate to the FRONT of round 4's sweep
     # (the in-repo oracle replica re-verifies all 119 locally every round).
     # --- 1. never-swept: round-3 TPC-H shape family ---

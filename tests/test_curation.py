@@ -187,8 +187,13 @@ def test_matview_rollup_merges_instead_of_rebuilding(spark, tmp_path):
     from lakehouses_spark.tables import LakeTable
 
     events = load_table(spark, SF, "events")
+    # time-ordered cutoffs computed from the data, not from calendar
+    # assumptions about the generator: batch 2 is strictly later than batch 1
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    c1 = lo + (hi - lo) / 10
+    c2 = lo + 2 * (hi - lo) / 10
     bronze = LakeTable.create(
-        spark, tmp_path / "bronze", events.where(F.dayofmonth("ts") <= 3)
+        spark, tmp_path / "bronze", events.where(F.col("ts") <= F.lit(c1))
     )
     q = start_rollup_view(spark, bronze.path, tmp_path / "gold", tmp_path / "ck")
     q.awaitTermination()
@@ -198,7 +203,9 @@ def test_matview_rollup_merges_instead_of_rebuilding(spark, tmp_path):
         (str(r.window_start), r.event_type): (r.n_events, r.total_value)
         for r in gold.read().collect()
     }
-    bronze.append(events.where(F.dayofmonth("ts") == 4))
+    bronze.append(
+        events.where((F.col("ts") > F.lit(c1)) & (F.col("ts") <= F.lit(c2)))
+    )
     q = start_rollup_view(spark, bronze.path, tmp_path / "gold", tmp_path / "ck")
     q.awaitTermination()
     assert gold.version > v1
@@ -206,6 +213,11 @@ def test_matview_rollup_merges_instead_of_rebuilding(spark, tmp_path):
         (str(r.window_start), r.event_type): (r.n_events, r.total_value)
         for r in gold.read().collect()
     }
-    # day ≤ 3 windows unchanged; day-4 windows appeared
-    assert all(after[k] == v for k, v in first.items() if k in after)
+    # pre-cutoff windows unchanged (except the boundary hour the second
+    # batch extends); later windows appeared
+    boundary = str(c1.replace(minute=0, second=0, microsecond=0))
+    assert all(
+        after[k] == v for k, v in first.items()
+        if k in after and k[0] != boundary
+    )
     assert set(after) > set(first)
