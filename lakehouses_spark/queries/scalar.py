@@ -253,3 +253,40 @@ def fn_cast_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").cast("double").alias("nation_dbl"),
         F.col("c_custkey").cast("string").cast("bigint").alias("key_roundtrip"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "fn_variant_family",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.missing') AS INTEGER) AS missing_int,
+           CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod
+    FROM events
+    WHERE event_id % 37 = 0
+    ORDER BY event_id
+    """,
+)
+def fn_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless JSON via the VARIANT type (Spark 4): parse_json once into
+    an open-schema variant, then typed extractions with try_variant_get —
+    the modern complement to fn_json_family's fixed-schema from_json.
+
+    At scale this is the semi-structured-column story: the variant binary
+    encoding is parsed once at ingest (not re-parsed per extraction like
+    get_json_object on strings), shredded extractions stay JVM-side, and
+    try_variant_get degrades missing paths / cast failures to NULL instead
+    of failing the job — exactly the posture a 100 TB ingest of
+    heterogeneous event payloads needs. The DuckDB oracle computes the
+    same typed extractions with its JSON functions."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 37 == 0)
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return e.select(
+        "event_id",
+        k.alias("k_int"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_int"),
+        (k % 10).alias("k_mod"),
+    ).orderBy("event_id")

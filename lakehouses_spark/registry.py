@@ -58,7 +58,7 @@ _SWEEP_PRIORITY = [
     #      operator gets its first driver row,
     #   2. the 4 queries UPGRADED from rows-only to a real oracle since their
     #      last driver row,
-    #   3. 13 slots of r1-only refresh, led by the queries whose code the
+    #   3. 12 slots of r1-only refresh, led by the queries whose code the
     #      round-3 hashed-shingle rewrite touched (dedup_ngram_jaccard and,
     #      via it, dedup_clusters; dedup_exact is digest-based and merely
     #      rides along as the tier's cheapest re-check) and the most complex
@@ -82,6 +82,7 @@ _SWEEP_PRIORITY = [
     "text_perplexity_proxy", "sample_temperature",
     "multimodal_frame_manifest", "dedup_incremental",
     "text_repetition_filter", "text_word_entropy",
+    "fn_variant_family",
     # --- 2. upgraded to a real oracle since their last driver row ---
     "dedup_minhash_lsh", "dedup_simhash",           # twin-injection oracles
     "multimodal_metadata", "multimodal_image_pipeline",  # manifest formulas
@@ -89,7 +90,7 @@ _SWEEP_PRIORITY = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
     "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_percentiles",
     "join_anti", "join_broadcast_dims",
-    "window_zscore", "udaf_weighted_avg", "udtf_tokenize", "sql_over_path",
+    "window_zscore", "udaf_weighted_avg", "udtf_tokenize",
 ]
 
 
