@@ -53,3 +53,65 @@ def running_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_totals_tws(
+    events: DataFrame,
+    key: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """The same per-key cumulative (n, total) on the transformWithState API
+    (Spark 4) — the forward-looking arbitrary-stateful operator surface:
+    explicit named state cells with optional TTL, timers, and multiple
+    state variables per processor, where applyInPandasWithState allows one
+    opaque tuple. Same sharding/checkpoint model, so the scale story is
+    unchanged; both formulations are kept because both APIs are public
+    engine surface.
+
+    ENVIRONMENT GATE (same class as the Kafka/Iceberg jars): the TWS
+    state-server protocol needs a working `google.protobuf`, absent from
+    this container — starting the stream here fails with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE (ImportError:
+    google.protobuf.descriptor). The plan construction below is still
+    exercised by pytest; the drain equation runs wherever protobuf exists,
+    and `streaming_stateful_totals` holds the identical oracle on the
+    applyInPandasWithState formulation in this environment."""
+    import math
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ])
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key_tuple, rows, timerValues):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"key": [key_tuple[0]], "n": [n],
+                 "total": [math.floor(total * 100 + 0.5) / 100]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.groupBy(key)
+        .transformWithStateInPandas(
+            Totals(),
+            outputStructType="key long, n long, total double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

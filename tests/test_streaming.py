@@ -146,3 +146,60 @@ def test_dedup_within_watermark(spark, events_dir, tmp_path):
     q.awaitTermination()
     n_unique = spark.read.parquet(str(events_dir / "data")).count()
     assert spark.sql("SELECT count(*) AS n FROM dedup").collect()[0].n == n_unique
+
+
+def test_running_totals_tws_gate(spark, tmp_path):
+    """transformWithStateInPandas is env-gated on google.protobuf (the TWS
+    state-server protocol). Where protobuf works, the drain must equal the
+    batch aggregate (the same equation streaming_stateful_totals pins for
+    applyInPandasWithState); here the plan must at least construct, and the
+    stream fail with the documented initialization error, not something
+    else."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from lakehouses_spark.streaming.stateful import running_totals_tws
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        protobuf_ok = True
+    except ImportError:
+        protobuf_ok = False
+
+    events = spark.range(20).select(
+        (F.col("id") % 4).alias("user_id"), F.col("id").cast("double").alias("value")
+    )
+    events.coalesce(1).write.parquet(str(tmp_path / "d"))
+    stream = spark.readStream.schema("user_id long, value double").parquet(
+        str(tmp_path / "d")
+    )
+    plan = running_totals_tws(stream)  # construction always works
+    assert plan.isStreaming
+    q = (
+        plan.writeStream.format("memory").queryName("tws_gate")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    if not protobuf_ok:
+        import pytest as _pytest
+
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        with _pytest.raises(StreamingQueryException):
+            q.awaitTermination()
+        return
+    q.awaitTermination()
+    got = {
+        (r.key, r.n, r.total)
+        for r in spark.sql(
+            "select key, max(n) n, max(total) total from tws_gate group by key"
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.n, r.total)
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
