@@ -35,8 +35,11 @@ def main() -> None:
     spark = get_spark(app_name="medallion-demo", driver_memory="4g")
     spark.sparkContext.setLogLevel("ERROR")
 
-    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # load_table normalizes events.ts (TIMESTAMP(NANOS)) whichever way the
+    # scan surfaces it (bigint or timestamp_ntz)
+    from lakehouses_spark.io import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
 
     # 1. landing: three extracts, as a daily scheduler would drop them
     for day in (1, 2, 3):
