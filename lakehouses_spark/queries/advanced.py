@@ -163,7 +163,13 @@ def streaming_windowed_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fake_png(width: int, height: int) -> bytes:
     """Deterministic minimal-but-valid PNG header bytes (IHDR only + fake
-    payload) — stands in for real image files in this container."""
+    payload) — stands in for real image files in this container.
+
+    Plays the role of the reference's image-fixture stager
+    (02.ingestas_ficheros/04.datasource [imagenes].py:43-56, which copies
+    ~20 flower photos into the landing zone): our landing directory is
+    synthesized instead of copied, with analytically-known headers so the
+    downstream probe is oracle-checkable."""
     ihdr = struct.pack(">II", width, height) + b"\x08\x06\x00\x00\x00"
     chunk = b"IHDR" + ihdr
     return (
