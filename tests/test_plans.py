@@ -97,7 +97,8 @@ def test_no_python_udf_in_relational_paths(spark):
     """Core relational/text queries stay JVM-side (BatchEvalPython /
     ArrowEvalPython nodes would mean a Python boundary crossing)."""
     for name in ("q1_pricing_summary", "text_quality_score", "text_bigram_topk",
-                 "sim_knn_cosine", "ts_sessionize"):
+                 "sim_knn_cosine", "ts_sessionize", "fn_variant_family",
+                 "sample_hash_split"):
         plan = plan_of(REGISTRY[name].fn(spark, SF), "simple")
         assert "EvalPython" not in plan, f"{name} crosses into Python"
 
