@@ -57,6 +57,11 @@ DEEP = {
     "dedup_simhash",
     "sim_ann_lsh",
     "sim_pairs_blocked",
+    # representative relational shapes ride along to ×32 so the scan/agg and
+    # shuffle-join tiers have deep-factor evidence too (19.2M lineitem rows)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "ts_range_join",
 }
 
 
@@ -154,9 +159,10 @@ def main() -> None:
         f"sf0.1 lineitem replicated ×{DEEP_FACTORS}: "
         + ", ".join(f"×{f}={rows[f]:,} rows" for f in DEEP_FACTORS),
         "",
-        "Self-join-tier queries (the bucketed designs) run at every factor up "
-        f"to ×{DEEP_FACTORS[-1]}; relational shapes and the quadratic baseline "
-        f"stop at ×{FACTORS[-1]} (— below).",
+        "Self-join-tier queries (the bucketed designs) and representative "
+        f"relational shapes run at every factor up to ×{DEEP_FACTORS[-1]}; "
+        f"the quadratic baseline stops at ×{FACTORS[-1]} (— below: α≈2 "
+        "established, deeper factors would just burn minutes re-proving it).",
         "",
         "| query | "
         + " | ".join(f"×{f} (s)" for f in DEEP_FACTORS)
