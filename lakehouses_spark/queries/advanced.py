@@ -660,3 +660,89 @@ def streaming_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = result.collect()  # materialize before tmp vanishes
         return spark.createDataFrame(rows, result.schema)
+
+
+STREAM_JOIN_WINDOW_MIN = 240  # purchase attributed to a view within 4 hours
+
+
+@query(
+    "streaming_stream_join",
+    # an availableNow drain of a watermarked stream-stream inner join equals
+    # the batch theta join — stream/batch unification for the join operator,
+    # same contract streaming_windowed_drain pins for aggregation
+    oracle=f"""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id AS user_id,
+           epoch_us(v.ts) AS view_us, epoch_us(p.ts) AS purchase_us,
+           round(p.value, 2) AS purchase_value
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTE
+    ORDER BY view_id, purchase_id
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (the one streaming operator family the
+    T1-T8 inventory didn't yet exercise): views and purchases staged as two
+    independent file streams, both watermarked, joined on user_id with an
+    event-time band (purchase within STREAM_JOIN_WINDOW_MIN minutes after
+    the view — the attribution-join shape), drained with availableNow.
+
+    The time-band condition is what makes this safe at scale: it bounds the
+    join state Spark must retain to watermark + band, so state size tracks
+    the event rate, not the stream length. Without the band (or without
+    watermarks) an unbounded stream-stream join accretes state forever —
+    the streaming analog of the unguarded all-pairs join."""
+    import tempfile
+    import uuid
+
+    events = load_table(spark, sf_dir, "events")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as tmp:
+        events.where(F.col("event_type") == "view").coalesce(2).write.parquet(
+            f"{tmp}/views"
+        )
+        events.where(F.col("event_type") == "purchase").coalesce(2).write.parquet(
+            f"{tmp}/purchases"
+        )
+        v = (
+            spark.readStream.schema(events.schema)
+            .parquet(f"{tmp}/views")
+            .withWatermark("ts", "1 hour")
+            .alias("v")
+        )
+        p = (
+            spark.readStream.schema(events.schema)
+            .parquet(f"{tmp}/purchases")
+            .withWatermark("ts", "1 hour")
+            .alias("p")
+        )
+        joined = v.join(
+            p,
+            F.expr(
+                f"""v.user_id = p.user_id
+                    AND p.ts > v.ts
+                    AND p.ts <= v.ts + interval {STREAM_JOIN_WINDOW_MIN} minutes"""
+            ),
+        ).select(
+            F.col("v.event_id").alias("view_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("v.user_id").alias("user_id"),
+            F.unix_micros("v.ts").alias("view_us"),
+            F.unix_micros("p.ts").alias("purchase_us"),
+            F.round("p.value", 2).alias("purchase_value"),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = spark.sql(f"SELECT * FROM {name}").orderBy("view_id", "purchase_id")
+        rows = result.collect()  # materialize before tmp/checkpoint vanish
+        return spark.createDataFrame(rows, result.schema)

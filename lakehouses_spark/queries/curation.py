@@ -515,3 +515,65 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     split = hash_split_col(F.col("doc_id"))
     return d.select("doc_id", "source", split.alias("split")).orderBy("doc_id")
+
+
+# --- overlapping chunking (context-window preparation) ----------------------
+
+CHUNK_TOKENS = 32  # tokens per chunk (sized to this corpus's ~54-token docs;
+CHUNK_STRIDE = 24  # real pipelines use e.g. 2048/1536 — same plan shape)
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             i * {CHUNK_STRIDE} + 1 AS start_pos,
+             w[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}] AS cw
+      FROM (SELECT doc_id, w,
+                   unnest(range(0, (len(w) - 1) // {CHUNK_STRIDE} + 1)) AS i
+            FROM toks)
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(start_pos AS BIGINT) AS start_pos,
+           CAST(len(cw) AS BIGINT) AS n_tokens,
+           md5(array_to_string(cw, ' ')) AS chunk_md5
+    FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking — split every document into
+    CHUNK_TOKENS-token windows advancing by CHUNK_STRIDE (overlap =
+    CHUNK_TOKENS - CHUNK_STRIDE), the standard context-window preparation
+    for both pretraining (sliding-window LM chunks) and retrieval corpora.
+    Each chunk carries its provenance (doc_id, chunk_idx, start_pos, token
+    count) and a content digest standing in for the chunk body so the
+    differential check hashes 32-byte digests, not text.
+
+    100 TB shape: a pure per-row map (sequence → transform → posexplode) —
+    ZERO shuffle; the ORDER BY is presentation for the differential check.
+    Chunk fan-out is bounded (≈ n_tokens / stride per doc) and rides the
+    document partitioning, exactly how a 1000-node chunking job shards."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    starts = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(w) - 1) / CHUNK_STRIDE)),
+        lambda i: (i * CHUNK_STRIDE + 1).cast("long"),
+    )
+    # posexplode rides next to the text column, so the chunk slice is
+    # recomputed on the exploded row — one scan, one narrow stage, no join
+    exploded = d.select(
+        "doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    chunk = F.slice(
+        F.split(F.col("text"), " "), F.col("start").cast("int"), CHUNK_TOKENS
+    )
+    chunked = exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start").alias("start_pos"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+    return chunked.orderBy("doc_id", "chunk_idx")

@@ -712,3 +712,110 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "doc_id", status.alias("status"), dup_of.alias("dup_of")
     ).orderBy("doc_id")
+
+
+# --- exact-substring dedup (shared k-token windows) -------------------------
+
+SUBSTR_K = 8  # window width in tokens; a shared 8-token run is copy evidence
+
+
+@query(
+    "dedup_common_substring",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    wins AS (
+      SELECT doc_id, i AS pos, array_to_string(w[i:i+{SUBSTR_K - 1}], ' ') AS win
+      FROM (SELECT doc_id, w,
+                   unnest(range(1, len(w) - {SUBSTR_K - 2})) AS i
+            FROM toks)
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, b.pos AS pos_b
+      FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pos_a - pos_b AS diff,
+             pos_a - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+             ) AS island
+      FROM m
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, count(*) AS run_len
+      FROM isl GROUP BY doc_a, doc_b, diff, island
+    )
+    SELECT doc_a, doc_b,
+           CAST(sum(run_len) AS BIGINT) AS n_window_matches,
+           CAST(max(run_len) + {SUBSTR_K - 1} AS BIGINT) AS max_run_tokens
+    FROM runs GROUP BY doc_a, doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_common_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate detection: pairs of documents sharing at
+    least one identical run of SUBSTR_K consecutive tokens, with the total
+    matched-window count and the longest shared run (in tokens) — the
+    "dedup the exact substring, not the whole doc" shape of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), re-expressed relationally instead of via a suffix array.
+
+    Plan: per-doc positional window hashes (xxhash64 longs, never the
+    window strings — same rationale as `_hashed_shingles`), inverted-index
+    self-join on the 8-byte hash, then gaps-and-islands over aligned
+    positions (constant pos_a - pos_b diff, one window partition) to find
+    maximal runs. At 100 TB this shuffles (doc_id, pos, long) triples only,
+    the join key distribution is the window-hash distribution (near-unique
+    outside true copies, so no hot keys by construction — ubiquitous
+    boilerplate windows would be the skew risk and get the same stop-window
+    df cut as `ngram_candidate_pairs` if a corpus needs it), and the
+    window functions partition by (doc_a, doc_b, diff) — bounded per-pair
+    state, no global sort."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w = F.split(F.col("text"), " ")
+    hashed_wins = F.when(
+        F.size(w) >= SUBSTR_K,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - SUBSTR_K),
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ", *[F.element_at(w, i + k + 1) for k in range(SUBSTR_K)]
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    wins = d.select("doc_id", F.posexplode(hashed_wins).alias("pos", "h"))
+    a, b = wins.alias("a"), wins.alias("b")
+    m = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.pos").alias("pos_b"),
+    )
+    from pyspark.sql import Window
+
+    diff = F.col("pos_a") - F.col("pos_b")
+    isl = m.select(
+        "doc_a",
+        "doc_b",
+        diff.alias("diff"),
+        (
+            F.col("pos_a")
+            - F.row_number().over(
+                Window.partitionBy("doc_a", "doc_b", diff).orderBy("pos_a")
+            )
+        ).alias("island"),
+    )
+    runs = isl.groupBy("doc_a", "doc_b", "diff", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum("run_len").alias("n_window_matches"),
+            (F.max("run_len") + SUBSTR_K - 1).cast("long").alias("max_run_tokens"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

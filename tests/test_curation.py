@@ -221,3 +221,72 @@ def test_matview_rollup_merges_instead_of_rebuilding(spark, tmp_path):
         if k in after and k[0] != boundary
     )
     assert set(after) > set(first)
+
+
+def test_common_substring_finds_known_run(spark, tmp_path):
+    """A planted 12-token copied run between two otherwise-disjoint docs
+    must surface as exactly one pair with max_run_tokens == 12."""
+    from lakehouses_spark.queries.dedup import SUBSTR_K, dedup_common_substring
+
+    run = " ".join(f"copied{i}" for i in range(12))
+    rows = [
+        (1, "alpha beta gamma " + run + " delta epsilon zeta"),
+        (2, "one two three four " + run + " five six seven"),
+        (3, "totally unrelated words " * 5),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = dedup_common_substring(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.max_run_tokens == 12
+    # a 12-token run contains 12 - SUBSTR_K + 1 aligned windows
+    assert r.n_window_matches == 12 - SUBSTR_K + 1
+
+
+def test_common_substring_ignores_sub_k_overlap(spark, tmp_path):
+    """Shared runs shorter than SUBSTR_K tokens are not copy evidence and
+    must produce no pair."""
+    from lakehouses_spark.queries.dedup import SUBSTR_K, dedup_common_substring
+
+    short = " ".join(f"shared{i}" for i in range(SUBSTR_K - 1))
+    rows = [
+        (1, "a b c " + short + " d e f"),
+        (2, "x y z " + short + " u v w"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    assert dedup_common_substring(spark, sf).count() == 0
+
+
+def test_chunk_overlap_covers_and_overlaps(spark, tmp_path):
+    """Chunking invariants: every token position covered, consecutive
+    chunks overlap by CHUNK_TOKENS - CHUNK_STRIDE, short docs yield one
+    short chunk."""
+    from lakehouses_spark.queries.curation import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        text_chunk_overlap,
+    )
+
+    long_doc = " ".join(f"w{i}" for i in range(100))
+    rows = [(1, long_doc), (2, "tiny doc only five tokens")]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = text_chunk_overlap(spark, sf).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 2: a single chunk of its full 5 tokens
+    assert len(by_doc[2]) == 1
+    assert by_doc[2][0].n_tokens == 5 and by_doc[2][0].start_pos == 1
+    # doc 1 (100 tokens): starts advance by the stride; coverage is gapless
+    chunks = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [c.start_pos for c in chunks] == [
+        1 + i * CHUNK_STRIDE for i in range(len(chunks))
+    ]
+    covered = set()
+    for c in chunks:
+        covered |= set(range(c.start_pos, c.start_pos + c.n_tokens))
+    assert covered == set(range(1, 101))
+    # interior chunks are full-width → overlap with the next chunk
+    assert chunks[0].n_tokens == CHUNK_TOKENS
+    assert chunks[0].start_pos + CHUNK_TOKENS - 1 >= chunks[1].start_pos
