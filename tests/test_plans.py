@@ -254,3 +254,25 @@ def test_pii_scrub_is_jvm_side_single_scan(spark):
     plan = plan_of(REGISTRY["text_pii_scrub"].fn(spark, SF))
     assert "BatchEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_common_substring_plan_is_hash_join_jvm_side(spark):
+    """The substring-dedup self-join must be a hash/sort-merge equi-join on
+    the window hash (never a nested-loop/cartesian product) and stay
+    JVM-side end to end."""
+    plan = plan_of(REGISTRY["dedup_common_substring"].fn(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_overlap_plan_is_single_narrow_stage(spark):
+    """Chunking is a per-row map: no join, no aggregation exchange — the
+    only Exchange allowed is the final presentation sort's range partition."""
+    plan = plan_of(REGISTRY["text_chunk_overlap"].fn(spark, SF), "simple")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re as _re
+
+    exchanges = _re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), exchanges

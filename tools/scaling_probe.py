@@ -40,6 +40,7 @@ QUERIES = [
     "dedup_ngram_jaccard",       # inverted-index join (stop-shingle cut)
     "dedup_minhash_lsh",         # banded LSH buckets
     "dedup_simhash",             # 8×8-bit block tables + popcount filter
+    "dedup_common_substring",    # positional window-hash join + islands
     "sim_ann_lsh",               # hyperplane-LSH buckets
     "sim_pairs_blocked",         # tiled-matmul exact pairs (n²/B shuffle)
     "sim_pairs_threshold",       # brute-force all-pairs BASELINE: α≈2 EXPECTED
@@ -55,6 +56,7 @@ DEEP = {
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_common_substring",
     "sim_ann_lsh",
     "sim_pairs_blocked",
     # representative relational shapes ride along to ×32 so the scan/agg and
