@@ -65,6 +65,16 @@ def main() -> None:
     print(f"near-dup clusters: {clusters.select('cluster_id').distinct().count()}"
           f" | docs dropped as non-canonical: {drop_near_dups.count()}")
 
+    # 3b. substring audit: verbatim k-token runs shared across documents
+    #     that whole-doc dedup would miss (template/boilerplate copying) —
+    #     report scale, don't drop (a pipeline would trim the spans)
+    from lakehouses_spark.queries.dedup import common_substring_pairs
+
+    runs = common_substring_pairs(docs)
+    worst = runs.orderBy(F.desc("max_run_tokens")).first()
+    print(f"substring audit: {runs.count()} doc pairs share a verbatim run "
+          f"(longest: {0 if worst is None else worst.max_run_tokens} tokens)")
+
     # 4. curated set = quality ∩ exact-canonical − near-dup-non-canonical
     curated_ids = (
         keep_quality.join(canon, "doc_id", "inner")
@@ -123,6 +133,14 @@ def main() -> None:
     nb = bins.count()
     print(f"packed into {nb} 512-token bins; mean fill "
           f"{bins.agg(F.round(F.avg('total_tokens'), 1).alias('m')).collect()[0].m}")
+
+    # 6b. context-window chunking of the mixture (the retrieval/packing
+    #     alternative: overlapping fixed-width chunks with provenance)
+    from lakehouses_spark.queries.curation import chunk_docs
+
+    chunks = chunk_docs(mixture.select("doc_id", "text"))
+    print(f"chunked mixture: {chunks.count()} overlapping 32-token chunks "
+          f"from {mixture.count()} docs")
 
     # 7. embedding audit: any near-identical vectors sneaking through?
     emb = load_table(spark, SF, "embeddings")

@@ -556,24 +556,30 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Chunk fan-out is bounded (≈ n_tokens / stride per doc) and rides the
     document partitioning, exactly how a 1000-node chunking job shards."""
     d = load_table(spark, sf_dir, "documents")
+    return chunk_docs(d).orderBy("doc_id", "chunk_idx")
+
+
+def chunk_docs(
+    d: DataFrame, width: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """DataFrame-level core of `text_chunk_overlap` (reusable on any
+    (doc_id, text) frame): overlapping width-token chunks every `stride`
+    tokens, with provenance and a per-chunk content digest."""
     w = F.split(F.col("text"), " ")
     starts = F.transform(
-        F.sequence(F.lit(0), F.floor((F.size(w) - 1) / CHUNK_STRIDE)),
-        lambda i: (i * CHUNK_STRIDE + 1).cast("long"),
+        F.sequence(F.lit(0), F.floor((F.size(w) - 1) / stride)),
+        lambda i: (i * stride + 1).cast("long"),
     )
     # posexplode rides next to the text column, so the chunk slice is
     # recomputed on the exploded row — one scan, one narrow stage, no join
     exploded = d.select(
         "doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start")
     )
-    chunk = F.slice(
-        F.split(F.col("text"), " "), F.col("start").cast("int"), CHUNK_TOKENS
-    )
-    chunked = exploded.select(
+    chunk = F.slice(F.split(F.col("text"), " "), F.col("start").cast("int"), width)
+    return exploded.select(
         "doc_id",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.col("start").alias("start_pos"),
         F.size(chunk).cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
-    return chunked.orderBy("doc_id", "chunk_idx")

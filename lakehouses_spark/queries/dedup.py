@@ -772,19 +772,48 @@ def dedup_common_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     window functions partition by (doc_a, doc_b, diff) — bounded per-pair
     state, no global sort."""
     d = spread(load_table(spark, sf_dir, "documents"))
+    return common_substring_pairs(d)
+
+
+def common_substring_pairs(
+    d: DataFrame, k: int = SUBSTR_K, stop_df: int | None = None
+) -> DataFrame:
+    """DataFrame-level core of `dedup_common_substring` (reusable on any
+    (doc_id, text) frame — e.g. the curated set in the pipeline example):
+    pairs sharing ≥1 identical k-token run, with total matched windows and
+    the longest shared run in tokens.
+
+    `stop_df`: optional heavy-hitter cut — window hashes appearing in more
+    than `stop_df` documents (ubiquitous boilerplate: license headers,
+    navigation chrome) are dropped from the inverted index before the
+    self-join, the same skew lever as `ngram_candidate_pairs`' stop-shingle
+    cut. Off by default (the registered query keeps exact oracle parity);
+    at production scale a df in the hundreds caps the worst join key at
+    df² pair rows while leaving genuine pairwise copies (df≈2) untouched —
+    note it removes those windows from run/match COUNTS too, so reported
+    max_run_tokens is then a lower bound on boilerplate-heavy pairs."""
     w = F.split(F.col("text"), " ")
     hashed_wins = F.when(
-        F.size(w) >= SUBSTR_K,
+        F.size(w) >= k,
         F.transform(
-            F.sequence(F.lit(0), F.size(w) - SUBSTR_K),
+            F.sequence(F.lit(0), F.size(w) - k),
             lambda i: F.xxhash64(
                 F.concat_ws(
-                    " ", *[F.element_at(w, i + k + 1) for k in range(SUBSTR_K)]
+                    " ", *[F.element_at(w, i + j + 1) for j in range(k)]
                 )
             ),
         ),
     ).otherwise(F.array().cast("array<long>"))
     wins = d.select("doc_id", F.posexplode(hashed_wins).alias("pos", "h"))
+    if stop_df is not None:
+        hot = (
+            wins.groupBy("h")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .where(F.col("df") > stop_df)
+            .select("h")
+        )
+        # heavy hitters are few by definition → broadcast anti-join
+        wins = wins.join(F.broadcast(hot), "h", "left_anti")
     a, b = wins.alias("a"), wins.alias("b")
     m = a.join(
         b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -815,7 +844,7 @@ def dedup_common_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         runs.groupBy("doc_a", "doc_b")
         .agg(
             F.sum("run_len").alias("n_window_matches"),
-            (F.max("run_len") + SUBSTR_K - 1).cast("long").alias("max_run_tokens"),
+            (F.max("run_len") + k - 1).cast("long").alias("max_run_tokens"),
         )
         .orderBy("doc_a", "doc_b")
     )

@@ -290,3 +290,27 @@ def test_chunk_overlap_covers_and_overlaps(spark, tmp_path):
     # interior chunks are full-width → overlap with the next chunk
     assert chunks[0].n_tokens == CHUNK_TOKENS
     assert chunks[0].start_pos + CHUNK_TOKENS - 1 >= chunks[1].start_pos
+
+
+def test_common_substring_stop_df_cut(spark, tmp_path):
+    """The optional heavy-hitter window cut must drop boilerplate-only
+    pairs while keeping genuinely copied (df=2) runs intact."""
+    from lakehouses_spark.queries.dedup import common_substring_pairs
+
+    boiler = " ".join(f"boiler{i}" for i in range(10))  # in EVERY doc
+    copied = " ".join(f"copied{i}" for i in range(10))  # only docs 1 and 2
+    rows = [
+        (1, boiler + " " + copied + " tail one"),
+        (2, boiler + " middle words here " + copied),
+        (3, boiler + " third doc unique suffix"),
+        (4, boiler + " fourth doc other suffix"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    uncut = common_substring_pairs(docs)
+    assert uncut.count() == 6  # all pairs share the boilerplate run
+    cut = common_substring_pairs(docs, stop_df=3).collect()
+    # boilerplate windows (df=4) are gone; only the true copied run remains
+    assert [(r.doc_a, r.doc_b) for r in cut] == [(1, 2)]
+    assert cut[0].max_run_tokens == 10

@@ -136,6 +136,9 @@ def materialize(spark, base: str, factor: int, out: Path) -> str:
 
 
 def main() -> None:
+    import os
+
+    load_start = os.getloadavg()
     spark = get_spark(app_name="scaling-probe", driver_memory="16g")
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all_queries()
@@ -155,8 +158,16 @@ def main() -> None:
                 registry[q].fn(spark, sf).count()
                 results[q][factor] = round(time.perf_counter() - t0, 3)
 
+    load_end = os.getloadavg()
     lines = [
         "# SCALING — measured behavior as data grows (generated by tools/scaling_probe.py)",
+        "",
+        f"Machine state (contamination evidence, same discipline as bench.py): "
+        f"loadavg start {tuple(round(x, 2) for x in load_start)} → "
+        f"end {tuple(round(x, 2) for x in load_end)} on "
+        f"{os.cpu_count()} cpus. A loadavg[0] at start comparable to the "
+        f"cpu count means the ×1 tier (measured first) absorbed external "
+        f"load and the fitted α is biased DOWN — rerun on a quiet box.",
         "",
         f"sf0.1 lineitem replicated ×{DEEP_FACTORS}: "
         + ", ".join(f"×{f}={rows[f]:,} rows" for f in DEEP_FACTORS),
@@ -215,6 +226,13 @@ def main() -> None:
         "expression, cutting inverted-index shuffle rows and checkpoint",
         "bytes ~3× versus string keys (collision analysis in",
         "queries/dedup.py::_hashed_shingles).",
+        "`dedup_common_substring` joins positional window hashes (k-token",
+        "windows are near-unique outside true copies, so join keys have",
+        "df≈copies — no hot keys); its per-factor output is held constant",
+        "by the probe's per-copy perturbation, so the trend isolates the",
+        "explode+join+window engine cost. The optional stop_df cut",
+        "(common_substring_pairs) is the skew lever for boilerplate-heavy",
+        "corpora where a window's df is NOT ≈2.",
         "`text_decontaminate`/`text_boilerplate_ngrams` are the curation",
         "tier's gram-explode + broadcast-probe shapes — linear by design",
         "(the broadcast side is benchmark-/K-bounded); their sub-second",
