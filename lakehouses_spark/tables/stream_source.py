@@ -39,6 +39,29 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+# Session-portability (the foreign-session sweep caught this): Spark plans a
+# Python data source in a DRIVER-SIDE Python worker whose PYTHONPATH comes
+# from the JVM's environment — sc.addPyFile reaches executor workers but NOT
+# this planner worker, so in a session the harness created (repo not on the
+# JVM's PYTHONPATH) unpickling the source class died with
+# ModuleNotFoundError. Two-part fix: (1) this module registers itself for
+# cloudpickle BY-VALUE pickling (bottom of file), so the class definition
+# travels inside the pickle and needs no import; (2) the lazy txlog imports
+# below bootstrap sys.path from this constant — embedded in the by-value
+# pickle — when the package isn't importable.
+_REPO_ROOT = str(Path(__file__).resolve().parents[2])
+
+
+def _txlog():
+    try:
+        from lakehouses_spark.tables import log as txlog
+    except ModuleNotFoundError:  # pathless planner worker (same machine)
+        import sys
+
+        sys.path.insert(0, _REPO_ROOT)
+        from lakehouses_spark.tables import log as txlog
+    return txlog
+
 
 class FileSlice(InputPartition):
     def __init__(self, path: str):
@@ -46,21 +69,15 @@ class FileSlice(InputPartition):
 
 
 def _replay(table_path: str, version: int | None = None):
-    from lakehouses_spark.tables import log as txlog
-
-    return txlog.replay(table_path, version=version)
+    return _txlog().replay(table_path, version=version)
 
 
 def _versions(table_path: str) -> list[int]:
-    from lakehouses_spark.tables import log as txlog
-
-    return txlog.list_versions(table_path)
+    return _txlog().list_versions(table_path)
 
 
 def _commit(table_path: str, v: int) -> dict:
-    from lakehouses_spark.tables import log as txlog
-
-    return txlog.read_commit(table_path, v)
+    return _txlog().read_commit(table_path, v)
 
 
 class LakeTableDataSource(DataSource):
@@ -171,3 +188,21 @@ class LakeTableStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # progress is durable in the sink checkpoint; nothing to clean
+
+
+def _register_pickle_by_value() -> None:
+    """Ship this module's classes inside the pickle instead of by module
+    reference (see the session-portability note above). pyspark's vendored
+    cloudpickle keeps the by-value registry process-global, so doing it at
+    import time covers every later spark.dataSource.register call."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # older cloudpickle without the API — fall back to
+        pass  # by-reference pickling (works whenever PYTHONPATH is set)
+
+
+_register_pickle_by_value()
