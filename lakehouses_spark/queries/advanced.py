@@ -746,3 +746,55 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = spark.sql(f"SELECT * FROM {name}").orderBy("view_id", "purchase_id")
         rows = result.collect()  # materialize before tmp/checkpoint vanish
         return spark.createDataFrame(rows, result.schema)
+
+
+@query(
+    "streaming_dedup_drain",
+    # the staged stream doubles every event (union with itself); a
+    # watermark-bounded streaming dedup on event_id must drain to exactly
+    # the batch DISTINCT — T8's dropDuplicatesWithinWatermark as a checkable
+    # equation (duplicates arrive inside one file batch, well within the
+    # watermark horizon, so bounded state loses nothing)
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with bounded state: stage every event TWICE,
+    drain `dropDuplicatesWithinWatermark(event_id)` with availableNow, and
+    recover each event exactly once. The watermark bound is what makes this
+    run forever at scale — state holds only the watermark horizon, unlike
+    an unbounded dropDuplicates whose key set grows with the stream."""
+    import tempfile
+    import uuid
+
+    from lakehouses_spark.streaming.windows import dedup_within_watermark
+
+    events = load_table(spark, sf_dir, "events")
+    name = f"sdd_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as tmp:
+        events.unionByName(events).coalesce(4).write.parquet(f"{tmp}/data")
+        stream = spark.readStream.schema(events.schema).parquet(f"{tmp}/data")
+        deduped = dedup_within_watermark(
+            stream, keys=("event_id",), ts_col="ts", watermark="2 hours"
+        ).select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = spark.sql(f"SELECT * FROM {name}").orderBy("event_id")
+        rows = result.collect()  # materialize before tmp/checkpoint vanish
+        return spark.createDataFrame(rows, result.schema)
