@@ -203,3 +203,84 @@ def test_running_totals_tws_gate(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_left_outer_join_watermark_expiry(spark, tmp_path):
+    """Left-outer stream-stream join: matched rows emit immediately;
+    UNMATCHED left rows emit with nulls only after the watermark passes
+    their join-window end — and rows near the stream's end stay withheld
+    (their state never expires because no later batch advances the
+    watermark past them). This pins the exact availableNow semantics a
+    pipeline must design around; the INNER-join drain (which has no such
+    withholding) is the driver-facing query (streaming_stream_join)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    views = [  # (view_id, user, ts)
+        (1, 10, ts(0)),    # early, matched by purchase at +5
+        (2, 11, ts(0)),    # early, UNMATCHED -> expires when batch 2 lands
+        (3, 10, ts(600)),  # late, matched
+        (4, 11, ts(600)),  # late, UNMATCHED -> state never expires: withheld
+    ]
+    purchases = [  # (purchase_id, user, ts)
+        (101, 10, ts(5)),
+        (103, 10, ts(605)),
+    ]
+    vdf = spark.createDataFrame(views, "view_id long, user_id long, ts timestamp")
+    pdf = spark.createDataFrame(
+        purchases, "purchase_id long, user_id long, ts timestamp"
+    )
+    # one file per time-tier so availableNow (maxFilesPerTrigger=1) replays
+    # tier 0 then tier 600 as separate micro-batches, advancing the
+    # watermark between them
+    for tier, part in (("b0", 0), ("b1", 600)):
+        vdf.where(F.col("ts") == ts(part)).coalesce(1).write.parquet(
+            f"{tmp_path}/v/{tier}"
+        )
+        pdf.where(F.col("ts") == ts(part + 5)).coalesce(1).write.parquet(
+            f"{tmp_path}/p/{tier}"
+        )
+    v = (
+        spark.readStream.schema(vdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/v/*")
+        .withWatermark("ts", "10 minutes")
+        .alias("v")
+    )
+    p = (
+        spark.readStream.schema(pdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/p/*")
+        .withWatermark("ts", "10 minutes")
+        .alias("p")
+    )
+    joined = v.join(
+        p,
+        F.expr(
+            "v.user_id = p.user_id AND p.ts > v.ts "
+            "AND p.ts <= v.ts + interval 30 minutes"
+        ),
+        "left_outer",
+    ).select("view_id", "purchase_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.view_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ssj_outer").collect()
+    }
+    assert (1, 101) in got and (3, 103) in got  # matches always emit
+    assert (2, None) in got  # expired unmatched view emits null-joined
+    # view 4's state never expires (no batch after tier 600 advances the
+    # watermark) — availableNow withholds it; this is the designed-for gap
+    assert (4, None) not in got
