@@ -798,3 +798,71 @@ def streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = spark.sql(f"SELECT * FROM {name}").orderBy("event_id")
         rows = result.collect()  # materialize before tmp/checkpoint vanish
         return spark.createDataFrame(rows, result.schema)
+
+
+@query(
+    "multimodal_audio_stats",
+    # audio leg of the manifest-formula trick (multimodal_metadata's PNG
+    # twin): the synthesized WAV for doc_id has sample_rate 8000·(1+id%3),
+    # channels 1+id%2, and exactly (rate/1000)·(100+id%400) samples, so
+    # duration is the EXACT 3-decimal value (100+id%400)/1000 and every
+    # probed column is an analytic function of doc_id — synthesis, RIFF
+    # header parse, Arrow plumbing, and rollup are all on the hook
+    oracle="""
+    WITH a AS (
+      SELECT doc_id,
+             8000 * (1 + doc_id % 3) AS sample_rate,
+             CAST(1 + doc_id % 2 AS INT) AS n_channels,
+             (8 * (1 + doc_id % 3)) * (100 + doc_id % 400) AS n_samples
+      FROM documents
+    )
+    SELECT sample_rate, n_channels,
+           count(*) AS n_files,
+           CAST(sum(44 + n_samples * n_channels * 2) AS BIGINT) AS total_bytes,
+           round(avg(n_samples / CAST(sample_rate AS DOUBLE)), 3) AS avg_duration_s
+    FROM a GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 multimodal, audio: synthesize a deterministic PCM WAV per
+    document, probe RIFF headers via the mapInPandas extractor (real header
+    parsing — rate/channels/duration from fmt-chunk bytes), then a JVM-side
+    per-(rate, channels) rollup. Sample decode stays stubbed per contract
+    (`multimodal._decode_stub`); everything up to it is real and checked."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lakehouses_spark.multimodal import extract_media_metadata
+
+    @pandas_udf(BinaryType())
+    def fake_wav_udf(n):  # Arrow-batched, not row-at-a-time
+        def gen(i):
+            i = int(i)
+            rate, ch = 8000 * (1 + i % 3), 1 + i % 2
+            n_samples = (rate // 1000) * (100 + i % 400)
+            n_data = n_samples * ch * 2
+            return (
+                b"RIFF" + struct.pack("<I", 36 + n_data) + b"WAVE"
+                + b"fmt " + struct.pack(
+                    "<IHHIIHH", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16
+                )
+                + b"data" + struct.pack("<I", n_data) + b"\x00" * n_data
+            )
+
+        return n.map(gen)
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("mem://audio/"), F.col("doc_id")).alias("path"),
+        fake_wav_udf(F.col("doc_id").cast("int")).alias("content"),
+    )
+    meta = extract_media_metadata(media)
+    return (
+        meta.where(F.col("format") == "wav")
+        .groupBy("sample_rate", "n_channels")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("length").alias("total_bytes"),
+            F.round(F.avg("duration_s"), 3).alias("avg_duration_s"),
+        )
+        .orderBy("sample_rate", "n_channels")
+    )
