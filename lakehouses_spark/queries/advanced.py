@@ -688,7 +688,9 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     T1-T8 inventory didn't yet exercise): views and purchases staged as two
     independent file streams, both watermarked, joined on user_id with an
     event-time band (purchase within STREAM_JOIN_WINDOW_MIN minutes after
-    the view — the attribution-join shape), drained with availableNow.
+    the view — the attribution-join shape), drained with availableNow
+    (trigger/checkpoint surface per the reference's streaming sinks,
+    02.ingestas_ficheros/02.ingesta_incremental [json].py:113-123).
 
     The time-band condition is what makes this safe at scale: it bounds the
     join state Spark must retain to watermark + band, so state size tracks
@@ -766,7 +768,11 @@ def streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain `dropDuplicatesWithinWatermark(event_id)` with availableNow, and
     recover each event exactly once. The watermark bound is what makes this
     run forever at scale — state holds only the watermark horizon, unlike
-    an unbounded dropDuplicates whose key set grows with the stream."""
+    an unbounded dropDuplicates whose key set grows with the stream. (The
+    reference achieves the same exactly-once property at the FILE level via
+    checkpointed source offsets, 02…/02.ingesta_incremental [json].py:145-149;
+    this is the row-level equivalent for at-least-once upstreams like
+    Kafka producer retries.)"""
     import tempfile
     import uuid
 
@@ -827,8 +833,11 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 multimodal, audio: synthesize a deterministic PCM WAV per
     document, probe RIFF headers via the mapInPandas extractor (real header
     parsing — rate/channels/duration from fmt-chunk bytes), then a JVM-side
-    per-(rate, channels) rollup. Sample decode stays stubbed per contract
-    (`multimodal._decode_stub`); everything up to it is real and checked."""
+    per-(rate, channels) rollup — the audio analog of the reference's image
+    metadata pipeline (02.ingestas_ficheros/05.ingesta_incremental
+    [imagenes].py:52-60 pandas-UDF probe + :126-129 rollup). Sample decode
+    stays stubbed per contract (`multimodal._decode_stub`); everything up
+    to it is real and checked."""
     from pyspark.sql.functions import pandas_udf
 
     from lakehouses_spark.multimodal import extract_media_metadata
