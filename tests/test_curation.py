@@ -314,3 +314,52 @@ def test_common_substring_stop_df_cut(spark, tmp_path):
     # boilerplate windows (df=4) are gone; only the true copied run remains
     assert [(r.doc_a, r.doc_b) for r in cut] == [(1, 2)]
     assert cut[0].max_run_tokens == 10
+
+
+@pytest.mark.parametrize("width,stride", [(8, 3), (16, 16), (5, 7)])
+def test_chunk_docs_invariants_any_geometry(spark, tmp_path, width, stride):
+    """chunk_docs must stay gapless and stride-regular for any (width,
+    stride) — including stride == width (no overlap) and stride > width
+    (sampling gaps allowed ONLY in that declared regime)."""
+    from lakehouses_spark.queries.curation import chunk_docs
+
+    rows = [(1, " ".join(f"w{i}" for i in range(41))), (2, "a b")]
+    sf = _write_docs(spark, tmp_path, rows)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = chunk_docs(docs.select("doc_id", "text"), width=width, stride=stride)
+    chunks = sorted(
+        out.where(F.col("doc_id") == 1).collect(), key=lambda r: r.chunk_idx
+    )
+    assert [c.start_pos for c in chunks] == [
+        1 + i * stride for i in range(len(chunks))
+    ]
+    # last chunk start must still be inside the doc; next start would not be
+    assert chunks[-1].start_pos <= 41 < chunks[-1].start_pos + stride
+    if stride <= width:  # coverage is gapless only when windows overlap/abut
+        covered = set()
+        for c in chunks:
+            covered |= set(range(c.start_pos, c.start_pos + c.n_tokens))
+        assert covered == set(range(1, 42))
+    # every token digest is over exactly the declared slice
+    assert all(c.n_tokens <= width for c in chunks)
+    tiny = out.where(F.col("doc_id") == 2).collect()
+    assert len(tiny) == 1 and tiny[0].n_tokens == 2
+
+
+def test_common_substring_k_parameter(spark, tmp_path):
+    """The window width k is the sensitivity dial: a 10-token planted run
+    is found at k=4 and k=10 but not at k=12."""
+    from lakehouses_spark.queries.dedup import common_substring_pairs
+
+    run = " ".join(f"copied{i}" for i in range(10))
+    rows = [
+        (1, "alpha beta gamma delta " + run),
+        (2, run + " epsilon zeta eta theta"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    for k, expected_pairs, expected_run in ((4, 1, 10), (10, 1, 10), (12, 0, None)):
+        got = common_substring_pairs(docs, k=k).collect()
+        assert len(got) == expected_pairs, (k, got)
+        if expected_pairs:
+            assert got[0].max_run_tokens == expected_run
