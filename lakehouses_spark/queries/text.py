@@ -369,3 +369,74 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+TFIDF_TOP_K = 5
+
+
+@query(
+    "text_tfidf_terms",
+    # idf uses the same ln() on the same integers in both engines, so the
+    # doubles (and therefore the ordering) are bit-identical; the window
+    # tiebreak (score desc, term asc) makes top-k deterministic
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    tf AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY lang, term),
+    scored AS (
+      SELECT lang, term, tf,
+             tf * ln(CAST(n_docs AS DOUBLE) / df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT lang, term, tf,
+             round(score, 4) AS tfidf,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY score DESC, term
+             ) AS rank
+      FROM scored
+    )
+    SELECT lang, CAST(rank AS INT) AS rank, term, tf, tfidf
+    FROM ranked WHERE rank <= {TFIDF_TOP_K}
+    ORDER BY lang, rank
+    """,
+)
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF terms per language — the classic corpus-characterization
+    report (which terms distinguish each language's documents from the
+    corpus at large). tf counts a term's occurrences within the language
+    stratum; idf = ln(N_docs / df) over the whole corpus.
+
+    100 TB shape: two hash aggregations over exploded tokens (term df and
+    per-stratum tf — both shrink to vocabulary-sized tables), the df table
+    joined back BROADCAST (a vocabulary is bounded; this corpus's is ~40
+    terms, a real one ~10⁶ — still broadcastable), and a per-language
+    window over vocabulary-sized input for the top-k. The token explosion
+    itself never shuffles document text — only (doc_id, term) pairs."""
+    from pyspark.sql import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    n_docs = d.count()
+    df_tbl = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf_tbl = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    score = (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score")
+    scored = tf_tbl.join(F.broadcast(df_tbl), "term").select("lang", "term", "tf", score)
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.select(
+            "lang",
+            F.row_number().over(w).alias("rank"),
+            "term",
+            "tf",
+            F.round("score", 4).alias("tfidf"),
+        )
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .orderBy("lang", "rank")
+    )

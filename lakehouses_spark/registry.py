@@ -54,17 +54,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver-verified in round 1 follows in registration order.
 _SWEEP_PRIORITY = [
     # Round-3 rotation, sized to the 50-entry budget exactly:
-    #   1. all 39 NEVER-swept queries (no row in r1 ∪ r2) — every new round-3
+    #   1. all 40 NEVER-swept queries (no row in r1 ∪ r2) — every new round-3
     #      operator gets its first driver row,
     #   2. the 4 queries UPGRADED from rows-only to a real oracle since their
     #      last driver row,
-    #   3. 7 slots of r1-only refresh, led by the queries whose code the
+    #   3. 6 slots of r1-only refresh, led by the queries whose code the
     #      round-3 hashed-shingle rewrite touched (dedup_ngram_jaccard and,
     #      via it, dedup_clusters; dedup_exact is digest-based and merely
     #      rides along as the tier's cheapest re-check) and the most complex
     #      SQL surfaces.
-    # The ~25 remaining r1-only rows rotate to the FRONT of round 4's sweep
-    # (the in-repo oracle replica re-verifies all 125 locally every round).
+    # The ~26 remaining r1-only rows rotate to the FRONT of round 4's sweep
+    # (the in-repo oracle replica re-verifies all 126 locally every round).
     # --- 1. never-swept: round-3 TPC-H shape family ---
     "q2_best_supplier", "q4_priority_check", "q6_forecast_revenue",
     "q7_nation_volume", "q8_market_share", "q9_product_profit",
@@ -84,13 +84,13 @@ _SWEEP_PRIORITY = [
     "text_repetition_filter", "text_word_entropy",
     "fn_variant_family",
     "dedup_common_substring", "text_chunk_overlap", "streaming_stream_join",
-    "streaming_dedup_drain", "multimodal_audio_stats",
+    "streaming_dedup_drain", "multimodal_audio_stats", "text_tfidf_terms",
     # --- 2. upgraded to a real oracle since their last driver row ---
     "dedup_minhash_lsh", "dedup_simhash",           # twin-injection oracles
     "multimodal_metadata", "multimodal_image_pipeline",  # manifest formulas
-    # --- 3. r1-only refresh (7 slots) ---
+    # --- 3. r1-only refresh (6 slots) ---
     "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
-    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_percentiles",
+    "agg_rollup", "agg_cube", "agg_grouping_sets",
 ]
 
 
