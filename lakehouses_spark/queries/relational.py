@@ -506,6 +506,76 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)           AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2)     AS covar_qty_price,
+           round(stddev_samp(l_extendedprice), 2)                AS std_price,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope_price_per_qty,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 statistical aggregates: correlation, sample covariance, sample
+    stddev, and OLS regression slope/intercept per group. All are one-pass
+    moment aggregations (sum, sum-of-squares, sum-of-products) that
+    partial-aggregate map-side — constant state per group at any scale, no
+    second pass over the data."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+            F.round(
+                F.expr("regr_slope(l_extendedprice, l_quantity)"), 4
+            ).alias("slope_price_per_qty"),
+            F.round(
+                F.expr("regr_intercept(l_extendedprice, l_quantity)"), 2
+            ).alias("intercept_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(l_extendedprice / 5000.0) AS INTEGER) AS bin,
+           count(*) AS n_items,
+           round(min(l_extendedprice), 2) AS bin_min,
+           round(max(l_extendedprice), 2) AS bin_max,
+           round(sum(l_extendedprice), 2) AS total
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: fixed-width value histogram (width_bucket shape) — bin id is a
+    pure per-row expression (`floor(x / width)`), so the whole histogram is
+    one map-side-combining hash aggregation over ≤ range/width groups. The
+    distribution profile every data-quality pass runs before choosing
+    filter thresholds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 5000.0).cast("int").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.min("l_extendedprice"), 2).alias("bin_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("bin_max"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+        .orderBy("bin")
+    )
+
+
 @query("agg_approx_distinct", oracle=None)  # HLL sketch differs per engine → rows-only
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: approx_count_distinct — HyperLogLog++ sketch, constant memory per

@@ -302,46 +302,37 @@ IVF_CELLS = 16
 IVF_NPROBE = 2
 
 
-def ann_ivf_pairs(emb_src: DataFrame, threshold: float = 0.95,
-                  cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> DataFrame:
-    """IVF-style ANN near-dup pairs — the second scale path the north star
-    names (alongside LSH):
+def _ivf_assign(points: DataFrame, centroids: DataFrame, keep: int) -> DataFrame:
+    """Per-point `keep` nearest centroids (broadcast cross-join + window).
+    Points are unit vectors; centroids are re-normalized after each mean,
+    so cosine reduces to a plain dot product."""
+    sim = dot(F.col("embedding"), F.col("centroid"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("cell"))
+    return (
+        points.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "embedding", "cell", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= keep)
+    )
 
-    1. train a coarse quantizer: deterministic seeds (first IVF_CELLS
-       vectors) + one Lloyd iteration, all in DataFrame ops (assign via
-       broadcast cross-join argmin, update via posexplode mean)
-    2. multi-assign every vector to its IVF_NPROBE nearest cells (the
-       batch analog of query-time nprobe — pairs split across a cell
-       boundary still co-occur somewhere)
-    3. exact cosine re-rank inside cells only
 
-    Candidate cost is O(n · cells) for assignment (cells is small and the
-    centroid table broadcasts) + intra-cell pairs — never all-pairs.
-    pytest checks recall against `sim_pairs_threshold`.
-    """
+def _ivf_probed(emb_src: DataFrame, cells: int, nprobe: int) -> DataFrame:
+    """Shared IVF front half: unit-normalize, train the coarse quantizer
+    (deterministic seeds = first `cells` vectors + one Lloyd iteration, all
+    in DataFrame ops — assign via broadcast cross-join argmin, update via
+    posexplode mean), then nprobe-multi-assign every vector. Returns
+    (cell, vec_id, embedding) with each vector in its `nprobe` nearest
+    cells — the batch analog of query-time nprobe: pairs split across a
+    cell boundary still co-occur somewhere."""
     emb = spread(
         _emb_unit(emb_src)
     ).select("vec_id", F.col("unit").alias("embedding")).localCheckpoint()
     seeds = emb.orderBy("vec_id").limit(cells).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
     )
-
-    def assign(points: DataFrame, centroids: DataFrame, keep: int) -> DataFrame:
-        """Per-point `keep` nearest centroids (broadcast cross-join + window).
-        Points are unit vectors; centroids are re-normalized after each mean,
-        so cosine reduces to a plain dot product."""
-        sim = dot(F.col("embedding"), F.col("centroid"))
-        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("cell"))
-        return (
-            points.crossJoin(F.broadcast(centroids))
-            .select("vec_id", "embedding", "cell", sim.alias("sim"))
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= keep)
-        )
-
     # one Lloyd iteration: hard-assign → per-cell mean (posexplode keeps the
     # update a flat hash aggregation)
-    assigned = assign(emb, seeds, keep=1)
+    assigned = _ivf_assign(emb, seeds, keep=1)
     centroids = (
         assigned.select("cell", F.posexplode("embedding").alias("i", "v"))
         .groupBy("cell", "i")
@@ -351,8 +342,20 @@ def ann_ivf_pairs(emb_src: DataFrame, threshold: float = 0.95,
         .select("cell", F.transform("parts", lambda s: s.m).alias("raw"))
         .select("cell", F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("centroid"))
     )
-    # nprobe multi-assignment + intra-cell exact re-rank
-    probed = assign(emb, centroids, keep=nprobe).select("cell", "vec_id", "embedding")
+    return _ivf_assign(emb, centroids, keep=nprobe).select("cell", "vec_id", "embedding")
+
+
+def ann_ivf_pairs(emb_src: DataFrame, threshold: float = 0.95,
+                  cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF-style ANN near-dup pairs — the second scale path the north star
+    names (alongside LSH): coarse-quantize (`_ivf_probed`), then exact
+    cosine re-rank inside cells only.
+
+    Candidate cost is O(n · cells) for assignment (cells is small and the
+    centroid table broadcasts) + intra-cell pairs — never all-pairs.
+    pytest checks recall against `sim_pairs_threshold`.
+    """
+    probed = _ivf_probed(emb_src, cells, nprobe)
     a = probed.alias("a")
     b = probed.alias("b")
     sim = dot(F.col("a.embedding"), F.col("b.embedding"))
@@ -379,6 +382,152 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs oracle as the LSH path."""
     emb = with_twin_injections(load_table(spark, sf_dir, "embeddings"))
     return ann_ivf_pairs(emb)
+
+
+# --- IVF-PQ: product-quantized candidate scan ------------------------------ #
+#
+# The canonical billion-scale ANN layout (FAISS IVFPQ, Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search"): the IVF coarse
+# quantizer restricts the search to probed cells, and within a cell the scan
+# runs over M-byte PQ codes instead of d-double vectors — the candidate
+# stage touches 8 bytes/vector instead of 512, so the working set that must
+# stream through memory at 100 TB shrinks ~64×. Full vectors are fetched
+# ONLY for the shortlist that survives the approximate filter, then re-ranked
+# exactly (so with a conservative margin the result is exact-recall, which
+# is what lets the twin oracle hash-check it).
+
+PQ_SUBSPACES = 8     # M: 64 dims → 8 subvectors of 8
+PQ_CODEBOOK_K = 16   # centroids per subspace codebook
+PQ_TRAIN_SAMPLE = 512  # codebooks train on a bounded sample (standard FAISS
+                       # practice) — driver-side cost is O(sample·d), fixed
+                       # regardless of corpus size
+PQ_MARGIN = 0.15     # approx-filter slack: keep pairs with approx cos ≥
+                     # threshold − margin, re-rank exactly. Absorbs the
+                     # quantization error of reconstructed similarities.
+
+
+def _pq_train_codebooks(emb: DataFrame, dim: int):
+    """Train per-subspace codebooks on a deterministic bounded sample:
+    first PQ_TRAIN_SAMPLE unit vectors by vec_id, seeds = first K distinct
+    subvectors, 5 Lloyd iterations (empty clusters keep their centroid).
+    Returns (codebooks ndarray (M, K, d/M), dot-LUT (M, K, K))."""
+    import numpy as np
+
+    sample = (
+        emb.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).select("embedding").collect()
+    )
+    X = np.array([r.embedding for r in sample], dtype=np.float64)  # (n, d)
+    m, k = PQ_SUBSPACES, PQ_CODEBOOK_K
+    sub = dim // m
+    books = np.empty((m, k, sub))
+    for i in range(m):
+        Xm = X[:, i * sub:(i + 1) * sub]                      # (n, sub)
+        cb = Xm[:k].copy()                                    # deterministic seeds
+        for _ in range(5):
+            d2 = ((Xm[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)  # (n, k)
+            a = d2.argmin(axis=1)
+            for c in range(k):
+                pts = Xm[a == c]
+                if len(pts):
+                    cb[c] = pts.mean(axis=0)
+        books[i] = cb
+    lut = np.einsum("mkd,mjd->mkj", books, books)             # (M, K, K) dots
+    return books, lut
+
+
+def _pq_encode(books) -> Column:
+    """array<int> PQ codes of the unit vector in `embedding`: per subspace,
+    the index of the nearest codebook centroid. One Arrow-batched pandas UDF
+    doing a vectorized distance argmin per batch (X2 boundary — same
+    rationale as `_lsh_signatures`)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.asarray(books)
+    m, _, sub = books.shape
+
+    @pandas_udf("array<int>")
+    def enc(embs: pd.Series) -> pd.Series:
+        if embs.empty:
+            return pd.Series([], dtype=object)
+        X = np.stack(embs.to_numpy())                         # (n, d)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for i in range(m):
+            Xm = X[:, i * sub:(i + 1) * sub]
+            d2 = ((Xm[:, None, :] - books[i][None, :, :]) ** 2).sum(axis=2)
+            codes[:, i] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return enc(F.col("embedding"))
+
+
+def ann_ivfpq_pairs(emb_src: DataFrame, threshold: float = 0.95,
+                    cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE,
+                    dim: int = 64) -> DataFrame:
+    """IVF-PQ ANN near-dup pairs: IVF cell probing (shared `_ivf_probed`
+    front half) + per-cell symmetric-distance scan over PQ CODES ONLY
+    (codes + the broadcast M×K×K dot LUT — full vectors never enter the
+    candidate stage), then an exact re-rank join that fetches vectors for
+    shortlist survivors alone. `distinct` collapses pairs co-probed into
+    multiple cells."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    probed = _ivf_probed(emb_src, cells, nprobe).localCheckpoint()
+    vectors = probed.dropDuplicates(["vec_id"]).select("vec_id", "embedding")
+    books, lut = _pq_train_codebooks(vectors, dim)
+    coded = probed.select("cell", "vec_id", _pq_encode(books).alias("codes"))
+
+    cand_schema = StructType(
+        [StructField("vec_a", LongType()), StructField("vec_b", LongType())]
+    )
+    cut = threshold - PQ_MARGIN
+    lut_local = lut  # (M, K, K)
+
+    def cell_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Approximate all-pairs scan of ONE cell from codes alone:
+        approx_cos(a,b) = Σ_m LUT[m, code_a[m], code_b[m]] normalized by the
+        reconstructed norms — an (n, n) gather-sum over int codes, no
+        vector math."""
+        ids = pdf["vec_id"].to_numpy()
+        codes = np.stack(pdf["codes"].to_numpy())             # (n, M)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype(np.int64)
+        sims = np.zeros((n, n))
+        for i in range(lut_local.shape[0]):
+            sims += lut_local[i][np.ix_(codes[:, i], codes[:, i])]
+        rec_norm = np.sqrt(np.diag(sims))                     # |reconstructed|
+        denom = np.outer(rec_norm, rec_norm)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = np.where(denom > 0, sims / denom, 0.0)
+        ii, jj = np.nonzero(np.triu(sims >= cut, k=1))
+        a, b = ids[ii], ids[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi})
+
+    shortlist = (
+        coded.groupBy("cell").applyInPandas(cell_scan, schema=cand_schema).distinct()
+    )
+    a = vectors.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ua"))
+    b = vectors.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ub"))
+    sim = dot(F.col("ua"), F.col("ub"))
+    return (
+        shortlist.join(a, "vec_a").join(b, "vec_b")
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query("sim_ann_ivfpq", oracle=_TWIN_ORACLE)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (coarse quantizer + product-quantized in-cell scan + exact
+    shortlist re-rank) over the twin-injected corpus — same exact all-pairs
+    oracle as the LSH/IVF paths: full recall required, invented pairs
+    impossible (exact re-rank)."""
+    emb = with_twin_injections(load_table(spark, sf_dir, "embeddings"))
+    return ann_ivfpq_pairs(emb)
 
 
 @query(

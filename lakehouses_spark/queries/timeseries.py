@@ -355,3 +355,158 @@ def ts_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "ts_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(avg(value), 4) AS avg_value
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ), grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM spans
+    )
+    SELECT g.user_id, CAST(g.day AS VARCHAR) AS day,
+           d.avg_value IS NOT NULL AS observed,
+           last_value(d.avg_value IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.day) AS filled_value
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    ORDER BY g.user_id, g.day
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill + LOCF interpolation (the time_bucket_gapfill /
+    locf shape): per-user daily averages densified onto each user's own
+    [first-day, last-day] grid, missing days carried forward from the last
+    observation.
+
+    Scale shape: the dense grid is generated per-key with `sequence` —
+    rows expand by (span ÷ bucket) per key, never a global cross join of
+    users × calendar. One shuffle on user_id serves the bucket aggregation;
+    the grid join and LOCF window reuse that partitioning. The first grid
+    day per user is observed by construction, so the fill is never NULL."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("string").alias("day"),
+            F.col("avg_value").isNotNull().alias("observed"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@query(
+    "ts_ohlc",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket,
+           round(first(value ORDER BY ts, event_id), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(last(value ORDER BY ts, event_id), 2) AS close,
+           count(*) AS n_events
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ORDER BY event_type, bucket
+    """,
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the financial-bars / hypertable candlestick
+    rollup): per (event_type, hour) open/high/low/close. open/close are
+    ordered aggregates — expressed as `min_by`/`max_by` over a (ts,
+    event_id) struct key, which partial-aggregates map-side like any hash
+    agg (no window, no sort of the full table). event_id breaks same-ts
+    ties deterministically."""
+    e = load_table(spark, sf_dir, "events")
+    order_key = F.struct("ts", "event_id")
+    return (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts").cast("string").alias("bucket")
+        )
+        .agg(
+            F.round(F.min_by("value", order_key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", order_key), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@query(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ), dev AS (
+      SELECT e.event_type, e.event_id, e.value, s.med, abs(e.value - s.med) AS adev
+      FROM events e JOIN stats s USING (event_type)
+    ), mads AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, d.event_id, round(d.value, 2) AS value,
+           round((d.value - d.med) / (1.4826 * m.mad), 4) AS robust_z
+    FROM dev d JOIN mads m USING (event_type)
+    WHERE abs(d.value - d.med) > 3.5 * 1.4826 * m.mad
+    ORDER BY d.event_type, d.event_id
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: flag events whose value deviates from the
+    per-type median by more than 3.5 robust standard deviations
+    (MAD × 1.4826 — the classic robust z-score; mean/stddev would let the
+    outliers poison their own threshold).
+
+    Two aggregation passes (median, then median-of-deviations) joined back
+    via BROADCAST — the per-type stats table is tiny, so the corpus is
+    scanned twice but shuffled zero times beyond the two small aggs. Both
+    engines compute exact interpolated medians; comparisons use the
+    unrounded values, rounding applies only to the projected columns."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("adev") > 3.5 * 1.4826 * F.col("mad"))
+        .select(
+            "event_type",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.round((F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 4).alias(
+                "robust_z"
+            ),
+        )
+        .orderBy("event_type", "event_id")
+    )

@@ -54,17 +54,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # driver-verified in round 1 follows in registration order.
 _SWEEP_PRIORITY = [
     # Round-3 rotation, sized to the 50-entry budget exactly:
-    #   1. all 40 NEVER-swept queries (no row in r1 ∪ r2) — every new round-3
+    #   1. all 46 NEVER-swept queries (no row in r1 ∪ r2) — every new round-3
     #      operator gets its first driver row,
     #   2. the 4 queries UPGRADED from rows-only to a real oracle since their
-    #      last driver row,
-    #   3. 6 slots of r1-only refresh, led by the queries whose code the
-    #      round-3 hashed-shingle rewrite touched (dedup_ngram_jaccard and,
-    #      via it, dedup_clusters; dedup_exact is digest-based and merely
-    #      rides along as the tier's cheapest re-check) and the most complex
-    #      SQL surfaces.
-    # The ~26 remaining r1-only rows rotate to the FRONT of round 4's sweep
-    # (the in-repo oracle replica re-verifies all 126 locally every round).
+    #      last driver row.
+    # That fills the budget. Positions 51-52 (the first to overflow) are the
+    # r1-only queries whose code the round-3 hashed-shingle rewrite touched
+    # (dedup_ngram_jaccard and, via it, dedup_clusters); they and the ~28
+    # other r1-only rows rotate to the FRONT of round 4's sweep. The in-repo
+    # oracle replica re-verifies all 132 registered queries locally every
+    # round, so nothing goes unchecked in the meantime.
     # --- 1. never-swept: round-3 TPC-H shape family ---
     "q2_best_supplier", "q4_priority_check", "q6_forecast_revenue",
     "q7_nation_volume", "q8_market_share", "q9_product_profit",
@@ -85,12 +84,15 @@ _SWEEP_PRIORITY = [
     "fn_variant_family",
     "dedup_common_substring", "text_chunk_overlap", "streaming_stream_join",
     "streaming_dedup_drain", "multimodal_audio_stats", "text_tfidf_terms",
+    # --- 1. never-swept: round-3 continuation (gap-fill/OHLC/MAD, stats
+    #        aggregates, IVF-PQ) ---
+    "ts_gap_fill", "ts_ohlc", "ts_anomaly_mad",
+    "agg_corr_stats", "agg_histogram", "sim_ann_ivfpq",
     # --- 2. upgraded to a real oracle since their last driver row ---
     "dedup_minhash_lsh", "dedup_simhash",           # twin-injection oracles
     "multimodal_metadata", "multimodal_image_pipeline",  # manifest formulas
-    # --- 3. r1-only refresh (6 slots) ---
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_clusters",
-    "agg_rollup", "agg_cube", "agg_grouping_sets",
+    # --- first overflow (position 51+): r1-only refresh, heads round 4 ---
+    "dedup_ngram_jaccard", "dedup_clusters",
 ]
 
 

@@ -276,3 +276,62 @@ def test_chunk_overlap_plan_is_single_narrow_stage(spark):
 
     exchanges = _re.findall(r"Exchange (\w+)", plan)
     assert all(e == "rangepartitioning" for e in exchanges), exchanges
+
+
+def test_ohlc_is_pure_hash_aggregate(spark):
+    """ts_ohlc: ordered open/close via min_by/max_by must plan as ONE hash
+    aggregation with map-side partial_min_by — never a Window (which would
+    sort every row) and never a second hash exchange."""
+    df = REGISTRY["ts_ohlc"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    simple = plan_of(df, "simple")
+    assert simple.count("Exchange hashpartitioning") == 1, simple
+
+
+def test_anomaly_mad_broadcasts_stats(spark):
+    """ts_anomaly_mad: both per-type stats tables (median, MAD) are tiny and
+    must join back by BROADCAST — a sort-merge join would shuffle the whole
+    corpus for a handful of stat rows. Three broadcast joins: the dev
+    relation (corpus ⋈ median) appears twice in the DAG (once feeding the
+    MAD aggregate, once as the output spine) — recomputing a cheap scan-side
+    join beats materializing it."""
+    plan = plan_of(REGISTRY["ts_anomaly_mad"].fn(spark, SF), "simple")
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gap_fill_windows_reuse_join_partitioning(spark):
+    """ts_gap_fill: the grid join and LOCF window both key on user_id; the
+    plan must not pay a cartesian or nested-loop for the per-key grid
+    (sequence+explode is a narrow map over spans)."""
+    plan = plan_of(REGISTRY["ts_gap_fill"].fn(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stats_aggregates_partial_aggregate_map_side(spark):
+    """agg_corr_stats / agg_histogram: one-pass moment aggregations must
+    partial-aggregate before the exchange (constant state per group)."""
+    for name in ("agg_corr_stats", "agg_histogram"):
+        plan = plan_of(REGISTRY[name].fn(spark, SF))
+        assert "partial_" in plan, name
+        assert "Window" not in plan, name
+
+
+def test_ivfpq_candidate_stage_scans_codes_not_vectors(spark):
+    """sim_ann_ivfpq: the in-cell candidate scan must run over PQ codes via
+    the grouped-pandas LUT kernel (FlatMapGroupsInPandas), and the exact
+    re-rank must be equi-joins on vec ids — no nested loop anywhere after
+    the bounded centroid assignment."""
+    from lakehouses_spark.queries import similarity as S
+
+    plan = plan_of(REGISTRY["sim_ann_ivfpq"].fn(spark, SF), "simple")
+    assert "FlatMapGroupsInPandas" in plan
+    # the only BroadcastNestedLoopJoin allowed is the k-centroid assignment
+    # crossJoin (bounded: cells × corpus, centroid table broadcast)
+    joins = plan.count("BroadcastNestedLoopJoin")
+    assert joins <= 2, plan  # seed-assign + probe-assign
+    assert "CartesianProduct" not in plan
