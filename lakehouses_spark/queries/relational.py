@@ -9,7 +9,7 @@ which at 100 TB keeps the big fact table shuffle-free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouses_spark.io import load_table
@@ -1100,4 +1100,43 @@ def lateral_tokens_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
         .select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
         .orderBy("doc_id", "pos")
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity, count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+      SELECT l_returnflag, l_quantity, cnt,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY cnt DESC, l_quantity) AS rn
+      FROM counts
+    )
+    SELECT l_returnflag, round(l_quantity, 2) AS mode_quantity,
+           cnt AS n_occurrences
+    FROM ranked WHERE rn = 1 ORDER BY l_returnflag
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-group mode with a DETERMINISTIC smallest-value tiebreak —
+    built-in `mode()` leaves ties engine-defined, so both sides spell out
+    count → row_number explicitly. The count aggregation partial-aggregates
+    map-side; the window runs over the already-tiny (group, value) table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"), "l_quantity")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.round("l_quantity", 2).alias("mode_quantity"),
+            F.col("cnt").alias("n_occurrences"),
+        )
+        .orderBy("l_returnflag")
     )

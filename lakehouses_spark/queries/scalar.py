@@ -290,3 +290,34 @@ def fn_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.missing", "int").alias("missing_int"),
         (k % 10).alias("k_mod"),
     ).orderBy("event_id")
+
+
+@query(
+    "fn_bitwise_family",
+    oracle="""
+    SELECT CAST(o_orderkey % 8 AS INTEGER) AS grp,
+           bit_and(o_orderkey & 1023)      AS all_low_bits,
+           bit_or(o_orderkey >> 2)         AS any_shifted,
+           bit_xor(xor(o_orderkey, 255))   AS parity_mix,
+           sum(bit_count(o_orderkey))      AS total_pop,
+           max(o_orderkey << 3)            AS max_shl
+    FROM orders WHERE o_orderkey <= 2048
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def fn_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family: bitwise scalar ops (& | ^ << >> bit_count) composed inside
+    the bitwise aggregates (bit_and / bit_or / bit_xor) — all integer math,
+    bit-identical across engines, whole-stage-codegen'd."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2048)
+    return (
+        o.groupBy((F.col("o_orderkey") % 8).cast("int").alias("grp"))
+        .agg(
+            F.bit_and(F.expr("o_orderkey & 1023")).alias("all_low_bits"),
+            F.bit_or(F.expr("shiftright(o_orderkey, 2)")).alias("any_shifted"),
+            F.bit_xor(F.expr("o_orderkey ^ 255")).alias("parity_mix"),
+            F.sum(F.bit_count("o_orderkey")).alias("total_pop"),
+            F.max(F.expr("shiftleft(o_orderkey, 3)")).alias("max_shl"),
+        )
+        .orderBy("grp")
+    )

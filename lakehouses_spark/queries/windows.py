@@ -175,3 +175,37 @@ def window_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", F.col("event_id").alias("latest_event_id"))
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "window_cume_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(o_totalprice, 2) AS total,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    ORDER BY o_orderpriority, total, o_orderkey
+    """,
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank + cume_dist per priority
+    class — the empirical-CDF position every percentile-based quality gate
+    derives. Tie groups share a value in both engines, so the result is
+    deterministic without a per-row tiebreak; one shuffle on the partition
+    key serves both functions."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("total"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_orderpriority", "total", "o_orderkey")
+    )
