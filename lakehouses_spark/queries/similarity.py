@@ -462,17 +462,27 @@ def _pq_encode(books) -> Column:
 
 
 def ann_ivfpq_pairs(emb_src: DataFrame, threshold: float = 0.95,
-                    cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE,
+                    cells: int | None = None, nprobe: int = IVF_NPROBE,
                     dim: int = 64) -> DataFrame:
     """IVF-PQ ANN near-dup pairs: IVF cell probing (shared `_ivf_probed`
     front half) + per-cell symmetric-distance scan over PQ CODES ONLY
     (codes + the broadcast M×K×K dot LUT — full vectors never enter the
     candidate stage), then an exact re-rank join that fetches vectors for
     shortlist survivors alone. `distinct` collapses pairs co-probed into
-    multiple cells."""
+    multiple cells.
+
+    `cells` defaults to the classic IVF sizing nlist ≈ √n (never below
+    IVF_CELLS): per-cell occupancy then grows as √n, so both the
+    assignment crossJoin (n·√n) and the in-cell code scan (Σ n_c² =
+    nlist·(nprobe·n/nlist)² ∝ n^1.5) stay at the canonical IVF-PQ n^1.5 —
+    a FIXED nlist would let the in-cell scan degrade to n² at scale."""
+    import math
+
     import numpy as np
     from pyspark.sql.types import LongType, StructField, StructType
 
+    if cells is None:
+        cells = max(IVF_CELLS, math.isqrt(emb_src.count()))
     probed = _ivf_probed(emb_src, cells, nprobe).localCheckpoint()
     vectors = probed.dropDuplicates(["vec_id"]).select("vec_id", "embedding")
     books, lut = _pq_train_codebooks(vectors, dim)

@@ -94,9 +94,24 @@ def test_ann_queries_find_exactly_injected_twins(spark):
     from lakehouses_spark.queries.similarity import N_TWINS, TWIN_ID_OFFSET
 
     expected = {(i, i + TWIN_ID_OFFSET) for i in range(N_TWINS)}
-    for name in ("sim_ann_lsh", "sim_ann_ivf"):
+    for name in ("sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivfpq"):
         got = {(r.vec_a, r.vec_b) for r in REGISTRY[name].fn(spark, SF).collect()}
         assert got == expected, f"{name}: {got ^ expected}"
+
+
+def test_ann_ivfpq_recall_on_injected_near_dups(spark, near_dup_corpus):
+    """IVF-PQ: the PQ approx filter (threshold − PQ_MARGIN on reconstructed
+    similarities) plus exact re-rank must keep recall with zero invented
+    pairs, like the other ANN paths."""
+    from lakehouses_spark.queries.similarity import ann_ivfpq_pairs, brute_force_pairs
+
+    exact = {(r.vec_a, r.vec_b) for r in
+             brute_force_pairs(near_dup_corpus, 0.95).collect()}
+    approx = {(r.vec_a, r.vec_b) for r in
+              ann_ivfpq_pairs(near_dup_corpus, 0.95).collect()}
+    assert approx <= exact, "exact re-rank must forbid invented pairs"
+    recall = _recall(approx, exact)
+    assert recall >= 0.7, f"IVF-PQ recall too low: {recall:.2f}"
 
 
 def test_simhash_full_recall_vs_exact_jaccard(spark):
@@ -395,3 +410,32 @@ def test_simhash_block_width_dial():
     assert simhash_block_width(160_000) == 16   # probe x32
     assert simhash_block_width(5_000_000) == 32
     assert simhash_block_width(10**9) == 32     # capped: >=2 tables always
+
+
+def test_sketch_error_bands_vs_exact(spark):
+    """The two sketch aggregates the engine leans on at scale stay inside
+    their published error bands on real data: HyperLogLog++ distinct counts
+    within 4×rsd of exact (rsd is a STANDARD DEVIATION, not a bound — the
+    default 0.05 sketch misses 5% on this very table, which is in-spec;
+    4σ at rsd=0.02 is a sound assertion), approx_percentile within the
+    rank-error bound of the exact interpolated percentile."""
+    from lakehouses_spark.io import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_d"),
+            F.count_distinct("l_orderkey").alias("exact_d"),
+            F.expr("approx_percentile(l_extendedprice, 0.9, 1000)").alias("approx_p90"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("exact_p90"),
+            F.expr("percentile(l_extendedprice, 0.88)").alias("exact_p88"),
+            F.expr("percentile(l_extendedprice, 0.92)").alias("exact_p92"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx_d - r.exact_d) <= 4 * 0.02 * r.exact_d, r
+        # accuracy=1000 → rank error ≤ n/1000 ≈ 2 percentile points here
+        assert r.exact_p88 <= r.approx_p90 <= r.exact_p92, r

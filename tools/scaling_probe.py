@@ -47,6 +47,10 @@ QUERIES = [
     # curation family: gram-explode + broadcast probe — should be ~linear
     "text_decontaminate",        # broadcast benchmark-gram probe
     "text_boilerplate_ngrams",   # heavy-hitter top-K broadcast back
+    # r3 continuation operators
+    "sim_ann_ivfpq",             # IVF-PQ: adaptive nlist≈√n → α≈1.5 by design
+    "graph_pagerank",            # 5× (edges ⋈ O(nodes) state): ~linear in E
+    "ts_gap_fill",               # per-key sequence grid: linear in span×keys
 ]
 # which queries run at the deep factors (the bucketed self-join designs whose
 # 100 TB claim rests on staying sublinear); the all-pairs baseline stays at
@@ -58,6 +62,7 @@ DEEP = {
     "dedup_simhash",
     "dedup_common_substring",
     "sim_ann_lsh",
+    "sim_ann_ivfpq",
     "sim_pairs_blocked",
     # representative relational shapes ride along to ×32 so the scan/agg and
     # shuffle-join tiers have deep-factor evidence too (19.2M lineitem rows)
