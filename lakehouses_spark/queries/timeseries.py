@@ -510,3 +510,66 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_id")
     )
+
+
+EWMA_ALPHA = 0.2
+EWMA_WINDOW = 20  # truncation horizon: (1-α)^20 ≈ 0.012 of a full-history EWMA
+
+_EWMA_NUM = " + ".join(
+    f"coalesce(lag(value, {k}) OVER w * power({1 - EWMA_ALPHA}, {k}), 0)"
+    for k in range(EWMA_WINDOW)
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN lag(value, {k}) OVER w IS NOT NULL"
+    f" THEN power({1 - EWMA_ALPHA}, {k}) ELSE 0 END)"
+    for k in range(EWMA_WINDOW)
+)
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+    SELECT user_id, event_id, round(value, 2) AS value,
+           round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (smoothing α=0.2),
+    truncated to the trailing EWMA_WINDOW observations — the bounded-state
+    formulation: weights below (1-α)^20 contribute <1.2% and truncation is
+    what makes the operator a fixed-size window instead of unbounded
+    history.
+
+    Spark side: ONE ordered window collects the trailing values, then
+    position-weighted numerator/denominator are pure higher-order functions
+    (transform + aggregate) — JVM-side, no Python, no second shuffle. The
+    oracle spells the same truncated EWMA as 20 unrolled lag() terms."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)  # oldest → newest within window
+    decayed = F.transform(
+        vals, lambda x, i: x * F.pow(F.lit(1 - EWMA_ALPHA), F.size(vals) - 1 - i)
+    )
+    weights = F.transform(
+        vals, lambda _, i: F.pow(F.lit(1 - EWMA_ALPHA), F.size(vals) - 1 - i)
+    )
+    total = F.aggregate(decayed, F.lit(0.0), lambda a, x: a + x)
+    denom = F.aggregate(weights, F.lit(0.0), lambda a, x: a + x)
+    return (
+        e.select("user_id", "event_id", "ts", "value")
+        .withColumn("ewma", F.round(total / denom, 6))
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            "ewma",
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -62,7 +62,7 @@ _SWEEP_PRIORITY = [
     # r1-only queries whose code the round-3 hashed-shingle rewrite touched
     # (dedup_ngram_jaccard and, via it, dedup_clusters); they and the ~28
     # other r1-only rows rotate to the FRONT of round 4's sweep. The in-repo
-    # oracle replica re-verifies all 132 registered queries locally every
+    # oracle replica re-verifies EVERY registered query locally each
     # round, so nothing goes unchecked in the meantime.
     # --- 1. never-swept: round-3 TPC-H shape family ---
     "q2_best_supplier", "q4_priority_check", "q6_forecast_revenue",
@@ -108,6 +108,7 @@ SWEEP_DEFERRED_TO_NEXT_ROUND = [
     "window_cume_dist",
     "fn_bitwise_family",
     "agg_mode",
+    "ts_ewma",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
