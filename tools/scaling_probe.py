@@ -243,6 +243,18 @@ def main() -> None:
         "(the broadcast side is benchmark-/K-bounded); their sub-second",
         "jitter at this scale is scheduling noise, the signal is no upward",
         "drift.",
+        "`sim_ann_ivfpq` sizes nlist ≈ √n (ann_ivfpq_pairs default), so both",
+        "the centroid-assignment crossJoin and the in-cell PQ-code scan are",
+        "n^1.5 BY DESIGN — the fitted α over the full range is",
+        "overhead-damped, and the ×16→×32 hop (~2.6× for 2× data ≈ local",
+        "exponent 1.4) matches the designed 2^1.5 ≈ 2.8 within noise; the",
+        "candidate stage touches 8-byte codes, never the 512-byte vectors.",
+        "`graph_pagerank` is 5 × (static edge list ⋈ O(nodes) rank state):",
+        "per-iteration cost linear in |E|, state linear in |V| — the α≈0.5",
+        "at this scale is edge-join dominated with fixed per-job overhead.",
+        "`ts_gap_fill`'s per-key sequence grid stays flat because grid rows",
+        "scale with keys×span, not events — the dense-grid cross join a",
+        "naive gapfill would pay is exactly what the per-key spans avoid.",
     ]
     Path(__file__).resolve().parent.parent.joinpath("SCALING.md").write_text(
         "\n".join(lines) + "\n"
