@@ -1140,3 +1140,86 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                                            AS n_all,
+           count(*) FILTER (WHERE o_orderstatus = 'F')         AS n_finished,
+           count(*) FILTER (WHERE o_totalprice > 100000)       AS n_large,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+             AS open_value,
+           round(avg(o_totalprice) FILTER (WHERE o_totalprice > 100000), 4)
+             AS avg_large
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family: FILTER-clause aggregates (conditional aggregation) — one
+    scan computing several differently-filtered aggregates at once, instead
+    of N filtered scans unioned back. DataFrame side expresses each FILTER
+    as agg-over-`when` (NULLs don't count/sum/average), the standard
+    Spark idiom with identical semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    finished = F.when(F.col("o_orderstatus") == "F", 1)
+    large = F.col("o_totalprice") > 100000
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count(finished).alias("n_finished"),
+            F.count(F.when(large, 1)).alias("n_large"),
+            F.round(
+                F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2
+            ).alias("open_value"),
+            F.round(F.avg(F.when(large, F.col("o_totalprice"))), 4).alias("avg_large"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH ordered AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag, round(min(l_extendedprice), 2) AS weighted_median_price
+    FROM ordered WHERE cw >= tw / 2
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower weighted median: the smallest value whose
+    cumulative weight reaches half the group total) — not a Spark builtin;
+    expressed as cumulative-weight window + min-over-qualifying, the
+    one-shuffle formulation (the naive alternative sorts and collects per
+    group). The explicit (price, orderkey, linenumber) ordering makes the
+    cumulative walk deterministic under price ties in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = Window.partitionBy("l_returnflag")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.sum("l_quantity").over(cum).alias("cw"),
+            F.sum("l_quantity").over(total).alias("tw"),
+        )
+        .where(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("l_extendedprice"), 2).alias("weighted_median_price"))
+        .orderBy("l_returnflag")
+    )

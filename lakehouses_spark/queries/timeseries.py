@@ -573,3 +573,181 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "ts_rolling_stats",
+    oracle="""
+    SELECT user_id, event_id,
+           floor(avg(value) OVER w * 10000 + 0.500001) / 10000 AS roll_mean,
+           floor(CASE WHEN count(*) OVER w > 1
+                      THEN stddev_samp(value) OVER w END * 10000 + 0.500001)
+             / 10000 AS roll_std,
+           round(min(value)  OVER w, 2) AS roll_min,
+           round(max(value)  OVER w, 2) AS roll_max,
+           count(*) OVER w AS n_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def ts_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling statistics over a trailing 10-row window per user — the
+    feature-engineering staple (rolling mean/std/min/max + window
+    occupancy). One shuffle on user_id serves all five window functions
+    (same partitioning + frame). roll_std is guarded to NULL for
+    single-row windows in both engines so the n=1 stddev_samp edge can't
+    diverge. roll_mean/roll_std round via floor(x*1e4 + 0.5 + 1e-6) in
+    BOTH engines: two-decimal inputs over small windows make the true
+    mean/stddev land on exact .00005 boundaries (e.g. an 8-row mean of
+    29.99125), where ulp-level summation-order differences flip a plain
+    round() either way — the cut point is nudged off the boundary."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            (F.floor(F.avg("value").over(w) * 10000 + 0.500001) / 10000).alias("roll_mean"),
+            (
+                F.floor(
+                    F.when(n > 1, F.stddev_samp("value").over(w)) * 10000
+                    + 0.500001
+                )
+                / 10000
+            ).alias("roll_std"),
+            F.round(F.min("value").over(w), 2).alias("roll_min"),
+            F.round(F.max("value").over(w), 2).alias("roll_max"),
+            n.alias("n_window"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+INTERP_BUCKET_S = 21_600  # 6-hour resample grid
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id,
+                                floor(epoch(ts) / {INTERP_BUCKET_S})
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), bucketed AS (
+      SELECT user_id,
+             make_timestamp(CAST(floor(epoch(ts) / {INTERP_BUCKET_S})
+                                 * {INTERP_BUCKET_S} * 1000000 AS BIGINT)) AS bucket,
+             epoch(ts) AS t_obs, value
+      FROM obs WHERE rn = 1
+    ), spans AS (
+      SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM bucketed GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 6 HOUR)) AS bucket
+      FROM spans
+    ), joined AS (
+      SELECT g.user_id, g.bucket, b.t_obs, b.value, epoch(g.bucket) AS t_grid
+      FROM grid g LEFT JOIN bucketed b
+        ON g.user_id = b.user_id AND g.bucket = b.bucket
+    ), bounded AS (
+      SELECT user_id, bucket, t_grid,
+             last_value(t_obs  IGNORE NULLS) OVER wb AS t_prev,
+             last_value(value  IGNORE NULLS) OVER wb AS v_prev,
+             first_value(t_obs IGNORE NULLS) OVER wf AS t_next,
+             first_value(value IGNORE NULLS) OVER wf AS v_next
+      FROM joined
+      WINDOW wb AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, CAST(bucket AS VARCHAR) AS bucket,
+           round(CASE WHEN t_next = t_prev THEN v_prev
+                      ELSE v_prev + (v_next - v_prev) * (t_grid - t_prev)
+                                    / (t_next - t_prev) END, 6) AS v_interp
+    FROM bounded
+    ORDER BY user_id, bucket
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample-with-linear-interpolation (the hypertable `interpolate()`
+    companion to ts_gap_fill's LOCF): one observation per 6-hour bucket
+    (first event, deterministic), densified onto each user's own grid;
+    missing buckets get the time-weighted line between the surrounding
+    observations. Two windows over ONE user_id partitioning (backward
+    last-non-null, forward first-non-null) — no self-join against the
+    observation table, which is how interpolation stays a linear scan at
+    scale. Grid endpoints are observed by construction, so v_interp is
+    never NULL."""
+    e = load_table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("double")
+    bucket = F.timestamp_seconds(
+        (F.floor(epoch / INTERP_BUCKET_S) * INTERP_BUCKET_S).cast("long")
+    )
+    by_bucket = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    bucketed = (
+        e.select("user_id", "event_id", "ts", "value", bucket.alias("bucket"))
+        .withColumn("rn", F.row_number().over(by_bucket))
+        .where(F.col("rn") == 1)
+        .select("user_id", "bucket", epoch.alias("t_obs"), "value")
+    )
+    grid = (
+        bucketed.groupBy("user_id")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("b0", "b1", F.expr("INTERVAL 6 HOURS"))).alias(
+                "bucket"
+            ),
+        )
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    joined = grid.join(bucketed, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        F.col("bucket").cast("double").alias("t_grid"),
+        "t_obs",
+        "value",
+    )
+    bounded = joined.select(
+        "user_id",
+        "bucket",
+        "t_grid",
+        F.last("t_obs", ignorenulls=True).over(wb).alias("t_prev"),
+        F.last("value", ignorenulls=True).over(wb).alias("v_prev"),
+        F.first("t_obs", ignorenulls=True).over(wf).alias("t_next"),
+        F.first("value", ignorenulls=True).over(wf).alias("v_next"),
+    )
+    interp = F.when(
+        F.col("t_next") == F.col("t_prev"), F.col("v_prev")
+    ).otherwise(
+        F.col("v_prev")
+        + (F.col("v_next") - F.col("v_prev"))
+        * (F.col("t_grid") - F.col("t_prev"))
+        / (F.col("t_next") - F.col("t_prev"))
+    )
+    return (
+        bounded.select(
+            "user_id",
+            F.col("bucket").cast("string").alias("bucket"),
+            F.round(interp, 6).alias("v_interp"),
+        )
+        .orderBy("user_id", "bucket")
+    )

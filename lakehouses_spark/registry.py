@@ -109,6 +109,10 @@ SWEEP_DEFERRED_TO_NEXT_ROUND = [
     "fn_bitwise_family",
     "agg_mode",
     "ts_ewma",
+    "ts_rolling_stats",
+    "ts_interpolate_linear",
+    "agg_filtered",
+    "agg_weighted_median",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
