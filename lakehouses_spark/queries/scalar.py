@@ -321,3 +321,75 @@ def fn_bitwise_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@query(
+    "fn_url_family",
+    oracle=r"""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&n=' || n_chars AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1)            AS protocol,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1)       AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\?(.*)$', 1)                 AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1)        AS lang_param
+    FROM urls ORDER BY doc_id
+    """,
+)
+def fn_url_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family: URL decomposition via `parse_url` (protocol / host / path /
+    query / single query-param) — the canonicalization primitive every
+    web-scraped-corpus pipeline runs before URL-level dedup. The oracle
+    decomposes the same synthesized URLs with regexes, so Spark's dedicated
+    parser is cross-checked against a spec-by-regex."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id"), F.lit("?lang="), F.col("lang"),
+        F.lit("&n="), F.col("n_chars"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return (
+        u.select(
+            "doc_id",
+            F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY")).alias("query"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+             AS priorities,
+           count(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family: ordered string aggregation (listagg/string_agg) — expressed
+    as collect_set → array_sort → array_join so the concatenation order is
+    deterministic regardless of partitioning (a bare collect_list would be
+    partition-order-dependent and fail the determinism sweep)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), "|"
+            ).alias("priorities"),
+            F.count_distinct("o_orderpriority").alias("n_priorities"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -113,6 +113,8 @@ SWEEP_DEFERRED_TO_NEXT_ROUND = [
     "ts_interpolate_linear",
     "agg_filtered",
     "agg_weighted_median",
+    "fn_url_family",
+    "agg_string_agg",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 

@@ -439,3 +439,23 @@ def test_sketch_error_bands_vs_exact(spark):
         assert abs(r.approx_d - r.exact_d) <= 4 * 0.02 * r.exact_d, r
         # accuracy=1000 → rank error ≤ n/1000 ≈ 2 percentile points here
         assert r.exact_p88 <= r.approx_p90 <= r.exact_p92, r
+
+
+def test_pagerank_invariants(spark):
+    """Semantic invariants the differential oracle can't express: on a
+    symmetric graph (no dangling mass) total rank is conserved at 1.0,
+    every rank is at least the teleport floor (1-d)/n, and a star
+    topology's hub outranks its spokes."""
+    from lakehouses_spark.queries.graph import pagerank
+
+    spokes = list(range(1, 7))
+    edges = [(0, s) for s in spokes] + [(s, 0) for s in spokes]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r.node_id: r.rank for r in pagerank(df).collect()}
+    n = len(ranks)
+    assert n == 7
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9, sum(ranks.values())
+    floor = 0.15 / n
+    assert all(v >= floor - 1e-12 for v in ranks.values())
+    hub, spoke_max = ranks[0], max(ranks[s] for s in spokes)
+    assert hub > spoke_max * 2, (hub, spoke_max)
