@@ -209,3 +209,42 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "total", "o_orderkey")
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER w, 2) AS sum_1h,
+           count(*) OVER w AS n_1h,
+           round(max(value) OVER w, 2) AS max_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-event trailing-1-hour aggregates
+    (the per-ROW sliding aggregate — F.window's bucketed slide emits one
+    row per bucket, this emits one per event). `rangeBetween` over the
+    epoch ordering makes the frame a VALUE interval, so same-timestamp
+    peers land in the same frame in both engines — a ROWS frame could
+    order ties differently and diverge. One shuffle on user_id serves all
+    three aggregates."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.round(F.max("value").over(w), 2).alias("max_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )

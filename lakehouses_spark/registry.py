@@ -115,6 +115,7 @@ SWEEP_DEFERRED_TO_NEXT_ROUND = [
     "agg_weighted_median",
     "fn_url_family",
     "agg_string_agg",
+    "window_range_frame",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
