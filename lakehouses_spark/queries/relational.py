@@ -1223,3 +1223,29 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.min("l_extendedprice"), 2).alias("weighted_median_price"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_bool_family",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)  AS all_above_1k,
+           bool_or(o_totalprice > 400000) AS any_above_400k,
+           bool_and(o_orderstatus <> 'X') AS none_invalid
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_bool_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family: boolean aggregates (bool_and/bool_or — SQL EVERY/ANY) —
+    the data-quality assertion primitives (\"every row satisfies X\"),
+    map-side combining like any hash agg."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_above_400k"),
+            F.bool_and(F.col("o_orderstatus") != "X").alias("none_invalid"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -393,3 +393,29 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "fn_conv_family",
+    oracle="""
+    SELECT o_orderkey,
+           upper(to_hex(o_orderkey)) AS hex_key,
+           to_base(o_orderkey, 2)    AS bin_key,
+           to_base(o_orderkey, 8)    AS oct_key
+    FROM orders WHERE o_orderkey <= 64 ORDER BY o_orderkey
+    """,
+)
+def fn_conv_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family: radix conversion (hex / binary / octal rendering of keys —
+    the id-encoding ops behind shard prefixes and content-hash paths).
+    Spark `hex`/`conv` vs DuckDB `to_hex`/`to_base`."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 64)
+    return (
+        o.select(
+            "o_orderkey",
+            F.hex("o_orderkey").alias("hex_key"),
+            F.conv(F.col("o_orderkey").cast("string"), 10, 2).alias("bin_key"),
+            F.conv(F.col("o_orderkey").cast("string"), 10, 8).alias("oct_key"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -662,3 +662,60 @@ def sim_pairs_blocked_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as sim_pairs_threshold, different physical strategy (tiled BLAS
     vs quadratic theta-join)."""
     return sim_pairs_blocked(load_table(spark, sf_dir, "embeddings"), 0.4)
+
+
+KNN_BATCH_QUERIES = 5
+KNN_BATCH_K = 5
+
+
+@query(
+    "sim_knn_batch",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {KNN_BATCH_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id, e.label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+               AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                     q.qv), 6) DESC, e.vec_id
+             ) AS rk
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, label, cos_sim, CAST(rk AS INTEGER) AS rk
+    FROM scored WHERE rk <= {KNN_BATCH_K} ORDER BY query_id, rk
+    """,
+)
+def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched kNN serving: top-k cosine neighbors for a BATCH of query
+    vectors in one pass — broadcast the (small) query set against the
+    corpus, score every (query, vector) pair in a single scan, then a
+    per-query window top-k. The corpus is scanned ONCE regardless of batch
+    size; ranking and the top-k cutoff use the ROUNDED similarity so
+    ulp-level dot-product differences can't flip the boundary."""
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < KNN_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        spread(emb)
+        .crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KNN_BATCH_K)
+        .select("query_id", "vec_id", "label", "cos_sim", F.col("rk").cast("int").alias("rk"))
+        .orderBy("query_id", "rk")
+    )

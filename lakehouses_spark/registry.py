@@ -116,6 +116,9 @@ SWEEP_DEFERRED_TO_NEXT_ROUND = [
     "fn_url_family",
     "agg_string_agg",
     "window_range_frame",
+    "agg_bool_family",
+    "fn_conv_family",
+    "sim_knn_batch",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
