@@ -1249,3 +1249,63 @@ def agg_bool_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "set_except_intersect_all",
+    oracle="""
+    WITH bag AS (
+      SELECT l_returnflag, CAST(l_quantity AS INTEGER) AS qty
+      FROM lineitem WHERE l_orderkey <= 2000
+      EXCEPT ALL
+      SELECT l_returnflag, CAST(l_quantity AS INTEGER) AS qty
+      FROM lineitem WHERE l_orderkey <= 1000
+    )
+    SELECT l_returnflag, qty, count(*) AS multiplicity
+    FROM bag GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def set_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 bag-semantics variant: EXCEPT ALL (multiset difference —
+    duplicates subtract by multiplicity, unlike the set-semantics `except`
+    that collapses them). Summarized as (value, multiplicity) so the
+    comparison is order-insensitive."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("int").alias("qty"), "l_orderkey"
+    )
+    big = li.where(F.col("l_orderkey") <= 2000).drop("l_orderkey")
+    small = li.where(F.col("l_orderkey") <= 1000).drop("l_orderkey")
+    return (
+        big.exceptAll(small)
+        .groupBy("l_returnflag", "qty")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .orderBy("l_returnflag", "qty")
+    )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+    SELECT l_returnflag,
+           round(skewness(l_extendedprice), 6)     AS skew,
+           round(kurtosis_pop(l_extendedprice), 6) AS kurt
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: higher-moment shape statistics. Spark's kurtosis is the
+    POPULATION excess kurtosis, so the oracle must call DuckDB's
+    `kurtosis_pop` — the default `kurtosis` applies sample-bias correction
+    and differs in the 6th decimal at this group size (a formula mismatch,
+    not noise). Skewness: Spark's population formula and DuckDB's
+    sample-corrected one differ by O(1/n) ≈ 1e-7 here — invisible at the
+    rounded precision."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.skewness("l_extendedprice"), 6).alias("skew"),
+            F.round(F.kurtosis("l_extendedprice"), 6).alias("kurt"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -419,3 +419,29 @@ def fn_conv_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "fn_encode_family",
+    oracle="""
+    SELECT doc_id,
+           to_base64(encode(substr(text, 1, 24))) AS b64,
+           decode(from_base64(to_base64(encode(substr(text, 1, 24)))))
+             = substr(text, 1, 24) AS roundtrip_ok
+    FROM documents WHERE doc_id < 50 ORDER BY doc_id
+    """,
+)
+def fn_encode_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family: binary text encoding (base64/unbase64 over string↔binary
+    casts) — the wire-encoding ops under every Kafka/Avro payload path
+    (functions/avro.py decodes exactly this shape)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    prefix = F.substring("text", 1, 24).cast("binary")
+    return (
+        d.select(
+            "doc_id",
+            F.base64(prefix).alias("b64"),
+            (F.unbase64(F.base64(prefix)) == prefix).alias("roundtrip_ok"),
+        )
+        .orderBy("doc_id")
+    )

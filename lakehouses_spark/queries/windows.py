@@ -248,3 +248,44 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    SELECT o_orderpriority,
+           round(nth_value(o_totalprice, 3) OVER w, 2) AS third_cheapest,
+           round(first_value(o_totalprice) OVER w, 2)  AS cheapest,
+           round(last_value(o_totalprice)  OVER w, 2)  AS priciest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) = 1
+    ORDER BY o_orderpriority
+    """,
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window values: nth_value / first_value / last_value over a
+    FULL-partition frame (default frames stop at CURRENT ROW — last_value
+    would degenerate to the row itself), one row kept per partition. The
+    (price, orderkey) ordering pins ties in both engines."""
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    rn = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.round(F.nth_value("o_totalprice", 3).over(w), 2).alias("third_cheapest"),
+            F.round(F.first("o_totalprice").over(w), 2).alias("cheapest"),
+            F.round(F.last("o_totalprice").over(w), 2).alias("priciest"),
+            F.row_number().over(rn).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("o_orderpriority")
+    )

@@ -119,6 +119,10 @@ SWEEP_DEFERRED_TO_NEXT_ROUND = [
     "agg_bool_family",
     "fn_conv_family",
     "sim_knn_batch",
+    "set_except_intersect_all",
+    "agg_skew_kurtosis",
+    "fn_encode_family",
+    "window_nth_value",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
