@@ -78,14 +78,16 @@ def main() -> None:
     #    partitions (the incremental-maintenance pattern the streaming
     #    materialized view automates)
     rollup = registry["ts_daily_rollup"].fn(spark, SF)
+    n_rollup = rollup.count()
     gold = LakeTable.create(
         spark, root / "gold_daily_rollup", rollup, partition_by=["day"]
     )
+    n_gold = gold.read().count()
     print(
-        f"gold rollup: {gold.read().count()} day rows, "
+        f"gold rollup: {n_gold} day rows, "
         f"{gold.files().count()} files at {root / 'gold_daily_rollup'}"
     )
-    assert gold.read().count() == rollup.count()
+    assert n_gold == n_rollup
     print("timeseries pipeline OK")
     spark.stop()
 

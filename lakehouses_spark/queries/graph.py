@@ -26,12 +26,12 @@ from lakehouses_spark.registry import query
 DAMPING = 0.85
 N_ITER = 5
 
-_ITER_TPL = """
-r{k} AS (
+_ITER_TPL = f"""
+r{{k}} AS (
   SELECT e.dst AS node_id,
-         0.15 / (SELECT n FROM nn) + 0.85 * sum(p.rank / d.deg) AS rank
+         {1 - DAMPING} / (SELECT n FROM nn) + {DAMPING} * sum(p.rank / d.deg) AS rank
   FROM edges e
-  JOIN r{j} p ON e.src = p.node_id
+  JOIN r{{j}} p ON e.src = p.node_id
   JOIN deg d ON e.src = d.src
   GROUP BY e.dst
 )"""

@@ -414,8 +414,8 @@ def fn_conv_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_orderkey",
             F.hex("o_orderkey").alias("hex_key"),
-            F.conv(F.col("o_orderkey").cast("string"), 10, 2).alias("bin_key"),
-            F.conv(F.col("o_orderkey").cast("string"), 10, 8).alias("oct_key"),
+            F.conv("o_orderkey", 10, 2).alias("bin_key"),
+            F.conv("o_orderkey", 10, 8).alias("oct_key"),
         )
         .orderBy("o_orderkey")
     )

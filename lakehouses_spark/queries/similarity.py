@@ -408,16 +408,20 @@ PQ_MARGIN = 0.15     # approx-filter slack: keep pairs with approx cos ≥
 
 def _pq_train_codebooks(emb: DataFrame, dim: int):
     """Train per-subspace codebooks on a deterministic bounded sample:
-    first PQ_TRAIN_SAMPLE unit vectors by vec_id, seeds = first K distinct
-    subvectors, 5 Lloyd iterations (empty clusters keep their centroid).
-    Returns (codebooks ndarray (M, K, d/M), dot-LUT (M, K, K))."""
+    first PQ_TRAIN_SAMPLE unit vectors by vec_id, seeds = the sample's
+    first K subvectors taken as-is (duplicate subvectors yield coincident
+    seed centroids that Lloyd then separates or leaves empty — fine for a
+    quantizer), 5 Lloyd iterations (empty clusters keep their centroid).
+    K clamps to the sample size so tiny corpora (< PQ_CODEBOOK_K vectors)
+    train a smaller codebook instead of crashing on a shape mismatch.
+    Returns (codebooks ndarray (M, K', d/M), dot-LUT (M, K', K'))."""
     import numpy as np
 
     sample = (
         emb.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).select("embedding").collect()
     )
     X = np.array([r.embedding for r in sample], dtype=np.float64)  # (n, d)
-    m, k = PQ_SUBSPACES, PQ_CODEBOOK_K
+    m, k = PQ_SUBSPACES, min(PQ_CODEBOOK_K, max(1, len(X)))
     sub = dim // m
     books = np.empty((m, k, sub))
     for i in range(m):
@@ -486,7 +490,10 @@ def ann_ivfpq_pairs(emb_src: DataFrame, threshold: float = 0.95,
     probed = _ivf_probed(emb_src, cells, nprobe).localCheckpoint()
     vectors = probed.dropDuplicates(["vec_id"]).select("vec_id", "embedding")
     books, lut = _pq_train_codebooks(vectors, dim)
-    coded = probed.select("cell", "vec_id", _pq_encode(books).alias("codes"))
+    # encode each vector ONCE (not once per probed cell — nprobe× the rows)
+    # and join the codes back onto the cell assignments by vec_id
+    codes = vectors.select("vec_id", _pq_encode(books).alias("codes"))
+    coded = probed.select("cell", "vec_id").join(codes, "vec_id")
 
     cand_schema = StructType(
         [StructField("vec_a", LongType()), StructField("vec_b", LongType())]

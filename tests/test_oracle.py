@@ -72,3 +72,11 @@ def test_sweep_priority_covers_never_swept_queries():
     # excuse to bump earlier never-swept entries out of the window
     bumped = [n for n in order[:50] if n in SWEEP_DEFERRED_TO_NEXT_ROUND]
     assert not bumped, f"deferred queries displacing budgeted ones: {bumped}"
+    # deferral expires: once a deferred query HAS a driver row the entry is
+    # stale and must be deleted (next round's priority re-tune), so the list
+    # can never become a standing exemption that hides a silently-unswept
+    # query forever
+    stale = [n for n in SWEEP_DEFERRED_TO_NEXT_ROUND if n in swept]
+    assert not stale, (
+        f"SWEEP_DEFERRED_TO_NEXT_ROUND entries already swept — remove them: {stale}"
+    )

@@ -326,8 +326,6 @@ def test_ivfpq_candidate_stage_scans_codes_not_vectors(spark):
     the grouped-pandas LUT kernel (FlatMapGroupsInPandas), and the exact
     re-rank must be equi-joins on vec ids — no nested loop anywhere after
     the bounded centroid assignment."""
-    from lakehouses_spark.queries import similarity as S
-
     plan = plan_of(REGISTRY["sim_ann_ivfpq"].fn(spark, SF), "simple")
     assert "FlatMapGroupsInPandas" in plan
     # the only BroadcastNestedLoopJoin allowed is the k-centroid assignment
