@@ -1311,3 +1311,44 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_entropy_gini",
+    oracle="""
+    WITH cnt AS (
+      SELECT CAST(user_id % 10 AS INTEGER) AS cohort, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT cohort, sum(c) AS t FROM cnt GROUP BY 1
+    )
+    SELECT cnt.cohort,
+           round(-sum((c / t) * ln(c / t)), 6) AS shannon_entropy,
+           round(1 - sum((c / t) * (c / t)), 6) AS gini_impurity,
+           count(*) AS n_classes
+    FROM cnt JOIN tot USING (cohort)
+    GROUP BY cnt.cohort ORDER BY cnt.cohort
+    """,
+)
+def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profiling per cohort: Shannon entropy and Gini
+    impurity of the event-type mix — the class-balance diagnostics a
+    dataset-mixture report runs (text_word_entropy is the per-document
+    analog; this is the per-partition one). Two count aggregations over the
+    same key; the class-count table is tiny so its totals broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    cnt = e.groupBy(
+        (F.col("user_id") % 10).cast("int").alias("cohort"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("cohort").agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t")
+    return (
+        cnt.join(F.broadcast(tot), "cohort")
+        .groupBy("cohort")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("shannon_entropy"),
+            F.round(1 - F.sum(p * p), 6).alias("gini_impurity"),
+            F.count(F.lit(1)).alias("n_classes"),
+        )
+        .orderBy("cohort")
+    )

@@ -445,3 +445,31 @@ def fn_encode_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "fn_levenshtein_family",
+    oracle="""
+    SELECT c_custkey,
+           levenshtein(c_name, 'Customer#000000001') AS dist_to_first,
+           levenshtein(upper(c_mktsegment), 'BUILDING') AS dist_seg
+    FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey
+    """,
+)
+def fn_levenshtein_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family: edit distance (levenshtein) — the fuzzy-string primitive
+    under entity resolution and typo-tolerant matching; integer output,
+    bit-identical across engines."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 100)
+    return (
+        c.select(
+            "c_custkey",
+            F.levenshtein("c_name", F.lit("Customer#000000001")).alias(
+                "dist_to_first"
+            ),
+            F.levenshtein(F.upper("c_mktsegment"), F.lit("BUILDING")).alias(
+                "dist_seg"
+            ),
+        )
+        .orderBy("c_custkey")
+    )

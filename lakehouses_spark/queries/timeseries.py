@@ -751,3 +751,93 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "bucket")
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, round(sum(value), 4) AS v
+      FROM events GROUP BY 1
+    ), trended AS (
+      SELECT bucket, v,
+             avg(v) OVER (ORDER BY bucket
+                          ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS trend,
+             count(*) OVER (ORDER BY bucket
+                            ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS n_win
+      FROM hourly
+    ), detrended AS (
+      SELECT bucket, v, trend, v - trend AS detrend,
+             CAST(extract(hour FROM bucket) AS INTEGER) AS hod
+      FROM trended WHERE n_win = 24
+    ), seasonal AS (
+      SELECT hod, avg(detrend) AS s FROM detrended GROUP BY 1
+    )
+    SELECT d.hod,
+           floor(s.s * 10000 + 0.500001) / 10000 AS seasonal_component,
+           floor(avg(d.v) * 10000 + 0.500001) / 10000 AS mean_level,
+           floor(avg(abs(d.v - d.trend - s.s)) * 10000 + 0.500001) / 10000
+             AS mean_abs_residual,
+           count(*) AS n_obs
+    FROM detrended d JOIN seasonal s USING (hod)
+    GROUP BY d.hod, s.s ORDER BY d.hod
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal-trend decomposition (STL-lite) of the hourly
+    total-value series: trend = centered 24-hour moving average (full
+    windows only), seasonal = mean detrended value per hour-of-day,
+    residual = what's left. Output is the 24-row seasonal profile with
+    residual magnitude — the daily-rhythm fingerprint.
+
+    Scale note: the centered MA runs on the DOWNSAMPLED hourly series,
+    whose length is bounded by the time span (not data volume), so the
+    single-partition global window is over O(hours) rows no matter how
+    many raw events feed it — the raw-data pass is the one shuffle-free
+    hourly aggregation. Rounding uses the nudged floor form (see
+    ts_rolling_stats) on every derived mean."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.round(F.sum("value"), 4).alias("v")
+    )
+    w = Window.orderBy("bucket").rowsBetween(-12, 11)
+    trended = hourly.select(
+        "bucket",
+        "v",
+        F.avg("v").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )
+    detrended = (
+        trended.where(F.col("n_win") == 24)
+        .select(
+            "bucket",
+            "v",
+            "trend",
+            (F.col("v") - F.col("trend")).alias("detrend"),
+            F.hour("bucket").alias("hod"),
+        )
+    )
+    seasonal = detrended.groupBy("hod").agg(F.avg("detrend").alias("s"))
+
+    def r4(c):
+        return F.floor(c * 10000 + 0.500001) / 10000
+
+    return (
+        detrended.join(F.broadcast(seasonal), "hod")
+        .groupBy("hod", "s")
+        .agg(
+            r4(F.avg("v")).alias("mean_level"),
+            r4(F.avg(F.abs(F.col("v") - F.col("trend") - F.col("s")))).alias(
+                "mean_abs_residual"
+            ),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            "hod",
+            r4(F.col("s")).alias("seasonal_component"),
+            "mean_level",
+            "mean_abs_residual",
+            "n_obs",
+        )
+        .orderBy("hod")
+    )

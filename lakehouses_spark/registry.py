@@ -123,6 +123,9 @@ SWEEP_DEFERRED_TO_NEXT_ROUND = [
     "agg_skew_kurtosis",
     "fn_encode_family",
     "window_nth_value",
+    "ts_seasonal_decompose",
+    "agg_entropy_gini",
+    "fn_levenshtein_family",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
