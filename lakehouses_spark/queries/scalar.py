@@ -473,3 +473,30 @@ def fn_levenshtein_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "fn_hash_family",
+    oracle="""
+    SELECT doc_id,
+           md5(text)         AS md5_hex,
+           sha256(text)      AS sha256_hex,
+           length(md5(text)) AS md5_len
+    FROM documents WHERE doc_id < 50 ORDER BY doc_id
+    """,
+)
+def fn_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family: cryptographic content digests (md5 / sha-256 hex) — the
+    primitive under exact dedup (`dedup_exact` shuffles exactly these) and
+    `sample_hash_split`'s engine-independent bucketing. Byte-exact across
+    engines: same algorithm, same lowercase-hex rendering."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return (
+        d.select(
+            "doc_id",
+            F.md5("text").alias("md5_hex"),
+            F.sha2("text", 256).alias("sha256_hex"),
+            F.length(F.md5("text")).alias("md5_len"),
+        )
+        .orderBy("doc_id")
+    )

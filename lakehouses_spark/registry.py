@@ -126,6 +126,7 @@ SWEEP_DEFERRED_TO_NEXT_ROUND = [
     "ts_seasonal_decompose",
     "agg_entropy_gini",
     "fn_levenshtein_family",
+    "fn_hash_family",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
