@@ -325,7 +325,7 @@ _MM_PIPELINE_ORACLE = (
     "SELECT label, format, count(*) AS n_files, "
     "CAST(sum(length) AS BIGINT) AS total_bytes, "
     "round(avg(width), 2) AS avg_width, round(avg(height), 2) AS avg_height, "
-    "round(sum(duration_s), 3) AS total_duration_s FROM (VALUES "
+    "round(CAST(sum(duration_s) AS DOUBLE), 3) AS total_duration_s FROM (VALUES "
     + ", ".join(
         "(" + ", ".join(_sql_lit(v) for v in row) + ")"
         for row in _mm_manifest_rows()

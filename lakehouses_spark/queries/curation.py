@@ -154,7 +154,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     )
     SELECT source, CAST(floor(start_offset / {PACK_CONTEXT}) AS BIGINT) AS bin_id,
-           count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM packed
     GROUP BY source, bin_id
@@ -374,8 +374,8 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_gram AS (
       SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
     )
-    SELECT doc_id, sum(c) AS n_grams,
-           sum(c) - count(*) AS n_repeated,
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(sum(c) - count(*) AS BIGINT) AS n_repeated,
            floor((sum(c) - count(*)) * 10000.0 / sum(c) + 0.5) / 10000
              AS rep_ratio
     FROM per_gram GROUP BY doc_id

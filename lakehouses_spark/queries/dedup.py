@@ -598,7 +598,7 @@ EMB_DEDUP_THRESHOLD = 0.4  # far tail of this corpus's cosine distribution
       SELECT a AS doc_id, min(r) AS cluster_id FROM reach GROUP BY a
     )
     SELECT cluster_id AS canonical_id, count(*) AS n_members,
-           sum(d.n_chars) AS total_chars
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars
     FROM clusters c JOIN documents d USING (doc_id)
     GROUP BY cluster_id
     ORDER BY canonical_id

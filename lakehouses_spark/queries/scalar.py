@@ -299,7 +299,7 @@ def fn_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
            bit_and(o_orderkey & 1023)      AS all_low_bits,
            bit_or(o_orderkey >> 2)         AS any_shifted,
            bit_xor(xor(o_orderkey, 255))   AS parity_mix,
-           sum(bit_count(o_orderkey))      AS total_pop,
+           CAST(sum(bit_count(o_orderkey)) AS BIGINT) AS total_pop,
            max(o_orderkey << 3)            AS max_shl
     FROM orders WHERE o_orderkey <= 2048
     GROUP BY 1 ORDER BY 1

@@ -53,81 +53,54 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # emitted FIRST, so the hard signal lands on them; everything already
 # driver-verified in round 1 follows in registration order.
 _SWEEP_PRIORITY = [
-    # Round-3 rotation, sized to the 50-entry budget exactly:
-    #   1. all 46 NEVER-swept queries (no row in r1 ∪ r2) — every new round-3
-    #      operator gets its first driver row,
-    #   2. the 4 queries UPGRADED from rows-only to a real oracle since their
-    #      last driver row.
-    # That fills the budget. Positions 51-52 (the first to overflow) are the
-    # r1-only queries whose code the round-3 hashed-shingle rewrite touched
-    # (dedup_ngram_jaccard and, via it, dedup_clusters); they and the ~28
-    # other r1-only rows rotate to the FRONT of round 4's sweep. The in-repo
-    # oracle replica re-verifies EVERY registered query locally each
-    # round, so nothing goes unchecked in the meantime.
-    # --- 1. never-swept: round-3 TPC-H shape family ---
-    "q2_best_supplier", "q4_priority_check", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q11_value_concentration", "q12_priority_split",
-    "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_count",
-    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
-    "q20_volume_suppliers", "q21_waiting_suppliers", "q22_dormant_customers",
-    # --- 1. never-swept: round-3 curation/dedup/multimodal/streaming ---
-    "text_pii_scrub",
-    "sim_pairs_blocked", "multimodal_manifest_probe",
-    "dedup_embedding_cosine",
-    "text_decontaminate", "sample_stratified",
-    "sample_hash_split", "streaming_matview_rollup",
-    "pack_sequences", "text_boilerplate_ngrams",
-    "text_perplexity_proxy", "sample_temperature",
-    "multimodal_frame_manifest", "dedup_incremental",
-    "text_repetition_filter", "text_word_entropy",
-    "fn_variant_family",
-    "dedup_common_substring", "text_chunk_overlap", "streaming_stream_join",
-    "streaming_dedup_drain", "multimodal_audio_stats", "text_tfidf_terms",
-    # --- 1. never-swept: round-3 continuation (gap-fill/OHLC/MAD, stats
-    #        aggregates, IVF-PQ) ---
-    "ts_gap_fill", "ts_ohlc", "ts_anomaly_mad",
-    "agg_corr_stats", "agg_histogram", "sim_ann_ivfpq",
-    # --- 2. upgraded to a real oracle since their last driver row ---
-    "dedup_minhash_lsh", "dedup_simhash",           # twin-injection oracles
-    "multimodal_metadata", "multimodal_image_pipeline",  # manifest formulas
-    # --- first overflow (position 51+): r1-only refresh, heads round 4 ---
+    # Round-4 rotation, sized to the 50-entry budget exactly:
+    #   1. the 23 queries deferred from round 3 (registered after that
+    #      round's budget filled) — their FIRST driver row,
+    #   2. the 2 r1/r2-row queries whose code the round-3 hashed-shingle
+    #      rewrite touched (dedup_ngram_jaccard, dedup_clusters),
+    #   3. the 4 round-3 hash-fails — all value-correct, oracle HUGEINT
+    #      type artifact, oracles now CAST(... AS BIGINT) — re-swept to
+    #      turn their rows green (q12, embedding-cosine, pack, repetition),
+    #   4. 21 of the 33 r1-only rows (oracle-checked ones first; the 8
+    #      simplest stable shapes + 3 rows-only-by-design wait for r5).
+    # --- 1. round-3 deferred: first driver row ---
+    "graph_pagerank", "window_cume_dist", "fn_bitwise_family", "agg_mode",
+    "ts_ewma", "ts_rolling_stats", "ts_interpolate_linear", "agg_filtered",
+    "agg_weighted_median", "fn_url_family", "agg_string_agg",
+    "window_range_frame", "agg_bool_family", "fn_conv_family",
+    "sim_knn_batch", "set_except_intersect_all", "agg_skew_kurtosis",
+    "fn_encode_family", "window_nth_value", "ts_seasonal_decompose",
+    "agg_entropy_gini", "fn_levenshtein_family", "fn_hash_family",
+    # --- 2. code rewritten in r3, driver rows stale ---
     "dedup_ngram_jaccard", "dedup_clusters",
+    # --- 3. r3 hash-fails, oracle type-cast fixed this round ---
+    "q12_priority_split", "dedup_embedding_cosine", "pack_sequences",
+    "text_repetition_filter",
+    # --- 4. r1-only refresh (21 of 33; oldest oracle-checked rows) ---
+    "agg_count_by_key", "agg_cube", "agg_global_scalars",
+    "agg_grouping_sets", "agg_having_topk", "agg_percentiles",
+    "agg_rollup", "agg_sum_all_numeric", "dedup_exact", "join_anti",
+    "join_broadcast_dims", "join_count_distribution",
+    "subquery_correlated_min", "subquery_exists",
+    "subquery_exists_not_exists", "subquery_in_having",
+    "subquery_not_exists_avg", "subquery_scalar", "udaf_weighted_avg",
+    "udtf_tokenize", "window_zscore",
+    # --- first overflow (position 51+): remaining r1-only, heads round 5 ---
+    "project_rename_derive", "filter_between_in", "distinct_projection",
+    "sort_limit_topk", "set_except", "set_intersect", "union_by_name",
+    "sql_over_path",
 ]
 
-# Queries registered AFTER the round-3 sweep budget filled (the 50 slots
-# above are all never-swept or oracle-upgraded entries that must not be
-# displaced). These knowingly wait for their first driver row until the
-# round-4 rotation — the in-repo oracle replica (tests/test_oracle.py)
-# verifies them with the driver's exact comparison every round in the
-# meantime. The sweep-window guard (test_oracle.py) asserts any never-swept
-# query outside the 50-entry window appears HERE, so a new query can still
-# never silently fall outside the rotation.
-SWEEP_DEFERRED_TO_NEXT_ROUND = [
-    "graph_pagerank",
-    "window_cume_dist",
-    "fn_bitwise_family",
-    "agg_mode",
-    "ts_ewma",
-    "ts_rolling_stats",
-    "ts_interpolate_linear",
-    "agg_filtered",
-    "agg_weighted_median",
-    "fn_url_family",
-    "agg_string_agg",
-    "window_range_frame",
-    "agg_bool_family",
-    "fn_conv_family",
-    "sim_knn_batch",
-    "set_except_intersect_all",
-    "agg_skew_kurtosis",
-    "fn_encode_family",
-    "window_nth_value",
-    "ts_seasonal_decompose",
-    "agg_entropy_gini",
-    "fn_levenshtein_family",
-    "fn_hash_family",
-]
+# Queries registered AFTER the round-4 sweep budget filled (the 50 slots
+# above are the round-3 deferrals, rewrite-stale rows, fixed hash-fails and
+# oldest r1-only refreshes, which must not be displaced). These knowingly
+# wait for their first driver row until the round-5 rotation — the in-repo
+# oracle replica (tests/test_oracle.py) verifies them with the driver's
+# exact comparison every round in the meantime. The sweep-window guard
+# (test_oracle.py) asserts any never-swept query outside the 50-entry
+# window appears HERE, so a new query can still never silently fall
+# outside the rotation.
+SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = []
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
 

@@ -62,13 +62,65 @@ def _canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=lambda r: tuple((x is None, x) for x in r))
 
 
+# Driver-hasher type-parity contract (VERDICT r3 §What's wrong #1): the
+# driver materializes both sides through Arrow/pandas and hashes
+# type-sensitively — a DuckDB HUGEINT (int128, e.g. sum() over INTEGER)
+# hashes differently from Spark's bigint even when every value is equal.
+# Only these (spark_dtype, duckdb_type) pairs are known-safe; anything
+# else (HUGEINT, DECIMAL, unexpected widths) must be cast in the oracle.
+# ("int", "BIGINT") is empirically driver-tolerated: q7_nation_volume
+# et al. hash-passed r3 with that exact pair (both canonicalize to int64).
+ALLOWED_TYPE_PAIRS = {
+    ("tinyint", "TINYINT"),
+    ("smallint", "SMALLINT"),
+    ("int", "INTEGER"),
+    ("int", "BIGINT"),
+    ("bigint", "BIGINT"),
+    ("float", "FLOAT"),
+    ("double", "DOUBLE"),
+    ("string", "VARCHAR"),
+    ("boolean", "BOOLEAN"),
+    ("date", "DATE"),
+    ("timestamp", "TIMESTAMP"),
+    ("timestamp_ntz", "TIMESTAMP"),
+    ("binary", "BLOB"),
+}
+
+
+def types_compatible(spark_dtype: str, duckdb_type: str) -> bool:
+    """True iff the pair is in the driver-hash-safe mapping (lists recurse)."""
+    d = duckdb_type.upper()
+    if d.endswith("[]"):
+        return (
+            spark_dtype.startswith("array<")
+            and spark_dtype.endswith(">")
+            and types_compatible(spark_dtype[6:-1], d[:-2])
+        )
+    return (spark_dtype, d) in ALLOWED_TYPE_PAIRS
+
+
+def assert_type_parity(spark_dtypes: dict[str, str], sql_rel) -> None:
+    """Assert every output column's (spark, duckdb) type pair is hash-safe."""
+    duck_types = dict(zip(sql_rel.columns, (str(t) for t in sql_rel.types)))
+    bad = [
+        (c, spark_dtypes[c], duck_types.get(c, "MISSING"))
+        for c in spark_dtypes
+        if not types_compatible(spark_dtypes[c], duck_types.get(c, "MISSING"))
+    ]
+    assert not bad, (
+        "driver-hash-unsafe type pairs (cast the oracle column — e.g. "
+        f"HUGEINT needs ::BIGINT, DECIMAL needs ::DOUBLE): {bad}"
+    )
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     """Raise AssertionError with a readable diff if spark_df != oracle."""
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
-    res = con.execute(sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    rel = con.sql(sql)
+    d_cols = list(rel.columns)
+    assert_type_parity(dict(spark_df.dtypes), rel)
+    d_rows = rel.fetchall()
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"

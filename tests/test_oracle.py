@@ -37,6 +37,29 @@ def test_rows_only_query_runs(spark, name):
     assert df.columns  # stable, non-empty schema
 
 
+def test_no_oracle_emits_hugeint_or_decimal(duck):
+    """Registry-wide guard for the r3 driver-failure class: DuckDB widens
+    sum() over INTEGER to HUGEINT (int128) and decimal literals to DECIMAL,
+    and the driver's value hasher is type-sensitive — 4 value-correct r3
+    queries hash-failed solely because of this. Every oracle's OUTPUT types
+    must stay in the hash-safe set (cast with ::BIGINT / ::DOUBLE).
+
+    This scan needs no Spark session and no query execution (DuckDB binds
+    and types the relation lazily), so it guards oracle authoring even when
+    the per-query parity test is skipped. The full spark-dtype <-> duckdb
+    mapping is asserted per query inside tests.oracle.compare()."""
+    bad = []
+    for name, rq in REGISTRY.items():
+        if not rq.oracle:
+            continue
+        rel = duck.sql(rq.oracle)
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ).upper()
+            if "HUGEINT" in t or "DECIMAL" in t:
+                bad.append((name, col, t))
+    assert not bad, f"hash-unsafe oracle output columns: {bad}"
+
+
 def test_sweep_priority_covers_never_swept_queries():
     """Driver-budget guard: the correctness sweep walks the registry in
     order and stops at 50 entries, so every query without a row in ANY
