@@ -1287,7 +1287,9 @@ def set_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_skew_kurtosis",
     oracle="""
     SELECT l_returnflag,
-           round(skewness(l_extendedprice), 4)     AS skew,
+           round(skewness(l_extendedprice)
+                 * (count(*) - 2) / sqrt(count(*) * (count(*) - 1.0)), 4)
+             AS skew,
            round(kurtosis_pop(l_extendedprice), 6) AS kurt
     FROM lineitem GROUP BY 1 ORDER BY 1
     """,
@@ -1297,10 +1299,11 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     POPULATION excess kurtosis, so the oracle must call DuckDB's
     `kurtosis_pop` — the default `kurtosis` applies sample-bias correction
     and differs in the 6th decimal at this group size (a formula mismatch,
-    not noise). Skewness has no _pop variant in DuckDB, so the remaining
-    O(1/n) ≈ 5e-7 sample-vs-population gap is absorbed by rounding to 4
-    decimals (half-step 5e-5, two orders of margin) instead of 6 (half-step
-    5e-7 — same order as the gap, a boundary flip waiting for a testdata
+    not noise). Skewness has no _pop variant in DuckDB, so the oracle
+    de-biases it explicitly: population g1 = sample G1 · (n-2)/√(n(n-1))
+    with n = count(*) — formula-exact parity at any rounding precision
+    (previously the O(1/n) sample-vs-population gap was merely absorbed by
+    4-decimal rounding, a boundary flip waiting for a testdata
     regeneration)."""
     return (
         load_table(spark, sf_dir, "lineitem")

@@ -421,6 +421,11 @@ def _pq_train_codebooks(emb: DataFrame, dim: int):
         emb.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).select("embedding").collect()
     )
     X = np.array([r.embedding for r in sample], dtype=np.float64)  # (n, d)
+    assert len(X), "PQ training sample is empty"
+    assert X.shape[1] == dim, (
+        f"embedding width {X.shape[1]} != declared dim {dim} — codebooks "
+        "would train on a wrong subspace split, silently degrading recall"
+    )
     m, k = PQ_SUBSPACES, min(PQ_CODEBOOK_K, max(1, len(X)))
     sub = dim // m
     books = np.empty((m, k, sub))
@@ -467,7 +472,7 @@ def _pq_encode(books) -> Column:
 
 def ann_ivfpq_pairs(emb_src: DataFrame, threshold: float = 0.95,
                     cells: int | None = None, nprobe: int = IVF_NPROBE,
-                    dim: int = 64) -> DataFrame:
+                    dim: int | None = None) -> DataFrame:
     """IVF-PQ ANN near-dup pairs: IVF cell probing (shared `_ivf_probed`
     front half) + per-cell symmetric-distance scan over PQ CODES ONLY
     (codes + the broadcast M×K×K dot LUT — full vectors never enter the
@@ -489,6 +494,15 @@ def ann_ivfpq_pairs(emb_src: DataFrame, threshold: float = 0.95,
         cells = max(IVF_CELLS, math.isqrt(emb_src.count()))
     probed = _ivf_probed(emb_src, cells, nprobe).localCheckpoint()
     vectors = probed.dropDuplicates(["vec_id"]).select("vec_id", "embedding")
+    if dim is None:
+        # derive from the corpus rather than trusting a caller-declared
+        # width: a mismatched dim splits subspaces on wrong boundaries and
+        # silently degrades recall (exact re-rank preserves precision only)
+        first = vectors.select(F.size("embedding").alias("d")).first()
+        dim = int(first.d) if first else 0
+    assert dim and dim % PQ_SUBSPACES == 0, (
+        f"embedding dim {dim} not divisible by PQ_SUBSPACES={PQ_SUBSPACES}"
+    )
     books, lut = _pq_train_codebooks(vectors, dim)
     # encode each vector ONCE (not once per probed cell — nprobe× the rows)
     # and join the codes back onto the cell assignments by vec_id

@@ -530,8 +530,10 @@ _EWMA_DEN = " + ".join(
     "ts_ewma",
     oracle=f"""
     SELECT user_id, event_id, round(value, 2) AS value,
-           round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma
+           floor(({_EWMA_NUM}) / ({_EWMA_DEN}) * 1000000 + 0.500001) / 1000000
+             AS ewma
     FROM events
+    WHERE value IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY user_id, event_id
     """,
@@ -546,8 +548,16 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark side: ONE ordered window collects the trailing values, then
     position-weighted numerator/denominator are pure higher-order functions
     (transform + aggregate) — JVM-side, no Python, no second shuffle. The
-    oracle spells the same truncated EWMA as 20 unrolled lag() terms."""
-    e = load_table(spark, sf_dir, "events")
+    oracle spells the same truncated EWMA as 20 unrolled lag() terms.
+
+    NULL handling: both engines drop NULL values up front (collect_list
+    silently skips NULLs, which would shift positional decay weights vs
+    the oracle's lag/coalesce form — filtering makes the two row streams
+    identical by construction). Rounding uses the nudged floor
+    (x*1e6 + 0.5 + 1e-6) in both engines: the 20 weighted terms are summed
+    in opposite orders, and a plain round() can flip on exact half-ulp
+    boundaries (same class as ts_rolling_stats)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -564,7 +574,7 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = F.aggregate(weights, F.lit(0.0), lambda a, x: a + x)
     return (
         e.select("user_id", "event_id", "ts", "value")
-        .withColumn("ewma", F.round(total / denom, 6))
+        .withColumn("ewma", F.floor(total / denom * 1e6 + 0.500001) / 1e6)
         .select(
             "user_id",
             "event_id",

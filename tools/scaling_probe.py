@@ -73,6 +73,38 @@ DEEP = {
     "ts_range_join",
 }
 
+# The designs whose 100 TB claim is "bucketed, not all-pairs" — excludes the
+# documented exact baselines (sim_pairs_blocked/threshold: α→2 expected) and
+# IVF-PQ (n^1.5 BY DESIGN via nlist ≈ √n).
+BUCKETED = {
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_common_substring",
+    "sim_ann_lsh",
+}
+BUCKETED_ALPHA_LIMIT = 1.0  # a bucketed design drifting superlinear is a bug
+
+
+def _bucketed_verdict(alphas: dict[str, float]) -> str:
+    """Derive the SCALING.md conclusion from the measured exponents instead
+    of asserting it — a regression regenerates prose that flags itself."""
+    meas = {q: a for q, a in alphas.items() if q in BUCKETED}
+    if not meas:
+        return "no bucketed design was probed this run."
+    worst_q = max(meas, key=meas.get)
+    worst = meas[worst_q]
+    if worst > BUCKETED_ALPHA_LIMIT:
+        return (
+            f"**WARNING: `{worst_q}` measured α = {worst:.2f} > "
+            f"{BUCKETED_ALPHA_LIMIT:.1f} — a bucketed design has gone "
+            "superlinear; investigate before trusting the 100 TB claim.**"
+        )
+    return (
+        f"none does: every bucketed design holds α ≤ {worst:.2f} "
+        f"(worst: `{worst_q}`) through ×{DEEP_FACTORS[-1]}."
+    )
+
 
 def materialize(spark, base: str, factor: int, out: Path) -> str:
     """Union `factor` key-shifted copies so join keys stay consistent and
@@ -189,6 +221,7 @@ def main() -> None:
         + " | exponent α (t∝n^α) |",
         "|---|" + "---|" * (len(DEEP_FACTORS) + 1),
     ]
+    alphas: dict[str, float] = {}
     for q in QUERIES:
         facs = [f for f in DEEP_FACTORS if f in results[q]]
         ts = [results[q][f] for f in facs]
@@ -199,6 +232,7 @@ def main() -> None:
         alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
             (x - mx) ** 2 for x in xs
         )
+        alphas[q] = alpha
         cells = [
             f"{results[q][f]:.2f}" if f in results[q] else "—" for f in DEEP_FACTORS
         ]
@@ -215,7 +249,8 @@ def main() -> None:
         "replication does not fabricate cross-copy near-dups) now probed to",
         "×16–×64 (320k docs / 32k vectors / 38M lineitem rows at ×64), past the overhead-dominated zone —",
         "a hidden quadratic stage in the bucketed designs would surface here",
-        "as α drifting toward 2 between ×8 and ×64 — none does: every bucketed design holds α ≤ 0.71 through ×64.",
+        f"as α drifting toward 2 between ×8 and ×{DEEP_FACTORS[-1]} — "
+        + _bucketed_verdict(alphas),
         "",
         "Notes: `sim_pairs_blocked` is the tiled-matmul EXACT path (n²/B",
         "shuffle rows, BLAS tiles) — expected α→~2 asymptotically like any",
