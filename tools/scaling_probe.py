@@ -174,6 +174,91 @@ def materialize(spark, base: str, factor: int, out: Path) -> str:
     return str(out)
 
 
+# Ingestion-engine file-count ladder (VERDICT r3 directive #8): the
+# relational/dedup tiers have data-volume probes; this drives the S10/S18
+# path (incremental file discovery → foreachBatch idempotent append →
+# per-batch archival) across a growing LANDING FILE COUNT, the axis that
+# actually stresses an Auto-Loader-class source at 100 TB (millions of
+# small extracts), and fits t ∝ files^α.
+INGEST_FACTORS = (1_000, 2_000, 4_000, 8_000, 16_000)
+
+
+def probe_ingest(spark) -> list[str]:
+    """Drain ladders of tiny JSON landing files through the full
+    IngestionEngine (discovery, schema apply, idempotent bronze append,
+    per-microbatch archival) and report the file-count scaling exponent
+    plus driver-RSS evidence that file lists never accumulate driver-side
+    (archival handles one microbatch's bounded list at a time)."""
+    import json as _json
+    import os
+    import resource
+
+    from lakehouses_spark.ingest.engine import IngestionEngine
+
+    times: dict[int, float] = {}
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    with tempfile.TemporaryDirectory() as tmp:
+        # untimed warm-up drain: the first streaming query pays one-off
+        # JIT/codegen/schema-inference costs that would otherwise land on
+        # the smallest ladder point and bias the fitted exponent downward
+        for idx, n_files in enumerate((200,) + INGEST_FACTORS):
+            warmup = idx == 0
+            root = Path(tmp) / f"ingest_{idx}_x{n_files}"
+            eng = IngestionEngine(spark, root)
+            cfg = {"datasource": "probe", "dataset": f"f{idx}_{n_files}",
+                   "source": {"format": "json"}}
+            landing = eng.landing_dir(cfg)
+            landing.mkdir(parents=True)
+            for i in range(n_files):
+                (landing / f"part_{i:06d}.json").write_text(
+                    "\n".join(
+                        _json.dumps({"id": i * 4 + j, "v": f"r{i}"})
+                        for j in range(4)
+                    )
+                )
+            t0 = time.perf_counter()
+            eng.run(cfg, archive=True)
+            if not warmup:
+                times[n_files] = round(time.perf_counter() - t0, 3)
+            n_rows = eng.bronze_table(cfg).read().count()
+            assert n_rows == n_files * 4, (n_files, n_rows)
+            assert not list(landing.rglob("*.json")), "archival left files"
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    xs = [math.log(f) for f in INGEST_FACTORS]
+    ys = [math.log(max(times[f], 1e-3)) for f in INGEST_FACTORS]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    verdict = (
+        f"α = {alpha:.2f} — file discovery + archival stay ~linear in file count."
+        if alpha <= 1.2
+        else f"**WARNING: ingest drain α = {alpha:.2f} > 1.2 — file handling "
+        "is going superlinear; check discovery/archival batching.**"
+    )
+    return [
+        "",
+        "## Ingestion engine: file-count ladder (S10 discovery → S18 archival)",
+        "",
+        "Tiny-JSON landing ladders drained end-to-end through IngestionEngine "
+        "(availableNow, idempotent bronze append, per-microbatch archival); "
+        "the stress axis is FILE COUNT, not bytes:",
+        "",
+        "| landing files | " + " | ".join(f"{f:,}" for f in INGEST_FACTORS)
+        + " | exponent α (t∝files^α) |",
+        "|---|" + "---|" * (len(INGEST_FACTORS) + 1),
+        "| drain (s) | "
+        + " | ".join(f"{times[f]:.1f}" for f in INGEST_FACTORS)
+        + f" | {alpha:.2f} |",
+        "",
+        verdict,
+        f"Python-driver max-RSS delta across the whole ladder: "
+        f"{(rss1 - rss0) / 1024:.0f} MiB — archival materializes only one "
+        "microbatch's file list at a time (bounded by maxFilesPerTrigger), "
+        "never the full landing listing.",
+    ]
+
+
 def main() -> None:
     import os
 
@@ -293,6 +378,7 @@ def main() -> None:
         "scale with keys×span, not events — the dense-grid cross join a",
         "naive gapfill would pay is exactly what the per-key spans avoid.",
     ]
+    lines += probe_ingest(spark)
     Path(__file__).resolve().parent.parent.joinpath("SCALING.md").write_text(
         "\n".join(lines) + "\n"
     )
