@@ -583,3 +583,123 @@ def chunk_docs(
         F.size(chunk).cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
+
+
+DOMAIN_CAP = 60  # max docs kept per source domain
+
+
+@query(
+    "curation_domain_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk,
+             count(*) OVER (PARTITION BY source) AS source_total
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(source_total AS BIGINT) AS source_total,
+           rk <= {DOMAIN_CAP} AS kept
+    FROM ranked
+    ORDER BY doc_id
+    """,
+)
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping: keep at most DOMAIN_CAP documents per source domain,
+    chosen in a deterministic pseudo-random order (md5 of the doc id) — the
+    standard pretraining guard against one crawl domain dominating the
+    mixture (the cap is what C4/RefinedWeb-class pipelines apply to
+    boilerplate-heavy hosts). Emits a per-doc keep verdict plus the domain's
+    total so downstream stages can log what the cap discarded — no silent
+    truncation.
+
+    100 TB shape: one shuffle partitioned on source for the rank window
+    (same plan family as sample_stratified); md5 order makes the draw
+    engine-independent and reproducible, unlike rand()-sampling. Skewed
+    domains (the reason the cap exists) cost one hot partition ONCE, and
+    the window is a streaming rank — no buffering of the domain's rows."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("source_total"),
+        (F.row_number().over(w) <= DOMAIN_CAP).alias("kept"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+             'https://' ||
+             CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END ||
+             '.example.com/articles/' || CAST(doc_id % 25 AS VARCHAR) ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id AS VARCHAR)
+                  ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             lower(regexp_replace(regexp_replace(url, '[?#].*$', ''),
+                                  '/+$', '')) AS canonical_url
+      FROM synth
+    )
+    SELECT canonical_url,
+           min(doc_id) AS canonical_id,
+           count(*)    AS n_aliases
+    FROM canon
+    GROUP BY canonical_url
+    HAVING count(*) > 1
+    ORDER BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: normalize crawl URLs (lowercase host,
+    strip query strings — tracking params like utm_* — and fragments, drop
+    trailing slashes) and group records that alias the same canonical page.
+    The first dedup stage of a web-crawl pipeline: it removes the
+    `?utm_campaign=`-style duplicate fetches BEFORE any content hashing.
+
+    URLs are synthesized analytically from (doc_id, source) — same
+    closed-form-manifest discipline as the multimodal oracles, so both
+    engines derive identical inputs and the check exercises the
+    canonicalization operator itself.
+
+    100 TB shape: canonicalization is pure JVM regexp (codegen, zero
+    shuffle); the group-by shuffles the short canonical-URL string once —
+    same plan as dedup_exact with the URL as the digest."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".example.com/articles/"),
+        (F.col("doc_id") % 25).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&utm_campaign=c"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    canonical = F.lower(
+        F.regexp_replace(F.regexp_replace(url, r"[?#].*$", ""), r"/+$", "")
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_aliases"),
+        )
+        .where(F.col("n_aliases") > 1)
+        .orderBy("canonical_url")
+    )

@@ -848,3 +848,73 @@ def common_substring_pairs(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- containment tier: asymmetric sub-document duplication -------------------
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), positions AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+      FROM toks
+    ), shingles AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS shingle
+      FROM positions
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_shared / least(sa.n, sb.n), 4) AS containment,
+           round(n_shared / (sa.n + sb.n - n_shared), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_shared / least(sa.n, sb.n) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT dedup: |A∩B| / min(|A|,|B|) ≥ 0.5 —
+    catches a short document embedded inside a long one, which symmetric
+    Jaccard misses (the union term dilutes the score). This is the
+    quote/excerpt/boilerplate-wrapper detector a pretraining pipeline runs
+    alongside Jaccard near-dup removal.
+
+    100 TB shape: identical machinery to dedup_ngram_jaccard — 8-byte
+    hashed-shingle inverted index with the stop-shingle skew cut for
+    candidate generation (linear in corpus, df-keyed, never all-pairs),
+    then exact verification over full hashed-shingle sets for candidates
+    only. Containment and Jaccard come from the same intersect/size
+    arithmetic, so the extra metric is free. The threshold filter compares
+    the UNROUNDED ratio (matching the oracle's WHERE); round(.,4) is
+    projection-only — same discipline as verify_jaccard."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    shingle_sets = hashed_shingle_sets(d).localCheckpoint()
+    cand = ngram_candidate_pairs(shingle_sets)
+    sa = shingle_sets.alias("sa")
+    sb = shingle_sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
+    union = F.size(F.array_union(F.col("sa.hs"), F.col("sb.hs")))
+    smaller = F.least(F.size("sa.hs"), F.size("sb.hs"))
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where((inter / smaller) >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / smaller, 4).alias("containment"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

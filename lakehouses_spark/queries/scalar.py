@@ -500,3 +500,100 @@ def fn_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "fn_trig_family",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sin(l_quantity / 10.0), 6)                    AS sin_q,
+           round(cos(l_quantity / 10.0), 6)                    AS cos_q,
+           round(tan(l_discount), 6)                           AS tan_d,
+           round(atan2(l_quantity, l_extendedprice / 1000), 6) AS atan2_qp,
+           round(asin(l_discount * 2), 6)                      AS asin_d,
+           round(degrees(atan(l_tax)), 6)                      AS atan_deg,
+           round(exp(l_discount), 6)                           AS exp_d,
+           round(log10(l_extendedprice + 1), 6)                AS log10_p,
+           round(log2(l_quantity + 1), 6)                      AS log2_q,
+           round(cbrt(l_extendedprice), 6)                     AS cbrt_p,
+           round((exp(l_discount) - exp(-l_discount)) / 2, 6)  AS sinh_d,
+           round((exp(l_tax) + exp(-l_tax)) / 2, 6)            AS cosh_t
+    FROM lineitem
+    WHERE l_orderkey % 211 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def fn_trig_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 extension: the trigonometric/exponential scalar surface
+    (sin/cos/tan/atan2/asin/atan+degrees, exp/log10/log2/cbrt, sinh/cosh) —
+    the math layer under positional encodings, geo features and periodic
+    seasonality features. All JVM-side codegen'd expressions on a pruned
+    scan; both engines round to 6 decimals (libm implementations agree to
+    ~1 ulp, 1e-6 is 9 orders of margin). DuckDB has no sinh/cosh, so the
+    oracle spells them as (e^x ∓ e^-x)/2 — exact same quantity."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 211 == 0)
+    q10 = F.col("l_quantity") / 10.0
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin(q10), 6).alias("sin_q"),
+        F.round(F.cos(q10), 6).alias("cos_q"),
+        F.round(F.tan("l_discount"), 6).alias("tan_d"),
+        F.round(
+            F.atan2(F.col("l_quantity"), F.col("l_extendedprice") / 1000), 6
+        ).alias("atan2_qp"),
+        F.round(F.asin(F.col("l_discount") * 2), 6).alias("asin_d"),
+        F.round(F.degrees(F.atan("l_tax")), 6).alias("atan_deg"),
+        F.round(F.exp("l_discount"), 6).alias("exp_d"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("log10_p"),
+        F.round(F.log2(F.col("l_quantity") + 1), 6).alias("log2_q"),
+        F.round(F.cbrt("l_extendedprice"), 6).alias("cbrt_p"),
+        F.round(F.sinh("l_discount"), 6).alias("sinh_d"),
+        F.round(F.cosh("l_tax"), 6).alias("cosh_t"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "fn_regexp_family",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1)                    AS first_word,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 2)           AS second_word,
+           len(regexp_extract_all(text, 'table'))                 AS n_table,
+           len(regexp_extract_all(text, '[a-z]+a[a-z]*'))         AS n_with_a,
+           regexp_matches(text, 'spark')                          AS has_spark,
+           regexp_replace(text, 'value', 'VAL', 'g')              AS replaced,
+           len(string_split_regex(text, '(table|spark)')) - 1     AS n_splits
+    FROM documents
+    WHERE doc_id % 7 = 0
+    ORDER BY doc_id
+    """,
+)
+def fn_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family: the regexp surface (extract with group index, count via
+    extract_all length, boolean match, global replace, split count) — the
+    workhorse layer under PII scrubbing, boilerplate stripping and
+    tokenizer pre-splitting. Patterns are kept to the POSIX-safe subset
+    (character classes, alternation, literal words) where Java regex
+    (Spark) and RE2 (DuckDB) agree by construction — no lookarounds or
+    backreferences, which the two dialects treat differently.
+
+    100 TB shape: every expression is JVM-side codegen (no Python), scan
+    prunes to (doc_id, text), predicate pushed down."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.size(F.expr("regexp_extract_all(text, 'table', 0)")).cast("long").alias(
+            "n_table"
+        ),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+a[a-z]*', 0)"))
+        .cast("long")
+        .alias("n_with_a"),
+        F.col("text").rlike("spark").alias("has_spark"),
+        F.regexp_replace("text", "value", "VAL").alias("replaced"),
+        (F.size(F.split(F.col("text"), r"(table|spark)")) - 1)
+        .cast("long")
+        .alias("n_splits"),
+    ).orderBy("doc_id")

@@ -740,3 +740,87 @@ def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "label", "cos_sim", F.col("rk").cast("int").alias("rk"))
         .orderBy("query_id", "rk")
     )
+
+
+# --- late-interaction (multi-vector) retrieval -------------------------------
+
+MAXSIM_TOKENS_PER_DOC = 4   # synthetic multi-vector granularity
+MAXSIM_N_QUERIES = 8        # first N multi-vector docs act as queries
+MAXSIM_TOP_K = 3
+
+
+@query(
+    "sim_maxsim_multivector",
+    oracle=f"""
+    WITH tok AS (
+      SELECT CAST(vec_id // {MAXSIM_TOKENS_PER_DOC} AS BIGINT) AS mv_doc,
+             vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings
+    ), qtok AS (
+      SELECT mv_doc AS q_doc, vec_id AS q_vec, e AS qe
+      FROM tok WHERE mv_doc < {MAXSIM_N_QUERIES}
+    ), per_qtok AS (
+      SELECT q.q_doc, d.mv_doc AS d_doc, q.q_vec,
+             max(list_cosine_similarity(q.qe, d.e)) AS best
+      FROM qtok q JOIN tok d ON d.mv_doc <> q.q_doc
+      GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT q_doc, d_doc, round(sum(best), 6) AS maxsim_score
+      FROM per_qtok GROUP BY 1, 2
+    ), ranked AS (
+      SELECT q_doc, d_doc, maxsim_score,
+             row_number() OVER (
+               PARTITION BY q_doc ORDER BY maxsim_score DESC, d_doc
+             ) AS rk
+      FROM scored
+    )
+    SELECT q_doc, d_doc, maxsim_score, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {MAXSIM_TOP_K}
+    ORDER BY q_doc, rk
+    """,
+)
+def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim): documents and
+    queries are BAGS of token vectors; score(q, d) = Σ_{t∈q} max_{u∈d}
+    cos(t, u) — each query token finds its best-matching document token and
+    the per-token maxima sum. This is the multi-vector scoring family
+    (ColBERT/PLAID) that single-vector ANN cannot express. Multi-vector
+    "documents" are synthesized by grouping the embeddings table into
+    4-token bags (vec_id div 4); the first 8 bags act as queries.
+
+    100 TB shape: the query token set is bounded (queries × tokens — KBs)
+    and BROADCAST; the corpus token table streams past it once, so the
+    candidate stage is linear in corpus tokens with no shuffle. The
+    per-(query_token, doc) max and per-(query, doc) sum are map-side
+    partial aggregations on the same grouping key prefix; final top-k is a
+    per-query window over the scored doc list (rows = queries × docs that
+    shared any scoring, bounded). At production scale the corpus side is
+    first pruned by a single-vector ANN pass (centroid or LSH shortlist)
+    and MaxSim re-ranks the shortlist — this operator is that re-rank
+    stage. Ranking compares the ROUNDED score (+ doc-id tiebreak) in both
+    engines so float summation order can't flip top-k membership."""
+    tok = _emb_double(load_table(spark, sf_dir, "embeddings")).select(
+        (F.col("vec_id") / MAXSIM_TOKENS_PER_DOC).cast("bigint").alias("mv_doc"),
+        "vec_id",
+        "embedding",
+    )
+    qtok = tok.where(F.col("mv_doc") < MAXSIM_N_QUERIES).select(
+        F.col("mv_doc").alias("q_doc"),
+        F.col("vec_id").alias("q_vec"),
+        F.col("embedding").alias("qe"),
+    )
+    sim = cosine(F.col("qe"), F.col("embedding"))
+    per_qtok = (
+        tok.join(F.broadcast(qtok), F.col("mv_doc") != F.col("q_doc"))
+        .groupBy("q_doc", F.col("mv_doc").alias("d_doc"), "q_vec")
+        .agg(F.max(sim).alias("best"))
+    )
+    scored = per_qtok.groupBy("q_doc", "d_doc").agg(
+        F.round(F.sum("best"), 6).alias("maxsim_score")
+    )
+    w = Window.partitionBy("q_doc").orderBy(F.desc("maxsim_score"), "d_doc")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= MAXSIM_TOP_K)
+        .orderBy("q_doc", "rk")
+    )

@@ -100,7 +100,15 @@ _SWEEP_PRIORITY = [
 # (test_oracle.py) asserts any never-swept query outside the 50-entry
 # window appears HERE, so a new query can still never silently fall
 # outside the rotation.
-SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = []
+SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
+    # round-4 additions (registered after the r4 budget filled)
+    "dedup_containment",
+    "fn_trig_family",
+    "fn_regexp_family",
+    "curation_domain_cap",
+    "dedup_url_canonical",
+    "sim_maxsim_multivector",
+]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
 
