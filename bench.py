@@ -53,6 +53,12 @@ HEADLINE = [
 
 R1_WARM_TOTAL = 12.967  # round-1 anchor (warm pass, sf0.1, local[32])
 
+# Tracked OUTSIDE the headline totals (VERDICT r3 #6): the most complex plan
+# in the registry (8 exchanges) as a curation-tier canary — its time is
+# reported per-pass but never enters value/cold_total/warm_total, so the
+# round-over-round headline comparison stays apples-to-apples.
+TRACKED_EXTRA = ["text_perplexity_proxy"]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,6 +80,8 @@ def main() -> None:
     # warm JVM + codegen once, outside any timed region
     registry["q1_pricing_summary"].fn(spark, sf_dir).collect()
 
+    extras = [n for n in TRACKED_EXTRA if n in registry]
+
     cold: dict[str, float] = {}
     cold_t0 = time.perf_counter()
     for name in names:
@@ -82,6 +90,12 @@ def main() -> None:
         registry[name].fn(spark, sf_dir).collect()
         cold[name] = round(time.perf_counter() - t0, 3)
     cold_wall = round(time.perf_counter() - cold_t0, 3)
+    extra_cold: dict[str, float] = {}
+    for name in extras:  # after cold_wall: tracked, not headline
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).collect()
+        extra_cold[name] = round(time.perf_counter() - t0, 3)
 
     # warm pass: inputs pinned in memory (Spark's cache is keyed on the
     # analyzed plan, so each query's fresh load_table() scan resolves to
@@ -95,6 +109,11 @@ def main() -> None:
         registry[name].fn(spark, sf_dir).collect()
         warm[name] = round(time.perf_counter() - t0, 3)
     warm_wall = round(time.perf_counter() - warm_t0, 3)
+    extra_warm: dict[str, float] = {}
+    for name in extras:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).collect()
+        extra_warm[name] = round(time.perf_counter() - t0, 3)
 
     # warm > cold on the same query is physically impossible on a quiet
     # machine (warm removes IO) — retry once; a persistent inversion means
@@ -131,6 +150,8 @@ def main() -> None:
                 "total_wall_s": round(time.time() - wall_start, 3),
                 "warm_retried": retried,
                 "warm_gt_cold": warm_gt_cold,
+                "tracked_extra_cold": extra_cold,
+                "tracked_extra_warm": extra_warm,
             }
         )
     )
