@@ -1355,3 +1355,55 @@ def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    WITH dim AS (
+      SELECT CAST(range AS BIGINT) AS jk,
+             CAST((range * 7 % 13) / 10.0 AS DOUBLE) AS weight
+      FROM range(100)
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity * weight), 2) AS weighted_qty
+    FROM (SELECT l_returnflag, l_quantity, l_orderkey % 100 AS jk FROM lineitem) f
+    JOIN dim USING (jk)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (scale.py::salted_join) driven under the oracle:
+    the fact side joins a 100-key derived dimension through the salting
+    path — per-row deterministic salt on the skewed side, ×num_salts
+    replication of the dim side — and the result must be BYTE-IDENTICAL to
+    the plain join the oracle runs, because salting is a physical-plan
+    lever, never a semantic one.
+
+    100 TB shape: this is the pathological-hot-key escape hatch when AQE's
+    skew-join splitting isn't enough (null-heavy FKs, celebrity keys). The
+    salt fans one hot key's rows across num_salts shuffle partitions; the
+    replicated side grows by ×num_salts only on the SMALL side. Cited:
+    SURVEY §2.3 J3 context."""
+    from lakehouses_spark.scale import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", (F.col("l_orderkey") % 100).alias("jk")
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("jk"),
+        ((F.col("id") * 7 % 13) / 10.0).cast("double").alias("weight"),
+    )
+    joined = salted_join(li, dim, on="jk", num_salts=8)
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_quantity") * F.col("weight")), 2).alias(
+                "weighted_qty"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -108,6 +108,7 @@ SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
     "curation_domain_cap",
     "dedup_url_canonical",
     "sim_maxsim_multivector",
+    "join_salted_skew",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
