@@ -597,3 +597,46 @@ def fn_regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_splits"),
     ).orderBy("doc_id")
+
+
+@query(
+    "fn_interval_family",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+             AS plus_3_months,
+           last_day(CAST(o_orderdate AS DATE))          AS month_end,
+           CAST(quarter(o_orderdate) AS INTEGER)        AS qtr,
+           CAST(weekofyear(o_orderdate) AS INTEGER)     AS iso_week,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER)  AS dow_sun1,
+           CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+             AS week_start,
+           CAST(CAST(o_orderdate AS DATE)
+                + to_days(CAST((7 - isodow(o_orderdate)) % 7 + 1 AS INTEGER))
+             AS DATE)                                   AS next_monday
+    FROM orders
+    WHERE o_orderkey % 131 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def fn_interval_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 extension: calendar-interval arithmetic — add_months (with the
+    end-of-month clamp both engines share: Jan 31 + 1 month = Feb 29),
+    last_day, quarter, ISO week, day-of-week, Monday week truncation, and
+    next_day. Engine pinning notes: Spark dayofweek is Sunday=1 while
+    DuckDB's is Sunday=0 (oracle adds 1); Spark next_day('Mon') is
+    STRICTLY after, which the oracle spells as +((7-isodow)%7+1) days.
+    All JVM codegen on a pruned scan — the calendar-feature layer under
+    seasonality models and date-partitioned layouts."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 131 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus_3_months"),
+        F.last_day(d).alias("month_end"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow_sun1"),
+        F.trunc(d, "week").alias("week_start"),
+        F.next_day(d, "Mon").alias("next_monday"),
+    ).orderBy("o_orderkey")

@@ -851,3 +851,76 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hod")
     )
+
+
+ASOF_TOLERANCE_S = 3600  # match window: most recent click within 1 hour
+
+
+@query(
+    "ts_asof_tolerance",
+    oracle=f"""
+    SELECT p.event_id, p.user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL {ASOF_TOLERANCE_S} SECOND
+                THEN c.event_id END AS prior_click_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL {ASOF_TOLERANCE_S} SECOND
+                THEN round(c.value, 2) END AS prior_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 variant: as-of join WITH TOLERANCE (pandas merge_asof's
+    `tolerance=` / kdb wj semantics) — each purchase matches the user's
+    most recent prior click only if it happened within the last hour;
+    staler matches are nulled, not substituted (the next-older click is by
+    definition even staler, so tolerance is a post-filter on the as-of
+    winner, never a different winner).
+
+    Same scalable union+window merge as ts_asof_join — ONE shuffle on
+    user_id, no inequality join — carrying the matched click's timestamp
+    so the tolerance test is a pure projection afterwards."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase")
+    clicks = e.where(F.col("event_type") == "click")
+    tagged = purchases.select(
+        "user_id",
+        F.col("ts").alias("evt_ts"),
+        F.lit(1).alias("is_purchase"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("c_event_id"),
+        F.lit(None).cast("double").alias("c_value"),
+        F.lit(None).cast("timestamp").alias("c_ts"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            F.col("ts").alias("evt_ts"),
+            F.lit(0).alias("is_purchase"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("event_id").alias("c_event_id"),
+            F.col("value").alias("c_value"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("evt_ts", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = F.col("matched_ts") >= F.col("evt_ts") - F.expr(
+        f"INTERVAL {ASOF_TOLERANCE_S} SECOND"
+    )
+    return (
+        tagged.withColumn("matched_id", F.last("c_event_id", ignorenulls=True).over(w))
+        .withColumn("matched_value", F.last("c_value", ignorenulls=True).over(w))
+        .withColumn("matched_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .where(F.col("is_purchase") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(within, F.col("matched_id")).alias("prior_click_id"),
+            F.when(within, F.round("matched_value", 2)).alias("prior_click_value"),
+        )
+        .orderBy("event_id")
+    )

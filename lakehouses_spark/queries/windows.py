@@ -289,3 +289,39 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "window_distinct_rolling",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(DISTINCT event_type) OVER w AS INTEGER) AS n_types_10,
+           CAST(count(*) OVER w AS BIGINT) AS n_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT count — behavioral-diversity feature (how many
+    distinct event types in the user's trailing 10 actions). Spark forbids
+    count(DISTINCT) over a window, so the scalable spelling is
+    size(array_distinct(collect_list)) over the same frame — bounded state
+    (≤10 elements per row) because the frame is bounded; the DuckDB oracle
+    uses its native windowed DISTINCT aggregate, making this a
+    cross-paradigm check of the same quantity."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("int")
+        .alias("n_types_10"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    ).orderBy("user_id", "event_id")

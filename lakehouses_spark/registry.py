@@ -109,6 +109,9 @@ SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
     "dedup_url_canonical",
     "sim_maxsim_multivector",
     "join_salted_skew",
+    "ts_asof_tolerance",
+    "window_distinct_rolling",
+    "fn_interval_family",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
