@@ -119,3 +119,83 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "node_id")
         .limit(50)
     )
+
+
+_TRIANGLE_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), positions AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+      FROM toks
+    ), shingles AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS shingle
+      FROM positions
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM shingles a
+      JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_shared / (sa.n + sb.n - n_shared) >= 0.3
+    )
+    SELECT e1.doc_a AS doc_a, e1.doc_b AS doc_b, e2.doc_b AS doc_c
+    FROM pairs e1
+    JOIN pairs e2 ON e1.doc_b = e2.doc_a
+    JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ORDER BY doc_a, doc_b, doc_c
+"""
+
+
+@query("graph_triangles", oracle=_TRIANGLE_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the near-dup pair graph (edges = ngram
+    Jaccard ≥ 0.3 pairs, a < b): each output row is a mutually-near-dup
+    triple — the density diagnostic that distinguishes chain-shaped
+    clusters (transitive-closure artifacts: A≈B≈C but A≉C) from genuinely
+    dense duplicate groups before a keep-list collapses them.
+
+    100 TB shape: the classic distributed triangle count — edges are
+    oriented (a < b) so each triangle is enumerated exactly once with no
+    permutation dedup, and both joins key on single doc ids whose fan-out
+    is the doc's near-dup degree (bounded; the stop-shingle cut already
+    removed the hot-key mass upstream). The edge list is materialized once
+    (localCheckpoint) and reused by both sides of the wedge join."""
+    from lakehouses_spark.queries.dedup import (
+        hashed_shingle_sets,
+        ngram_candidate_pairs,
+        verify_jaccard,
+    )
+    from lakehouses_spark.io import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sets = hashed_shingle_sets(d).localCheckpoint()
+    edges = (
+        verify_jaccard(ngram_candidate_pairs(sets), sets, threshold=0.3)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("doc_a"),
+            F.col("e1.doc_b").alias("doc_b"),
+            F.col("e2.doc_b").alias("doc_c"),
+        )
+        .orderBy("doc_a", "doc_b", "doc_c")
+    )

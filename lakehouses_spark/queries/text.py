@@ -440,3 +440,95 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TFIDF_TOP_K)
         .orderBy("lang", "rank")
     )
+
+
+@query("curation_pipeline_report", oracle=None)  # oracle assigned below
+def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel report: per-source document counts surviving each
+    gate of the standard pretraining pipeline — raw → exact-dedup canonical
+    → quality ≥ 0.75 → (training split ∧ decontaminated). The drop counts
+    between stages are what a dataset card publishes and what an operator
+    watches for gate regressions; composing the REGISTERED gate operators
+    (dedup_exact, text_quality_score, text_decontaminate) means the report
+    is definitionally consistent with the pipeline it describes.
+
+    100 TB shape: each gate keeps its own scalable plan (digest group-by,
+    per-row expression, broadcast gram probe); the report joins only
+    doc_id-keyed verdict columns — never document bodies — and the final
+    rollup is one tiny per-source aggregation. Conditional counts are
+    sum(CASE...) so all four funnel stages come from ONE pass over the
+    flags table."""
+    from lakehouses_spark.queries.dedup import dedup_exact
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    canon = dedup_exact(spark, sf_dir).select(
+        F.col("canonical_id").alias("doc_id"), F.lit(True).alias("is_canon")
+    )
+    quality = text_quality_score(spark, sf_dir).select(
+        "doc_id", (F.col("quality_score") >= 0.75).alias("is_q")
+    )
+    from lakehouses_spark.queries.curation import text_decontaminate, BENCH_MOD
+
+    contaminated = text_decontaminate(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("is_dirty")
+    )
+    flags = (
+        d.join(canon, "doc_id", "left")
+        .join(quality, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("is_canon", F.lit(False)).alias("is_canon"),
+            F.coalesce("is_q", F.lit(False)).alias("is_q"),
+            ((F.col("doc_id") % BENCH_MOD != 0)
+             & F.coalesce(~F.col("is_dirty"), F.lit(True))).alias("is_final_ok"),
+        )
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            cnt(F.col("is_canon")).alias("n_canonical"),
+            cnt(F.col("is_canon") & F.col("is_q")).alias("n_quality"),
+            cnt(
+                F.col("is_canon") & F.col("is_q") & F.col("is_final_ok")
+            ).alias("n_final"),
+        )
+        .orderBy("source")
+    )
+
+
+from lakehouses_spark.queries.curation import _grams_sql as _curation_grams_sql  # noqa: E402
+from lakehouses_spark.queries.curation import BENCH_MOD as _BENCH_MOD  # noqa: E402
+
+_Q["curation_pipeline_report"].oracle = f"""
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+), quality AS (
+{_QUALITY_SUBQUERY}
+), {_curation_grams_sql().lstrip()},
+bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+), contaminated AS (
+  SELECT DISTINCT t.doc_id FROM grams t JOIN bench USING (g)
+  WHERE t.doc_id % {_BENCH_MOD} <> 0
+), flags AS (
+  SELECT d.doc_id, d.source,
+         (c.doc_id IS NOT NULL) AS is_canon,
+         coalesce(q.quality_score >= 0.75, FALSE) AS is_q,
+         (d.doc_id % {_BENCH_MOD} <> 0 AND x.doc_id IS NULL) AS is_final_ok
+  FROM documents d
+  LEFT JOIN canon c ON c.doc_id = d.doc_id
+  LEFT JOIN quality q ON q.doc_id = d.doc_id
+  LEFT JOIN contaminated x ON x.doc_id = d.doc_id
+)
+SELECT source,
+       count(*) AS n_raw,
+       CAST(sum(CASE WHEN is_canon THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+       CAST(sum(CASE WHEN is_canon AND is_q THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality,
+       CAST(sum(CASE WHEN is_canon AND is_q AND is_final_ok THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_final
+FROM flags GROUP BY source ORDER BY source
+"""

@@ -112,6 +112,8 @@ SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
     "ts_asof_tolerance",
     "window_distinct_rolling",
     "fn_interval_family",
+    "graph_triangles",
+    "curation_pipeline_report",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 

@@ -53,6 +53,9 @@ QUERIES = [
     "sim_ann_ivfpq",             # IVF-PQ: adaptive nlist≈√n → α≈1.5 by design
     "graph_pagerank",            # 5× (edges ⋈ O(nodes) state): ~linear in E
     "ts_gap_fill",               # per-key sequence grid: linear in span×keys
+    # r4 additions
+    "sim_maxsim_multivector",    # broadcast query tokens × corpus scan: linear
+    "dedup_containment",         # same inverted-index machinery as ngram tier
 ]
 # which queries run at the deep factors (the bucketed self-join designs whose
 # 100 TB claim rests on staying sublinear); the all-pairs baseline stays at
@@ -71,6 +74,8 @@ DEEP = {
     "q1_pricing_summary",
     "q3_shipping_priority",
     "ts_range_join",
+    "sim_maxsim_multivector",
+    "dedup_containment",
 }
 
 # The designs whose 100 TB claim is "bucketed, not all-pairs" — excludes the
@@ -81,6 +86,7 @@ BUCKETED = {
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_common_substring",
+    "dedup_containment",
     "sim_ann_lsh",
 }
 BUCKETED_ALPHA_LIMIT = 1.0  # a bucketed design drifting superlinear is a bug
