@@ -640,3 +640,46 @@ def fn_interval_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trunc(d, "week").alias("week_start"),
         F.next_day(d, "Mon").alias("next_monday"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "fn_pad_family",
+    oracle="""
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0')  AS key_zeropad,
+           rpad(p_brand, 12, '.')                     AS brand_pad,
+           repeat('-', CAST(p_size % 5 AS INTEGER))   AS size_rule,
+           reverse(p_brand)                           AS brand_rev,
+           split_part(p_type, ' ', 1)                 AS type_head,
+           translate(p_brand, '#', '_')               AS brand_us,
+           left(p_name, 8)                            AS name_head,
+           right(p_name, 6)                           AS name_tail,
+           upper(p_type[1]) || lower(p_type[2:]) AS type_title
+    FROM part
+    WHERE p_partkey % 53 = 0
+    ORDER BY p_partkey
+    """,
+)
+def fn_pad_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family: padding/format string surface — lpad zero-padding (the
+    fixed-width key formatter under filename/partition layouts), rpad,
+    repeat, reverse, split_part, translate, left/right slicing, and
+    initcap-style title case (emulated in the oracle as upper(head) ||
+    lower(tail) since DuckDB has no initcap). All JVM codegen on a pruned
+    scan of `part`."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 53 == 0)
+    seg = F.col("p_type")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_zeropad"),
+        F.rpad("p_brand", 12, ".").alias("brand_pad"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("size_rule"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.translate("p_brand", "#", "_").alias("brand_us"),
+        F.substring("p_name", 1, 8).alias("name_head"),
+        F.col("p_name").substr(F.length("p_name") - 5, F.lit(6)).alias("name_tail"),
+        F.concat(
+            F.upper(F.substring(seg, 1, 1)), F.lower(F.substring(seg, 2, 1000))
+        ).alias("type_title"),
+    ).orderBy("p_partkey")

@@ -114,6 +114,7 @@ SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
     "fn_interval_family",
     "graph_triangles",
     "curation_pipeline_report",
+    "fn_pad_family",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 

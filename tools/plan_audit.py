@@ -51,6 +51,10 @@ NESTED_LOOP_OK = {
     "sim_ann_ivfpq": "bounded k-centroid assignment crossJoin (IVF design)",
     "sim_pairs_blocked": "B² tile-pairing theta join (B bounded, documented)",
     "text_perplexity_proxy": "1-row vocabulary-total broadcast crossJoin",
+    "sim_maxsim_multivector": (
+        "bounded query-token-set broadcast vs corpus tokens — O(n·q_tokens),"
+        " the MaxSim late-interaction design (re-rank stage at scale)"
+    ),
 }
 
 # Arrow-batched Python on operators builtins can't express (SURVEY §2.11 X2
