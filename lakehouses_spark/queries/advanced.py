@@ -6,9 +6,12 @@ real engine paths at sf0.01.
 
 from __future__ import annotations
 
+import io
 import struct
 import tempfile
 import zlib
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -875,3 +878,144 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sample_rate", "n_channels")
     )
+
+
+# --- WebDataset-style tar shards ---------------------------------------------
+# The storage layout multimodal training pipelines actually use: samples are
+# grouped into sequentially-readable .tar shards, each sample spanning several
+# same-key members (image + caption + metadata). Reading = one bounded
+# sequential pass per shard — the access pattern that makes 100 TB of tiny
+# files tractable on object storage.
+
+TAR_N_SHARDS = 3
+TAR_SAMPLES_PER_SHARD = 8
+TAR_EXTS = ("jpg", "txt", "json")
+
+
+def _tar_member_bytes(shard: int, i: int, ext: str) -> bytes:
+    """Deterministic member content: caption text, json metadata, or an
+    opaque image-stand-in byte pattern (decode is the stubbed seam; the
+    shard-reading plumbing is what's under test)."""
+    key = f"s{shard:02d}_{i:04d}"
+    if ext == "txt":
+        return f"caption for {key}: a fake image of item {i * 7 % 13}".encode()
+    if ext == "json":
+        return ('{"key": "%s", "w": %d, "h": %d}' % (key, 32 + i, 24 + shard)).encode()
+    pattern = f"{key}:".encode()
+    size = 500 + 37 * i + 11 * shard
+    return (pattern * (size // len(pattern) + 1))[:size]
+
+
+def _tar_manifest_rows() -> list[tuple]:
+    """Closed-form ground truth: (shard_name, sample_key, n_members,
+    total_bytes, caption_md5) per sample — computed with plain Python
+    hashlib, never tarfile, so the oracle is independent of the reader."""
+    import hashlib
+
+    rows = []
+    for s in range(TAR_N_SHARDS):
+        for i in range(TAR_SAMPLES_PER_SHARD):
+            key = f"s{s:02d}_{i:04d}"
+            total = sum(len(_tar_member_bytes(s, i, e)) for e in TAR_EXTS)
+            cap = hashlib.md5(_tar_member_bytes(s, i, "txt")).hexdigest()
+            rows.append((f"shard-{s:05d}.tar", key, len(TAR_EXTS), total, cap))
+    return rows
+
+
+def read_tar_shards(spark, path: str):
+    """WebDataset shard reader: binaryFile scan of *.tar → mapInPandas
+    parsing each shard with the stdlib tarfile module → one row per member
+    (shard, sample key, ext, bytes, content). Per-task work is bounded by
+    shard size (the writer's contract — shards are sized for one task), and
+    shards parallelize across executors like any binaryFile split."""
+    import io as _io
+    import tarfile
+
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("shard", StringType()),
+        StructField("sample_key", StringType()),
+        StructField("ext", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content", BinaryType()),
+    ])
+
+    def parse(batches):
+        for pdf in batches:
+            out = {"shard": [], "sample_key": [], "ext": [], "n_bytes": [],
+                   "content": []}
+            for path_, data in zip(pdf["path"], pdf["content"]):
+                shard = path_.rsplit("/", 1)[-1]
+                with tarfile.open(fileobj=_io.BytesIO(bytes(data))) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        key, _, ext = m.name.rpartition(".")
+                        out["shard"].append(shard)
+                        out["sample_key"].append(key)
+                        out["ext"].append(ext)
+                        out["n_bytes"].append(m.size)
+                        out["content"].append(tf.extractfile(m).read())
+            yield pd.DataFrame(out)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(parse, schema=schema)
+
+
+_TAR_ORACLE = (
+    "SELECT shard, sample_key, CAST(n_members AS BIGINT) AS n_members, "
+    "CAST(total_bytes AS BIGINT) AS total_bytes, caption_md5 "
+    "FROM (VALUES "
+    + ", ".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")"
+        for row in _tar_manifest_rows()
+    )
+    + ") AS t(shard, sample_key, n_members, total_bytes, caption_md5) "
+    "ORDER BY shard, sample_key"
+)
+
+
+@query("multimodal_tar_shards", oracle=_TAR_ORACLE)
+def multimodal_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard ingestion: stage deterministic .tar shards
+    (image-stand-in + caption + json per sample key), read them DISTRIBUTED
+    (binaryFile → mapInPandas tarfile parse), roll members up per sample
+    (count, bytes, JVM md5 of the caption), and hash-match the closed-form
+    manifest the generator formulas imply. Shard staging is bounded fixture
+    generation, same justification as avro_file_roundtrip's."""
+    import tarfile
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as tmp:
+        for s in range(TAR_N_SHARDS):
+            with tarfile.open(Path(tmp) / f"shard-{s:05d}.tar", "w") as tf:
+                for i in range(TAR_SAMPLES_PER_SHARD):
+                    for ext in TAR_EXTS:
+                        data = _tar_member_bytes(s, i, ext)
+                        info = tarfile.TarInfo(f"s{s:02d}_{i:04d}.{ext}")
+                        info.size = len(data)
+                        info.mtime = 0
+                        tf.addfile(info, io.BytesIO(data))
+        members = read_tar_shards(spark, tmp)
+        out = (
+            members.groupBy("shard", "sample_key")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_members"),
+                F.sum("n_bytes").cast("long").alias("total_bytes"),
+                F.md5(
+                    F.max(F.when(F.col("ext") == "txt", F.col("content")))
+                ).alias("caption_md5"),
+            )
+            .orderBy("shard", "sample_key")
+        )
+        rows = out.collect()  # materialize before tmp vanishes
+        return spark.createDataFrame(rows, out.schema)

@@ -115,6 +115,7 @@ SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
     "graph_triangles",
     "curation_pipeline_report",
     "fn_pad_family",
+    "multimodal_tar_shards",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
