@@ -703,3 +703,70 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_aliases") > 1)
         .orderBy("canonical_url")
     )
+
+
+TRUNC_CONTEXT = 512  # tokens: docs beyond this get truncated by the packer
+
+
+@query(
+    "curation_length_profile",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(quantile_cont(n_tokens, 0.1), 2)  AS p10,
+           round(quantile_cont(n_tokens, 0.5), 2)  AS p50,
+           round(quantile_cont(n_tokens, 0.9), 2)  AS p90,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(CASE WHEN n_tokens > {TRUNC_CONTEXT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_over_context,
+           round(CAST(sum(CASE WHEN n_tokens > {TRUNC_CONTEXT}
+                               THEN n_tokens - {TRUNC_CONTEXT} ELSE 0 END)
+                      AS DOUBLE)
+                 / sum(n_tokens) * 10000) / 10000 AS truncation_loss
+    FROM toks
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def curation_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length profile: doc counts, token totals, exact
+    p10/p50/p90 length percentiles, and the truncation diagnostics a
+    context-window decision needs — how many docs exceed the 512-token
+    context and what fraction of the corpus' tokens a hard truncation at
+    that length would discard. This is the report that sizes PACK_CONTEXT
+    before a packing run, and the distribution drift monitor afterwards.
+
+    100 TB shape: token counts are a per-row expression (no explode — the
+    split array is sized, never shuffled); ONE hash aggregation on source
+    computes every statistic including the exact interpolated percentiles
+    (Spark `percentile` == DuckDB `quantile_cont`; at real scale swap for
+    approx_percentile and drop the exactness pin)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    over = F.col("n_tokens") > TRUNC_CONTEXT
+    lost = F.when(over, F.col("n_tokens") - TRUNC_CONTEXT).otherwise(0)
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.expr("percentile(n_tokens, 0.1)"), 2).alias("p10"),
+            F.round(F.expr("percentile(n_tokens, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(n_tokens, 0.9)"), 2).alias("p90"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("n_over_context"),
+            (
+                F.round(
+                    F.sum(lost).cast("double") / F.sum("n_tokens") * 10000
+                ) / 10000
+            ).alias("truncation_loss"),
+        )
+        .orderBy("source")
+    )

@@ -116,6 +116,7 @@ SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
     "curation_pipeline_report",
     "fn_pad_family",
     "multimodal_tar_shards",
+    "curation_length_profile",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
