@@ -325,3 +325,37 @@ def window_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_types_10"),
         F.count(F.lit(1)).over(w).alias("n_window"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "window_rolling_median",
+    oracle="""
+    SELECT user_id, event_id,
+           round(quantile_cont(value, 0.5) OVER w, 4) AS roll_median,
+           round(quantile_cont(value, 0.9) OVER w, 4) AS roll_p90
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median + p90 over the trailing 10 events per user —
+    the robust-statistics rolling feature (median smoothing resists the
+    outliers a rolling mean chases). Spark's `percentile` aggregate runs
+    as a window function over the same bounded frame DuckDB's windowed
+    `quantile_cont` uses — identical interpolation semantics, pinned at 4
+    decimals. Bounded frame ⇒ bounded per-row state; one shuffle on
+    user_id serves both percentiles."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("roll_median"),
+        F.round(F.expr("percentile(value, 0.9)").over(w), 4).alias("roll_p90"),
+    ).orderBy("user_id", "event_id")

@@ -117,6 +117,7 @@ SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
     "fn_pad_family",
     "multimodal_tar_shards",
     "curation_length_profile",
+    "window_rolling_median",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
