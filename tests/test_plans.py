@@ -333,3 +333,61 @@ def test_ivfpq_candidate_stage_scans_codes_not_vectors(spark):
     joins = plan.count("BroadcastNestedLoopJoin")
     assert joins <= 2, plan  # seed-assign + probe-assign
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_is_hash_join_with_salt_dropped(spark):
+    """join_salted_skew: salting must turn the join into a plain hash/SMJ
+    on (jk, _salt) — no nested loop — and the salt column must not survive
+    into the output schema."""
+    df = REGISTRY["join_salted_skew"].fn(spark, SF)
+    plan = plan_of(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_salt" not in df.columns
+
+
+def test_maxsim_query_tokens_broadcast(spark):
+    """sim_maxsim_multivector: the bounded query-token set must BROADCAST
+    (BroadcastNestedLoopJoin over a BroadcastExchange — the corpus never
+    shuffles for candidate generation), and the per-token max / per-pair
+    sum must partial-aggregate map-side."""
+    plan = plan_of(REGISTRY["sim_maxsim_multivector"].fn(spark, SF), "simple")
+    assert "BroadcastExchange" in plan
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan  # pure JVM higher-order fns
+
+
+def test_domain_cap_single_exchange_on_source(spark):
+    """curation_domain_cap: the count window and the rank window share the
+    source partitioning — ONE hash exchange on source serves both."""
+    plan = plan_of(REGISTRY["curation_domain_cap"].fn(spark, SF), "simple")
+    assert plan.count("hashpartitioning(source") == 1, plan
+
+
+def test_containment_uses_hashed_inverted_index(spark):
+    """dedup_containment: candidate generation must join on the 8-byte
+    shingle hash (long), never shingle strings, and verification must be
+    equi-joins on doc ids — no nested loop, no Python."""
+    plan = plan_of(REGISTRY["dedup_containment"].fn(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_asof_tolerance_single_shuffle_window(spark):
+    """ts_asof_tolerance: same discipline as ts_asof_join — the union+window
+    merge must be windows over ONE user_id exchange, never an inequality
+    join."""
+    plan = plan_of(REGISTRY["ts_asof_tolerance"].fn(spark, SF), "simple")
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pipeline_report_joins_verdicts_not_bodies(spark):
+    """curation_pipeline_report: the funnel joins doc_id-keyed verdict
+    columns; document text must be pruned out of every join input (text
+    feeds only the digest/quality/gram expressions upstream)."""
+    plan = plan_of(REGISTRY["curation_pipeline_report"].fn(spark, SF), "simple")
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
