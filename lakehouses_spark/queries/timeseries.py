@@ -924,3 +924,76 @@ def ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+XCORR_MAX_LAG = 3  # hours
+
+
+@query(
+    "ts_cross_correlation",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             sum(value) AS v
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    ), lags AS (
+      SELECT unnest(generate_series(0, {XCORR_MAX_LAG})) AS lag_h
+    )
+    SELECT CAST(lag_h AS INTEGER) AS lag_h,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           round(corr(a.v, b.v), 4) AS xcorr
+    FROM hourly a
+    CROSS JOIN lags
+    JOIN hourly b
+      ON b.event_type = 'purchase'
+     AND b.h = a.h + to_hours(CAST(lag_h AS INTEGER))
+    WHERE a.event_type = 'click'
+    GROUP BY lag_h
+    ORDER BY lag_h
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between two event streams: corr of the
+    hourly click-value series against the purchase-value series shifted by
+    0..3 hours — the attribution diagnostic that answers "how long after
+    click activity does purchase activity follow?" (the argmax lag is the
+    conversion latency estimate).
+
+    100 TB shape: the raw stream collapses to an HOURLY series first (one
+    keyed aggregation — the series table is hours × types, tiny relative
+    to events), so the lag join and corr run on the aggregate, never on
+    raw events. The lag expansion is a 4-row sequence explode; the join
+    keys on (hour+lag) equality — a hash join on the small series table.
+    corr is a one-pass moment aggregate (map-side partial)."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum("value").alias("v"))
+        .localCheckpoint()
+    )
+    clicks = (
+        hourly.where(F.col("event_type") == "click")
+        .select("h", F.col("v").alias("click_v"))
+        .withColumn(
+            "lag_h", F.explode(F.sequence(F.lit(0), F.lit(XCORR_MAX_LAG)))
+        )
+    )
+    purchases = hourly.where(F.col("event_type") == "purchase").select(
+        F.col("h").alias("ph"), F.col("v").alias("purchase_v")
+    )
+    joined = clicks.join(
+        purchases,
+        purchases.ph
+        == F.col("h") + F.col("lag_h") * F.expr("INTERVAL 1 HOUR"),
+    )
+    return (
+        joined.groupBy(F.col("lag_h").cast("int").alias("lag_h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.round(F.corr("click_v", "purchase_v"), 4).alias("xcorr"),
+        )
+        .orderBy("lag_h")
+    )

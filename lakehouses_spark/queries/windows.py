@@ -359,3 +359,69 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("roll_median"),
         F.round(F.expr("percentile(value, 0.9)").over(w), 4).alias("roll_p90"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "window_streaks",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             value > avg(value) OVER (PARTITION BY user_id) AS hot
+      FROM events
+    ), numbered AS (
+      SELECT user_id, hot,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, hot ORDER BY ts, event_id)
+               AS island
+      FROM flagged
+    ), runs AS (
+      SELECT user_id, island, count(*) AS run_len
+      FROM numbered WHERE hot GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(max(run_len) AS BIGINT) AS longest_hot_streak,
+           CAST(count(*) AS BIGINT)     AS n_streaks
+    FROM runs
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest above-average streak per user (gaps-and-islands on a derived
+    boolean): flag events above the user's own mean, then the classic
+    difference-of-row_numbers island id groups consecutive hot events —
+    the streak/run-length analysis behind engagement scoring and
+    burst detection. Distinct from ts_sessionize (time-gap islands): the
+    island key here is a VALUE predicate, not a temporal gap.
+
+    100 TB shape: all four windows (mean, two row_numbers) and both
+    aggregations partition on user_id — one hash exchange serves the
+    entire plan; per-row state is O(1)."""
+    e = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id")
+    w_all = by_user.orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value") > F.avg("value").over(by_user)).alias("hot"),
+    )
+    w_hot = Window.partitionBy("user_id", "hot").orderBy("ts", "event_id")
+    numbered = flagged.select(
+        "user_id",
+        "hot",
+        (F.row_number().over(w_all) - F.row_number().over(w_hot)).alias("island"),
+    )
+    runs = (
+        numbered.where("hot")
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max("run_len").cast("long").alias("longest_hot_streak"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )

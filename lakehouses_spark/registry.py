@@ -118,6 +118,8 @@ SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
     "multimodal_tar_shards",
     "curation_length_profile",
     "window_rolling_median",
+    "ts_cross_correlation",
+    "window_streaks",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
