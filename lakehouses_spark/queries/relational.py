@@ -1407,3 +1407,41 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_NOT_IN_NULL_SQL = """
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM orders
+       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                               WHERE c_acctbal < 0)) AS not_in_clean,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders
+       WHERE o_custkey NOT IN (SELECT CASE WHEN c_custkey =
+                                      (SELECT min(c_custkey) FROM customer
+                                       WHERE c_acctbal < 0)
+                                           THEN NULL ELSE c_custkey END
+                               FROM customer WHERE c_acctbal < 0)) AS not_in_nullable,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey
+                           AND c.c_acctbal < 0)) AS not_exists
+"""
+
+
+@query("subquery_not_in_null_trap", oracle=_NOT_IN_NULL_SQL)
+def subquery_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, pinned across engines: `x NOT IN (subquery)`
+    under ANSI three-valued logic returns UNKNOWN (filters everything out)
+    the moment the subquery can yield a NULL, while the NOT EXISTS
+    spelling is null-immune. All three formulations run in both engines —
+    the null-free NOT IN and NOT EXISTS counts must agree, and the
+    nullable NOT IN must collapse to 0 identically in Spark and DuckDB
+    (the CASE nulls exactly ONE subquery row — a single NULL in the list
+    turns every non-member's predicate UNKNOWN and empties the result).
+
+    100 TB relevance: Catalyst plans NOT IN as a null-aware anti join,
+    which degenerates to a broadcast nested-loop when the subquery side is
+    nullable — the null-immune NOT EXISTS / anti-join spelling is the one
+    that scales, and this query documents WHY as an executable check."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_NOT_IN_NULL_SQL)

@@ -120,6 +120,7 @@ SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
     "window_rolling_median",
     "ts_cross_correlation",
     "window_streaks",
+    "subquery_not_in_null_trap",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
