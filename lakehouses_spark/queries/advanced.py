@@ -1019,3 +1019,79 @@ def multimodal_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()  # materialize before tmp vanishes
         return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "streaming_session_drain",
+    # availableNow drain of a session-window aggregation equals the batch
+    # gaps-and-islands sessionization. Boundary pin: Spark session windows
+    # are end-EXCLUSIVE (end = last_ts + gap), so an event arriving exactly
+    # `gap` after the last one starts a NEW session — the oracle's island
+    # break is therefore `>= 1800`, not the strict `> 1800` ts_sessionize
+    # uses for its own (different, documented) convention.
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800.0
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT CAST(min(ts) AS VARCHAR) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+           user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 session windows as a driver-checkable drain: stage events as a
+    file stream, drain F.session_window (30-min dynamic gap, per user)
+    with availableNow, and hash-match the batch gaps-and-islands
+    sessionization — the stream/batch unification contract for the one
+    windowed-state shape (dynamic, data-dependent window bounds) that
+    tumbling/sliding drains don't exercise. Session state merges across
+    microbatches (multiple input files per drain), so the check also pins
+    cross-batch session stitching."""
+    import uuid
+
+    from lakehouses_spark.streaming import session_window_agg
+
+    events = load_table(spark, sf_dir, "events")
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as tmp:
+        events.coalesce(4).write.parquet(f"{tmp}/data")
+        stream = spark.readStream.schema(events.schema).parquet(f"{tmp}/data")
+        q = (
+            session_window_agg(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = (
+            spark.sql(f"SELECT * FROM {name}")
+            .select(
+                F.col("session_start").cast("string").alias("session_start"),
+                F.col("session_end").cast("string").alias("session_end"),
+                "user_id",
+                "n_events",
+                "total_value",
+            )
+            .orderBy("user_id", "session_start")
+        )
+        rows = result.collect()  # materialize before tmp/checkpoint vanish
+        return spark.createDataFrame(rows, result.schema)

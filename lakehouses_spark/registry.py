@@ -121,6 +121,7 @@ SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
     "ts_cross_correlation",
     "window_streaks",
     "subquery_not_in_null_trap",
+    "streaming_session_drain",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
