@@ -1095,3 +1095,64 @@ def streaming_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = result.collect()  # materialize before tmp/checkpoint vanish
         return spark.createDataFrame(rows, result.schema)
+
+
+@query(
+    "lake_clone_isolation",
+    # the clone arc is deterministic (key-range mutations), so snapshot
+    # isolation gets a real differential oracle: three relational views of
+    # the same base slice — the frozen clone snapshot, the mutated source,
+    # and the independently-mutated clone
+    oracle="""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey <= 3000),
+    src_after AS (SELECT * FROM base WHERE o_orderstatus <> 'F'),
+    clone_after AS (SELECT * FROM base WHERE o_orderkey > 1000)
+    SELECT 'clone_snapshot' AS table_state,
+           (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_rows,
+           (SELECT round(sum(o_totalprice), 2) FROM base) AS total
+    UNION ALL
+    SELECT 'source_mutated',
+           (SELECT CAST(count(*) AS BIGINT) FROM src_after),
+           (SELECT round(sum(o_totalprice), 2) FROM src_after)
+    UNION ALL
+    SELECT 'clone_mutated',
+           (SELECT CAST(count(*) AS BIGINT) FROM clone_after),
+           (SELECT round(sum(o_totalprice), 2) FROM clone_after)
+    ORDER BY table_state
+    """,
+)
+def lake_clone_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLONE as a driver-checkable query: CTAS a source slice → SHALLOW
+    CLONE it (zero-copy, metadata-only) → mutate the SOURCE (delete) and
+    the CLONE (different delete) independently → report all three states.
+    Snapshot isolation is the contract under test: the clone's time-travel
+    v0 still reads the original slice even though the source has since
+    changed, and neither table's copy-on-write touches the other's rows —
+    exercised through the real transaction-log path (clone commit, ../
+    reference resolution, COW rewrite of referenced source files into the
+    clone's own data dir)."""
+    from lakehouses_spark.tables import LakeTable
+
+    orders = load_table(spark, sf_dir, "orders").where("o_orderkey <= 3000")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = LakeTable.create(spark, f"{tmp}/src", orders)
+        clone = src.clone(f"{tmp}/clone", shallow=True)
+        src.delete("o_orderstatus = 'F'")
+        clone.delete("o_orderkey <= 1000")
+        states = [
+            ("clone_snapshot", clone.read(version=0)),  # pre-mutation travel
+            ("source_mutated", src.read()),
+            ("clone_mutated", clone.read()),
+        ]
+        rows = []
+        for label, df in states:
+            agg = df.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("t"),
+            ).first()
+            rows.append((label, agg.n, float(agg.t)))
+        out = spark.createDataFrame(
+            rows, "table_state string, n_rows long, total double"
+        ).orderBy("table_state")
+        res = out.collect()
+        return spark.createDataFrame(res, out.schema)

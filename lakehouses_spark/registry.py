@@ -122,6 +122,7 @@ SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
     "window_streaks",
     "subquery_not_in_null_trap",
     "streaming_session_drain",
+    "lake_clone_isolation",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 

@@ -157,6 +157,34 @@ class LakeSQL:
                 self._qualify(m.group(1)), df, location=m.group(2)
             )
             return self._result(rows=df.count())
+        # CREATE TABLE t2 [SHALLOW|DEEP] CLONE t1 [VERSION AS OF n]
+        # [LOCATION 'p'] — Delta's CLONE command (zero-copy dev snapshot /
+        # deep archival copy); see LakeTable.clone for semantics
+        m = _m(
+            rf"CREATE{_WS}TABLE{_WS}({_ID})"
+            rf"{_WS}(SHALLOW|DEEP){_WS}CLONE{_WS}({_ID})"
+            rf"(?:{_WS}VERSION{_WS}AS{_WS}OF{_WS}(\d+))?"
+            rf"(?:{_WS}LOCATION{_WS}'([^']+)')?$",
+            s,
+        )
+        if m:
+            name, kind, src_name, ver, location = m.groups()
+            src = self._table(src_name)
+            qual = self._qualify(name)
+            db, _, tbl = qual.rpartition(".")
+            slot = self.catalog.warehouse / (db or "default") / tbl
+            slot.parent.mkdir(parents=True, exist_ok=True)
+            if location is not None:
+                (slot.parent / f"{slot.name}.location").write_text(str(location))
+                target = location
+            else:
+                target = slot
+            t = src.clone(
+                target,
+                shallow=kind.upper() == "SHALLOW",
+                version=int(ver) if ver else None,
+            )
+            return self._result(cloned=1, n_files=len(t.state().files))
         # CREATE TABLE t (col type, ...) [USING fmt] [PARTITIONED BY (...)]
         # (explicit schema + partition transforms, 03.iceberg_primer.py:114-124)
         m = _m(

@@ -900,6 +900,71 @@ class LakeTable:
         )
         return {"restored_to": version, "new_version": cur.version + 1}
 
+    def clone(self, target: str | Path, shallow: bool = True,
+              version: int | None = None, mode: str = "error") -> "LakeTable":
+        """CLONE (Delta's CREATE TABLE ... [SHALLOW|DEEP] CLONE): materialize
+        an independent table from this table's snapshot (optionally a
+        time-travel `version`).
+
+        SHALLOW: zero-copy — the clone's log REFERENCES the source's data
+        files (relative-traversal paths, resolved from the clone root), so
+        creation is O(metadata) regardless of table size. The clone then
+        evolves independently: its DML copy-on-writes into its OWN data dir
+        and its VACUUM only ever scans its own data dir, so source files
+        can never be deleted through the clone. (The source's vacuum can
+        still remove files a shallow clone references — Delta's documented
+        shallow-clone caveat; use deep for archival.)
+        DEEP: file bytes are copied into the clone — fully self-contained.
+
+        Schema, partition spec, column mapping, CHECK constraints,
+        properties and live merge-on-read tombstones all carry over; the
+        clone starts at version 0 with a CLONE commit recording provenance
+        (source path + source version)."""
+        import os
+        import shutil
+
+        target = Path(target)
+        if txlog.list_versions(target):
+            if mode == "error":
+                raise FileExistsError(f"table already exists: {target}")
+            if mode == "ignore":
+                return LakeTable(self.spark, target)
+            raise ValueError("clone supports mode='error' or 'ignore'")
+        st = self.state(version=version)
+        target.mkdir(parents=True, exist_ok=True)
+        adds = []
+        for rel, a in st.files.items():
+            entry = {**{k: v for k, v in a.items() if k != "__v"},
+                     "add_version": a.get("__v", 0)}
+            src_abs = (self.path / rel).resolve()
+            if shallow:
+                entry["path"] = os.path.relpath(src_abs, target.resolve())
+            else:
+                dst = target / rel
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                shutil.copyfile(src_abs, dst)
+                entry["path"] = rel
+            adds.append(entry)
+        t = LakeTable(self.spark, target)
+        t._commit(
+            0,
+            operation="CLONE",
+            operation_parameters={
+                "source": str(self.path),
+                "source_version": st.version,
+                "shallow": shallow,
+            },
+            add=adds,
+            schema=st.schema_json,
+            partition_by=st.partition_by,
+            column_mapping=st.column_mapping,
+            constraints=st.constraints,
+            properties=st.properties,
+            set_tombstones=st.tombstones,
+            protocol={"min_reader": txlog.READER_VERSION},
+        )
+        return t
+
     def cleanup_log(self, keep_versions: int = 30) -> list[int]:
         """Delta's log-retention analog: drop commit JSONs older than the
         newest checkpoint while keeping at least `keep_versions` recent
@@ -1216,7 +1281,16 @@ def _strip_scheme(p: str) -> str:
 
 
 def _rel(table_path: Path, abs_path: str) -> str:
-    return str(Path(_strip_scheme(abs_path)).relative_to(table_path))
+    p = Path(_strip_scheme(abs_path))
+    try:
+        return str(p.relative_to(table_path))
+    except ValueError:
+        # outside the table root: a shallow clone's reference into its
+        # source table — relpath reproduces the '../source/...' key the
+        # CLONE commit stored (both sides resolved, as clone() resolved)
+        import os
+
+        return os.path.relpath(p.resolve(), Path(table_path).resolve())
 
 
 def _check_schema(table: StructType, incoming: StructType, merge: bool) -> StructType:
