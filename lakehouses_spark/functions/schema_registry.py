@@ -39,6 +39,10 @@ from lakehouses_spark.functions.avro import (
 )
 
 
+class SchemaRegistryError(RuntimeError):
+    """HTTP-level registry rejection (e.g. 409 incompatible schema)."""
+
+
 class SchemaRegistryUnavailableError(RuntimeError):
     pass
 
@@ -119,6 +123,14 @@ class SchemaRegistryClient:
             try:
                 with urllib.request.urlopen(req, timeout=10) as r:
                     return int(json.loads(r.read())["id"])
+            except urllib.error.HTTPError as e:
+                # HTTPError subclasses OSError: handle it first so an
+                # HTTP-level failure (409 incompatible-schema, 422 invalid)
+                # surfaces its status instead of masquerading as
+                # "registry unreachable" (mirrors _get_json).
+                raise SchemaRegistryError(
+                    f"register({subject}) rejected: HTTP {e.code} {e.reason}"
+                ) from e
             except OSError as e:
                 raise SchemaRegistryUnavailableError(
                     f"schema registry at {self.url} unreachable ({e})"
@@ -173,6 +185,14 @@ def decode_multiplex(
         .distinct()
         .collect()
     ]
+    if not ids:
+        # Empty input (or all-null value column): no schema ids to resolve,
+        # so no payload columns exist yet — return an empty frame with just
+        # the id column rather than raising IndexError on branches[0].
+        return (
+            df.select(schema_registry_id(F.col(value_col)).alias("_schema_id"))
+            .where(F.lit(False))
+        )
     branches = []
     for sid in sorted(ids):
         schema = client.get_schema(sid)

@@ -146,17 +146,40 @@ STOP_SHINGLE_FRAC = 0.05
 STOP_SHINGLE_MIN_DF = 16
 
 
+SHORT_DOC_SHINGLES = 64  # containment tier: docs below this keep ALL shingles
+
+
 def ngram_candidate_pairs(
     shingle_sets: DataFrame,
     stop_frac: float = STOP_SHINGLE_FRAC,
     min_df: int = STOP_SHINGLE_MIN_DF,
+    keep_short_docs: int | None = None,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing ≥1 non-stop shingle. The
     inverted index is keyed on the 8-byte shingle hash — long-keyed shuffle
-    and join, never strings."""
+    and join, never strings.
+
+    ``keep_short_docs``: containment-tier recall guarantee (ADVICE r4 #4).
+    The Jaccard recall argument — a true pair shares many shingles, so some
+    survive the stop cut — fails for containment of a SHORT doc whose few
+    shingles are all ubiquitous boilerplate (exactly the excerpt case the
+    containment tier exists for). With this set, every doc with fewer than
+    that many shingles additionally probes its FULL shingle set (hot
+    included) against the UNFILTERED index — retention on the short side
+    alone wouldn't help, since the containing doc's matching postings are
+    what the cut drops. Any doc sharing ≥1 shingle with a short doc
+    therefore always becomes a candidate → full recall for the
+    short-in-long case (pinned by
+    test_quality.py::test_containment_short_doc_hot_shingles_recall).
+    Scale bound: the probe side is tiny (short docs × their <K shingles →
+    broadcast), so the extra work is Σ df(h) over short-doc shingles —
+    linear in index size, never the df² self-join explosion the stop cut
+    exists to prevent; exact verification still gates every emitted pair."""
     n_docs = shingle_sets.count()  # already checkpointed by callers
     cut = max(min_df, int(stop_frac * n_docs))
-    exploded = shingle_sets.select("doc_id", F.explode("hs").alias("h"))
+    exploded = shingle_sets.select(
+        "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h")
+    )
     hot = (
         exploded.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -164,18 +187,30 @@ def ngram_candidate_pairs(
         .select("h")
     )
     # the hot set is tiny by definition (heavy hitters) → broadcast anti-join
-    filtered = exploded.join(F.broadcast(hot), "h", "left_anti")
+    filtered = exploded.join(F.broadcast(hot), "h", "left_anti").select(
+        "doc_id", "h"
+    )
     a = filtered.alias("a")
     b = filtered.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    pairs = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    if keep_short_docs is not None:
+        shorts = exploded.where(F.col("n_sh") < keep_short_docs).select(
+            F.col("doc_id").alias("s_doc"), "h"
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+        extra = (
+            F.broadcast(shorts)
+            .join(exploded.select(F.col("doc_id").alias("o_doc"), "h"), "h")
+            .where(F.col("s_doc") != F.col("o_doc"))
+            .select(
+                F.least("s_doc", "o_doc").alias("doc_a"),
+                F.greatest("s_doc", "o_doc").alias("doc_b"),
+            )
+        )
+        pairs = pairs.unionByName(extra)
+    return pairs.distinct()
 
 
 def verify_jaccard(
@@ -894,13 +929,18 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed-shingle inverted index with the stop-shingle skew cut for
     candidate generation (linear in corpus, df-keyed, never all-pairs),
     then exact verification over full hashed-shingle sets for candidates
-    only. Containment and Jaccard come from the same intersect/size
+    only. Containment-specific recall guarantee: docs shorter than
+    SHORT_DOC_SHINGLES keep ALL their postings (hot included), so a short
+    boilerplate excerpt whose every shingle is ubiquitous still surfaces
+    against its containing doc — the Jaccard tier's "many shared shingles
+    survive the cut" argument doesn't hold at containment 0.5 of a tiny
+    doc (see ngram_candidate_pairs.keep_short_docs). Containment and Jaccard come from the same intersect/size
     arithmetic, so the extra metric is free. The threshold filter compares
     the UNROUNDED ratio (matching the oracle's WHERE); round(.,4) is
     projection-only — same discipline as verify_jaccard."""
     d = spread(load_table(spark, sf_dir, "documents"))
     shingle_sets = hashed_shingle_sets(d).localCheckpoint()
-    cand = ngram_candidate_pairs(shingle_sets)
+    cand = ngram_candidate_pairs(shingle_sets, keep_short_docs=SHORT_DOC_SHINGLES)
     sa = shingle_sets.alias("sa")
     sb = shingle_sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))

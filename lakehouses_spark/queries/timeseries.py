@@ -87,7 +87,14 @@ def ts_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.event_id AS prior_click_id,
            round(c.value, 2) AS prior_click_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+      -- deterministic tie rule (see ts_asof_tolerance): highest event_id
+      -- wins among clicks sharing (user_id, ts)
+      SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS event_id,
+             arg_max(value, event_id) AS value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     ORDER BY p.event_id
     """,
@@ -126,8 +133,10 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = (
+        # c_event_id final key => total order; tied-ts clicks resolve to the
+        # highest event_id, matching the oracle's max/arg_max collapse.
         Window.partitionBy("user_id")
-        .orderBy("evt_ts", "is_purchase")
+        .orderBy("evt_ts", "is_purchase", "c_event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -865,7 +874,16 @@ ASOF_TOLERANCE_S = 3600  # match window: most recent click within 1 hour
            CASE WHEN c.ts >= p.ts - INTERVAL {ASOF_TOLERANCE_S} SECOND
                 THEN round(c.value, 2) END AS prior_click_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+      -- tie rule: among clicks sharing (user_id, ts) the HIGHEST event_id
+      -- wins, collapsed BEFORE the ASOF join so the winner is deterministic
+      -- by construction (DuckDB's ASOF is otherwise tie-arbitrary; the
+      -- Spark side orders its window by c_event_id to match)
+      SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS event_id,
+             arg_max(value, event_id) AS value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     ORDER BY p.event_id
     """,
@@ -904,8 +922,12 @@ def ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = (
+        # c_event_id as the final key makes the order TOTAL: two clicks with
+        # identical (user_id, ts) resolve to the highest event_id (last in
+        # frame) instead of a partition-order-dependent winner; the oracle
+        # collapses ties with max(event_id)/arg_max the same way.
         Window.partitionBy("user_id")
-        .orderBy("evt_ts", "is_purchase")
+        .orderBy("evt_ts", "is_purchase", "c_event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     within = F.col("matched_ts") >= F.col("evt_ts") - F.expr(

@@ -53,77 +53,51 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # emitted FIRST, so the hard signal lands on them; everything already
 # driver-verified in round 1 follows in registration order.
 _SWEEP_PRIORITY = [
-    # Round-4 rotation, sized to the 50-entry budget exactly:
-    #   1. the 23 queries deferred from round 3 (registered after that
-    #      round's budget filled) — their FIRST driver row,
-    #   2. the 2 r1/r2-row queries whose code the round-3 hashed-shingle
-    #      rewrite touched (dedup_ngram_jaccard, dedup_clusters),
-    #   3. the 4 round-3 hash-fails — all value-correct, oracle HUGEINT
-    #      type artifact, oracles now CAST(... AS BIGINT) — re-swept to
-    #      turn their rows green (q12, embedding-cosine, pack, repetition),
-    #   4. 21 of the 33 r1-only rows (oracle-checked ones first; the 8
-    #      simplest stable shapes + 3 rows-only-by-design wait for r5).
-    # --- 1. round-3 deferred: first driver row ---
-    "graph_pagerank", "window_cume_dist", "fn_bitwise_family", "agg_mode",
-    "ts_ewma", "ts_rolling_stats", "ts_interpolate_linear", "agg_filtered",
-    "agg_weighted_median", "fn_url_family", "agg_string_agg",
-    "window_range_frame", "agg_bool_family", "fn_conv_family",
-    "sim_knn_batch", "set_except_intersect_all", "agg_skew_kurtosis",
-    "fn_encode_family", "window_nth_value", "ts_seasonal_decompose",
-    "agg_entropy_gini", "fn_levenshtein_family", "fn_hash_family",
-    # --- 2. code rewritten in r3, driver rows stale ---
-    "dedup_ngram_jaccard", "dedup_clusters",
-    # --- 3. r3 hash-fails, oracle type-cast fixed this round ---
-    "q12_priority_split", "dedup_embedding_cosine", "pack_sequences",
-    "text_repetition_filter",
-    # --- 4. r1-only refresh (21 of 33; oldest oracle-checked rows) ---
-    "agg_count_by_key", "agg_cube", "agg_global_scalars",
-    "agg_grouping_sets", "agg_having_topk", "agg_percentiles",
-    "agg_rollup", "agg_sum_all_numeric", "dedup_exact", "join_anti",
-    "join_broadcast_dims", "join_count_distribution",
-    "subquery_correlated_min", "subquery_exists",
-    "subquery_exists_not_exists", "subquery_in_having",
-    "subquery_not_exists_avg", "subquery_scalar", "udaf_weighted_avg",
-    "udtf_tokenize", "window_zscore",
-    # --- first overflow (position 51+): remaining r1-only, heads round 5 ---
+    # Round-5 rotation, sized to the 50-entry budget exactly:
+    #   1. the 21 round-4 additions that were deferred past the r4 budget
+    #      (SWEEP_DEFERRED_TO_NEXT_ROUND, now cleared) — FIRST driver row,
+    #   2. all 11 remaining r1-only rows (8 oracle-checked stable shapes
+    #      + the 3 rows-only-by-design queries) — after this rotation no
+    #      driver row in the registry is older than round 2,
+    #   3. new round-5 queries — first driver row, registered into free
+    #      budget slots so the deferral queue stays empty,
+    #   4. oldest round-2 rows (headline TPC-H, lakehouse DML, streaming
+    #      drains, then the longest-untouched families) to fill to 50.
+    # --- 1. round-4 deferred: first driver row (21) ---
+    "dedup_containment", "fn_trig_family", "fn_regexp_family",
+    "curation_domain_cap", "dedup_url_canonical", "sim_maxsim_multivector",
+    "join_salted_skew", "ts_asof_tolerance", "window_distinct_rolling",
+    "fn_interval_family", "graph_triangles", "curation_pipeline_report",
+    "fn_pad_family", "multimodal_tar_shards", "curation_length_profile",
+    "window_rolling_median", "ts_cross_correlation", "window_streaks",
+    "subquery_not_in_null_trap", "streaming_session_drain",
+    "lake_clone_isolation",
+    # --- 2. r1-only refresh: the final 11 (zero r1 rows remain after) ---
     "project_rename_derive", "filter_between_in", "distinct_projection",
     "sort_limit_topk", "set_except", "set_intersect", "union_by_name",
-    "sql_over_path",
+    "sql_over_path", "agg_approx_distinct", "random_split_sample",
+    "gold_als_recommendations",
+    # --- 3. new round-5 queries: first driver row ---
+    "dedup_incremental_minhash",
+    # --- 4. oldest r2 rows, refreshed (fills to exactly 50) ---
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "lake_dml_roundtrip", "streaming_windowed_drain",
+    "streaming_stateful_totals", "avro_file_roundtrip", "ts_asof_join",
+    "ts_sessionize", "sim_knn_cosine", "sim_ann_lsh", "sim_ann_ivf",
+    "window_topk_per_group", "window_running_sum", "fn_string_family",
+    "fn_date_family", "join_inner_agg",
 ]
 
-# Queries registered AFTER the round-4 sweep budget filled (the 50 slots
-# above are the round-3 deferrals, rewrite-stale rows, fixed hash-fails and
-# oldest r1-only refreshes, which must not be displaced). These knowingly
-# wait for their first driver row until the round-5 rotation — the in-repo
-# oracle replica (tests/test_oracle.py) verifies them with the driver's
-# exact comparison every round in the meantime. The sweep-window guard
-# (test_oracle.py) asserts any never-swept query outside the 50-entry
-# window appears HERE, so a new query can still never silently fall
-# outside the rotation.
-SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
-    # round-4 additions (registered after the r4 budget filled)
-    "dedup_containment",
-    "fn_trig_family",
-    "fn_regexp_family",
-    "curation_domain_cap",
-    "dedup_url_canonical",
-    "sim_maxsim_multivector",
-    "join_salted_skew",
-    "ts_asof_tolerance",
-    "window_distinct_rolling",
-    "fn_interval_family",
-    "graph_triangles",
-    "curation_pipeline_report",
-    "fn_pad_family",
-    "multimodal_tar_shards",
-    "curation_length_profile",
-    "window_rolling_median",
-    "ts_cross_correlation",
-    "window_streaks",
-    "subquery_not_in_null_trap",
-    "streaming_session_drain",
-    "lake_clone_isolation",
-]
+# Queries registered after the current round's 50-entry sweep budget
+# filled, knowingly waiting for their first driver row until the next
+# rotation (the in-repo oracle replica in tests/test_oracle.py verifies
+# them with the driver's exact comparison in the meantime). The sweep-window
+# guard asserts any never-swept query outside the 50-entry window appears
+# HERE, so a new query can never silently fall outside the rotation.
+# Round 5 registers new queries directly into free budget slots (tier 3
+# above), so the queue is EMPTY — the r3/r4 pattern of rolling deferrals
+# stops here.
+SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = []
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
 

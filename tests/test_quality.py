@@ -310,6 +310,45 @@ def test_stop_shingle_cut_preserves_recall(spark):
         "stop-shingle cut must not lose any true near-dup pair"
 
 
+def test_containment_short_doc_hot_shingles_recall(spark):
+    """ADVICE r4 #4 pin: a SHORT boilerplate doc embedded verbatim in a
+    long doc, where every one of the short doc's shingles is hot (df above
+    the stop cut because 20+ other docs carry the same boilerplate), must
+    still surface as a containment pair. Plain ngram_candidate_pairs drops
+    all of the short doc's postings (they're all hot) and misses the pair;
+    keep_short_docs retains them and recovers it — the exact case the
+    containment tier exists for."""
+    from lakehouses_spark.queries.dedup import (
+        SHORT_DOC_SHINGLES,
+        hashed_shingle_sets,
+        ngram_candidate_pairs,
+    )
+
+    boiler = " ".join(f"lic{k}" for k in range(8))  # 6 shingles, all hot
+    rows = []
+    # 20 LONG docs (>SHORT_DOC_SHINGLES shingles) carrying the boilerplate,
+    # so its shingles get df>16 while the docs themselves aren't "short"
+    for i in range(20):
+        body = " ".join(f"w{i}_{k}" for k in range(80))
+        rows.append((i, boiler + " " + body))
+    # the short excerpt doc: boilerplate ONLY (every shingle hot)
+    rows.append((500, boiler))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = hashed_shingle_sets(docs).localCheckpoint()
+
+    missing = ngram_candidate_pairs(sets, min_df=16)
+    assert not [
+        r for r in missing.collect() if r.doc_a == 500 or r.doc_b == 500
+    ], "precondition: the plain cut drops every posting of the short doc"
+
+    kept = ngram_candidate_pairs(sets, min_df=16, keep_short_docs=SHORT_DOC_SHINGLES)
+    pairs = {(r.doc_a, r.doc_b) for r in kept.collect()}
+    assert pairs == {(i, 500) for i in range(20)}, (
+        "short-doc probe must recover exactly the short-in-long containment "
+        f"pairs without re-exploding the hot shingles, got {sorted(pairs)[:30]}"
+    )
+
+
 def test_simhash_signatures_pinned(spark):
     """The numpy-vectorized _simhash64 must stay bit-identical to the
     original scalar formulation — pinned against values computed with the
