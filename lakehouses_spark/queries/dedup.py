@@ -349,28 +349,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verification intersects them directly, so no shingle string survives
     # tokenization (one third the checkpoint bytes of the string variant).
     shingle_sets = hashed_shingle_sets(d).localCheckpoint()
-    # signature[j] = min over shingles of xxhash64(xxhash64(shingle), j),
-    # computed as a pure per-row map: array_min over the k re-hashes.
-    # ZERO shuffle — the explode+groupBy formulation moves
-    # |docs|·|shingles| rows through a 32-way min aggregation for values a
-    # map can produce in place.
-    sig = shingle_sets.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform("hs", lambda h: F.xxhash64(h, F.lit(j)))
-            ).alias(f"h{j}")
-            for j in range(N_MINHASH)
-        ],
+    # signature + banding via the shared minhash_buckets helper (zero-shuffle
+    # per-row map; see its docstring) — identical hash values to the inline
+    # formulation it replaced.
+    banded = minhash_buckets(shingle_sets).select(
+        "doc_id", F.explode("buckets").alias("bucket")
     )
-    rows_per_band = N_MINHASH // LSH_BANDS
-    band_cols = [
-        F.xxhash64(
-            F.lit(band), *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band{band}")
-        for band in range(LSH_BANDS)
-    ]
-    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bucket"))
     # single-pass pair generation: bucket members → sorted id array → all
     # (i<j) pairs via nested transform. Avoids the banded-self-join, which
     # would execute the whole signature lineage twice. Buckets are tiny by
@@ -776,6 +760,158 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "doc_id", status.alias("status"), dup_of.alias("dup_of")
     ).orderBy("doc_id")
+
+
+INCR_FRESH_ID_OFFSET = 2_000_000  # incoming docs with no corpus near-dup
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH incoming AS (
+      SELECT doc_id + {DOC_TWIN_ID_OFFSET} AS doc_id,
+             text || ' {DOC_TWIN_SUFFIX}' AS text
+      FROM documents WHERE doc_id < {N_DOC_TWINS}
+      UNION ALL
+      SELECT doc_id + {INCR_FRESH_ID_OFFSET} AS doc_id,
+             replace(text, ' ', 'x ') AS text
+      FROM documents
+      WHERE doc_id >= {N_DOC_TWINS} AND doc_id < {2 * N_DOC_TWINS}
+    ), all_docs AS (
+      SELECT doc_id, text, 0 AS is_in FROM documents
+      UNION ALL
+      SELECT doc_id, text, 1 AS is_in FROM incoming
+    ), toks AS (
+      SELECT doc_id, is_in, string_split(text, ' ') AS words FROM all_docs
+    ), positions AS (
+      SELECT doc_id, is_in, words,
+             unnest(generate_series(1, greatest(len(words) - 2, 1))) AS i
+      FROM toks
+    ), shingles AS (
+      SELECT DISTINCT doc_id, is_in,
+             words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS shingle
+      FROM positions
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+    ), shared AS (
+      SELECT i.doc_id AS in_doc, c.doc_id AS ex_doc, count(*) AS n_shared
+      FROM shingles i
+      JOIN shingles c ON i.shingle = c.shingle AND i.is_in = 1 AND c.is_in = 0
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT in_doc, ex_doc, n_shared / (si.n + se.n - n_shared) AS j
+      FROM shared
+      JOIN sizes si ON si.doc_id = in_doc
+      JOIN sizes se ON se.doc_id = ex_doc
+      WHERE n_shared / (si.n + se.n - n_shared) >= 0.3
+    ), best AS (
+      SELECT in_doc, ex_doc, j, row_number() OVER (
+               PARTITION BY in_doc ORDER BY j DESC, ex_doc) AS rn
+      FROM scored
+    )
+    SELECT inc.doc_id,
+           CASE WHEN b.in_doc IS NOT NULL
+                THEN 'dup_of_existing' ELSE 'accepted' END AS status,
+           b.ex_doc AS dup_of,
+           round(b.j, 4) AS jaccard
+    FROM incoming inc
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.in_doc = inc.doc_id
+    ORDER BY inc.doc_id
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup (VERDICT r4 #7) — the operator a real
+    100 TB crawl pipeline runs daily: an incoming batch is banded against a
+    PERSISTED MinHash signature index (a LakeTable maintained across
+    ingests), producing a per-doc verdict without re-shingling the corpus.
+    Reference analog: the batch-vs-existing set logic of
+    notebooks/02.ingestas_ficheros/03.ingesta_incremental_v2 [json].py:211-218
+    lifted from exact filenames to near-duplicate content.
+
+    Batch construction (deterministic, twin-injection): twins of the first
+    {N_DOC_TWINS} docs (1 appended marker word → jaccard ≈ 0.97 vs origin,
+    must come back dup_of_existing) plus {N_DOC_TWINS} "fresh" docs whose
+    every word is suffixed (zero shingle overlap → must come back
+    accepted). The oracle is the EXACT all-pairs batch×corpus Jaccard
+    argmax — the LSH path hash-matches only if banding recovers every true
+    best match and invents none.
+
+    100 TB shape: the index (doc_id, hs, buckets) is written once as a
+    LakeTable and only READ here — corpus text is never re-tokenized. The
+    batch side is small by definition; its banded probe joins the exploded
+    index on 8-byte bucket keys (one keyed shuffle of index postings,
+    linear), candidates get exact-Jaccard verification against the stored
+    hashed-shingle sets, and the argmax is a tiny per-batch-doc window.
+    Daily cost is O(index postings + batch work), independent of corpus
+    text volume."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from lakehouses_spark.tables import LakeTable
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    index_df = minhash_buckets(hashed_shingle_sets(d), keep=("hs",))
+    base = d.select("doc_id", "text")
+    twins = base.where(F.col("doc_id") < N_DOC_TWINS).select(
+        (F.col("doc_id") + DOC_TWIN_ID_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(" " + DOC_TWIN_SUFFIX)).alias("text"),
+    )
+    fresh = base.where(
+        (F.col("doc_id") >= N_DOC_TWINS) & (F.col("doc_id") < 2 * N_DOC_TWINS)
+    ).select(
+        (F.col("doc_id") + INCR_FRESH_ID_OFFSET).alias("doc_id"),
+        F.expr("replace(text, ' ', 'x ')").alias("text"),
+    )
+    incoming = twins.unionByName(fresh)
+    inc = minhash_buckets(hashed_shingle_sets(incoming), keep=("hs",)).localCheckpoint()
+    with tempfile.TemporaryDirectory() as tmp:
+        t = LakeTable.create(spark, f"{tmp}/minhash_index", index_df)
+        idx = t.read()  # persisted index — downstream never sees corpus text
+        inc_b = inc.select(
+            F.col("doc_id").alias("in_doc"), F.explode("buckets").alias("bucket")
+        )
+        idx_b = idx.select(
+            F.col("doc_id").alias("ex_doc"), F.explode("buckets").alias("bucket")
+        )
+        cand = inc_b.join(idx_b, "bucket").select("in_doc", "ex_doc").distinct()
+        si = inc.select(F.col("doc_id").alias("in_doc"), F.col("hs").alias("in_hs"))
+        se = idx.select(F.col("doc_id").alias("ex_doc"), F.col("hs").alias("ex_hs"))
+        inter = F.size(F.array_intersect("in_hs", "ex_hs"))
+        union = F.size(F.array_union("in_hs", "ex_hs"))
+        scored = (
+            cand.join(si, "in_doc")
+            .join(se, "ex_doc")
+            .withColumn("j", inter / union)
+            .where(F.col("j") >= 0.3)  # unrounded, matching the oracle WHERE
+        )
+        wbest = Window.partitionBy("in_doc").orderBy(F.col("j").desc(), "ex_doc")
+        best = (
+            scored.withColumn("rn", F.row_number().over(wbest))
+            .where(F.col("rn") == 1)
+            .select(
+                "in_doc",
+                F.col("ex_doc").alias("dup_of"),
+                F.round("j", 4).alias("jaccard"),
+            )
+        )
+        out = (
+            incoming.select("doc_id")
+            .join(best, incoming.doc_id == best.in_doc, "left")
+            .select(
+                "doc_id",
+                F.when(F.col("in_doc").isNotNull(), "dup_of_existing")
+                .otherwise("accepted")
+                .alias("status"),
+                "dup_of",
+                "jaccard",
+            )
+            .orderBy("doc_id")
+        )
+        # materialize before the temp index directory disappears (the driver
+        # collects after return); localCheckpoint keeps the result
+        # distributed with its lineage cut at the finished computation
+        return out.localCheckpoint()
 
 
 # --- exact-substring dedup (shared k-token windows) -------------------------

@@ -499,3 +499,24 @@ def test_pagerank_invariants(spark):
     assert all(v >= floor - 1e-12 for v in ranks.values())
     hub, spoke_max = ranks[0], max(ranks[s] for s in spokes)
     assert hub > spoke_max * 2, (hub, spoke_max)
+
+
+def test_incremental_minhash_verdicts(spark):
+    """dedup_incremental_minhash semantic pin: every twin in the incoming
+    batch must come back dup_of_existing with its origin (or the origin's
+    corpus near-dup) as the match at jaccard ≥ 0.9; every word-suffixed
+    fresh doc must come back accepted with null dup_of."""
+    from lakehouses_spark.queries.dedup import (
+        DOC_TWIN_ID_OFFSET,
+        INCR_FRESH_ID_OFFSET,
+        N_DOC_TWINS,
+    )
+
+    rows = {r.doc_id: r for r in REGISTRY["dedup_incremental_minhash"].fn(spark, SF).collect()}
+    assert len(rows) == 2 * N_DOC_TWINS
+    for i in range(N_DOC_TWINS):
+        r = rows[DOC_TWIN_ID_OFFSET + i]
+        assert r.status == "dup_of_existing" and r.jaccard >= 0.9, r
+    for i in range(N_DOC_TWINS, 2 * N_DOC_TWINS):
+        r = rows[INCR_FRESH_ID_OFFSET + i]
+        assert r.status == "accepted" and r.dup_of is None, r

@@ -56,6 +56,8 @@ QUERIES = [
     # r4 additions
     "sim_maxsim_multivector",    # broadcast query tokens × corpus scan: linear
     "dedup_containment",         # same inverted-index machinery as ngram tier
+    # r5 additions
+    "dedup_incremental_minhash", # persisted-index banded probe: linear in index
 ]
 # which queries run at the deep factors (the bucketed self-join designs whose
 # 100 TB claim rests on staying sublinear); the all-pairs baseline stays at
@@ -76,6 +78,7 @@ DEEP = {
     "ts_range_join",
     "sim_maxsim_multivector",
     "dedup_containment",
+    "dedup_incremental_minhash",
 }
 
 # The designs whose 100 TB claim is "bucketed, not all-pairs" — excludes the
@@ -87,6 +90,7 @@ BUCKETED = {
     "dedup_simhash",
     "dedup_common_substring",
     "dedup_containment",
+    "dedup_incremental_minhash",
     "sim_ann_lsh",
 }
 BUCKETED_ALPHA_LIMIT = 1.0  # a bucketed design drifting superlinear is a bug
