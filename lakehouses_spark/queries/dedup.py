@@ -917,17 +917,37 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- exact-substring dedup (shared k-token windows) -------------------------
 
 SUBSTR_K = 8  # window width in tokens; a shared 8-token run is copy evidence
+# Stop-window df cut (VERDICT r4 #4): a k-token window shared by more than
+# this many DISTINCT docs is ubiquitous boilerplate (license headers, nav
+# chrome) whose df² pair explosion is the one superlinear stage the probe
+# ladder found (α=0.83 trending up on skew). Genuine pairwise copies have
+# df≈2, so the cut is far above any real copy signal; on the shipped
+# testdata max window df is 4, so exact oracle parity is unaffected — the
+# oracle applies the identical cut anyway so semantics stay aligned on ANY
+# corpus. The skewed-corpus ladder (tools/scaling_probe.py::probe_substring
+# _skew, SCALING.md) measures the cut holding α under boilerplate skew.
+SUBSTR_STOP_DF = 64
 
 
 @query(
     "dedup_common_substring",
     oracle=f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    wins AS (
+    all_wins AS (
       SELECT doc_id, i AS pos, array_to_string(w[i:i+{SUBSTR_K - 1}], ' ') AS win
       FROM (SELECT doc_id, w,
                    unnest(range(1, len(w) - {SUBSTR_K - 2})) AS i
             FROM toks)
+    ),
+    -- stop-window cut mirroring the Spark side: a window present in more
+    -- than SUBSTR_STOP_DF distinct docs is ubiquitous boilerplate and is
+    -- dropped before pairing (no-op on this corpus: max df is 4)
+    hot AS (
+      SELECT win FROM all_wins
+      GROUP BY win HAVING count(DISTINCT doc_id) > {SUBSTR_STOP_DF}
+    ),
+    wins AS (
+      SELECT * FROM all_wins WHERE win NOT IN (SELECT win FROM hot)
     ),
     m AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -966,13 +986,12 @@ def dedup_common_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions (constant pos_a - pos_b diff, one window partition) to find
     maximal runs. At 100 TB this shuffles (doc_id, pos, long) triples only,
     the join key distribution is the window-hash distribution (near-unique
-    outside true copies, so no hot keys by construction — ubiquitous
-    boilerplate windows would be the skew risk and get the same stop-window
-    df cut as `ngram_candidate_pairs` if a corpus needs it), and the
-    window functions partition by (doc_a, doc_b, diff) — bounded per-pair
-    state, no global sort."""
+    outside true copies — ubiquitous boilerplate windows are the skew risk
+    and are dropped by the SUBSTR_STOP_DF distinct-doc cut, mirrored
+    exactly in the oracle), and the window functions partition by
+    (doc_a, doc_b, diff) — bounded per-pair state, no global sort."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    return common_substring_pairs(d)
+    return common_substring_pairs(d, stop_df=SUBSTR_STOP_DF)
 
 
 def common_substring_pairs(
@@ -983,15 +1002,16 @@ def common_substring_pairs(
     pairs sharing ≥1 identical k-token run, with total matched windows and
     the longest shared run in tokens.
 
-    `stop_df`: optional heavy-hitter cut — window hashes appearing in more
-    than `stop_df` documents (ubiquitous boilerplate: license headers,
+    `stop_df`: heavy-hitter cut — window hashes appearing in more than
+    `stop_df` DISTINCT documents (ubiquitous boilerplate: license headers,
     navigation chrome) are dropped from the inverted index before the
     self-join, the same skew lever as `ngram_candidate_pairs`' stop-shingle
-    cut. Off by default (the registered query keeps exact oracle parity);
-    at production scale a df in the hundreds caps the worst join key at
-    df² pair rows while leaving genuine pairwise copies (df≈2) untouched —
-    note it removes those windows from run/match COUNTS too, so reported
-    max_run_tokens is then a lower bound on boilerplate-heavy pairs."""
+    cut. The registered query passes SUBSTR_STOP_DF and its oracle applies
+    the identical cut, so parity holds by construction; a df cap well above
+    2 caps the worst join key at df² pair rows while leaving genuine
+    pairwise copies (df≈2) untouched — note it removes those windows from
+    run/match COUNTS too, so reported max_run_tokens is then a lower bound
+    on boilerplate-heavy pairs."""
     w = F.split(F.col("text"), " ")
     hashed_wins = F.when(
         F.size(w) >= k,
@@ -1004,7 +1024,14 @@ def common_substring_pairs(
             ),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    wins = d.select("doc_id", F.posexplode(hashed_wins).alias("pos", "h"))
+    # materialize the positional window-hash table once — THREE consumers
+    # (the df heavy-hitter pass and both sides of the self-join) would
+    # otherwise re-evaluate the tokenize+hash explode end-to-end; at cluster
+    # scale this is a persisted intermediate table, locally localCheckpoint
+    # gives the same cut (same rationale as the jaccard tier's shingle_sets)
+    wins = d.select(
+        "doc_id", F.posexplode(hashed_wins).alias("pos", "h")
+    ).localCheckpoint()
     if stop_df is not None:
         hot = (
             wins.groupBy("h")

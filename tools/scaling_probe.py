@@ -184,6 +184,126 @@ def materialize(spark, base: str, factor: int, out: Path) -> str:
     return str(out)
 
 
+# Boilerplate-skew ladder (VERDICT r4 #4): the base document ladder keeps
+# window df ≈ copies by perturbing every replica, so it never exercises the
+# stop-window cut. This probe injects ONE shared 16-token header into 20% of
+# docs in every replica — header-window df grows linearly with the corpus,
+# the exact boilerplate skew that drove dedup_common_substring's α toward 2
+# without a cut. Measures the registered query's SUBSTR_STOP_DF cut holding
+# the exponent, with a small no-cut reference showing the explosion avoided.
+SKEW_FACTORS = (1, 2, 4, 8, 16)
+SKEW_NOCUT_FACTORS = (2, 4, 8)
+SKEW_HEADER_TOKENS = 16
+SKEW_HEADER_FRAC = 5  # doc_id % 5 == 0 → 20% of docs carry the header
+
+
+def probe_substring_skew(spark) -> list[str]:
+    from lakehouses_spark.queries.dedup import (
+        SUBSTR_STOP_DF,
+        common_substring_pairs,
+    )
+
+    from lakehouses_spark.io import spread
+
+    header = " ".join(f"hdr{j}" for j in range(SKEW_HEADER_TOKENS))
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t_cut: dict[int, float] = {}
+    t_nocut: dict[int, float] = {}
+    n_docs: dict[int, int] = {}
+    for factor in SKEW_FACTORS:
+        parts = []
+        for i in range(factor):
+            d = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 100_000_000))
+            if i > 0:
+                # per-copy body perturbation (as in materialize) so replication
+                # itself fabricates no cross-copy matches …
+                d = d.withColumn(
+                    "text",
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.split("text", " "),
+                            lambda w: F.concat(F.lit(f"c{i}"), w),
+                        ),
+                    ),
+                )
+            parts.append(d)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        # … while the UNperturbed header lands on 20% of docs in EVERY copy
+        # (the id shift is a multiple of 5): header-window df = 0.2·n_docs
+        docs = spread(
+            u.withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % SKEW_HEADER_FRAC == 0,
+                    F.concat(F.lit(header + " "), F.col("text")),
+                ).otherwise(F.col("text")),
+            )
+        ).localCheckpoint()
+        n_docs[factor] = docs.count()
+        common_substring_pairs(docs, stop_df=SUBSTR_STOP_DF).count()  # warm
+        t0 = time.perf_counter()
+        common_substring_pairs(docs, stop_df=SUBSTR_STOP_DF).count()
+        t_cut[factor] = round(time.perf_counter() - t0, 3)
+        if factor in SKEW_NOCUT_FACTORS:
+            t0 = time.perf_counter()
+            common_substring_pairs(docs, stop_df=None).count()
+            t_nocut[factor] = round(time.perf_counter() - t0, 3)
+    xs = [math.log(n_docs[f]) for f in SKEW_FACTORS]
+    ys = [math.log(max(t_cut[f], 1e-3)) for f in SKEW_FACTORS]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    nxs = [math.log(n_docs[f]) for f in SKEW_NOCUT_FACTORS]
+    nys = [math.log(max(t_nocut[f], 1e-3)) for f in SKEW_NOCUT_FACTORS]
+    nmx, nmy = sum(nxs) / len(nxs), sum(nys) / len(nys)
+    nocut_alpha = sum(
+        (x - nmx) * (y - nmy) for x, y in zip(nxs, nys)
+    ) / sum((x - nmx) ** 2 for x in nxs)
+    ratio = t_nocut[SKEW_NOCUT_FACTORS[-1]] / t_cut[SKEW_NOCUT_FACTORS[-1]]
+    verdict = (
+        f"α = {alpha:.2f} under boilerplate skew — the stop-window cut holds "
+        "the exponent."
+        if alpha <= 1.0
+        else f"**WARNING: skewed-corpus α = {alpha:.2f} > 1.0 with the cut "
+        "applied — the boilerplate lever is not fully capping the join.**"
+    )
+    return [
+        "",
+        "## dedup_common_substring under boilerplate skew (stop-window cut)",
+        "",
+        f"One shared {SKEW_HEADER_TOKENS}-token header injected into 20% of "
+        "docs in every replica (header-window df grows with the corpus — the "
+        "skew the base ladder's per-copy perturbation deliberately avoids). "
+        f"The registered query's SUBSTR_STOP_DF={SUBSTR_STOP_DF} distinct-doc "
+        "cut drops the header windows before the pair join:",
+        "",
+        "| docs | " + " | ".join(f"{n_docs[f]:,}" for f in SKEW_FACTORS)
+        + " | exponent α (t∝docs^α) |",
+        "|---|" + "---|" * (len(SKEW_FACTORS) + 1),
+        "| with cut (s) | "
+        + " | ".join(f"{t_cut[f]:.2f}" for f in SKEW_FACTORS)
+        + f" | {alpha:.2f} |",
+        "| no cut (s) | "
+        + " | ".join(
+            f"{t_nocut[f]:.2f}" if f in t_nocut else "—" for f in SKEW_FACTORS
+        )
+        + f" | {nocut_alpha:.2f} (→2: df² pair rows) |",
+        "",
+        verdict,
+        f"The no-cut reference diverges as the header df grows — "
+        f"{ratio:.1f}× the cut's time at {n_docs[SKEW_NOCUT_FACTORS[-1]]:,} "
+        f"docs with fitted α {nocut_alpha:.2f} trending to 2 (per-header-"
+        "window pair count is (0.2·n)²); deeper no-cut factors would just "
+        "re-prove the quadratic. The cut is parity-exact: the DuckDB oracle "
+        "applies the identical df filter, and on the shipped testdata max "
+        "window df is 4 so the cut is a no-op there.",
+    ]
+
+
 # Ingestion-engine file-count ladder (VERDICT r3 directive #8): the
 # relational/dedup tiers have data-volume probes; this drives the S10/S18
 # path (incremental file discovery → foreachBatch idempotent append →
@@ -367,9 +487,10 @@ def main() -> None:
         "windows are near-unique outside true copies, so join keys have",
         "df≈copies — no hot keys); its per-factor output is held constant",
         "by the probe's per-copy perturbation, so the trend isolates the",
-        "explode+join+window engine cost. The optional stop_df cut",
-        "(common_substring_pairs) is the skew lever for boilerplate-heavy",
-        "corpora where a window's df is NOT ≈2.",
+        "explode+join+window engine cost. The SUBSTR_STOP_DF stop-window cut",
+        "(wired into the registered query AND its oracle, r5) is the skew",
+        "lever for boilerplate-heavy corpora where a window's df is NOT ≈2 —",
+        "measured under injected skew in its own section below.",
         "`text_decontaminate`/`text_boilerplate_ngrams` are the curation",
         "tier's gram-explode + broadcast-probe shapes — linear by design",
         "(the broadcast side is benchmark-/K-bounded); their sub-second",
@@ -388,6 +509,7 @@ def main() -> None:
         "scale with keys×span, not events — the dense-grid cross join a",
         "naive gapfill would pay is exactly what the per-key spans avoid.",
     ]
+    lines += probe_substring_skew(spark)
     lines += probe_ingest(spark)
     Path(__file__).resolve().parent.parent.joinpath("SCALING.md").write_text(
         "\n".join(lines) + "\n"
