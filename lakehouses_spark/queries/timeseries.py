@@ -567,6 +567,24 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     in opposite orders, and a plain round() can flip on exact half-ulp
     boundaries (same class as ts_rolling_stats)."""
     e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return (
+        ewma_over(e)
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            "ewma",
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def ewma_over(e: DataFrame, rounded: bool = True) -> DataFrame:
+    """Frame-level EWMA core of ts_ewma (input: user_id, event_id, ts,
+    value — pre-filtered of NULL values): appends the truncated-window
+    `ewma` column. `rounded=False` skips the nudged-floor projection so the
+    property test (test_property.py) can compare the RAW weighted sum
+    against DuckDB's unrolled-lag formulation at full precision."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -581,17 +599,9 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = F.aggregate(decayed, F.lit(0.0), lambda a, x: a + x)
     denom = F.aggregate(weights, F.lit(0.0), lambda a, x: a + x)
-    return (
-        e.select("user_id", "event_id", "ts", "value")
-        .withColumn("ewma", F.floor(total / denom * 1e6 + 0.500001) / 1e6)
-        .select(
-            "user_id",
-            "event_id",
-            F.round("value", 2).alias("value"),
-            "ewma",
-        )
-        .orderBy("user_id", "event_id")
-    )
+    raw = total / denom
+    ewma = F.floor(raw * 1e6 + 0.500001) / 1e6 if rounded else raw
+    return e.select("user_id", "event_id", "ts", "value").withColumn("ewma", ewma)
 
 
 @query(
