@@ -86,6 +86,101 @@ def lake_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+CDC_BATCH_BOUNDS = ("2024-01-09", "2024-01-17", "2024-01-25")  # 4 batches
+
+
+@query(
+    "lake_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), last AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT user_id,
+           round(value, 2) AS last_value,
+           epoch_ms(ts) AS last_ts_ms
+    FROM last
+    WHERE event_type <> 'error'
+    ORDER BY user_id
+    """,
+)
+def lake_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES INTO (the DLT/Delta CDC pattern): an ordered change
+    feed applied to a LakeTable across sequential micro-batches, with
+    last-writer-wins per key and delete tombstones — the medallion silver
+    step that turns an event stream into current-state. Feed mapping:
+    events keyed by user_id ordered by (ts, event_id); event_type 'error'
+    is a DELETE op, everything else UPSERTs (value, ts).
+
+    The final table state must equal the oracle's single-pass
+    last-event-per-key computation — which holds only if batch sequencing,
+    within-batch collapse, and the delete/upsert MERGE routing are all
+    correct. Exercises the from-scratch transaction log end-to-end:
+    8 sequential MERGE commits (delete + upsert per batch) replaying a
+    month of changes in 4 time-ordered batches.
+
+    100 TB shape: each batch collapses to its per-key LAST change first
+    (one window over the batch — batch-sized, not table-sized), so every
+    MERGE source carries ≤ |keys in batch| rows; MERGE rewrites only
+    matched files (stats-pruned, bounded collect); deletes and upserts
+    split by terminal op so each key hits exactly one clause. This is the
+    shape Delta's APPLY CHANGES runs continuously."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value", "event_type"
+    )
+    from lakehouses_spark.tables import LakeTable
+
+    bounds = [F.lit(b).cast("timestamp") for b in CDC_BATCH_BOUNDS]
+    batches = [
+        e.where(F.col("ts") < bounds[0]),
+        e.where((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+        e.where((F.col("ts") >= bounds[1]) & (F.col("ts") < bounds[2])),
+        e.where(F.col("ts") >= bounds[2]),
+    ]
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t = LakeTable.create(
+            spark,
+            f"{tmp}/cdc_state",
+            e.select("user_id", "value", "ts").limit(0),
+        )
+        for b in batches:
+            terminal = (
+                b.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("user_id", "value", "ts", "event_type")
+                .localCheckpoint()  # one collapse job; both merges reuse it
+            )
+            deletes = terminal.where(F.col("event_type") == "error").select(
+                "user_id"
+            )
+            upserts = terminal.where(F.col("event_type") != "error").select(
+                "user_id", "value", "ts"
+            )
+            t.merge(
+                deletes,
+                "t.user_id = s.user_id",
+                when_matched_update=None,
+                when_not_matched_insert=None,
+                when_matched_delete=True,
+            )
+            t.merge(upserts, "t.user_id = s.user_id")
+        out = (
+            t.read()
+            .select(
+                "user_id",
+                F.round("value", 2).alias("last_value"),
+                F.unix_millis("ts").alias("last_ts_ms"),
+            )
+            .orderBy("user_id")
+        )
+        return out.localCheckpoint()
+
+
 @query("gold_als_recommendations", oracle=None)  # iterative ML → rows-only
 def gold_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: ALS recommender over implicit ratings derived from events

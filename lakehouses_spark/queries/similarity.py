@@ -86,6 +86,66 @@ def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FILTERED_KNN_LABELS = (1, 3, 5)  # the metadata predicate of the hybrid query
+FILTERED_KNN_PER_LABEL = 3
+
+
+@query(
+    "sim_filtered_knn",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id, label,
+             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6)
+               AS cos_sim
+      FROM embeddings, q
+      WHERE vec_id <> 0 AND label IN {FILTERED_KNN_LABELS}
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY label ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT vec_id, label, cos_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {FILTERED_KNN_PER_LABEL}
+    ORDER BY label, rnk
+    """,
+)
+def sim_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid (filtered) similarity search: top-k cosine neighbors of a
+    query vector restricted by a metadata predicate, faceted per label —
+    the retrieval query every production vector store actually serves
+    ("nearest docs WHERE lang='en' AND source='web'"), which pure-ANN
+    formulations miss.
+
+    100 TB shape: the label predicate is a plain column filter, so it
+    reaches the parquet scan (PushedFilters — the corpus outside the
+    filter is never read, the property that makes filtered search CHEAPER
+    than global search); the query vector broadcasts; scoring is one map;
+    per-label top-k is a window over only the filtered survivors. No
+    shuffle carries embeddings except the k winners."""
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.where(
+            (F.col("vec_id") != 0)
+            & F.col("label").isin(*FILTERED_KNN_LABELS)
+        )
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= FILTERED_KNN_PER_LABEL)
+        .orderBy("label", "rnk")
+    )
+
+
 # All-pairs guard (VERDICT r2 "weak" item): the exact baselines below are
 # O(n²) by design — correct at validation scale, a scale-killer beyond it.
 # Rather than silently launching a quadratic join on a big corpus, refuse

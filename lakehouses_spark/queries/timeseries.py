@@ -180,6 +180,87 @@ def ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OVERLAP_P_MIN = 30  # purchase attention interval [ts, ts+30min]
+OVERLAP_C_MIN = 10  # click attention interval [ts, ts+10min]
+OVERLAP_BUCKET_S = 3600  # time-bucket width for the co-location join
+
+
+@query(
+    "ts_interval_overlap_join",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS p_event_id, ts AS p_start,
+             ts + INTERVAL {OVERLAP_P_MIN} MINUTE AS p_end
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS c_event_id, ts AS c_start,
+             ts + INTERVAL {OVERLAP_C_MIN} MINUTE AS c_end
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p_event_id, c_event_id,
+           epoch_ms(least(p_end, c_end)) - epoch_ms(greatest(p_start, c_start))
+             AS overlap_ms
+    FROM p JOIN c ON p_start <= c_end AND c_start <= p_end
+    ORDER BY p_event_id, c_event_id
+    """,
+)
+def ts_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL interval-overlap join (no equi key): every purchase attention
+    interval [ts, ts+30m] paired with every click interval [ts, ts+10m]
+    that overlaps it in absolute time — concurrency analysis, the join
+    shape behind "what was happening while X ran". Unlike ts_range_join
+    there is no natural join key, so the naive Spark plan is a
+    nested-loop/cartesian over ALL interval pairs — the classic
+    interval-join scale-killer.
+
+    100 TB shape: TIME BUCKETING turns it into an equi join. Each interval
+    explodes into the {OVERLAP_BUCKET_S}-second buckets it touches (≤ 2
+    here: interval length ≪ bucket width, so the blow-up factor is
+    1 + len/bucket); the join keys on bucket (hash join, shuffle on bucket
+    ids); a pair overlapping across a bucket boundary matches in both
+    buckets, so distinct dedupes; the exact overlap predicate then
+    re-verifies on full-precision timestamps — bucketing only bounds the
+    candidate set, never the semantics. Per-bucket work is density², the
+    true output complexity of overlap joins; bucket width is the knob that
+    trades blow-up factor against per-bucket density. The epoch-floor
+    bucket ids are exact under second truncation (floor∘floor identity)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def intervals(kind: str, minutes: int, prefix: str) -> DataFrame:
+        return e.where(F.col("event_type") == kind).select(
+            F.col("event_id").alias(f"{prefix}_event_id"),
+            F.col("ts").alias(f"{prefix}_start"),
+            (F.col("ts") + F.expr(f"INTERVAL {minutes} MINUTE")).alias(
+                f"{prefix}_end"
+            ),
+        )
+
+    def bucketed(df: DataFrame, prefix: str) -> DataFrame:
+        lo = F.floor(F.col(f"{prefix}_start").cast("long") / OVERLAP_BUCKET_S)
+        hi = F.floor(F.col(f"{prefix}_end").cast("long") / OVERLAP_BUCKET_S)
+        return df.withColumn("bucket", F.explode(F.sequence(lo, hi)))
+
+    p = bucketed(intervals("purchase", OVERLAP_P_MIN, "p"), "p")
+    c = bucketed(intervals("click", OVERLAP_C_MIN, "c"), "c")
+    overlap = (F.col("p_start") <= F.col("c_end")) & (
+        F.col("c_start") <= F.col("p_end")
+    )
+    return (
+        p.join(c, "bucket")
+        .where(overlap)
+        .select(
+            "p_event_id",
+            "c_event_id",
+            (
+                F.unix_millis(F.least("p_end", "c_end"))
+                - F.unix_millis(F.greatest("p_start", "c_start"))
+            ).alias("overlap_ms"),
+        )
+        .distinct()  # boundary-spanning pairs matched in 2 buckets
+        .orderBy("p_event_id", "c_event_id")
+    )
+
+
 @query(
     "ts_sessionize",
     oracle="""

@@ -391,3 +391,22 @@ def test_pipeline_report_joins_verdicts_not_bodies(spark):
     plan = plan_of(REGISTRY["curation_pipeline_report"].fn(spark, SF), "simple")
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_is_bucketed_equi_join(spark):
+    """ts_interval_overlap_join exists to AVOID the nested-loop plan a
+    keyless interval join naturally produces: the bucket explode must turn
+    it into a hash equi-join on bucket ids, JVM-side end to end."""
+    plan = plan_of(REGISTRY["ts_interval_overlap_join"].fn(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" in plan  # and it IS a join, keyed on bucket
+
+
+def test_filtered_knn_pushes_label_filter_to_scan(spark):
+    """sim_filtered_knn's whole point at scale: the metadata predicate
+    reaches the parquet scan so the out-of-filter corpus is never read."""
+    plan = plan_of(REGISTRY["sim_filtered_knn"].fn(spark, SF))
+    assert "PushedFilters" in plan
+    assert "In(label" in plan

@@ -520,3 +520,22 @@ def test_incremental_minhash_verdicts(spark):
     for i in range(N_DOC_TWINS, 2 * N_DOC_TWINS):
         r = rows[INCR_FRESH_ID_OFFSET + i]
         assert r.status == "accepted" and r.dup_of is None, r
+
+
+def test_cdc_apply_delete_semantics(spark):
+    """lake_cdc_apply: users whose LAST change is a delete ('error') must be
+    absent from the final state; everyone else present exactly once."""
+    import duckdb
+
+    got = {r.user_id for r in REGISTRY["lake_cdc_apply"].fn(spark, SF).collect()}
+    last = duckdb.sql(f"""
+        SELECT user_id, event_type FROM (
+          SELECT user_id, event_type, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM '{SF}/events.parquet') WHERE rn = 1
+    """).fetchall()
+    deleted = {u for u, op in last if op == "error"}
+    live = {u for u, op in last if op != "error"}
+    assert deleted, "fixture should contain users ending on a delete"
+    assert got == live
+    assert not (got & deleted)
