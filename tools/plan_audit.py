@@ -41,6 +41,10 @@ HEAVY_PREFIXES = ("streaming_", "multimodal_", "lake_", "avro_", "gold_")
 NESTED_LOOP_OK = {
     "sim_pairs_threshold": "exact all-pairs baseline (guarded, documented)",
     "sim_knn_cosine": "single broadcast query row vs corpus — O(n), not n²",
+    "sim_filtered_knn": (
+        "single broadcast query row vs the FILTERED corpus — O(n_filtered),"
+        " same shape as sim_knn_cosine with the label predicate pushed down"
+    ),
     "sim_knn_batch": "bounded query batch broadcast vs corpus — O(n·batch)",
     "sample_temperature": "1-row global-total broadcast crossJoin",
     "ts_funnel": "1-row-per-side funnel-stage scalar joins",
