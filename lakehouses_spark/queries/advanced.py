@@ -181,6 +181,71 @@ def lake_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
 
 
+@query(
+    "streaming_cdc_apply",
+    # identical oracle to lake_cdc_apply: the STREAMING apply (two
+    # checkpointed drains, per-micro-batch collapse, exactly-once MERGE
+    # routing) must converge to the same last-writer-wins state as the
+    # one-shot batch computation — stream/batch unification for CDC.
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), last AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT user_id,
+           round(value, 2) AS last_value,
+           epoch_ms(ts) AS last_ts_ms
+    FROM last
+    WHERE event_type <> 'error'
+    ORDER BY user_id
+    """,
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming APPLY CHANGES INTO (T1/T3/T5 + D4 in one arc): the change
+    feed lands in a bronze LakeTable in two time-ordered halves; each drain
+    runs the laketable stream source → per-micro-batch last-change
+    collapse → delete/upsert MERGE routing into the state table
+    (streaming/cdc.py), with the (app_id, batch_id) idempotency guard
+    making replays exactly-once. The second drain starts from the
+    checkpoint and must UPDATE keys the first drain already settled —
+    and the final state must still hash-equal the one-shot batch
+    last-writer-wins oracle (the CDC form of stream/batch unification
+    that streaming_matview_rollup pins for aggregation)."""
+    from lakehouses_spark.streaming.cdc import start_apply_changes
+    from lakehouses_spark.tables import LakeTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value", "event_type"
+    )
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cutoff = lo + (hi - lo) / 2
+    with tempfile.TemporaryDirectory() as tmp:
+        feed = LakeTable.create(
+            spark, f"{tmp}/feed", events.where(F.col("ts") <= F.lit(cutoff))
+        )
+        for batch in (None, events.where(F.col("ts") > F.lit(cutoff))):
+            if batch is not None:
+                feed.append(batch)
+            q = start_apply_changes(
+                spark, feed.path, f"{tmp}/state", f"{tmp}/ckpt"
+            )
+            q.awaitTermination()
+        state = LakeTable(spark, f"{tmp}/state")
+        out = (
+            state.read()
+            .select(
+                "user_id",
+                F.round("value", 2).alias("last_value"),
+                F.unix_millis("ts").alias("last_ts_ms"),
+            )
+            .orderBy("user_id")
+        )
+        rows = out.collect()  # materialize before tmp vanishes
+        return spark.createDataFrame(rows, out.schema)
+
+
 @query("gold_als_recommendations", oracle=None)  # iterative ML → rows-only
 def gold_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: ALS recommender over implicit ratings derived from events

@@ -81,3 +81,48 @@ def test_rollup_view_replay_after_checkpoint_loss_is_idempotent(
     q.awaitTermination()
     assert gold.version == v, "replayed batch must not commit again"
     assert _norm(gold.read()) == before
+
+
+def test_apply_changes_replay_after_checkpoint_loss_is_idempotent(
+    spark, tmp_path
+):
+    """Streaming APPLY CHANGES (streaming/cdc.py): same worst-case replay
+    as the rollup view — checkpoint wiped, source replayed from offset
+    zero — the (app_id, batch_id) guard must skip the already-applied
+    delete/upsert merges, leaving both version chain and state identical."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from lakehouses_spark.streaming.cdc import start_apply_changes
+
+    events = load_table(spark, SF, "events").select(
+        "user_id", "event_id", "ts", "value", "event_type"
+    )
+    feed = LakeTable.create(spark, tmp_path / "feed", events)
+    state_path = tmp_path / "state"
+    ckpt = tmp_path / "ckpt"
+
+    q = start_apply_changes(spark, feed.path, state_path, ckpt)
+    q.awaitTermination()
+    state = LakeTable(spark, state_path)
+    v = state.version
+    before = sorted((r.user_id, r.value) for r in state.read().collect())
+    assert before, "state table should have settled keys"
+    # delete semantics: users whose last change is an error are absent
+    last = events.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        ),
+    ).where("rn = 1")
+    deleted = {r.user_id for r in last.where("event_type = 'error'").collect()}
+    assert deleted and not ({u for u, _ in before} & deleted)
+
+    shutil.rmtree(ckpt)  # lose the streaming checkpoint entirely
+    q = start_apply_changes(spark, feed.path, state_path, ckpt)
+    q.awaitTermination()
+    assert state.version == v, "replayed batch must not commit again"
+    assert sorted((r.user_id, r.value) for r in state.read().collect()) == before
