@@ -770,3 +770,71 @@ def curation_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Target language mixture for the mixture-planning report (the
+# Pile/Dolma-style "what do we sample from where" table). English-heavy
+# with equal tails — the binding constraint is whichever language has the
+# least headroom relative to its target share.
+MIX_TARGET_WEIGHTS = (
+    ("en", 0.5), ("de", 0.125), ("es", 0.125), ("fr", 0.125), ("zh", 0.125),
+)
+
+
+@query(
+    "curation_mix_weights",
+    oracle=f"""
+    WITH w(lang, tw) AS (VALUES {", ".join(f"('{l}', CAST({t} AS DOUBLE))" for l, t in MIX_TARGET_WEIGHTS)}),
+    avail AS (
+      SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS avail_tokens
+      FROM documents GROUP BY lang
+    ), j AS (
+      SELECT a.lang, avail_tokens, tw, avail_tokens / tw AS cap
+      FROM avail a JOIN w ON w.lang = a.lang
+    ), b AS (SELECT min(cap) AS budget FROM j)
+    SELECT lang, avail_tokens, tw AS target_weight,
+           CAST(floor(budget * tw) AS BIGINT) AS alloc_tokens,
+           round(budget * tw / avail_tokens, 6) AS sample_rate,
+           cap = budget AS binding
+    FROM j, b ORDER BY lang
+    """,
+)
+def curation_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture planning (the Pile/Dolma mixture table): given
+    target LANGUAGE weights and the corpus's available tokens per
+    language, compute the maximum total token budget reachable WITHOUT
+    upsampling (min over languages of available/weight — the binding
+    constraint), each language's allocation, and the per-language sampling
+    rate a downstream `sample_hash_split`-style pass would apply. The
+    `binding` flag marks the language that caps the whole mixture — the
+    answer to "what do we need more of".
+
+    100 TB shape: ONE hash aggregation over the corpus (token counts per
+    language — map-side combining, 5 groups), a broadcast join against the
+    5-row weight table, and a 1-row budget broadcast back. The corpus is
+    scanned once; everything after is constant-size arithmetic, identical
+    expression order in both engines so the doubles compare exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    w = spark.createDataFrame(list(MIX_TARGET_WEIGHTS), "lang string, tw double")
+    avail = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("avail_tokens")
+    )
+    j = avail.join(F.broadcast(w), "lang").withColumn(
+        "cap", F.col("avail_tokens") / F.col("tw")
+    )
+    budget = j.agg(F.min("cap").alias("budget"))
+    return (
+        j.crossJoin(F.broadcast(budget))
+        .select(
+            "lang",
+            "avail_tokens",
+            F.col("tw").alias("target_weight"),
+            F.floor(F.col("budget") * F.col("tw")).cast("long").alias("alloc_tokens"),
+            F.round(
+                F.col("budget") * F.col("tw") / F.col("avail_tokens"), 6
+            ).alias("sample_rate"),
+            (F.col("cap") == F.col("budget")).alias("binding"),
+        )
+        .orderBy("lang")
+    )

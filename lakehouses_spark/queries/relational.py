@@ -633,6 +633,40 @@ def sql_over_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_lateral_topk",
+    oracle="""
+    SELECT n.n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer
+             WHERE c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+    ORDER BY n.n_name, acctbal DESC, c.c_name
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    "top-2 customers per nation" query in its SQL-standard LATERAL
+    spelling (J-family SQL-surface parity: both engines accept the same
+    text). Catalyst DECORRELATES it: the executed plan is a hash equi-join
+    on the correlation key plus a per-group limit — no per-outer-row
+    re-execution, which is what makes the declarative spelling survive
+    scale; the tie order (c_acctbal DESC, c_name) is total, so the LIMIT
+    cutoff is deterministic in both engines."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal
+        FROM nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        ORDER BY n.n_name, acctbal DESC, c.c_name
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / limits (O1-O3)
 # ---------------------------------------------------------------------------

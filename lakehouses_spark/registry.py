@@ -80,12 +80,12 @@ _SWEEP_PRIORITY = [
     # --- 3. new round-5 queries: first driver row ---
     "dedup_incremental_minhash", "sim_filtered_knn",
     "ts_interval_overlap_join", "lake_cdc_apply", "streaming_cdc_apply",
+    "join_lateral_topk", "curation_mix_weights",
     # --- 4. oldest r2 rows, refreshed (fills to exactly 50) ---
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "lake_dml_roundtrip", "streaming_windowed_drain",
     "streaming_stateful_totals", "avro_file_roundtrip", "ts_asof_join",
-    "ts_sessionize", "sim_knn_cosine", "sim_ann_lsh", "sim_ann_ivf",
-    "window_topk_per_group",
+    "ts_sessionize", "sim_knn_cosine", "sim_ann_lsh",
 ]
 
 # Queries registered after the current round's 50-entry sweep budget

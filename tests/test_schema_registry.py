@@ -95,3 +95,13 @@ def test_decode_multiplex_splits_by_header_id(spark, registry):
     # null-filled across the evolution union
     pages = {r.id: r.page for r in out.collect()}
     assert pages[0] is None and pages[102] == "/p2"
+
+
+def test_decode_multiplex_empty_input_returns_empty_frame(spark, registry):
+    """ADVICE r4 #2: an empty (or all-null) stream slice has no schema ids
+    to resolve — decode_multiplex must return an empty frame with the
+    _schema_id column instead of raising IndexError on branches[0]."""
+    df = spark.createDataFrame([], "value binary")
+    out = decode_multiplex(df, "value", registry)
+    assert out.columns == ["_schema_id"]
+    assert out.count() == 0

@@ -47,6 +47,7 @@ NESTED_LOOP_OK = {
     ),
     "sim_knn_batch": "bounded query batch broadcast vs corpus — O(n·batch)",
     "sample_temperature": "1-row global-total broadcast crossJoin",
+    "curation_mix_weights": "1-row mixture-budget broadcast crossJoin",
     "ts_funnel": "1-row-per-side funnel-stage scalar joins",
     "q11_value_concentration": "decorrelated 1-row scalar cutoff theta-compare",
     "q22_dormant_customers": "decorrelated 1-row scalar avg theta-compare",
