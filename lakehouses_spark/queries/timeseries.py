@@ -105,7 +105,14 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     on user_id, sequential scan per partition) rather than an O(n·m)
     inequality join: tag both streams, union, then last-non-null over an
     event-time-ordered window."""
-    e = load_table(spark, sf_dir, "events")
+    return asof_merge(load_table(spark, sf_dir, "events"))
+
+
+def asof_merge(e: DataFrame) -> DataFrame:
+    """Frame-level core of ts_asof_join (input: event_id, user_id, ts,
+    value, event_type) — exposed so the tie-break property test
+    (test_property.py) can drive the exact production expressions on
+    synthetic tied-timestamp frames."""
     purchases = e.where(F.col("event_type") == "purchase")
     clicks = e.where(F.col("event_type") == "click").select(
         "user_id",

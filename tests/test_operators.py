@@ -94,3 +94,36 @@ def test_top_k_per_group_operator(spark):
     top = top_k_per_group(orders, ["o_orderpriority"], "o_totalprice", k=3)
     counts = top.groupBy("o_orderpriority").count().collect()
     assert all(r["count"] == 3 for r in counts)
+
+
+def test_interval_overlap_bucket_boundary_dedup(spark):
+    """ts_interval_overlap_join's candidate join matches a boundary-spanning
+    pair once per shared bucket; the distinct must collapse them to ONE
+    result row, and bucketing must not miss pairs that overlap only across
+    an hour boundary."""
+    from lakehouses_spark.queries import timeseries as ts_mod
+    from pyspark.sql import functions as F
+
+    # purchase 10:45–11:15 (buckets 10,11); click 10:50–11:00 (10,11 too):
+    # matched in TWO buckets -> one output row. Second click 11:10–11:20
+    # overlaps only the purchase's second bucket. Third click 09:00–09:10
+    # doesn't overlap at all.
+    rows = [
+        (1, "purchase", "2024-01-01 10:45:00"),
+        (2, "click", "2024-01-01 10:50:00"),
+        (3, "click", "2024-01-01 11:10:00"),
+        (4, "click", "2024-01-01 09:00:00"),
+    ]
+    e = spark.createDataFrame(rows, "event_id long, event_type string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+
+    import unittest.mock as mock
+
+    with mock.patch.object(ts_mod, "load_table", lambda _s, _d, _n: e):
+        out = ts_mod.ts_interval_overlap_join(spark, "ignored")
+        got = {(r.p_event_id, r.c_event_id): r.overlap_ms for r in out.collect()}
+    assert set(got) == {(1, 2), (1, 3)}
+    # overlap durations: click2 fully inside (10 min); click3 overlaps
+    # 11:10 → 11:15 (5 min)
+    assert got[(1, 2)] == 10 * 60 * 1000
+    assert got[(1, 3)] == 5 * 60 * 1000

@@ -258,3 +258,63 @@ def test_ewma_truncated_lag_parity(spark, series):
     assert set(s_rows) == set(d_rows)
     for k in s_rows:
         assert _close(s_rows[k], d_rows[k]), f"{k}: {s_rows[k]} vs {d_rows[k]}"
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # user
+            st.integers(0, 5),                      # ts (tiny range → ties)
+            st.sampled_from(["click", "purchase"]),
+            st.floats(allow_nan=False, allow_infinity=False,
+                      min_value=-100, max_value=100),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_asof_tie_break_parity(spark, events):
+    """ADVICE r4 #3 pin under ACTUAL ties (the shipped testdata has none):
+    clicks sharing (user_id, ts) must resolve to the same winner in the
+    Spark union+window merge (c_event_id tie-break) and the oracle's
+    collapse-then-ASOF formulation (max/arg_max per (user_id, ts))."""
+    from pyspark.sql import functions as F
+
+    from lakehouses_spark.queries.timeseries import asof_merge
+
+    rows = [
+        (i, u, t, typ, v) for i, (u, t, typ, v) in enumerate(events)
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    s_rows = {
+        r.event_id: (r.prior_click_id, r.prior_click_value)
+        for r in asof_merge(e).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, user_id BIGINT, ts BIGINT,"
+        " event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, ?, ?, ?)",
+        [[i, u, t, typ, v] for i, u, t, typ, v in rows],
+    )
+    d_rows = {
+        eid: (pid, pv)
+        for eid, pid, pv in con.execute(
+            """
+            SELECT p.event_id, c.event_id, round(c.value, 2)
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (
+              SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS event_id,
+                     arg_max(value, event_id) AS value
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id, ts
+            ) c ON p.user_id = c.user_id AND p.ts >= c.ts
+            """
+        ).fetchall()
+    }
+    assert s_rows == d_rows
