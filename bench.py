@@ -24,6 +24,15 @@ exceeds its cold time is retried once (interference, not physics); if the
 inversion persists, `warm_gt_cold` lists it so the artifact self-reports its
 own invalidity. Interpret any run with loadavg_start[0] >> cpu count or a
 non-empty warm_gt_cold as contaminated — see BASELINE.md.
+
+Round-6 protocol hardening (VERDICT r5 #3, after two consecutive rounds of
+loaded-machine artifacts): the run now GATES on loadavg at startup. It polls
+until the 1-minute loadavg drops below LOADAVG_GATE (1.5), waiting up to
+$SPARK_GRAFT_BENCH_MAX_WAIT seconds (default 900 — load decays with a ~1-min
+time constant, so a just-finished test suite drains well inside that). If the
+machine never quiets, it REFUSES to run (exit 2) rather than emitting another
+noise-bounded artifact, unless --force / SPARK_GRAFT_BENCH_FORCE=1 is given
+(the forced artifact carries "loadavg_gate": "forced" so it self-reports).
 """
 
 from __future__ import annotations
@@ -60,7 +69,44 @@ R1_WARM_TOTAL = 12.967  # round-1 anchor (warm pass, sf0.1, local[32])
 TRACKED_EXTRA = ["text_perplexity_proxy"]
 
 
+LOADAVG_GATE = 1.5  # BASELINE.md: only quiet runs are comparable across rounds
+
+
+def wait_for_quiet_machine() -> str:
+    """Block until loadavg[0] < LOADAVG_GATE; refuse to run if it never quiets.
+
+    Returns the gate disposition recorded in the artifact: "passed" (quiet at
+    first check), "waited" (quieted within the window), or "forced".
+    """
+    forced = "--force" in sys.argv or os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1"
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "900"))
+    deadline = time.time() + max_wait
+    first = os.getloadavg()[0]
+    if first < LOADAVG_GATE:
+        return "passed"
+    if forced:
+        print(f"bench: loadavg {first:.2f} >= {LOADAVG_GATE}, forced on", file=sys.stderr)
+        return "forced"
+    while time.time() < deadline:
+        load = os.getloadavg()[0]
+        if load < LOADAVG_GATE:
+            return "waited"
+        print(
+            f"bench: loadavg {load:.2f} >= {LOADAVG_GATE}, waiting for quiet "
+            f"machine ({deadline - time.time():.0f}s left)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+    print(
+        f"bench: machine never quieted below {LOADAVG_GATE} within {max_wait:.0f}s "
+        "— refusing to emit a contaminated artifact (rerun, or --force).",
+        file=sys.stderr,
+    )
+    sys.exit(2)
+
+
 def main() -> None:
+    gate = wait_for_quiet_machine()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf")) if "sf" in Path(sf_dir).name else 0.1
 
@@ -143,6 +189,7 @@ def main() -> None:
                 "warm_vs_r1": round(warm_total / R1_WARM_TOTAL, 3),
                 "sf": sf,
                 "loadavg_start": loadavg_start,
+                "loadavg_gate": gate,
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "cpus": os.cpu_count(),
                 "cold_pass_wall_s": cold_wall,

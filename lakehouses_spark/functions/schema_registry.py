@@ -166,7 +166,10 @@ def from_avro_registry(
 
 
 def decode_multiplex(
-    df: DataFrame, value_col: str, client: SchemaRegistryClient
+    df: DataFrame,
+    value_col: str,
+    client: SchemaRegistryClient,
+    known_ids: list[int] | None = None,
 ) -> DataFrame:
     """Registry-driven MULTIPLEX decode: a mixed stream where each record's
     Confluent header carries its own schema id. Splits the frame by header
@@ -178,23 +181,35 @@ def decode_multiplex(
     100 TB shape: the id scan is a pure column expression; each per-id
     decode is an independent filtered branch of the SAME scan (Spark reuses
     the exchange), and the union is metadata-only. The distinct-id collect
-    is bounded by the registry's schema count, never by data volume."""
+    is bounded by the registry's schema count, never by data volume.
+
+    Schema stability: the output schema depends on which ids appear in the
+    batch. Pass ``known_ids`` (the subject's known schema ids, or the ids
+    seen so far) to pin the output shape — an EMPTY batch then still yields
+    every payload column of those schemas (zero rows), so a foreachBatch
+    consumer writing to a fixed-schema sink no-ops instead of hitting a
+    schema mismatch. WITHOUT ``known_ids``, the degenerate empty-input
+    schema is a single ``_schema_id BIGINT`` column (no payload columns can
+    be inferred from zero records) — callers with fixed-schema sinks must
+    either pass ``known_ids`` or skip empty batches."""
     ids = [
         r.sid
         for r in df.select(schema_registry_id(F.col(value_col)).alias("sid"))
         .distinct()
         .collect()
+        if r.sid is not None
     ]
+    ids = sorted(set(ids) | set(known_ids or []))
     if not ids:
-        # Empty input (or all-null value column): no schema ids to resolve,
-        # so no payload columns exist yet — return an empty frame with just
-        # the id column rather than raising IndexError on branches[0].
+        # Empty input (or all-null value column) and no known_ids: no schema
+        # ids to resolve, so no payload columns exist — return an empty
+        # frame with just the id column rather than raising on branches[0].
         return (
             df.select(schema_registry_id(F.col(value_col)).alias("_schema_id"))
             .where(F.lit(False))
         )
     branches = []
-    for sid in sorted(ids):
+    for sid in ids:
         schema = client.get_schema(sid)
         decoded = (
             df.where(schema_registry_id(F.col(value_col)) == sid)

@@ -164,8 +164,16 @@ class IngestionEngine:
         app_id = f"{cfg['datasource']}.{cfg['dataset']}"
         partition_by = (cfg.get("sink") or {}).get("partition_by")
         spark = self.spark
+        trigger = trigger or {"availableNow": True}
         mft = (cfg.get("source", {}).get("options") or {}).get("maxFilesPerTrigger")
-        archive_cap = int(mft) if mft is not None else None
+        # The cap is only meaningful under triggers that HONOR
+        # maxFilesPerTrigger (availableNow / processingTime). Trigger.Once
+        # ignores it — one batch legitimately drains everything pending —
+        # so enforcing there would raise after the (idempotent) append and
+        # wedge the stream: every restart replays the batch, skips the
+        # append, and re-raises in archive.
+        honors_mft = "once" not in {k.lower() for k in trigger}
+        archive_cap = int(mft) if mft is not None and honors_mft else None
 
         def process_batch(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.persist()
@@ -189,7 +197,6 @@ class IngestionEngine:
             .option("checkpointLocation", str(self._checkpoint(cfg)))
             .queryName(app_id)
         )
-        trigger = trigger or {"availableNow": True}
         writer = writer.trigger(**trigger)
         return writer.start()
 

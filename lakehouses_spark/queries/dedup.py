@@ -763,6 +763,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 INCR_FRESH_ID_OFFSET = 2_000_000  # incoming docs with no corpus near-dup
+# Match threshold for the incremental near-dup verdict. Sits at the START of
+# the 8×4 banding's high-recall region (ADVICE r5 #4): P(candidate) =
+# 1-(1-j^4)^8 is ~6% at j=0.3 but ≥67% at 0.6 and ≥99.99% at j≥0.9 — an
+# oracle that admitted j≥0.3 matches would be flaky the moment a regenerated
+# corpus produced an organic batch-vs-corpus best match the banding almost
+# never finds. The regen pin (tests/test_quality.py::
+# test_incremental_minhash_no_uncertain_band_pairs) asserts the shipped data
+# keeps every qualifying pair at j≥0.9, where recall is effectively certain.
+INCR_MINHASH_THRESHOLD = 0.6
 
 
 @query(
@@ -803,7 +812,7 @@ INCR_FRESH_ID_OFFSET = 2_000_000  # incoming docs with no corpus near-dup
       FROM shared
       JOIN sizes si ON si.doc_id = in_doc
       JOIN sizes se ON se.doc_id = ex_doc
-      WHERE n_shared / (si.n + se.n - n_shared) >= 0.3
+      WHERE n_shared / (si.n + se.n - n_shared) >= {INCR_MINHASH_THRESHOLD}
     ), best AS (
       SELECT in_doc, ex_doc, j, row_number() OVER (
                PARTITION BY in_doc ORDER BY j DESC, ex_doc) AS rn
@@ -883,7 +892,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand.join(si, "in_doc")
             .join(se, "ex_doc")
             .withColumn("j", inter / union)
-            .where(F.col("j") >= 0.3)  # unrounded, matching the oracle WHERE
+            # unrounded, matching the oracle WHERE; threshold sits in the
+            # banding's high-recall region (see INCR_MINHASH_THRESHOLD)
+            .where(F.col("j") >= INCR_MINHASH_THRESHOLD)
         )
         wbest = Window.partitionBy("in_doc").orderBy(F.col("j").desc(), "ex_doc")
         best = (

@@ -89,11 +89,14 @@ def ts_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (
       -- deterministic tie rule (see ts_asof_tolerance): highest event_id
-      -- wins among clicks sharing (user_id, ts)
-      SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS event_id,
-             arg_max(value, event_id) AS value
+      -- wins among clicks sharing (user_id, ts). row_number collapse, not
+      -- max/arg_max: the WINNING ROW supplies both id and value — DuckDB's
+      -- arg_max skips NULL values, which would pair max(event_id) with an
+      -- older row's value when the winner's value is NULL.
+      SELECT user_id, ts, event_id, value
       FROM events WHERE event_type = 'click'
-      GROUP BY user_id, ts
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
     ) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     ORDER BY p.event_id
@@ -146,11 +149,26 @@ def asof_merge(e: DataFrame) -> DataFrame:
         .orderBy("evt_ts", "is_purchase", "c_event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # One struct-valued last, not two independent lasts: id and value must
+    # come from the SAME winning click row. With independent
+    # last(c_value, ignorenulls=True), a winning click whose value is NULL
+    # would reach back to an OLDER click's value while the id came from the
+    # winner — the oracle (which collapses ties and takes the matched row's
+    # value) returns NULL there. The struct is NULL exactly on purchase
+    # rows, so ignorenulls skips purchases but honors a NULL value inside
+    # a click's struct.
+    click_struct = F.when(
+        F.col("is_purchase") == 0, F.struct("c_event_id", "c_value")
+    )
     return (
-        tagged.withColumn("prior_click_id", F.last("c_event_id", ignorenulls=True).over(w))
-        .withColumn("prior_click_value", F.round(F.last("c_value", ignorenulls=True).over(w), 2))
+        tagged.withColumn("prior_click", F.last(click_struct, ignorenulls=True).over(w))
         .where(F.col("is_purchase") == 1)
-        .select("event_id", "user_id", "prior_click_id", "prior_click_value")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("prior_click.c_event_id").alias("prior_click_id"),
+            F.round(F.col("prior_click.c_value"), 2).alias("prior_click_value"),
+        )
         .orderBy("event_id")
     )
 
@@ -976,11 +994,12 @@ ASOF_TOLERANCE_S = 3600  # match window: most recent click within 1 hour
       -- tie rule: among clicks sharing (user_id, ts) the HIGHEST event_id
       -- wins, collapsed BEFORE the ASOF join so the winner is deterministic
       -- by construction (DuckDB's ASOF is otherwise tie-arbitrary; the
-      -- Spark side orders its window by c_event_id to match)
-      SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS event_id,
-             arg_max(value, event_id) AS value
+      -- Spark side orders its window by c_event_id to match). row_number,
+      -- not max/arg_max: arg_max skips NULL values and would mix rows.
+      SELECT user_id, ts, event_id, value
       FROM events WHERE event_type = 'click'
-      GROUP BY user_id, ts
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
     ) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     ORDER BY p.event_id
@@ -1031,16 +1050,21 @@ def ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = F.col("matched_ts") >= F.col("evt_ts") - F.expr(
         f"INTERVAL {ASOF_TOLERANCE_S} SECOND"
     )
+    # Struct-valued last (same reasoning as asof_merge): matched id, value
+    # and ts must all come from the SAME winning click row, so a winner with
+    # a NULL value yields NULL — not an older click's value.
+    click_struct = F.when(
+        F.col("is_purchase") == 0, F.struct("c_event_id", "c_value", "c_ts")
+    )
     return (
-        tagged.withColumn("matched_id", F.last("c_event_id", ignorenulls=True).over(w))
-        .withColumn("matched_value", F.last("c_value", ignorenulls=True).over(w))
-        .withColumn("matched_ts", F.last("c_ts", ignorenulls=True).over(w))
+        tagged.withColumn("matched", F.last(click_struct, ignorenulls=True).over(w))
+        .withColumn("matched_ts", F.col("matched.c_ts"))
         .where(F.col("is_purchase") == 1)
         .select(
             "event_id",
             "user_id",
-            F.when(within, F.col("matched_id")).alias("prior_click_id"),
-            F.when(within, F.round("matched_value", 2)).alias("prior_click_value"),
+            F.when(within, F.col("matched.c_event_id")).alias("prior_click_id"),
+            F.when(within, F.round(F.col("matched.c_value"), 2)).alias("prior_click_value"),
         )
         .orderBy("event_id")
     )

@@ -266,8 +266,7 @@ def test_ewma_truncated_lag_parity(spark, series):
             st.integers(0, 2),                      # user
             st.integers(0, 5),                      # ts (tiny range → ties)
             st.sampled_from(["click", "purchase"]),
-            st.floats(allow_nan=False, allow_infinity=False,
-                      min_value=-100, max_value=100),
+            maybe_null_doubles,  # NULL click values: ADVICE r5 #3
         ),
         min_size=1,
         max_size=30,
@@ -278,7 +277,12 @@ def test_asof_tie_break_parity(spark, events):
     """ADVICE r4 #3 pin under ACTUAL ties (the shipped testdata has none):
     clicks sharing (user_id, ts) must resolve to the same winner in the
     Spark union+window merge (c_event_id tie-break) and the oracle's
-    collapse-then-ASOF formulation (max/arg_max per (user_id, ts))."""
+    collapse-then-ASOF formulation (row_number per (user_id, ts)).
+
+    ADVICE r5 #3: values are NULL-bearing — a winning click whose value is
+    NULL must yield a NULL prior_click_value (struct-valued last), not an
+    older click's value; the oracle collapse uses row_number, not arg_max
+    (which skips NULL values and would mix rows)."""
     from pyspark.sql import functions as F
 
     from lakehouses_spark.queries.timeseries import asof_merge
@@ -309,10 +313,10 @@ def test_asof_tie_break_parity(spark, events):
             SELECT p.event_id, c.event_id, round(c.value, 2)
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (
-              SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS event_id,
-                     arg_max(value, event_id) AS value
+              SELECT user_id, ts, event_id, value
               FROM events WHERE event_type = 'click'
-              GROUP BY user_id, ts
+              QUALIFY row_number() OVER (
+                PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
             ) c ON p.user_id = c.user_id AND p.ts >= c.ts
             """
         ).fetchall()

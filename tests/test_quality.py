@@ -522,6 +522,30 @@ def test_incremental_minhash_verdicts(spark):
         assert r.status == "accepted" and r.dup_of is None, r
 
 
+def test_incremental_minhash_no_uncertain_band_pairs():
+    """Regen pin (ADVICE r5 #4): the Spark/oracle hash match relies on the
+    8×4 banding recovering every ORACLE-best pair. Recovery is near-certain
+    only at j ≥ 0.9 (P ≈ 0.99998 per pair) — a best match in
+    [threshold, 0.9) would make the driver row flaky. Assert the shipped
+    corpus produces no such pair: every non-null best-match jaccard in the
+    exact all-pairs oracle sits in the certain-recall region. If a testdata
+    regen flips this, raise bands or shrink rows-per-band before re-rowing."""
+    from lakehouses_spark.queries.dedup import INCR_MINHASH_THRESHOLD
+    from lakehouses_spark.registry import load_all_queries
+    from tests.oracle import duckdb_connection
+
+    oracle = load_all_queries()["dedup_incremental_minhash"].oracle
+    con = duckdb_connection(SF)
+    jaccards = [j for (j,) in con.execute(
+        f"SELECT jaccard FROM ({oracle}) WHERE jaccard IS NOT NULL"
+    ).fetchall()]
+    assert jaccards, "twin injection should produce matches"
+    assert min(jaccards) >= 0.9, (
+        f"best-match jaccard {min(jaccards)} inside the banding's uncertain "
+        f"band [{INCR_MINHASH_THRESHOLD}, 0.9) — driver row would be flaky"
+    )
+
+
 def test_cdc_apply_delete_semantics(spark):
     """lake_cdc_apply: users whose LAST change is a delete ('error') must be
     absent from the final state; everyone else present exactly once."""
