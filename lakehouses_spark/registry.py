@@ -53,39 +53,33 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # emitted FIRST, so the hard signal lands on them; everything already
 # driver-verified in round 1 follows in registration order.
 _SWEEP_PRIORITY = [
-    # Round-5 rotation, sized to the 50-entry budget exactly:
-    #   1. the 21 round-4 additions that were deferred past the r4 budget
-    #      (SWEEP_DEFERRED_TO_NEXT_ROUND, now cleared) — FIRST driver row,
-    #   2. all 11 remaining r1-only rows (8 oracle-checked stable shapes
-    #      + the 3 rows-only-by-design queries) — after this rotation no
-    #      driver row in the registry is older than round 2,
-    #   3. new round-5 queries — first driver row, registered into free
-    #      budget slots so the deferral queue stays empty,
-    #   4. oldest round-2 rows (headline TPC-H, lakehouse DML, streaming
-    #      drains, then the longest-untouched families) to fill to 50.
-    # --- 1. round-4 deferred: first driver row (21) ---
-    "dedup_containment", "fn_trig_family", "fn_regexp_family",
-    "curation_domain_cap", "dedup_url_canonical", "sim_maxsim_multivector",
-    "join_salted_skew", "ts_asof_tolerance", "window_distinct_rolling",
-    "fn_interval_family", "graph_triangles", "curation_pipeline_report",
-    "fn_pad_family", "multimodal_tar_shards", "curation_length_profile",
-    "window_rolling_median", "ts_cross_correlation", "window_streaks",
-    "subquery_not_in_null_trap", "streaming_session_drain",
-    "lake_clone_isolation",
-    # --- 2. r1-only refresh: the final 11 (zero r1 rows remain after) ---
-    "project_rename_derive", "filter_between_in", "distinct_projection",
-    "sort_limit_topk", "set_except", "set_intersect", "union_by_name",
-    "sql_over_path", "agg_approx_distinct", "random_split_sample",
-    "gold_als_recommendations",
-    # --- 3. new round-5 queries: first driver row ---
-    "dedup_incremental_minhash", "sim_filtered_knn",
-    "ts_interval_overlap_join", "lake_cdc_apply", "streaming_cdc_apply",
-    "join_lateral_topk", "curation_mix_weights",
-    # --- 4. oldest r2 rows, refreshed (fills to exactly 50) ---
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "lake_dml_roundtrip", "streaming_windowed_drain",
-    "streaming_stateful_totals", "avro_file_roundtrip", "ts_asof_join",
-    "ts_sessionize", "sim_knn_cosine", "sim_ann_lsh",
+    # Round-6 rotation (VERDICT r5 #2), sized to the 50-entry budget:
+    #   1. new round-6 queries — FIRST driver row, registered straight into
+    #      budget slots (deferral queue stays empty),
+    #   2. ALL 37 rows whose latest driver row is round 2 (the oldest hard
+    #      external signal in the registry) — after this rotation no row is
+    #      older than round 3,
+    #   3. oldest round-3 rows to fill to exactly 50.
+    # --- 1. new round-6 queries: first driver row ---
+    "lake_delta_log_export",
+    # --- 2. the 37 r2-stale rows ---
+    "join_inner_agg", "join_left_outer", "join_full_outer", "join_semi",
+    "fn_string_family", "fn_date_family", "fn_array_family", "fn_json_family",
+    "window_topk_per_group", "window_running_sum", "window_lag_delta",
+    "window_rank_dense", "window_lead_ntile", "window_dedup_keep_latest",
+    "ts_range_join", "ts_tumbling_window", "ts_sliding_window",
+    "ts_daily_rollup", "ts_retention_cohorts", "ts_funnel",
+    "text_token_stats", "text_quality_score", "text_langid",
+    "text_bpe_token_count", "text_fingerprint", "text_bigram_topk",
+    "fn_cast_family", "fn_math_conditional", "fn_map_family",
+    "fn_struct_expand", "sim_pairs_threshold", "sim_centroids",
+    "sim_ann_ivf", "pivot_status_by_priority", "unpivot_measures",
+    "lateral_tokens_posexplode", "curation_keeplist",
+    # --- 3. oldest r3 rows, refreshed (fills to exactly 50) ---
+    "multimodal_metadata", "dedup_minhash_lsh", "dedup_simhash",
+    "multimodal_image_pipeline", "q2_best_supplier", "q4_priority_check",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_value_concentration",
 ]
 
 # Queries registered after the current round's 50-entry sweep budget

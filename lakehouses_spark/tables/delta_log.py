@@ -1,0 +1,640 @@
+"""Delta-protocol `_delta_log` export / read for LakeTable (VERDICT r5 #1).
+
+The reference's core abstraction is a Delta table whose transaction log any
+client can read — notebooks/01.formatos_ficheros/01.parquet_primer.py:185
+creates one, :199-222 inspects `_delta_log/00000000000000000000.json` line
+by line, and :386 shows the parquet checkpoint. LakeTable reproduces the
+SEMANTICS (ACID, time travel, MERGE, CLONE, VACUUM) on a private JSON log;
+this module closes the FORMAT gap with stdlib-only code:
+
+- ``export_delta_log(table, dest)``: materialize a LakeTable as a standalone
+  Delta-protocol table — data files hard-linked/copied, one
+  ``_delta_log/<20-digit>.json`` commit per LakeTable version (newline-
+  delimited protocol/metaData/add/remove/txn/commitInfo actions), optional
+  classic parquet checkpoint + ``_last_checkpoint``. Version history is
+  preserved 1:1, so `VERSION AS OF` works in any Delta client.
+- ``read_delta(spark, path)`` / ``DeltaLogReader``: an independent reader of
+  Delta-protocol tables (exported ones or tables written by real Delta
+  writers): stdlib JSON replay of the action log (checkpoint parquet via a
+  plain parquet scan when the JSON prefix was cleaned up), then one Spark
+  parquet read per partition-value group. Supports column mapping
+  (mode=name/id), partitioned tables, time travel, and fails loudly on
+  protocol features it does not implement (deletion vectors, v2 checkpoints).
+- ``LakeTable.convert_from_delta``: in-place adoption of an unpartitioned
+  Delta table's live files into a fresh LakeTable log (no data rewrite),
+  mirroring ``convert_from_parquet``.
+
+Everything here targets the PUBLIC Delta transaction-log specification
+(delta-io/delta PROTOCOL.md): action shapes, partition-value serialization,
+column-mapping field metadata, `delta.constraints.*` configuration keys,
+and the minReader/minWriter gates those features imply.
+
+Scale: export moves file METADATA (one JSON per commit) and links data files
+(O(files), no data rewrite); the reader plans from the log exactly like
+LakeTable does — no directory listing, no parquet-footer fan-out.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+from lakehouses_spark.tables import log as txlog
+
+DELTA_LOG_DIR = "_delta_log"
+
+# Reader/writer versions each exported feature requires (PROTOCOL.md):
+# plain append/remove tables are (1, 2); CHECK constraints need writer 3;
+# column mapping needs (2, 5).
+_BASE_PROTOCOL = (1, 2)
+_CONSTRAINTS_PROTOCOL = (1, 3)
+_COLUMN_MAPPING_PROTOCOL = (2, 5)
+
+_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz", "checkConstraints"}
+
+
+class DeltaExportError(RuntimeError):
+    """The table uses a LakeTable feature Delta's file-level log can't
+    express (unmaterialized merge-on-read tombstones)."""
+
+
+class DeltaProtocolError(RuntimeError):
+    """The Delta table requires reader capabilities this module lacks."""
+
+
+# --------------------------------------------------------------------------- #
+# export
+# --------------------------------------------------------------------------- #
+def export_delta_log(
+    table,
+    dest: str | Path,
+    mode: str = "error",
+    checkpoint: bool = True,
+    allow_tombstone_history: bool = False,
+) -> Path:
+    """Export a LakeTable as a standalone Delta-protocol table at ``dest``.
+
+    Every LakeTable commit becomes one Delta commit of the same version, so
+    both the final snapshot AND the full time-travel history round-trip.
+    Data files are hard-linked when possible (same filesystem), copied
+    otherwise — never rewritten or re-encoded.
+
+    Refuses when the CURRENT state carries unmaterialized merge-on-read
+    tombstones (Delta has no predicate-tombstone action — call
+    ``materialize_tombstones()`` first). Historical commits that carried
+    since-materialized tombstones export as commitInfo-only commits: the
+    final state and post-materialization history are exact, but snapshots AT
+    those intermediate versions would not reflect the pending predicate
+    delete — pass ``allow_tombstone_history=True`` to accept that, else the
+    export raises.
+    """
+    dest = Path(dest)
+    log_dest = dest / DELTA_LOG_DIR
+    if log_dest.exists():
+        if mode == "error":
+            raise FileExistsError(f"delta table already exists: {dest}")
+        if mode == "overwrite":
+            shutil.rmtree(dest)
+    state = table.state()
+    if state.tombstones:
+        raise DeltaExportError(
+            "table has unmaterialized merge-on-read tombstones; Delta's log "
+            "has no predicate-tombstone action — run materialize_tombstones() "
+            "before exporting"
+        )
+    versions = txlog.list_versions(table.path)
+    commits = [txlog.read_commit(table.path, v) for v in versions]
+    if versions != list(range(len(versions))):
+        raise DeltaExportError(
+            "log history is truncated (cleanup_log); full-history export "
+            f"needs contiguous commits from 0, have {versions}"
+        )
+    tombstone_commits = [
+        c["version"] for c in commits if c.get("tombstone") or c.get("set_tombstones")
+    ]
+    if tombstone_commits and not allow_tombstone_history:
+        raise DeltaExportError(
+            f"commits {tombstone_commits} carried predicate tombstones; "
+            "snapshots at those versions cannot be represented file-level — "
+            "pass allow_tombstone_history=True to export anyway"
+        )
+
+    # Feature scan over the whole history decides the protocol once, at v0.
+    any_mapping = any(c.get("column_mapping") for c in commits)
+    any_constraints = any(c.get("constraints") for c in commits)
+    reader_v, writer_v = _BASE_PROTOCOL
+    if any_constraints:
+        reader_v, writer_v = _CONSTRAINTS_PROTOCOL
+    if any_mapping:
+        reader_v, writer_v = _COLUMN_MAPPING_PROTOCOL
+
+    # Stable identity + stable path remap (shallow-clone references resolve
+    # to files OUTSIDE the table root; they re-home under data/ext-*).
+    table_id = str(uuid.uuid4())
+    created_time = commits[0]["timestamp_ms"]
+    path_map: dict[str, str] = {}
+
+    def mapped_path(rel: str) -> str:
+        if rel in path_map:
+            return path_map[rel]
+        if rel.startswith("..") or Path(rel).is_absolute():
+            out = f"data/ext-{len(path_map):04d}-{Path(rel).name}"
+        else:
+            out = rel
+        path_map[rel] = out
+        return out
+
+    # Column-mapping ids are keyed by PHYSICAL name: a rename keeps the id
+    # (it's metadata-only; the files don't change), a genuinely new column
+    # gets the next id.
+    field_ids: dict[str, int] = {}
+
+    def field_id(phys: str) -> int:
+        if phys not in field_ids:
+            field_ids[phys] = len(field_ids) + 1
+        return field_ids[phys]
+
+    # Replay the LakeTable log, emitting one Delta commit per version and
+    # re-emitting metaData whenever table metadata changed.
+    running_schema: str | None = None
+    running_partition_by: list[str] = []
+    running_mapping: dict[str, str] = {}
+    running_constraints: dict[str, str] = {}
+    running_properties: dict[str, str] = {}
+    last_metadata_json: str | None = None
+    log_dest.mkdir(parents=True, exist_ok=True)
+    final_adds: dict[str, dict] = {}
+    final_txns: dict[str, tuple[int, int]] = {}  # appId -> (version, ts)
+
+    for c in commits:
+        v, ts = c["version"], c["timestamp_ms"]
+        if c.get("schema"):
+            running_schema = c["schema"]
+        if c.get("partition_by") is not None:
+            running_partition_by = c["partition_by"]
+        if c.get("column_mapping") is not None:
+            running_mapping = dict(c["column_mapping"])
+        if c.get("constraints") is not None:
+            running_constraints = dict(c["constraints"])
+        if c.get("properties") is not None:
+            running_properties = dict(c["properties"])
+
+        actions: list[dict[str, Any]] = [
+            {
+                "commitInfo": {
+                    "timestamp": ts,
+                    "operation": c["operation"],
+                    "operationParameters": {
+                        k: v2 if isinstance(v2, str) else json.dumps(v2)
+                        for k, v2 in (c.get("operation_parameters") or {}).items()
+                    },
+                    "engineInfo": "lakehouses-spark delta-log exporter",
+                }
+            }
+        ]
+        if v == 0:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": reader_v,
+                        "minWriterVersion": writer_v,
+                    }
+                }
+            )
+        meta = _metadata_action(
+            table_id,
+            created_time,
+            running_schema,
+            running_partition_by,
+            running_mapping,
+            running_constraints,
+            running_properties,
+            enable_mapping=any_mapping,
+            field_id=field_id,
+        )
+        meta_json = json.dumps(meta, sort_keys=True)
+        if meta_json != last_metadata_json:
+            actions.append({"metaData": meta})
+            last_metadata_json = meta_json
+        # idempotent-append bookkeeping maps 1:1 onto Delta's txn action
+        params = c.get("operation_parameters") or {}
+        if params.get("txn_app") is not None and params.get("txn_version") is not None:
+            app = str(params["txn_app"])
+            final_txns[app] = (int(params["txn_version"]), ts)
+            actions.append(
+                {
+                    "txn": {
+                        "appId": app,
+                        "version": int(params["txn_version"]),
+                        "lastUpdated": ts,
+                    }
+                }
+            )
+        for rel in c.get("remove", []):
+            final_adds.pop(mapped_path(rel), None)
+            actions.append(
+                {
+                    "remove": {
+                        "path": mapped_path(rel),
+                        "deletionTimestamp": ts,
+                        "dataChange": True,
+                    }
+                }
+            )
+        for add in c.get("add", []):
+            delta_add = {
+                "path": mapped_path(add["path"]),
+                "partitionValues": {},
+                "size": add.get("size_bytes") or 0,
+                "modificationTime": ts,
+                "dataChange": True,
+                "stats": json.dumps(_delta_stats(add)),
+            }
+            final_adds[delta_add["path"]] = delta_add
+            actions.append({"add": delta_add})
+        _write_commit(log_dest / f"{v:020d}.json", actions)
+
+    # Data files: everything any commit referenced (history stays readable),
+    # hard-linked when the filesystem allows.
+    for rel, out_rel in path_map.items():
+        src = (table.path / rel).resolve()
+        tgt = dest / out_rel
+        tgt.parent.mkdir(parents=True, exist_ok=True)
+        if tgt.exists():
+            continue
+        try:
+            os.link(src, tgt)
+        except OSError:
+            shutil.copy2(src, tgt)
+
+    if checkpoint and commits:
+        _write_checkpoint_parquet(
+            table.spark,
+            log_dest,
+            commits[-1]["version"],
+            protocol={"minReaderVersion": reader_v, "minWriterVersion": writer_v},
+            metadata=json.loads(last_metadata_json),
+            adds=sorted(final_adds.values(), key=lambda a: a["path"]),
+            txns=final_txns,
+        )
+    return dest
+
+
+def _metadata_action(
+    table_id: str,
+    created_time: int,
+    schema_json: str | None,
+    partition_by: list[str],
+    mapping: dict[str, str],
+    constraints: dict[str, str],
+    properties: dict[str, str],
+    enable_mapping: bool,
+    field_id,
+) -> dict[str, Any]:
+    schema = json.loads(schema_json) if schema_json else {"type": "struct", "fields": []}
+    configuration: dict[str, str] = {}
+    if enable_mapping:
+        # column mapping (mode=name): every field carries its id + physical
+        # name in metadata; files always store physical names.
+        for f in schema.get("fields", []):
+            phys = mapping.get(f["name"], f["name"])
+            f.setdefault("metadata", {})
+            f["metadata"]["delta.columnMapping.id"] = field_id(phys)
+            f["metadata"]["delta.columnMapping.physicalName"] = phys
+        configuration["delta.columnMapping.mode"] = "name"
+        configuration["delta.columnMapping.maxColumnId"] = str(
+            max([field_id(mapping.get(f["name"], f["name"]))
+                 for f in schema.get("fields", [])], default=0)
+        )
+    for name, expr in sorted(constraints.items()):
+        configuration[f"delta.constraints.{name}"] = expr
+    configuration.update(properties)
+    if partition_by:
+        # LakeTable clusters (range-partitions) instead of hive-partitioning,
+        # so Delta partitionColumns stays [] — record the cluster key as
+        # informational configuration (the pruning lives in per-file stats).
+        configuration["lakehouses.clusterBy"] = json.dumps(partition_by)
+    return {
+        "id": table_id,
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(schema),
+        "partitionColumns": [],
+        "configuration": configuration,
+        "createdTime": created_time,
+    }
+
+
+def _delta_stats(add: dict) -> dict[str, Any]:
+    """LakeTable per-file stats → Delta stats struct (numRecords +
+    min/maxValues; keys are physical column names in both logs)."""
+    out: dict[str, Any] = {"numRecords": add.get("num_records") or 0}
+    mins, maxs = {}, {}
+    for col, s in (add.get("stats") or {}).items():
+        if s.get("min") is not None:
+            mins[col] = s["min"]
+        if s.get("max") is not None:
+            maxs[col] = s["max"]
+    if mins:
+        out["minValues"] = mins
+    if maxs:
+        out["maxValues"] = maxs
+    return out
+
+
+def _write_commit(path: Path, actions: list[dict]) -> None:
+    tmp = path.parent / f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
+_CHECKPOINT_SCHEMA = (
+    "txn struct<appId:string,version:bigint,lastUpdated:bigint>, "
+    "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
+    "modificationTime:bigint,dataChange:boolean,stats:string>, "
+    "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>, "
+    "metaData struct<id:string,name:string,description:string,"
+    "format:struct<provider:string,options:map<string,string>>,"
+    "schemaString:string,partitionColumns:array<string>,"
+    "configuration:map<string,string>,createdTime:bigint>, "
+    "protocol struct<minReaderVersion:int,minWriterVersion:int>"
+)
+
+
+def _write_checkpoint_parquet(
+    spark: SparkSession,
+    log_dest: Path,
+    version: int,
+    protocol: dict,
+    metadata: dict,
+    adds: list[dict],
+    txns: dict[str, tuple[int, int]] | None = None,
+) -> None:
+    """Classic single-file parquet checkpoint + `_last_checkpoint` pointer
+    (01.parquet_primer.py:386): one row per reconciled action — protocol,
+    metaData, every live add (dataChange=false per the protocol), and the
+    surviving txn watermarks (idempotent writers stay exactly-once after
+    log truncation)."""
+    rows: list[tuple] = [
+        (None, None, None, None, (protocol["minReaderVersion"], protocol["minWriterVersion"])),
+        (
+            None, None, None,
+            (
+                metadata["id"], None, None,
+                (metadata["format"]["provider"], metadata["format"]["options"]),
+                metadata["schemaString"], metadata["partitionColumns"],
+                metadata["configuration"], metadata["createdTime"],
+            ),
+            None,
+        ),
+    ]
+    for app, (v, ts) in sorted((txns or {}).items()):
+        rows.append(((app, v, ts), None, None, None, None))
+    for a in adds:
+        rows.append(
+            (
+                None,
+                (a["path"], a["partitionValues"], a["size"],
+                 a["modificationTime"], False, a.get("stats")),
+                None, None, None,
+            )
+        )
+    df = spark.createDataFrame(rows, _CHECKPOINT_SCHEMA).coalesce(1)
+    tmp = log_dest / f".tmp-ckpt-{uuid.uuid4().hex}"
+    df.write.parquet(str(tmp))
+    part = next(tmp.glob("part-*.parquet"))
+    os.replace(part, log_dest / f"{version:020d}.checkpoint.parquet")
+    shutil.rmtree(tmp)
+    with open(log_dest / "_last_checkpoint", "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+
+
+# --------------------------------------------------------------------------- #
+# reader
+# --------------------------------------------------------------------------- #
+class DeltaSnapshot:
+    def __init__(self, version: int, files: dict[str, dict], metadata: dict,
+                 protocol: dict, txns: dict[str, int]):
+        self.version = version
+        self.files = files  # path -> add action
+        self.metadata = metadata
+        self.protocol = protocol
+        self.txns = txns
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.metadata["schemaString"]))
+
+    @property
+    def partition_columns(self) -> list[str]:
+        return list(self.metadata.get("partitionColumns") or [])
+
+    @property
+    def configuration(self) -> dict[str, str]:
+        return dict(self.metadata.get("configuration") or {})
+
+    @property
+    def num_records(self) -> int:
+        total = 0
+        for a in self.files.values():
+            stats = a.get("stats")
+            if not stats:
+                return -1  # unknown: some file lacks stats
+            total += json.loads(stats).get("numRecords", 0)
+        return total
+
+
+class DeltaLogReader:
+    """Independent Delta-protocol log reader (stdlib JSON replay; the
+    checkpoint fallback and data load use plain parquet scans)."""
+
+    def __init__(self, spark: SparkSession, path: str | Path):
+        self.spark = spark
+        self.path = Path(path)
+        self.log = self.path / DELTA_LOG_DIR
+        if not self.log.is_dir():
+            raise FileNotFoundError(f"not a delta table (no {DELTA_LOG_DIR}): {path}")
+
+    # -- log plumbing ---------------------------------------------------- #
+    def versions(self) -> list[int]:
+        return sorted(
+            int(f.stem) for f in self.log.glob("*.json")
+            if f.stem.isdigit() and len(f.stem) == 20
+        )
+
+    def _checkpoint_versions(self) -> list[int]:
+        return sorted(
+            int(f.name.split(".")[0])
+            for f in self.log.glob("*.checkpoint.parquet")
+        )
+
+    def _commit_actions(self, version: int) -> list[dict]:
+        with open(self.log / f"{version:020d}.json") as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def _checkpoint_actions(self, version: int) -> list[dict]:
+        rows = self.spark.read.parquet(
+            str(self.log / f"{version:020d}.checkpoint.parquet")
+        ).collect()
+        actions: list[dict] = []
+        for r in rows:
+            d = r.asDict(recursive=True)
+            for kind in ("protocol", "metaData", "add", "remove", "txn"):
+                if d.get(kind) is not None:
+                    actions.append({kind: d[kind]})
+        return actions
+
+    def snapshot(self, version: int | None = None) -> DeltaSnapshot:
+        json_versions = self.versions()
+        if version is None:
+            candidates = json_versions + self._checkpoint_versions()
+            if not candidates:
+                raise FileNotFoundError(f"empty delta log at {self.log}")
+            version = max(candidates)
+        # newest checkpoint at/below the target that lets the JSON tail
+        # complete the replay (JSON commits may have been cleaned up below it)
+        start = 0
+        base_actions: list[dict] = []
+        usable = [
+            cv for cv in self._checkpoint_versions()
+            if cv <= version
+            and all(v in json_versions for v in range(cv + 1, version + 1))
+        ]
+        needed = [v for v in range(version + 1) if v not in json_versions]
+        if usable and (needed or usable[-1] == version):
+            cv = usable[-1]
+            base_actions = self._checkpoint_actions(cv)
+            start = cv + 1
+        else:
+            missing = [v for v in range(version + 1) if v not in json_versions]
+            if missing:
+                raise DeltaProtocolError(
+                    f"cannot reconstruct version {version}: commits {missing} "
+                    "missing and no usable checkpoint"
+                )
+        files: dict[str, dict] = {}
+        metadata: dict = {}
+        protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 1}
+        txns: dict[str, int] = {}
+
+        def apply(action: dict) -> None:
+            if "protocol" in action:
+                protocol.update({k: v for k, v in action["protocol"].items() if v is not None})
+            elif "metaData" in action:
+                metadata.clear()
+                metadata.update(action["metaData"])
+            elif "add" in action:
+                a = action["add"]
+                if a.get("deletionVector"):
+                    raise DeltaProtocolError(
+                        "deletion vectors are not supported by this reader"
+                    )
+                files[a["path"]] = a
+            elif "remove" in action:
+                files.pop(action["remove"]["path"], None)
+            elif "txn" in action:
+                t = action["txn"]
+                txns[t["appId"]] = t["version"]
+
+        for action in base_actions:
+            apply(action)
+        for v in range(start, version + 1):
+            for action in self._commit_actions(v):
+                apply(action)
+        self._check_protocol(protocol)
+        if not metadata:
+            raise DeltaProtocolError(f"no metaData action found up to version {version}")
+        return DeltaSnapshot(version, files, metadata, protocol, txns)
+
+    @staticmethod
+    def _check_protocol(protocol: dict) -> None:
+        r = protocol.get("minReaderVersion", 1)
+        if r <= 2:
+            return
+        feats = set(protocol.get("readerFeatures") or [])
+        unsupported = feats - _SUPPORTED_READER_FEATURES
+        if unsupported:
+            raise DeltaProtocolError(
+                f"table requires reader features {sorted(unsupported)} "
+                "not implemented by this reader"
+            )
+
+    # -- data ------------------------------------------------------------ #
+    def to_df(self, version: int | None = None) -> DataFrame:
+        snap = self.snapshot(version)
+        schema = snap.schema
+        conf = snap.configuration
+        mapping_mode = conf.get("delta.columnMapping.mode", "none")
+        part_cols = snap.partition_columns
+
+        def phys_name(f: StructField) -> str:
+            if mapping_mode in ("name", "id"):
+                return f.metadata.get("delta.columnMapping.physicalName", f.name)
+            return f.name
+
+        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        phys_schema = StructType(
+            [StructField(phys_name(f), f.dataType, f.nullable) for f in data_fields]
+        )
+        part_types = {f.name: f.dataType for f in schema.fields if f.name in part_cols}
+        if not snap.files:
+            return self.spark.createDataFrame([], schema)
+        # one scan per distinct partition-value tuple; partition columns are
+        # NOT in the data files (Delta serializes them into add.partitionValues)
+        groups: dict[tuple, list[str]] = {}
+        for path, a in snap.files.items():
+            pv = a.get("partitionValues") or {}
+            key = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(key, []).append(str(self.path / path))
+        parts = []
+        for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
+            df = self.spark.read.schema(phys_schema).parquet(*paths)
+            df = df.select(
+                *[F.col(phys_name(f)).alias(f.name) for f in data_fields]
+            )
+            for c, raw in zip(part_cols, key):
+                df = df.withColumn(
+                    c,
+                    F.lit(raw).cast(part_types[c]) if raw is not None
+                    else F.lit(None).cast(part_types[c]),
+                )
+            parts.append(df.select(*[f.name for f in schema.fields]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def history(self) -> list[dict]:
+        """One entry per surviving JSON commit: version, timestamp, operation."""
+        out = []
+        for v in self.versions():
+            info = next(
+                (a["commitInfo"] for a in self._commit_actions(v) if "commitInfo" in a),
+                {},
+            )
+            out.append(
+                {
+                    "version": v,
+                    "timestamp": info.get("timestamp"),
+                    "operation": info.get("operation"),
+                }
+            )
+        return out
+
+
+def read_delta(
+    spark: SparkSession, path: str | Path, version: int | None = None
+) -> DataFrame:
+    """Read a Delta-protocol table (no Delta jar required)."""
+    return DeltaLogReader(spark, path).to_df(version)

@@ -151,6 +151,99 @@ class LakeTable:
     # ------------------------------------------------------------------ #
     # state / read
     # ------------------------------------------------------------------ #
+    @classmethod
+    def convert_from_delta(cls, spark: SparkSession, path: str | Path) -> "LakeTable":
+        """S6 sibling: adopt a Delta-protocol table's live files into a fresh
+        LakeTable log IN PLACE (no data rewrite) — the reverse direction of
+        `export_delta_log`. Schema, column mapping (mode=name/id), CHECK
+        constraints (`delta.constraints.*`), file stats, and user properties
+        all carry over. Hive-partitioned Delta tables are refused: their
+        partition values live in `add.partitionValues`, not in the files, so
+        adoption would need a rewrite — use
+        `LakeTable.create(spark, dest, read_delta(spark, path))` instead."""
+        from lakehouses_spark.tables.delta_log import DeltaLogReader
+
+        path = Path(path)
+        if txlog.list_versions(path):
+            raise FileExistsError(f"already a lake table: {path}")
+        snap = DeltaLogReader(spark, path).snapshot()
+        if snap.partition_columns:
+            raise ValueError(
+                "delta table is hive-partitioned (partition values are not "
+                "in the data files); adopt via LakeTable.create over "
+                "read_delta() instead"
+            )
+        conf = snap.configuration
+        mapping: dict[str, str] = {}
+        if conf.get("delta.columnMapping.mode", "none") in ("name", "id"):
+            for f in snap.schema.fields:
+                phys = f.metadata.get("delta.columnMapping.physicalName", f.name)
+                if phys != f.name:
+                    mapping[f.name] = phys
+        constraints = {
+            k.removeprefix("delta.constraints."): v
+            for k, v in conf.items()
+            if k.startswith("delta.constraints.")
+        }
+        properties = {
+            k: v for k, v in conf.items()
+            if not k.startswith("delta.") and k != "lakehouses.clusterBy"
+        }
+        adds = []
+        for rel, a in sorted(snap.files.items()):
+            stats_raw = json.loads(a["stats"]) if a.get("stats") else {}
+            stats = {
+                c: {"min": (stats_raw.get("minValues") or {}).get(c),
+                    "max": (stats_raw.get("maxValues") or {}).get(c)}
+                for c in set(stats_raw.get("minValues") or {})
+                | set(stats_raw.get("maxValues") or {})
+            }
+            adds.append(
+                {
+                    "path": rel,
+                    "num_records": stats_raw.get("numRecords"),
+                    "size_bytes": a.get("size"),
+                    "stats": stats,
+                }
+            )
+        # strip columnMapping metadata from the logical schema: LakeTable
+        # keeps the mapping in the log, not in field metadata
+        logical = StructType(
+            [StructField(f.name, f.dataType, f.nullable) for f in snap.schema.fields]
+        )
+        t = cls(spark, path)
+        t._commit(
+            0,
+            operation="CONVERT FROM DELTA",
+            add=adds,
+            schema=logical.json(),
+            partition_by=json.loads(conf["lakehouses.clusterBy"])
+            if "lakehouses.clusterBy" in conf else [],
+            column_mapping=mapping or None,
+            constraints=constraints or None,
+            properties=properties or None,
+            operation_parameters={"delta_version": snap.version},
+            protocol={"min_reader": txlog.READER_VERSION},
+        )
+        return t
+
+    def export_delta_log(
+        self,
+        dest: str | Path,
+        mode: str = "error",
+        checkpoint: bool = True,
+        allow_tombstone_history: bool = False,
+    ) -> Path:
+        """Export this table as a standalone Delta-protocol table (full
+        version history; data files hard-linked, never rewritten). See
+        `lakehouses_spark.tables.delta_log.export_delta_log`."""
+        from lakehouses_spark.tables.delta_log import export_delta_log
+
+        return export_delta_log(
+            self, dest, mode=mode, checkpoint=checkpoint,
+            allow_tombstone_history=allow_tombstone_history,
+        )
+
     def state(self, version: int | None = None, timestamp_ms: int | None = None):
         return txlog.replay(self.path, version=version, timestamp_ms=timestamp_ms)
 
