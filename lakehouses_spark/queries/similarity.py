@@ -387,7 +387,11 @@ def _ivf_probed(emb_src: DataFrame, cells: int, nprobe: int) -> DataFrame:
     emb = spread(
         _emb_unit(emb_src)
     ).select("vec_id", F.col("unit").alias("embedding")).localCheckpoint()
-    seeds = emb.orderBy("vec_id").limit(cells).select(
+    # hash-spread deterministic seeds (same rationale as the PQ training
+    # sample): a by-vec_id prefix seeds every centroid from whatever the
+    # first ids happen to contain, and one Lloyd iteration can't recover
+    # coverage of content the seeds never saw
+    seeds = emb.orderBy(F.xxhash64("vec_id"), "vec_id").limit(cells).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
     )
     # one Lloyd iteration: hard-assign → per-cell mean (posexplode keeps the
@@ -461,24 +465,41 @@ PQ_CODEBOOK_K = 16   # centroids per subspace codebook
 PQ_TRAIN_SAMPLE = 512  # codebooks train on a bounded sample (standard FAISS
                        # practice) — driver-side cost is O(sample·d), fixed
                        # regardless of corpus size
-PQ_MARGIN = 0.15     # approx-filter slack: keep pairs with approx cos ≥
-                     # threshold − margin, re-rank exactly. Absorbs the
-                     # quantization error of reconstructed similarities.
+PQ_MARGIN = 0.15     # FLOOR for the approx-filter slack: keep pairs with
+                     # approx cos ≥ threshold − margin, re-rank exactly.
+                     # The effective margin is CALIBRATED per corpus (see
+                     # _pq_calibrate_margin) — a fixed margin silently
+                     # loses recall the moment a corpus quantizes worse
+                     # than the constant assumed (measured: recall 0.59 on
+                     # a 60-cluster Gaussian corpus with the fixed 0.15,
+                     # 1.0 calibrated — tools/scaling_probe.py ANN section).
+PQ_MARGIN_QUANTILE = 0.999  # tail of the sample-pair error distribution
+PQ_MARGIN_BUFFER = 0.02     # safety over the sampled tail
 
 
 def _pq_train_codebooks(emb: DataFrame, dim: int):
     """Train per-subspace codebooks on a deterministic bounded sample:
-    first PQ_TRAIN_SAMPLE unit vectors by vec_id, seeds = the sample's
-    first K subvectors taken as-is (duplicate subvectors yield coincident
-    seed centroids that Lloyd then separates or leaves empty — fine for a
-    quantizer), 5 Lloyd iterations (empty clusters keep their centroid).
+    PQ_TRAIN_SAMPLE unit vectors ordered by xxhash64(vec_id) — a
+    hash-SPREAD sample, not a prefix. A by-vec_id prefix is biased the
+    moment ids correlate with content (ingest order, source, time — i.e.
+    always): measured on a 60-cluster corpus, prefix-trained codebooks
+    reconstructed unseen clusters at approx-cos ≈ 0.37 and the PQ screen
+    lost 40% of true pairs; the hash-spread sample sees every cluster.
+    Seeds = the sample's first K subvectors taken as-is (duplicate
+    subvectors yield coincident seed centroids that Lloyd then separates
+    or leaves empty — fine for a quantizer), 5 Lloyd iterations (empty
+    clusters keep their centroid).
     K clamps to the sample size so tiny corpora (< PQ_CODEBOOK_K vectors)
     train a smaller codebook instead of crashing on a shape mismatch.
-    Returns (codebooks ndarray (M, K', d/M), dot-LUT (M, K', K'))."""
+    Returns (codebooks ndarray (M, K', d/M), dot-LUT (M, K', K'),
+    training sample X (n, d)) — X feeds the margin calibration."""
     import numpy as np
 
     sample = (
-        emb.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).select("embedding").collect()
+        emb.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(PQ_TRAIN_SAMPLE)
+        .select("embedding")
+        .collect()
     )
     X = np.array([r.embedding for r in sample], dtype=np.float64)  # (n, d)
     assert len(X), "PQ training sample is empty"
@@ -501,7 +522,45 @@ def _pq_train_codebooks(emb: DataFrame, dim: int):
                     cb[c] = pts.mean(axis=0)
         books[i] = cb
     lut = np.einsum("mkd,mjd->mkj", books, books)             # (M, K, K) dots
-    return books, lut
+    return books, lut, X
+
+
+def _pq_calibrate_margin(X, books, lut, threshold: float) -> float:
+    """Empirical approx-filter margin: encode the (bounded) training sample,
+    compare PQ-approximated pair cosines against exact ones, and return the
+    PQ_MARGIN_QUANTILE tail of the underestimation error plus a buffer —
+    floored at the static PQ_MARGIN. Standard ANN practice (calibrate the
+    screen on held-in data): the screen threshold then adapts to how well
+    THIS corpus quantizes instead of trusting a global constant. Cost is
+    O(sample²) numpy on ≤ PQ_TRAIN_SAMPLE vectors — driver-side, bounded,
+    independent of corpus size."""
+    import numpy as np
+
+    m = books.shape[0]
+    sub = X.shape[1] // m
+    n = len(X)
+    codes = np.empty((n, m), dtype=np.int64)
+    for i in range(m):
+        Xm = X[:, i * sub:(i + 1) * sub]
+        d2 = ((Xm[:, None, :] - books[i][None, :, :]) ** 2).sum(axis=2)
+        codes[:, i] = d2.argmin(axis=1)
+    approx = np.zeros((n, n))
+    for i in range(m):
+        approx += lut[i][np.ix_(codes[:, i], codes[:, i])]
+    rec_norm = np.sqrt(np.maximum(np.diag(approx), 1e-12))
+    approx = approx / np.outer(rec_norm, rec_norm)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    U = X / np.maximum(norms, 1e-12)
+    exact = U @ U.T
+    iu = np.triu_indices(n, k=1)
+    # only UNDERestimation loses recall (screen drops a true pair);
+    # overestimation just passes extra candidates to the exact re-rank
+    under = np.maximum(exact[iu] - approx[iu], 0.0)
+    # pairs far below the threshold can't flip the verdict — calibrate on
+    # the region where an error could actually hide a true pair
+    near = under[exact[iu] >= threshold - 0.3]
+    tail = float(np.quantile(near if len(near) else under, PQ_MARGIN_QUANTILE))
+    return max(PQ_MARGIN, tail + PQ_MARGIN_BUFFER)
 
 
 def _pq_encode(books) -> Column:
@@ -563,7 +622,7 @@ def ann_ivfpq_pairs(emb_src: DataFrame, threshold: float = 0.95,
     assert dim and dim % PQ_SUBSPACES == 0, (
         f"embedding dim {dim} not divisible by PQ_SUBSPACES={PQ_SUBSPACES}"
     )
-    books, lut = _pq_train_codebooks(vectors, dim)
+    books, lut, sample_x = _pq_train_codebooks(vectors, dim)
     # encode each vector ONCE (not once per probed cell — nprobe× the rows)
     # and join the codes back onto the cell assignments by vec_id
     codes = vectors.select("vec_id", _pq_encode(books).alias("codes"))
@@ -572,7 +631,7 @@ def ann_ivfpq_pairs(emb_src: DataFrame, threshold: float = 0.95,
     cand_schema = StructType(
         [StructField("vec_a", LongType()), StructField("vec_b", LongType())]
     )
-    cut = threshold - PQ_MARGIN
+    cut = threshold - _pq_calibrate_margin(sample_x, books, lut, threshold)
     lut_local = lut  # (M, K, K)
 
     def cell_scan(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -312,7 +312,10 @@ def probe_substring_skew(spark) -> list[str]:
 ANN_CLUSTERS = 60
 ANN_PER_CLUSTER = 70
 ANN_DIM = 64
-ANN_NOISE = 0.2  # E[cos] between intra-cluster points ≈ 1/(1+σ²) ≈ 0.96
+# per-coordinate noise σ: with unit centers, E[cos] between two intra-cluster
+# points ≈ 1/(1+dim·σ²); 0.028 puts that at ≈0.95 so true pairs STRADDLE the
+# threshold — the probe measures recall on borderline pairs, not gimmes
+ANN_NOISE = 0.028
 ANN_THRESHOLD = 0.95
 ANN_NPROBES = (1, 2, 4)
 ANN_RECALL_FLOOR = 0.95  # required at the DEFAULT nprobe
@@ -356,13 +359,20 @@ def probe_ann_recall(spark) -> list[str]:
     pq_found = pair_set(ann_ivfpq_pairs(emb, threshold=ANN_THRESHOLD))
     pq_recall = len(pq_found & truth) / len(truth)
     default_recall = ivf_recall[IVF_NPROBE]
+    ok = default_recall >= ANN_RECALL_FLOOR and pq_recall >= ANN_RECALL_FLOOR
     verdict = (
-        f"recall {default_recall:.3f} ≥ {ANN_RECALL_FLOOR} at the default "
-        f"nprobe={IVF_NPROBE} — boundary pairs are recovered by multi-assign."
-        if default_recall >= ANN_RECALL_FLOOR
-        else f"**WARNING: recall {default_recall:.3f} < {ANN_RECALL_FLOOR} at "
-        f"the default nprobe={IVF_NPROBE} on the clustered corpus — raise "
-        "nprobe or cells before trusting the ANN tier on clustered data.**"
+        f"IVF recall {default_recall:.3f} and IVF-PQ recall {pq_recall:.3f} "
+        f"both ≥ {ANN_RECALL_FLOOR} at the default nprobe={IVF_NPROBE} — "
+        "boundary pairs are recovered by multi-assign, and the hash-spread "
+        "training sample keeps the PQ screen honest on clustered data "
+        "(the by-vec_id prefix sample this probe originally caught scored "
+        "IVF-PQ recall 0.59 here)."
+        if ok
+        else f"**WARNING: recall below {ANN_RECALL_FLOOR} at the default "
+        f"nprobe={IVF_NPROBE} on the clustered corpus (IVF "
+        f"{default_recall:.3f}, IVF-PQ {pq_recall:.3f}) — raise nprobe/"
+        "cells or recalibrate the PQ margin before trusting the ANN tier "
+        "on clustered data.**"
     )
     return [
         "",
