@@ -146,6 +146,57 @@ def sim_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_SEARCH_QUERIES = (0, 7, 19)  # query batch: vec_ids
+RANGE_SEARCH_RADIUS = 0.35  # cosine floor (far tail of this corpus)
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN {RANGE_SEARCH_QUERIES}
+    )
+    SELECT query_id, vec_id, label,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6)
+             AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> query_id
+      AND list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)
+            >= {RANGE_SEARCH_RADIUS}
+    ORDER BY query_id, vec_id
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (radius) search for a query batch: every corpus vector within
+    cosine ≥ r of each query — the retrieval mode for "everything similar
+    enough", where top-k is wrong because the right answer count varies per
+    query (dedup candidates, recall-oriented retrieval, near-dup audits).
+
+    100 TB shape: the query batch broadcasts (it is small by definition);
+    ONE corpus scan scores all queries (corpus × |batch| map work, no
+    shuffle carries embeddings); the radius filter compares the UNROUNDED
+    similarity (matching the oracle WHERE) so boundary vectors can't flip
+    on ulp differences between engines."""
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id").isin(*RANGE_SEARCH_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    sim = cosine(F.col("embedding"), F.col("qv"))
+    return (
+        spread(emb)
+        .join(F.broadcast(q))
+        .where((F.col("vec_id") != F.col("query_id")) & (sim >= RANGE_SEARCH_RADIUS))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "vec_id")
+    )
+
+
 # All-pairs guard (VERDICT r2 "weak" item): the exact baselines below are
 # O(n²) by design — correct at validation scale, a scale-killer beyond it.
 # Rather than silently launching a quadratic join on a big corpus, refuse

@@ -61,7 +61,7 @@ _SWEEP_PRIORITY = [
     #      older than round 3,
     #   3. oldest round-3 rows to fill to exactly 50.
     # --- 1. new round-6 queries: first driver row ---
-    "lake_delta_log_export", "lake_scd2_build",
+    "lake_delta_log_export", "lake_scd2_build", "sim_range_search",
     # --- 2. the 37 r2-stale rows ---
     "join_inner_agg", "join_left_outer", "join_full_outer", "join_semi",
     "fn_string_family", "fn_date_family", "fn_array_family", "fn_json_family",
@@ -79,7 +79,7 @@ _SWEEP_PRIORITY = [
     "multimodal_metadata", "dedup_minhash_lsh", "dedup_simhash",
     "multimodal_image_pipeline", "q2_best_supplier", "q4_priority_check",
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "q10_returned_items",
+    "q9_product_profit",
 ]
 
 # Queries registered after the current round's 50-entry sweep budget
