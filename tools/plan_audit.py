@@ -41,6 +41,8 @@ HEAVY_PREFIXES = ("streaming_", "multimodal_", "lake_", "avro_", "gold_")
 NESTED_LOOP_OK = {
     "sim_pairs_threshold": "exact all-pairs baseline (guarded, documented)",
     "sim_knn_cosine": "single broadcast query row vs corpus — O(n), not n²",
+    "sim_range_search": "broadcast query BATCH (|RANGE_SEARCH_QUERIES| rows)"
+    " vs corpus — O(n·|batch|), the batch is small by definition",
     "sim_filtered_knn": (
         "single broadcast query row vs the FILTERED corpus — O(n_filtered),"
         " same shape as sim_knn_cosine with the label predicate pushed down"
