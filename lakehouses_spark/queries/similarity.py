@@ -427,28 +427,19 @@ def _ivf_assign(points: DataFrame, centroids: DataFrame, keep: int) -> DataFrame
     )
 
 
-def _ivf_probed(emb_src: DataFrame, cells: int, nprobe: int) -> DataFrame:
-    """Shared IVF front half: unit-normalize, train the coarse quantizer
-    (deterministic seeds = first `cells` vectors + one Lloyd iteration, all
-    in DataFrame ops — assign via broadcast cross-join argmin, update via
-    posexplode mean), then nprobe-multi-assign every vector. Returns
-    (cell, vec_id, embedding) with each vector in its `nprobe` nearest
-    cells — the batch analog of query-time nprobe: pairs split across a
-    cell boundary still co-occur somewhere."""
-    emb = spread(
-        _emb_unit(emb_src)
-    ).select("vec_id", F.col("unit").alias("embedding")).localCheckpoint()
-    # hash-spread deterministic seeds (same rationale as the PQ training
-    # sample): a by-vec_id prefix seeds every centroid from whatever the
-    # first ids happen to contain, and one Lloyd iteration can't recover
-    # coverage of content the seeds never saw
+def _ivf_train(emb: DataFrame, cells: int) -> DataFrame:
+    """Train the IVF coarse quantizer over unit vectors (``vec_id``,
+    ``embedding``): hash-spread deterministic seeds (same rationale as the
+    PQ training sample — a by-vec_id prefix seeds every centroid from
+    whatever the first ids happen to contain, and one Lloyd iteration can't
+    recover coverage of content the seeds never saw) + one Lloyd iteration
+    (hard-assign → per-cell mean; posexplode keeps the update a flat hash
+    aggregation). Returns (cell, centroid) with unit-renormalized centroids."""
     seeds = emb.orderBy(F.xxhash64("vec_id"), "vec_id").limit(cells).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
     )
-    # one Lloyd iteration: hard-assign → per-cell mean (posexplode keeps the
-    # update a flat hash aggregation)
     assigned = _ivf_assign(emb, seeds, keep=1)
-    centroids = (
+    return (
         assigned.select("cell", F.posexplode("embedding").alias("i", "v"))
         .groupBy("cell", "i")
         .agg(F.avg("v").alias("m"))
@@ -457,6 +448,18 @@ def _ivf_probed(emb_src: DataFrame, cells: int, nprobe: int) -> DataFrame:
         .select("cell", F.transform("parts", lambda s: s.m).alias("raw"))
         .select("cell", F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("centroid"))
     )
+
+
+def _ivf_probed(emb_src: DataFrame, cells: int, nprobe: int) -> DataFrame:
+    """Shared IVF front half: unit-normalize, train the coarse quantizer
+    (``_ivf_train``), then nprobe-multi-assign every vector. Returns
+    (cell, vec_id, embedding) with each vector in its `nprobe` nearest
+    cells — the batch analog of query-time nprobe: pairs split across a
+    cell boundary still co-occur somewhere."""
+    emb = spread(
+        _emb_unit(emb_src)
+    ).select("vec_id", F.col("unit").alias("embedding")).localCheckpoint()
+    centroids = _ivf_train(emb, cells)
     return _ivf_assign(emb, centroids, keep=nprobe).select("cell", "vec_id", "embedding")
 
 
@@ -994,3 +997,146 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= MAXSIM_TOP_K)
         .orderBy("q_doc", "rk")
     )
+
+
+# --- Incremental ANN: persisted IVF index probed by a daily batch ---------- #
+
+ANN_FRESH_ID_OFFSET = 3_000_000  # incoming vectors with no corpus near-dup
+ANN_INCR_THRESHOLD = 0.95
+ANN_INCR_NPROBE = 2
+
+
+@query(
+    "sim_ann_incremental",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), incoming AS (
+      SELECT vec_id + {TWIN_ID_OFFSET} AS batch_id,
+             list_concat([e[1] + {TWIN_DELTA}], e[2:]) AS e
+      FROM base WHERE vec_id < {N_TWINS}
+      UNION ALL
+      SELECT vec_id + {ANN_FRESH_ID_OFFSET} AS batch_id,
+             list_transform(e, x -> -x) AS e
+      FROM base WHERE vec_id >= {N_TWINS} AND vec_id < {2 * N_TWINS}
+    ), scored AS (
+      SELECT i.batch_id, c.vec_id AS corpus_id,
+             list_cosine_similarity(i.e, c.e) AS cs
+      FROM incoming i JOIN base c
+        ON list_cosine_similarity(i.e, c.e) >= {ANN_INCR_THRESHOLD}
+    ), best AS (
+      SELECT batch_id, corpus_id, cs, row_number() OVER (
+               PARTITION BY batch_id ORDER BY cs DESC, corpus_id) AS rn
+      FROM scored
+    )
+    SELECT i.batch_id,
+           CASE WHEN b.batch_id IS NOT NULL THEN 'matched'
+                ELSE 'accepted' END AS status,
+           b.corpus_id AS nearest_id,
+           round(b.cs, 6) AS cos_sim
+    FROM incoming i
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.batch_id = i.batch_id
+    ORDER BY i.batch_id
+    """,
+)
+def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN — the similarity analog of ``dedup_incremental_minhash``
+    and the retrieval shape a daily 100 TB crawl pipeline runs: an incoming
+    batch of vectors probes a PERSISTED IVF index (centroids + cell
+    assignments, both LakeTables maintained across ingests) for near-duplicate
+    corpus vectors (cos ≥ {ANN_INCR_THRESHOLD}), WITHOUT re-training the
+    quantizer or re-scanning unprobed corpus cells. Reference analog: the
+    batch-vs-existing incremental discipline of
+    notebooks/02.ingestas_ficheros/03.ingesta_incremental_v2 [json].py:211-218,
+    lifted from filename equality to embedding similarity.
+
+    Batch construction (deterministic twin injection, same contract as the
+    other ANN paths): twins of the first {N_TWINS} vectors (component 0
+    shifted by {TWIN_DELTA} → cos ≈ 0.9988, must come back `matched` with
+    their origin) plus {N_TWINS} negated vectors (cos ≤ −cos(origin, ·) —
+    far below threshold against the whole corpus, must come back `accepted`).
+    The oracle is the EXACT brute-force batch×corpus threshold-argmax: the
+    IVF path hash-matches only if the probed cells contain every true match
+    and invent none.
+
+    100 TB shape: the index stores each corpus vector in its argmax cell
+    (classical IVF layout, keep=1); the batch multi-assigns to its
+    {ANN_INCR_NPROBE} nearest centroids (tiny broadcast table) and joins the
+    index on `cell` — one keyed shuffle of the probed postings only. Daily
+    cost is O(batch · cells + probed postings), independent of corpus size;
+    a twin and its origin share an argmax centroid by construction, so
+    nprobe={ANN_INCR_NPROBE} keeps recall exact even when the twin's
+    perturbation lands it near a cell boundary."""
+    import tempfile
+
+    from lakehouses_spark.tables import LakeTable
+
+    corpus = spread(
+        _emb_unit(load_table(spark, sf_dir, "embeddings"))
+    ).select("vec_id", F.col("unit").alias("embedding")).localCheckpoint()
+    centroids = _ivf_train(corpus, IVF_CELLS)
+    index_df = _ivf_assign(corpus, centroids, keep=1).select(
+        "cell", "vec_id", "embedding"
+    )
+    base = _emb_double(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    twins = base.where(F.col("vec_id") < N_TWINS).select(
+        (F.col("vec_id") + TWIN_ID_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(TWIN_DELTA)),
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        ).alias("embedding"),
+    )
+    fresh = base.where(
+        (F.col("vec_id") >= N_TWINS) & (F.col("vec_id") < 2 * N_TWINS)
+    ).select(
+        (F.col("vec_id") + ANN_FRESH_ID_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    incoming = _emb_unit(twins.unionByName(fresh)).select(
+        "vec_id", F.col("unit").alias("embedding")
+    ).localCheckpoint()
+    with tempfile.TemporaryDirectory() as tmp:
+        cent = LakeTable.create(spark, f"{tmp}/ann_centroids", centroids).read()
+        idx = LakeTable.create(spark, f"{tmp}/ann_ivf_index", index_df).read()
+        probes = _ivf_assign(incoming, cent, keep=ANN_INCR_NPROBE).select(
+            F.col("vec_id").alias("batch_id"),
+            F.col("embedding").alias("b_emb"),
+            "cell",
+        )
+        # corpus vectors live in exactly one cell (keep=1) and probe cells are
+        # distinct per batch vector, so (batch, corpus) candidates are unique
+        scored = (
+            probes.join(
+                idx.select(
+                    "cell",
+                    F.col("vec_id").alias("corpus_id"),
+                    F.col("embedding").alias("c_emb"),
+                ),
+                "cell",
+            )
+            .select("batch_id", "corpus_id", dot(F.col("b_emb"), F.col("c_emb")).alias("cs"))
+            .where(F.col("cs") >= ANN_INCR_THRESHOLD)
+        )
+        wbest = Window.partitionBy("batch_id").orderBy(F.col("cs").desc(), "corpus_id")
+        best = (
+            scored.withColumn("rn", F.row_number().over(wbest))
+            .where(F.col("rn") == 1)
+            .select("batch_id", F.col("corpus_id").alias("nearest_id"), "cs")
+        )
+        out = (
+            incoming.select("vec_id")
+            .join(best, incoming.vec_id == best.batch_id, "left")
+            .select(
+                F.col("vec_id").alias("batch_id"),
+                F.when(F.col("nearest_id").isNotNull(), "matched")
+                .otherwise("accepted")
+                .alias("status"),
+                "nearest_id",
+                F.round("cs", 6).alias("cos_sim"),
+            )
+            .orderBy("batch_id")
+        )
+        # materialize before the temp index directory disappears
+        return out.localCheckpoint()
