@@ -11,6 +11,8 @@ RAG / semantic-search platform runs):
       → ColBERT-style MaxSim late-interaction re-rank over multi-vector bags
       → per-label centroid table (the IVF coarse quantizer's training
         artifact, useful as a label sketch on its own)
+      → incremental ingest: a daily vector batch probes the persisted
+        IVF index for near-dups (no retraining, no corpus re-scan)
 
     python examples/retrieval_pipeline.py
 """
@@ -65,6 +67,13 @@ def main() -> None:
     # 5. per-label centroids — the coarse-quantizer training artifact
     cents = registry["sim_centroids"].fn(spark, SF)
     print(f"centroid table rows (label × dim): {cents.count()}")
+
+    # 6. incremental ingest: a daily batch probes the PERSISTED IVF index
+    #    for near-dup corpus vectors — no quantizer retraining, no full scan
+    incr = registry["sim_ann_incremental"].fn(spark, SF)
+    verdicts = {r["status"]: r["n"] for r in
+                incr.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+    print(f"incremental ANN verdicts: {verdicts}")
 
     spark.stop()
     print("retrieval pipeline complete")
