@@ -220,13 +220,58 @@ def ngram_candidate_pairs(
                 <= F.floor(F.col("n_sh") * (1.0 - jaccard_prefix) + 1e-9) + 1
             )
         )
-    filtered = filtered.select("doc_id", "h")
-    a = filtered.alias("a")
-    b = filtered.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    if jaccard_prefix is not None:
+        # PPJoin length + positional filters (Xiao et al., WWW'08 — public
+        # literature), both recall-exact given the prefix:
+        #   length: J(A,B) ≥ t ⟹ |A∩B| ≥ t·max(|A|,|B|) and |A∩B| ≤
+        #     min(|A|,|B|), so t·|B| ≤ |A| and t·|A| ≤ |B| — pairs with
+        #     incompatible sizes can never qualify.
+        #   positional: under the one global (df, h) order, the EARLIEST
+        #     shared element h* at ranks (r_a, r_b) has every other shared
+        #     element after it in BOTH sets, so the overlap is bounded by
+        #     1 + min(|A|−r_a, |B|−r_b); a qualifying pair needs overlap
+        #     ≥ ⌈t/(1+t)·(|A|+|B|)⌉ (the Jaccard-equivalent overlap
+        #     threshold), and h* always satisfies the bound — filtering
+        #     each joined posting row keeps every qualifying pair via its
+        #     h* row while dropping tail-of-prefix collisions between
+        #     dissimilar docs BEFORE the distinct + verify shuffles.
+        #     (Survivor rank equals full-set global rank: the stop cut
+        #     removes only the highest-df tail, and n_sh is the full size,
+        #     so the suffix bound counts cut elements too, as the proof
+        #     requires.)
+        t = float(jaccard_prefix)
+        idx = filtered.select("doc_id", "n_sh", "rank", "h")
+        a = idx.alias("a")
+        b = idx.alias("b")
+        overlap_needed = F.ceil(
+            F.lit(t / (1.0 + t)) * (F.col("a.n_sh") + F.col("b.n_sh")) - 1e-9
+        )
+        suffix_bound = 1 + F.least(
+            F.col("a.n_sh") - F.col("a.rank"), F.col("b.n_sh") - F.col("b.rank")
+        )
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .where(
+                (F.col("a.n_sh") * t <= F.col("b.n_sh") + 1e-9)
+                & (F.col("b.n_sh") * t <= F.col("a.n_sh") + 1e-9)
+                & (suffix_bound >= overlap_needed)
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+        )
+    else:
+        filtered = filtered.select("doc_id", "h")
+        a = filtered.alias("a")
+        b = filtered.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     if keep_short_docs is not None:
         from pyspark.sql import Window
 

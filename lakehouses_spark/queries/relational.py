@@ -1479,3 +1479,157 @@ def subquery_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_NOT_IN_NULL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Runtime-filter / co-location techniques (J-series extensions): the two
+# standard mechanisms for taming fact-table joins at 100 TB beyond broadcast
+# and salting — a Bloom-filter semi-join reduction and a bucketed
+# (pre-shuffled) co-located join. Both are physical-plan levers: the oracle
+# runs the plain join, and the results must match exactly.
+# ---------------------------------------------------------------------------
+_BLOOM_M_BITS = 1 << 17  # 131072 bits = 2048 longs ≈ 16 KiB broadcast
+_BLOOM_K = 3
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction, built entirely from DataFrame ops
+    (Spark's internal ``bloom_filter_agg`` runtime filter is not SQL-exposed,
+    so the bitmap is constructed the declarative way): explode each dim key
+    into K=3 hash positions (``xxhash64(key, i) mod m``), ``bit_or`` the
+    per-64-bit-word masks, densify against ``spark.range(m/64)``, and collect
+    the whole filter into ONE broadcastable row holding a 2048-long array
+    (~16 KiB). The fact side then drops non-matching rows in a pure
+    projection — no shuffle, no join — before the exact join runs on the
+    surviving ~20%.
+
+    100 TB shape: this is the semi-join-reduction pattern for dims too large
+    to broadcast as a hash relation but whose KEY SET fits a Bloom bitmap —
+    a 100M-key dim needs a ~170 MB exact broadcast but only a ~120 MB bloom
+    at 1% FP, and the bitmap build is a tiny integer shuffle (m/64 words)
+    regardless of dim size. False positives only cost wasted probe rows; the
+    exact join downstream restores precision, which is why the oracle is the
+    plain join. Cited: SURVEY §2.3 J-series context; Bloom-join is classic
+    public literature (Bloom 1970; Mackert & Lohman, VLDB'86)."""
+    dim = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    positions = dim.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col("c_custkey"), F.lit(i)),
+                        F.lit(_BLOOM_M_BITS),
+                    )
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = positions.groupBy(F.expr("pos DIV 64").alias("w")).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(pos % 64 AS int))")).alias("bits")
+    )
+    bitmap = (
+        spark.range(_BLOOM_M_BITS // 64)
+        .withColumnRenamed("id", "w")
+        .join(words, "w", "left")
+        .select("w", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("w", "bits"))),
+                lambda s: s["bits"],
+            ).alias("bloom")
+        )
+    )
+    fact = load_table(spark, sf_dir, "orders")
+    probed = fact.crossJoin(F.broadcast(bitmap))
+    for i in range(_BLOOM_K):
+        probed = probed.withColumn(
+            f"_p{i}",
+            F.pmod(F.xxhash64(F.col("o_custkey"), F.lit(i)), F.lit(_BLOOM_M_BITS)),
+        )
+    hit = " AND ".join(
+        f"(element_at(bloom, CAST(_p{i} DIV 64 AS int) + 1)"
+        f" & shiftleft(1L, CAST(_p{i} % 64 AS int))) != 0"
+        for i in range(_BLOOM_K)
+    )
+    prefiltered = probed.where(F.expr(hit)).drop(
+        "bloom", *[f"_p{i}" for i in range(_BLOOM_K)]
+    )
+    return (
+        prefiltered.join(
+            dim.select("c_custkey"),
+            prefiltered["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join: both sides are written ONCE as
+    16-bucket tables hashed on the join key (``bucketBy(16, key).sortBy``),
+    after which every join on that key reads bucket i against bucket i with
+    NO exchange on either side — the shuffle is paid at write time, amortized
+    over every subsequent join/aggregation on the key.
+
+    100 TB shape: the standard answer when TWO fact tables join repeatedly on
+    the same key and neither broadcasts — nightly orders⋈customer,
+    clicks⋈sessions. Bucket-pruned, sort-merge-ready scans replace a
+    petabyte-scale shuffle per query. The no-Exchange property is pinned by
+    tests/test_plans.py (with auto-broadcast disabled so the demo does not
+    silently degrade to a broadcast at toy scale); THIS query checks value
+    parity against the plain-join oracle. Buckets land in a per-call temp
+    dir; the catalog entries are overwritten idempotently."""
+    import tempfile
+
+    from lakehouses_spark.scale import write_bucketed
+
+    tmp = tempfile.mkdtemp(prefix="lh_bucketed_")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    for name, df, key, sub in (
+        ("lh_tmp_bucketed_orders", orders, "o_custkey", "orders"),
+        ("lh_tmp_bucketed_customer", customer, "c_custkey", "customer"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_bucketed(df, name, key, num_buckets=16, path=f"{tmp}/{sub}")
+    bo = spark.table("lh_tmp_bucketed_orders")
+    bc = spark.table("lh_tmp_bucketed_customer")
+    return (
+        bo.join(bc, bo["o_custkey"] == bc["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -62,7 +62,7 @@ _SWEEP_PRIORITY = [
     #   3. oldest round-3 rows to fill to exactly 50.
     # --- 1. new round-6 queries: first driver row ---
     "lake_delta_log_export", "lake_scd2_build", "sim_range_search",
-    "sim_ann_incremental",
+    "sim_ann_incremental", "join_bloom_prefilter", "join_bucketed_colocated",
     # --- 2. the 37 r2-stale rows ---
     "join_inner_agg", "join_left_outer", "join_full_outer", "join_semi",
     "fn_string_family", "fn_date_family", "fn_array_family", "fn_json_family",
@@ -76,12 +76,13 @@ _SWEEP_PRIORITY = [
     "fn_struct_expand", "sim_pairs_threshold", "sim_centroids",
     "sim_ann_ivf", "pivot_status_by_priority", "unpivot_measures",
     "lateral_tokens_posexplode", "curation_keeplist",
-    # --- 3. oldest r3 rows, refreshed (fills to exactly 50; q9_product_profit
-    #     displaced by the 4th new r6 query — it keeps its green r3 row and
+    # --- 3. oldest r3 rows, refreshed (fills to exactly 50;
+    #     q9_product_profit / q7_nation_volume / q8_market_share displaced
+    #     by the 4th-6th new r6 queries — each keeps its green r3 row and
     #     rotates next round) ---
     "multimodal_metadata", "dedup_minhash_lsh", "dedup_simhash",
     "multimodal_image_pipeline", "q2_best_supplier", "q4_priority_check",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q6_forecast_revenue",
 ]
 
 # Queries registered after the current round's 50-entry sweep budget

@@ -25,17 +25,22 @@ def write_bucketed(
     key: str | list[str],
     num_buckets: int = 32,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist df hash-bucketed (and sorted) by key. Joins/aggregations
-    between tables bucketed the same way skip their Exchange entirely."""
+    between tables bucketed the same way skip their Exchange entirely.
+    ``path`` makes the catalog entry an EXTERNAL table at that location
+    (callers that bucket into a temp dir rather than the warehouse)."""
     keys = [key] if isinstance(key, str) else key
-    (
+    w = (
         df.write.mode(mode)
         .bucketBy(num_buckets, *keys)
         .sortBy(*keys)
         .format("parquet")
-        .saveAsTable(table_name)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
 
 
 def salted_join(

