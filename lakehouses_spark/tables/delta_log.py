@@ -162,6 +162,8 @@ def export_delta_log(
             field_ids[phys] = len(field_ids) + 1
         return field_ids[phys]
 
+    field_id.max_id = lambda: max(field_ids.values(), default=0)
+
     # Replay the LakeTable log, emitting one Delta commit per version and
     # re-emitting metaData whenever table metadata changed.
     running_schema: str | None = None
@@ -310,10 +312,10 @@ def _metadata_action(
             f["metadata"]["delta.columnMapping.id"] = field_id(phys)
             f["metadata"]["delta.columnMapping.physicalName"] = phys
         configuration["delta.columnMapping.mode"] = "name"
-        configuration["delta.columnMapping.maxColumnId"] = str(
-            max([field_id(mapping.get(f["name"], f["name"]))
-                 for f in schema.get("fields", [])], default=0)
-        )
+        # maxColumnId is monotonic per the protocol (it guards id reuse):
+        # the max id EVER assigned, not the max among surviving fields —
+        # dropping the highest-id column must not lower it.
+        configuration["delta.columnMapping.maxColumnId"] = str(field_id.max_id())
     for name, expr in sorted(constraints.items()):
         configuration[f"delta.constraints.{name}"] = expr
     configuration.update(properties)

@@ -278,3 +278,23 @@ def test_reader_rejects_unsupported_features(spark, tmp_path):
 
     with pytest.raises(DeltaProtocolError, match="deletionVectors"):
         read_delta(spark, base)
+
+
+def test_max_column_id_monotonic_after_drop(spark, tmp_path):
+    """PROTOCOL.md: delta.columnMapping.maxColumnId is the max id EVER
+    assigned — dropping the highest-id column must not lower it (it guards
+    physical-name/id reuse by later writers)."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    # rename turns mapping on; add then drop a 4th column so the max EVER
+    # assigned id (4) exceeds the max among survivors (3)
+    t.alter_rename_column("price", "amount")
+    t.alter_add_column("note", "string")
+    t.alter_drop_column("note")
+    dest = t.export_delta_log(tmp_path / "delta")
+    snap = DeltaLogReader(spark, dest).snapshot()
+    assert int(snap.configuration["delta.columnMapping.maxColumnId"]) == 4
+    ids = [
+        f.metadata["delta.columnMapping.id"] for f in snap.schema.fields
+    ]
+    assert sorted(ids) == [1, 2, 3]
