@@ -156,6 +156,7 @@ def ngram_candidate_pairs(
     keep_short_docs: int | None = None,
     containment_threshold: float = 0.5,
     jaccard_prefix: float | None = None,
+    containment_prefix: float | None = None,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing ≥1 non-stop shingle. The
     inverted index is keyed on the 8-byte shingle hash — long-keyed shuffle
@@ -183,7 +184,13 @@ def ngram_candidate_pairs(
     all-boilerplate docs — at half the previous posting volume even then.
     Recall stays pinned by
     test_quality.py::test_containment_short_doc_hot_shingles_recall;
-    exact verification still gates every emitted pair."""
+    exact verification still gates every emitted pair.
+
+    ``jaccard_prefix`` / ``containment_prefix`` select the main-join filter
+    family (mutually exclusive; jaccard wins if both set): the symmetric
+    PPJoin prefix+length+positional set for a Jaccard threshold, or the
+    asymmetric prefix-probe × full-index variant for a containment
+    threshold (see the respective branches)."""
     n_docs = shingle_sets.count()  # already checkpointed by callers
     cut = max(min_df, int(stop_frac * n_docs))
     exploded = shingle_sets.select(
@@ -262,6 +269,57 @@ def ngram_candidate_pairs(
             )
             .select(
                 F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+        )
+    elif containment_prefix is not None:
+        # Containment-adapted PPJoin (asymmetric): C(A,B) = |A∩B|/min ≥ t
+        # constrains only the SMALLER doc A — overlap o ≥ ⌈t·|A|⌉.
+        #   prefix probe: pigeonhole over A's first |A|−⌈t·|A|⌉+1 elements
+        #     (global rarest-first order) — some prefix element is shared
+        #     with B's FULL postings, so prefix(probe) ⋈ full(index) with
+        #     probe.n_sh ≤ index.n_sh finds every qualifying pair while
+        #     probing ~(1−t) of each doc's postings (t=0.5 → half).
+        #   positional (index side): the EARLIEST shared element h* at full
+        #     rank r_b has the o−1 later shared elements after it in B, so
+        #     r_b ≤ |B|−⌈t·|A|⌉+1; survivor rank ≤ full rank, so filtering
+        #     on it never drops h* — tail-of-index collisions go before the
+        #     distinct. No length filter exists for containment (sizes are
+        #     unconstrained by design — that asymmetry is the tier's point).
+        # Same stop-cut composition caveat as the Jaccard branch; the
+        # keep_short_docs unfiltered probe below still covers the
+        # all-boilerplate short-doc corner, and exact verification gates
+        # every emitted pair.
+        from pyspark.sql import Window
+
+        t = float(containment_prefix)
+        wp = Window.partitionBy("doc_id").orderBy("df", "h")
+        ranked = (
+            filtered.join(dfs, "h")
+            .withColumn("rank", F.row_number().over(wp))
+            .select("doc_id", "n_sh", "rank", "h")
+        )
+        probe = ranked.where(
+            F.col("rank") <= F.floor(F.col("n_sh") * (1.0 - t) + 1e-9) + 1
+        )
+        a = probe.alias("a")
+        b = ranked.alias("b")
+        needed = F.ceil(F.lit(t) * F.col("a.n_sh") - 1e-9)
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h"))
+                & (
+                    (F.col("a.n_sh") < F.col("b.n_sh"))
+                    | (
+                        (F.col("a.n_sh") == F.col("b.n_sh"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id"))
+                    )
+                ),
+            )
+            .where(F.col("b.rank") <= F.col("b.n_sh") - needed + 1)
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
             )
         )
     else:
@@ -1237,7 +1295,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection-only — same discipline as verify_jaccard."""
     d = spread(load_table(spark, sf_dir, "documents"))
     shingle_sets = hashed_shingle_sets(d).localCheckpoint()
-    cand = ngram_candidate_pairs(shingle_sets, keep_short_docs=SHORT_DOC_SHINGLES)
+    cand = ngram_candidate_pairs(
+        shingle_sets,
+        keep_short_docs=SHORT_DOC_SHINGLES,
+        containment_prefix=0.5,
+    )
     sa = shingle_sets.alias("sa")
     sb = shingle_sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.hs"), F.col("sb.hs")))
