@@ -322,3 +322,81 @@ def test_asof_tie_break_parity(spark, events):
         ).fetchall()
     }
     assert s_rows == d_rows
+
+
+# --------------------------------------------------------------------------- #
+# PPJoin candidate-filter recall (r6): the prefix/length/positional filters
+# (symmetric Jaccard variant) and the asymmetric containment variant are
+# claimed recall-EXACT — hypothesis hunts for a corpus shape (ties, equal
+# sizes, tiny docs, heavy overlap) where a qualifying pair is filtered out
+# of the candidate stage. The tiny-corpus stop cut is inactive by
+# construction (df ≤ n_docs < 16), isolating the filter math.
+# --------------------------------------------------------------------------- #
+_PP_VOCAB = ["a", "b", "c", "d", "e", "f"]
+_pp_docs = st.lists(
+    st.lists(st.sampled_from(_PP_VOCAB), min_size=3, max_size=24),
+    min_size=3,
+    max_size=9,
+)
+
+
+def _pp_shingles(toks):
+    return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+
+@SET
+@given(docs=_pp_docs)
+def test_ppjoin_jaccard_filters_recall_exact(spark, docs):
+    from lakehouses_spark.queries.dedup import (
+        hashed_shingle_sets,
+        ngram_candidate_pairs,
+        verify_jaccard,
+    )
+
+    sh = {i: _pp_shingles(t) for i, t in enumerate(docs)}
+    expected = {}
+    for a in sh:
+        for b in sh:
+            if a < b:
+                j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+                if j >= 0.3:
+                    expected[(a, b)] = round(j, 4)
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    sets = hashed_shingle_sets(df).localCheckpoint()
+    cand = ngram_candidate_pairs(sets, jaccard_prefix=0.3)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in verify_jaccard(cand, sets, threshold=0.3).collect()
+    }
+    assert got == expected
+
+
+@SET
+@given(docs=_pp_docs)
+def test_ppjoin_containment_prefix_recall_exact(spark, docs):
+    from lakehouses_spark.queries.dedup import (
+        hashed_shingle_sets,
+        ngram_candidate_pairs,
+    )
+
+    sh = {i: _pp_shingles(t) for i, t in enumerate(docs)}
+    qualifying = {
+        (a, b)
+        for a in sh
+        for b in sh
+        if a < b and len(sh[a] & sh[b]) / min(len(sh[a]), len(sh[b])) >= 0.5
+    }
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    sets = hashed_shingle_sets(df).localCheckpoint()
+    # keep_short_docs=None isolates the asymmetric main join — every
+    # qualifying pair must already be IN its candidates (exact verification
+    # downstream only removes, never adds)
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_candidate_pairs(sets, containment_prefix=0.5).collect()
+    }
+    assert qualifying <= cand
