@@ -1029,52 +1029,69 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory() as tmp:
         t = LakeTable.create(spark, f"{tmp}/minhash_index", index_df)
         idx = t.read()  # persisted index — downstream never sees corpus text
-        inc_b = inc.select(
-            F.col("doc_id").alias("in_doc"), F.explode("buckets").alias("bucket")
-        )
-        idx_b = idx.select(
-            F.col("doc_id").alias("ex_doc"), F.explode("buckets").alias("bucket")
-        )
-        cand = inc_b.join(idx_b, "bucket").select("in_doc", "ex_doc").distinct()
-        si = inc.select(F.col("doc_id").alias("in_doc"), F.col("hs").alias("in_hs"))
-        se = idx.select(F.col("doc_id").alias("ex_doc"), F.col("hs").alias("ex_hs"))
-        inter = F.size(F.array_intersect("in_hs", "ex_hs"))
-        union = F.size(F.array_union("in_hs", "ex_hs"))
-        scored = (
-            cand.join(si, "in_doc")
-            .join(se, "ex_doc")
-            .withColumn("j", inter / union)
-            # unrounded, matching the oracle WHERE; threshold sits in the
-            # banding's high-recall region (see INCR_MINHASH_THRESHOLD)
-            .where(F.col("j") >= INCR_MINHASH_THRESHOLD)
-        )
-        wbest = Window.partitionBy("in_doc").orderBy(F.col("j").desc(), "ex_doc")
-        best = (
-            scored.withColumn("rn", F.row_number().over(wbest))
-            .where(F.col("rn") == 1)
-            .select(
-                "in_doc",
-                F.col("ex_doc").alias("dup_of"),
-                F.round("j", 4).alias("jaccard"),
-            )
-        )
-        out = (
-            incoming.select("doc_id")
-            .join(best, incoming.doc_id == best.in_doc, "left")
-            .select(
-                "doc_id",
-                F.when(F.col("in_doc").isNotNull(), "dup_of_existing")
-                .otherwise("accepted")
-                .alias("status"),
-                "dup_of",
-                "jaccard",
-            )
-            .orderBy("doc_id")
-        )
+        out = minhash_probe(inc, idx)
         # materialize before the temp index directory disappears (the driver
         # collects after return); localCheckpoint keeps the result
         # distributed with its lineage cut at the finished computation
         return out.localCheckpoint()
+
+
+def minhash_probe(incoming_sigs: DataFrame, idx: DataFrame) -> DataFrame:
+    """Per-doc near-dup verdict for an incoming signature batch against a
+    persisted MinHash index — the probe step of ``dedup_incremental_minhash``
+    factored out so a streaming foreachBatch can run the SAME logic per
+    micro-batch (probe → append verdicts → index the accepted docs).
+
+    ``incoming_sigs``/``idx``: (doc_id, hs, buckets) as produced by
+    ``minhash_buckets(hashed_shingle_sets(docs), keep=("hs",))``. Returns
+    (doc_id, status ∈ {dup_of_existing, accepted}, dup_of, jaccard) — one
+    row per incoming doc, ordered by doc_id."""
+    from pyspark.sql import Window
+
+    inc_b = incoming_sigs.select(
+        F.col("doc_id").alias("in_doc"), F.explode("buckets").alias("bucket")
+    )
+    idx_b = idx.select(
+        F.col("doc_id").alias("ex_doc"), F.explode("buckets").alias("bucket")
+    )
+    cand = inc_b.join(idx_b, "bucket").select("in_doc", "ex_doc").distinct()
+    si = incoming_sigs.select(
+        F.col("doc_id").alias("in_doc"), F.col("hs").alias("in_hs")
+    )
+    se = idx.select(F.col("doc_id").alias("ex_doc"), F.col("hs").alias("ex_hs"))
+    inter = F.size(F.array_intersect("in_hs", "ex_hs"))
+    union = F.size(F.array_union("in_hs", "ex_hs"))
+    scored = (
+        cand.join(si, "in_doc")
+        .join(se, "ex_doc")
+        .withColumn("j", inter / union)
+        # unrounded, matching the oracle WHERE; threshold sits in the
+        # banding's high-recall region (see INCR_MINHASH_THRESHOLD)
+        .where(F.col("j") >= INCR_MINHASH_THRESHOLD)
+    )
+    wbest = Window.partitionBy("in_doc").orderBy(F.col("j").desc(), "ex_doc")
+    best = (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select(
+            "in_doc",
+            F.col("ex_doc").alias("dup_of"),
+            F.round("j", 4).alias("jaccard"),
+        )
+    )
+    return (
+        incoming_sigs.select("doc_id")
+        .join(best, incoming_sigs["doc_id"] == best["in_doc"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in_doc").isNotNull(), "dup_of_existing")
+            .otherwise("accepted")
+            .alias("status"),
+            "dup_of",
+            "jaccard",
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --- exact-substring dedup (shared k-token windows) -------------------------

@@ -284,3 +284,118 @@ def test_stream_stream_left_outer_join_watermark_expiry(spark, tmp_path):
     # view 4's state never expires (no batch after tier 600 advances the
     # watermark) — availableNow withholds it; this is the designed-for gap
     assert (4, None) not in got
+
+
+def test_streaming_incremental_minhash_updates_index_between_batches(
+    spark, tmp_path
+):
+    """The streaming form of dedup_incremental_minhash: a file stream drains
+    in TWO micro-batches through a foreachBatch that (1) probes the current
+    persisted MinHash index, (2) appends verdicts, (3) indexes the accepted
+    docs' signatures. The crux is batch 2 containing a twin of a doc
+    ACCEPTED in batch 1 — it must come back dup_of_existing pointing at the
+    batch-1 doc, which only happens if the index update between micro-batches
+    is real. Verdicts must equal the sequential batch replay of the same
+    probe (stream/batch unification, SURVEY §5 item 3)."""
+    import json
+    import os
+
+    from lakehouses_spark.queries.dedup import (
+        hashed_shingle_sets,
+        minhash_buckets,
+        minhash_probe,
+    )
+    from lakehouses_spark.tables import LakeTable
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    corpus_rows = {r.doc_id: r.text for r in docs.limit(4).collect()}
+    base_ids = sorted(corpus_rows)
+    t0, t1 = corpus_rows[base_ids[0]], corpus_rows[base_ids[1]]
+    fresh1 = " ".join("x" + w for w in t0.split())   # zero shingle overlap
+    fresh2 = " ".join("y" + w for w in t1.split())
+    batches = [
+        # batch 1: twin of a corpus doc (dup) + a fresh doc (accepted)
+        [
+            {"doc_id": 100_000 + base_ids[0], "text": t0 + " zzz"},
+            {"doc_id": 200_001, "text": fresh1},
+        ],
+        # batch 2: twin of batch-1's ACCEPTED doc (incremental crux) + fresh
+        [
+            {"doc_id": 300_001, "text": fresh1 + " qqq"},
+            {"doc_id": 200_002, "text": fresh2},
+        ],
+    ]
+
+    def sigs_of(df):
+        return minhash_buckets(hashed_shingle_sets(df), keep=("hs",))
+
+    idx_path = tmp_path / "minhash_index"
+    LakeTable.create(spark, idx_path, sigs_of(docs))
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, rows in enumerate(batches):
+        p = landing / f"batch-{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))  # deterministic order
+
+    verdict_dir = str(tmp_path / "verdicts")
+
+    def probe_and_index(batch_df, _batch_id):
+        t = LakeTable(batch_df.sparkSession, idx_path)
+        sigs = sigs_of(batch_df).localCheckpoint()
+        verdicts = minhash_probe(sigs, t.read()).localCheckpoint()
+        verdicts.write.mode("append").parquet(verdict_dir)
+        accepted = sigs.join(
+            verdicts.where(F.col("status") == "accepted").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        t.append(accepted)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+        .writeStream.foreachBatch(probe_and_index)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r.doc_id: (r.status, r.dup_of)
+        for r in spark.read.parquet(verdict_dir).collect()
+    }
+    assert got[100_000 + base_ids[0]] == ("dup_of_existing", base_ids[0])
+    assert got[200_001] == ("accepted", None)
+    # the incremental crux: found only because batch 1 indexed 200001
+    assert got[300_001] == ("dup_of_existing", 200_001)
+    assert got[200_002] == ("accepted", None)
+    # index grew by exactly the accepted docs
+    all_corpus_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    assert sorted(
+        r.doc_id
+        for r in LakeTable(spark, idx_path).read().select("doc_id").collect()
+    ) == sorted([*all_corpus_ids, 200_001, 200_002])
+
+    # stream/batch unification: the sequential batch replay of the same
+    # probe over the same two batches yields identical verdicts
+    idx2 = tmp_path / "replay_index"
+    LakeTable.create(spark, idx2, sigs_of(docs))
+    replay = {}
+    for rows in batches:
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        t = LakeTable(spark, idx2)
+        sigs = sigs_of(bdf).localCheckpoint()
+        v = minhash_probe(sigs, t.read()).localCheckpoint()
+        replay.update({r.doc_id: (r.status, r.dup_of) for r in v.collect()})
+        t.append(
+            sigs.join(
+                v.where(F.col("status") == "accepted").select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+        )
+    assert replay == got
