@@ -579,13 +579,33 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("agg_approx_distinct", oracle=None)  # HLL sketch differs per engine → rows-only
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: approx_count_distinct — HyperLogLog++ sketch, constant memory per
-    group at any scale (the exact count needs a full shuffle of the keys)."""
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
+    group at any scale (the exact count needs a full shuffle of the keys).
+
+    Self-checking (the rows-only driver row still carries signal, same
+    discipline as gold_als_recommendations): every group's sketch estimate
+    is asserted within 3× the default relative standard deviation (rsd
+    0.05 → ±15%) of the exact distinct count before the result is
+    returned — a broken sketch fails the query, not just a lenient
+    rows-only comparison. Output schema unchanged (estimate only)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
         .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
         .orderBy("l_returnflag")
     )
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for r in out.collect():  # bounded: one row per return flag (3)
+        rel_err = abs(r.approx_orders - exact[r.l_returnflag]) / exact[r.l_returnflag]
+        assert rel_err <= 0.15, (
+            f"HLL estimate off by {rel_err:.1%} for {r.l_returnflag} "
+            f"(approx {r.approx_orders}, exact {exact[r.l_returnflag]})"
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -752,11 +772,24 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("random_split_sample", oracle=None)  # RNG differs per engine → rows-only
 def random_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2: seeded randomSplit (02.delta_lake_primer.py:59,
-    05.movielens/03.movielens-gold.py:46) — deterministic within Spark."""
-    train, test = load_table(spark, sf_dir, "orders").randomSplit([0.8, 0.2], seed=42)
-    return train.agg(F.count(F.lit(1)).alias("n_train")).crossJoin(
+    05.movielens/03.movielens-gold.py:46) — deterministic within Spark.
+
+    Self-checking (rows-only row carries signal): the split must be a
+    PARTITION of the input (n_train + n_test = n, the property randomSplit
+    guarantees regardless of RNG) and the observed train fraction must sit
+    within ±5 points of the requested 0.8 — a skewed or overlapping split
+    fails the query itself."""
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    train, test = orders.randomSplit([0.8, 0.2], seed=42)
+    out = train.agg(F.count(F.lit(1)).alias("n_train")).crossJoin(
         test.agg(F.count(F.lit(1)).alias("n_test"))
     )
+    r = out.collect()[0]  # bounded: 1 row
+    assert r.n_train + r.n_test == n, "randomSplit must partition the input"
+    frac = r.n_train / n
+    assert abs(frac - 0.8) <= 0.05, f"train fraction {frac:.3f} far from 0.8"
+    return out
 
 
 # ---------------------------------------------------------------------------
