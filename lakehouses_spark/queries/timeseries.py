@@ -1070,6 +1070,122 @@ def ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ts_asof_nearest",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    ), cand AS (
+      SELECT p.event_id AS p_id,
+             c.event_id AS c_id, c.value AS c_value,
+             abs(epoch_us(p.ts) - epoch_us(c.ts)) AS dist,
+             CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS is_next
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL {ASOF_TOLERANCE_S} SECOND
+       AND c.ts <= p.ts + INTERVAL {ASOF_TOLERANCE_S} SECOND
+    ), best AS (
+      SELECT p_id, c_id, c_value,
+             row_number() OVER (PARTITION BY p_id
+                                ORDER BY dist, is_next, c_id DESC) AS rn
+      FROM cand
+    )
+    SELECT p.event_id, p.user_id,
+           b.c_id AS nearest_click_id,
+           round(b.c_value, 2) AS nearest_click_value
+    FROM p LEFT JOIN best b ON b.p_id = p.event_id AND b.rn = 1
+    ORDER BY p.event_id
+    """,
+)
+def ts_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 variant completing the merge_asof direction family (pandas has
+    backward / forward / nearest; ts_asof_join is backward, this is
+    NEAREST): each purchase matches the click closest in ABSOLUTE time
+    within ±{ASOF_TOLERANCE_S}s, ties broken prior-side-first then highest
+    event_id — all integer-microsecond arithmetic in both engines so tie
+    behavior is exact, never FP-dependent.
+
+    100 TB shape: still ONE shuffle on user_id — the tagged union gets TWO
+    sorted window passes over the same partitioning (a backward last() and
+    a forward last() over the time-reversed order), then the winner is a
+    pure projection. The oracle's theta-join + rank formulation is the
+    O(n·m) plan this implementation exists to avoid."""
+    return asof_nearest_merge(load_table(spark, sf_dir, "events"))
+
+
+def asof_nearest_merge(e: DataFrame) -> DataFrame:
+    """Frame-level core of ts_asof_nearest (input: event_id, user_id, ts,
+    value, event_type) — exposed so the tie-break property test can drive
+    the exact production expressions on synthetic tied-timestamp frames
+    (same pattern as asof_merge)."""
+    purchases = e.where(F.col("event_type") == "purchase")
+    clicks = e.where(F.col("event_type") == "click")
+    tagged = purchases.select(
+        "user_id",
+        F.col("ts").alias("evt_ts"),
+        F.lit(1).alias("is_purchase"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("c_event_id"),
+        F.lit(None).cast("double").alias("c_value"),
+        F.lit(None).cast("timestamp").alias("c_ts"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            F.col("ts").alias("evt_ts"),
+            F.lit(0).alias("is_purchase"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("event_id").alias("c_event_id"),
+            F.col("value").alias("c_value"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    # backward pass: same total order as ts_asof_join/tolerance (same-ts
+    # clicks sort before the purchase => distance-0 matches visible; the
+    # highest event_id lands last in frame => wins among same-ts ties)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("evt_ts", "is_purchase", "c_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward pass: time REVERSED — the last click scanned before the
+    # purchase is the one with the smallest ts >= purchase ts; within a
+    # tied ts, c_event_id ASC puts the highest id last in frame (same tie
+    # rule as the backward pass)
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("evt_ts").desc(), "is_purchase", "c_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_struct = F.when(
+        F.col("is_purchase") == 0, F.struct("c_event_id", "c_value", "c_ts")
+    )
+    tol_us = ASOF_TOLERANCE_S * 1_000_000
+    em = F.unix_micros(F.col("evt_ts"))
+    dp = em - F.unix_micros(F.col("prior.c_ts"))
+    dn = F.unix_micros(F.col("nxt.c_ts")) - em
+    prior_ok = F.col("prior").isNotNull() & (dp <= tol_us)
+    next_ok = F.col("nxt").isNotNull() & (dn <= tol_us)
+    # prior wins equidistant ties (dp <= dn), matching the oracle's
+    # (dist, is_next) ordering
+    chosen = F.when(
+        prior_ok & (~next_ok | (dp <= dn)), F.col("prior")
+    ).when(next_ok, F.col("nxt"))
+    return (
+        tagged.withColumn("prior", F.last(click_struct, ignorenulls=True).over(wb))
+        .withColumn("nxt", F.last(click_struct, ignorenulls=True).over(wf))
+        .where(F.col("is_purchase") == 1)
+        .withColumn("chosen", chosen)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("chosen.c_event_id").alias("nearest_click_id"),
+            F.round(F.col("chosen.c_value"), 2).alias("nearest_click_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
 XCORR_MAX_LAG = 3  # hours
 
 

@@ -63,6 +63,7 @@ _SWEEP_PRIORITY = [
     # --- 1. new round-6 queries: first driver row ---
     "lake_delta_log_export", "lake_scd2_build", "sim_range_search",
     "sim_ann_incremental", "join_bloom_prefilter", "join_bucketed_colocated",
+    "ts_asof_nearest",
     # --- 2. the 37 r2-stale rows ---
     "join_inner_agg", "join_left_outer", "join_full_outer", "join_semi",
     "fn_string_family", "fn_date_family", "fn_array_family", "fn_json_family",
@@ -77,12 +78,11 @@ _SWEEP_PRIORITY = [
     "sim_ann_ivf", "pivot_status_by_priority", "unpivot_measures",
     "lateral_tokens_posexplode", "curation_keeplist",
     # --- 3. oldest r3 rows, refreshed (fills to exactly 50;
-    #     q9_product_profit / q7_nation_volume / q8_market_share displaced
-    #     by the 4th-6th new r6 queries — each keeps its green r3 row and
-    #     rotates next round) ---
+    #     q9_product_profit / q7_nation_volume / q8_market_share /
+    #     q6_forecast_revenue displaced by the 4th-7th new r6 queries —
+    #     each keeps its green r3 row and rotates next round) ---
     "multimodal_metadata", "dedup_minhash_lsh", "dedup_simhash",
     "multimodal_image_pipeline", "q2_best_supplier", "q4_priority_check",
-    "q6_forecast_revenue",
 ]
 
 # Queries registered after the current round's 50-entry sweep budget

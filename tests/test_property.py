@@ -400,3 +400,59 @@ def test_ppjoin_containment_prefix_recall_exact(spark, docs):
         for r in ngram_candidate_pairs(sets, containment_prefix=0.5).collect()
     }
     assert qualifying <= cand
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # user
+            st.integers(0, 5),                      # ts (tiny range → ties)
+            st.sampled_from(["click", "purchase"]),
+            maybe_null_doubles,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_asof_nearest_tie_break_parity(spark, events):
+    """ts_asof_nearest's tie rules under actual ties: (1) |Δt| minimized,
+    (2) equidistant prior beats next, (3) within a side, highest event_id
+    wins, (4) the winner's OWN value is returned (NULL included). Checked
+    against a brute-force Python oracle on tied-timestamp frames."""
+    from pyspark.sql import functions as F
+
+    from lakehouses_spark.queries.timeseries import (
+        ASOF_TOLERANCE_S,
+        asof_nearest_merge,
+    )
+
+    rows = [(i, u, t, typ, v) for i, (u, t, typ, v) in enumerate(events)]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.event_id: (r.nearest_click_id, r.nearest_click_value)
+        for r in asof_nearest_merge(e).collect()
+    }
+    expected = {}
+    clicks = [(i, u, t, v) for i, u, t, typ, v in rows if typ == "click"]
+    for i, u, t, typ, v in rows:
+        if typ != "purchase":
+            continue
+        cand = [
+            (abs(t - ct), 0 if ct <= t else 1, -ci, ci, cv)
+            for ci, cu, ct, cv in clicks
+            if cu == u and abs(t - ct) <= ASOF_TOLERANCE_S
+        ]
+        if cand:
+            _, _, _, ci, cv = min(cand)
+            expected[i] = (ci, round(cv, 2) if cv is not None else None)
+        else:
+            expected[i] = (None, None)
+    assert set(got) == set(expected)
+    for k in got:
+        gid, gv = got[k]
+        eid, ev = expected[k]
+        assert gid == eid, f"{k}: id {gid} vs {eid}"
+        assert _close(gv, ev), f"{k}: value {gv} vs {ev}"
