@@ -1521,10 +1521,6 @@ def subquery_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (pre-shuffled) co-located join. Both are physical-plan levers: the oracle
 # runs the plain join, and the results must match exactly.
 # ---------------------------------------------------------------------------
-_BLOOM_M_BITS = 1 << 17  # 131072 bits = 2048 longs ≈ 16 KiB broadcast
-_BLOOM_K = 3
-
-
 @query(
     "join_bloom_prefilter",
     oracle="""
@@ -1556,52 +1552,14 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact join downstream restores precision, which is why the oracle is the
     plain join. Cited: SURVEY §2.3 J-series context; Bloom-join is classic
     public literature (Bloom 1970; Mackert & Lohman, VLDB'86)."""
+    from lakehouses_spark.scale import bloom_bitmap, bloom_prefilter
+
     dim = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
-    positions = dim.select(
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(
-                        F.xxhash64(F.col("c_custkey"), F.lit(i)),
-                        F.lit(_BLOOM_M_BITS),
-                    )
-                    for i in range(_BLOOM_K)
-                ]
-            )
-        ).alias("pos")
-    )
-    words = positions.groupBy(F.expr("pos DIV 64").alias("w")).agg(
-        F.bit_or(F.expr("shiftleft(1L, CAST(pos % 64 AS int))")).alias("bits")
-    )
-    bitmap = (
-        spark.range(_BLOOM_M_BITS // 64)
-        .withColumnRenamed("id", "w")
-        .join(words, "w", "left")
-        .select("w", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("w", "bits"))),
-                lambda s: s["bits"],
-            ).alias("bloom")
-        )
-    )
+    bitmap = bloom_bitmap(dim, "c_custkey")
     fact = load_table(spark, sf_dir, "orders")
-    probed = fact.crossJoin(F.broadcast(bitmap))
-    for i in range(_BLOOM_K):
-        probed = probed.withColumn(
-            f"_p{i}",
-            F.pmod(F.xxhash64(F.col("o_custkey"), F.lit(i)), F.lit(_BLOOM_M_BITS)),
-        )
-    hit = " AND ".join(
-        f"(element_at(bloom, CAST(_p{i} DIV 64 AS int) + 1)"
-        f" & shiftleft(1L, CAST(_p{i} % 64 AS int))) != 0"
-        for i in range(_BLOOM_K)
-    )
-    prefiltered = probed.where(F.expr(hit)).drop(
-        "bloom", *[f"_p{i}" for i in range(_BLOOM_K)]
-    )
+    prefiltered = bloom_prefilter(fact, "o_custkey", bitmap)
     return (
         prefiltered.join(
             dim.select("c_custkey"),

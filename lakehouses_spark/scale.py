@@ -76,3 +76,75 @@ def explain_shuffles(df: DataFrame) -> int:
     with contextlib.redirect_stdout(buf):
         df.explain("simple")
     return buf.getvalue().count("Exchange")
+
+
+# --------------------------------------------------------------------------- #
+# Bloom-filter semi-join reduction (Bloom 1970; Mackert & Lohman, VLDB'86) —
+# the runtime-filter lever for dims too large to broadcast as a hash relation
+# but whose KEY SET fits a bitmap. Built entirely from DataFrame ops because
+# Spark's internal bloom_filter_agg is not SQL-exposed. No false negatives by
+# construction (every key sets exactly its k bits; the probe requires those
+# same k bits); false positives only cost wasted probe rows — callers run the
+# exact join downstream.
+# --------------------------------------------------------------------------- #
+BLOOM_M_BITS = 1 << 17  # 131072 bits = 2048 longs ≈ 16 KiB broadcast
+BLOOM_K = 3
+
+
+def _bloom_positions(key_col: str, m_bits: int, k: int):
+    return [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        for i in range(k)
+    ]
+
+
+def bloom_bitmap(
+    keys: DataFrame, key_col: str, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """ONE-row frame (`bloom: array<long>`, m_bits/64 words) over the key
+    set: explode each key into k hash positions, bit_or per-word masks,
+    densify against spark.range so the array index is the word index. The
+    word aggregation shuffles m_bits/64 rows regardless of key count."""
+    positions = keys.select(
+        F.explode(F.array(*_bloom_positions(key_col, m_bits, k))).alias("pos")
+    )
+    words = positions.groupBy(F.expr("pos DIV 64").alias("w")).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(pos % 64 AS int))")).alias("bits")
+    )
+    return (
+        keys.sparkSession.range(m_bits // 64)
+        .withColumnRenamed("id", "w")
+        .join(words, "w", "left")
+        .select("w", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("w", "bits"))),
+                lambda s: s["bits"],
+            ).alias("bloom")
+        )
+    )
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    key_col: str,
+    bitmap: DataFrame,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Rows of ``df`` whose key MAY be in the bitmap's key set — guaranteed
+    to keep every row whose key IS in the set (no false negatives). A pure
+    projection over ``df``'s scan: the bitmap rides a single-row broadcast
+    crossJoin, the k bit tests are JVM intrinsics, and ``df`` is neither
+    shuffled nor joined before the filter drops non-matching rows."""
+    probed = df.crossJoin(F.broadcast(bitmap))
+    for i, pos in enumerate(_bloom_positions(key_col, m_bits, k)):
+        probed = probed.withColumn(f"_p{i}", pos)
+    hit = " AND ".join(
+        f"(element_at(bloom, CAST(_p{i} DIV 64 AS int) + 1)"
+        f" & shiftleft(1L, CAST(_p{i} % 64 AS int))) != 0"
+        for i in range(k)
+    )
+    return probed.where(F.expr(hit)).drop(
+        "bloom", *[f"_p{i}" for i in range(k)]
+    )

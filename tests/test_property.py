@@ -456,3 +456,33 @@ def test_asof_nearest_tie_break_parity(spark, events):
         eid, ev = expected[k]
         assert gid == eid, f"{k}: id {gid} vs {eid}"
         assert _close(gv, ev), f"{k}: value {gv} vs {ev}"
+
+
+@given(
+    dim_keys=st.sets(st.integers(-10**12, 10**12), min_size=0, max_size=40),
+    fact_keys=st.lists(st.integers(-10**12, 10**12), min_size=1, max_size=60),
+)
+@SET
+def test_bloom_prefilter_has_no_false_negatives(spark, dim_keys, fact_keys):
+    """scale.bloom_bitmap/bloom_prefilter: every fact row whose key IS in
+    the dim key set must survive the probe (Bloom's one-sided guarantee —
+    false positives allowed, false negatives never). Hypothesis drives the
+    hand-rolled bit arithmetic (word indexing, shifts, sign of xxhash64)
+    across negative keys, empty dims, and duplicates. A small m_bits forces
+    dense bitmaps so word-boundary bugs can't hide in sparsity."""
+    from pyspark.sql import functions as F
+
+    from lakehouses_spark.scale import bloom_bitmap, bloom_prefilter
+
+    dim = spark.createDataFrame([(k,) for k in dim_keys] or [(None,)], "k long")
+    if not dim_keys:
+        dim = dim.where(F.col("k").isNotNull())  # empty frame, same schema
+    fact = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(fact_keys)], "row_id long, k long"
+    )
+    bitmap = bloom_bitmap(dim, "k", m_bits=256, k=3)
+    kept = {
+        r.row_id for r in bloom_prefilter(fact, "k", bitmap, m_bits=256, k=3).collect()
+    }
+    must_keep = {i for i, k in enumerate(fact_keys) if k in dim_keys}
+    assert must_keep <= kept
