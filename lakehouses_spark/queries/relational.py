@@ -9,6 +9,9 @@ which at 100 TB keeps the big fact table shuffle-free.
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1598,23 +1601,33 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     petabyte-scale shuffle per query. The no-Exchange property is pinned by
     tests/test_plans.py (with auto-broadcast disabled so the demo does not
     silently degrade to a broadcast at toy scale); THIS query checks value
-    parity against the plain-join oracle. Buckets land in a per-call temp
-    dir; the catalog entries are overwritten idempotently."""
+    parity against the plain-join oracle. Buckets land in a DETERMINISTIC
+    per-(sf_dir, session) location and the catalog names carry the same
+    suffix, so repeated driver runs overwrite in place instead of leaking a
+    new temp dir per call, and concurrent sessions on different sf_dirs
+    don't race on shared table names."""
+    import hashlib
     import tempfile
 
     from lakehouses_spark.scale import write_bucketed
 
-    tmp = tempfile.mkdtemp(prefix="lh_bucketed_")
+    tag = hashlib.sha256(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    tmp = Path(tempfile.gettempdir()) / f"lh_bucketed_{tag}"
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     for name, df, key, sub in (
-        ("lh_tmp_bucketed_orders", orders, "o_custkey", "orders"),
-        ("lh_tmp_bucketed_customer", customer, "c_custkey", "customer"),
+        (f"lh_tmp_bucketed_orders_{tag}", orders, "o_custkey", "orders"),
+        (f"lh_tmp_bucketed_customer_{tag}", customer, "c_custkey", "customer"),
     ):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        write_bucketed(df, name, key, num_buckets=16, path=f"{tmp}/{sub}")
-    bo = spark.table("lh_tmp_bucketed_orders")
-    bc = spark.table("lh_tmp_bucketed_customer")
+        sub_dir = tmp / sub
+        if sub_dir.exists():
+            shutil.rmtree(sub_dir)
+        write_bucketed(df, name, key, num_buckets=16, path=str(sub_dir))
+    bo = spark.table(f"lh_tmp_bucketed_orders_{tag}")
+    bc = spark.table(f"lh_tmp_bucketed_customer_{tag}")
     return (
         bo.join(bc, bo["o_custkey"] == bc["c_custkey"])
         .groupBy("c_mktsegment")

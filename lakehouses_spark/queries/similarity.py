@@ -593,6 +593,10 @@ def _pq_calibrate_margin(X, books, lut, threshold: float) -> float:
     m = books.shape[0]
     sub = X.shape[1] // m
     n = len(X)
+    if n < 2:
+        # a single-vector sample has no pairs to calibrate on — fall back to
+        # the static floor instead of np.quantile over an empty array
+        return PQ_MARGIN
     codes = np.empty((n, m), dtype=np.int64)
     for i in range(m):
         Xm = X[:, i * sub:(i + 1) * sub]

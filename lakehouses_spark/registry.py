@@ -53,36 +53,33 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # emitted FIRST, so the hard signal lands on them; everything already
 # driver-verified in round 1 follows in registration order.
 _SWEEP_PRIORITY = [
-    # Round-6 rotation (VERDICT r5 #2), sized to the 50-entry budget:
-    #   1. new round-6 queries — FIRST driver row, registered straight into
+    # Round-7 rotation (VERDICT r6 #1), sized to the 50-entry budget:
+    #   1. new round-7 queries — FIRST driver row, registered straight into
     #      budget slots (deferral queue stays empty),
-    #   2. ALL 37 rows whose latest driver row is round 2 (the oldest hard
+    #   2. ALL 40 rows whose latest driver row is round 3 (the oldest hard
     #      external signal in the registry) — after this rotation no row is
-    #      older than round 3,
-    #   3. oldest round-3 rows to fill to exactly 50.
-    # --- 1. new round-6 queries: first driver row ---
-    "lake_delta_log_export", "lake_scd2_build", "sim_range_search",
-    "sim_ann_incremental", "join_bloom_prefilter", "join_bucketed_colocated",
-    "ts_asof_nearest",
-    # --- 2. the 37 r2-stale rows ---
-    "join_inner_agg", "join_left_outer", "join_full_outer", "join_semi",
-    "fn_string_family", "fn_date_family", "fn_array_family", "fn_json_family",
-    "window_topk_per_group", "window_running_sum", "window_lag_delta",
-    "window_rank_dense", "window_lead_ntile", "window_dedup_keep_latest",
-    "ts_range_join", "ts_tumbling_window", "ts_sliding_window",
-    "ts_daily_rollup", "ts_retention_cohorts", "ts_funnel",
-    "text_token_stats", "text_quality_score", "text_langid",
-    "text_bpe_token_count", "text_fingerprint", "text_bigram_topk",
-    "fn_cast_family", "fn_math_conditional", "fn_map_family",
-    "fn_struct_expand", "sim_pairs_threshold", "sim_centroids",
-    "sim_ann_ivf", "pivot_status_by_priority", "unpivot_measures",
-    "lateral_tokens_posexplode", "curation_keeplist",
-    # --- 3. oldest r3 rows, refreshed (fills to exactly 50;
-    #     q9_product_profit / q7_nation_volume / q8_market_share /
-    #     q6_forecast_revenue displaced by the 4th-7th new r6 queries —
-    #     each keeps its green r3 row and rotates next round) ---
-    "multimodal_metadata", "dedup_minhash_lsh", "dedup_simhash",
-    "multimodal_image_pipeline", "q2_best_supplier", "q4_priority_check",
+    #      older than round 4,
+    #   3. oldest round-4 rows to fill to exactly 50.
+    # --- 1. new round-7 queries: first driver row ---
+    "lake_iceberg_export", "streaming_minhash_dedup",
+    # --- 2. the 40 r3-stale rows ---
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_value_concentration",
+    "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_count",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "q20_volume_suppliers", "q21_waiting_suppliers", "q22_dormant_customers",
+    "text_pii_scrub", "sim_pairs_blocked", "multimodal_manifest_probe",
+    "text_decontaminate", "sample_stratified", "sample_hash_split",
+    "streaming_matview_rollup", "text_boilerplate_ngrams",
+    "text_perplexity_proxy", "sample_temperature", "multimodal_frame_manifest",
+    "dedup_incremental", "text_word_entropy", "fn_variant_family",
+    "dedup_common_substring", "text_chunk_overlap", "streaming_stream_join",
+    "streaming_dedup_drain", "multimodal_audio_stats", "text_tfidf_terms",
+    "ts_gap_fill", "ts_ohlc", "ts_anomaly_mad", "agg_corr_stats",
+    "agg_histogram", "sim_ann_ivfpq",
+    # --- 3. oldest r4 rows, refreshed (fills to exactly 50) ---
+    "graph_pagerank", "window_cume_dist", "fn_bitwise_family", "agg_mode",
+    "ts_ewma", "ts_rolling_stats", "ts_interpolate_linear", "agg_filtered",
 ]
 
 # Queries registered after the current round's 50-entry sweep budget

@@ -16,10 +16,13 @@ this module closes the FORMAT gap with stdlib-only code:
 - ``read_delta(spark, path)`` / ``DeltaLogReader``: an independent reader of
   Delta-protocol tables (exported ones or tables written by real Delta
   writers): stdlib JSON replay of the action log (checkpoint parquet via a
-  plain parquet scan when the JSON prefix was cleaned up), then one Spark
-  parquet read per partition-value group. Supports column mapping
-  (mode=name/id), partitioned tables, time travel, and fails loudly on
-  protocol features it does not implement (deletion vectors, v2 checkpoints).
+  plain parquet scan when the JSON prefix was cleaned up), then ONE Spark
+  parquet read over all live files with partition values attached via a
+  broadcast file→tuple map join. Supports column mapping (mode=name/id),
+  partitioned tables, time travel, and deletion vectors (`tables/dv.py`
+  decodes the public roaring-bitmap format; deleted rows are anti-filtered
+  by `_metadata.row_index`); fails loudly on protocol features it does not
+  implement (v2 checkpoints).
 - ``LakeTable.convert_from_delta``: in-place adoption of an unpartitioned
   Delta table's live files into a fresh LakeTable log (no data rewrite),
   mirroring ``convert_from_parquet``.
@@ -42,10 +45,11 @@ import shutil
 import uuid
 from pathlib import Path
 from typing import Any
+from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from lakehouses_spark.tables import log as txlog
 
@@ -58,7 +62,9 @@ _BASE_PROTOCOL = (1, 2)
 _CONSTRAINTS_PROTOCOL = (1, 3)
 _COLUMN_MAPPING_PROTOCOL = (2, 5)
 
-_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz", "checkConstraints"}
+_SUPPORTED_READER_FEATURES = {
+    "columnMapping", "timestampNtz", "checkConstraints", "deletionVectors",
+}
 
 
 class DeltaExportError(RuntimeError):
@@ -98,11 +104,6 @@ def export_delta_log(
     """
     dest = Path(dest)
     log_dest = dest / DELTA_LOG_DIR
-    if log_dest.exists():
-        if mode == "error":
-            raise FileExistsError(f"delta table already exists: {dest}")
-        if mode == "overwrite":
-            shutil.rmtree(dest)
     state = table.state()
     if state.tombstones:
         raise DeltaExportError(
@@ -152,6 +153,34 @@ def export_delta_log(
         path_map[rel] = out
         return out
 
+    # Pre-scan EVERY file reference (same first-reference order as the replay
+    # loop, so ext-* names are identical) and verify the sources exist BEFORE
+    # touching dest. A vacuumed table deletes unreferenced historical files —
+    # discovering that mid-copy, after the _delta_log commits were already
+    # written, would leave a corrupt partial export behind.
+    for c in commits:
+        for rel in c.get("remove", []):
+            mapped_path(rel)
+        for add in c.get("add", []):
+            mapped_path(add["path"])
+    missing = sorted(
+        rel for rel in path_map if not (table.path / rel).resolve().exists()
+    )
+    if missing:
+        raise DeltaExportError(
+            f"{len(missing)} historical data file(s) referenced by the log no "
+            f"longer exist (first: {missing[0]!r}) — the table was vacuumed. "
+            "Full-history export needs every referenced file; export a "
+            "snapshot instead (CLONE the table, then export the clone) or "
+            "re-create the history."
+        )
+
+    if log_dest.exists():
+        if mode == "error":
+            raise FileExistsError(f"delta table already exists: {dest}")
+        if mode == "overwrite":
+            shutil.rmtree(dest)
+
     # Column-mapping ids are keyed by PHYSICAL name: a rename keeps the id
     # (it's metadata-only; the files don't change), a genuinely new column
     # gets the next id.
@@ -175,6 +204,15 @@ def export_delta_log(
     log_dest.mkdir(parents=True, exist_ok=True)
     final_adds: dict[str, dict] = {}
     final_txns: dict[str, tuple[int, int]] = {}  # appId -> (version, ts)
+    # physical names ever used / used by the previous version's schema —
+    # a physical name RETURNING after retirement means a drop→re-add that
+    # predates alter_add_column's fresh-name minting: reusing the cached
+    # columnMapping id would make Delta clients resolve the re-added column
+    # to the OLD files' physical data (resurrecting dropped values), and
+    # minting a fresh physical name here would silently NULL the data
+    # written AFTER the re-add. Neither is acceptable — fail loudly.
+    ever_phys: set[str] = set()
+    prev_active: set[str] = set()
 
     for c in commits:
         v, ts = c["version"], c["timestamp_ms"]
@@ -188,6 +226,32 @@ def export_delta_log(
             running_constraints = dict(c["constraints"])
         if c.get("properties") is not None:
             running_properties = dict(c["properties"])
+        if running_schema:
+            active = [
+                running_mapping.get(f["name"], f["name"])
+                for f in json.loads(running_schema).get("fields", [])
+            ]
+            dup = sorted({p for p in active if active.count(p) > 1})
+            if dup:
+                raise DeltaExportError(
+                    f"version {v}: physical column name(s) {dup} are shared "
+                    "by multiple logical columns — not representable in "
+                    "Delta column mapping"
+                )
+            returned = sorted(
+                p for p in active if p in ever_phys and p not in prev_active
+            )
+            if returned:
+                raise DeltaExportError(
+                    f"version {v}: physical column name(s) {returned} were "
+                    "dropped and later re-added (a pre-fresh-minting log). "
+                    "Old data files still carry the dropped values under the "
+                    "same physical name, so no columnMapping id assignment "
+                    "is correct for ALL files — rewrite the table under the "
+                    "current schema (deep CLONE) before exporting."
+                )
+            ever_phys.update(active)
+            prev_active = set(active)
 
         actions: list[dict[str, Any]] = [
             {
@@ -240,12 +304,13 @@ def export_delta_log(
                     }
                 }
             )
+        # PROTOCOL.md: add/remove paths are percent-encoded relative URIs
         for rel in c.get("remove", []):
-            final_adds.pop(mapped_path(rel), None)
+            final_adds.pop(quote(mapped_path(rel)), None)
             actions.append(
                 {
                     "remove": {
-                        "path": mapped_path(rel),
+                        "path": quote(mapped_path(rel)),
                         "deletionTimestamp": ts,
                         "dataChange": True,
                     }
@@ -253,7 +318,7 @@ def export_delta_log(
             )
         for add in c.get("add", []):
             delta_add = {
-                "path": mapped_path(add["path"]),
+                "path": quote(mapped_path(add["path"])),
                 "partitionValues": {},
                 "size": add.get("size_bytes") or 0,
                 "modificationTime": ts,
@@ -454,6 +519,9 @@ class DeltaSnapshot:
             if not stats:
                 return -1  # unknown: some file lacks stats
             total += json.loads(stats).get("numRecords", 0)
+            dv = a.get("deletionVector")
+            if dv:
+                total -= dv.get("cardinality") or 0
         return total
 
 
@@ -537,14 +605,15 @@ class DeltaLogReader:
                 metadata.clear()
                 metadata.update(action["metaData"])
             elif "add" in action:
-                a = action["add"]
-                if a.get("deletionVector"):
-                    raise DeltaProtocolError(
-                        "deletion vectors are not supported by this reader"
-                    )
+                # PROTOCOL.md: action paths are percent-encoded relative
+                # URIs — decode once at replay so files is keyed by the
+                # filesystem-relative path (external writers encode spaces
+                # and special characters in partition values)
+                a = dict(action["add"])
+                a["path"] = unquote(a["path"])
                 files[a["path"]] = a
             elif "remove" in action:
-                files.pop(action["remove"]["path"], None)
+                files.pop(unquote(action["remove"]["path"]), None)
             elif "txn" in action:
                 t = action["txn"]
                 txns[t["appId"]] = t["version"]
@@ -574,6 +643,19 @@ class DeltaLogReader:
 
     # -- data ------------------------------------------------------------ #
     def to_df(self, version: int | None = None) -> DataFrame:
+        """ONE parquet scan over every live file (partition columns are NOT
+        in Delta data files — they live in add.partitionValues), with the
+        partition-value tuples attached via a file-path → values broadcast
+        map join keyed on ``_metadata.file_path``. A scan per distinct
+        partition tuple chained through unionByName would plan a 10k-way
+        union lineage on a date×hour table — the classic analyzer blow-up —
+        in the one component whose purpose is reading EXTERNAL tables.
+
+        Files carrying deletion vectors get their deleted row indexes
+        anti-filtered via ``_metadata.row_index`` against a broadcast
+        (file, row_index) set decoded driver-side (`tables/dv.py`)."""
+        from lakehouses_spark.tables import dv as _dv
+
         snap = self.snapshot(version)
         schema = snap.schema
         conf = snap.configuration
@@ -592,30 +674,50 @@ class DeltaLogReader:
         part_types = {f.name: f.dataType for f in schema.fields if f.name in part_cols}
         if not snap.files:
             return self.spark.createDataFrame([], schema)
-        # one scan per distinct partition-value tuple; partition columns are
-        # NOT in the data files (Delta serializes them into add.partitionValues)
-        groups: dict[tuple, list[str]] = {}
+
+        # canonical fs path per file (matches `_metadata.file_path` with the
+        # scheme stripped), its partition tuple, and any deleted row indexes
+        abs_paths: list[str] = []
+        pv_rows: list[tuple] = []
+        deleted_rows: list[tuple[str, int]] = []
         for path, a in snap.files.items():
+            ap = str((self.path / path).resolve())
+            abs_paths.append(ap)
             pv = a.get("partitionValues") or {}
-            key = tuple(pv.get(c) for c in part_cols)
-            groups.setdefault(key, []).append(str(self.path / path))
-        parts = []
-        for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
-            df = self.spark.read.schema(phys_schema).parquet(*paths)
-            df = df.select(
-                *[F.col(phys_name(f)).alias(f.name) for f in data_fields]
+            pv_rows.append((ap, *[pv.get(c) for c in part_cols]))
+            if a.get("deletionVector"):
+                for idx in _dv.read_descriptor(a["deletionVector"], self.path):
+                    deleted_rows.append((ap, idx))
+
+        df = self.spark.read.schema(phys_schema).parquet(*abs_paths)
+        # "file:///x", "file:/x" → "/x" so both sides key identically
+        fp = F.regexp_replace(F.col("_metadata.file_path"), r"^[a-zA-Z][\w+.-]*:/+", "/")
+        if deleted_rows:
+            df = df.withColumns({"__lh_fp": fp, "__lh_ri": F.col("_metadata.row_index")})
+            dv_df = self.spark.createDataFrame(
+                deleted_rows, "__lh_fp string, __lh_ri bigint"
             )
-            for c, raw in zip(part_cols, key):
-                df = df.withColumn(
-                    c,
-                    F.lit(raw).cast(part_types[c]) if raw is not None
-                    else F.lit(None).cast(part_types[c]),
-                )
-            parts.append(df.select(*[f.name for f in schema.fields]))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            df = df.join(F.broadcast(dv_df), ["__lh_fp", "__lh_ri"], "left_anti")
+        else:
+            df = df.withColumn("__lh_fp", fp)
+        df = df.select(
+            "__lh_fp", *[F.col(phys_name(f)).alias(f.name) for f in data_fields]
+        )
+        if part_cols:
+            map_df = self.spark.createDataFrame(
+                pv_rows,
+                StructType(
+                    [StructField("__lh_fp", StringType())]
+                    + [
+                        StructField(f"__lh_pv_{i}", StringType())
+                        for i in range(len(part_cols))
+                    ]
+                ),
+            )
+            df = df.join(F.broadcast(map_df), "__lh_fp")
+            for i, c in enumerate(part_cols):
+                df = df.withColumn(c, F.col(f"__lh_pv_{i}").cast(part_types[c]))
+        return df.select(*[f.name for f in schema.fields])
 
     def history(self) -> list[dict]:
         """One entry per surviving JSON commit: version, timestamp, operation."""

@@ -173,6 +173,14 @@ class LakeTable:
                 "in the data files); adopt via LakeTable.create over "
                 "read_delta() instead"
             )
+        dv_files = sorted(p for p, a in snap.files.items() if a.get("deletionVector"))
+        if dv_files:
+            raise ValueError(
+                f"{len(dv_files)} file(s) carry deletion vectors (first: "
+                f"{dv_files[0]!r}); adopting the raw files would resurrect "
+                "deleted rows — adopt via LakeTable.create over read_delta() "
+                "instead (it applies the DV anti-filter)"
+            )
         conf = snap.configuration
         mapping: dict[str, str] = {}
         if conf.get("delta.columnMapping.mode", "none") in ("name", "id"):
@@ -861,7 +869,18 @@ class LakeTable:
     # ------------------------------------------------------------------ #
     def alter_add_column(self, name: str, dtype_ddl: str) -> None:
         """ALTER TABLE ADD COLUMN (03.iceberg_primer.py:232) — metadata-only:
-        old files simply read NULL for the new column."""
+        old files simply read NULL for the new column.
+
+        If the default physical name (== the logical name) was EVER used by a
+        previous schema version — a drop→re-add of the same name, or an add
+        of a name some surviving column was renamed away from — the new
+        column gets a FRESH minted physical name via column mapping.
+        Otherwise old files' physical data for the dead column would resolve
+        to the new logical column on read, resurrecting dropped values
+        instead of NULL (the exact id-reuse hazard Delta's columnMapping
+        maxColumnId invariant exists to prevent)."""
+        import uuid as _uuid
+
         from pyspark.sql.types import _parse_datatype_string
 
         st = self.state()
@@ -871,8 +890,37 @@ class LakeTable:
         new = StructType(
             schema.fields + [StructField(name, _parse_datatype_string(dtype_ddl), True)]
         )
+        mapping = None
+        if name in self._ever_physical_names():
+            mapping = dict(st.column_mapping)
+            mapping[name] = f"{name}__{_uuid.uuid4().hex[:8]}"
         self._commit(st.version + 1, operation="ALTER TABLE",
-                     operation_parameters={"add_column": name}, schema=new.json())
+                     operation_parameters={"add_column": name}, schema=new.json(),
+                     column_mapping=mapping)
+
+    def _ever_physical_names(self) -> set[str]:
+        """Every physical column name any surviving log version ever mapped a
+        field to. Replays the local JSON log (cheap: metadata-only); commits
+        removed by cleanup_log are unknowable and excluded — the checkpoint
+        that replaced them carries the then-current schema+mapping, which the
+        replay's starting state covers."""
+        out: set[str] = set()
+        running_schema: str | None = None
+        running_mapping: dict[str, str] = {}
+        start = txlog.replay(self.path)
+        if start is not None:
+            running_schema = start.schema_json
+            running_mapping = dict(start.column_mapping)
+        for v in txlog.list_versions(self.path):
+            c = txlog.read_commit(self.path, v)
+            if c.get("schema"):
+                running_schema = c["schema"]
+            if c.get("column_mapping") is not None:
+                running_mapping = dict(c["column_mapping"])
+            if running_schema:
+                for f in json.loads(running_schema).get("fields", []):
+                    out.add(running_mapping.get(f["name"], f["name"]))
+        return out
 
     def alter_rename_column(self, old: str, new: str) -> None:
         """ALTER TABLE RENAME COLUMN — metadata-only via column mapping

@@ -260,13 +260,13 @@ def test_partitioned_delta_reader(spark, tmp_path):
 
 
 def test_reader_rejects_unsupported_features(spark, tmp_path):
-    base = tmp_path / "dv_delta"
+    base = tmp_path / "v2ckpt_delta"
     (base / "_delta_log").mkdir(parents=True)
     schema = {"type": "struct", "fields": [
         {"name": "k", "type": "long", "nullable": True, "metadata": {}}]}
     actions = [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors"]}},
+                      "readerFeatures": ["v2Checkpoint"]}},
         {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
                       "schemaString": json.dumps(schema), "partitionColumns": [],
                       "configuration": {}, "createdTime": 0}},
@@ -276,8 +276,15 @@ def test_reader_rejects_unsupported_features(spark, tmp_path):
             fh.write(json.dumps(a) + "\n")
     from lakehouses_spark.tables.delta_log import DeltaProtocolError
 
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         read_delta(spark, base)
+    # deletionVectors alone is no longer a rejected feature (tables/dv.py)
+    actions[0] = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                               "readerFeatures": ["deletionVectors"]}}
+    with open(base / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    assert read_delta(spark, base).count() == 0
 
 
 def test_max_column_id_monotonic_after_drop(spark, tmp_path):
@@ -298,3 +305,367 @@ def test_max_column_id_monotonic_after_drop(spark, tmp_path):
         f.metadata["delta.columnMapping.id"] for f in snap.schema.fields
     ]
     assert sorted(ids) == [1, 2, 3]
+
+
+# --------------------------------------------------------------------------- #
+# deletion vectors (VERDICT r6 #4) — fixture writer lives HERE, test-only
+# --------------------------------------------------------------------------- #
+import struct
+import uuid as _uuid
+import zlib
+from collections import defaultdict
+
+from lakehouses_spark.tables import dv as dvmod
+
+
+def _ser_roaring32(vals: list[int], run_container: bool = False) -> bytes:
+    """Test-side 32-bit RoaringBitmap serializer (RoaringFormatSpec portable
+    layout) — array/bitmap containers by cardinality, or all-run when asked."""
+    containers: dict[int, list[int]] = defaultdict(list)
+    for v in sorted(vals):
+        containers[v >> 16].append(v & 0xFFFF)
+    keys = sorted(containers)
+    size = len(keys)
+    if run_container:
+        cookie = dvmod.SERIAL_COOKIE | ((size - 1) << 16)
+        out = struct.pack("<i", cookie)
+        flags = bytearray((size + 7) // 8)
+        for i in range(size):
+            flags[i // 8] |= 1 << (i % 8)
+        out += bytes(flags)
+        out += b"".join(
+            struct.pack("<HH", k, len(containers[k]) - 1) for k in keys
+        )
+        bodies = []
+        for k in keys:
+            c = containers[k]
+            runs = []
+            start = prev = c[0]
+            for v in c[1:]:
+                if v == prev + 1:
+                    prev = v
+                else:
+                    runs.append((start, prev - start))
+                    start = prev = v
+            runs.append((start, prev - start))
+            bodies.append(
+                struct.pack("<H", len(runs))
+                + b"".join(struct.pack("<HH", s, l) for s, l in runs)
+            )
+        if size >= dvmod.NO_OFFSET_THRESHOLD:
+            base = len(out) + 4 * size
+            offs, cur = [], base
+            for b in bodies:
+                offs.append(cur)
+                cur += len(b)
+            out += struct.pack(f"<{size}i", *offs)
+        return out + b"".join(bodies)
+    out = struct.pack("<ii", dvmod.SERIAL_COOKIE_NO_RUNCONTAINER, size)
+    out += b"".join(struct.pack("<HH", k, len(containers[k]) - 1) for k in keys)
+    bodies = []
+    for k in keys:
+        c = containers[k]
+        if len(c) > 4096:
+            words = [0] * 1024
+            for v in c:
+                words[v >> 6] |= 1 << (v & 63)
+            bodies.append(struct.pack("<1024Q", *words))
+        else:
+            bodies.append(struct.pack(f"<{len(c)}H", *c))
+    base = len(out) + 4 * size
+    offs, cur = [], base
+    for b in bodies:
+        offs.append(cur)
+        cur += len(b)
+    out += struct.pack(f"<{size}i", *offs)
+    return out + b"".join(bodies)
+
+
+def _ser_dv_payload(values: list[int], run_container: bool = False) -> bytes:
+    buckets: dict[int, list[int]] = defaultdict(list)
+    for v in sorted(values):
+        buckets[v >> 32].append(v & 0xFFFFFFFF)
+    n = max(buckets) + 1 if buckets else 0
+    out = struct.pack("<i", dvmod.MAGIC) + struct.pack("<q", n)
+    for hi in range(n):
+        out += _ser_roaring32(buckets.get(hi, []), run_container=run_container)
+    return out
+
+
+def _write_dv_file(path, payload: bytes) -> int:
+    """On-disk DV layout: [version=1][dataSize BE][payload][crc32 BE];
+    returns the descriptor offset (points at the dataSize word)."""
+    blob = bytes([1]) + struct.pack(">i", len(payload)) + payload
+    blob += struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF)
+    path.write_bytes(blob)
+    return 1
+
+
+def test_dv_roundtrip_parser_units():
+    """Parser units: array, bitmap (>4096 dense), run containers, and
+    multi-bucket (>2^32 row indexes) all decode back exactly."""
+    small = [1, 5, 70000, 70001]
+    assert dvmod.decode_dv_payload(_ser_dv_payload(small)) == small
+    dense = list(range(5000))  # one bitmap container (card > 4096)
+    assert dvmod.decode_dv_payload(_ser_dv_payload(dense)) == dense
+    runs = [3, 4, 5, 6, 100, 101, 102]
+    assert dvmod.decode_dv_payload(
+        _ser_dv_payload(runs, run_container=True)) == runs
+    big = [7, (1 << 32) + 9, (3 << 32) + 1]  # empty bucket 2 in between
+    assert dvmod.decode_dv_payload(_ser_dv_payload(big)) == big
+    # z85 roundtrip
+    raw = bytes(range(16))
+    assert dvmod.z85_decode(dvmod.z85_encode(raw)) == raw
+
+
+def _hand_built_dv_table(spark, base, deleted: list[int], descriptor_fn):
+    """100-row single-file Delta table whose add carries a DV descriptor
+    built by descriptor_fn(payload) -> dict."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    (base / "_delta_log").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"k": list(range(100)), "v": [float(i) for i in range(100)]}),
+        base / "part-000.parquet",
+    )
+    payload = _ser_dv_payload(deleted)
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "double", "nullable": True, "metadata": {}}]}
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema), "partitionColumns": [],
+                      "configuration": {}, "createdTime": 0}},
+        {"add": {"path": "part-000.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": descriptor_fn(payload)}},
+    ]
+    with open(base / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def test_dv_inline_rows_absent(spark, tmp_path):
+    deleted = [3, 17, 50, 98]
+    base = tmp_path / "dv_inline"
+    _hand_built_dv_table(
+        spark, base, deleted,
+        lambda payload: {"storageType": "i",
+                         "pathOrInlineDv": dvmod.z85_encode(
+                             payload + b"\0" * (-len(payload) % 4)),
+                         "sizeInBytes": len(payload),
+                         "cardinality": len(deleted)},
+    )
+    got = sorted(r.k for r in read_delta(spark, base).collect())
+    assert got == sorted(set(range(100)) - set(deleted))
+
+
+def test_dv_uuid_file_rows_absent(spark, tmp_path):
+    """storageType 'u': file named deletion_vector_<uuid>.bin under the table
+    root, uuid z85-encoded in the descriptor; CRC verified."""
+    deleted = list(range(0, 100, 7))
+    base = tmp_path / "dv_file"
+    u = _uuid.uuid4()
+
+    def make_desc(payload):
+        off = _write_dv_file(base / f"deletion_vector_{u}.bin", payload)
+        return {"storageType": "u",
+                "pathOrInlineDv": dvmod.z85_encode(u.bytes),
+                "offset": off, "sizeInBytes": len(payload),
+                "cardinality": len(deleted)}
+
+    _hand_built_dv_table(spark, base, deleted, make_desc)
+    df = read_delta(spark, base)
+    got = sorted(r.k for r in df.collect())
+    assert got == sorted(set(range(100)) - set(deleted))
+    # snapshot row accounting nets out the DV cardinality
+    snap = DeltaLogReader(spark, base).snapshot()
+    assert snap.num_records == -1 or snap.num_records == 100 - len(deleted)
+    # in-place adoption must refuse: raw files would resurrect deleted rows
+    with pytest.raises(ValueError, match="deletion vectors"):
+        LakeTable.convert_from_delta(spark, base)
+
+
+def test_dv_corrupt_checksum_fails_loudly(spark, tmp_path):
+    deleted = [1, 2, 3]
+    base = tmp_path / "dv_bad"
+    u = _uuid.uuid4()
+
+    def make_desc(payload):
+        off = _write_dv_file(base / f"deletion_vector_{u}.bin", payload)
+        blob = bytearray((base / f"deletion_vector_{u}.bin").read_bytes())
+        blob[-1] ^= 0xFF  # corrupt the CRC
+        (base / f"deletion_vector_{u}.bin").write_bytes(bytes(blob))
+        return {"storageType": "u",
+                "pathOrInlineDv": dvmod.z85_encode(u.bytes),
+                "offset": off, "sizeInBytes": len(payload),
+                "cardinality": len(deleted)}
+
+    _hand_built_dv_table(spark, base, deleted, make_desc)
+    with pytest.raises(dvmod.DeletionVectorError, match="checksum"):
+        read_delta(spark, base).collect()
+
+
+# --------------------------------------------------------------------------- #
+# partition fan-out (VERDICT r6 #3): one scan, not one per partition tuple
+# --------------------------------------------------------------------------- #
+def test_many_partition_read_is_single_scan(spark, tmp_path):
+    """A 200-partition external Delta table must plan ONE parquet scan plus a
+    broadcast map join — not 200 unioned scans (driver-side analyzer blow-up
+    at real partition counts)."""
+    import contextlib
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tmp_path / "manyparts"
+    (base / "_delta_log").mkdir(parents=True)
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "p", "type": "integer", "nullable": True, "metadata": {}}]}
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "m", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": ["p"],
+                      "configuration": {}, "createdTime": 0}},
+    ]
+    for i in range(200):
+        rel = f"p={i}/part-{i:03d}.parquet"
+        (base / f"p={i}").mkdir()
+        pq.write_table(pa.table({"k": [int(i)]}), base / rel)
+        actions.append({"add": {"path": rel, "partitionValues": {"p": str(i)},
+                                "size": 1, "modificationTime": 0,
+                                "dataChange": True}})
+    with open(base / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    df = read_delta(spark, base)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "Union" not in plan, plan
+    rows = df.collect()
+    assert len(rows) == 200
+    assert sorted(r.p for r in rows) == list(range(200))
+    assert all(r.k == r.p for r in rows)
+
+
+# --------------------------------------------------------------------------- #
+# vacuum prescan (ADVICE r6): no partial export on missing historical files
+# --------------------------------------------------------------------------- #
+def test_export_vacuumed_table_fails_before_writing(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "lake")
+    t.vacuum()  # drops files only referenced by historical versions
+    dest = tmp_path / "delta"
+    with pytest.raises(DeltaExportError, match="vacuumed"):
+        t.export_delta_log(dest)
+    assert not dest.exists()  # nothing half-written
+    # and a retry doesn't trip over partial state either
+    with pytest.raises(DeltaExportError, match="vacuumed"):
+        t.export_delta_log(dest)
+
+
+# --------------------------------------------------------------------------- #
+# drop -> re-add (ADVICE r6): fresh physical name, no resurrection
+# --------------------------------------------------------------------------- #
+def test_drop_readd_column_reads_null_and_exports_fresh_id(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.alter_drop_column("price")
+    t.alter_add_column("price", "double")
+    # LakeTable read: old files' dropped data must NOT resurrect
+    assert t.read().where(F.col("price").isNotNull()).count() == 0
+    # new writes land under the minted physical name and read back fine
+    t.append(spark.createDataFrame(
+        [{"k": 500, "status": "Z", "price": 9.5}],
+        "k long, status string, price double"))
+    vals = {r.k: r.price for r in t.read().collect()}
+    assert vals[500] == 9.5 and all(v is None for k, v in vals.items() if k != 500)
+    # export succeeds and the re-added column has a FRESH id + physical name
+    dest = t.export_delta_log(tmp_path / "delta")
+    snap = DeltaLogReader(spark, dest).snapshot()
+    price = next(f for f in snap.schema.fields if f.name == "price")
+    assert price.metadata["delta.columnMapping.physicalName"] != "price"
+    assert price.metadata["delta.columnMapping.id"] == 4  # 3 originals + 1
+    assert int(snap.configuration["delta.columnMapping.maxColumnId"]) == 4
+    # the exported table reads identically through the independent reader
+    assert _sorted_rows(read_delta(spark, dest)) == _sorted_rows(t.read())
+
+
+def test_rename_then_add_old_name_gets_fresh_physical(spark, tmp_path):
+    """rename x->y keeps physical 'price'; adding a new 'price' must not
+    collide with the surviving column's physical name."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.alter_rename_column("price", "amount")
+    t.alter_add_column("price", "double")
+    got = t.read()
+    assert got.where(F.col("price").isNotNull()).count() == 0
+    assert got.where(F.col("amount").isNotNull()).count() == len(ROWS)
+    dest = t.export_delta_log(tmp_path / "delta")
+    snap = DeltaLogReader(spark, dest).snapshot()
+    by_name = {f.name: f.metadata["delta.columnMapping.physicalName"]
+               for f in snap.schema.fields}
+    assert by_name["amount"] == "price"
+    assert by_name["price"] not in ("price", "amount")
+
+
+def test_export_legacy_resurrect_log_fails_loudly(spark, tmp_path):
+    """A log written BEFORE fresh-name minting (drop then re-add of the same
+    physical name, no mapping) is unexportable without resurrecting dropped
+    values — the exporter must refuse, not guess."""
+    from lakehouses_spark.tables import log as txlog
+
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    st = t.state()
+    base_schema = json.loads(st.schema_json)
+    dropped = {"type": "struct",
+               "fields": [f for f in base_schema["fields"]
+                          if f["name"] != "price"]}
+    txlog.try_commit(t.path, 1, {"operation": "ALTER TABLE",
+                                 "schema": json.dumps(dropped),
+                                 "column_mapping": {}})
+    txlog.try_commit(t.path, 2, {"operation": "ALTER TABLE",
+                                 "schema": st.schema_json,
+                                 "column_mapping": {}})
+    with pytest.raises(DeltaExportError, match="re-added"):
+        t.export_delta_log(tmp_path / "delta")
+
+
+# --------------------------------------------------------------------------- #
+# URL-encoded action paths (ADVICE r6): external writers encode specials
+# --------------------------------------------------------------------------- #
+def test_reader_percent_decodes_action_paths(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tmp_path / "enc"
+    (base / "_delta_log").mkdir(parents=True)
+    (base / "dt=2024-01-01 00%3A00").mkdir()
+    rel_fs = "dt=2024-01-01 00%3A00/part with space.parquet"
+    pq.write_table(pa.table({"k": [1, 2]}), base / rel_fs)
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}}]}
+    from urllib.parse import quote
+
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "e", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema), "partitionColumns": [],
+                      "configuration": {}, "createdTime": 0}},
+        {"add": {"path": quote(rel_fs), "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(base / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    assert sorted(r.k for r in read_delta(spark, base).collect()) == [1, 2]

@@ -422,8 +422,12 @@ def test_bucketed_join_has_no_exchange(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         df = fn(spark, SF)
-        bo = spark.table("lh_tmp_bucketed_orders")
-        bc = spark.table("lh_tmp_bucketed_customer")
+        # catalog names are suffixed per (sf_dir, session) — resolve them
+        tables = [t.name for t in spark.catalog.listTables()]
+        bo_name = next(t for t in tables if t.startswith("lh_tmp_bucketed_orders"))
+        bc_name = next(t for t in tables if t.startswith("lh_tmp_bucketed_customer"))
+        bo = spark.table(bo_name)
+        bc = spark.table(bc_name)
         joined = bo.join(bc, bo["o_custkey"] == bc["c_custkey"]).select(
             "o_orderkey", "c_mktsegment"
         )
