@@ -1,0 +1,828 @@
+"""Iceberg-format metadata export / read for LakeTable (VERDICT r6 #2).
+
+The reference creates `USING iceberg` tables and inspects their metadata
+layer directly: `metadata/v*.metadata.json`, the `snap-*.avro` manifest
+lists, the `*-m0.avro` manifests, and the `snapshots` / `manifests` /
+`metadata_log_entries` metadata tables
+(notebooks/01.formatos_ficheros/03.iceberg_primer.py:114-124, 411-456).
+S7's runtime jar is absent, so — exactly like `delta_log.py` did for the
+Delta protocol — this module closes the FORMAT gap against the PUBLIC
+Apache Iceberg table spec (v2) with stdlib + the in-repo pure-Python Avro
+OCF codec (`functions/avro_py.py`, the only hard dependency of Iceberg
+metadata):
+
+- ``export_iceberg_metadata(table, dest)``: materialize a LakeTable as a
+  standalone Iceberg v2 table in the hadoop-catalog layout — data files
+  hard-linked, one ``metadata/v<N>.metadata.json`` per LakeTable version
+  (so external time travel sees the same history), one snapshot + manifest
+  list + manifest per data-changing commit, ``version-hint.text`` pointing
+  at the tip. Because LakeTable parquet (Spark-written) carries no parquet
+  field ids, the export writes the spec's ``schema.name-mapping.default``
+  property — the public mechanism for adopting exactly such files.
+- ``IcebergMetadataReader`` / ``read_iceberg``: an independent reader —
+  stdlib JSON for table metadata, the pure-Python OCF codec for manifest
+  lists/manifests, then ONE Spark parquet scan over the live files.
+  Supports time travel by snapshot id, and exposes ``snapshots()`` /
+  ``manifests()`` / ``metadata_log_entries()`` / ``history()`` /
+  ``files()`` metadata tables mirroring the ones the reference queries.
+  Fails loudly on v2 row-level delete files (content != DATA).
+
+Everything targets the public Apache Iceberg Table Spec
+(iceberg.apache.org/spec/): metadata-file fields, manifest-list and
+manifest-entry Avro schemas (field-id annotated), sequence numbers,
+snapshot log, and the name-mapping property.
+
+Scale: export moves file METADATA only (no data rewrite; manifests are
+O(files) Avro rows). The reader plans from the manifest list exactly like
+Iceberg does — no directory listing — and reads all live files in one scan.
+One manifest per snapshot keeps the exporter simple; real Iceberg reuses
+unchanged manifests across snapshots, which matters once file counts reach
+millions — noted as the follow-on optimization, the FORMAT is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lakehouses_spark.functions.avro_py import read_ocf_bytes, write_ocf_bytes
+from lakehouses_spark.tables import log as txlog
+
+FORMAT_VERSION = 2
+_DATA_CONTENT = 0  # manifest-entry data_file.content: 0=DATA, 1/2=deletes
+
+
+class IcebergExportError(RuntimeError):
+    """The table uses a LakeTable feature this exporter can't express."""
+
+
+class IcebergFormatError(RuntimeError):
+    """The Iceberg table requires reader capabilities this module lacks."""
+
+
+# --------------------------------------------------------------------------- #
+# type mapping (Iceberg spec "Schemas and Data Types" <-> Spark)
+# --------------------------------------------------------------------------- #
+_PRIM_TO_ICE = {
+    "boolean": "boolean",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamptz",   # Spark TimestampType is tz-aware
+    "timestamp_ntz": "timestamp",
+}
+_ICE_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "uuid": T.StringType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+    "timestamptz": T.TimestampType(),
+    "timestamp": T.TimestampNTZType(),
+}
+
+
+def _spark_type_to_iceberg(dt: T.DataType, alloc) -> Any:
+    """Spark DataType -> Iceberg type JSON; `alloc(path)` yields stable field
+    ids (keyed by structural path so surviving columns keep their id across
+    schema evolution)."""
+    name = dt.typeName()
+    if name == "decimal":
+        return f"decimal({dt.precision}, {dt.scale})"
+    if name in _PRIM_TO_ICE:
+        return _PRIM_TO_ICE[name]
+    if isinstance(dt, T.ArrayType):
+        eid = alloc("element")
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _spark_type_to_iceberg(dt.elementType, lambda p: alloc(f"element.{p}")),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        kid, vid = alloc("key"), alloc("value")
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _spark_type_to_iceberg(dt.keyType, lambda p: alloc(f"key.{p}")),
+            "value-id": vid,
+            "value": _spark_type_to_iceberg(dt.valueType, lambda p: alloc(f"value.{p}")),
+            "value-required": not dt.valueContainsNull,
+        }
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = alloc(f.name)
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _spark_type_to_iceberg(
+                        f.dataType, lambda p, _n=f.name: alloc(f"{_n}.{p}")
+                    ),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    raise IcebergExportError(f"no Iceberg mapping for Spark type {dt}")
+
+
+def _iceberg_type_to_spark(t: Any) -> T.DataType:
+    if isinstance(t, str):
+        if t in _ICE_TO_SPARK:
+            return _ICE_TO_SPARK[t]
+        if t.startswith("decimal"):
+            p, s = t[t.index("(") + 1 : t.index(")")].split(",")
+            return T.DecimalType(int(p), int(s))
+        if t.startswith("fixed"):
+            return T.BinaryType()
+        raise IcebergFormatError(f"unknown Iceberg type {t!r}")
+    kind = t["type"]
+    if kind == "struct":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"], _iceberg_type_to_spark(f["type"]), not f["required"]
+                )
+                for f in t["fields"]
+            ]
+        )
+    if kind == "list":
+        return T.ArrayType(
+            _iceberg_type_to_spark(t["element"]), not t["element-required"]
+        )
+    if kind == "map":
+        return T.MapType(
+            _iceberg_type_to_spark(t["key"]),
+            _iceberg_type_to_spark(t["value"]),
+            not t["value-required"],
+        )
+    raise IcebergFormatError(f"unknown Iceberg nested type {kind!r}")
+
+
+# --------------------------------------------------------------------------- #
+# manifest-list / manifest Avro schemas (Iceberg spec, field-id annotated)
+# --------------------------------------------------------------------------- #
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"], "field-id": 4},
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {
+                        "name": "partition",
+                        "field-id": 102,
+                        # spec-0 is unpartitioned: empty struct r102
+                        "type": {"type": "record", "name": "r102", "fields": []},
+                    },
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                ],
+            },
+        },
+    ],
+}
+
+_STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
+
+
+# --------------------------------------------------------------------------- #
+# export
+# --------------------------------------------------------------------------- #
+def export_iceberg_metadata(
+    table, dest: str | Path, mode: str = "error"
+) -> Path:
+    """Export a LakeTable as a standalone Iceberg v2 table at ``dest``
+    (hadoop-catalog layout). One ``v<N>.metadata.json`` per LakeTable
+    version; every data-changing commit becomes a snapshot with its own
+    manifest list + manifest, so snapshot time travel matches LakeTable
+    version time travel 1:1. Data files are hard-linked, never rewritten.
+
+    Refusals mirror `export_delta_log`: unmaterialized merge-on-read
+    tombstones, truncated history, vacuumed (missing) historical files, and
+    physical-name resurrection in pre-fresh-minting logs all fail loudly
+    BEFORE anything is written."""
+    dest = Path(dest)
+    meta_dir = dest / "metadata"
+    state = table.state()
+    if state.tombstones:
+        raise IcebergExportError(
+            "table has unmaterialized merge-on-read tombstones; run "
+            "materialize_tombstones() before exporting"
+        )
+    versions = txlog.list_versions(table.path)
+    if versions != list(range(len(versions))):
+        raise IcebergExportError(
+            "log history is truncated (cleanup_log); full-history export "
+            f"needs contiguous commits from 0, have {versions}"
+        )
+    commits = [txlog.read_commit(table.path, v) for v in versions]
+    tombstone_commits = [
+        c["version"] for c in commits if c.get("tombstone") or c.get("set_tombstones")
+    ]
+    if tombstone_commits:
+        raise IcebergExportError(
+            f"commits {tombstone_commits} carried predicate tombstones; "
+            "snapshots at those versions are not file-level representable"
+        )
+
+    # ---- prescan: every referenced file must still exist (vacuum guard) ----
+    # shallow-clone references resolve OUTSIDE the table root; re-home them
+    # under data/ext-* exactly like export_delta_log
+    path_map: dict[str, str] = {}
+
+    def mapped_rel(rel: str) -> str:
+        if rel not in path_map:
+            if rel.startswith("..") or Path(rel).is_absolute():
+                path_map[rel] = f"data/ext-{len(path_map):04d}-{Path(rel).name}"
+            else:
+                path_map[rel] = rel
+        return path_map[rel]
+
+    for c in commits:
+        for rel in list(c.get("remove", [])) + [a["path"] for a in c.get("add", [])]:
+            mapped_rel(rel)
+    missing = sorted(
+        rel for rel in path_map if not (table.path / rel).resolve().exists()
+    )
+    if missing:
+        raise IcebergExportError(
+            f"{len(missing)} historical data file(s) no longer exist (first: "
+            f"{missing[0]!r}) — the table was vacuumed; export a CLONE instead"
+        )
+
+    if meta_dir.exists():
+        if mode == "error":
+            raise FileExistsError(f"iceberg table already exists: {dest}")
+        if mode == "overwrite":
+            shutil.rmtree(dest)
+    meta_dir.mkdir(parents=True, exist_ok=True)
+
+    table_uuid = str(uuid.uuid4())
+    location = str(dest.resolve())
+
+    # stable field ids keyed by PHYSICAL structural path (rename keeps the
+    # id; drop->re-add arrives with a fresh-minted physical name, so it
+    # naturally allocates a fresh id — same invariant delta_log.py enforces)
+    path_ids: dict[str, int] = {}
+
+    def alloc_for(phys_top: dict[str, str]):
+        def alloc(path: str) -> int:
+            head, _, rest = path.partition(".")
+            key = phys_top.get(head, head) + ("." + rest if rest else "")
+            if key not in path_ids:
+                path_ids[key] = len(path_ids) + 1
+            return path_ids[key]
+
+        return alloc
+
+    running_schema: str | None = None
+    running_mapping: dict[str, str] = {}
+    running_properties: dict[str, str] = {}
+    running_partition_by: list[str] = []
+    ever_phys: set[str] = set()
+    prev_active: set[str] = set()
+
+    live: dict[str, dict] = {}  # rel path -> LakeTable add action
+    snapshots: list[dict] = []
+    snapshot_log: list[dict] = []
+    metadata_log: list[dict] = []
+    schemas: list[dict] = []
+    schema_ids_by_json: dict[str, int] = {}
+    seq = 0
+    created_ms = commits[0]["timestamp_ms"]
+
+    for c in commits:
+        v, ts = c["version"], c["timestamp_ms"]
+        if c.get("schema"):
+            running_schema = c["schema"]
+        if c.get("column_mapping") is not None:
+            running_mapping = dict(c["column_mapping"])
+        if c.get("properties") is not None:
+            running_properties = dict(c["properties"])
+        if c.get("partition_by") is not None:
+            running_partition_by = c["partition_by"]
+
+        # physical-name resurrection guard (legacy logs), as in delta_log.py
+        spark_schema = (
+            T.StructType.fromJson(json.loads(running_schema))
+            if running_schema
+            else T.StructType([])
+        )
+        active = [running_mapping.get(f.name, f.name) for f in spark_schema.fields]
+        returned = sorted(p for p in active if p in ever_phys and p not in prev_active)
+        if returned:
+            raise IcebergExportError(
+                f"version {v}: physical column name(s) {returned} were dropped "
+                "and later re-added without a fresh physical name; no field-id "
+                "assignment is correct for all files — deep-CLONE first"
+            )
+        ever_phys.update(active)
+        prev_active = set(active)
+
+        # ---- schema entry (id'd by content) ----
+        phys_top = {f.name: running_mapping.get(f.name, f.name) for f in spark_schema.fields}
+        ice_struct = _spark_type_to_iceberg(spark_schema, alloc_for(phys_top))
+        ice_schema_json = json.dumps(ice_struct, sort_keys=True)
+        if ice_schema_json not in schema_ids_by_json:
+            sid = len(schemas)
+            schema_ids_by_json[ice_schema_json] = sid
+            schemas.append({"schema-id": sid, **ice_struct})
+        current_schema_id = schema_ids_by_json[ice_schema_json]
+
+        # ---- data change -> snapshot ----
+        adds = c.get("add", [])
+        removes = c.get("remove", [])
+        if adds or removes or v == 0:
+            seq += 1
+            snap_id = v + 1  # deterministic, unique, time-travel friendly
+            removed = {r: live.pop(r, None) for r in removes}
+            added_paths = {a["path"] for a in adds}
+            for a in adds:
+                live[a["path"]] = a
+            entries = []
+            for rel, a in sorted(live.items()):
+                entries.append(
+                    _manifest_entry(
+                        _STATUS_ADDED if rel in added_paths else _STATUS_EXISTING,
+                        snap_id, seq, location, mapped_rel(rel), a,
+                    )
+                )
+            for rel, a in sorted((k, x) for k, x in removed.items() if x):
+                entries.append(
+                    _manifest_entry(
+                        _STATUS_DELETED, snap_id, seq, location, mapped_rel(rel), a
+                    )
+                )
+            manifest_name = f"{uuid.uuid4()}-m0.avro"
+            manifest_bytes = write_ocf_bytes_with_meta(
+                entries,
+                _MANIFEST_ENTRY_SCHEMA,
+                {
+                    "schema": ice_schema_json,
+                    "partition-spec": "[]",
+                    "partition-spec-id": "0",
+                    "format-version": str(FORMAT_VERSION),
+                    "content": "data",
+                },
+            )
+            (meta_dir / manifest_name).write_bytes(manifest_bytes)
+            n_added = sum(1 for e in entries if e["status"] == _STATUS_ADDED)
+            n_existing = sum(1 for e in entries if e["status"] == _STATUS_EXISTING)
+            n_deleted = sum(1 for e in entries if e["status"] == _STATUS_DELETED)
+            ml_row = {
+                "manifest_path": f"{location}/metadata/{manifest_name}",
+                "manifest_length": len(manifest_bytes),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": n_added,
+                "existing_files_count": n_existing,
+                "deleted_files_count": n_deleted,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries
+                    if e["status"] == _STATUS_ADDED
+                ),
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries
+                    if e["status"] == _STATUS_EXISTING
+                ),
+                "deleted_rows_count": sum(
+                    e["data_file"]["record_count"] for e in entries
+                    if e["status"] == _STATUS_DELETED
+                ),
+            }
+            ml_name = f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
+            (meta_dir / ml_name).write_bytes(
+                write_ocf_bytes_with_meta(
+                    [ml_row],
+                    _MANIFEST_LIST_SCHEMA,
+                    {
+                        "format-version": str(FORMAT_VERSION),
+                        "snapshot-id": str(snap_id),
+                        "sequence-number": str(seq),
+                    },
+                )
+            )
+            op = (
+                "delete" if (removes and not adds)
+                else "overwrite" if (removes and adds)
+                else "append"
+            )
+            snapshots.append(
+                {
+                    "snapshot-id": snap_id,
+                    **(
+                        {"parent-snapshot-id": snapshots[-1]["snapshot-id"]}
+                        if snapshots else {}
+                    ),
+                    "sequence-number": seq,
+                    "timestamp-ms": ts,
+                    "manifest-list": f"{location}/metadata/{ml_name}",
+                    "summary": {
+                        "operation": op,
+                        "added-data-files": str(n_added),
+                        "deleted-data-files": str(n_deleted),
+                        "total-data-files": str(n_added + n_existing),
+                        "lakehouses-operation": c["operation"],
+                    },
+                    "schema-id": current_schema_id,
+                }
+            )
+            snapshot_log.append({"timestamp-ms": ts, "snapshot-id": snap_id})
+
+        # ---- metadata file for THIS version ----
+        name_mapping = [
+            {"field-id": path_ids[phys_top[f.name]], "names": [phys_top[f.name]]}
+            for f in spark_schema.fields
+        ]
+        meta = {
+            "format-version": FORMAT_VERSION,
+            "table-uuid": table_uuid,
+            "location": location,
+            "last-sequence-number": seq,
+            "last-updated-ms": ts,
+            "last-column-id": len(path_ids),
+            "current-schema-id": current_schema_id,
+            "schemas": list(schemas),
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {
+                **running_properties,
+                "schema.name-mapping.default": json.dumps(name_mapping),
+                **(
+                    {"lakehouses.clusterBy": json.dumps(running_partition_by)}
+                    if running_partition_by else {}
+                ),
+                "created-ms": str(created_ms),
+            },
+            **(
+                {"current-snapshot-id": snapshots[-1]["snapshot-id"]}
+                if snapshots else {"current-snapshot-id": -1}
+            ),
+            "refs": (
+                {"main": {"snapshot-id": snapshots[-1]["snapshot-id"],
+                          "type": "branch"}}
+                if snapshots else {}
+            ),
+            "snapshots": list(snapshots),
+            "snapshot-log": list(snapshot_log),
+            "metadata-log": list(metadata_log),
+        }
+        meta_file = f"v{v + 1}.metadata.json"
+        (meta_dir / meta_file).write_text(json.dumps(meta, indent=2))
+        metadata_log.append(
+            {"timestamp-ms": ts, "metadata-file": f"{location}/metadata/{meta_file}"}
+        )
+
+    # ---- data files: hard-link everything any commit referenced ----
+    for rel, out_rel in path_map.items():
+        src = (table.path / rel).resolve()
+        tgt = dest / out_rel
+        tgt.parent.mkdir(parents=True, exist_ok=True)
+        if tgt.exists():
+            continue
+        try:
+            os.link(src, tgt)
+        except OSError:
+            shutil.copy2(src, tgt)
+
+    (meta_dir / "version-hint.text").write_text(str(len(commits)))
+    return dest
+
+
+def write_ocf_bytes_with_meta(rows: list, schema: dict, extra_meta: dict) -> bytes:
+    """OCF with extra key-value metadata (Iceberg stores the table schema and
+    partition spec in the manifest header). Splices the metadata map into the
+    header the in-repo codec wrote — keeps avro_py's public API unchanged."""
+    import io as _io
+
+    from lakehouses_spark.functions import avro_py as _a
+
+    buf = _io.BytesIO()
+    buf.write(b"Obj\x01")
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"null"}
+    meta.update({k: v.encode() for k, v in extra_meta.items()})
+    _a._encode(buf, _a._OCF_META_SCHEMA, meta)
+    sync = os.urandom(16)
+    buf.write(sync)
+    body = _io.BytesIO()
+    for r in rows:
+        _a._encode(body, schema, r)
+    _a._write_long(buf, len(rows))
+    _a._write_long(buf, len(body.getvalue()))
+    buf.write(body.getvalue())
+    buf.write(sync)
+    return buf.getvalue()
+
+
+def _manifest_entry(
+    status: int, snap_id: int, seq: int, location: str, rel: str, add: dict
+) -> dict:
+    return {
+        "status": status,
+        "snapshot_id": snap_id,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": _DATA_CONTENT,
+            "file_path": f"{location}/{rel}",
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": add.get("num_records") or 0,
+            "file_size_in_bytes": add.get("size_bytes") or 0,
+        },
+    }
+
+
+# --------------------------------------------------------------------------- #
+# reader
+# --------------------------------------------------------------------------- #
+class IcebergMetadataReader:
+    """Independent Iceberg v1/v2 metadata reader: stdlib JSON + pure-Python
+    Avro OCF. Resolves current metadata via version-hint.text (hadoop
+    catalog) or the highest v*.metadata.json."""
+
+    def __init__(self, spark: SparkSession, path: str | Path):
+        self.spark = spark
+        self.path = Path(path)
+        self.meta_dir = self.path / "metadata"
+        if not self.meta_dir.is_dir():
+            raise FileNotFoundError(f"not an iceberg table (no metadata/): {path}")
+        self.meta = json.loads(self._current_metadata_file().read_text())
+        if self.meta.get("format-version") not in (1, 2):
+            raise IcebergFormatError(
+                f"unsupported format-version {self.meta.get('format-version')}"
+            )
+
+    def _current_metadata_file(self) -> Path:
+        hint = self.meta_dir / "version-hint.text"
+        if hint.exists():
+            v = hint.read_text().strip()
+            cand = self.meta_dir / f"v{v}.metadata.json"
+            if cand.exists():
+                return cand
+        files = sorted(
+            self.meta_dir.glob("v*.metadata.json"),
+            key=lambda p: int(p.name.split(".")[0][1:]),
+        )
+        if not files:
+            raise FileNotFoundError(f"no v*.metadata.json under {self.meta_dir}")
+        return files[-1]
+
+    # -- snapshot resolution --------------------------------------------- #
+    def _snapshot(self, snapshot_id: int | None = None) -> dict | None:
+        snaps = self.meta.get("snapshots") or []
+        if snapshot_id is None:
+            cur = self.meta.get("current-snapshot-id", -1)
+            if cur == -1:
+                return None
+            snapshot_id = cur
+        for s in snaps:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise IcebergFormatError(f"snapshot {snapshot_id} not found")
+
+    def _local(self, uri: str) -> Path:
+        # manifests record absolute table-location URIs; re-root them so a
+        # moved/copied table directory stays readable
+        marker = "/metadata/"
+        if marker in uri:
+            tail = uri.rsplit(marker, 1)[1]
+            cand = self.meta_dir / tail
+            if cand.exists():
+                return cand
+        loc = self.meta["location"].rstrip("/")
+        if uri.startswith(loc):
+            return self.path / uri[len(loc):].lstrip("/")
+        return Path(uri)
+
+    def _manifest_rows(self, snapshot: dict) -> list[dict]:
+        _, ml_rows = read_ocf_bytes(self._local(snapshot["manifest-list"]).read_bytes())
+        entries: list[dict] = []
+        for m in ml_rows:
+            if m.get("content", 0) != 0:
+                raise IcebergFormatError(
+                    "row-level delete manifests (content != data) are not "
+                    "supported by this reader"
+                )
+            _, rows = read_ocf_bytes(self._local(m["manifest_path"]).read_bytes())
+            entries.extend(rows)
+        return entries
+
+    def live_files(self, snapshot_id: int | None = None) -> list[dict]:
+        snap = self._snapshot(snapshot_id)
+        if snap is None:
+            return []
+        out = []
+        for e in self._manifest_rows(snap):
+            if e["status"] == _STATUS_DELETED:
+                continue
+            df = e["data_file"]
+            if df.get("content", 0) != _DATA_CONTENT:
+                raise IcebergFormatError(
+                    "v2 row-level delete files are not supported by this reader"
+                )
+            out.append(df)
+        return out
+
+    def schema(self, schema_id: int | None = None) -> T.StructType:
+        schemas = self.meta.get("schemas") or []
+        sid = self.meta["current-schema-id"] if schema_id is None else schema_id
+        for s in schemas:
+            if s["schema-id"] == sid:
+                return _iceberg_type_to_spark({k: v for k, v in s.items()
+                                               if k != "schema-id"})
+        raise IcebergFormatError(f"schema-id {sid} not found")
+
+    def name_mapping(self) -> dict[int, str]:
+        """field-id -> first mapped file column name, from the spec's
+        schema.name-mapping.default property (files without parquet field
+        ids — exactly what this exporter writes)."""
+        raw = (self.meta.get("properties") or {}).get("schema.name-mapping.default")
+        if not raw:
+            return {}
+        return {m["field-id"]: m["names"][0] for m in json.loads(raw)}
+
+    def to_df(self, snapshot_id: int | None = None) -> DataFrame:
+        snap = self._snapshot(snapshot_id)
+        # current reads use current-schema-id (metadata-only alters bump the
+        # schema without a new snapshot); explicit time travel uses the
+        # schema the snapshot was committed under
+        schema_id = (
+            snap.get("schema-id") if snap and snapshot_id is not None else None
+        )
+        logical = self.schema(schema_id)
+        files = self.live_files(snapshot_id)
+        if not files:
+            return self.spark.createDataFrame([], logical)
+        mapping = self.name_mapping()
+        # physical (in-file) name per top-level field via name mapping
+        ice = next(
+            s for s in self.meta["schemas"]
+            if s["schema-id"] == (schema_id if schema_id is not None
+                                  else self.meta["current-schema-id"])
+        )
+        phys = {
+            f["name"]: mapping.get(f["id"], f["name"]) for f in ice["fields"]
+        }
+        phys_schema = T.StructType(
+            [
+                T.StructField(phys[f.name], f.dataType, f.nullable)
+                for f in logical.fields
+            ]
+        )
+        paths = [str(self._local_data(df_["file_path"])) for df_ in files]
+        df = self.spark.read.schema(phys_schema).parquet(*paths)
+        return df.select(
+            *[F.col(phys[f.name]).alias(f.name) for f in logical.fields]
+        )
+
+    def _local_data(self, uri: str) -> Path:
+        loc = self.meta["location"].rstrip("/")
+        if uri.startswith(loc):
+            return self.path / uri[len(loc):].lstrip("/")
+        return Path(uri)
+
+    # -- metadata tables (03.iceberg_primer.py:380-456) ------------------- #
+    def snapshots(self) -> DataFrame:
+        rows = [
+            (
+                s["timestamp-ms"], s["snapshot-id"],
+                s.get("parent-snapshot-id"),
+                s["summary"].get("operation"), s["manifest-list"],
+            )
+            for s in self.meta.get("snapshots") or []
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "committed_at_ms long, snapshot_id long, parent_id long, "
+            "operation string, manifest_list string",
+        )
+
+    def manifests(self) -> DataFrame:
+        snap = self._snapshot()
+        rows = []
+        if snap is not None:
+            _, ml = read_ocf_bytes(self._local(snap["manifest-list"]).read_bytes())
+            rows = [
+                (
+                    m["manifest_path"], m["manifest_length"],
+                    m["partition_spec_id"], m["added_snapshot_id"],
+                    m["added_files_count"], m["existing_files_count"],
+                    m["deleted_files_count"],
+                )
+                for m in ml
+            ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int, "
+            "added_snapshot_id long, added_data_files_count int, "
+            "existing_data_files_count int, deleted_data_files_count int",
+        )
+
+    def metadata_log_entries(self) -> DataFrame:
+        rows = [
+            (m["timestamp-ms"], m["metadata-file"])
+            for m in self.meta.get("metadata-log") or []
+        ]
+        return self.spark.createDataFrame(
+            rows, "timestamp_ms long, file string"
+        )
+
+    def history(self) -> DataFrame:
+        ancestors = set()
+        cur = self._snapshot()
+        by_id = {s["snapshot-id"]: s for s in self.meta.get("snapshots") or []}
+        while cur is not None:
+            ancestors.add(cur["snapshot-id"])
+            cur = by_id.get(cur.get("parent-snapshot-id"))
+        rows = [
+            (
+                e["timestamp-ms"], e["snapshot-id"],
+                by_id.get(e["snapshot-id"], {}).get("parent-snapshot-id"),
+                e["snapshot-id"] in ancestors,
+            )
+            for e in self.meta.get("snapshot-log") or []
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "made_current_at_ms long, snapshot_id long, parent_id long, "
+            "is_current_ancestor boolean",
+        )
+
+    def files(self, snapshot_id: int | None = None) -> DataFrame:
+        rows = [
+            (
+                f["file_path"], f["file_format"], f["record_count"],
+                f["file_size_in_bytes"],
+            )
+            for f in self.live_files(snapshot_id)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "file_path string, file_format string, record_count long, "
+            "file_size_in_bytes long",
+        )
+
+
+def read_iceberg(
+    spark: SparkSession, path: str | Path, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read an Iceberg-format table (no Iceberg jar required)."""
+    return IcebergMetadataReader(spark, path).to_df(snapshot_id)

@@ -252,6 +252,14 @@ class LakeTable:
             allow_tombstone_history=allow_tombstone_history,
         )
 
+    def export_iceberg_metadata(self, dest: str | Path, mode: str = "error") -> Path:
+        """Export this table as a standalone Iceberg v2 table (hadoop-catalog
+        layout; full snapshot history; data files hard-linked, never
+        rewritten). See `lakehouses_spark.tables.iceberg_meta`."""
+        from lakehouses_spark.tables.iceberg_meta import export_iceberg_metadata
+
+        return export_iceberg_metadata(self, dest, mode=mode)
+
     def state(self, version: int | None = None, timestamp_ms: int | None = None):
         return txlog.replay(self.path, version=version, timestamp_ms=timestamp_ms)
 

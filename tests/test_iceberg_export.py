@@ -1,0 +1,244 @@
+"""Iceberg v2 metadata export / independent read (VERDICT r6 #2).
+
+Contract: a LakeTable exported with `export_iceberg_metadata` is a
+spec-conformant Iceberg table — `metadata/v*.metadata.json` parses with
+NOTHING but stdlib json, the `snap-*.avro` manifest lists and `*-m0.avro`
+manifests parse with the in-repo pure-Python Avro OCF codec (the same files
+03.iceberg_primer.py:411-456 reads with spark-avro), snapshot time travel
+matches LakeTable version time travel, and the independent
+`IcebergMetadataReader` reconstructs every snapshot plus the `snapshots` /
+`manifests` / `metadata_log_entries` / `history` metadata tables the
+reference queries (03.iceberg_primer.py:376-404).
+"""
+
+from __future__ import annotations
+
+import json
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from lakehouses_spark.functions.avro_py import read_ocf_bytes
+from lakehouses_spark.tables import LakeTable
+from lakehouses_spark.tables.iceberg_meta import (
+    IcebergExportError,
+    IcebergMetadataReader,
+    read_iceberg,
+)
+
+ROWS = [
+    {"k": i, "status": "AB"[i % 2], "price": float(10 * i)} for i in range(1, 41)
+]
+
+
+def _mk_table(spark, path) -> LakeTable:
+    """create → delete → update → append(schema evolution) = 4 versions."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, path, df)
+    t.delete("status = 'A' AND k > 30")
+    t.update({"price": "price * 2"}, where="k <= 5")
+    extra = spark.createDataFrame(
+        [{"k": 100, "status": "C", "price": 1.0, "note": "new"}],
+        "k long, status string, price double, note string",
+    )
+    t.append(extra, merge_schema=True)
+    return t
+
+
+def _sorted_rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.collect()
+    )
+
+
+def test_export_roundtrip_current_and_snapshots(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "lake")
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    # final snapshot matches the LakeTable read
+    assert _sorted_rows(read_iceberg(spark, dest)) == _sorted_rows(t.read())
+    # snapshot ids are version+1: each data-changing LakeTable version is
+    # reachable via time travel and matches the LakeTable at that version
+    snaps = {s["snapshot-id"] for s in r.meta["snapshots"]}
+    for v in range(t.version + 1):
+        if (v + 1) in snaps:
+            assert _sorted_rows(r.to_df(snapshot_id=v + 1)) == _sorted_rows(
+                t.read(version=v)
+            ), v
+
+
+def test_metadata_json_is_stdlib_parseable_and_spec_shaped(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "lake")
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    meta_dir = dest / "metadata"
+    hint = int((meta_dir / "version-hint.text").read_text())
+    assert hint == t.version + 1
+    meta = json.loads((meta_dir / f"v{hint}.metadata.json").read_text())
+    assert meta["format-version"] == 2
+    assert meta["current-schema-id"] == max(s["schema-id"] for s in meta["schemas"])
+    assert meta["partition-specs"] == [{"spec-id": 0, "fields": []}]
+    assert meta["current-snapshot-id"] == meta["snapshots"][-1]["snapshot-id"]
+    # sequence numbers are monotonic, parents chain
+    seqs = [s["sequence-number"] for s in meta["snapshots"]]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+    for prev, cur in zip(meta["snapshots"], meta["snapshots"][1:]):
+        assert cur["parent-snapshot-id"] == prev["snapshot-id"]
+    # one metadata file per LakeTable version; metadata-log lists the priors
+    assert len(list(meta_dir.glob("v*.metadata.json"))) == t.version + 1
+    assert len(meta["metadata-log"]) == t.version
+    # name mapping present (Spark parquet has no field ids — spec mechanism)
+    nm = json.loads(meta["properties"]["schema.name-mapping.default"])
+    assert {m["names"][0] for m in nm} >= {"k", "status", "price"}
+
+
+def test_manifests_parse_with_pure_python_avro(spark, tmp_path):
+    """The exact inspection the reference does with spark-avro
+    (03.iceberg_primer.py:433,452-456), done with the in-repo codec and no
+    Spark involvement at all."""
+    t = _mk_table(spark, tmp_path / "lake")
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    meta = json.loads(
+        (dest / "metadata" / f"v{t.version + 1}.metadata.json").read_text()
+    )
+    snap = meta["snapshots"][-1]
+    ml_path = dest / "metadata" / snap["manifest-list"].rsplit("/metadata/", 1)[1]
+    schema, ml_rows = read_ocf_bytes(ml_path.read_bytes())
+    assert schema["name"] == "manifest_file"
+    assert all(m["content"] == 0 for m in ml_rows)
+    total_live = 0
+    for m in ml_rows:
+        man_path = dest / "metadata" / m["manifest_path"].rsplit("/metadata/", 1)[1]
+        eschema, entries = read_ocf_bytes(man_path.read_bytes())
+        assert eschema["name"] == "manifest_entry"
+        for e in entries:
+            assert e["data_file"]["file_format"] == "PARQUET"
+            assert e["data_file"]["content"] == 0
+        total_live += sum(1 for e in entries if e["status"] != 2)
+    assert total_live == len(meta and ml_rows) or total_live > 0
+    # live manifest entries cover exactly the reader's live files
+    r = IcebergMetadataReader(spark, dest)
+    assert total_live == len(r.live_files())
+
+
+def test_external_client_proof_duckdb_reads_live_files(spark, tmp_path):
+    """stdlib JSON + pure-Python Avro resolve the live files; DuckDB reads
+    them with no engine involvement and matches the LakeTable."""
+    t = _mk_table(spark, tmp_path / "lake")
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    paths = [str(r._local_data(f["file_path"])) for f in r.live_files()]
+    con = duckdb.connect()
+    n, total = con.execute(
+        "SELECT count(*), sum(k) FROM read_parquet(?, union_by_name=true)",
+        [paths],
+    ).fetchone()
+    want = t.read().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("k").alias("s")
+    ).collect()[0]
+    assert (n, total) == (want["n"], want["s"])
+
+
+def test_metadata_tables_shapes(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "lake")
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    snaps = r.snapshots().collect()
+    assert [s.operation for s in snaps][0] == "append"
+    assert {"delete", "overwrite"} & {s.operation for s in snaps}
+    mans = r.manifests().collect()
+    assert len(mans) == 1 and mans[0].partition_spec_id == 0
+    logs = r.metadata_log_entries().collect()
+    assert len(logs) == t.version  # priors only, per spec
+    hist = r.history().collect()
+    assert all(h.is_current_ancestor for h in hist)  # linear main branch
+    files = r.files().collect()
+    assert all(f.record_count > 0 for f in files)
+    # totals in the files table match the data
+    assert sum(f.record_count for f in files) == t.read().count()
+
+
+def test_schema_evolution_and_rename_keep_field_ids(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.alter_rename_column("price", "amount")  # metadata-only, id must survive
+    t.alter_add_column("note", "string")
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    meta = json.loads(
+        (dest / "metadata" / f"v{t.version + 1}.metadata.json").read_text()
+    )
+    first = meta["schemas"][0]
+    last = meta["schemas"][-1]
+    ids0 = {f["name"]: f["id"] for f in first["fields"]}
+    ids1 = {f["name"]: f["id"] for f in last["fields"]}
+    assert ids1["amount"] == ids0["price"]  # rename kept the id
+    assert ids1["note"] == meta["last-column-id"]  # fresh id for new column
+    # data still reads correctly through the independent reader
+    got = read_iceberg(spark, dest)
+    assert got.where(F.col("amount").isNotNull()).count() == len(ROWS)
+    assert got.where(F.col("note").isNotNull()).count() == 0
+
+
+def test_drop_readd_gets_fresh_field_id(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.alter_drop_column("price")
+    t.alter_add_column("price", "double")
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    meta = json.loads(
+        (dest / "metadata" / f"v{t.version + 1}.metadata.json").read_text()
+    )
+    ids0 = {f["name"]: f["id"] for f in meta["schemas"][0]["fields"]}
+    ids_last = {f["name"]: f["id"] for f in meta["schemas"][-1]["fields"]}
+    assert ids_last["price"] != ids0["price"]  # re-add minted a fresh id
+    assert read_iceberg(spark, dest).where(F.col("price").isNotNull()).count() == 0
+
+
+def test_export_vacuumed_table_fails_before_writing(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "lake")
+    t.vacuum()
+    dest = tmp_path / "ice"
+    with pytest.raises(IcebergExportError, match="vacuumed"):
+        t.export_iceberg_metadata(dest)
+    assert not dest.exists()
+
+
+def test_reader_rejects_delete_files(spark, tmp_path):
+    """v2 row-level deletes (content != data) must fail loudly, not read
+    wrong data."""
+    t = LakeTable.create(
+        spark, tmp_path / "lake",
+        spark.createDataFrame(ROWS, "k long, status string, price double"),
+    )
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    # flip the manifest-list content field to 1 (deletes) in a rewritten OCF
+    from lakehouses_spark.tables.iceberg_meta import (
+        _MANIFEST_LIST_SCHEMA,
+        IcebergFormatError,
+        write_ocf_bytes_with_meta,
+    )
+
+    meta = json.loads((dest / "metadata" / "v1.metadata.json").read_text())
+    ml_rel = meta["snapshots"][-1]["manifest-list"].rsplit("/metadata/", 1)[1]
+    _, rows = read_ocf_bytes((dest / "metadata" / ml_rel).read_bytes())
+    rows[0]["content"] = 1
+    (dest / "metadata" / ml_rel).write_bytes(
+        write_ocf_bytes_with_meta(rows, _MANIFEST_LIST_SCHEMA, {})
+    )
+    with pytest.raises(IcebergFormatError, match="not\\s+supported"):
+        read_iceberg(spark, dest)
+
+
+def test_moved_table_directory_stays_readable(spark, tmp_path):
+    """Manifest URIs embed the export-time absolute location; the reader
+    re-roots them so a copied/moved table directory still reads."""
+    import shutil as _sh
+
+    t = _mk_table(spark, tmp_path / "lake")
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    moved = tmp_path / "elsewhere" / "ice2"
+    moved.parent.mkdir()
+    _sh.copytree(dest, moved)
+    assert _sorted_rows(read_iceberg(spark, moved)) == _sorted_rows(t.read())
