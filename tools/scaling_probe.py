@@ -487,7 +487,15 @@ def probe_ingest(spark) -> list[str]:
 def main() -> None:
     import os
 
+    # Same startup discipline as the bench (VERDICT r6 #5): the ladder is the
+    # repo's central scale evidence — never fit α on a loaded machine (the ×1
+    # tier absorbs external load and biases α DOWN).
+    import bench
+
+    gate = bench.wait_for_quiet_machine()
     load_start = os.getloadavg()
+    print(f"scaling_probe: loadavg gate {gate}, start {load_start[0]:.2f}",
+          file=sys.stderr)
     spark = get_spark(app_name="scaling-probe", driver_memory="16g")
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all_queries()
