@@ -131,7 +131,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact value — the df cut only prunes candidate *generation*."""
     d = spread(load_table(spark, sf_dir, "documents"))
     shingle_sets = hashed_shingle_sets(d).localCheckpoint()
-    cand = ngram_candidate_pairs(shingle_sets, jaccard_prefix=0.3)
+    # candidates materialized once: verification joins them against the
+    # shingle sets twice (doc_a, doc_b sides) and must not re-run the
+    # index/self-join pipeline per branch
+    cand = ngram_candidate_pairs(shingle_sets, jaccard_prefix=0.3).localCheckpoint()
     return verify_jaccard(cand, shingle_sets, threshold=0.3)
 
 
@@ -147,6 +150,10 @@ STOP_SHINGLE_MIN_DF = 16
 
 
 SHORT_DOC_SHINGLES = 64  # containment tier: docs below this keep ALL shingles
+
+# corpus-size guard for broadcasting the shingle df table into the rank join
+# (see ngram_candidate_pairs); past this the shuffle join is the right plan
+DF_BROADCAST_MAX_DOCS = 2_000_000
 
 
 def ngram_candidate_pairs(
@@ -196,7 +203,16 @@ def ngram_candidate_pairs(
     exploded = shingle_sets.select(
         "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h")
     )
-    dfs = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # materialized once: the df table feeds the hot cut AND the rank join —
+    # without this the 16M-row explode+aggregate executes twice
+    dfs = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df")).localCheckpoint()
+    # The rank join attaches df to every posting. Below DF_BROADCAST_MAX_DOCS
+    # the distinct-shingle table is tens of MB (measured 1.7M entries / ~35MB
+    # at 320k docs — vocabulary grows sublinearly once the corpus shares a
+    # language), so shipping it to every executor beats shuffling the full
+    # posting set by h; past the guard it falls back to the shuffle join,
+    # which is the 100 TB shape (the df table there is itself huge).
+    dfs_for_rank = F.broadcast(dfs) if n_docs <= DF_BROADCAST_MAX_DOCS else dfs
     hot = dfs.where(F.col("df") > cut).select("h")
     # the hot set is tiny by definition (heavy hitters) → broadcast anti-join
     filtered = exploded.join(F.broadcast(hot), "h", "left_anti").select(
@@ -218,13 +234,26 @@ def ngram_candidate_pairs(
         # the prefix active.)
         from pyspark.sql import Window
 
-        wp = Window.partitionBy("doc_id").orderBy("df", "h")
+        # l=2 ADAPTIVE prefix (VERDICT r6 #7; Wang et al. "adaptive prefix
+        # filtering", public literature): extend every prefix by ONE element
+        # and require ≥2 shared prefix elements per pair downstream. Exact
+        # by the same pigeonhole, one step further: a qualifying pair has
+        # overlap o ≥ ⌈t·n_d⌉ per doc, so each doc holds ≤ n_d − o
+        # non-shared elements, putting the TWO globally-smallest shared
+        # elements within the first n_d − o + 2 of BOTH docs — two
+        # guaranteed join rows. Every 1-collision candidate (the vast
+        # majority of false pairs at t=0.3: measured 5.2M candidates for
+        # 4,096 true pairs at ×16 before this) dies in the pair-count
+        # filter instead of reaching exact verification.
         filtered = (
-            filtered.join(dfs, "h")
-            .withColumn("rank", F.row_number().over(wp))
+            filtered.join(dfs_for_rank, "h")
+            .withColumn(
+                "rank",
+                F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")),
+            )
             .where(
                 F.col("rank")
-                <= F.floor(F.col("n_sh") * (1.0 - jaccard_prefix) + 1e-9) + 1
+                <= F.floor(F.col("n_sh") * (1.0 - jaccard_prefix) + 1e-9) + 2
             )
         )
     if jaccard_prefix is not None:
@@ -253,10 +282,15 @@ def ngram_candidate_pairs(
         overlap_needed = F.ceil(
             F.lit(t / (1.0 + t)) * (F.col("a.n_sh") + F.col("b.n_sh")) - 1e-9
         )
-        suffix_bound = 1 + F.least(
+        # positional bound relaxed by 1 for the l=2 prefix: the SECOND
+        # smallest shared element has only o−2 shared elements after it in
+        # each set, so its row satisfies 2 + min(suffix) ≥ o — both
+        # guaranteed rows survive this filter (the l=1 bound would drop the
+        # second row of exactly-threshold pairs and break the count filter)
+        suffix_bound = 2 + F.least(
             F.col("a.n_sh") - F.col("a.rank"), F.col("b.n_sh") - F.col("b.rank")
         )
-        pairs = (
+        joined = (
             a.join(
                 b,
                 (F.col("a.h") == F.col("b.h"))
@@ -268,9 +302,25 @@ def ngram_candidate_pairs(
                 & (suffix_bound >= overlap_needed)
             )
             .select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.n_sh").alias("na"),
+                F.col("b.n_sh").alias("nb"),
             )
         )
+        # pair-count filter: ≥2 shared prefix elements, except when the
+        # pair's required overlap is itself 1 (tiny docs — only one shared
+        # element may exist). Doubles as the distinct (same shuffle the
+        # old .distinct() paid), so the shared tail below must not re-pay.
+        o_pair = F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")) - 1e-9)
+        pairs = (
+            joined.groupBy("doc_a", "doc_b", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .where((F.col("n_hits") >= 2) | (o_pair <= 1))
+            .select("doc_a", "doc_b")
+        )
+        if keep_short_docs is None:
+            return pairs  # already distinct via the groupBy
     elif containment_prefix is not None:
         # Containment-adapted PPJoin (asymmetric): C(A,B) = |A∩B|/min ≥ t
         # constrains only the SMALLER doc A — overlap o ≥ ⌈t·|A|⌉.
@@ -294,7 +344,7 @@ def ngram_candidate_pairs(
         t = float(containment_prefix)
         wp = Window.partitionBy("doc_id").orderBy("df", "h")
         ranked = (
-            filtered.join(dfs, "h")
+            filtered.join(dfs_for_rank, "h")
             .withColumn("rank", F.row_number().over(wp))
             .select("doc_id", "n_sh", "rank", "h")
         )
