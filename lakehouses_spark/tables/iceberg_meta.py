@@ -32,12 +32,16 @@ Everything targets the public Apache Iceberg Table Spec
 manifest-entry Avro schemas (field-id annotated), sequence numbers,
 snapshot log, and the name-mapping property.
 
-Scale: export moves file METADATA only (no data rewrite; manifests are
-O(files) Avro rows). The reader plans from the manifest list exactly like
-Iceberg does — no directory listing — and reads all live files in one scan.
-One manifest per snapshot keeps the exporter simple; real Iceberg reuses
-unchanged manifests across snapshots, which matters once file counts reach
-millions — noted as the follow-on optimization, the FORMAT is identical.
+Scale: export moves file METADATA only (no data rewrite), and manifests are
+REUSED across snapshots exactly like real Iceberg — each commit writes one
+manifest for its added files and rewrites only the manifests a delete
+touched, so per-snapshot metadata work is O(changed files), not
+O(table files). Manifest entries carry per-field lower/upper bounds (the
+spec's single-value binary serialization keyed by field id), and the
+reader's ``plan_files(filters)`` does Iceberg's manifest-level min/max file
+pruning driver-side — no parquet footer is opened for pruned files. The
+reader plans from the manifest list (no directory listing) and reads all
+surviving files in one scan.
 """
 
 from __future__ import annotations
@@ -227,11 +231,101 @@ _MANIFEST_ENTRY_SCHEMA = {
                     },
                     {"name": "record_count", "type": "long", "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                    # per-field stats, keyed by field id (the spec's k/v
+                    # array encoding — Avro maps require string keys);
+                    # bounds are the spec's single-value binary serialization
+                    {
+                        "name": "lower_bounds",
+                        "field-id": 125,
+                        "type": ["null", {
+                            "type": "array",
+                            "items": {
+                                "type": "record", "name": "k126_v127",
+                                "fields": [
+                                    {"name": "key", "type": "int", "field-id": 126},
+                                    {"name": "value", "type": "bytes", "field-id": 127},
+                                ],
+                            },
+                        }],
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "field-id": 128,
+                        "type": ["null", {
+                            "type": "array",
+                            "items": {
+                                "type": "record", "name": "k129_v130",
+                                "fields": [
+                                    {"name": "key", "type": "int", "field-id": 129},
+                                    {"name": "value", "type": "bytes", "field-id": 130},
+                                ],
+                            },
+                        }],
+                    },
                 ],
             },
         },
     ],
 }
+
+
+# single-value binary serialization (Iceberg spec appendix D): the subset of
+# types LakeTable stats actually carry
+def _encode_bound(value: Any, dt: T.DataType) -> bytes | None:
+    import struct as _st
+
+    if value is None:
+        return None
+    name = dt.typeName()
+    try:
+        if name in ("integer", "short", "byte"):
+            return _st.pack("<i", int(value))
+        if name == "long":
+            return _st.pack("<q", int(value))
+        if name == "float":
+            return _st.pack("<f", float(value))
+        if name == "double":
+            return _st.pack("<d", float(value))
+        if name == "boolean":
+            return b"\x01" if value else b"\x00"
+        if name == "string":
+            return str(value).encode("utf-8")
+        if name == "date":
+            import datetime
+
+            d = (
+                datetime.date.fromisoformat(value)
+                if isinstance(value, str) else value
+            )
+            return _st.pack("<i", (d - datetime.date(1970, 1, 1)).days)
+    except (ValueError, TypeError):
+        return None
+    return None  # unencoded types simply omit their bounds
+
+
+def _decode_bound(raw: bytes, dt: T.DataType):
+    import struct as _st
+
+    name = dt.typeName()
+    if name in ("integer", "short", "byte"):
+        return _st.unpack("<i", raw)[0]
+    if name == "long":
+        return _st.unpack("<q", raw)[0]
+    if name == "float":
+        return _st.unpack("<f", raw)[0]
+    if name == "double":
+        return _st.unpack("<d", raw)[0]
+    if name == "boolean":
+        return raw == b"\x01"
+    if name == "string":
+        return raw.decode("utf-8")
+    if name == "date":
+        import datetime
+
+        return datetime.date(1970, 1, 1) + datetime.timedelta(
+            days=_st.unpack("<i", raw)[0]
+        )
+    return None
 
 _STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
 
@@ -334,6 +428,9 @@ def export_iceberg_metadata(
     prev_active: set[str] = set()
 
     live: dict[str, dict] = {}  # rel path -> LakeTable add action
+    # manifest registry for reuse: {"ml_row": manifest-list row,
+    #  "live": {rel: {"add": action, "snap": id, "seq": n}}, "drop_after": bool}
+    manifests: list[dict] = []
     snapshots: list[dict] = []
     snapshot_log: list[dict] = []
     metadata_log: list[dict] = []
@@ -373,6 +470,10 @@ def export_iceberg_metadata(
         # ---- schema entry (id'd by content) ----
         phys_top = {f.name: running_mapping.get(f.name, f.name) for f in spark_schema.fields}
         ice_struct = _spark_type_to_iceberg(spark_schema, alloc_for(phys_top))
+        stats_ctx = {
+            phys_top[f.name]: (path_ids[phys_top[f.name]], f.dataType)
+            for f in spark_schema.fields
+        }
         ice_schema_json = json.dumps(ice_struct, sort_keys=True)
         if ice_schema_json not in schema_ids_by_json:
             sid = len(schemas)
@@ -380,74 +481,77 @@ def export_iceberg_metadata(
             schemas.append({"schema-id": sid, **ice_struct})
         current_schema_id = schema_ids_by_json[ice_schema_json]
 
-        # ---- data change -> snapshot ----
+        # ---- data change -> snapshot (manifest REUSE, like real Iceberg:
+        # a commit writes one manifest for its added files and rewrites
+        # ONLY the manifests a delete touched; untouched manifests are
+        # referenced as-is by the new manifest list, so per-snapshot
+        # metadata work is O(changed files), not O(table files)) ----
         adds = c.get("add", [])
         removes = c.get("remove", [])
         if adds or removes or v == 0:
             seq += 1
             snap_id = v + 1  # deterministic, unique, time-travel friendly
-            removed = {r: live.pop(r, None) for r in removes}
-            added_paths = {a["path"] for a in adds}
-            for a in adds:
-                live[a["path"]] = a
-            entries = []
-            for rel, a in sorted(live.items()):
-                entries.append(
+            r_set = set(removes)
+            removed_entries: list[tuple[str, dict]] = []
+            next_manifests: list[dict] = []
+            for m in manifests:
+                hit = {rel for rel in m["live"] if rel in r_set}
+                if not hit:
+                    next_manifests.append(m)  # referenced as-is, no rewrite
+                    continue
+                for rel in sorted(hit):
+                    removed_entries.append((rel, m["live"][rel]))
+                survivors = {
+                    rel: e for rel, e in m["live"].items() if rel not in hit
+                }
+                entries = [
                     _manifest_entry(
-                        _STATUS_ADDED if rel in added_paths else _STATUS_EXISTING,
-                        snap_id, seq, location, mapped_rel(rel), a,
+                        _STATUS_EXISTING, e["snap"], e["seq"], location,
+                        mapped_rel(rel), e["add"], stats_ctx,
                     )
-                )
-            for rel, a in sorted((k, x) for k, x in removed.items() if x):
-                entries.append(
+                    for rel, e in sorted(survivors.items())
+                ] + [
                     _manifest_entry(
-                        _STATUS_DELETED, snap_id, seq, location, mapped_rel(rel), a
+                        _STATUS_DELETED, snap_id, seq, location,
+                        mapped_rel(rel), m["live"][rel]["add"], stats_ctx,
                     )
+                    for rel in sorted(hit)
+                ]
+                rewritten = _write_manifest(
+                    meta_dir, entries, ice_schema_json, snap_id, seq
                 )
-            manifest_name = f"{uuid.uuid4()}-m0.avro"
-            manifest_bytes = write_ocf_bytes_with_meta(
-                entries,
-                _MANIFEST_ENTRY_SCHEMA,
-                {
-                    "schema": ice_schema_json,
-                    "partition-spec": "[]",
-                    "partition-spec-id": "0",
-                    "format-version": str(FORMAT_VERSION),
-                    "content": "data",
-                },
-            )
-            (meta_dir / manifest_name).write_bytes(manifest_bytes)
-            n_added = sum(1 for e in entries if e["status"] == _STATUS_ADDED)
-            n_existing = sum(1 for e in entries if e["status"] == _STATUS_EXISTING)
-            n_deleted = sum(1 for e in entries if e["status"] == _STATUS_DELETED)
-            ml_row = {
-                "manifest_path": f"{location}/metadata/{manifest_name}",
-                "manifest_length": len(manifest_bytes),
-                "partition_spec_id": 0,
-                "content": 0,
-                "sequence_number": seq,
-                "min_sequence_number": seq,
-                "added_snapshot_id": snap_id,
-                "added_files_count": n_added,
-                "existing_files_count": n_existing,
-                "deleted_files_count": n_deleted,
-                "added_rows_count": sum(
-                    e["data_file"]["record_count"] for e in entries
-                    if e["status"] == _STATUS_ADDED
-                ),
-                "existing_rows_count": sum(
-                    e["data_file"]["record_count"] for e in entries
-                    if e["status"] == _STATUS_EXISTING
-                ),
-                "deleted_rows_count": sum(
-                    e["data_file"]["record_count"] for e in entries
-                    if e["status"] == _STATUS_DELETED
-                ),
+                rewritten["live"] = survivors
+                # an all-deleted rewrite is listed THIS snapshot (to carry
+                # the delete entries) and dropped from later lists
+                rewritten["drop_after"] = not survivors
+                next_manifests.append(rewritten)
+            if adds:
+                new_live = {
+                    a["path"]: {"add": a, "snap": snap_id, "seq": seq}
+                    for a in adds
+                }
+                entries = [
+                    _manifest_entry(
+                        _STATUS_ADDED, snap_id, seq, location,
+                        mapped_rel(rel), e["add"], stats_ctx,
+                    )
+                    for rel, e in sorted(new_live.items())
+                ]
+                created = _write_manifest(
+                    meta_dir, entries, ice_schema_json, snap_id, seq
+                )
+                created["live"] = new_live
+                created["drop_after"] = False
+                next_manifests.append(created)
+            manifests = next_manifests
+            live = {
+                rel: e["add"] for m in manifests for rel, e in m["live"].items()
             }
+            ml_rows = [m["ml_row"] for m in manifests]
             ml_name = f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
             (meta_dir / ml_name).write_bytes(
                 write_ocf_bytes_with_meta(
-                    [ml_row],
+                    ml_rows,
                     _MANIFEST_LIST_SCHEMA,
                     {
                         "format-version": str(FORMAT_VERSION),
@@ -456,6 +560,10 @@ def export_iceberg_metadata(
                     },
                 )
             )
+            manifests = [m for m in manifests if not m["drop_after"]]
+            n_added = len(adds)
+            n_deleted = len(removed_entries)
+            n_existing = len(live) - n_added
             op = (
                 "delete" if (removes and not adds)
                 else "overwrite" if (removes and adds)
@@ -571,9 +679,75 @@ def write_ocf_bytes_with_meta(rows: list, schema: dict, extra_meta: dict) -> byt
     return buf.getvalue()
 
 
-def _manifest_entry(
-    status: int, snap_id: int, seq: int, location: str, rel: str, add: dict
+def _write_manifest(
+    meta_dir: Path, entries: list[dict], ice_schema_json: str,
+    snap_id: int, seq: int,
 ) -> dict:
+    """Write one manifest Avro file; return its registry record with the
+    manifest-list row (counts by entry status, min sequence number)."""
+    name = f"{uuid.uuid4()}-m0.avro"
+    data = write_ocf_bytes_with_meta(
+        entries,
+        _MANIFEST_ENTRY_SCHEMA,
+        {
+            "schema": ice_schema_json,
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": str(FORMAT_VERSION),
+            "content": "data",
+        },
+    )
+    (meta_dir / name).write_bytes(data)
+
+    def _n(status):
+        return sum(1 for e in entries if e["status"] == status)
+
+    def _rows(status):
+        return sum(
+            e["data_file"]["record_count"] for e in entries
+            if e["status"] == status
+        )
+
+    location = str(meta_dir.parent.resolve())
+    return {
+        "ml_row": {
+            "manifest_path": f"{location}/metadata/{name}",
+            "manifest_length": len(data),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": min(
+                (e["sequence_number"] for e in entries if e["sequence_number"]),
+                default=seq,
+            ),
+            "added_snapshot_id": snap_id,
+            "added_files_count": _n(_STATUS_ADDED),
+            "existing_files_count": _n(_STATUS_EXISTING),
+            "deleted_files_count": _n(_STATUS_DELETED),
+            "added_rows_count": _rows(_STATUS_ADDED),
+            "existing_rows_count": _rows(_STATUS_EXISTING),
+            "deleted_rows_count": _rows(_STATUS_DELETED),
+        },
+    }
+
+
+def _manifest_entry(
+    status: int, snap_id: int, seq: int, location: str, rel: str, add: dict,
+    stats_ctx: dict[str, tuple[int, T.DataType]] | None = None,
+) -> dict:
+    lower: list[dict] = []
+    upper: list[dict] = []
+    for phys, s in sorted((add.get("stats") or {}).items()):
+        fid_dt = (stats_ctx or {}).get(phys)
+        if fid_dt is None:
+            continue
+        fid, dt = fid_dt
+        lo = _encode_bound(s.get("min"), dt)
+        hi = _encode_bound(s.get("max"), dt)
+        if lo is not None:
+            lower.append({"key": fid, "value": lo})
+        if hi is not None:
+            upper.append({"key": fid, "value": hi})
     return {
         "status": status,
         "snapshot_id": snap_id,
@@ -586,6 +760,8 @@ def _manifest_entry(
             "partition": {},
             "record_count": add.get("num_records") or 0,
             "file_size_in_bytes": add.get("size_bytes") or 0,
+            "lower_bounds": lower or None,
+            "upper_bounds": upper or None,
         },
     }
 
@@ -699,7 +875,68 @@ class IcebergMetadataReader:
             return {}
         return {m["field-id"]: m["names"][0] for m in json.loads(raw)}
 
-    def to_df(self, snapshot_id: int | None = None) -> DataFrame:
+    def plan_files(
+        self,
+        filters: list[tuple] | None = None,
+        snapshot_id: int | None = None,
+    ) -> list[dict]:
+        """Manifest-level scan planning: drop every live data file whose
+        [lower_bounds, upper_bounds] for a filtered field can't satisfy the
+        predicate — Iceberg's min/max file pruning, evaluated driver-side
+        from the manifest stats without touching any parquet footer.
+        ``filters``: [(column, op, value)] with op in =,<,<=,>,>=; files
+        lacking bounds for a column are conservatively kept."""
+        files = self.live_files(snapshot_id)
+        if not filters:
+            return files
+        schema_id = None if snapshot_id is None else (
+            (self._snapshot(snapshot_id) or {}).get("schema-id")
+        )
+        ice = next(
+            s for s in self.meta["schemas"]
+            if s["schema-id"] == (schema_id if schema_id is not None
+                                  else self.meta["current-schema-id"])
+        )
+        by_name = {
+            f["name"]: (f["id"], _iceberg_type_to_spark(f["type"]))
+            for f in ice["fields"]
+            if not isinstance(f["type"], dict)
+        }
+
+        def bound(df_, which, fid, dt):
+            for kv in df_.get(which) or []:
+                if kv["key"] == fid:
+                    return _decode_bound(bytes(kv["value"]), dt)
+            return None
+
+        def may_match(df_) -> bool:
+            for col, op, val in filters:
+                if col not in by_name:
+                    continue
+                fid, dt = by_name[col]
+                lo = bound(df_, "lower_bounds", fid, dt)
+                hi = bound(df_, "upper_bounds", fid, dt)
+                if lo is None or hi is None:
+                    continue  # no stats -> keep
+                if op in ("=", "==") and not (lo <= val <= hi):
+                    return False
+                if op == "<" and not (lo < val):
+                    return False
+                if op == "<=" and not (lo <= val):
+                    return False
+                if op == ">" and not (hi > val):
+                    return False
+                if op == ">=" and not (hi >= val):
+                    return False
+            return True
+
+        return [f for f in files if may_match(f)]
+
+    def to_df(
+        self,
+        snapshot_id: int | None = None,
+        filters: list[tuple] | None = None,
+    ) -> DataFrame:
         snap = self._snapshot(snapshot_id)
         # current reads use current-schema-id (metadata-only alters bump the
         # schema without a new snapshot); explicit time travel uses the
@@ -708,7 +945,7 @@ class IcebergMetadataReader:
             snap.get("schema-id") if snap and snapshot_id is not None else None
         )
         logical = self.schema(schema_id)
-        files = self.live_files(snapshot_id)
+        files = self.plan_files(filters, snapshot_id)
         if not files:
             return self.spark.createDataFrame([], logical)
         mapping = self.name_mapping()
@@ -729,9 +966,20 @@ class IcebergMetadataReader:
         )
         paths = [str(self._local_data(df_["file_path"])) for df_ in files]
         df = self.spark.read.schema(phys_schema).parquet(*paths)
-        return df.select(
+        out = df.select(
             *[F.col(phys[f.name]).alias(f.name) for f in logical.fields]
         )
+        # residual row-level filter on top of the file-level prune
+        ops = {
+            "=": "==", "==": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">=",
+        }
+        for col, op, val in filters or []:
+            c, v = F.col(col), F.lit(val)
+            out = out.where(
+                {"==": c == v, "<": c < v, "<=": c <= v,
+                 ">": c > v, ">=": c >= v}[ops[op]]
+            )
+        return out
 
     def _local_data(self, uri: str) -> Path:
         loc = self.meta["location"].rstrip("/")

@@ -235,6 +235,72 @@ class LakeTable:
         )
         return t
 
+    @classmethod
+    def convert_from_iceberg(cls, spark: SparkSession, path: str | Path) -> "LakeTable":
+        """S6 sibling for the other open format (r7): adopt an Iceberg v2
+        table's live data files into a fresh LakeTable log IN PLACE (no data
+        rewrite) — the reverse direction of `export_iceberg_metadata`.
+        Schema, the name-mapping-derived column mapping, per-file record
+        counts/sizes, and user properties carry over. Fails loudly on
+        row-level delete files (the reader's check) and on data files
+        outside the table root (adoption needs co-located files)."""
+        from lakehouses_spark.tables.iceberg_meta import IcebergMetadataReader
+
+        path = Path(path)
+        if txlog.list_versions(path):
+            raise FileExistsError(f"already a lake table: {path}")
+        r = IcebergMetadataReader(spark, path)
+        files = r.live_files()  # raises IcebergFormatError on delete files
+        logical = r.schema()
+        nm = r.name_mapping()
+        ice = next(
+            s for s in r.meta["schemas"]
+            if s["schema-id"] == r.meta["current-schema-id"]
+        )
+        mapping = {
+            f["name"]: nm[f["id"]]
+            for f in ice["fields"]
+            if f["id"] in nm and nm[f["id"]] != f["name"]
+        }
+        loc = r.meta["location"].rstrip("/")
+        adds = []
+        for f in sorted(files, key=lambda x: x["file_path"]):
+            uri = f["file_path"]
+            if not uri.startswith(loc):
+                raise ValueError(
+                    f"data file outside the table root ({uri!r}); adopt via "
+                    "LakeTable.create over read_iceberg() instead"
+                )
+            adds.append(
+                {
+                    "path": uri[len(loc):].lstrip("/"),
+                    "num_records": f.get("record_count"),
+                    "size_bytes": f.get("file_size_in_bytes"),
+                    "stats": {},
+                }
+            )
+        props = {
+            k: v for k, v in (r.meta.get("properties") or {}).items()
+            if k not in ("schema.name-mapping.default", "created-ms")
+            and k != "lakehouses.clusterBy"
+        }
+        cluster = (r.meta.get("properties") or {}).get("lakehouses.clusterBy")
+        t = cls(spark, path)
+        t._commit(
+            0,
+            operation="CONVERT FROM ICEBERG",
+            add=adds,
+            schema=logical.json(),
+            partition_by=json.loads(cluster) if cluster else [],
+            column_mapping=mapping or None,
+            properties=props or None,
+            operation_parameters={
+                "iceberg_snapshot": r.meta.get("current-snapshot-id")
+            },
+            protocol={"min_reader": txlog.READER_VERSION},
+        )
+        return t
+
     def export_delta_log(
         self,
         dest: str | Path,

@@ -149,7 +149,8 @@ def test_metadata_tables_shapes(spark, tmp_path):
     assert [s.operation for s in snaps][0] == "append"
     assert {"delete", "overwrite"} & {s.operation for s in snaps}
     mans = r.manifests().collect()
-    assert len(mans) == 1 and mans[0].partition_spec_id == 0
+    # manifest REUSE: one manifest per surviving data-changing commit
+    assert len(mans) >= 1 and all(m.partition_spec_id == 0 for m in mans)
     logs = r.metadata_log_entries().collect()
     assert len(logs) == t.version  # priors only, per spec
     hist = r.history().collect()
@@ -242,3 +243,98 @@ def test_moved_table_directory_stays_readable(spark, tmp_path):
     moved.parent.mkdir()
     _sh.copytree(dest, moved)
     assert _sorted_rows(read_iceberg(spark, moved)) == _sorted_rows(t.read())
+
+
+def test_convert_from_iceberg_roundtrip(spark, tmp_path):
+    """Export → adopt in place → the adopted LakeTable reads identically and
+    keeps DML working (the full S6-sibling arc, both directions)."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.delete("k > 35")
+    t.alter_rename_column("price", "amount")  # mapping must carry over
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    t2 = LakeTable.convert_from_iceberg(spark, dest)
+    assert _sorted_rows(t2.read()) == _sorted_rows(t.read())
+    assert t2.state().column_mapping == {"amount": "price"}
+    # adopted table stays a fully working LakeTable
+    t2.delete("k <= 5")
+    assert t2.read().count() == t.read().count() - 5
+    # double adoption refuses
+    with pytest.raises(FileExistsError, match="already a lake table"):
+        LakeTable.convert_from_iceberg(spark, dest)
+
+
+def test_manifest_reuse_across_snapshots(spark, tmp_path):
+    """Real-Iceberg manifest economics: an append writes ONE new manifest
+    and references the previous snapshot's manifests unchanged; a delete
+    rewrites only the touched manifest. Per-snapshot metadata work is
+    O(changed files), not O(table files)."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.append(spark.createDataFrame(
+        [{"k": 200 + i, "status": "Z", "price": 1.0} for i in range(5)],
+        "k long, status string, price double"))
+    t.append(spark.createDataFrame(
+        [{"k": 300 + i, "status": "Y", "price": 2.0} for i in range(5)],
+        "k long, status string, price double"))
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    meta = r.meta
+
+    def ml_paths(snap):
+        _, rows = read_ocf_bytes(r._local(snap["manifest-list"]).read_bytes())
+        return [m["manifest_path"] for m in rows]
+
+    s1, s2, s3 = meta["snapshots"]
+    p1, p2, p3 = ml_paths(s1), ml_paths(s2), ml_paths(s3)
+    # each append REFERENCES the prior manifests and adds exactly one
+    assert set(p1) < set(p2) < set(p3)
+    assert len(p2) == len(p1) + 1 and len(p3) == len(p2) + 1
+    # and the reader still sees every row exactly once
+    assert read_iceberg(spark, dest).count() == len(ROWS) + 10
+    # a delete touching only the FIRST manifest rewrites it, reuses the rest
+    t.delete("k <= 5")
+    dest2 = t.export_iceberg_metadata(tmp_path / "ice2")
+    r2 = IcebergMetadataReader(spark, dest2)
+    s3b, s4 = r2.meta["snapshots"][-2], r2.meta["snapshots"][-1]
+    p3b, p4 = (
+        [m for m in _ml(r2, s3b)], [m for m in _ml(r2, s4)]
+    )
+    reused = {m["manifest_path"] for m in p3b} & {m["manifest_path"] for m in p4}
+    assert len(reused) == 2  # the two untouched append manifests
+    deleting = [m for m in p4 if m["deleted_files_count"] > 0]
+    assert len(deleting) == 1
+    assert read_iceberg(spark, dest2).count() == t.read().count()
+
+
+def _ml(r, snap):
+    _, rows = read_ocf_bytes(r._local(snap["manifest-list"]).read_bytes())
+    return rows
+
+
+def test_bounds_exported_and_plan_files_prunes(spark, tmp_path):
+    """Manifest entries carry per-field lower/upper bounds; plan_files does
+    min/max pruning driver-side. A table clustered by k into 4 files must
+    plan exactly one file for a point-ish predicate, and to_df(filters)
+    returns the same rows as the unpruned read filtered after the fact."""
+    df = spark.createDataFrame(
+        [{"k": i, "status": "AB"[i % 2], "price": float(i)} for i in range(400)],
+        "k long, status string, price double",
+    )
+    t = LakeTable.create(spark, tmp_path / "lake", df,
+                         partition_by=["k"], num_files=4)
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    files = r.live_files()
+    assert len(files) == 4
+    assert all(f.get("lower_bounds") and f.get("upper_bounds") for f in files)
+    planned = r.plan_files([("k", ">=", 390)])
+    assert len(planned) == 1
+    got = sorted(x.k for x in r.to_df(filters=[("k", ">=", 390)]).collect())
+    assert got == list(range(390, 400))
+    # string bounds prune too
+    planned_s = r.plan_files([("status", "=", "A")])
+    assert 1 <= len(planned_s) <= 4
+    # equality outside every file's range plans zero files
+    assert r.plan_files([("k", ">", 100000)]) == []
+    assert r.to_df(filters=[("k", ">", 100000)]).count() == 0

@@ -583,10 +583,14 @@ def main() -> None:
         "over the scalar walk on sf0.1 documents, bit-identical, pinned).",
         "`dedup_ngram_jaccard`'s candidate stage runs the full PPJoin filter",
         "set (rarest-first prefix + length + positional, all recall-exact —",
-        "Xiao et al., WWW'08): r6's prefix-only ×64 was 67.4 s; adding the",
-        "length/positional cuts dropped it to ~41 s (−39%) with identical",
-        "pair output, by pruning tail-of-prefix collisions between",
-        "dissimilar docs BEFORE the distinct+verify shuffles.",
+        "Xiao et al., WWW'08) plus, since r7, the l=2 ADAPTIVE prefix:",
+        "each prefix is extended by one element and a pair must share ≥2",
+        "prefix elements (pigeonhole-exact), which kills every 1-collision",
+        "false candidate — measured 5.2M→220k candidates at ×16 for the",
+        "same 4,096 true pairs. With the df table checkpointed and",
+        "broadcast into the rank join (2M-doc guard; shuffle join beyond),",
+        "×64 went 67.4 s (r6 prefix-only) → ~41 s (r6 full filter set) →",
+        "~17.5 s (r7), identical pair output at every step.",
         "`dedup_containment`'s main join uses the asymmetric variant",
         "(r6): prefix-probe × full-index with probe.|A| ≤ index.|B| and the",
         "index-side positional cut r_b ≤ |B|−⌈t·|A|⌉+1 — containment admits",
