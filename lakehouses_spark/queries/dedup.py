@@ -1243,23 +1243,46 @@ def common_substring_pairs(
     run/match COUNTS too, so reported max_run_tokens is then a lower bound
     on boilerplate-heavy pairs."""
     w = F.split(F.col("text"), " ")
+    # Window fingerprints from PER-TOKEN hashes, not per-window strings:
+    # hashing each token once and combining k consecutive token hashes with
+    # a position-dependent rotate-XOR is ~k long ops per window, vs building
+    # and xxhashing a fresh k-token string per window (the dominant cost of
+    # this operator at scale — measured 8.9 s of a 16.4 s ×16 run). The
+    # combiner rotl(t_j, 7·j+1)⊕… is position-sensitive (reordered tokens
+    # don't collide) and stays in non-overflowing bitwise ops, so it is
+    # ANSI-mode safe. Equality semantics are unchanged modulo 64-bit hash
+    # collisions — the same contract the previous per-window xxhash had.
+    def _rotl(col, r: int):
+        return F.shiftleft(col, r).bitwiseOR(F.shiftrightunsigned(col, 64 - r))
+
+    th_attr = F.col("__th")
+
+    def _win_hash(i):
+        acc = None
+        for j in range(k):
+            term = _rotl(F.element_at(th_attr, i + j + 1), 7 * j + 1)
+            acc = term if acc is None else acc.bitwiseXOR(term)
+        return acc
+
     hashed_wins = F.when(
-        F.size(w) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - k),
-            lambda i: F.xxhash64(
-                F.concat_ws(
-                    " ", *[F.element_at(w, i + j + 1) for j in range(k)]
-                )
-            ),
-        ),
+        F.size(th_attr) >= k,
+        F.transform(F.sequence(F.lit(0), F.size(th_attr) - k), _win_hash),
     ).otherwise(F.array().cast("array<long>"))
     # materialize the positional window-hash table once — THREE consumers
     # (the df heavy-hitter pass and both sides of the self-join) would
     # otherwise re-evaluate the tokenize+hash explode end-to-end; at cluster
     # scale this is a persisted intermediate table, locally localCheckpoint
     # gives the same cut (same rationale as the jaccard tier's shingle_sets)
-    wins = d.select(
+    # token hashes land as a REAL attribute (__th) before the window pass:
+    # embedding the transform(...) Column directly in the window lambda
+    # would copy the whole token-hashing expression into every element_at
+    # and re-hash the full token array once per window (measured 75 s vs
+    # 19 s at ×64). Catalyst's CollapseProject leaves the two projections
+    # split because __th is referenced k+1 times and is not cheap.
+    toks = d.select(
+        "doc_id", F.transform(w, lambda x: F.xxhash64(x)).alias("__th")
+    )
+    wins = toks.select(
         "doc_id", F.posexplode(hashed_wins).alias("pos", "h")
     ).localCheckpoint()
     if stop_df is not None:
