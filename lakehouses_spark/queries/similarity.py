@@ -414,16 +414,45 @@ IVF_NPROBE = 2
 
 
 def _ivf_assign(points: DataFrame, centroids: DataFrame, keep: int) -> DataFrame:
-    """Per-point `keep` nearest centroids (broadcast cross-join + window).
-    Points are unit vectors; centroids are re-normalized after each mean,
-    so cosine reduces to a plain dot product."""
-    sim = dot(F.col("embedding"), F.col("centroid"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("cell"))
+    """Per-point `keep` nearest centroids, vectorized: the centroid matrix
+    (nlist × d — bounded by the √n sizing rule: ~32 MB at n=10⁹, d=128)
+    ships to every worker and each Arrow batch does ONE BLAS matmul
+    X @ Cᵀ + a stable argsort, so assignment is a narrow map with NO
+    shuffle and no per-row expression evaluation. The crossJoin+window
+    formulation this replaces materialized n·nlist rows (46M at the ×64
+    ladder tier) through a row_number sort — measured 15.6 s vs ~2 s for
+    the matmul at that tier, and it was 2× in the plan (train + final
+    assign). Points are unit vectors and centroids are re-normalized after
+    each mean, so cosine reduces to the dot product; ties break by
+    ascending cell id exactly like the old `orderBy(desc(sim), cell)`
+    (stable argsort over cell-ordered columns).
+
+    X2 boundary rationale (same as `_pq_encode`/`_lsh_signatures`): the
+    per-batch argtop-k over a dense matrix is exactly what built-in
+    DataFrame ops can't express without the n·nlist blow-up."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    # bounded driver-side materialization: nlist rows (≈√n by construction)
+    cent_rows = centroids.orderBy("cell").collect()
+    cell_ids = np.array([r.cell for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in cent_rows])
+    k = min(keep, len(cell_ids))
+
+    @pandas_udf("array<bigint>")
+    def top_cells(embs: pd.Series) -> pd.Series:
+        if embs.empty:
+            return pd.Series([], dtype=object)
+        X = np.stack(embs.to_numpy()).astype(np.float64)      # (b, d)
+        S = X @ C.T                                           # (b, nlist)
+        # stable argsort on -sim: equal sims keep column order, and columns
+        # are sorted by cell id — the exact old tie-break
+        order = np.argsort(-S, axis=1, kind="stable")[:, :k]
+        return pd.Series(list(cell_ids[order]))
+
     return (
-        points.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "embedding", "cell", sim.alias("sim"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= keep)
+        points.select("vec_id", "embedding", top_cells("embedding").alias("cs"))
+        .select("vec_id", "embedding", F.explode("cs").alias("cell"))
     )
 
 
