@@ -828,31 +828,56 @@ class IcebergMetadataReader:
             return self.path / uri[len(loc):].lstrip("/")
         return Path(uri)
 
-    def _manifest_rows(self, snapshot: dict) -> list[dict]:
+    def _manifest_rows(self, snapshot: dict) -> tuple[list[dict], list[dict]]:
+        """(data entries, delete entries) for a snapshot — manifest-list
+        `content` routes each manifest (0 = data, 1 = row-level deletes)."""
         _, ml_rows = read_ocf_bytes(self._local(snapshot["manifest-list"]).read_bytes())
-        entries: list[dict] = []
+        data_entries: list[dict] = []
+        delete_entries: list[dict] = []
         for m in ml_rows:
-            if m.get("content", 0) != 0:
-                raise IcebergFormatError(
-                    "row-level delete manifests (content != data) are not "
-                    "supported by this reader"
-                )
             _, rows = read_ocf_bytes(self._local(m["manifest_path"]).read_bytes())
-            entries.extend(rows)
-        return entries
+            (delete_entries if m.get("content", 0) == 1 else data_entries).extend(rows)
+        return data_entries, delete_entries
 
     def live_files(self, snapshot_id: int | None = None) -> list[dict]:
         snap = self._snapshot(snapshot_id)
         if snap is None:
             return []
         out = []
-        for e in self._manifest_rows(snap):
+        for e in self._manifest_rows(snap)[0]:
             if e["status"] == _STATUS_DELETED:
                 continue
             df = e["data_file"]
             if df.get("content", 0) != _DATA_CONTENT:
                 raise IcebergFormatError(
-                    "v2 row-level delete files are not supported by this reader"
+                    "delete files inside a DATA manifest are malformed "
+                    f"(content={df.get('content')})"
+                )
+            out.append(df)
+        return out
+
+    def position_delete_files(self, snapshot_id: int | None = None) -> list[dict]:
+        """Live POSITION-delete files (v2 row-level deletes, spec
+        "Position Delete Files": parquet rows of (file_path, pos) naming
+        deleted row ordinals in specific data files). Equality deletes
+        (content=2) fail loudly — their match-by-value semantics need the
+        sequence-number ordering this reader doesn't implement."""
+        snap = self._snapshot(snapshot_id)
+        if snap is None:
+            return []
+        out = []
+        for e in self._manifest_rows(snap)[1]:
+            if e["status"] == _STATUS_DELETED:
+                continue
+            df = e["data_file"]
+            if df.get("content", 0) == 2:
+                raise IcebergFormatError(
+                    "equality delete files are not supported by this reader"
+                )
+            if df.get("content", 0) != 1:
+                raise IcebergFormatError(
+                    f"data file (content={df.get('content')}) inside a "
+                    "DELETE manifest is malformed"
                 )
             out.append(df)
         return out
@@ -966,6 +991,38 @@ class IcebergMetadataReader:
         )
         paths = [str(self._local_data(df_["file_path"])) for df_ in files]
         df = self.spark.read.schema(phys_schema).parquet(*paths)
+        dels = self.position_delete_files(snapshot_id)
+        if dels:
+            # v2 position deletes: (file_path, pos) rows in parquet delete
+            # files → anti-join against (_metadata.file_path, row_index),
+            # the same mechanism as the Delta deletion-vector path. The
+            # delete rows name data files by their manifest URI; a small
+            # broadcast map rebases them onto the canonical local path the
+            # metadata column reports.
+            del_paths = [str(self._local_data(d["file_path"])) for d in dels]
+            del_df = self.spark.read.schema(
+                "file_path string, pos bigint"
+            ).parquet(*del_paths)
+            uri_map = self.spark.createDataFrame(
+                [
+                    (f["file_path"],
+                     str(self._local_data(f["file_path"]).resolve()))
+                    for f in files
+                ],
+                "u string, __if_fp string",
+            )
+            dmapped = del_df.join(
+                F.broadcast(uri_map), del_df["file_path"] == uri_map["u"]
+            ).select("__if_fp", F.col("pos").alias("__if_ri"))
+            fp = F.regexp_replace(
+                F.col("_metadata.file_path"), r"^[a-zA-Z][\w+.-]*:/+", "/"
+            )
+            df = (
+                df.withColumns(
+                    {"__if_fp": fp, "__if_ri": F.col("_metadata.row_index")}
+                )
+                .join(F.broadcast(dmapped), ["__if_fp", "__if_ri"], "left_anti")
+            )
         out = df.select(
             *[F.col(phys[f.name]).alias(f.name) for f in logical.fields]
         )

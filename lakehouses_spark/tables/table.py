@@ -250,7 +250,14 @@ class LakeTable:
         if txlog.list_versions(path):
             raise FileExistsError(f"already a lake table: {path}")
         r = IcebergMetadataReader(spark, path)
-        files = r.live_files()  # raises IcebergFormatError on delete files
+        files = r.live_files()
+        if r.position_delete_files():
+            raise ValueError(
+                "table carries position-delete files; adopting the raw data "
+                "files would resurrect deleted rows — adopt via "
+                "LakeTable.create over read_iceberg() instead (it applies "
+                "the deletes)"
+            )
         logical = r.schema()
         nm = r.name_mapping()
         ice = next(

@@ -206,30 +206,98 @@ def test_export_vacuumed_table_fails_before_writing(spark, tmp_path):
     assert not dest.exists()
 
 
-def test_reader_rejects_delete_files(spark, tmp_path):
-    """v2 row-level deletes (content != data) must fail loudly, not read
-    wrong data."""
-    t = LakeTable.create(
-        spark, tmp_path / "lake",
-        spark.createDataFrame(ROWS, "k long, status string, price double"),
-    )
-    dest = t.export_iceberg_metadata(tmp_path / "ice")
-    # flip the manifest-list content field to 1 (deletes) in a rewritten OCF
+def _with_delete_manifest(spark, tmp_path, delete_file_content: int,
+                          deleted_pos: list[int]):
+    """Export a one-snapshot table, then hand-append a DELETE manifest
+    (manifest-list content=1) whose entry is a delete file of the given
+    data_file.content — 1 = position deletes (real parquet written here),
+    2 = equality deletes (empty placeholder)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from lakehouses_spark.tables.iceberg_meta import (
+        _MANIFEST_ENTRY_SCHEMA,
         _MANIFEST_LIST_SCHEMA,
-        IcebergFormatError,
         write_ocf_bytes_with_meta,
     )
 
-    meta = json.loads((dest / "metadata" / "v1.metadata.json").read_text())
-    ml_rel = meta["snapshots"][-1]["manifest-list"].rsplit("/metadata/", 1)[1]
-    _, rows = read_ocf_bytes((dest / "metadata" / ml_rel).read_bytes())
-    rows[0]["content"] = 1
-    (dest / "metadata" / ml_rel).write_bytes(
-        write_ocf_bytes_with_meta(rows, _MANIFEST_LIST_SCHEMA, {})
+    t = LakeTable.create(
+        spark, tmp_path / "lake",
+        spark.createDataFrame(ROWS, "k long, status string, price double")
+        .coalesce(1),
+        num_files=1,
     )
-    with pytest.raises(IcebergFormatError, match="not\\s+supported"):
-        read_iceberg(spark, dest)
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    meta = json.loads((dest / "metadata" / "v1.metadata.json").read_text())
+    snap = meta["snapshots"][-1]
+    ml_rel = snap["manifest-list"].rsplit("/metadata/", 1)[1]
+    _, ml_rows = read_ocf_bytes((dest / "metadata" / ml_rel).read_bytes())
+    # the single data file the export produced (num_files=1)
+    _, entries = read_ocf_bytes(
+        (dest / "metadata"
+         / ml_rows[0]["manifest_path"].rsplit("/metadata/", 1)[1]).read_bytes()
+    )
+    assert len(entries) == 1
+    data_uri = entries[0]["data_file"]["file_path"]
+    # write the position-delete parquet + its manifest
+    del_name = "pos-delete-000.parquet"
+    pq.write_table(
+        pa.table({"file_path": [data_uri] * len(deleted_pos),
+                  "pos": deleted_pos}),
+        dest / "data" / del_name,
+    )
+    del_entry = {
+        "status": 1, "snapshot_id": snap["snapshot-id"],
+        "sequence_number": snap["sequence-number"],
+        "file_sequence_number": snap["sequence-number"],
+        "data_file": {
+            "content": delete_file_content,
+            "file_path": f"{meta['location']}/data/{del_name}",
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": len(deleted_pos),
+            "file_size_in_bytes": 1,
+            "lower_bounds": None, "upper_bounds": None,
+        },
+    }
+    del_manifest = write_ocf_bytes_with_meta(
+        [del_entry], _MANIFEST_ENTRY_SCHEMA, {"content": "deletes"}
+    )
+    (dest / "metadata" / "deletes-m0.avro").write_bytes(del_manifest)
+    ml_rows.append({
+        **ml_rows[0],
+        "manifest_path": f"{meta['location']}/metadata/deletes-m0.avro",
+        "manifest_length": len(del_manifest),
+        "content": 1,
+    })
+    (dest / "metadata" / ml_rel).write_bytes(
+        write_ocf_bytes_with_meta(ml_rows, _MANIFEST_LIST_SCHEMA, {})
+    )
+    return t, dest
+
+
+def test_position_delete_rows_absent(spark, tmp_path):
+    """v2 position deletes (spec "Position Delete Files"): (file_path, pos)
+    parquet rows anti-filter the named data file's row ordinals — the
+    Iceberg analog of the Delta deletion-vector path."""
+    deleted = [0, 3, 17]  # row ordinals in the single data file
+    t, dest = _with_delete_manifest(spark, tmp_path, 1, deleted)
+    all_rows = sorted(r.k for r in t.read().collect())
+    got = sorted(r.k for r in read_iceberg(spark, dest).collect())
+    removed = sorted(set(all_rows) - set(got))
+    assert len(got) == len(all_rows) - len(deleted)
+    assert len(removed) == len(deleted)
+    # in-place adoption must refuse (raw files would resurrect deletions)
+    with pytest.raises(ValueError, match="position-delete"):
+        LakeTable.convert_from_iceberg(spark, dest)
+
+
+def test_reader_rejects_equality_deletes(spark, tmp_path):
+    from lakehouses_spark.tables.iceberg_meta import IcebergFormatError
+
+    _, dest = _with_delete_manifest(spark, tmp_path, 2, [1])
+    with pytest.raises(IcebergFormatError, match="equality delete"):
+        read_iceberg(spark, dest).collect()
 
 
 def test_moved_table_directory_stays_readable(spark, tmp_path):
