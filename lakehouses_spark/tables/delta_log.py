@@ -19,10 +19,11 @@ this module closes the FORMAT gap with stdlib-only code:
   plain parquet scan when the JSON prefix was cleaned up), then ONE Spark
   parquet read over all live files with partition values attached via a
   broadcast file→tuple map join. Supports column mapping (mode=name/id),
-  partitioned tables, time travel, and deletion vectors (`tables/dv.py`
+  partitioned tables, time travel, deletion vectors (`tables/dv.py`
   decodes the public roaring-bitmap format; deleted rows are anti-filtered
-  by `_metadata.row_index`); fails loudly on protocol features it does not
-  implement (v2 checkpoints).
+  by `_metadata.row_index`), and v2 checkpoints (top-level json/parquet +
+  `_sidecars/*.parquet` file actions); fails loudly on what it does not
+  implement (classic multi-part checkpoints, equality-style features).
 - ``LakeTable.convert_from_delta``: in-place adoption of an unpartitioned
   Delta table's live files into a fresh LakeTable log (no data rewrite),
   mirroring ``convert_from_parquet``.
@@ -64,6 +65,7 @@ _COLUMN_MAPPING_PROTOCOL = (2, 5)
 
 _SUPPORTED_READER_FEATURES = {
     "columnMapping", "timestampNtz", "checkConstraints", "deletionVectors",
+    "v2Checkpoint",
 }
 
 
@@ -544,25 +546,78 @@ class DeltaLogReader:
         )
 
     def _checkpoint_versions(self) -> list[int]:
-        return sorted(
+        """Versions with a readable checkpoint: classic single-file
+        (`<v>.checkpoint.parquet`) or v2 (`<v>.checkpoint.<uuid>.json|parquet`
+        + sidecars). Classic MULTI-PART checkpoints
+        (`<v>.checkpoint.<k>.<n>.parquet`, 5 name segments) are excluded, so
+        a table with only those still fails loudly at snapshot()."""
+        out = {
             int(f.name.split(".")[0])
             for f in self.log.glob("*.checkpoint.parquet")
-        )
+        }
+        for f in list(self.log.glob("*.checkpoint.*.parquet")) + list(
+            self.log.glob("*.checkpoint.*.json")
+        ):
+            parts = f.name.split(".")
+            if len(parts) == 4 and parts[0].isdigit():
+                out.add(int(parts[0]))
+        return sorted(out)
 
     def _commit_actions(self, version: int) -> list[dict]:
         with open(self.log / f"{version:020d}.json") as fh:
             return [json.loads(line) for line in fh if line.strip()]
 
-    def _checkpoint_actions(self, version: int) -> list[dict]:
-        rows = self.spark.read.parquet(
-            str(self.log / f"{version:020d}.checkpoint.parquet")
-        ).collect()
+    def _parquet_actions(self, path: Path) -> list[dict]:
+        rows = self.spark.read.parquet(str(path)).collect()
         actions: list[dict] = []
         for r in rows:
             d = r.asDict(recursive=True)
-            for kind in ("protocol", "metaData", "add", "remove", "txn"):
+            for kind in ("protocol", "metaData", "add", "remove", "txn",
+                         "sidecar"):
                 if d.get(kind) is not None:
                     actions.append({kind: d[kind]})
+        return actions
+
+    def _checkpoint_actions(self, version: int) -> list[dict]:
+        """Resolved file+table actions of the checkpoint at `version` —
+        classic parquet, or v2 (PROTOCOL.md "V2 Checkpoint Table Feature"):
+        a top-level `<v>.checkpoint.<uuid>.json|parquet` holding the
+        non-file actions plus `sidecar` pointers into
+        `_delta_log/_sidecars/*.parquet`, which carry the add/remove set.
+        Sidecar actions are resolved HERE, so replay only ever sees plain
+        Delta actions."""
+        classic = self.log / f"{version:020d}.checkpoint.parquet"
+        if classic.exists():
+            return self._parquet_actions(classic)
+        tops = [
+            f for pat in (f"{version:020d}.checkpoint.*.json",
+                          f"{version:020d}.checkpoint.*.parquet")
+            for f in self.log.glob(pat)
+            if len(f.name.split(".")) == 4
+        ]
+        if not tops:
+            raise DeltaProtocolError(
+                f"no readable checkpoint at version {version} (classic "
+                "multi-part checkpoints are not supported)"
+            )
+        top = sorted(tops)[0]
+        if top.suffix == ".json":
+            with open(top) as fh:
+                raw = [json.loads(line) for line in fh if line.strip()]
+        else:
+            raw = self._parquet_actions(top)
+        actions: list[dict] = []
+        for a in raw:
+            if "sidecar" in a:
+                actions.extend(
+                    self._parquet_actions(
+                        self.log / "_sidecars" / a["sidecar"]["path"]
+                    )
+                )
+            elif "checkpointMetadata" in a:
+                continue  # version sanity only; nothing to replay
+            else:
+                actions.append(a)
         return actions
 
     def snapshot(self, version: int | None = None) -> DeltaSnapshot:

@@ -266,7 +266,7 @@ def test_reader_rejects_unsupported_features(spark, tmp_path):
         {"name": "k", "type": "long", "nullable": True, "metadata": {}}]}
     actions = [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["v2Checkpoint"]}},
+                      "readerFeatures": ["someFutureFeature"]}},
         {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
                       "schemaString": json.dumps(schema), "partitionColumns": [],
                       "configuration": {}, "createdTime": 0}},
@@ -276,11 +276,12 @@ def test_reader_rejects_unsupported_features(spark, tmp_path):
             fh.write(json.dumps(a) + "\n")
     from lakehouses_spark.tables.delta_log import DeltaProtocolError
 
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+    with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
         read_delta(spark, base)
-    # deletionVectors alone is no longer a rejected feature (tables/dv.py)
+    # deletionVectors / v2Checkpoint are no longer rejected features
     actions[0] = {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                               "readerFeatures": ["deletionVectors"]}}
+                               "readerFeatures": ["deletionVectors",
+                                                  "v2Checkpoint"]}}
     with open(base / "_delta_log" / f"{0:020d}.json", "w") as fh:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
@@ -669,3 +670,79 @@ def test_reader_percent_decodes_action_paths(spark, tmp_path):
         for a in actions:
             fh.write(json.dumps(a) + "\n")
     assert sorted(r.k for r in read_delta(spark, base).collect()) == [1, 2]
+
+
+# --------------------------------------------------------------------------- #
+# v2 checkpoints (PROTOCOL.md "V2 Checkpoint Table Feature")
+# --------------------------------------------------------------------------- #
+def test_v2_checkpoint_with_sidecars_reads(spark, tmp_path):
+    """A table whose ONLY recovery point is a v2 checkpoint — top-level
+    uuid-named JSON with protocol/metaData/checkpointMetadata + sidecar
+    pointers, file actions in _delta_log/_sidecars/*.parquet, no JSON
+    commits surviving at or below the checkpoint — must reconstruct, and a
+    JSON tail after it must still replay on top."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tmp_path / "v2ckpt"
+    (base / "_delta_log" / "_sidecars").mkdir(parents=True)
+    pq.write_table(pa.table({"k": [1, 2, 3]}), base / "part-a.parquet")
+    pq.write_table(pa.table({"k": [4, 5]}), base / "part-b.parquet")
+    pq.write_table(pa.table({"k": [6]}), base / "part-c.parquet")
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}}]}
+    add_schema = (
+        "add struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,modificationTime:bigint,dataChange:boolean,stats:string>"
+    )
+    for name, rel in (("sc-0.parquet", "part-a.parquet"),
+                      ("sc-1.parquet", "part-b.parquet")):
+        spark.createDataFrame(
+            [((rel, {}, 1, 0, True, None),)], add_schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp_sc"))
+        src = next((tmp_path / "tmp_sc").glob("part-*.parquet"))
+        src.rename(base / "_delta_log" / "_sidecars" / name)
+    top = [
+        {"checkpointMetadata": {"version": 1}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"],
+                      "writerFeatures": ["v2Checkpoint"]}},
+        {"metaData": {"id": "v2", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema), "partitionColumns": [],
+                      "configuration": {}, "createdTime": 0}},
+        {"sidecar": {"path": "sc-0.parquet", "sizeInBytes": 1,
+                     "modificationTime": 0}},
+        {"sidecar": {"path": "sc-1.parquet", "sizeInBytes": 1,
+                     "modificationTime": 0}},
+    ]
+    with open(base / "_delta_log" / f"{1:020d}.checkpoint.abc0-def1.json", "w") as fh:
+        for a in top:
+            fh.write(json.dumps(a) + "\n")
+    with open(base / "_delta_log" / "_last_checkpoint", "w") as fh:
+        json.dump({"version": 1}, fh)
+    got = sorted(r.k for r in read_delta(spark, base).collect())
+    assert got == [1, 2, 3, 4, 5]
+    # a JSON commit after the checkpoint replays on top of it
+    with open(base / "_delta_log" / f"{2:020d}.json", "w") as fh:
+        fh.write(json.dumps({"add": {"path": "part-c.parquet",
+                                     "partitionValues": {}, "size": 1,
+                                     "modificationTime": 0,
+                                     "dataChange": True}}) + "\n")
+    assert sorted(r.k for r in read_delta(spark, base).collect()) == [1, 2, 3, 4, 5, 6]
+    # time travel back to the checkpoint version still works
+    assert sorted(
+        r.k for r in DeltaLogReader(spark, base).to_df(version=1).collect()
+    ) == [1, 2, 3, 4, 5]
+
+
+def test_multipart_classic_checkpoint_fails_loudly(spark, tmp_path):
+    from lakehouses_spark.tables.delta_log import DeltaProtocolError
+
+    base = tmp_path / "multipart"
+    (base / "_delta_log").mkdir(parents=True)
+    # 5-segment classic multi-part checkpoint names, no JSON commits
+    for part in (1, 2):
+        (base / "_delta_log"
+         / f"{1:020d}.checkpoint.{part:010d}.{2:010d}.parquet").touch()
+    with pytest.raises((DeltaProtocolError, FileNotFoundError)):
+        read_delta(spark, base)
