@@ -41,10 +41,19 @@ STRATUM_QUOTA = 40  # sampled docs per language
 BOILER_TOP_K = 100
 
 
-def _word_ngrams(col: str = "text", n: int = GRAM_N) -> Column:
-    """Word n-grams as space-joined strings, [] when the doc is shorter than
-    n tokens (guards F.sequence's descending-range behavior)."""
-    w = F.split(F.col(col), " ")
+def _with_words(d, col: str = "text"):
+    """Project the token array as a real attribute (``__w``) first:
+    embedding split() inside the n-gram lambda re-tokenizes the whole
+    document once per gram element (measured ~8× on the dedup tier's
+    identical shape — see hashed_shingle_sets)."""
+    return d.select(*d.columns, F.split(F.col(col), " ").alias("__w"))
+
+
+def _word_ngrams(n: int = GRAM_N, words_col: str = "__w") -> Column:
+    """Word n-grams as space-joined strings over a pre-projected token-array
+    attribute (see ``_with_words``), [] when the doc is shorter than n
+    tokens (guards F.sequence's descending-range behavior)."""
+    w = F.col(words_col)
     grams = F.transform(
         F.sequence(F.lit(0), F.size(w) - n),
         lambda i: F.concat_ws(
@@ -90,7 +99,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams would be pre-hashed to 8-byte keys before the probe (same plan,
     smaller rows)."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    grams = d.select("doc_id", F.explode(_word_ngrams()).alias("g"))
+    grams = _with_words(d).select("doc_id", F.explode(_word_ngrams()).alias("g"))
     bench = (
         grams.where(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
     )
@@ -235,7 +244,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract. Ties at the K boundary break on the gram string, so the top
     set is deterministic and engine-independent."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    grams = d.select("doc_id", F.explode(_word_ngrams()).alias("g"))
+    grams = _with_words(d).select("doc_id", F.explode(_word_ngrams()).alias("g"))
     top = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -393,16 +402,23 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan's only exchange is the deterministic output ordering); this is an
     embarrassingly parallel map that scales with executors, period."""
     d = load_table(spark, sf_dir, "documents")
-    grams = _word_ngrams()
-    n_grams = F.size(grams).cast("long")
-    n_rep = (F.size(grams) - F.size(F.array_distinct(grams))).cast("long")
+    # gram array hoisted to an attribute: it is consumed three times below
+    # (two sizes + array_distinct) and would otherwise be rebuilt per use
+    g = F.col("__g")
+    n_grams = F.size(g).cast("long")
+    n_rep = (F.size(g) - F.size(F.array_distinct(g))).cast("long")
     ratio = F.floor(n_rep * 10000.0 / n_grams + 0.5) / 10000
-    return d.select(
-        "doc_id",
-        n_grams.alias("n_grams"),
-        n_rep.alias("n_repeated"),
-        ratio.alias("rep_ratio"),
-    ).orderBy("doc_id")
+    return (
+        _with_words(d)
+        .select("doc_id", _word_ngrams().alias("__g"))
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_rep.alias("n_repeated"),
+            ratio.alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(

@@ -246,13 +246,16 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 bigrams: shingle-explode + count + TakeOrdered. The
     classic n-gram LM-corpus statistics job."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    w = _words()
+    # token array hoisted to an attribute — embedding split() in the lambda
+    # re-tokenizes the doc per bigram element (see hashed_shingle_sets)
+    w = F.col("__w")
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size(w) - 2),
         lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
     )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.select(_words().alias("__w"))
+        .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
