@@ -48,11 +48,21 @@ def _emb_unit(df: DataFrame) -> DataFrame:
     """Normalize to unit vectors ONCE (O(n·d)) so every pairwise similarity
     is a single dot product instead of dot+two norms (O(pairs·3d) → O(pairs·d)).
     The win at scale: normalization is a map over the corpus; the pairwise
-    stage — the expensive part — gets 3x cheaper per candidate."""
+    stage — the expensive part — gets 3x cheaper per candidate.
+
+    The norm is projected as a REAL attribute before the divide: embedding
+    the aggregate in the transform lambda re-evaluates it per element —
+    O(d²) per row (Catalyst does not CSE across lambda boundaries; same
+    hazard as hashed_shingle_sets)."""
     e = F.col("embedding").cast("array<double>")
     n = F.sqrt(F.aggregate(F.zip_with(e, e, lambda x, y: x * y), F.lit(0.0),
                            lambda acc, x: acc + x))
-    return df.withColumn("unit", F.transform(e, lambda x: x / n))
+    nc = F.col("__n")
+    return (
+        df.withColumn("__n", n)
+        .withColumn("unit", F.transform(e, lambda x: x / nc))
+        .drop("__n")
+    )
 
 
 @query(
