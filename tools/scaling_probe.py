@@ -590,7 +590,9 @@ def main() -> None:
         "same 4,096 true pairs. With the df table checkpointed and",
         "broadcast into the rank join (2M-doc guard; shuffle join beyond),",
         "×64 went 67.4 s (r6 prefix-only) → ~41 s (r6 full filter set) →",
-        "~17.5 s (r7), identical pair output at every step.",
+        "~9.4 s (r7: adaptive prefix + df broadcast + token-array",
+        "hoisting — embedding split() in the shingle lambda re-tokenized",
+        "the doc per element), identical pair output at every step.",
         "`dedup_containment`'s main join uses the asymmetric variant",
         "(r6): prefix-probe × full-index with probe.|A| ≤ index.|B| and the",
         "index-side positional cut r_b ≤ |B|−⌈t·|A|⌉+1 — containment admits",
