@@ -262,6 +262,13 @@ _MANIFEST_ENTRY_SCHEMA = {
                             },
                         }],
                     },
+                    # field ids an EQUALITY delete file matches on (spec
+                    # field 135; null for data / position-delete files)
+                    {
+                        "name": "equality_ids",
+                        "field-id": 135,
+                        "type": ["null", {"type": "array", "items": "int"}],
+                    },
                 ],
             },
         },
@@ -762,6 +769,7 @@ def _manifest_entry(
             "file_size_in_bytes": add.get("size_bytes") or 0,
             "lower_bounds": lower or None,
             "upper_bounds": upper or None,
+            "equality_ids": None,
         },
     }
 
@@ -839,7 +847,7 @@ class IcebergMetadataReader:
             (delete_entries if m.get("content", 0) == 1 else data_entries).extend(rows)
         return data_entries, delete_entries
 
-    def live_files(self, snapshot_id: int | None = None) -> list[dict]:
+    def _live_data_entries(self, snapshot_id: int | None = None) -> list[dict]:
         snap = self._snapshot(snapshot_id)
         if snap is None:
             return []
@@ -847,21 +855,18 @@ class IcebergMetadataReader:
         for e in self._manifest_rows(snap)[0]:
             if e["status"] == _STATUS_DELETED:
                 continue
-            df = e["data_file"]
-            if df.get("content", 0) != _DATA_CONTENT:
+            if e["data_file"].get("content", 0) != _DATA_CONTENT:
                 raise IcebergFormatError(
                     "delete files inside a DATA manifest are malformed "
-                    f"(content={df.get('content')})"
+                    f"(content={e['data_file'].get('content')})"
                 )
-            out.append(df)
+            out.append(e)
         return out
 
-    def position_delete_files(self, snapshot_id: int | None = None) -> list[dict]:
-        """Live POSITION-delete files (v2 row-level deletes, spec
-        "Position Delete Files": parquet rows of (file_path, pos) naming
-        deleted row ordinals in specific data files). Equality deletes
-        (content=2) fail loudly — their match-by-value semantics need the
-        sequence-number ordering this reader doesn't implement."""
+    def live_files(self, snapshot_id: int | None = None) -> list[dict]:
+        return [e["data_file"] for e in self._live_data_entries(snapshot_id)]
+
+    def _live_delete_entries(self, snapshot_id: int | None = None) -> list[dict]:
         snap = self._snapshot(snapshot_id)
         if snap is None:
             return []
@@ -869,18 +874,33 @@ class IcebergMetadataReader:
         for e in self._manifest_rows(snap)[1]:
             if e["status"] == _STATUS_DELETED:
                 continue
-            df = e["data_file"]
-            if df.get("content", 0) == 2:
+            if e["data_file"].get("content", 0) not in (1, 2):
                 raise IcebergFormatError(
-                    "equality delete files are not supported by this reader"
+                    f"data file (content={e['data_file'].get('content')}) "
+                    "inside a DELETE manifest is malformed"
                 )
-            if df.get("content", 0) != 1:
-                raise IcebergFormatError(
-                    f"data file (content={df.get('content')}) inside a "
-                    "DELETE manifest is malformed"
-                )
-            out.append(df)
+            out.append(e)
         return out
+
+    def position_delete_files(self, snapshot_id: int | None = None) -> list[dict]:
+        """Live POSITION-delete files (v2 row-level deletes, spec
+        "Position Delete Files": parquet rows of (file_path, pos) naming
+        deleted row ordinals in specific data files)."""
+        return [
+            e["data_file"]
+            for e in self._live_delete_entries(snapshot_id)
+            if e["data_file"].get("content", 0) == 1
+        ]
+
+    def equality_delete_entries(self, snapshot_id: int | None = None) -> list[dict]:
+        """Live EQUALITY-delete entries (spec "Equality Delete Files"):
+        each carries the delete file plus its sequence number — an equality
+        delete applies only to data files with a STRICTLY SMALLER data
+        sequence number (rows written after the delete survive)."""
+        return [
+            e for e in self._live_delete_entries(snapshot_id)
+            if e["data_file"].get("content", 0) == 2
+        ]
 
     def schema(self, schema_id: int | None = None) -> T.StructType:
         schemas = self.meta.get("schemas") or []
@@ -1023,6 +1043,49 @@ class IcebergMetadataReader:
                 )
                 .join(F.broadcast(dmapped), ["__if_fp", "__if_ri"], "left_anti")
             )
+        eq_entries = self.equality_delete_entries(snapshot_id)
+        if eq_entries:
+            # v2 equality deletes: each delete file holds VALUE tuples for
+            # the columns named by equality_ids; a data row is deleted when
+            # it matches any tuple AND its file's data sequence number is
+            # STRICTLY below the delete's. Null-safe equality per the spec.
+            id2name = {f["id"]: f["name"] for f in ice["fields"]}
+            nm = mapping
+            seq_map = self.spark.createDataFrame(
+                [
+                    (str(self._local_data(e["data_file"]["file_path"]).resolve()),
+                     int(e.get("sequence_number") or 0))
+                    for e in self._live_data_entries(snapshot_id)
+                ],
+                "__if_fp string, __if_seq bigint",
+            )
+            fp = F.regexp_replace(
+                F.col("_metadata.file_path"), r"^[a-zA-Z][\w+.-]*:/+", "/"
+            )
+            if "__if_fp" not in df.columns:
+                df = df.withColumn("__if_fp", fp)
+            df = df.join(F.broadcast(seq_map), "__if_fp", "left")
+            for e in eq_entries:
+                dfile = e["data_file"]
+                seq_d = int(e.get("sequence_number") or 0)
+                ids = dfile.get("equality_ids") or []
+                cols = [nm.get(i, id2name.get(i)) for i in ids]
+                if not cols or any(c is None for c in cols):
+                    raise IcebergFormatError(
+                        f"equality delete file {dfile['file_path']!r} names "
+                        f"unknown field ids {ids}"
+                    )
+                del_rows = (
+                    self.spark.read.parquet(
+                        str(self._local_data(dfile["file_path"]))
+                    )
+                    .select(*[F.col(c).alias(f"__eq_{c}") for c in cols])
+                    .distinct()
+                )
+                cond = F.col("__if_seq") < F.lit(seq_d)
+                for c in cols:
+                    cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+                df = df.join(F.broadcast(del_rows), cond, "left_anti")
         out = df.select(
             *[F.col(phys[f.name]).alias(f.name) for f in logical.fields]
         )

@@ -251,9 +251,9 @@ class LakeTable:
             raise FileExistsError(f"already a lake table: {path}")
         r = IcebergMetadataReader(spark, path)
         files = r.live_files()
-        if r.position_delete_files():
+        if r.position_delete_files() or r.equality_delete_entries():
             raise ValueError(
-                "table carries position-delete files; adopting the raw data "
+                "table carries row-level delete files; adopting the raw data "
                 "files would resurrect deleted rows — adopt via "
                 "LakeTable.create over read_iceberg() instead (it applies "
                 "the deletes)"

@@ -207,11 +207,14 @@ def test_export_vacuumed_table_fails_before_writing(spark, tmp_path):
 
 
 def _with_delete_manifest(spark, tmp_path, delete_file_content: int,
-                          deleted_pos: list[int]):
+                          deleted_pos: list[int],
+                          eq_values: list | None = None,
+                          eq_ids: list[int] | None = None,
+                          delete_seq: int | None = None):
     """Export a one-snapshot table, then hand-append a DELETE manifest
     (manifest-list content=1) whose entry is a delete file of the given
-    data_file.content — 1 = position deletes (real parquet written here),
-    2 = equality deletes (empty placeholder)."""
+    data_file.content — 1 = position deletes ((file_path, pos) parquet),
+    2 = equality deletes (value-tuple parquet on `status` by default)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -239,25 +242,38 @@ def _with_delete_manifest(spark, tmp_path, delete_file_content: int,
     )
     assert len(entries) == 1
     data_uri = entries[0]["data_file"]["file_path"]
-    # write the position-delete parquet + its manifest
-    del_name = "pos-delete-000.parquet"
-    pq.write_table(
-        pa.table({"file_path": [data_uri] * len(deleted_pos),
-                  "pos": deleted_pos}),
-        dest / "data" / del_name,
-    )
+    # write the delete parquet + its manifest
+    if delete_file_content == 1:
+        del_name = "pos-delete-000.parquet"
+        pq.write_table(
+            pa.table({"file_path": [data_uri] * len(deleted_pos),
+                      "pos": deleted_pos}),
+            dest / "data" / del_name,
+        )
+        n_del = len(deleted_pos)
+    else:
+        del_name = "eq-delete-000.parquet"
+        pq.write_table(
+            pa.table({"status": eq_values or ["A"]}), dest / "data" / del_name
+        )
+        n_del = len(eq_values or ["A"])
     del_entry = {
         "status": 1, "snapshot_id": snap["snapshot-id"],
-        "sequence_number": snap["sequence-number"],
+        "sequence_number": (
+            delete_seq if delete_seq is not None else snap["sequence-number"]
+        ),
         "file_sequence_number": snap["sequence-number"],
         "data_file": {
             "content": delete_file_content,
             "file_path": f"{meta['location']}/data/{del_name}",
             "file_format": "PARQUET",
             "partition": {},
-            "record_count": len(deleted_pos),
+            "record_count": n_del,
             "file_size_in_bytes": 1,
             "lower_bounds": None, "upper_bounds": None,
+            "equality_ids": (
+                (eq_ids or [2]) if delete_file_content == 2 else None
+            ),
         },
     }
     del_manifest = write_ocf_bytes_with_meta(
@@ -288,15 +304,38 @@ def test_position_delete_rows_absent(spark, tmp_path):
     assert len(got) == len(all_rows) - len(deleted)
     assert len(removed) == len(deleted)
     # in-place adoption must refuse (raw files would resurrect deletions)
-    with pytest.raises(ValueError, match="position-delete"):
+    with pytest.raises(ValueError, match="row-level delete"):
         LakeTable.convert_from_iceberg(spark, dest)
 
 
-def test_reader_rejects_equality_deletes(spark, tmp_path):
+def test_equality_delete_strict_sequence_semantics(spark, tmp_path):
+    """Equality deletes (spec "Equality Delete Files"): value-tuple match
+    on the equality_ids columns, applying ONLY to data files with a
+    strictly smaller data sequence number. With delete seq > data seq all
+    status='A' rows vanish; with delete seq == data seq nothing does."""
+    t, dest = _with_delete_manifest(
+        spark, tmp_path, 2, [], eq_values=["A"], delete_seq=2
+    )
+    all_rows = {r.k: r.status for r in t.read().collect()}
+    got = sorted(r.k for r in read_iceberg(spark, dest).collect())
+    assert got == sorted(k for k, s in all_rows.items() if s != "A")
+    with pytest.raises(ValueError, match="delete files"):
+        LakeTable.convert_from_iceberg(spark, dest)
+    # strictly-smaller rule: a delete at the data file's own sequence
+    # number does not apply to it
+    t2, dest2 = _with_delete_manifest(
+        spark, tmp_path / "same_seq", 2, [], eq_values=["A"], delete_seq=1
+    )
+    assert read_iceberg(spark, dest2).count() == t2.read().count()
+
+
+def test_equality_delete_unknown_field_ids_fail_loudly(spark, tmp_path):
     from lakehouses_spark.tables.iceberg_meta import IcebergFormatError
 
-    _, dest = _with_delete_manifest(spark, tmp_path, 2, [1])
-    with pytest.raises(IcebergFormatError, match="equality delete"):
+    _, dest = _with_delete_manifest(
+        spark, tmp_path, 2, [], eq_values=["A"], eq_ids=[999], delete_seq=2
+    )
+    with pytest.raises(IcebergFormatError, match="unknown field ids"):
         read_iceberg(spark, dest).collect()
 
 
