@@ -617,12 +617,14 @@ def main() -> None:
         "(the broadcast side is benchmark-/K-bounded); their sub-second",
         "jitter at this scale is scheduling noise, the signal is no upward",
         "drift.",
-        "`sim_ann_ivfpq` sizes nlist ≈ √n (ann_ivfpq_pairs default), so both",
-        "the centroid-assignment crossJoin and the in-cell PQ-code scan are",
-        "n^1.5 BY DESIGN — the fitted α over the full range is",
-        "overhead-damped, and the ×16→×32 hop (~2.6× for 2× data ≈ local",
-        "exponent 1.4) matches the designed 2^1.5 ≈ 2.8 within noise; the",
-        "candidate stage touches 8-byte codes, never the 512-byte vectors.",
+        "`sim_ann_ivfpq` sizes nlist ≈ √n (ann_ivfpq_pairs default), so the",
+        "in-cell PQ-code scan is n^1.5 BY DESIGN; since r7 the centroid",
+        "assignment is a broadcast-matrix BLAS matmul in an Arrow batch (no",
+        "crossJoin, no shuffle), which pushed the measured curve well below",
+        "the design bound at these tiers. Single-tier outliers that break",
+        "monotonicity (a higher time at a SMALLER factor) are JIT/GC",
+        "hiccups, not scaling cliffs; the candidate stage touches 8-byte",
+        "codes, never the 512-byte vectors.",
         "`graph_pagerank` is 5 × (static edge list ⋈ O(nodes) rank state):",
         "per-iteration cost linear in |E|, state linear in |V| — the α≈0.5",
         "at this scale is edge-join dominated with fixed per-job overhead.",
