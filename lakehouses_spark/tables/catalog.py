@@ -204,9 +204,13 @@ def snapshot_sql(t: LakeTable, st) -> str:
         )
         groups.setdefault(preds, []).append(f"file:{t.path / rel}")
     parts = []
+    # Spark reports _metadata.file_path URI-encoded; the pinned list holds
+    # raw paths — decode the column (pre-escaping '+', which url_decode
+    # would otherwise turn into a space) so spaced/%-paths still match.
+    fp_expr = "url_decode(replace(_metadata.file_path, '+', '%2B'))"
     for preds, paths in groups.items():
-        in_list = ", ".join(f"'{p}'" for p in paths)
-        where = [f"_metadata.file_path IN ({in_list})"]
+        in_list = ", ".join("'{}'".format(p.replace("'", "''")) for p in paths)
+        where = [f"{fp_expr} IN ({in_list})"]
         where += [f"NOT ({p})" for p in preds]
         parts.append(
             f"SELECT {proj} FROM parquet.`{glob}` WHERE " + " AND ".join(where)

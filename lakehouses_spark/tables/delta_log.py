@@ -48,7 +48,7 @@ from pathlib import Path
 from typing import Any
 from urllib.parse import quote, unquote
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -355,6 +355,24 @@ def export_delta_log(
             txns=final_txns,
         )
     return dest
+
+
+def fs_path_col() -> Column:
+    """``_metadata.file_path`` normalized to the raw local filesystem path.
+
+    Spark reports the column as a URI: the scheme prefix is present and the
+    path component is percent-encoded (a space on disk arrives as ``%20``, a
+    literal ``%`` as ``%25``). Map-side join keys built from resolved
+    ``Path`` objects are raw, so both the partition-value map join and the
+    DV/position-delete anti-joins must decode this side first — otherwise a
+    data file with a space in its path silently matches nothing (0 rows) or
+    resurrects deleted rows (ADVICE r7). ``url_decode`` is form-decoding
+    ('+' → space), so a literal '+' is pre-escaped to ``%2B`` to get pure
+    percent-decoding."""
+    fp = F.regexp_replace(
+        F.col("_metadata.file_path"), r"^[a-zA-Z][\w+.-]*:/+", "/"
+    )
+    return F.url_decode(F.regexp_replace(fp, r"\+", "%2B"))
 
 
 def _metadata_action(
@@ -745,8 +763,8 @@ class DeltaLogReader:
                     deleted_rows.append((ap, idx))
 
         df = self.spark.read.schema(phys_schema).parquet(*abs_paths)
-        # "file:///x", "file:/x" → "/x" so both sides key identically
-        fp = F.regexp_replace(F.col("_metadata.file_path"), r"^[a-zA-Z][\w+.-]*:/+", "/")
+        # scheme-stripped + percent-decoded so both sides key identically
+        fp = fs_path_col()
         if deleted_rows:
             df = df.withColumns({"__lh_fp": fp, "__lh_ri": F.col("_metadata.row_index")})
             dv_df = self.spark.createDataFrame(

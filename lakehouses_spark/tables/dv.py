@@ -9,7 +9,7 @@ parses the public on-disk format so `DeltaLogReader` can read such tables:
 - descriptor (`add.deletionVector`): `{storageType, pathOrInlineDv, offset,
   sizeInBytes, cardinality}` with storageType `u` (relative file, z85 uuid),
   `p` (absolute path), or `i` (inline z85 payload);
-- DV payload: `[magic 0x64767273 int32 LE]` + Delta's *RoaringBitmapArray*
+- DV payload: `[magic 1681511377 (0x6439D3D1) int32 LE]` + Delta's *RoaringBitmapArray*
   "portable" serialization — `[numBitmaps int64 LE]` then, per 32-bit
   bucket i (covering row indexes `[i·2³², (i+1)·2³²)`), one standard
   RoaringBitmap in the public RoaringFormatSpec portable layout (array /

@@ -59,6 +59,7 @@ from pyspark.sql import types as T
 
 from lakehouses_spark.functions.avro_py import read_ocf_bytes, write_ocf_bytes
 from lakehouses_spark.tables import log as txlog
+from lakehouses_spark.tables.delta_log import fs_path_col
 
 FORMAT_VERSION = 2
 _DATA_CONTENT = 0  # manifest-entry data_file.content: 0=DATA, 1/2=deletes
@@ -1034,9 +1035,9 @@ class IcebergMetadataReader:
             dmapped = del_df.join(
                 F.broadcast(uri_map), del_df["file_path"] == uri_map["u"]
             ).select("__if_fp", F.col("pos").alias("__if_ri"))
-            fp = F.regexp_replace(
-                F.col("_metadata.file_path"), r"^[a-zA-Z][\w+.-]*:/+", "/"
-            )
+            # percent-decoded like the Delta reader (ADVICE r7): the map is
+            # keyed on raw resolved paths, Spark reports the column encoded
+            fp = fs_path_col()
             df = (
                 df.withColumns(
                     {"__if_fp": fp, "__if_ri": F.col("_metadata.row_index")}
@@ -1059,9 +1060,7 @@ class IcebergMetadataReader:
                 ],
                 "__if_fp string, __if_seq bigint",
             )
-            fp = F.regexp_replace(
-                F.col("_metadata.file_path"), r"^[a-zA-Z][\w+.-]*:/+", "/"
-            )
+            fp = fs_path_col()
             if "__if_fp" not in df.columns:
                 df = df.withColumn("__if_fp", fp)
             df = df.join(F.broadcast(seq_map), "__if_fp", "left")

@@ -1518,7 +1518,16 @@ def _adds_from_stats(rows, table_path: Path, schema: StructType) -> list[dict]:
 
 
 def _strip_scheme(p: str) -> str:
-    return p.removeprefix("file://").removeprefix("file:")
+    """A `file:`-schemed string is a Spark-reported URI (`_metadata.file_path`),
+    whose path component is percent-encoded — decode it so log actions and
+    join keys hold the raw filesystem path (a table under a directory with a
+    space otherwise records `%20`-mangled `../`-relative add paths).
+    Scheme-less inputs are already raw paths and pass through untouched."""
+    if p.startswith("file:"):
+        from urllib.parse import unquote
+
+        return unquote(p.removeprefix("file://").removeprefix("file:"))
+    return p
 
 
 def _rel(table_path: Path, abs_path: str) -> str:

@@ -61,6 +61,19 @@ def test_published_view_follows_dml(spark, tmp_path, people):
     spark.sql("DROP VIEW bronze.emp")
 
 
+def test_publish_under_spaced_warehouse_path(spark, tmp_path, people):
+    """The view pins live files via `_metadata.file_path`, which Spark
+    reports URI-encoded — a warehouse directory containing a space must
+    still match the pinned raw paths (0 rows before the decode fix)."""
+    cat = LakeCatalog(spark, tmp_path / "wh with space")
+    cat.create_database("bronze")
+    cat.create_table("bronze.folks", people)
+    cat.publish("bronze.folks")
+    got = spark.sql("SELECT id FROM bronze.folks").collect()
+    assert {r.id for r in got} == {1, 2, 3}
+    spark.sql("DROP VIEW bronze.folks")
+
+
 def test_publish_empty_table(spark, tmp_path, people):
     cat = LakeCatalog(spark, tmp_path / "wh")
     cat.create_table("default.empty", people.limit(0))

@@ -672,6 +672,57 @@ def test_reader_percent_decodes_action_paths(spark, tmp_path):
     assert sorted(r.k for r in read_delta(spark, base).collect()) == [1, 2]
 
 
+def test_reader_percent_decodes_partitioned_dv_paths(spark, tmp_path):
+    """ADVICE r7 (high): the partition-value map join and the DV anti-join
+    key on `_metadata.file_path`, which Spark reports URL-ENCODED — a data
+    file path containing a space arrives as %20 while the map keys are raw
+    resolved paths. Before the fix the inner join missed silently (0 rows)
+    and DV-deleted rows resurrected. Both joins must survive spaces AND a
+    literal % in the path (%3A from Delta's own partition-dir encoding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from urllib.parse import quote
+
+    base = tmp_path / "encdv"
+    part_dir = "dt=2024-01-01 00%3A00"
+    (base / "_delta_log").mkdir(parents=True)
+    (base / part_dir).mkdir()
+    rel_fs = f"{part_dir}/part with space.parquet"
+    pq.write_table(
+        pa.table({"k": list(range(10))}), base / rel_fs
+    )
+    deleted = [2, 7]
+    payload = _ser_dv_payload(deleted)
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "dt", "type": "string", "nullable": True, "metadata": {}}]}
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "e2", "format": {"provider": "parquet",
+                                             "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": ["dt"],
+                      "configuration": {}, "createdTime": 0}},
+        {"add": {"path": quote(rel_fs),
+                 "partitionValues": {"dt": "2024-01-01 00:00"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": {
+                     "storageType": "i",
+                     "pathOrInlineDv": dvmod.z85_encode(
+                         payload + b"\0" * (-len(payload) % 4)),
+                     "sizeInBytes": len(payload),
+                     "cardinality": len(deleted)}}},
+    ]
+    with open(base / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    rows = read_delta(spark, base).collect()
+    assert sorted(r.k for r in rows) == sorted(set(range(10)) - set(deleted))
+    assert {r.dt for r in rows} == {"2024-01-01 00:00"}
+
+
 # --------------------------------------------------------------------------- #
 # v2 checkpoints (PROTOCOL.md "V2 Checkpoint Table Feature")
 # --------------------------------------------------------------------------- #

@@ -210,7 +210,8 @@ def _with_delete_manifest(spark, tmp_path, delete_file_content: int,
                           deleted_pos: list[int],
                           eq_values: list | None = None,
                           eq_ids: list[int] | None = None,
-                          delete_seq: int | None = None):
+                          delete_seq: int | None = None,
+                          dest_name: str = "ice"):
     """Export a one-snapshot table, then hand-append a DELETE manifest
     (manifest-list content=1) whose entry is a delete file of the given
     data_file.content — 1 = position deletes ((file_path, pos) parquet),
@@ -225,12 +226,12 @@ def _with_delete_manifest(spark, tmp_path, delete_file_content: int,
     )
 
     t = LakeTable.create(
-        spark, tmp_path / "lake",
+        spark, tmp_path / f"lake-for-{dest_name}",
         spark.createDataFrame(ROWS, "k long, status string, price double")
         .coalesce(1),
         num_files=1,
     )
-    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    dest = t.export_iceberg_metadata(tmp_path / dest_name)
     meta = json.loads((dest / "metadata" / "v1.metadata.json").read_text())
     snap = meta["snapshots"][-1]
     ml_rel = snap["manifest-list"].rsplit("/metadata/", 1)[1]
@@ -306,6 +307,29 @@ def test_position_delete_rows_absent(spark, tmp_path):
     # in-place adoption must refuse (raw files would resurrect deletions)
     with pytest.raises(ValueError, match="row-level delete"):
         LakeTable.convert_from_iceberg(spark, dest)
+
+
+def test_row_level_deletes_survive_space_in_table_path(spark, tmp_path):
+    """ADVICE r7 (medium): the position-delete uri_map and equality-delete
+    seq_map key on raw resolved paths but join against the URL-encoded
+    `_metadata.file_path` — a table path with a space previously resurrected
+    deleted rows silently. Both delete kinds must apply under such a path."""
+    deleted = [1, 4]
+    t, dest = _with_delete_manifest(
+        spark, tmp_path, 1, deleted, dest_name="ice dir with space"
+    )
+    assert " " in str(dest)
+    got = sorted(r.k for r in read_iceberg(spark, dest).collect())
+    assert len(got) == t.read().count() - len(deleted)
+
+    t2, dest2 = _with_delete_manifest(
+        spark, tmp_path, 2, [], eq_values=["A"], delete_seq=10**6,
+        dest_name="ice eq with space",
+    )
+    src = t2.read()
+    got2 = read_iceberg(spark, dest2)
+    assert got2.where(F.col("status") == "A").count() == 0
+    assert got2.count() == src.where(F.col("status") != "A").count()
 
 
 def test_equality_delete_strict_sequence_semantics(spark, tmp_path):
