@@ -21,11 +21,14 @@ this module closes the FORMAT gap with stdlib-only code:
   broadcast file→tuple map join. Supports column mapping (mode=name/id),
   partitioned tables, time travel, deletion vectors (`tables/dv.py`
   decodes the public roaring-bitmap format; deleted rows are anti-filtered
-  by `_metadata.row_index`), and v2 checkpoints (top-level json/parquet +
-  `_sidecars/*.parquet` file actions); fails loudly on what it does not
-  implement (classic multi-part checkpoints, equality-style features).
+  by `_metadata.row_index`), v2 checkpoints (top-level json/parquet +
+  `_sidecars/*.parquet` file actions), and classic multi-part checkpoints
+  (`<v>.checkpoint.<part>.<of>.parquet`, all parts reconciled as one scan;
+  incomplete part sets fail loudly); fails loudly on reader features it
+  does not implement.
 - ``LakeTable.convert_from_delta``: in-place adoption of an unpartitioned
-  Delta table's live files into a fresh LakeTable log (no data rewrite),
+  Delta table's live files into a fresh LakeTable log (no data rewrite;
+  DV-carrying files are materialized with their deleted rows dropped),
   mirroring ``convert_from_parquet``.
 
 Everything here targets the PUBLIC Delta transaction-log specification
@@ -563,12 +566,38 @@ class DeltaLogReader:
             if f.stem.isdigit() and len(f.stem) == 20
         )
 
+    def _multipart_sets(self) -> dict[int, tuple[list[Path], list[int]]]:
+        """Classic multi-part checkpoints
+        (`<v>.checkpoint.<part>.<of>.parquet`, 5 name segments, 1-based
+        part numbers): version → (present parts sorted by part number,
+        missing part numbers). A set with missing parts must never be
+        replayed — each part holds a disjoint slice of the file actions,
+        so a partial read would silently drop live files."""
+        found: dict[int, dict[int, Path]] = {}
+        of: dict[int, int] = {}
+        for f in self.log.glob("*.checkpoint.*.*.parquet"):
+            segs = f.name.split(".")
+            if len(segs) != 5 or not all(
+                s.isdigit() for s in (segs[0], segs[2], segs[3])
+            ):
+                continue
+            v, k, n = int(segs[0]), int(segs[2]), int(segs[3])
+            found.setdefault(v, {})[k] = f
+            of[v] = max(of.get(v, 0), n)
+        return {
+            v: (
+                [parts[k] for k in sorted(parts)],
+                [k for k in range(1, of[v] + 1) if k not in parts],
+            )
+            for v, parts in found.items()
+        }
+
     def _checkpoint_versions(self) -> list[int]:
         """Versions with a readable checkpoint: classic single-file
-        (`<v>.checkpoint.parquet`) or v2 (`<v>.checkpoint.<uuid>.json|parquet`
-        + sidecars). Classic MULTI-PART checkpoints
-        (`<v>.checkpoint.<k>.<n>.parquet`, 5 name segments) are excluded, so
-        a table with only those still fails loudly at snapshot()."""
+        (`<v>.checkpoint.parquet`), classic multi-part with EVERY part
+        present, or v2 (`<v>.checkpoint.<uuid>.json|parquet` + sidecars).
+        Incomplete multi-part sets are excluded here (unusable) and called
+        out loudly by snapshot() when they were the only recovery point."""
         out = {
             int(f.name.split(".")[0])
             for f in self.log.glob("*.checkpoint.parquet")
@@ -579,14 +608,18 @@ class DeltaLogReader:
             parts = f.name.split(".")
             if len(parts) == 4 and parts[0].isdigit():
                 out.add(int(parts[0]))
+        for v, (_, missing) in self._multipart_sets().items():
+            if not missing:
+                out.add(v)
         return sorted(out)
 
     def _commit_actions(self, version: int) -> list[dict]:
         with open(self.log / f"{version:020d}.json") as fh:
             return [json.loads(line) for line in fh if line.strip()]
 
-    def _parquet_actions(self, path: Path) -> list[dict]:
-        rows = self.spark.read.parquet(str(path)).collect()
+    def _parquet_actions(self, *paths: Path) -> list[dict]:
+        # multi-part checkpoints read as ONE scan over all parts
+        rows = self.spark.read.parquet(*[str(p) for p in paths]).collect()
         actions: list[dict] = []
         for r in rows:
             d = r.asDict(recursive=True)
@@ -607,6 +640,16 @@ class DeltaLogReader:
         classic = self.log / f"{version:020d}.checkpoint.parquet"
         if classic.exists():
             return self._parquet_actions(classic)
+        mp = self._multipart_sets().get(version)
+        if mp is not None:
+            parts, missing = mp
+            if missing:
+                raise DeltaProtocolError(
+                    f"multi-part checkpoint at version {version} is "
+                    f"incomplete: missing part(s) {missing} of "
+                    f"{len(parts) + len(missing)}"
+                )
+            return self._parquet_actions(*parts)
         tops = [
             f for pat in (f"{version:020d}.checkpoint.*.json",
                           f"{version:020d}.checkpoint.*.parquet")
@@ -615,8 +658,7 @@ class DeltaLogReader:
         ]
         if not tops:
             raise DeltaProtocolError(
-                f"no readable checkpoint at version {version} (classic "
-                "multi-part checkpoints are not supported)"
+                f"no readable checkpoint at version {version}"
             )
         top = sorted(tops)[0]
         if top.suffix == ".json":
@@ -641,7 +683,13 @@ class DeltaLogReader:
     def snapshot(self, version: int | None = None) -> DeltaSnapshot:
         json_versions = self.versions()
         if version is None:
-            candidates = json_versions + self._checkpoint_versions()
+            # incomplete multi-part sets still NAME a version — include them
+            # so the failure below is "checkpoint incomplete", not "empty log"
+            candidates = (
+                json_versions
+                + self._checkpoint_versions()
+                + [v for v, (_, m) in self._multipart_sets().items() if m]
+            )
             if not candidates:
                 raise FileNotFoundError(f"empty delta log at {self.log}")
             version = max(candidates)
@@ -662,9 +710,17 @@ class DeltaLogReader:
         else:
             missing = [v for v in range(version + 1) if v not in json_versions]
             if missing:
+                broken = {
+                    v: m for v, (_, m) in self._multipart_sets().items()
+                    if m and v <= version
+                }
+                hint = (
+                    f"; multi-part checkpoint(s) at {sorted(broken)} are "
+                    f"incomplete (missing parts {broken})" if broken else ""
+                )
                 raise DeltaProtocolError(
                     f"cannot reconstruct version {version}: commits {missing} "
-                    "missing and no usable checkpoint"
+                    f"missing and no usable checkpoint{hint}"
                 )
         files: dict[str, dict] = {}
         metadata: dict = {}

@@ -157,7 +157,10 @@ class LakeTable:
         LakeTable log IN PLACE (no data rewrite) — the reverse direction of
         `export_delta_log`. Schema, column mapping (mode=name/id), CHECK
         constraints (`delta.constraints.*`), file stats, and user properties
-        all carry over. Hive-partitioned Delta tables are refused: their
+        all carry over. Files carrying deletion vectors are MATERIALIZED
+        (rewritten with their deleted rows dropped — adopting them raw would
+        resurrect those rows); everything else adopts without a rewrite.
+        Hive-partitioned Delta tables are refused: their
         partition values live in `add.partitionValues`, not in the files, so
         adoption would need a rewrite — use
         `LakeTable.create(spark, dest, read_delta(spark, path))` instead."""
@@ -174,13 +177,6 @@ class LakeTable:
                 "read_delta() instead"
             )
         dv_files = sorted(p for p, a in snap.files.items() if a.get("deletionVector"))
-        if dv_files:
-            raise ValueError(
-                f"{len(dv_files)} file(s) carry deletion vectors (first: "
-                f"{dv_files[0]!r}); adopting the raw files would resurrect "
-                "deleted rows — adopt via LakeTable.create over read_delta() "
-                "instead (it applies the DV anti-filter)"
-            )
         conf = snap.configuration
         mapping: dict[str, str] = {}
         if conf.get("delta.columnMapping.mode", "none") in ("name", "id"):
@@ -199,6 +195,8 @@ class LakeTable:
         }
         adds = []
         for rel, a in sorted(snap.files.items()):
+            if a.get("deletionVector"):
+                continue  # materialized below
             stats_raw = json.loads(a["stats"]) if a.get("stats") else {}
             stats = {
                 c: {"min": (stats_raw.get("minValues") or {}).get(c),
@@ -214,6 +212,71 @@ class LakeTable:
                     "stats": stats,
                 }
             )
+        if dv_files:
+            # DV-carrying files can't adopt raw (deleted rows would
+            # resurrect): materialize ONLY those files — one scan over the
+            # DV set, row_index anti-join against the decoded indexes
+            # (exactly DeltaLogReader.to_df's mechanism), rewritten under
+            # data/ with their PHYSICAL column names so the carried-over
+            # column mapping keeps resolving. Clean files still adopt
+            # in place; min/max stats on the rewritten files are dropped
+            # (numRecords survive), costing only skipping granularity.
+            import uuid as _uuid
+
+            from lakehouses_spark.tables import dv as _dvmod
+            from lakehouses_spark.tables.delta_log import fs_path_col
+
+            phys_fields = [
+                StructField(
+                    f.metadata.get("delta.columnMapping.physicalName", f.name)
+                    if mapping else f.name,
+                    f.dataType, f.nullable,
+                )
+                for f in snap.schema.fields
+            ]
+            abs_dv, deleted = [], []
+            for rel in dv_files:
+                ap = str((path / rel).resolve())
+                abs_dv.append(ap)
+                for idx in _dvmod.read_descriptor(
+                    snap.files[rel]["deletionVector"], path
+                ):
+                    deleted.append((ap, idx))
+            flt = (
+                spark.read.schema(StructType(phys_fields)).parquet(*abs_dv)
+                .withColumns(
+                    {"__fp": fs_path_col(),
+                     "__ri": F.col("_metadata.row_index")}
+                )
+                .join(
+                    F.broadcast(
+                        spark.createDataFrame(
+                            deleted, "__fp string, __ri bigint"
+                        )
+                    ),
+                    ["__fp", "__ri"],
+                    "left_anti",
+                )
+                .drop("__fp", "__ri")
+            )
+            out_dir = path / "data" / f"dv-materialized-{_uuid.uuid4().hex}"
+            flt.write.parquet(str(out_dir))
+            counts = {
+                _strip_scheme(r.fp): r.n
+                for r in spark.read.parquet(str(out_dir))
+                .groupBy(F.col("_metadata.file_path").alias("fp"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            for p in sorted(out_dir.glob("part-*.parquet")):
+                adds.append(
+                    {
+                        "path": str(p.relative_to(path)),
+                        "num_records": counts.get(str(p.resolve()), 0),
+                        "size_bytes": p.stat().st_size,
+                        "stats": {},
+                    }
+                )
         # strip columnMapping metadata from the logical schema: LakeTable
         # keeps the mapping in the log, not in field metadata
         logical = StructType(

@@ -24,6 +24,7 @@ from lakehouses_spark.tables import LakeTable
 from lakehouses_spark.tables.delta_log import (
     DeltaExportError,
     DeltaLogReader,
+    DeltaProtocolError,
     read_delta,
 )
 
@@ -139,6 +140,60 @@ def test_checkpoint_parquet_and_json_cleanup(spark, tmp_path):
     for v in range(t.version + 1):
         (log / f"{v:020d}.json").unlink()
     assert _sorted_rows(read_delta(spark, dest)) == want
+
+
+def _split_checkpoint_multipart(spark, log, version: int, n_parts: int,
+                                drop_part: int | None = None):
+    """Turn the single-file checkpoint at `version` into a classic
+    multi-part set (`<v>.checkpoint.<part>.<of>.parquet`) by round-robining
+    its rows over n_parts, optionally withholding one part."""
+    import pyarrow.parquet as pq
+
+    ckpt = log / f"{version:020d}.checkpoint.parquet"
+    tbl = pq.read_table(ckpt)
+    for k in range(1, n_parts + 1):
+        if k == drop_part:
+            continue
+        idx = [i for i in range(tbl.num_rows) if i % n_parts == k - 1]
+        pq.write_table(
+            tbl.take(idx),
+            log / f"{version:020d}.checkpoint.{k:010d}.{n_parts:010d}.parquet",
+        )
+    ckpt.unlink()
+    (log / "_last_checkpoint").write_text(
+        json.dumps({"version": version, "size": tbl.num_rows,
+                    "parts": n_parts})
+    )
+
+
+def test_multipart_checkpoint_reads(spark, tmp_path):
+    """Classic multi-part checkpoints (`<v>.checkpoint.<k>.<n>.parquet`,
+    delta PROTOCOL.md "Checkpoints"): with every JSON commit at/below the
+    checkpoint deleted, all parts reconcile as ONE scan and a JSON tail
+    still replays on top."""
+    t = _mk_table(spark, tmp_path / "lake")
+    dest = t.export_delta_log(tmp_path / "delta", checkpoint=True)
+    log = dest / "_delta_log"
+    want = _sorted_rows(read_delta(spark, dest))
+    cv = t.version
+    _split_checkpoint_multipart(spark, log, cv, 3)
+    for v in range(cv + 1):
+        (log / f"{v:020d}.json").unlink()
+    assert _sorted_rows(read_delta(spark, dest)) == want
+
+
+def test_multipart_checkpoint_missing_part_fails_loudly(spark, tmp_path):
+    """An incomplete part set must never replay (each part holds a disjoint
+    slice of the adds — a partial read silently drops live files)."""
+    t = _mk_table(spark, tmp_path / "lake")
+    dest = t.export_delta_log(tmp_path / "delta", checkpoint=True)
+    log = dest / "_delta_log"
+    cv = t.version
+    _split_checkpoint_multipart(spark, log, cv, 3, drop_part=2)
+    for v in range(cv + 1):
+        (log / f"{v:020d}.json").unlink()
+    with pytest.raises(DeltaProtocolError, match="incomplete"):
+        read_delta(spark, dest)
 
 
 def test_export_refuses_unmaterialized_tombstones(spark, tmp_path):
@@ -486,9 +541,12 @@ def test_dv_uuid_file_rows_absent(spark, tmp_path):
     # snapshot row accounting nets out the DV cardinality
     snap = DeltaLogReader(spark, base).snapshot()
     assert snap.num_records == -1 or snap.num_records == 100 - len(deleted)
-    # in-place adoption must refuse: raw files would resurrect deleted rows
-    with pytest.raises(ValueError, match="deletion vectors"):
-        LakeTable.convert_from_delta(spark, base)
+    # in-place adoption MATERIALIZES the DV files (VERDICT r7 #4): the
+    # converted table reads exactly the DV-filtered source
+    t = LakeTable.convert_from_delta(spark, base)
+    assert sorted(r.k for r in t.read().collect()) == got
+    # the raw (pre-filter) file is no longer referenced by the lake log
+    assert all("part-000.parquet" not in rel for rel in t.state().files)
 
 
 def test_dv_corrupt_checksum_fails_loudly(spark, tmp_path):
@@ -786,14 +844,5 @@ def test_v2_checkpoint_with_sidecars_reads(spark, tmp_path):
     ) == [1, 2, 3, 4, 5]
 
 
-def test_multipart_classic_checkpoint_fails_loudly(spark, tmp_path):
-    from lakehouses_spark.tables.delta_log import DeltaProtocolError
-
-    base = tmp_path / "multipart"
-    (base / "_delta_log").mkdir(parents=True)
-    # 5-segment classic multi-part checkpoint names, no JSON commits
-    for part in (1, 2):
-        (base / "_delta_log"
-         / f"{1:020d}.checkpoint.{part:010d}.{2:010d}.parquet").touch()
-    with pytest.raises((DeltaProtocolError, FileNotFoundError)):
-        read_delta(spark, base)
+# (multi-part classic checkpoints are SUPPORTED since r8 —
+# see test_multipart_checkpoint_reads / _missing_part_fails_loudly)
