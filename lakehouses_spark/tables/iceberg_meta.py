@@ -338,6 +338,107 @@ def _decode_bound(raw: bytes, dt: T.DataType):
 _STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
 
 
+def _write_position_delete_manifest(
+    spark, table_path: Path, dest: Path, location: str, meta_dir: Path,
+    spark_schema: T.StructType, mapping: dict[str, str], predicate: str,
+    targets_rel: list[str], mapped_rel, snap_id: int, seq: int,
+) -> dict:
+    """Materialize one merge-on-read tombstone as a native Iceberg v2
+    position-delete file: scan the then-live target files (distributed, one
+    scan), collect (exported data-file URI, row ordinal) for rows matching
+    the predicate, write them as a sorted parquet delete file + a content=1
+    delete manifest. Returns the del_reg record ({"ml_row", "targets"});
+    ml_row is None when the predicate matched no rows."""
+    import pyarrow.parquet as _pq
+
+    phys = {f.name: mapping.get(f.name, f.name) for f in spark_schema.fields}
+    phys_schema = T.StructType(
+        [T.StructField(phys[f.name], f.dataType, f.nullable)
+         for f in spark_schema.fields]
+    )
+    abs_map = {
+        str((table_path / rel).resolve()): f"{location}/{mapped_rel(rel)}"
+        for rel in targets_rel
+    }
+    hits = (
+        spark.read.schema(phys_schema).parquet(*abs_map)
+        .select(
+            fs_path_col().alias("__fp"),
+            F.col("_metadata.row_index").alias("pos"),
+            *[F.col(phys[f.name]).alias(f.name) for f in spark_schema.fields],
+        )
+        .where(F.expr(predicate))
+        .select("__fp", "pos")
+    )
+    uri_map = spark.createDataFrame(
+        list(abs_map.items()), "__fp string, file_path string"
+    )
+    rows = (
+        hits.join(F.broadcast(uri_map), "__fp")
+        .select("file_path", "pos")
+        .repartition(1)
+        .sortWithinPartitions("file_path", "pos")
+    )
+    name = f"pos-delete-{uuid.uuid4().hex}.parquet"
+    (dest / "data").mkdir(parents=True, exist_ok=True)
+    tmp = dest / "data" / f".tmp-{name}"
+    rows.write.parquet(str(tmp))
+    part = next(tmp.glob("part-*.parquet"))
+    final = dest / "data" / name
+    os.replace(part, final)
+    shutil.rmtree(tmp)
+    n_rows = _pq.ParquetFile(final).metadata.num_rows
+    if n_rows == 0:
+        final.unlink()
+        return {"ml_row": None, "targets": set()}
+    entry = {
+        "status": _STATUS_ADDED,
+        "snapshot_id": snap_id,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": 1,  # position deletes
+            "file_path": f"{location}/data/{name}",
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": n_rows,
+            "file_size_in_bytes": final.stat().st_size,
+            "lower_bounds": None,
+            "upper_bounds": None,
+            "equality_ids": None,
+        },
+    }
+    data = write_ocf_bytes_with_meta(
+        [entry], _MANIFEST_ENTRY_SCHEMA,
+        {
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": str(FORMAT_VERSION),
+            "content": "deletes",
+        },
+    )
+    mname = f"{uuid.uuid4()}-d0.avro"
+    (meta_dir / mname).write_bytes(data)
+    return {
+        "ml_row": {
+            "manifest_path": f"{location}/metadata/{mname}",
+            "manifest_length": len(data),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        },
+        "targets": set(targets_rel),
+    }
+
+
 # --------------------------------------------------------------------------- #
 # export
 # --------------------------------------------------------------------------- #
@@ -349,19 +450,17 @@ def export_iceberg_metadata(
     version; every data-changing commit becomes a snapshot with its own
     manifest list + manifest, so snapshot time travel matches LakeTable
     version time travel 1:1. Data files are hard-linked, never rewritten.
+    Merge-on-read predicate tombstones export as NATIVE v2 position-delete
+    files (spec "Position Delete Files"): per tombstone commit, one
+    (file_path, pos) parquet + a content=1 delete manifest listed while the
+    tombstone is active — no materialize_tombstones() required.
 
-    Refusals mirror `export_delta_log`: unmaterialized merge-on-read
-    tombstones, truncated history, vacuumed (missing) historical files, and
-    physical-name resurrection in pre-fresh-minting logs all fail loudly
-    BEFORE anything is written."""
+    Refusals mirror `export_delta_log`: truncated history, vacuumed
+    (missing) historical files, and physical-name resurrection in
+    pre-fresh-minting logs all fail loudly BEFORE anything is written."""
     dest = Path(dest)
     meta_dir = dest / "metadata"
     state = table.state()
-    if state.tombstones:
-        raise IcebergExportError(
-            "table has unmaterialized merge-on-read tombstones; run "
-            "materialize_tombstones() before exporting"
-        )
     versions = txlog.list_versions(table.path)
     if versions != list(range(len(versions))):
         raise IcebergExportError(
@@ -369,14 +468,10 @@ def export_iceberg_metadata(
             f"needs contiguous commits from 0, have {versions}"
         )
     commits = [txlog.read_commit(table.path, v) for v in versions]
-    tombstone_commits = [
-        c["version"] for c in commits if c.get("tombstone") or c.get("set_tombstones")
-    ]
-    if tombstone_commits:
-        raise IcebergExportError(
-            f"commits {tombstone_commits} carried predicate tombstones; "
-            "snapshots at those versions are not file-level representable"
-        )
+    # predicate tombstones (merge-on-read deletes) export as NATIVE Iceberg
+    # v2 position-delete files — (file_path, pos) parquet + a content=1
+    # delete manifest per tombstone commit — which the reader and external
+    # clients already consume; no materialize_tombstones() required.
 
     # ---- prescan: every referenced file must still exist (vacuum guard) ----
     # shallow-clone references resolve OUTSIDE the table root; re-home them
@@ -439,6 +534,12 @@ def export_iceberg_metadata(
     # manifest registry for reuse: {"ml_row": manifest-list row,
     #  "live": {rel: {"add": action, "snap": id, "seq": n}}, "drop_after": bool}
     manifests: list[dict] = []
+    # merge-on-read tombstones → native v2 position deletes:
+    add_version: dict[str, int] = {}  # rel -> version that added the file
+    active_tombs: list[dict] = []  # replayed like LakeTable state
+    # (predicate, version) -> {"ml_row", "targets": set[rel]}; a delete
+    # manifest is listed while its tombstone is active AND ≥1 target lives
+    del_reg: dict[tuple, dict] = {}
     snapshots: list[dict] = []
     snapshot_log: list[dict] = []
     metadata_log: list[dict] = []
@@ -496,7 +597,19 @@ def export_iceberg_metadata(
         # metadata work is O(changed files), not O(table files)) ----
         adds = c.get("add", [])
         removes = c.get("remove", [])
-        if adds or removes or v == 0:
+        # tombstone replay (exact txlog semantics)
+        prev_tomb_keys = {(t["predicate"], t["version"]) for t in active_tombs}
+        if c.get("tombstone"):
+            active_tombs.append({"predicate": c["tombstone"], "version": v})
+        if c.get("clear_tombstones"):
+            active_tombs = []
+        if c.get("set_tombstones") is not None:
+            active_tombs = [dict(t) for t in c["set_tombstones"]]
+        tomb_keys = {(t["predicate"], t["version"]) for t in active_tombs}
+        tomb_changed = tomb_keys != prev_tomb_keys
+        for a in adds:
+            add_version[a["path"]] = v
+        if adds or removes or tomb_changed or v == 0:
             seq += 1
             snap_id = v + 1  # deterministic, unique, time-travel friendly
             r_set = set(removes)
@@ -555,7 +668,33 @@ def export_iceberg_metadata(
             live = {
                 rel: e["add"] for m in manifests for rel, e in m["live"].items()
             }
-            ml_rows = [m["ml_row"] for m in manifests]
+            # ---- tombstones → v2 position-delete manifests ----
+            for key in list(del_reg):
+                if key not in tomb_keys:
+                    del del_reg[key]  # cleared / restored-away tombstone
+                else:
+                    del_reg[key]["targets"] &= set(live)
+            for t in active_tombs:
+                key = (t["predicate"], t["version"])
+                if key in del_reg:
+                    continue
+                targets = sorted(
+                    rel for rel in live
+                    if add_version.get(rel, 0) < t["version"]
+                )
+                del_reg[key] = (
+                    _write_position_delete_manifest(
+                        table.spark, table.path, dest, location, meta_dir,
+                        spark_schema, running_mapping, t["predicate"],
+                        targets, mapped_rel, snap_id, seq,
+                    )
+                    if targets
+                    else {"ml_row": None, "targets": set()}
+                )
+            ml_rows = [m["ml_row"] for m in manifests] + [
+                e["ml_row"] for e in del_reg.values()
+                if e["ml_row"] is not None and e["targets"]
+            ]
             ml_name = f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
             (meta_dir / ml_name).write_bytes(
                 write_ocf_bytes_with_meta(
@@ -573,7 +712,7 @@ def export_iceberg_metadata(
             n_deleted = len(removed_entries)
             n_existing = len(live) - n_added
             op = (
-                "delete" if (removes and not adds)
+                "delete" if ((removes or tomb_changed) and not adds)
                 else "overwrite" if (removes and adds)
                 else "append"
             )

@@ -309,6 +309,67 @@ def test_position_delete_rows_absent(spark, tmp_path):
         LakeTable.convert_from_iceberg(spark, dest)
 
 
+def test_tombstones_export_as_native_position_deletes(spark, tmp_path):
+    """VERDICT r7 #5: a LakeTable with ACTIVE merge-on-read tombstones
+    exports WITHOUT materialize_tombstones() — each tombstone becomes a
+    native v2 position-delete file + content=1 delete manifest. The reader
+    round-trips, time travel shows pre-delete rows, and DuckDB (external
+    client, file_row_number anti-join) proves deleted rows absent."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.delete("k > 30", lazy=True)           # tombstone 1
+    t.append(spark.createDataFrame([{"k": 200, "status": "Z",
+                                     "price": 5.0}],
+                                   "k long, status string, price double"))
+    t.delete("status = 'B' AND k < 6", lazy=True)   # tombstone 2
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+
+    want = _sorted_rows(t.read())
+    assert _sorted_rows(read_iceberg(spark, dest)) == want
+    # rows appended AFTER a tombstone are not filtered by it (k=200 > 30)
+    assert any(r[0] == 200 for r in want)
+    # time travel: the pre-tombstone snapshot still has k>30 rows
+    r = IcebergMetadataReader(spark, dest)
+    assert r.to_df(snapshot_id=1).where(F.col("k") > 30).count() > 0
+
+    # external-client proof: DuckDB reconstructs the live rows from the
+    # data files + position-delete parquet alone
+    live = [str(r._local_data(f["file_path"])) for f in r.live_files()]
+    dels = [str(r._local_data(d["file_path"]))
+            for d in r.position_delete_files()]
+    assert dels, "export produced no position-delete files"
+    con = duckdb.connect()
+    got_n = con.execute(
+        """
+        WITH data AS (
+          SELECT *, filename AS fp, file_row_number AS rn
+          FROM read_parquet($live, union_by_name=true, filename=true,
+                            file_row_number=true)
+        ), dels AS (SELECT file_path, pos FROM read_parquet($dels))
+        SELECT count(*) FROM data
+        WHERE NOT EXISTS (SELECT 1 FROM dels
+                          WHERE dels.file_path = data.fp AND dels.pos = data.rn)
+        """,
+        {"live": live, "dels": dels},
+    ).fetchone()[0]
+    assert got_n == len(want)
+
+
+def test_tombstone_then_materialize_export_roundtrip(spark, tmp_path):
+    """materialize_tombstones() after a lazy delete: the delete manifests
+    drop out once their target files are rewritten; every snapshot still
+    round-trips."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.delete("k > 35", lazy=True)
+    t.materialize_tombstones()
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    assert _sorted_rows(read_iceberg(spark, dest)) == _sorted_rows(t.read())
+    # after materialization the CURRENT snapshot lists no delete files
+    assert r.position_delete_files() == []
+
+
 def test_row_level_deletes_survive_space_in_table_path(spark, tmp_path):
     """ADVICE r7 (medium): the position-delete uri_map and equality-delete
     seq_map key on raw resolved paths but join against the URL-encoded
