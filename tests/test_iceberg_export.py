@@ -309,6 +309,23 @@ def test_position_delete_rows_absent(spark, tmp_path):
         LakeTable.convert_from_iceberg(spark, dest)
 
 
+def test_distributed_manifest_decode_matches_driver_walk(spark, tmp_path, monkeypatch):
+    """VERDICT r7 #2 (Iceberg side): past the manifest-count threshold the
+    OCF decode fans out to executors; both paths must yield identical
+    entries (same order, same content routing)."""
+    from lakehouses_spark.tables import iceberg_meta as im
+
+    t = _mk_table(spark, tmp_path / "lake")
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    snap = r._snapshot(None)
+    seq_data, seq_del = r._manifest_rows(snap)
+    monkeypatch.setattr(im, "DISTRIBUTED_MANIFEST_THRESHOLD", 0)
+    dist_data, dist_del = r._manifest_rows(snap)
+    assert dist_data == seq_data
+    assert dist_del == seq_del
+
+
 def test_tombstones_export_as_native_position_deletes(spark, tmp_path):
     """VERDICT r7 #5: a LakeTable with ACTIVE merge-on-read tombstones
     exports WITHOUT materialize_tombstones() — each tombstone becomes a
