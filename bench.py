@@ -27,7 +27,9 @@ non-empty warm_gt_cold as contaminated — see BASELINE.md.
 
 Round-6 protocol hardening (VERDICT r5 #3, after two consecutive rounds of
 loaded-machine artifacts): the run now GATES on loadavg at startup. It polls
-until the 1-minute loadavg drops below LOADAVG_GATE (1.5), waiting up to
+until the 1-minute loadavg drops below LOADAVG_GATE (1.5) AND the 5-minute
+average below LOADAVG5_GATE (3.0 — r8: a lull on a busy box passed the 1-min
+gate in r7 and contaminated the round's numbers), waiting up to
 $SPARK_GRAFT_BENCH_MAX_WAIT seconds (default 900 — load decays with a ~1-min
 time constant, so a just-finished test suite drains well inside that). If the
 machine never quiets, it REFUSES to run (exit 2) rather than emitting another
@@ -70,6 +72,15 @@ TRACKED_EXTRA = ["text_perplexity_proxy"]
 
 
 LOADAVG_GATE = 1.5  # BASELINE.md: only quiet runs are comparable across rounds
+# VERDICT r7 #1: the 1-min average alone let a run start in a lull of a busy
+# box (r7 released at loadavg[1]=6.4 and regressed 13.5% cold). Gate the
+# 5-min average too, at a looser bound — it decays slowly after real work
+# stops, so demanding < LOADAVG_GATE there would wait ~10 idle minutes.
+LOADAVG5_GATE = 3.0
+
+
+def _quiet(loads: tuple[float, float, float]) -> bool:
+    return loads[0] < LOADAVG_GATE and loads[1] < LOADAVG5_GATE
 
 
 def wait_for_quiet_machine() -> str:
@@ -81,19 +92,23 @@ def wait_for_quiet_machine() -> str:
     forced = "--force" in sys.argv or os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1"
     max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "900"))
     deadline = time.time() + max_wait
-    first = os.getloadavg()[0]
-    if first < LOADAVG_GATE:
+    first = os.getloadavg()
+    if _quiet(first):
         return "passed"
     if forced:
-        print(f"bench: loadavg {first:.2f} >= {LOADAVG_GATE}, forced on", file=sys.stderr)
+        print(
+            f"bench: loadavg {first[0]:.2f}/{first[1]:.2f} >= gate "
+            f"{LOADAVG_GATE}/{LOADAVG5_GATE}, forced on", file=sys.stderr,
+        )
         return "forced"
     while time.time() < deadline:
-        load = os.getloadavg()[0]
-        if load < LOADAVG_GATE:
+        load = os.getloadavg()
+        if _quiet(load):
             return "waited"
         print(
-            f"bench: loadavg {load:.2f} >= {LOADAVG_GATE}, waiting for quiet "
-            f"machine ({deadline - time.time():.0f}s left)",
+            f"bench: loadavg {load[0]:.2f}/{load[1]:.2f} >= gate "
+            f"{LOADAVG_GATE}/{LOADAVG5_GATE}, waiting for quiet machine "
+            f"({deadline - time.time():.0f}s left)",
             file=sys.stderr,
         )
         time.sleep(15)

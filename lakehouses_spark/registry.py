@@ -53,33 +53,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # emitted FIRST, so the hard signal lands on them; everything already
 # driver-verified in round 1 follows in registration order.
 _SWEEP_PRIORITY = [
-    # Round-7 rotation (VERDICT r6 #1), sized to the 50-entry budget:
-    #   1. new round-7 queries — FIRST driver row, registered straight into
-    #      budget slots (deferral queue stays empty),
-    #   2. ALL 40 rows whose latest driver row is round 3 (the oldest hard
-    #      external signal in the registry) — after this rotation no row is
-    #      older than round 4,
-    #   3. oldest round-4 rows to fill to exactly 50.
-    # --- 1. new round-7 queries: first driver row ---
-    "lake_iceberg_export", "streaming_minhash_dedup",
-    # --- 2. the 40 r3-stale rows ---
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "q10_returned_items", "q11_value_concentration",
-    "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_count",
-    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
-    "q20_volume_suppliers", "q21_waiting_suppliers", "q22_dormant_customers",
-    "text_pii_scrub", "sim_pairs_blocked", "multimodal_manifest_probe",
-    "text_decontaminate", "sample_stratified", "sample_hash_split",
-    "streaming_matview_rollup", "text_boilerplate_ngrams",
-    "text_perplexity_proxy", "sample_temperature", "multimodal_frame_manifest",
-    "dedup_incremental", "text_word_entropy", "fn_variant_family",
-    "dedup_common_substring", "text_chunk_overlap", "streaming_stream_join",
-    "streaming_dedup_drain", "multimodal_audio_stats", "text_tfidf_terms",
-    "ts_gap_fill", "ts_ohlc", "ts_anomaly_mad", "agg_corr_stats",
-    "agg_histogram", "sim_ann_ivfpq",
-    # --- 3. oldest r4 rows, refreshed (fills to exactly 50) ---
-    "graph_pagerank", "window_cume_dist", "fn_bitwise_family", "agg_mode",
-    "ts_ewma", "ts_rolling_stats", "ts_interpolate_linear", "agg_filtered",
+    # Round-8 rotation (VERDICT r7 #6), sized to the 50-entry budget:
+    #   1. new round-8 queries — FIRST driver row,
+    #   2. ALL 42 remaining rows whose latest driver row is round 4 — after
+    #      this rotation no registry row is older than round 5.
+    # --- 1. new round-8 queries: first driver row ---
+    "sim_ann_drift_recall",
+    # --- 2. the 42 remaining r4-stale rows ---
+    "agg_bool_family", "agg_count_by_key", "agg_cube", "agg_entropy_gini",
+    "agg_global_scalars", "agg_grouping_sets", "agg_having_topk",
+    "agg_percentiles", "agg_rollup", "agg_skew_kurtosis", "agg_string_agg",
+    "agg_sum_all_numeric", "agg_weighted_median", "dedup_clusters",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_ngram_jaccard",
+    "fn_conv_family", "fn_encode_family", "fn_hash_family",
+    "fn_levenshtein_family", "fn_url_family", "join_anti",
+    "join_broadcast_dims", "join_count_distribution", "pack_sequences",
+    "q12_priority_split", "set_except_intersect_all", "sim_knn_batch",
+    "subquery_correlated_min", "subquery_exists",
+    "subquery_exists_not_exists", "subquery_in_having",
+    "subquery_not_exists_avg", "subquery_scalar", "text_repetition_filter",
+    "ts_seasonal_decompose", "udaf_weighted_avg", "udtf_tokenize",
+    "window_nth_value", "window_range_frame", "window_zscore",
 ]
 
 # Queries registered after the current round's 50-entry sweep budget

@@ -73,8 +73,8 @@ _SUPPORTED_READER_FEATURES = {
 
 
 class DeltaExportError(RuntimeError):
-    """The table uses a LakeTable feature Delta's file-level log can't
-    express (unmaterialized merge-on-read tombstones)."""
+    """The table's log cannot be exported faithfully (truncated history,
+    vacuumed files, pre-fresh-minting physical-name resurrection)."""
 
 
 class DeltaProtocolError(RuntimeError):
@@ -89,7 +89,6 @@ def export_delta_log(
     dest: str | Path,
     mode: str = "error",
     checkpoint: bool = True,
-    allow_tombstone_history: bool = False,
 ) -> Path:
     """Export a LakeTable as a standalone Delta-protocol table at ``dest``.
 
@@ -98,24 +97,20 @@ def export_delta_log(
     Data files are hard-linked when possible (same filesystem), copied
     otherwise — never rewritten or re-encoded.
 
-    Refuses when the CURRENT state carries unmaterialized merge-on-read
-    tombstones (Delta has no predicate-tombstone action — call
-    ``materialize_tombstones()`` first). Historical commits that carried
-    since-materialized tombstones export as commitInfo-only commits: the
-    final state and post-materialization history are exact, but snapshots AT
-    those intermediate versions would not reflect the pending predicate
-    delete — pass ``allow_tombstone_history=True`` to accept that, else the
-    export raises.
+    Merge-on-read predicate tombstones export as NATIVE Delta deletion
+    vectors (r8, the mirror of the Iceberg exporter's position deletes): a
+    tombstone commit re-adds each affected file with an
+    ``add.deletionVector`` descriptor (roaring bitmap of the deleted row
+    ordinals, ``tables/dv.py`` encoder — inline z85 payloads up to 32 KiB,
+    ``deletion_vector_<uuid>.bin`` sidecars beyond), so snapshots at
+    tombstone versions are exact and no ``materialize_tombstones()`` call
+    is required. Stacked tombstones union their bitmaps; clear / restore /
+    materialize re-add the files without descriptors.
     """
+    from lakehouses_spark.tables import dv as dvmod
+
     dest = Path(dest)
     log_dest = dest / DELTA_LOG_DIR
-    state = table.state()
-    if state.tombstones:
-        raise DeltaExportError(
-            "table has unmaterialized merge-on-read tombstones; Delta's log "
-            "has no predicate-tombstone action — run materialize_tombstones() "
-            "before exporting"
-        )
     versions = txlog.list_versions(table.path)
     commits = [txlog.read_commit(table.path, v) for v in versions]
     if versions != list(range(len(versions))):
@@ -123,24 +118,36 @@ def export_delta_log(
             "log history is truncated (cleanup_log); full-history export "
             f"needs contiguous commits from 0, have {versions}"
         )
-    tombstone_commits = [
-        c["version"] for c in commits if c.get("tombstone") or c.get("set_tombstones")
-    ]
-    if tombstone_commits and not allow_tombstone_history:
-        raise DeltaExportError(
-            f"commits {tombstone_commits} carried predicate tombstones; "
-            "snapshots at those versions cannot be represented file-level — "
-            "pass allow_tombstone_history=True to export anyway"
-        )
 
     # Feature scan over the whole history decides the protocol once, at v0.
     any_mapping = any(c.get("column_mapping") for c in commits)
     any_constraints = any(c.get("constraints") for c in commits)
+    any_tombstones = any(
+        c.get("tombstone")
+        or c.get("clear_tombstones")
+        or c.get("set_tombstones") is not None
+        for c in commits
+    )
     reader_v, writer_v = _BASE_PROTOCOL
     if any_constraints:
         reader_v, writer_v = _CONSTRAINTS_PROTOCOL
     if any_mapping:
         reader_v, writer_v = _COLUMN_MAPPING_PROTOCOL
+    protocol_action: dict[str, Any] = {}
+    if any_tombstones:
+        # deletion vectors are a TABLE FEATURE: protocol (3, 7) with every
+        # in-use feature listed explicitly (PROTOCOL.md "Table Features")
+        reader_feats = ["deletionVectors"] + (
+            ["columnMapping"] if any_mapping else []
+        )
+        writer_feats = list(reader_feats) + (
+            ["checkConstraints"] if any_constraints else []
+        )
+        reader_v, writer_v = 3, 7
+        protocol_action = {
+            "readerFeatures": sorted(reader_feats),
+            "writerFeatures": sorted(writer_feats),
+        }
 
     # Stable identity + stable path remap (shallow-clone references resolve
     # to files OUTSIDE the table root; they re-home under data/ext-*).
@@ -209,6 +216,12 @@ def export_delta_log(
     log_dest.mkdir(parents=True, exist_ok=True)
     final_adds: dict[str, dict] = {}
     final_txns: dict[str, tuple[int, int]] = {}  # appId -> (version, ts)
+    # merge-on-read tombstones → native deletion vectors
+    live_rels: set[str] = set()
+    add_version: dict[str, int] = {}  # rel -> version that added it
+    active_tombs: list[dict] = []  # replayed with exact txlog semantics
+    tomb_hits: dict[tuple, dict[str, list[int]]] = {}  # (pred, ver) -> rel -> idxs
+    emitted_dv: dict[str, frozenset] = {}  # rel -> row indexes currently emitted
     # physical names ever used / used by the previous version's schema —
     # a physical name RETURNING after retirement means a drop→re-add that
     # predates alter_add_column's fresh-name minting: reusing the cached
@@ -277,6 +290,7 @@ def export_delta_log(
                     "protocol": {
                         "minReaderVersion": reader_v,
                         "minWriterVersion": writer_v,
+                        **protocol_action,
                     }
                 }
             )
@@ -332,6 +346,61 @@ def export_delta_log(
             }
             final_adds[delta_add["path"]] = delta_add
             actions.append({"add": delta_add})
+        for rel in c.get("remove", []):
+            live_rels.discard(rel)
+            emitted_dv.pop(rel, None)
+        for add in c.get("add", []):
+            live_rels.add(add["path"])
+            add_version[add["path"]] = v
+
+        # ---- tombstone replay → deletion-vector re-adds ----
+        prev_tomb_keys = {(t["predicate"], t["version"]) for t in active_tombs}
+        if c.get("tombstone"):
+            active_tombs.append({"predicate": c["tombstone"], "version": v})
+        if c.get("clear_tombstones"):
+            active_tombs = []
+        if c.get("set_tombstones") is not None:
+            active_tombs = [dict(t) for t in c["set_tombstones"]]
+        tomb_keys = {(t["predicate"], t["version"]) for t in active_tombs}
+        if tomb_keys != prev_tomb_keys:
+            desired: dict[str, set[int]] = {}
+            for t in active_tombs:
+                key = (t["predicate"], t["version"])
+                if key not in tomb_hits:
+                    targets = sorted(
+                        r for r in live_rels
+                        if add_version.get(r, 0) < t["version"]
+                    )
+                    tomb_hits[key] = _tombstone_hits(
+                        table.spark, table.path, running_schema,
+                        running_mapping, t["predicate"], targets,
+                    ) if targets else {}
+                for rel, idxs in tomb_hits[key].items():
+                    if rel in live_rels:
+                        desired.setdefault(rel, set()).update(idxs)
+            for rel in sorted(set(desired) | set(emitted_dv)):
+                want = frozenset(desired.get(rel, ()))
+                have = emitted_dv.get(rel, frozenset())
+                if want == have or rel not in live_rels:
+                    continue
+                qp = quote(mapped_path(rel))
+                old_add = final_adds[qp]
+                actions.append(
+                    {"remove": {"path": qp, "deletionTimestamp": ts,
+                                "dataChange": True}}
+                )
+                new_add = dict(old_add)
+                new_add["modificationTime"] = ts
+                if want:
+                    new_add["deletionVector"] = dvmod.make_descriptor(
+                        sorted(want), dest
+                    )
+                    emitted_dv[rel] = want
+                else:
+                    new_add.pop("deletionVector", None)
+                    emitted_dv.pop(rel, None)
+                actions.append({"add": new_add})
+                final_adds[qp] = new_add
         _write_commit(log_dest / f"{v:020d}.json", actions)
 
     # Data files: everything any commit referenced (history stays readable),
@@ -352,12 +421,49 @@ def export_delta_log(
             table.spark,
             log_dest,
             commits[-1]["version"],
-            protocol={"minReaderVersion": reader_v, "minWriterVersion": writer_v},
+            protocol={"minReaderVersion": reader_v,
+                      "minWriterVersion": writer_v, **protocol_action},
             metadata=json.loads(last_metadata_json),
             adds=sorted(final_adds.values(), key=lambda a: a["path"]),
             txns=final_txns,
         )
     return dest
+
+
+def _tombstone_hits(
+    spark: SparkSession,
+    table_path: Path,
+    schema_json: str | None,
+    mapping: dict[str, str],
+    predicate: str,
+    rels: list[str],
+) -> dict[str, list[int]]:
+    """Row ordinals matching `predicate` per target file — ONE distributed
+    scan over the then-live files with `_metadata.row_index`, the predicate
+    evaluated over the LOGICAL schema (column mapping resolved). The
+    collect is bounded by the DELETED-row count, the same bound as the
+    descriptors these indexes become."""
+    schema = StructType.fromJson(json.loads(schema_json or '{"type":"struct","fields":[]}'))
+    phys = {f.name: mapping.get(f.name, f.name) for f in schema.fields}
+    phys_schema = StructType(
+        [StructField(phys[f.name], f.dataType, f.nullable) for f in schema.fields]
+    )
+    abs_map = {str((table_path / rel).resolve()): rel for rel in rels}
+    hits = (
+        spark.read.schema(phys_schema).parquet(*abs_map)
+        .select(
+            fs_path_col().alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+            *[F.col(phys[f.name]).alias(f.name) for f in schema.fields],
+        )
+        .where(F.expr(predicate))
+        .select("__fp", "__ri")
+        .collect()
+    )
+    out: dict[str, list[int]] = {}
+    for r in hits:
+        out.setdefault(abs_map[r["__fp"]], []).append(r["__ri"])
+    return {rel: sorted(v) for rel, v in out.items()}
 
 
 def fs_path_col() -> Column:
@@ -452,13 +558,16 @@ def _write_commit(path: Path, actions: list[dict]) -> None:
 _CHECKPOINT_SCHEMA = (
     "txn struct<appId:string,version:bigint,lastUpdated:bigint>, "
     "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
-    "modificationTime:bigint,dataChange:boolean,stats:string>, "
+    "modificationTime:bigint,dataChange:boolean,stats:string,"
+    "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+    "offset:int,sizeInBytes:int,cardinality:bigint>>, "
     "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>, "
     "metaData struct<id:string,name:string,description:string,"
     "format:struct<provider:string,options:map<string,string>>,"
     "schemaString:string,partitionColumns:array<string>,"
     "configuration:map<string,string>,createdTime:bigint>, "
-    "protocol struct<minReaderVersion:int,minWriterVersion:int>"
+    "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+    "readerFeatures:array<string>,writerFeatures:array<string>>"
 )
 
 
@@ -477,7 +586,9 @@ def _write_checkpoint_parquet(
     surviving txn watermarks (idempotent writers stay exactly-once after
     log truncation)."""
     rows: list[tuple] = [
-        (None, None, None, None, (protocol["minReaderVersion"], protocol["minWriterVersion"])),
+        (None, None, None, None,
+         (protocol["minReaderVersion"], protocol["minWriterVersion"],
+          protocol.get("readerFeatures"), protocol.get("writerFeatures"))),
         (
             None, None, None,
             (
@@ -492,11 +603,14 @@ def _write_checkpoint_parquet(
     for app, (v, ts) in sorted((txns or {}).items()):
         rows.append(((app, v, ts), None, None, None, None))
     for a in adds:
+        dv = a.get("deletionVector")
         rows.append(
             (
                 None,
                 (a["path"], a["partitionValues"], a["size"],
-                 a["modificationTime"], False, a.get("stats")),
+                 a["modificationTime"], False, a.get("stats"),
+                 (dv["storageType"], dv["pathOrInlineDv"], dv.get("offset"),
+                  dv["sizeInBytes"], dv["cardinality"]) if dv else None),
                 None, None, None,
             )
         )

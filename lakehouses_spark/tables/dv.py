@@ -192,3 +192,104 @@ def read_descriptor(descriptor: dict, table_root: Path) -> list[int]:
             f"DV cardinality {card} != decoded {len(vals)}"
         )
     return vals
+
+
+# --------------------------------------------------------------------------- #
+# encoding (r8): export_delta_log writes merge-on-read tombstones as native
+# DVs — the inverse of the reader above. Emits array containers (≤ 4096
+# values) and bitmap containers (dense) in the no-run-container portable
+# layout; run containers are never emitted (the spec lets encoders pick any
+# legal container mix, and decode_dv_payload reads all three).
+# --------------------------------------------------------------------------- #
+def z85_encode_padded(data: bytes) -> str:
+    """z85 of `data` zero-padded to a 4-byte multiple (descriptor inline
+    payloads are padded per the Delta implementation)."""
+    return z85_encode(data + b"\0" * (-len(data) % 4))
+
+
+def _ser_roaring32(vals: list[int]) -> bytes:
+    """One 32-bit RoaringBitmap (RoaringFormatSpec portable, no-run
+    cookie) over sorted 32-bit values."""
+    containers: dict[int, list[int]] = {}
+    for v in vals:
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(containers)
+    size = len(keys)
+    out = struct.pack("<ii", SERIAL_COOKIE_NO_RUNCONTAINER, size)
+    out += b"".join(
+        struct.pack("<HH", k, len(containers[k]) - 1) for k in keys
+    )
+    bodies = []
+    for k in keys:
+        c = containers[k]
+        if len(c) > 4096:
+            words = [0] * 1024
+            for v in c:
+                words[v >> 6] |= 1 << (v & 63)
+            bodies.append(struct.pack("<1024Q", *words))
+        else:
+            bodies.append(struct.pack(f"<{len(c)}H", *c))
+    base = len(out) + 4 * size
+    offs, cur = [], base
+    for b in bodies:
+        offs.append(cur)
+        cur += len(b)
+    out += struct.pack(f"<{size}i", *offs)
+    return out + b"".join(bodies)
+
+
+def encode_dv_payload(indexes: list[int]) -> bytes:
+    """Sorted deleted row indexes → DV payload (magic + RoaringBitmapArray
+    portable). Exact inverse of :func:`decode_dv_payload` (round-trip
+    pinned by test)."""
+    buckets: dict[int, list[int]] = {}
+    for v in sorted(indexes):
+        if v < 0:
+            raise DeletionVectorError(f"negative row index {v}")
+        buckets.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+    n = max(buckets) + 1 if buckets else 0
+    out = struct.pack("<i", MAGIC) + struct.pack("<q", n)
+    for hi in range(n):
+        out += _ser_roaring32(buckets.get(hi, []))
+    return out
+
+
+def write_dv_file(path: Path, payload: bytes) -> int:
+    """On-disk DV file: `[version byte 1]` then `[dataSize int32 BE]
+    [payload][crc32 int32 BE]`; returns the descriptor `offset` (points at
+    the dataSize word)."""
+    blob = bytes([1]) + struct.pack(">i", len(payload)) + payload
+    blob += struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF)
+    path.write_bytes(blob)
+    return 1
+
+
+# inline descriptors keep the payload in the JSON log — fine for typical
+# delete sets, but a multi-MB bitmap belongs in a sidecar file
+INLINE_DV_MAX_BYTES = 32_768
+
+
+def make_descriptor(indexes: list[int], table_root: Path) -> dict:
+    """Build an `add.deletionVector` descriptor for the given deleted row
+    indexes: inline (storageType 'i') up to INLINE_DV_MAX_BYTES, else a
+    `deletion_vector_<uuid>.bin` file under `table_root` (storageType 'u',
+    z85-encoded uuid)."""
+    import uuid as _uuid
+
+    payload = encode_dv_payload(indexes)
+    if len(payload) <= INLINE_DV_MAX_BYTES:
+        return {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode_padded(payload),
+            "sizeInBytes": len(payload),
+            "cardinality": len(indexes),
+        }
+    u = _uuid.uuid4()
+    off = write_dv_file(table_root / f"deletion_vector_{u}.bin", payload)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": z85_encode(u.bytes),
+        "offset": off,
+        "sizeInBytes": len(payload),
+        "cardinality": len(indexes),
+    }

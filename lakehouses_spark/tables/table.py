@@ -376,17 +376,14 @@ class LakeTable:
         dest: str | Path,
         mode: str = "error",
         checkpoint: bool = True,
-        allow_tombstone_history: bool = False,
     ) -> Path:
         """Export this table as a standalone Delta-protocol table (full
-        version history; data files hard-linked, never rewritten). See
+        version history; merge-on-read tombstones become native deletion
+        vectors; data files hard-linked, never rewritten). See
         `lakehouses_spark.tables.delta_log.export_delta_log`."""
         from lakehouses_spark.tables.delta_log import export_delta_log
 
-        return export_delta_log(
-            self, dest, mode=mode, checkpoint=checkpoint,
-            allow_tombstone_history=allow_tombstone_history,
-        )
+        return export_delta_log(self, dest, mode=mode, checkpoint=checkpoint)
 
     def export_iceberg_metadata(self, dest: str | Path, mode: str = "error") -> Path:
         """Export this table as a standalone Iceberg v2 table (hadoop-catalog

@@ -196,17 +196,87 @@ def test_multipart_checkpoint_missing_part_fails_loudly(spark, tmp_path):
         read_delta(spark, dest)
 
 
-def test_export_refuses_unmaterialized_tombstones(spark, tmp_path):
+def test_tombstones_export_as_native_deletion_vectors(spark, tmp_path):
+    """r8 (mirror of the Iceberg position-delete export): a LakeTable with
+    ACTIVE merge-on-read tombstones exports WITHOUT materializing — each
+    tombstone commit re-adds affected files with an add.deletionVector
+    descriptor (protocol 3/7 + deletionVectors feature). Snapshots at every
+    version round-trip; stacked tombstones union their bitmaps; rows
+    appended after a tombstone are not filtered by it."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.delete("k > 35", lazy=True)                       # tombstone 1
+    t.append(spark.createDataFrame(
+        [{"k": 99, "status": "Z", "price": 1.0}],
+        "k long, status string, price double"))
+    t.delete("status = 'B' AND k < 6", lazy=True)       # tombstone 2 (stacks)
+    dest = t.export_delta_log(tmp_path / "delta")
+    r = DeltaLogReader(spark, dest)
+    # every historical version matches the LakeTable's own time travel
+    for v in range(t.version + 1):
+        assert _sorted_rows(r.to_df(v)) == _sorted_rows(t.read(version=v))
+    # k=99 was appended AFTER tombstone 1 (k > 35) and must survive
+    assert any(row.k == 99 for row in r.to_df().collect())
+    snap = r.snapshot()
+    assert snap.protocol["minReaderVersion"] == 3
+    assert "deletionVectors" in snap.protocol["readerFeatures"]
+    dv_adds = [a for a in snap.files.values() if a.get("deletionVector")]
+    assert dv_adds, "tombstoned files must carry deletionVector descriptors"
+    # checkpoint carries the DVs: read from the checkpoint alone
+    log = dest / "_delta_log"
+    for v in range(t.version + 1):
+        (log / f"{v:020d}.json").unlink()
+    assert _sorted_rows(read_delta(spark, dest)) == _sorted_rows(t.read())
+
+
+def test_dv_export_external_client_proof(spark, tmp_path):
+    """DuckDB (external client) reconstructs the tombstoned table from the
+    exported log alone: live files read raw + the DV descriptors decoded by
+    the standalone dv.py parser → file_row_number anti-join."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.delete("k > 30", lazy=True)
+    dest = t.export_delta_log(tmp_path / "delta")
+    snap = DeltaLogReader(spark, dest).snapshot()
+    files, deleted = [], []
+    for rel, a in snap.files.items():
+        ap = str((dest / rel).resolve())
+        files.append(ap)
+        for idx in dvmod.read_descriptor(a["deletionVector"], dest) \
+                if a.get("deletionVector") else []:
+            deleted.append((ap, idx))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE dels (fp VARCHAR, rn BIGINT)")
+    con.executemany("INSERT INTO dels VALUES (?, ?)", deleted or [("", -1)])
+    got = con.execute(
+        """
+        SELECT count(*), sum(k) FROM (
+          SELECT *, filename AS fp, file_row_number AS rn
+          FROM read_parquet($files, filename=true, file_row_number=true)
+        ) d WHERE NOT EXISTS (
+          SELECT 1 FROM dels WHERE dels.fp = d.fp AND dels.rn = d.rn)
+        """,
+        {"files": files},
+    ).fetchone()
+    want = t.read().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("k").alias("s")).collect()[0]
+    assert got == (want["n"], want["s"])
+    assert deleted, "tombstone must have produced DV-deleted rows"
+
+
+def test_tombstone_then_materialize_export(spark, tmp_path):
+    """After materialize_tombstones() the DV re-adds drop out (files are
+    rewritten); the export still replays the tombstone version exactly."""
     df = spark.createDataFrame(ROWS, "k long, status string, price double")
     t = LakeTable.create(spark, tmp_path / "lake", df)
     t.delete("k > 35", lazy=True)
-    with pytest.raises(DeltaExportError, match="materialize_tombstones"):
-        t.export_delta_log(tmp_path / "delta")
     t.materialize_tombstones()
-    with pytest.raises(DeltaExportError, match="allow_tombstone_history"):
-        t.export_delta_log(tmp_path / "delta")
-    dest = t.export_delta_log(tmp_path / "delta", allow_tombstone_history=True)
-    assert _sorted_rows(read_delta(spark, dest)) == _sorted_rows(t.read())
+    dest = t.export_delta_log(tmp_path / "delta")
+    r = DeltaLogReader(spark, dest)
+    for v in range(t.version + 1):
+        assert _sorted_rows(r.to_df(v)) == _sorted_rows(t.read(version=v))
+    assert not [a for a in r.snapshot().files.values()
+                if a.get("deletionVector")]
 
 
 def test_column_mapping_and_constraints_roundtrip(spark, tmp_path):

@@ -399,6 +399,63 @@ def probe_ann_recall(spark) -> list[str]:
     ]
 
 
+def probe_ann_drift(spark) -> list[str]:
+    """ANN index-maintenance ladder (VERDICT r7 #7): run the registered
+    drift query at sf0.1 and render its measurements — recall parity, probe
+    cost growth under stale centroids, the batch-concentration trigger, and
+    the post-recluster recovery. The trigger constant ANN_RECLUSTER_CONC is
+    pinned by exactly these numbers (plus the sf0.001/0.01 runs in the
+    query's own self-checks)."""
+    from lakehouses_spark.queries.similarity import (
+        ANN_RECLUSTER_CONC,
+        IVF_CELLS,
+        IVF_NPROBE,
+        sim_ann_drift_recall,
+    )
+
+    rows = sim_ann_drift_recall(spark, SF_DIR).collect()
+    base = rows[0]["base_concentration"]
+    out = [
+        "",
+        "## ANN index maintenance: drift → concentration trigger → recluster",
+        "",
+        "Stale-centroid drift ladder (sim_ann_drift_recall, sf0.1): three",
+        "appended batches drift along a cone with growing magnitude; twin",
+        "queries measure IVF top-1 recall vs exact brute force; per-batch",
+        f"CONCENTRATION (share of the batch in its top-{IVF_NPROBE} stale "
+        "cells) is the",
+        f"recluster trigger. Healthy baseline (undrifted corpus): {base:.3f} "
+        f"(ideal {IVF_NPROBE}/{IVF_CELLS} = {IVF_NPROBE / IVF_CELLS:.3f}).",
+        "",
+        "| batch | index n | concentration | recall static | postings/query"
+        " static | recall reclustered | postings/query reclustered |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        out.append(
+            f"| {r.batch} | {r.n_index:,} | {r.batch_concentration:.3f} |"
+            f" {r.recall_static:.2f} | {r.postings_static:.0f} |"
+            f" {r.recall_reclustered:.2f} | {r.postings_reclustered:.0f} |"
+        )
+    last = rows[-1]
+    cut = 1 - last.postings_reclustered / last.postings_static
+    out += [
+        "",
+        f"Trigger ANN_RECLUSTER_CONC = {ANN_RECLUSTER_CONC}: fired ="
+        f" {last.recluster_triggered} (final batch"
+        f" {last.batch_concentration:.3f} vs healthy {base:.3f} — measured"
+        " separation ≥ 0.19 at every SF, which pins the 0.35 constant)."
+        f" Reclustering at the √n sizing rule cut probed postings on the"
+        f" drifted batch by {cut:.0%} with recall parity (both paths"
+        f" {last.recall_static:.2f}/{last.recall_reclustered:.2f})."
+        " Max-cell fraction and per-query probe cost were measured and"
+        " REJECTED as trigger metrics: neither is monotone under drift"
+        " (a saturated cell spills into its neighbor; a far-drifted batch"
+        " probes cells holding little else).",
+    ]
+    return out
+
+
 # Ingestion-engine file-count ladder (VERDICT r3 directive #8): the
 # relational/dedup tiers have data-volume probes; this drives the S10/S18
 # path (incremental file discovery → foreachBatch idempotent append →
@@ -634,6 +691,7 @@ def main() -> None:
     ]
     lines += probe_substring_skew(spark)
     lines += probe_ann_recall(spark)
+    lines += probe_ann_drift(spark)
     lines += probe_ingest(spark)
     Path(__file__).resolve().parent.parent.joinpath("SCALING.md").write_text(
         "\n".join(lines) + "\n"
