@@ -12,6 +12,34 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+# `slow` marker (VERDICT r7 #8): long subprocess/e2e pins — the example
+# smokes (5 fresh JVMs), the foreign-session and Derby fresh-session
+# subprocesses, and the 5k-file MERGE metadata walk — are OPT-IN via
+# --slow so the default `pytest tests/` stays fast without losing the
+# coverage (run `pytest tests/ --slow` for the full suite; the semantics
+# they pin are exercised at smaller scale by the default run).
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="also run tests marked slow (subprocess smokes, scale pins)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long subprocess/e2e suite, opt-in via --slow"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    skip = pytest.mark.skip(reason="slow suite: opt in with --slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     from lakehouses_spark.session import get_spark

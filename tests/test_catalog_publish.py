@@ -129,6 +129,7 @@ def _run(script: str) -> str:
     return proc.stdout
 
 
+@pytest.mark.slow  # Derby metastore + fresh-JVM subprocess (~35 s)
 def test_fresh_session_resolves_published_table(tmp_path):
     """The headline contract: a brand-new JVM + metastore dir resolves
     bronze.retail_sales_orders in plain spark.sql — no attach, no register."""

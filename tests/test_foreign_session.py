@@ -14,6 +14,10 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
+pytestmark = pytest.mark.slow  # fresh-JVM subprocess (~30 s)
+
 REPO = Path(__file__).resolve().parent.parent
 
 CHILD = """

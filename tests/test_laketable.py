@@ -362,6 +362,7 @@ def test_collect_affected_guard_trips(spark, tmp_path, people):
     assert len(t._collect_affected(hits, 5)) == 5
 
 
+@pytest.mark.slow  # the 5k-file sizing IS the pin (~70 s)
 def test_merge_many_files_rewrites_only_matched(spark, tmp_path):
     """VERDICT r4 #5 companion: MERGE against a table recustered into ~5k
     files rewrites ONLY the files holding matched keys (stats/semi-join
