@@ -451,9 +451,18 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the relational way (explode → per-doc GROUP BY), making this a
     cross-paradigm differential check of the same statistic."""
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    n = F.size(w).cast("double")
-    dist = F.array_distinct(w)
+    # token array / size / distinct set hoisted to REAL attributes: embedded
+    # in the transform lambda they re-evaluate per DISTINCT WORD (Catalyst
+    # does not CSE across lambda boundaries — the hashed_shingle_sets
+    # lesson), turning per-row work into O(distinct · tokenize)
+    base = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__w")
+    ).select(
+        "doc_id", "__w",
+        F.size("__w").cast("double").alias("__n"),
+        F.array_distinct("__w").alias("__dist"),
+    )
+    w, n, dist = F.col("__w"), F.col("__n"), F.col("__dist")
     counts = F.transform(
         dist, lambda x: F.size(F.filter(w, lambda y: y == x)).cast("double")
     )
@@ -462,7 +471,7 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, c: acc + (c / n) * F.log(c / n),
     )
-    return d.select(
+    return base.select(
         "doc_id",
         F.round(entropy, 4).alias("word_entropy"),
         F.round(F.log(F.size(dist).cast("double")), 4).alias("max_entropy"),

@@ -333,6 +333,29 @@ class LakeTable:
             if f["id"] in nm and nm[f["id"]] != f["name"]
         }
         loc = r.meta["location"].rstrip("/")
+        # per-field manifest bounds → LakeTable min/max stats (keyed by
+        # PHYSICAL column name, like every other stats producer). Truncated
+        # external bounds stay valid: a prefix lower bound is still ≤ min,
+        # an incremented-truncation upper bound still ≥ max — skipping
+        # semantics are preserved either way.
+        from lakehouses_spark.tables.iceberg_meta import _decode_bound
+
+        id_phys = {f["id"]: nm.get(f["id"], f["name"]) for f in ice["fields"]}
+        id_type = {
+            f["id"]: lf.dataType
+            for f, lf in zip(ice["fields"], logical.fields)
+        }
+
+        def _bounds(kvs) -> dict:
+            out = {}
+            for kv in kvs or []:
+                fid = kv["key"]
+                if fid in id_type:
+                    v = _decode_bound(bytes(kv["value"]), id_type[fid])
+                    if v is not None:
+                        out[fid] = v
+            return out
+
         adds = []
         for f in sorted(files, key=lambda x: x["file_path"]):
             uri = f["file_path"]
@@ -341,12 +364,18 @@ class LakeTable:
                     f"data file outside the table root ({uri!r}); adopt via "
                     "LakeTable.create over read_iceberg() instead"
                 )
+            lows = _bounds(f.get("lower_bounds"))
+            highs = _bounds(f.get("upper_bounds"))
             adds.append(
                 {
                     "path": uri[len(loc):].lstrip("/"),
                     "num_records": f.get("record_count"),
                     "size_bytes": f.get("file_size_in_bytes"),
-                    "stats": {},
+                    "stats": {
+                        id_phys[fid]: {"min": _json_safe(lows.get(fid)),
+                                       "max": _json_safe(highs.get(fid))}
+                        for fid in set(lows) | set(highs)
+                    },
                 }
             )
         props = {

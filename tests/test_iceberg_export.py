@@ -473,6 +473,28 @@ def test_convert_from_iceberg_roundtrip(spark, tmp_path):
         LakeTable.convert_from_iceberg(spark, dest)
 
 
+def test_convert_from_iceberg_carries_bounds_as_stats(spark, tmp_path):
+    """r8: manifest lower/upper bounds decode into LakeTable min/max stats
+    (keyed by PHYSICAL name), so stats-based file skipping works on the
+    adopted table without a stats recompute."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(
+        spark, tmp_path / "lake", df, partition_by=["k"], num_files=4
+    )
+    t.alter_rename_column("price", "amount")
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    t2 = LakeTable.convert_from_iceberg(spark, dest)
+    st = t2.state()
+    per_file = [a["stats"] for a in st.files.values()]
+    assert all("k" in s and "price" in s for s in per_file)  # physical names
+    ks = [(s["k"]["min"], s["k"]["max"]) for s in per_file]
+    assert all(lo is not None and hi is not None for lo, hi in ks)
+    # k-clustered export → disjoint ranges → a point filter prunes files
+    rows = t2.read(filters=[("k", "=", 1)]).collect()
+    assert [r.k for r in rows] == [1]
+    assert sum(1 for lo, hi in ks if lo <= 1 <= hi) < len(ks)
+
+
 def test_manifest_reuse_across_snapshots(spark, tmp_path):
     """Real-Iceberg manifest economics: an append writes ONE new manifest
     and references the previous snapshot's manifests unchanged; a delete
