@@ -116,6 +116,26 @@ def _bucketed_verdict(alphas: dict[str, float]) -> str:
     )
 
 
+def clear_persisted(spark) -> None:
+    """Unpersist every cached/localCheckpointed RDD between measurements.
+
+    Root cause of the r7 SCALING '×16 outlier' (sim_ann_ivfpq 19–31 s at
+    ×16 vs ~7 s isolated, with sim_maxsim and dedup_containment spiking at
+    the same tier): the registry queries localCheckpoint their working
+    sets, the checkpointed RDDs survive the query (8 entries / ~205 MB
+    after ONE ×1 tier; gigabytes by ×16), and the accumulated storage
+    memory forces eviction + GC exactly at the mid tiers. Isolated re-runs
+    of the same queries at ×16 are monotone — so the fix is probe hygiene,
+    not query code."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()  # drop Python-side refs so ContextCleaner can collect too
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd in jmap.values():
+        rdd.unpersist()
+
+
 def materialize(spark, base: str, factor: int, out: Path) -> str:
     """Union `factor` key-shifted copies so join keys stay consistent and
     cardinalities scale together."""
@@ -571,6 +591,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 registry[q].fn(spark, sf).count()
                 results[q][factor] = round(time.perf_counter() - t0, 3)
+                clear_persisted(spark)  # no cross-query checkpoint pile-up
 
     load_end = os.getloadavg()
     lines = [
