@@ -699,10 +699,11 @@ def main() -> None:
         "in-cell PQ-code scan is n^1.5 BY DESIGN; since r7 the centroid",
         "assignment is a broadcast-matrix BLAS matmul in an Arrow batch (no",
         "crossJoin, no shuffle), which pushed the measured curve well below",
-        "the design bound at these tiers. Single-tier outliers that break",
-        "monotonicity (a higher time at a SMALLER factor) are JIT/GC",
-        "hiccups, not scaling cliffs; the candidate stage touches 8-byte",
-        "codes, never the 512-byte vectors.",
+        "the design bound at these tiers. (The r7 ladder's ×16 outlier was",
+        "root-caused in r8 to PROBE contamination — localCheckpointed RDDs",
+        "piling up across measurements — and fixed with per-query",
+        "unpersist, see clear_persisted(); the candidate stage touches",
+        "8-byte codes, never the 512-byte vectors.)",
         "`graph_pagerank` is 5 × (static edge list ⋈ O(nodes) rank state):",
         "per-iteration cost linear in |E|, state linear in |V| — the α≈0.5",
         "at this scale is edge-join dominated with fixed per-job overhead.",
