@@ -614,14 +614,35 @@ def _write_checkpoint_parquet(
                 None, None, None,
             )
         )
-    df = spark.createDataFrame(rows, _CHECKPOINT_SCHEMA).coalesce(1)
+    n_parts = max(1, -(-len(rows) // CHECKPOINT_PART_ACTIONS))
     tmp = log_dest / f".tmp-ckpt-{uuid.uuid4().hex}"
-    df.write.parquet(str(tmp))
-    part = next(tmp.glob("part-*.parquet"))
-    os.replace(part, log_dest / f"{version:020d}.checkpoint.parquet")
+    if n_parts == 1:
+        spark.createDataFrame(rows, _CHECKPOINT_SCHEMA).coalesce(1) \
+            .write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        os.replace(part, log_dest / f"{version:020d}.checkpoint.parquet")
+    else:
+        # classic MULTI-PART checkpoint (PROTOCOL.md "Checkpoints"): what
+        # real writers emit past ~50k actions so no single parquet file
+        # holds the whole table state; the reader reconciles all parts as
+        # one scan and refuses incomplete sets
+        for k in range(n_parts):
+            chunk = rows[k * CHECKPOINT_PART_ACTIONS:
+                         (k + 1) * CHECKPOINT_PART_ACTIONS]
+            spark.createDataFrame(chunk, _CHECKPOINT_SCHEMA).coalesce(1) \
+                .write.mode("overwrite").parquet(str(tmp))
+            part = next(tmp.glob("part-*.parquet"))
+            os.replace(
+                part,
+                log_dest
+                / f"{version:020d}.checkpoint.{k + 1:010d}.{n_parts:010d}.parquet",
+            )
     shutil.rmtree(tmp)
     with open(log_dest / "_last_checkpoint", "w") as fh:
-        json.dump({"version": version, "size": len(rows)}, fh)
+        payload = {"version": version, "size": len(rows)}
+        if n_parts > 1:
+            payload["parts"] = n_parts
+        json.dump(payload, fh)
 
 
 # --------------------------------------------------------------------------- #
@@ -667,6 +688,9 @@ class DeltaSnapshot:
 # strings stay in the executors); below it, full-fidelity collect keeps
 # min/max stats available to convert_from_delta
 PRUNED_REPLAY_FILE_THRESHOLD = 50_000
+# checkpoints with more actions than this are written as classic
+# multi-part sets (<v>.checkpoint.<k>.<n>.parquet) like real Delta writers
+CHECKPOINT_PART_ACTIONS = 50_000
 
 
 class DeltaLogReader:

@@ -182,6 +182,26 @@ def test_multipart_checkpoint_reads(spark, tmp_path):
     assert _sorted_rows(read_delta(spark, dest)) == want
 
 
+def test_exporter_writes_multipart_checkpoint_past_threshold(spark, tmp_path, monkeypatch):
+    """The export writer emits a classic multi-part set when the action
+    count exceeds CHECKPOINT_PART_ACTIONS (like real Delta writers) — and
+    our own reader reconstructs from it after JSON cleanup."""
+    import lakehouses_spark.tables.delta_log as dl
+
+    monkeypatch.setattr(dl, "CHECKPOINT_PART_ACTIONS", 16)
+    t = _mk_table(spark, tmp_path / "lake")
+    dest = t.export_delta_log(tmp_path / "delta", checkpoint=True)
+    log = dest / "_delta_log"
+    parts = sorted(log.glob("*.checkpoint.*.*.parquet"))
+    assert len(parts) >= 2
+    assert not (log / f"{t.version:020d}.checkpoint.parquet").exists()
+    assert json.loads((log / "_last_checkpoint").read_text())["parts"] == len(parts)
+    want = _sorted_rows(t.read())
+    for v in range(t.version + 1):
+        (log / f"{v:020d}.json").unlink()
+    assert _sorted_rows(read_delta(spark, dest)) == want
+
+
 def test_multipart_checkpoint_missing_part_fails_loudly(spark, tmp_path):
     """An incomplete part set must never replay (each part holds a disjoint
     slice of the adds — a partial read silently drops live files)."""

@@ -486,3 +486,28 @@ def test_bloom_prefilter_has_no_false_negatives(spark, dim_keys, fact_keys):
     }
     must_keep = {i for i, k in enumerate(fact_keys) if k in dim_keys}
     assert must_keep <= kept
+
+
+# --------------------------------------------------------------------------- #
+# DV codec round-trip (r8: dv.py now ENCODES too — export side)
+# --------------------------------------------------------------------------- #
+@given(
+    idxs=st.one_of(
+        st.lists(st.integers(min_value=0, max_value=2**40), max_size=300),
+        # dense runs inside one 16-bit container (bitmap-container path)
+        st.builds(
+            lambda start, n: list(range(start, start + n)),
+            st.integers(min_value=0, max_value=100_000),
+            st.integers(min_value=4000, max_value=6000),
+        ),
+    )
+)
+@settings(deadline=None, max_examples=60)
+def test_dv_payload_roundtrip(idxs):
+    """encode_dv_payload ∘ decode_dv_payload is identity over sorted unique
+    row indexes — across array containers, bitmap containers (>4096 dense),
+    multi-bucket (>2^32 analog via 2^40 values), and the empty set."""
+    from lakehouses_spark.tables import dv
+
+    want = sorted(set(idxs))
+    assert dv.decode_dv_payload(dv.encode_dv_payload(want)) == want
