@@ -430,6 +430,75 @@ def export_delta_log(
     return dest
 
 
+def _coerce_pv(raw: str, dt) -> Any:
+    """Delta partitionValues are serialized strings; bring one back to a
+    comparable Python value (None = don't prune on this column)."""
+    name = dt.typeName()
+    try:
+        if name in ("integer", "long", "short", "byte"):
+            return int(raw)
+        if name in ("double", "float", "decimal"):
+            return float(raw)
+        if name == "boolean":
+            return raw == "true"
+        if name in ("string", "date", "timestamp"):
+            return raw
+    except (ValueError, TypeError):
+        return None
+    return None
+
+
+def _delta_file_may_match(
+    add: dict, filters, part_types: dict, phys_by_name: dict[str, str]
+) -> bool:
+    """False only when the add action's metadata PROVES no row matches:
+    `partitionValues` for partition columns (every row in the file shares
+    the value — classic partition pruning), per-file min/max stats (Delta
+    stats JSON, keyed by physical name) for data columns. Conservative on
+    missing or incomparable metadata — pruned-replay snapshots keep only
+    numRecords and therefore never prune."""
+    pv = add.get("partitionValues") or {}
+    try:
+        stats = json.loads(add["stats"]) if add.get("stats") else {}
+    except (ValueError, TypeError):
+        stats = {}
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    for col, op, val in filters:
+        try:
+            if col in part_types:
+                raw = pv.get(col)
+                if raw is None:
+                    continue
+                v = _coerce_pv(raw, part_types[col])
+                if v is None:
+                    continue
+                ok = {
+                    "=": v == val, "==": v == val, "<": v < val,
+                    "<=": v <= val, ">": v > val, ">=": v >= val,
+                }[op]
+                if not ok:
+                    return False
+            else:
+                phys = phys_by_name.get(col, col)
+                lo, hi = mins.get(phys), maxs.get(phys)
+                if lo is None or hi is None:
+                    continue
+                if op in ("=", "==") and (val < lo or val > hi):
+                    return False
+                if op == "<" and not lo < val:
+                    return False
+                if op == "<=" and not lo <= val:
+                    return False
+                if op == ">" and not hi > val:
+                    return False
+                if op == ">=" and not hi >= val:
+                    return False
+        except TypeError:
+            continue  # incomparable types: never skip
+    return True
+
+
 def _tombstone_hits(
     spark: SparkSession,
     table_path: Path,
@@ -973,7 +1042,12 @@ class DeltaLogReader:
             )
 
     # -- data ------------------------------------------------------------ #
-    def to_df(self, version: int | None = None) -> DataFrame:
+    def to_df(
+        self,
+        version: int | None = None,
+        columns: list[str] | None = None,
+        filters: list[tuple[str, str, Any]] | None = None,
+    ) -> DataFrame:
         """ONE parquet scan over every live file (partition columns are NOT
         in Delta data files — they live in add.partitionValues), with the
         partition-value tuples attached via a file-path → values broadcast
@@ -984,7 +1058,18 @@ class DeltaLogReader:
 
         Files carrying deletion vectors get their deleted row indexes
         anti-filtered via ``_metadata.row_index`` against a broadcast
-        (file, row_index) set decoded driver-side (`tables/dv.py`)."""
+        (file, row_index) set decoded driver-side (`tables/dv.py`).
+
+        ``columns`` prunes the read to the requested logical columns (the
+        parquet ReadSchema shrinks accordingly); ``filters``
+        ([(col, op, val)], ops = == < <= > >=) prune FILES before the scan
+        — partition filters against add.partitionValues (classic partition
+        pruning), data-column filters against the per-file min/max stats
+        Delta writers record — then apply row-wise as a residual. Both
+        conservative: a file is skipped only when its metadata PROVES no
+        row matches (r8 — the external-table analog of LakeTable.read's
+        skipping; at 100 TB this is the difference between scanning a
+        partition and scanning a table)."""
         from lakehouses_spark.tables import dv as _dv
 
         snap = self.snapshot(version)
@@ -992,19 +1077,38 @@ class DeltaLogReader:
         conf = snap.configuration
         mapping_mode = conf.get("delta.columnMapping.mode", "none")
         part_cols = snap.partition_columns
+        by_name = {f.name: f for f in schema.fields}
+        for c in list(columns or []) + [c for c, _, _ in (filters or [])]:
+            if c not in by_name:
+                raise ValueError(f"unknown column {c!r}")
 
         def phys_name(f: StructField) -> str:
             if mapping_mode in ("name", "id"):
                 return f.metadata.get("delta.columnMapping.physicalName", f.name)
             return f.name
 
-        data_fields = [f for f in schema.fields if f.name not in part_cols]
+        need = (
+            set(columns) | {c for c, _, _ in (filters or [])}
+            if columns is not None else None
+        )
+        out_names = (
+            [f.name for f in schema.fields if f.name in set(columns)]
+            if columns is not None else [f.name for f in schema.fields]
+        )
+        data_fields = [
+            f for f in schema.fields
+            if f.name not in part_cols and (need is None or f.name in need)
+        ]
         phys_schema = StructType(
             [StructField(phys_name(f), f.dataType, f.nullable) for f in data_fields]
         )
         part_types = {f.name: f.dataType for f in schema.fields if f.name in part_cols}
+        empty = self.spark.createDataFrame(
+            [], StructType([StructField(n, by_name[n].dataType, True)
+                            for n in out_names])
+        )
         if not snap.files:
-            return self.spark.createDataFrame([], schema)
+            return empty
 
         # canonical fs path per file (matches `_metadata.file_path` with the
         # scheme stripped), its partition tuple, and any deleted row indexes
@@ -1012,6 +1116,10 @@ class DeltaLogReader:
         pv_rows: list[tuple] = []
         deleted_rows: list[tuple[str, int]] = []
         for path, a in snap.files.items():
+            if filters and not _delta_file_may_match(
+                a, filters, part_types, {f.name: phys_name(f) for f in schema.fields}
+            ):
+                continue
             ap = str((self.path / path).resolve())
             abs_paths.append(ap)
             pv = a.get("partitionValues") or {}
@@ -1019,6 +1127,8 @@ class DeltaLogReader:
             if a.get("deletionVector"):
                 for idx in _dv.read_descriptor(a["deletionVector"], self.path):
                     deleted_rows.append((ap, idx))
+        if not abs_paths:
+            return empty
 
         df = self.spark.read.schema(phys_schema).parquet(*abs_paths)
         # scheme-stripped + percent-decoded so both sides key identically
@@ -1048,7 +1158,13 @@ class DeltaLogReader:
             df = df.join(F.broadcast(map_df), "__lh_fp")
             for i, c in enumerate(part_cols):
                 df = df.withColumn(c, F.col(f"__lh_pv_{i}").cast(part_types[c]))
-        return df.select(*[f.name for f in schema.fields])
+        for col, op, val in filters or []:  # residual row-level filter
+            c, v = F.col(col), F.lit(val)
+            df = df.where(
+                {"=": c == v, "==": c == v, "<": c < v, "<=": c <= v,
+                 ">": c > v, ">=": c >= v}[op]
+            )
+        return df.select(*out_names)
 
     def history(self) -> list[dict]:
         """One entry per surviving JSON commit: version, timestamp, operation."""
@@ -1069,7 +1185,13 @@ class DeltaLogReader:
 
 
 def read_delta(
-    spark: SparkSession, path: str | Path, version: int | None = None
+    spark: SparkSession,
+    path: str | Path,
+    version: int | None = None,
+    columns: list[str] | None = None,
+    filters: list[tuple[str, str, Any]] | None = None,
 ) -> DataFrame:
-    """Read a Delta-protocol table (no Delta jar required)."""
-    return DeltaLogReader(spark, path).to_df(version)
+    """Read a Delta-protocol table (no Delta jar required) with optional
+    column pruning and partition/stats file skipping (see
+    `DeltaLogReader.to_df`)."""
+    return DeltaLogReader(spark, path).to_df(version, columns, filters)

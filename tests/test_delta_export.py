@@ -820,6 +820,62 @@ def test_reader_percent_decodes_action_paths(spark, tmp_path):
     assert sorted(r.k for r in read_delta(spark, base).collect()) == [1, 2]
 
 
+def test_reader_prunes_columns_and_skips_files(spark, tmp_path):
+    """r8: read_delta(columns=, filters=) — column pruning shrinks the
+    ReadSchema; data-column filters skip files via the exported min/max
+    stats; partition filters skip files via add.partitionValues. Results
+    always match the unpruned read + row filter."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df,
+                         partition_by=["k"], num_files=4)
+    dest = t.export_delta_log(tmp_path / "delta")
+
+    got = read_delta(spark, dest, columns=["status"], filters=[("k", "<=", 10)])
+    assert got.columns == ["status"]
+    assert sorted(r.status for r in got.collect()) == sorted(
+        r.status for r in t.read().where(F.col("k") <= 10).collect()
+    )
+    # stats skipping: k-clustered export → the k<=10 read scans fewer files
+    full = read_delta(spark, dest)
+    assert len(set(got.inputFiles())) < len(set(full.inputFiles()))
+    # the pruned scan reads ONLY the needed columns
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "price" not in plan.split("ReadSchema")[-1]
+
+    # hive-partitioned external table: partition filter prunes whole files
+    base = tmp_path / "ext"
+    (base / "_delta_log").mkdir(parents=True)
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": json.dumps(
+                          {"type": "struct", "fields": [
+                              {"name": "v", "type": "long",
+                               "nullable": True, "metadata": {}},
+                              {"name": "dt", "type": "string",
+                               "nullable": True, "metadata": {}}]}),
+                      "partitionColumns": ["dt"],
+                      "configuration": {}, "createdTime": 0}},
+    ]
+    for i, dt in enumerate(("2024-01-01", "2024-01-02")):
+        (base / f"dt={dt}").mkdir()
+        rel = f"dt={dt}/part-{i}.parquet"
+        pq.write_table(pa.table({"v": [i * 10, i * 10 + 1]}), base / rel)
+        actions.append({"add": {"path": rel, "partitionValues": {"dt": dt},
+                                "size": 1, "modificationTime": 0,
+                                "dataChange": True}})
+    with open(base / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    one = read_delta(spark, base, filters=[("dt", "==", "2024-01-02")])
+    assert sorted(r.v for r in one.collect()) == [10, 11]
+    assert len(set(one.inputFiles())) == 1  # the other partition never scanned
+
+
 def test_reader_percent_decodes_partitioned_dv_paths(spark, tmp_path):
     """ADVICE r7 (high): the partition-value map join and the DV anti-join
     key on `_metadata.file_path`, which Spark reports URL-ENCODED — a data
