@@ -153,6 +153,74 @@ def lake_delta_log_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_delta_pruned_read",
+    # the EXPORTED table is read back through the independent reader with
+    # column pruning + stats file skipping + a NATIVE deletion-vector
+    # filter (the lazy delete exports as add.deletionVector, not a
+    # rewrite); the oracle replays the same predicate chain relationally
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_orderkey <= 8000
+    ), live AS (
+      SELECT * FROM base WHERE NOT (l_quantity >= 45)
+    )
+    SELECT CAST(l_orderkey % 7 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS total_price
+    FROM live
+    WHERE l_orderkey <= 4000
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def lake_delta_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-Delta SCAN EFFICIENCY arc (r8): CTAS a lineitem slice
+    clustered by l_orderkey, LAZY-delete (the tombstone exports as a
+    native `add.deletionVector` — no rewrite), export the Delta log, then
+    read it back through the independent reader with `columns=` (pruned
+    ReadSchema) and `filters=` (per-file min/max stats skipping). The
+    in-query assert pins that the filtered read really scanned FEWER
+    files; the oracle pins that pruning lost nothing.
+
+    100 TB shape: this is the difference between scanning a table and
+    scanning a partition — predicates resolve against log metadata
+    (stats / partitionValues) before any parquet footer is opened, and
+    deleted rows are masked by a bitmap instead of rewriting files."""
+    from lakehouses_spark.tables import LakeTable
+    from lakehouses_spark.tables.delta_log import read_delta
+
+    src = load_table(spark, sf_dir, "lineitem").where(
+        "l_orderkey <= 8000"
+    ).select("l_orderkey", "l_quantity", "l_extendedprice")
+    with tempfile.TemporaryDirectory() as tmp:
+        t = LakeTable.create(
+            spark, f"{tmp}/li", src, partition_by=["l_orderkey"], num_files=8
+        )
+        t.delete("l_quantity >= 45", lazy=True)  # merge-on-read tombstone
+        dest = t.export_delta_log(f"{tmp}/li_delta")
+        pruned = read_delta(
+            spark, dest,
+            columns=["l_orderkey", "l_extendedprice"],
+            filters=[("l_orderkey", "<=", 4000)],
+        )
+        n_all = len(set(read_delta(spark, dest).inputFiles()))
+        n_hit = len(set(pruned.inputFiles()))
+        assert 0 < n_hit < n_all, (
+            f"stats skipping must prune files: {n_hit}/{n_all}"
+        )
+        out = (
+            pruned.groupBy((F.col("l_orderkey") % 7).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            )
+            .orderBy("bucket")
+        )
+        # materialize before the tempdir (and the exported table) disappears
+        return out.localCheckpoint()
+
+
+@query(
     "lake_iceberg_export",
     # deterministic CREATE→DELETE→UPDATE arc replayed relationally; the
     # Spark side must round-trip it through an EXPORTED Iceberg v2 metadata

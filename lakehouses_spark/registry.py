@@ -58,7 +58,7 @@ _SWEEP_PRIORITY = [
     #   2. ALL 42 remaining rows whose latest driver row is round 4 — after
     #      this rotation no registry row is older than round 5.
     # --- 1. new round-8 queries: first driver row ---
-    "sim_ann_drift_recall",
+    "sim_ann_drift_recall", "lake_delta_pruned_read",
     # --- 2. the 42 remaining r4-stale rows ---
     "agg_bool_family", "agg_count_by_key", "agg_cube", "agg_entropy_gini",
     "agg_global_scalars", "agg_grouping_sets", "agg_having_topk",
