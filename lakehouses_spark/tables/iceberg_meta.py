@@ -1154,7 +1154,13 @@ class IcebergMetadataReader:
         self,
         snapshot_id: int | None = None,
         filters: list[tuple] | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
+        """Read the snapshot. ``filters`` prune files via the manifest
+        min/max bounds then apply row-wise; ``columns`` (r8) prunes the
+        parquet ReadSchema to the requested logical columns (filter and
+        equality-delete columns are read internally as needed but not
+        returned)."""
         snap = self._snapshot(snapshot_id)
         # current reads use current-schema-id (metadata-only alters bump the
         # schema without a new snapshot); explicit time travel uses the
@@ -1165,7 +1171,8 @@ class IcebergMetadataReader:
         logical = self.schema(schema_id)
         files = self.plan_files(filters, snapshot_id)
         if not files:
-            return self.spark.createDataFrame([], logical)
+            empty = self.spark.createDataFrame([], logical)
+            return empty.select(*columns) if columns is not None else empty
         mapping = self.name_mapping()
         # physical (in-file) name per top-level field via name mapping
         ice = next(
@@ -1176,10 +1183,35 @@ class IcebergMetadataReader:
         phys = {
             f["name"]: mapping.get(f["id"], f["name"]) for f in ice["fields"]
         }
+        eq_entries = self.equality_delete_entries(snapshot_id)
+        all_names = {f.name for f in logical.fields}
+        for c in list(columns or []) + [c for c, _, _ in (filters or [])]:
+            if c not in all_names:
+                raise IcebergFormatError(f"unknown column {c!r}")
+        need: set[str] | None = None
+        if columns is not None:
+            # filter + equality-delete columns must be READ even when not
+            # returned (the anti-join and residual predicates touch them)
+            id2name_all = {f["id"]: f["name"] for f in ice["fields"]}
+            eq_cols = {
+                id2name_all[i]
+                for e in eq_entries
+                for i in (e["data_file"].get("equality_ids") or [])
+                if i in id2name_all
+            }
+            need = set(columns) | {c for c, _, _ in (filters or [])} | eq_cols
+        read_fields = [
+            f for f in logical.fields if need is None or f.name in need
+        ]
+        out_names = (
+            [f.name for f in logical.fields if f.name in set(columns)]
+            if columns is not None
+            else [f.name for f in logical.fields]
+        )
         phys_schema = T.StructType(
             [
                 T.StructField(phys[f.name], f.dataType, f.nullable)
-                for f in logical.fields
+                for f in read_fields
             ]
         )
         paths = [str(self._local_data(df_["file_path"])) for df_ in files]
@@ -1216,7 +1248,6 @@ class IcebergMetadataReader:
                 )
                 .join(F.broadcast(dmapped), ["__if_fp", "__if_ri"], "left_anti")
             )
-        eq_entries = self.equality_delete_entries(snapshot_id)
         if eq_entries:
             # v2 equality deletes: each delete file holds VALUE tuples for
             # the columns named by equality_ids; a data row is deleted when
@@ -1258,7 +1289,7 @@ class IcebergMetadataReader:
                     cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
                 df = df.join(F.broadcast(del_rows), cond, "left_anti")
         out = df.select(
-            *[F.col(phys[f.name]).alias(f.name) for f in logical.fields]
+            *[F.col(phys[f.name]).alias(f.name) for f in read_fields]
         )
         # residual row-level filter on top of the file-level prune
         ops = {
@@ -1270,7 +1301,7 @@ class IcebergMetadataReader:
                 {"==": c == v, "<": c < v, "<=": c <= v,
                  ">": c > v, ">=": c >= v}[ops[op]]
             )
-        return out
+        return out.select(*out_names)
 
     def _local_data(self, uri: str) -> Path:
         loc = self.meta["location"].rstrip("/")

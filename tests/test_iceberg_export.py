@@ -473,6 +473,28 @@ def test_convert_from_iceberg_roundtrip(spark, tmp_path):
         LakeTable.convert_from_iceberg(spark, dest)
 
 
+def test_to_df_column_pruning(spark, tmp_path):
+    """r8 parity with the Delta reader: columns= shrinks the ReadSchema to
+    the requested logical columns (filter columns read but not returned),
+    values identical to the unpruned read."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df,
+                         partition_by=["k"], num_files=4)
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    got = r.to_df(filters=[("k", "<=", 10)], columns=["status"])
+    assert got.columns == ["status"]
+    assert sorted(x.status for x in got.collect()) == sorted(
+        x.status for x in t.read().where(F.col("k") <= 10).collect()
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "price" not in plan.split("ReadSchema")[-1]
+    from lakehouses_spark.tables.iceberg_meta import IcebergFormatError
+
+    with pytest.raises(IcebergFormatError, match="unknown column"):
+        r.to_df(columns=["nope"])
+
+
 def test_convert_from_iceberg_carries_bounds_as_stats(spark, tmp_path):
     """r8: manifest lower/upper bounds decode into LakeTable min/max stats
     (keyed by PHYSICAL name), so stats-based file skipping works on the
