@@ -304,9 +304,12 @@ class LakeTable:
         table's live data files into a fresh LakeTable log IN PLACE (no data
         rewrite) — the reverse direction of `export_iceberg_metadata`.
         Schema, the name-mapping-derived column mapping, per-file record
-        counts/sizes, and user properties carry over. Fails loudly on
-        row-level delete files (the reader's check) and on data files
-        outside the table root (adoption needs co-located files)."""
+        counts/sizes, manifest min/max bounds (as skipping stats), and user
+        properties carry over. Files named by POSITION-delete files are
+        MATERIALIZED (rewritten minus their deleted row ordinals — adopting
+        them raw would resurrect rows); equality deletes (value predicates)
+        still fail loudly, as do data files outside the table root
+        (adoption needs co-located files)."""
         from lakehouses_spark.tables.iceberg_meta import IcebergMetadataReader
 
         path = Path(path)
@@ -314,13 +317,25 @@ class LakeTable:
             raise FileExistsError(f"already a lake table: {path}")
         r = IcebergMetadataReader(spark, path)
         files = r.live_files()
-        if r.position_delete_files() or r.equality_delete_entries():
+        if r.equality_delete_entries():
             raise ValueError(
-                "table carries row-level delete files; adopting the raw data "
-                "files would resurrect deleted rows — adopt via "
-                "LakeTable.create over read_iceberg() instead (it applies "
-                "the deletes)"
+                "table carries equality-delete files (value predicates); "
+                "adopting the raw data files would resurrect deleted rows — "
+                "adopt via LakeTable.create over read_iceberg() instead "
+                "(it applies the deletes)"
             )
+        # position deletes are MATERIALIZED (r8, mirroring the
+        # convert_from_delta DV path): the named files are rewritten minus
+        # their deleted row ordinals; untouched files still adopt raw
+        pos_deleted: dict[str, list[int]] = {}
+        pdels = r.position_delete_files()
+        if pdels:
+            del_df = spark.read.schema("file_path string, pos bigint").parquet(
+                *[str(r._local_data(d["file_path"])) for d in pdels]
+            )
+            for row in del_df.collect():  # bounded by the deleted-row count
+                ap = str(r._local_data(row.file_path).resolve())
+                pos_deleted.setdefault(ap, []).append(row.pos)
         logical = r.schema()
         nm = r.name_mapping()
         ice = next(
@@ -357,6 +372,7 @@ class LakeTable:
             return out
 
         adds = []
+        to_materialize: list[str] = []
         for f in sorted(files, key=lambda x: x["file_path"]):
             uri = f["file_path"]
             if not uri.startswith(loc):
@@ -364,6 +380,10 @@ class LakeTable:
                     f"data file outside the table root ({uri!r}); adopt via "
                     "LakeTable.create over read_iceberg() instead"
                 )
+            ap = str(r._local_data(uri).resolve())
+            if ap in pos_deleted:
+                to_materialize.append(ap)
+                continue
             lows = _bounds(f.get("lower_bounds"))
             highs = _bounds(f.get("upper_bounds"))
             adds.append(
@@ -378,6 +398,52 @@ class LakeTable:
                     },
                 }
             )
+        if to_materialize:
+            import uuid as _uuid
+
+            from lakehouses_spark.tables.delta_log import fs_path_col
+
+            phys_fields = [
+                StructField(nm.get(f["id"], f["name"]), lf.dataType,
+                            lf.nullable)
+                for f, lf in zip(ice["fields"], logical.fields)
+            ]
+            flt = (
+                spark.read.schema(StructType(phys_fields))
+                .parquet(*to_materialize)
+                .withColumns(
+                    {"__fp": fs_path_col(),
+                     "__ri": F.col("_metadata.row_index")}
+                )
+                .join(
+                    F.broadcast(spark.createDataFrame(
+                        [(ap, i) for ap, idxs in pos_deleted.items()
+                         for i in idxs],
+                        "__fp string, __ri bigint",
+                    )),
+                    ["__fp", "__ri"],
+                    "left_anti",
+                )
+                .drop("__fp", "__ri")
+            )
+            out_dir = path / "data" / f"posdel-materialized-{_uuid.uuid4().hex}"
+            flt.write.parquet(str(out_dir))
+            counts = {
+                _strip_scheme(row.fp): row.n
+                for row in spark.read.parquet(str(out_dir))
+                .groupBy(F.col("_metadata.file_path").alias("fp"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            for p in sorted(out_dir.glob("part-*.parquet")):
+                adds.append(
+                    {
+                        "path": str(p.relative_to(path)),
+                        "num_records": counts.get(str(p.resolve()), 0),
+                        "size_bytes": p.stat().st_size,
+                        "stats": {},
+                    }
+                )
         props = {
             k: v for k, v in (r.meta.get("properties") or {}).items()
             if k not in ("schema.name-mapping.default", "created-ms")

@@ -304,9 +304,10 @@ def test_position_delete_rows_absent(spark, tmp_path):
     removed = sorted(set(all_rows) - set(got))
     assert len(got) == len(all_rows) - len(deleted)
     assert len(removed) == len(deleted)
-    # in-place adoption must refuse (raw files would resurrect deletions)
-    with pytest.raises(ValueError, match="row-level delete"):
-        LakeTable.convert_from_iceberg(spark, dest)
+    # in-place adoption MATERIALIZES position-deleted files (r8): the
+    # converted table reads exactly the delete-filtered source
+    t2 = LakeTable.convert_from_iceberg(spark, dest)
+    assert sorted(r.k for r in t2.read().collect()) == got
 
 
 def test_distributed_manifest_decode_matches_driver_walk(spark, tmp_path, monkeypatch):
