@@ -284,6 +284,25 @@ def test_dv_export_external_client_proof(spark, tmp_path):
     assert deleted, "tombstone must have produced DV-deleted rows"
 
 
+def test_dv_descriptors_survive_multipart_checkpoint(spark, tmp_path, monkeypatch):
+    """Interaction pin: deletionVector descriptors round-trip through a
+    MULTI-PART checkpoint (checkpoint schema carries the DV struct in every
+    part; reconstruction after JSON cleanup applies the deletes)."""
+    import lakehouses_spark.tables.delta_log as dl
+
+    monkeypatch.setattr(dl, "CHECKPOINT_PART_ACTIONS", 8)
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.delete("k > 30", lazy=True)
+    dest = t.export_delta_log(tmp_path / "delta")
+    log = dest / "_delta_log"
+    assert len(list(log.glob("*.checkpoint.*.*.parquet"))) >= 2
+    want = _sorted_rows(t.read())
+    for v in range(t.version + 1):
+        (log / f"{v:020d}.json").unlink()
+    assert _sorted_rows(read_delta(spark, dest)) == want
+
+
 def test_tombstone_then_materialize_export(spark, tmp_path):
     """After materialize_tombstones() the DV re-adds drop out (files are
     rewritten); the export still replays the tombstone version exactly."""
