@@ -392,7 +392,60 @@ def _write_position_delete_manifest(
     n_rows = _pq.ParquetFile(final).metadata.num_rows
     if n_rows == 0:
         final.unlink()
-        return {"ml_row": None, "targets": set()}
+        return {"ml_row": None, "targets": set(), "dfile": None}
+    _attach_delete_field_ids(final)
+    dfile = {
+        "file_path": f"{location}/data/{name}",
+        "record_count": n_rows,
+        "file_size_in_bytes": final.stat().st_size,
+    }
+    out = _emit_position_delete_manifest(meta_dir, location, dfile, snap_id, seq)
+    out["targets"] = set(targets_rel)
+    return out
+
+
+def _attach_delete_field_ids(final: Path) -> None:
+    """Rewrite a Spark-written position-delete parquet in place, attaching
+    the Iceberg RESERVED field ids the v2 spec assigns to delete-file
+    columns (file_path=2147483546, pos=2147483545). Spec-strict external
+    readers (Spark-Iceberg, pyiceberg) resolve delete-file columns by
+    parquet field id, not by name — without the ids they may silently skip
+    the deletes, resurrecting rows. Streamed row-group-at-a-time, so driver
+    memory stays bounded by one row group regardless of delete count."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    src = _pq.ParquetFile(final)
+    schema = pa.schema(
+        [
+            src.schema_arrow.field("file_path").with_metadata(
+                {b"PARQUET:field_id": b"2147483546"}
+            ),
+            src.schema_arrow.field("pos").with_metadata(
+                {b"PARQUET:field_id": b"2147483545"}
+            ),
+        ]
+    )
+    tmp = final.with_name(final.name + ".fid")
+    with _pq.ParquetWriter(tmp, schema) as w:
+        for batch in src.iter_batches():
+            w.write_batch(pa.RecordBatch.from_arrays(
+                [batch.column("file_path"), batch.column("pos")], schema=schema
+            ))
+    src.close()
+    os.replace(tmp, final)
+
+
+def _emit_position_delete_manifest(
+    meta_dir: Path, location: str, dfile: dict, snap_id: int, seq: int
+) -> dict:
+    """Write the content=1 delete manifest + manifest-list row for one
+    position-delete parquet at the given snapshot/sequence. Split out from
+    the scan so a RESTORE can RELIST an existing delete file at a NEW
+    sequence number (position deletes only apply to data files with
+    sequence number <= the delete's, and restored data files re-enter at
+    the restore snapshot's sequence)."""
+    n_rows = dfile["record_count"]
     entry = {
         "status": _STATUS_ADDED,
         "snapshot_id": snap_id,
@@ -400,11 +453,11 @@ def _write_position_delete_manifest(
         "file_sequence_number": seq,
         "data_file": {
             "content": 1,  # position deletes
-            "file_path": f"{location}/data/{name}",
+            "file_path": dfile["file_path"],
             "file_format": "PARQUET",
             "partition": {},
             "record_count": n_rows,
-            "file_size_in_bytes": final.stat().st_size,
+            "file_size_in_bytes": dfile["file_size_in_bytes"],
             "lower_bounds": None,
             "upper_bounds": None,
             "equality_ids": None,
@@ -437,7 +490,7 @@ def _write_position_delete_manifest(
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
         },
-        "targets": set(targets_rel),
+        "dfile": dict(dfile),
     }
 
 
@@ -610,7 +663,10 @@ def export_iceberg_metadata(
         tomb_keys = {(t["predicate"], t["version"]) for t in active_tombs}
         tomb_changed = tomb_keys != prev_tomb_keys
         for a in adds:
-            add_version[a["path"]] = v
+            # RESTORE/CLONE re-add files under their ORIGINAL add version
+            # (log.py:302 semantics — tombstones only apply to files that
+            # predate them); a plain append's add version is this commit.
+            add_version[a["path"]] = int(a.get("add_version", v))
         if adds or removes or tomb_changed or v == 0:
             seq += 1
             snap_id = v + 1  # deterministic, unique, time-travel friendly
@@ -674,28 +730,52 @@ def export_iceberg_metadata(
             for key in list(del_reg):
                 if key not in tomb_keys:
                     del del_reg[key]  # cleared / restored-away tombstone
-                else:
-                    del_reg[key]["targets"] &= set(live)
+            readded = {a["path"] for a in adds}
             for t in active_tombs:
                 key = (t["predicate"], t["version"])
-                if key in del_reg:
-                    continue
-                targets = sorted(
+                # the FULL eligible set (never shrunk in the registry —
+                # targets that die and are later RESTOREd must re-apply)
+                eligible = {
                     rel for rel in live
                     if add_version.get(rel, 0) < t["version"]
-                )
-                del_reg[key] = (
-                    _write_position_delete_manifest(
-                        table.spark, table.path, dest, location, meta_dir,
-                        spark_schema, running_mapping, t["predicate"],
-                        targets, mapped_rel, snap_id, seq,
+                }
+                rec = del_reg.get(key)
+                if rec is None or (eligible - rec["targets"]):
+                    # first sight, or RESTORE/CLONE surfaced pre-tombstone
+                    # files the existing delete file never scanned: rescan
+                    # the full eligible set at THIS snapshot's sequence
+                    new = (
+                        _write_position_delete_manifest(
+                            table.spark, table.path, dest, location,
+                            meta_dir, spark_schema, running_mapping,
+                            t["predicate"], sorted(eligible), mapped_rel,
+                            snap_id, seq,
+                        )
+                        if eligible
+                        else {"ml_row": None, "targets": set(), "dfile": None}
                     )
-                    if targets
-                    else {"ml_row": None, "targets": set()}
-                )
+                    # remember the full EVALUATED set even when the
+                    # predicate matched no rows, so re-adds of already-
+                    # evaluated files don't trigger useless rescans
+                    new["targets"] = set(eligible)
+                    del_reg[key] = new
+                elif rec.get("dfile") and (eligible & readded):
+                    # a previously-evaluated target was RESTOREd after all
+                    # its peers were removed (or alongside them): the
+                    # delete parquet still covers it byte-for-byte, but
+                    # spec-strict readers only apply a position delete to
+                    # data files with sequence number <= the delete's, and
+                    # the restored file re-enters at THIS sequence — relist
+                    # the SAME delete file at the new sequence number.
+                    del_reg[key] = {
+                        **rec,
+                        **_emit_position_delete_manifest(
+                            meta_dir, location, rec["dfile"], snap_id, seq
+                        ),
+                    }
             ml_rows = [m["ml_row"] for m in manifests] + [
                 e["ml_row"] for e in del_reg.values()
-                if e["ml_row"] is not None and e["targets"]
+                if e["ml_row"] is not None and (e["targets"] & set(live))
             ]
             ml_name = f"snap-{snap_id}-1-{uuid.uuid4()}.avro"
             (meta_dir / ml_name).write_bytes(
@@ -989,36 +1069,67 @@ class IcebergMetadataReader:
         with anyway."""
         _, ml_rows = read_ocf_bytes(self._local(snapshot["manifest-list"]).read_bytes())
         if len(ml_rows) > DISTRIBUTED_MANIFEST_THRESHOLD:
-            jobs = [
-                (str(self._local(m["manifest_path"])),
-                 int(m.get("content", 0) or 0))
+            jobs = {
+                str(self._local(m["manifest_path"])):
+                    int(m.get("content", 0) or 0)
                 for m in ml_rows
-            ]
-
-            def _decode(job):
-                from lakehouses_spark.functions.avro_py import read_ocf_bytes as _d
-
-                path, content = job
-                with open(path, "rb") as fh:
-                    _, rows = _d(fh.read())
-                return [(content, r) for r in rows]
-
-            decoded = (
-                self.spark.sparkContext
-                .parallelize(jobs, min(len(jobs), 64))
-                .flatMap(_decode)
-                .collect()
-            )
-            return (
-                [r for c, r in decoded if c != 1],
-                [r for c, r in decoded if c == 1],
-            )
+            }
+            decoded = self._decode_manifests_distributed(jobs)
+            if decoded is not None:
+                return (
+                    [r for c, r in decoded if c != 1],
+                    [r for c, r in decoded if c == 1],
+                )
+            # else: by-value shipping unavailable — sequential fallback
         data_entries: list[dict] = []
         delete_entries: list[dict] = []
         for m in ml_rows:
             _, rows = read_ocf_bytes(self._local(m["manifest_path"]).read_bytes())
             (delete_entries if m.get("content", 0) == 1 else data_entries).extend(rows)
         return data_entries, delete_entries
+
+    def _decode_manifests_distributed(
+        self, jobs: dict[str, int]
+    ) -> list[tuple[int, dict]] | None:
+        """Fan the per-manifest OCF decode out to executors — valid on a
+        REAL multi-node cluster, not just local mode, which needs two
+        things the naive closure gets wrong: (1) manifest bytes are read
+        via ``sc.binaryFiles`` (Hadoop FileSystem — any scheme the cluster
+        reads: s3a/abfss/hdfs/file), not a driver-local ``open()`` on the
+        executor; (2) the OCF decoder ships BY VALUE (cloudpickle module
+        registration, same pattern as stream_source.py:201) so executors
+        don't need lakehouses_spark on their PYTHONPATH. Returns None when
+        by-value registration is unavailable — the caller falls back to
+        the sequential driver-side walk."""
+        try:
+            from pyspark import cloudpickle
+
+            from lakehouses_spark.functions import avro_py as _avro_mod
+
+            cloudpickle.register_pickle_by_value(_avro_mod)
+        except Exception:
+            return None
+        from urllib.parse import unquote, urlparse
+
+        from lakehouses_spark.functions.avro_py import read_ocf_bytes as _decode
+
+        content_by_name = {Path(p).name: c for p, c in jobs.items()}
+        if len(content_by_name) != len(jobs):  # uuid names never collide
+            return None
+
+        def _per_file(kv):
+            uri, payload = kv
+            name = unquote(urlparse(uri).path).rsplit("/", 1)[-1]
+            _, rows = _decode(bytes(payload))
+            return [(name, r) for r in rows]
+
+        decoded = (
+            self.spark.sparkContext
+            .binaryFiles(",".join(jobs), minPartitions=min(len(jobs), 64))
+            .flatMap(_per_file)
+            .collect()
+        )
+        return [(content_by_name[n], r) for n, r in decoded]
 
     def _live_data_entries(self, snapshot_id: int | None = None) -> list[dict]:
         snap = self._snapshot(snapshot_id)

@@ -592,3 +592,72 @@ def test_bounds_exported_and_plan_files_prunes(spark, tmp_path):
     # equality outside every file's range plans zero files
     assert r.plan_files([("k", ">", 100000)]) == []
     assert r.to_df(filters=[("k", ">", 100000)]).count() == 0
+
+
+def test_restore_readd_under_tombstone_relists_position_deletes(spark, tmp_path):
+    """ADVICE r8 (high): the Iceberg replay (a) must honor RESTORE/CLONE
+    add_version overrides and (b) must NOT permanently shrink a delete
+    manifest's target set — when every target dies (copy-on-write rewrite)
+    and one is later RESTOREd, the position deletes must come back, and at
+    a sequence number >= the restored data file's (spec: a position delete
+    applies only to data files with data seq <= delete seq)."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)    # v0: file A
+    t.delete("k > 30", lazy=True)                         # v1: tombstone @1
+    t.update({"price": "price + 1"}, where="k < 1000")    # v2: A -> A' (target dead)
+    t.restore(1)                                          # v3: re-adds A, same tombstones
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    got = read_iceberg(spark, dest).collect()
+    assert _sorted_rows(read_iceberg(spark, dest)) == _sorted_rows(t.read())
+    assert got and all(row.k <= 30 for row in got)
+    dels = r.position_delete_files()
+    assert dels, "restored tombstone target must relist its delete file"
+    # spec-strict sequencing: the relisted delete's sequence number covers
+    # the restored data file's sequence
+    del_seq = max(int(e.get("sequence_number") or 0)
+                  for e in r._live_delete_entries())
+    data_seq = max(int(e.get("sequence_number") or 0)
+                   for e in r._live_data_entries())
+    assert del_seq >= data_seq
+
+
+def test_clone_with_tombstones_exports_correct_delete_targets(spark, tmp_path):
+    """ADVICE r8 (high, clone half): a CLONE's v0 adds carry add_version
+    overrides — files POST-dating a cloned tombstone must not be targeted
+    by its position deletes (previously all clone adds got add_version 0,
+    over-deleting appended rows)."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    src = LakeTable.create(spark, tmp_path / "src", df)   # v0: file A
+    src.delete("k > 30", lazy=True)                       # v1: tombstone @1
+    src.append(spark.createDataFrame(
+        [{"k": 999, "status": "Z", "price": 1.0}],
+        "k long, status string, price double"))           # v2: file B post-dates it
+    clone = src.clone(tmp_path / "clone", shallow=False)
+    dest = clone.export_iceberg_metadata(tmp_path / "ice")
+    got = read_iceberg(spark, dest).collect()
+    assert _sorted_rows(read_iceberg(spark, dest)) == _sorted_rows(src.read())
+    assert any(row.k == 999 for row in got), "post-tombstone row over-deleted"
+    assert all(row.k <= 30 or row.k == 999 for row in got)
+
+
+def test_position_delete_parquet_carries_reserved_field_ids(spark, tmp_path):
+    """ADVICE r8 (medium): spec-strict external readers resolve delete-file
+    columns by the RESERVED parquet field ids (file_path=2147483546,
+    pos=2147483545), not by name — the exported position-delete parquet
+    must carry them in its schema metadata."""
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.delete("k > 30", lazy=True)
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    dels = r.position_delete_files()
+    assert dels
+    for d in dels:
+        sch = pq.ParquetFile(r._local_data(d["file_path"])).schema_arrow
+        fid = {f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+               for f in sch}
+        assert fid["file_path"] == b"2147483546"
+        assert fid["pos"] == b"2147483545"
