@@ -1200,6 +1200,60 @@ ANN_DRIFT_TWINS = 25
 # as triggers: neither is monotone under drift (a saturated cell spills
 # into a neighbor; a far-drifted batch probes cells holding little else).
 ANN_RECLUSTER_CONC = 0.35
+# r9 (VERDICT r8 #5, measured by tools/scaling_probe.py
+# probe_pq_codebook_drift): when the coarse recluster trigger fires,
+# retrain the PQ codebooks too. Under the same cone-drift ladder the
+# STALE codebooks' calibrated screen margin degrades (the sample-tail
+# quantization error grows as drifted vectors leave the trained subspace
+# span), which widens the code-only screen and erodes either recall or
+# screen selectivity; retraining alongside the (already-scheduled)
+# recluster restores both at no extra trigger cost. See SCALING.md
+# "PQ codebook drift" for the stale-vs-retrained numbers.
+PQ_RETRAIN_ON_RECLUSTER = True
+
+
+def ann_drift_batch(spark: SparkSession, sf_dir: str, b: int) -> DataFrame:
+    """One deterministic cone-drift batch (shared by sim_ann_drift_recall
+    and the PQ-codebook drift probe): batch b shifts its vectors along a
+    cone around basis dim 0 with per-vector magnitude 0.8–2.6 scaled by
+    (0.5 + 0.5·b) and a per-vector auxiliary direction from dims 1–8 —
+    distribution drift with internal diversity, not a point mass."""
+    import math
+
+    unorm = math.sqrt(1.0 + 0.7 ** 2)
+    base = _emb_double(load_table(spark, sf_dir, "embeddings")).where(
+        F.col("vec_id") % 4 == b
+    )
+    i = F.col("vec_id")
+    s = (F.lit(0.8) + (i % 5).cast("double") * F.lit(0.45)) * F.lit(
+        0.5 + 0.5 * b
+    )
+    aux = (F.lit(1) + (i % 8)).cast("int")
+    v = F.transform(
+        "embedding",
+        lambda x, j: x
+        + F.when(j == F.lit(0), s / F.lit(unorm)).otherwise(F.lit(0.0))
+        + F.when(j == aux, s * F.lit(0.7 / unorm)).otherwise(F.lit(0.0)),
+    )
+    drifted = base.select(i.alias("orig_id"), v.alias("embedding"))
+    return _emb_unit(drifted).select(
+        (F.col("orig_id") + ANN_DRIFT_ID_OFFSET * b).alias("vec_id"),
+        "orig_id",
+        F.col("unit").alias("embedding"),
+    )
+
+
+def ann_drift_twin_queries(batch: DataFrame) -> DataFrame:
+    """Twin queries for a drift batch (standard recall-exact construction:
+    component 0 + TWIN_DELTA of the first ANN_DRIFT_TWINS members)."""
+    t = batch.where(F.col("orig_id") < 4 * ANN_DRIFT_TWINS).select(
+        (F.col("vec_id") + ANN_DRIFT_QUERY_OFFSET).alias("qid"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(TWIN_DELTA)),
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        ).alias("embedding"),
+    )
+    return _emb_unit(t).select("qid", F.col("unit").alias("embedding"))
 
 
 @query("sim_ann_drift_recall")  # rows-only BY DESIGN — self-checking: the
@@ -1242,39 +1296,11 @@ def sim_ann_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("unit").alias("embedding")
     ).localCheckpoint()
     cent0 = _ivf_train(corpus, IVF_CELLS).localCheckpoint()
-    unorm = math.sqrt(1.0 + 0.7 ** 2)
 
     def drift_batch(b: int) -> DataFrame:
-        base = _emb_double(load_table(spark, sf_dir, "embeddings")).where(
-            F.col("vec_id") % 4 == b
-        )
-        i = F.col("vec_id")
-        s = (F.lit(0.8) + (i % 5).cast("double") * F.lit(0.45)) * F.lit(
-            0.5 + 0.5 * b
-        )
-        aux = (F.lit(1) + (i % 8)).cast("int")
-        v = F.transform(
-            "embedding",
-            lambda x, j: x
-            + F.when(j == F.lit(0), s / F.lit(unorm)).otherwise(F.lit(0.0))
-            + F.when(j == aux, s * F.lit(0.7 / unorm)).otherwise(F.lit(0.0)),
-        )
-        drifted = base.select(i.alias("orig_id"), v.alias("embedding"))
-        return _emb_unit(drifted).select(
-            (F.col("orig_id") + ANN_DRIFT_ID_OFFSET * b).alias("vec_id"),
-            "orig_id",
-            F.col("unit").alias("embedding"),
-        )
+        return ann_drift_batch(spark, sf_dir, b)
 
-    def twin_queries(batch: DataFrame) -> DataFrame:
-        t = batch.where(F.col("orig_id") < 4 * ANN_DRIFT_TWINS).select(
-            (F.col("vec_id") + ANN_DRIFT_QUERY_OFFSET).alias("qid"),
-            F.concat(
-                F.array(F.element_at("embedding", 1) + F.lit(TWIN_DELTA)),
-                F.expr("slice(embedding, 2, size(embedding) - 1)"),
-            ).alias("embedding"),
-        )
-        return _emb_unit(t).select("qid", F.col("unit").alias("embedding"))
+    twin_queries = ann_drift_twin_queries
 
     def measure(index: DataFrame, cents: DataFrame,
                 queries: DataFrame) -> dict:

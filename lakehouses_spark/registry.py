@@ -53,27 +53,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # emitted FIRST, so the hard signal lands on them; everything already
 # driver-verified in round 1 follows in registration order.
 _SWEEP_PRIORITY = [
-    # Round-8 rotation (VERDICT r7 #6), sized to the 50-entry budget:
-    #   1. new round-8 queries — FIRST driver row,
-    #   2. ALL 42 remaining rows whose latest driver row is round 4 — after
-    #      this rotation no registry row is older than round 5.
-    # --- 1. new round-8 queries: first driver row ---
-    "sim_ann_drift_recall", "lake_delta_pruned_read",
-    # --- 2. the 42 remaining r4-stale rows ---
-    "agg_bool_family", "agg_count_by_key", "agg_cube", "agg_entropy_gini",
-    "agg_global_scalars", "agg_grouping_sets", "agg_having_topk",
-    "agg_percentiles", "agg_rollup", "agg_skew_kurtosis", "agg_string_agg",
-    "agg_sum_all_numeric", "agg_weighted_median", "dedup_clusters",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_ngram_jaccard",
-    "fn_conv_family", "fn_encode_family", "fn_hash_family",
-    "fn_levenshtein_family", "fn_url_family", "join_anti",
-    "join_broadcast_dims", "join_count_distribution", "pack_sequences",
-    "q12_priority_split", "set_except_intersect_all", "sim_knn_batch",
-    "subquery_correlated_min", "subquery_exists",
-    "subquery_exists_not_exists", "subquery_in_having",
-    "subquery_not_exists_avg", "subquery_scalar", "text_repetition_filter",
-    "ts_seasonal_decompose", "udaf_weighted_avg", "udtf_tokenize",
-    "window_nth_value", "window_range_frame", "window_zscore",
+    # Round-9 rotation (VERDICT r8 #3), sized to the 50-entry budget:
+    #   1. new round-9 queries — FIRST driver row,
+    #   2. ALL 44 rows whose latest driver row is round 6 — after this
+    #      rotation no registry row is older than round 7.
+    # --- 1. new round-9 queries: first driver row ---
+    "lake_cdf_read",
+    # --- 2. the 44 r6-stale rows ---
+    "curation_keeplist", "dedup_minhash_lsh", "dedup_simhash",
+    "fn_array_family", "fn_cast_family", "fn_date_family", "fn_json_family",
+    "fn_map_family", "fn_math_conditional", "fn_string_family",
+    "fn_struct_expand", "join_bloom_prefilter", "join_bucketed_colocated",
+    "join_full_outer", "join_inner_agg", "join_left_outer", "join_semi",
+    "lake_delta_log_export", "lake_scd2_build", "lateral_tokens_posexplode",
+    "multimodal_image_pipeline", "multimodal_metadata",
+    "pivot_status_by_priority", "q2_best_supplier", "q4_priority_check",
+    "sim_ann_incremental", "sim_ann_ivf", "sim_centroids",
+    "sim_pairs_threshold", "sim_range_search", "text_bigram_topk",
+    "text_bpe_token_count", "text_fingerprint", "text_langid",
+    "text_quality_score", "text_token_stats", "ts_asof_nearest",
+    "ts_daily_rollup", "ts_funnel", "ts_range_join", "ts_retention_cohorts",
+    "ts_sliding_window", "ts_tumbling_window", "unpivot_measures",
 ]
 
 # Queries registered after the current round's 50-entry sweep budget

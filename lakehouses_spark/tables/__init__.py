@@ -22,6 +22,7 @@ same semantics are implemented Spark-natively:
 """
 
 from lakehouses_spark.tables.table import (  # noqa: F401
+    ChangeDataUnavailableError,
     ConcurrentWriteError,
     ConstraintViolationError,
     LakeTable,

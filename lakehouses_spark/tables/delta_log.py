@@ -128,11 +128,15 @@ def export_delta_log(
         or c.get("set_tombstones") is not None
         for c in commits
     )
+    any_cdf = any(c.get("cdc") is not None for c in commits)
     reader_v, writer_v = _BASE_PROTOCOL
     if any_constraints:
         reader_v, writer_v = _CONSTRAINTS_PROTOCOL
     if any_mapping:
         reader_v, writer_v = _COLUMN_MAPPING_PROTOCOL
+    if any_cdf:
+        # legacy writer version 4 = change data feed (PROTOCOL.md)
+        writer_v = max(writer_v, 4)
     protocol_action: dict[str, Any] = {}
     if any_tombstones:
         # deletion vectors are a TABLE FEATURE: protocol (3, 7) with every
@@ -142,7 +146,7 @@ def export_delta_log(
         )
         writer_feats = list(reader_feats) + (
             ["checkConstraints"] if any_constraints else []
-        )
+        ) + (["changeDataFeed"] if any_cdf else [])
         reader_v, writer_v = 3, 7
         protocol_action = {
             "readerFeatures": sorted(reader_feats),
@@ -175,6 +179,8 @@ def export_delta_log(
             mapped_path(rel)
         for add in c.get("add", []):
             mapped_path(add["path"])
+        for ch in c.get("cdc") or []:
+            mapped_path(ch["path"])
     missing = sorted(
         rel for rel in path_map if not (table.path / rel).resolve().exists()
     )
@@ -347,6 +353,18 @@ def export_delta_log(
             }
             final_adds[delta_add["path"]] = delta_add
             actions.append({"add": delta_add})
+        # Change Data Feed files → native `cdc` actions (PROTOCOL.md "Add
+        # CDC File"); readers substitute them for this commit's add/remove
+        # pair when computing table_changes
+        for ch in c.get("cdc") or []:
+            actions.append({
+                "cdc": {
+                    "path": quote(mapped_path(ch["path"])),
+                    "partitionValues": {},
+                    "size": ch.get("size_bytes") or 0,
+                    "dataChange": False,
+                }
+            })
         for rel in c.get("remove", []):
             live_rels.discard(rel)
             emitted_dv.pop(rel, None)
@@ -791,6 +809,31 @@ PRUNED_REPLAY_FILE_THRESHOLD = 50_000
 # checkpoints with more actions than this are written as classic
 # multi-part sets (<v>.checkpoint.<k>.<n>.parquet) like real Delta writers
 CHECKPOINT_PART_ACTIONS = 50_000
+# above this many TOTAL BYTES of commit JSON in a replay tail, the
+# add/remove reconciliation moves to a DataFrame (last-add-wins window +
+# remove anti-join) instead of a Python loop over every action — a
+# pathological log (100k small commits, no checkpoint) otherwise bypasses
+# the pruned-checkpoint path entirely. Bytes, not actions: counting
+# actions first would require reading everything in Python, the exact
+# thing being avoided (~8 MiB ≈ the same 50k-action scale).
+JSON_TAIL_DATAFRAME_BYTES = 8 * 2**20
+
+# explicit action schema for the DataFrame JSON-tail replay (inference
+# over 100k files would itself be a full extra pass)
+_COMMIT_JSON_SCHEMA = (
+    "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
+    "modificationTime:bigint,dataChange:boolean,stats:string,"
+    "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+    "offset:int,sizeInBytes:int,cardinality:bigint>>,"
+    "remove struct<path:string>,"
+    "metaData struct<id:string,name:string,description:string,"
+    "format:struct<provider:string,options:map<string,string>>,"
+    "schemaString:string,partitionColumns:array<string>,"
+    "configuration:map<string,string>,createdTime:bigint>,"
+    "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+    "readerFeatures:array<string>,writerFeatures:array<string>>,"
+    "txn struct<appId:string,version:bigint,lastUpdated:bigint>"
+)
 
 
 class DeltaLogReader:
@@ -803,10 +846,11 @@ class DeltaLogReader:
         self.log = self.path / DELTA_LOG_DIR
         if not self.log.is_dir():
             raise FileNotFoundError(f"not a delta table (no {DELTA_LOG_DIR}): {path}")
-        # pruned-replay provenance: marker key -> checkpoint parquet paths,
-        # so to_df(filters=) can lazily re-project min/max bounds for just
-        # the filter columns (stats strings otherwise never reach Python)
-        self._pruned_stats_sources: dict[str, list[str]] = {}
+        # pruned-replay provenance: marker key -> {"format", "paths"} of the
+        # checkpoint parquet / commit-JSON source, so to_df(filters=) can
+        # lazily re-project min/max bounds for just the filter columns
+        # (stats strings otherwise never reach Python)
+        self._pruned_stats_sources: dict[str, dict] = {}
 
     # -- log plumbing ---------------------------------------------------- #
     def versions(self) -> list[int]:
@@ -884,7 +928,9 @@ class DeltaLogReader:
         )
         if n_adds > PRUNED_REPLAY_FILE_THRESHOLD:
             src_key = uuid.uuid4().hex
-            self._pruned_stats_sources[src_key] = [str(p) for p in paths]
+            self._pruned_stats_sources[src_key] = {
+                "format": "parquet", "paths": [str(p) for p in paths],
+            }
             return self._pruned_parquet_actions(df, src_key)
         rows = df.collect()
         actions: list[dict] = []
@@ -956,10 +1002,39 @@ class DeltaLogReader:
         ])
         out: dict[str, dict] = {}
         for key in sorted(src_keys):
-            paths = self._pruned_stats_sources.get(key)
-            if not paths:
+            src = self._pruned_stats_sources.get(key)
+            if not src:
                 continue
-            df = self.spark.read.parquet(*paths)
+            paths = src["paths"]
+            if src["format"] == "json":
+                # a commit tail may re-add one path in several commits
+                # (RESTORE / DV re-adds) — keep the LATEST commit's stats
+                from pyspark.sql.window import Window
+
+                df = (
+                    self.spark.read.schema(
+                        "add struct<path:string,stats:string>"
+                    )
+                    .json(paths)
+                    .where(F.col("add").isNotNull())
+                    .withColumn(
+                        "__v",
+                        F.regexp_extract(
+                            F.col("_metadata.file_path"),
+                            r"(\d{20})\.json$", 1,
+                        ).cast("long"),
+                    )
+                    .withColumn(
+                        "__rn",
+                        F.row_number().over(
+                            Window.partitionBy("add.path")
+                            .orderBy(F.col("__v").desc())
+                        ),
+                    )
+                    .where(F.col("__rn") == 1)
+                )
+            else:
+                df = self.spark.read.parquet(*paths)
             if "add" not in df.columns:
                 continue
             add_fields = {f.name for f in df.schema["add"].dataType.fields}
@@ -976,7 +1051,9 @@ class DeltaLogReader:
             for r in it:
                 d = r.asDict(recursive=True)
                 s = d["s"] or {}
-                out[d["p"]] = {
+                # files dicts are keyed by the DECODED path (apply()
+                # unquotes action paths once at replay)
+                out[unquote(d["p"])] = {
                     "minValues": {
                         k: v for k, v in (s.get("minValues") or {}).items()
                         if v is not None
@@ -1108,13 +1185,120 @@ class DeltaLogReader:
 
         for action in base_actions:
             apply(action)
-        for v in range(start, version + 1):
-            for action in self._commit_actions(v):
-                apply(action)
+        tail_paths = [self.log / f"{v:020d}.json" for v in range(start, version + 1)]
+        tail_bytes = sum(p.stat().st_size for p in tail_paths)
+        if tail_paths and tail_bytes > JSON_TAIL_DATAFRAME_BYTES:
+            self._apply_json_tail_dataframe(tail_paths, files, apply)
+        else:
+            for v in range(start, version + 1):
+                for action in self._commit_actions(v):
+                    apply(action)
         self._check_protocol(protocol)
         if not metadata:
             raise DeltaProtocolError(f"no metaData action found up to version {version}")
         return DeltaSnapshot(version, files, metadata, protocol, txns)
+
+    def _apply_json_tail_dataframe(
+        self, paths: list[Path], files: dict[str, dict], apply
+    ) -> None:
+        """Directive r8 #6: reconcile a LARGE commit-JSON tail as a
+        DataFrame instead of a Python loop over every action. Per path the
+        LAST action wins (last-add-wins window vs latest-remove anti-join;
+        within one commit an add beats a remove of the same path — the
+        remove refers to the previous incarnation, the Delta DV-update /
+        RESTORE pattern). Stats strings stay JVM-side exactly like the
+        pruned checkpoint replay (numRecords extracted, min/max bounds
+        re-projected lazily by `_lazy_minmax` when to_df filters need
+        them). Non-file actions (metaData/protocol/txn) are O(1) per
+        commit and collect in version order through the normal `apply`.
+
+        Within-commit duplicate ADDS of one path (this exporter's
+        restore-under-tombstone pattern: plain add, then the DV re-add)
+        tie-break by deletionVector presence — the only duplicate-add
+        shape a conforming writer emits."""
+        from pyspark.sql.window import Window
+
+        src_key = uuid.uuid4().hex
+        self._pruned_stats_sources[src_key] = {
+            "format": "json", "paths": [str(p) for p in paths],
+        }
+        df = (
+            self.spark.read.schema(_COMMIT_JSON_SCHEMA)
+            .json([str(p) for p in paths])
+            .withColumn(
+                "__v",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), r"(\d{20})\.json$", 1
+                ).cast("long"),
+            )
+        )
+        # non-file actions, replayed in commit order
+        for r in (
+            df.where(
+                F.col("metaData").isNotNull()
+                | F.col("protocol").isNotNull()
+                | F.col("txn").isNotNull()
+            )
+            .select("__v", "metaData", "protocol", "txn")
+            .orderBy("__v")
+            .collect()
+        ):
+            d = r.asDict(recursive=True)
+            for kind in ("protocol", "metaData", "txn"):
+                if d.get(kind) is not None:
+                    apply({kind: {
+                        k: v for k, v in d[kind].items() if v is not None
+                    }})
+        adds = df.where(F.col("add").isNotNull()).select(
+            F.col("add.path").alias("p"),
+            F.col("add.partitionValues").alias("partitionValues"),
+            F.col("add.size").alias("size"),
+            F.col("add.modificationTime").alias("modificationTime"),
+            F.col("add.dataChange").alias("dataChange"),
+            F.col("add.deletionVector").alias("deletionVector"),
+            F.get_json_object(F.col("add.stats"), "$.numRecords")
+            .cast("long").alias("__nr"),
+            "__v",
+        )
+        w = Window.partitionBy("p").orderBy(
+            F.col("__v").desc(), F.col("deletionVector").isNotNull().desc()
+        )
+        last_add = (
+            adds.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        last_rem = (
+            df.where(F.col("remove").isNotNull())
+            .groupBy(F.col("remove.path").alias("p"))
+            .agg(F.max("__v").alias("__rv"))
+        )
+        joined = last_add.join(last_rem, "p", "full_outer")
+        # net removes: never re-added, or removed after the last add
+        for r in (
+            joined.where(
+                F.col("__v").isNull() | (F.col("__rv") > F.col("__v"))
+            )
+            .select("p").toLocalIterator()
+        ):
+            files.pop(unquote(r["p"]), None)
+        # net adds (narrow, stats pruned — same shape as the pruned
+        # checkpoint replay)
+        for r in (
+            joined.where(
+                F.col("__v").isNotNull()
+                & (F.col("__rv").isNull() | (F.col("__v") >= F.col("__rv")))
+            )
+            .drop("__v", "__rv").toLocalIterator()
+        ):
+            d = r.asDict(recursive=True)
+            nr = d.pop("__nr", None)
+            d = {k: v for k, v in d.items() if v is not None}
+            d["path"] = unquote(d.pop("p"))
+            if nr is not None:
+                d["stats"] = json.dumps({"numRecords": int(nr)})
+            d["__statsPruned"] = src_key
+            files[d["path"]] = d
 
     @staticmethod
     def _check_protocol(protocol: dict) -> None:

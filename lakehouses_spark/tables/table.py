@@ -27,18 +27,30 @@ from __future__ import annotations
 
 import json
 import re
+import uuid
 from pathlib import Path
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from lakehouses_spark.tables import log as txlog
 from lakehouses_spark.tables.log import ConcurrentWriteError  # noqa: F401  (re-export)
 
 MAX_STAT_COLS = 8
 CHECKPOINT_INTERVAL = 10
+# Change Data Feed (Delta's delta.enableChangeDataFeed / _change_data):
+# DML writes row-level change files only when the property is on, so
+# tables that never read CDF pay zero extra scan/write cost
+CDF_PROPERTY = "delta.enableChangeDataFeed"
+CHANGE_DATA_DIR = "_change_data"
 
 
 class SchemaMismatchError(ValueError):
@@ -54,6 +66,12 @@ class MergeMultipleMatchesError(ValueError):
     """Multiple source rows matched one target row in a MERGE with an
     update clause — the result would be nondeterministic, so we raise,
     matching Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW error."""
+
+
+class ChangeDataUnavailableError(RuntimeError):
+    """table_changes() covers a mutating commit that recorded no change
+    data (DML ran before delta.enableChangeDataFeed=true) — matching
+    Delta's 'change data was not recorded' error."""
 
 
 class LakeTable:
@@ -860,6 +878,120 @@ class LakeTable:
         hits = logical.join(src, cond, "left_semi").select("__fp").distinct()
         return self._collect_affected(hits, len(paths))
 
+    # ------------------------------------------------------------------ #
+    # Change Data Feed (Delta's delta.enableChangeDataFeed / table_changes)
+    # ------------------------------------------------------------------ #
+    def _cdf_enabled(self, st) -> bool:
+        return (st.properties or {}).get(CDF_PROPERTY, "").lower() == "true"
+
+    def _write_change_data(
+        self, parts: list[tuple[DataFrame, str]], schema: StructType
+    ) -> list[dict]:
+        """Write one commit's row-level change files (Delta's
+        `_change_data/` layout: logical columns + `_change_type`) and
+        return the commit's `cdc` descriptors. One distributed write; the
+        change volume is bounded by the DML's own matched-row count, so a
+        CDF-enabled table pays O(changed rows), never O(table)."""
+        out = None
+        for df, ct in parts:
+            piece = df.select(
+                *[F.col(c) for c in schema.names],
+                F.lit(ct).alias("_change_type"),
+            )
+            out = piece if out is None else out.unionByName(piece)
+        if out is None:
+            return []
+        rel_dir = f"{CHANGE_DATA_DIR}/{uuid.uuid4().hex}"
+        abs_dir = self.path / rel_dir
+        out.write.parquet(str(abs_dir))
+        return [
+            {"path": _rel(self.path, str(p)), "size_bytes": p.stat().st_size}
+            for p in sorted(abs_dir.rglob("*.parquet"))
+        ]
+
+    def table_changes(
+        self, starting_version: int = 0, ending_version: int | None = None
+    ) -> DataFrame:
+        """CDF read (Delta's `table_changes(from, to)`): one row per
+        changed row per commit in the closed range — columns = current
+        logical schema + `_change_type` (insert / delete /
+        update_preimage / update_postimage) + `_commit_version` +
+        `_commit_timestamp`.
+
+        Per-commit sources: explicit `cdc` change files when the commit
+        recorded them (DML under delta.enableChangeDataFeed=true — the
+        authoritative record, including the empty set); pure-append /
+        CREATE / CLONE commits derive `insert` rows from the added files
+        (Delta's own optimization — blind appends never write change
+        files); RESTORE derives insert/delete rows as a snapshot bag-diff.
+        Any other mutating commit without recorded change data raises
+        ChangeDataUnavailableError, matching Delta."""
+        end = self.version if ending_version is None else ending_version
+        cur = StructType.fromJson(json.loads(self.state().schema_json))
+        parts: list[DataFrame] = []
+        for v in range(starting_version, end + 1):
+            c = txlog.read_commit(self.path, v)
+            piece = None
+            if c.get("cdc") is not None:
+                files = [str(self.path / e["path"]) for e in c["cdc"]]
+                if files:
+                    piece = self.spark.read.parquet(*files)
+            elif c.get("operation") == "CLONE":
+                piece = self.read(version=v).withColumn(
+                    "_change_type", F.lit("insert"))
+            elif c.get("operation") == "RESTORE":
+                prev, now = self.read(version=v - 1), self.read(version=v)
+                piece = (
+                    now.exceptAll(prev)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .unionByName(
+                        prev.exceptAll(now)
+                        .withColumn("_change_type", F.lit("delete")),
+                        allowMissingColumns=True,
+                    )
+                )
+            elif c.get("add") and not c.get("remove") \
+                    and not c.get("tombstone") \
+                    and c.get("set_tombstones") is None:
+                st_v = self.state(version=v)
+                paths = [str(self.path / a["path"]) for a in c["add"]]
+                piece = self._snapshot(st_v, paths).withColumn(
+                    "_change_type", F.lit("insert"))
+            elif c.get("remove") or c.get("tombstone") \
+                    or c.get("set_tombstones") is not None:
+                raise ChangeDataUnavailableError(
+                    f"change data not recorded for version {v} (operation "
+                    f"{c.get('operation')!r}); SET TBLPROPERTIES "
+                    f"('{CDF_PROPERTY}' = 'true') before running DML"
+                )
+            # else: metadata-only commit — nothing changed
+            if piece is None:
+                continue
+            parts.append(
+                piece.withColumn("_commit_version", F.lit(v).cast("long"))
+                .withColumn(
+                    "_commit_timestamp",
+                    F.timestamp_millis(F.lit(c["timestamp_ms"])),
+                )
+            )
+        out_cols = list(cur.names) + [
+            "_change_type", "_commit_version", "_commit_timestamp",
+        ]
+        if not parts:
+            return self.spark.createDataFrame([], StructType(
+                list(cur.fields)
+                + [StructField("_change_type", StringType()),
+                   StructField("_commit_version", LongType()),
+                   StructField("_commit_timestamp", TimestampType())]
+            ))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        # rows recorded under an older schema read NULL for later columns
+        for m in [c for c in out_cols if c not in out.columns]:
+            out = out.withColumn(m, F.lit(None).cast(cur[m].dataType))
+        return out.select(*out_cols)
+
     def delete(self, where: str, lazy: bool = False) -> dict[str, int]:
         """D2: DELETE FROM ... WHERE (02.delta_lake_primer.py:213-224).
 
@@ -870,19 +1002,31 @@ class LakeTable:
         them. Tombstones are versioned, so time travel is exact."""
         if lazy:
             st = self.state()
+            cdc = None
+            if self._cdf_enabled(st):
+                sch = StructType.fromJson(json.loads(st.schema_json))
+                cdc = self._write_change_data(
+                    [(self._snapshot(st).where(F.expr(where)), "delete")], sch)
             self._commit(
                 st.version + 1,
                 operation="DELETE",
                 operation_parameters={"predicate": where, "lazy": True},
                 tombstone=where,
+                cdc=cdc,
             )
             return {"rewritten_files": 0, "tombstones": len(st.tombstones) + 1}
         st = self.state()
         cond = F.expr(where)
         affected = self._affected_files(cond)
+        cdc = None
+        if self._cdf_enabled(st):
+            sch = StructType.fromJson(json.loads(st.schema_json))
+            cdc = self._write_change_data(
+                [(self._snapshot(st, affected).where(cond), "delete")]
+                if affected else [], sch)
         if not affected:
             self._commit(st.version + 1, operation="DELETE",
-                         operation_parameters={"predicate": where})
+                         operation_parameters={"predicate": where}, cdc=cdc)
             return {"rewritten_files": 0}
         kept = self._snapshot(st, affected).where(~cond)
         adds = self._write_files(kept, st.partition_by, state=st)
@@ -892,6 +1036,7 @@ class LakeTable:
             operation_parameters={"predicate": where},
             add=adds,
             remove=[_rel(self.path, p) for p in affected],
+            cdc=cdc,
         )
         return {"rewritten_files": len(affected)}
 
@@ -910,6 +1055,9 @@ class LakeTable:
             add=adds,
             remove=sorted(st.files),
             clear_tombstones=True,
+            # the row deletions were reported when each tombstone committed;
+            # materialization itself changes no logical rows
+            cdc=[] if self._cdf_enabled(st) else None,
         )
         return {"rewritten_files": len(st.files)}
 
@@ -924,9 +1072,23 @@ class LakeTable:
         affected = self._affected_files(cond)
         if not affected:
             self._commit(st.version + 1, operation="UPDATE",
-                         operation_parameters={"predicate": where})
+                         operation_parameters={"predicate": where},
+                         cdc=[] if self._cdf_enabled(st) else None)
             return {"rewritten_files": 0}
         src = self._snapshot(st, affected)
+        cdc = None
+        if self._cdf_enabled(st):
+            sch = StructType.fromJson(json.loads(st.schema_json))
+            pre = src.where(cond)
+            post = pre.select(
+                *[
+                    F.expr(set_exprs[c]).cast(src.schema[c].dataType).alias(c)
+                    if c in set_exprs else F.col(c)
+                    for c in src.columns
+                ]
+            )
+            cdc = self._write_change_data(
+                [(pre, "update_preimage"), (post, "update_postimage")], sch)
         updated = src.select(
             *[
                 F.when(cond, F.expr(set_exprs[c]).cast(src.schema[c].dataType))
@@ -945,6 +1107,7 @@ class LakeTable:
             operation_parameters={"predicate": where, "set": set_exprs},
             add=adds,
             remove=[_rel(self.path, p) for p in affected],
+            cdc=cdc,
         )
         return {"rewritten_files": len(affected)}
 
@@ -982,6 +1145,8 @@ class LakeTable:
         adds: list[dict] = []
         n_rewritten = 0
         out_parts: list[DataFrame] = []
+        cdf_on = self._cdf_enabled(st)
+        cdc_parts: list[tuple[DataFrame, str]] = []
         if affected:
             t_aff = self._snapshot(st, affected).alias("t")
             if when_matched_update and not when_matched_delete:
@@ -1061,6 +1226,32 @@ class LakeTable:
                         for c in schema.names
                     ]
                 )
+            if cdf_on:
+                # matched-row change images (CDF): pre = target rows the
+                # source matched; post = those rows with the clause applied
+                t_cdf = self._snapshot(st, affected).alias("t")
+                pre = _conform(t_cdf.join(src, cond, "left_semi"), schema)
+                if when_matched_delete:
+                    cdc_parts.append((pre, "delete"))
+                elif when_matched_update == "all":
+                    post = t_cdf.join(src, cond, "inner").select(
+                        *[(F.col(f"s.{c}") if c in source.columns
+                           else F.col(f"t.{c}")).alias(c)
+                          for c in schema.names])
+                    cdc_parts += [(pre, "update_preimage"),
+                                  (post, "update_postimage")]
+                elif when_matched_update:
+                    post = t_cdf.join(src, cond, "inner").select(
+                        *[F.expr(when_matched_update[c])
+                          .cast(schema[c].dataType).alias(c)
+                          if c in when_matched_update
+                          else (F.col(f"t.{c}").alias(c)
+                                if c in old_schema.names
+                                else F.lit(None)
+                                .cast(schema[c].dataType).alias(c))
+                          for c in schema.names])
+                    cdc_parts += [(pre, "update_preimage"),
+                                  (post, "update_postimage")]
             out_parts.append(rewritten)
             n_rewritten = len(affected)
 
@@ -1081,6 +1272,8 @@ class LakeTable:
                         for c in schema.names
                     ]
                 )
+            if cdf_on:
+                cdc_parts.append((ins, "insert"))
             out_parts.append(ins)
 
         if out_parts:
@@ -1090,6 +1283,7 @@ class LakeTable:
             self._verify_constraints(out, st)
             adds = self._write_files(out, st.partition_by, state=st)
 
+        cdc = self._write_change_data(cdc_parts, schema) if cdf_on else None
         self._commit(
             st.version + 1,
             operation="MERGE",
@@ -1097,6 +1291,7 @@ class LakeTable:
             add=adds,
             remove=[_rel(self.path, p) for p in affected],
             schema=schema.json() if schema != old_schema else None,
+            cdc=cdc,
         )
         return {"rewritten_files": n_rewritten, "added_files": len(adds)}
 
@@ -1550,8 +1745,10 @@ class LakeTable:
                 schema=None, partition_by=None, operation_parameters=None,
                 column_mapping=None, constraints=None, tombstone=None,
                 clear_tombstones=False, set_tombstones=None, properties=None,
-                protocol=None) -> None:
+                protocol=None, cdc=None) -> None:
         actions: dict[str, Any] = {"operation": operation}
+        if cdc is not None:
+            actions["cdc"] = cdc
         if operation_parameters:
             actions["operation_parameters"] = operation_parameters
         if add:

@@ -1198,3 +1198,112 @@ def test_stats_skipping_survives_pruned_replay(spark, tmp_path, monkeypatch):
     got = pruned.to_df(filters=[("k", "<=", 10)])
     assert _sorted_rows(got) == want_rows
     assert set(got.inputFiles()) == want_files  # same files skipped
+
+
+def test_dataframe_json_tail_replay_matches_python_loop(spark, tmp_path, monkeypatch):
+    """VERDICT r8 #6 (equivalence half): past JSON_TAIL_DATAFRAME_BYTES the
+    commit-JSON tail reconciles as a DataFrame (last-add-wins window +
+    latest-remove anti-join). On a log exercising every tricky shape —
+    removes, schema evolution, merge-on-read DV re-adds, RESTORE's
+    within-commit duplicate add — every historical snapshot must equal the
+    Python-loop replay exactly."""
+    import lakehouses_spark.tables.delta_log as dl
+
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.delete("k > 30", lazy=True)                      # tombstone → DV adds
+    t.update({"price": "price + 1"}, where="k <= 3")   # remove + add
+    t.append(spark.createDataFrame(
+        [{"k": 500, "status": "Z", "price": 1.0, "note": "n"}],
+        "k long, status string, price double, note string"),
+        merge_schema=True)                             # metaData change
+    t.restore(1)                                       # duplicate-add commit
+    dest = t.export_delta_log(tmp_path / "delta", checkpoint=False)
+
+    py = DeltaLogReader(spark, dest)
+    monkeypatch.setattr(dl, "JSON_TAIL_DATAFRAME_BYTES", -1)
+    dfr = DeltaLogReader(spark, dest)
+    for v in range(t.version + 1):
+        s_py, s_df = py.snapshot(v), dfr.snapshot(v)
+        assert set(s_py.files) == set(s_df.files), v
+        assert {p: bool(a.get("deletionVector"))
+                for p, a in s_py.files.items()} == \
+               {p: bool(a.get("deletionVector"))
+                for p, a in s_df.files.items()}, v
+        assert s_py.metadata["schemaString"] == s_df.metadata["schemaString"]
+        assert s_py.protocol == s_df.protocol
+        assert s_py.num_records == s_df.num_records, v
+        assert _sorted_rows(dfr.to_df(v)) == _sorted_rows(py.to_df(v)), v
+    # stats stayed JVM-side on the DataFrame path
+    assert all(a.get("__statsPruned")
+               for a in dfr.snapshot().files.values())
+
+
+def test_dataframe_json_tail_replay_many_commits(spark, tmp_path):
+    """VERDICT r8 #6 (scale half): a pathological 6k-commit log with fat
+    per-add stats (no checkpoint) crosses JSON_TAIL_DATAFRAME_BYTES
+    naturally; the reader reconciles it DataFrame-side with the fat stats
+    never materializing on the driver, and lazy min/max re-projection
+    still skips files for filtered reads."""
+    import resource
+
+    import pyspark.sql.types as T
+
+    import lakehouses_spark.tables.delta_log as dl
+    from lakehouses_spark.tables.delta_log import JSON_TAIL_DATAFRAME_BYTES
+
+    n = 6_000
+    base = tmp_path / "many"
+    log = base / "_delta_log"
+    log.mkdir(parents=True)
+    schema_json = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}}]})
+    fat_cols = json.dumps({f"c{i}": "x" * 24 for i in range(40)})[1:-1]
+    mk_stats = (
+        '{{"numRecords": 7, "minValues": {{"k": {lo}, ' + fat_cols +
+        '}}, "maxValues": {{"k": {hi}, ' + fat_cols + "}}}}"
+    ).format
+    with open(log / f"{0:020d}.json", "w") as fh:
+        fh.write(json.dumps({"protocol": {"minReaderVersion": 1,
+                                          "minWriterVersion": 2}}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            "id": "many", "schemaString": schema_json,
+            "partitionColumns": [], "configuration": {},
+            "createdTime": 0}}) + "\n")
+    for v in range(1, n):
+        acts = [{"add": {"path": f"data/f-{v:06d}.parquet",
+                         "partitionValues": {}, "size": 1,
+                         "modificationTime": 0, "dataChange": True,
+                         "stats": mk_stats(lo=v * 10, hi=v * 10 + 9)}}]
+        if v % 5 == 0:  # churn: remove the file added two commits ago
+            acts.append({"remove": {"path": f"data/f-{v - 2:06d}.parquet",
+                                    "deletionTimestamp": 0,
+                                    "dataChange": True}})
+        with open(log / f"{v:020d}.json", "w") as fh:
+            for a in acts:
+                fh.write(json.dumps(a) + "\n")
+    tail_bytes = sum(p.stat().st_size for p in log.glob("*.json"))
+    assert tail_bytes > JSON_TAIL_DATAFRAME_BYTES, "fixture must cross bound"
+
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    r = DeltaLogReader(spark, base)
+    snap = r.snapshot()
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    n_removed = len([v for v in range(1, n) if v % 5 == 0])
+    assert len(snap.files) == (n - 1) - n_removed
+    assert "data/f-000005.parquet" in snap.files      # re-check: 5 adds f-5
+    assert "data/f-000003.parquet" not in snap.files  # removed at v=5
+    a = snap.files["data/f-000100.parquet"]
+    assert json.loads(a["stats"]) == {"numRecords": 7}  # pruned, not fat
+    assert snap.num_records == 7 * len(snap.files)
+    assert (rss1 - rss0) / 1024 < 120, "driver RSS must stay bounded"
+
+    # lazy bounds re-projection keeps exactly the covering file
+    lazy = r._lazy_minmax(
+        {a["__statsPruned"] for a in snap.files.values()},
+        [("k", T.LongType())])
+    keep = [p for p, a in snap.files.items()
+            if dl._delta_file_may_match(
+                {**a, "__lazyStats": lazy.get(p, {})},
+                [("k", "=", 1003)], {}, {"k": "k"})]
+    assert keep == ["data/f-000100.parquet"]
