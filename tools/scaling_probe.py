@@ -476,6 +476,147 @@ def probe_ann_drift(spark) -> list[str]:
     return out
 
 
+def probe_pq_codebook_drift(spark) -> list[str]:
+    """PQ-codebook staleness under the same cone-drift ladder (VERDICT r8
+    #5): the coarse-quantizer drift story is measured (probe_ann_drift);
+    this isolates the OTHER trained artifact — the product-quantization
+    codebooks and their calibrated screen margin. Per drifted batch,
+    measure twin top-1 recall through the code-only SDC screen (+ exact
+    shortlist re-rank, shortlist C=10) with (a) the STALE codebooks
+    trained on the base corpus and (b) codebooks RETRAINED on the grown
+    corpus, plus each side's recalibrated screen margin (the
+    PQ_MARGIN_QUANTILE tail of sample quantization error — the margin is
+    what turns quantization error into either lost recall or a wider,
+    costlier screen). Driver-side numpy on the collected ladder corpus
+    (≤ a few thousand × 64 floats) — this is a measurement harness, not a
+    production path; the production encode/scan stays in Arrow UDFs."""
+    import numpy as np
+
+    from lakehouses_spark.io import load_table
+    from lakehouses_spark.queries.similarity import (
+        ANN_RECLUSTER_CONC,
+        PQ_RETRAIN_ON_RECLUSTER,
+        _emb_unit,
+        _pq_calibrate_margin,
+        _pq_train_codebooks,
+        ann_drift_batch,
+        ann_drift_twin_queries,
+        spread,
+    )
+
+    corpus = spread(_emb_unit(load_table(spark, SF_DIR, "embeddings"))).select(
+        "vec_id", F.col("unit").alias("embedding")
+    ).localCheckpoint()
+    dim = int(corpus.select(F.size("embedding")).first()[0])
+    books0, lut0, sample0 = _pq_train_codebooks(corpus, dim)
+    margin0 = _pq_calibrate_margin(sample0, books0, lut0, ANN_THRESHOLD)
+
+    def to_np(df, idc, vc):
+        rows = df.select(idc, vc).collect()
+        return (np.array([r[0] for r in rows]),
+                np.stack([np.asarray(r[1], dtype=float) for r in rows]))
+
+    def encode(X, books):
+        books = np.asarray(books)
+        m, _, sub = books.shape
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for i in range(m):
+            Xm = X[:, i * sub:(i + 1) * sub]
+            d2 = ((Xm[:, None, :] - books[i][None, :, :]) ** 2).sum(axis=2)
+            codes[:, i] = d2.argmin(axis=1)
+        return codes
+
+    def sdc_recall(ix_X, q_X, books, lut, shortlist=10):
+        """Twin top-1 recall of the code-only screen + exact re-rank."""
+        lut = np.asarray(lut)
+        ci, cq = encode(ix_X, books), encode(q_X, books)
+        sims = np.zeros((len(cq), len(ci)))
+        for m_ in range(lut.shape[0]):
+            sims += lut[m_][np.ix_(cq[:, m_], ci[:, m_])]
+
+        def rnorm(codes):
+            n = np.zeros(len(codes))
+            for m_ in range(lut.shape[0]):
+                n += lut[m_][codes[:, m_], codes[:, m_]]
+            return np.sqrt(np.maximum(n, 1e-12))
+
+        sims = sims / np.outer(rnorm(cq), rnorm(ci))
+        exact = q_X @ ix_X.T
+        bf_top = exact.argmax(axis=1)
+        c = min(shortlist, sims.shape[1])
+        cand = np.argpartition(-sims, c - 1, axis=1)[:, :c]
+        hits = sum(
+            int(cand[qi][exact[qi, cand[qi]].argmax()] == bf_top[qi])
+            for qi in range(len(cq))
+        )
+        return hits / len(cq)
+
+    _, base_X = to_np(corpus, "vec_id", "embedding")
+    index_df = corpus
+    ix_X = base_X
+    out = [
+        "",
+        "## PQ codebook drift: stale vs retrained codebooks + screen margin",
+        "",
+        "Same cone-drift ladder as the coarse-quantizer probe; per batch,",
+        "twin top-1 recall through the code-only SDC screen (+ exact top-10",
+        "re-rank) with STALE codebooks (trained on the base corpus) vs",
+        "RETRAINED (on the grown corpus), and each side's recalibrated",
+        f"screen margin (base margin {margin0:.3f}; a bigger margin = a",
+        "wider, costlier screen to keep recall — quantization error turned",
+        "into scan cost).",
+        "",
+        "| batch | index n | recall stale | recall retrained | margin stale"
+        " | margin retrained |",
+        "|---|---|---|---|---|---|",
+    ]
+    worst_stale, worst_retr = 1.0, 1.0
+    last_margins = (margin0, margin0)
+    for b in (1, 2, 3):
+        bt = ann_drift_batch(spark, SF_DIR, b).localCheckpoint()
+        index_df = index_df.unionByName(
+            bt.select("vec_id", "embedding")
+        ).localCheckpoint()
+        _, bX = to_np(bt, "vec_id", "embedding")
+        ix_X = np.vstack([ix_X, bX])
+        _, qX = to_np(ann_drift_twin_queries(bt), "qid", "embedding")
+        books1, lut1, sample1 = _pq_train_codebooks(index_df, dim)
+        m_stale = _pq_calibrate_margin(sample1, books0, lut0, ANN_THRESHOLD)
+        m_retr = _pq_calibrate_margin(sample1, books1, lut1, ANN_THRESHOLD)
+        r_stale = sdc_recall(ix_X, qX, books0, lut0)
+        r_retr = sdc_recall(ix_X, qX, books1, lut1)
+        worst_stale = min(worst_stale, r_stale)
+        worst_retr = min(worst_retr, r_retr)
+        last_margins = (m_stale, m_retr)
+        out.append(
+            f"| {b} | {len(ix_X):,} | {r_stale:.2f} | {r_retr:.2f} |"
+            f" {m_stale:.3f} | {m_retr:.3f} |"
+        )
+    # the chained index checkpoints are referenced across iterations —
+    # clear only once the ladder is done (this probe times nothing)
+    clear_persisted(spark)
+    verdict = (
+        "Stale-codebook recall sagged to "
+        f"{worst_stale:.2f} (retrained {worst_retr:.2f})"
+        if worst_stale < worst_retr - 0.02
+        else "Recall held at parity "
+        f"(stale {worst_stale:.2f} vs retrained {worst_retr:.2f})"
+    )
+    out += [
+        "",
+        f"{verdict}; the stale screen margin recalibrates to"
+        f" {last_margins[0]:.3f} vs {last_margins[1]:.3f} retrained (base"
+        f" {margin0:.3f}) — the margin gap is the screen-cost tax of stale"
+        " codebooks even where shortlist recall survives. Policy"
+        f" (PQ_RETRAIN_ON_RECLUSTER = {PQ_RETRAIN_ON_RECLUSTER},"
+        " similarity.py): retrain the codebooks whenever the coarse"
+        f" recluster trigger (concentration > {ANN_RECLUSTER_CONC}) fires —"
+        " one trigger schedules both trained artifacts, no separate"
+        " codebook heuristic to tune.",
+    ]
+    return out
+
+
 # Ingestion-engine file-count ladder (VERDICT r3 directive #8): the
 # relational/dedup tiers have data-volume probes; this drives the S10/S18
 # path (incremental file discovery → foreachBatch idempotent append →
@@ -714,6 +855,7 @@ def main() -> None:
     lines += probe_substring_skew(spark)
     lines += probe_ann_recall(spark)
     lines += probe_ann_drift(spark)
+    lines += probe_pq_codebook_drift(spark)
     lines += probe_ingest(spark)
     Path(__file__).resolve().parent.parent.joinpath("SCALING.md").write_text(
         "\n".join(lines) + "\n"
