@@ -120,6 +120,18 @@ def wait_for_quiet_machine() -> str:
     sys.exit(2)
 
 
+def _validation_path() -> Path:
+    """BENCH_r{next}_validation.json next to the round artifacts (VERDICT
+    r8 #8): when a round keeps a cleaner re-run, it ships as a
+    machine-checkable artifact, not a prose table row. `next` = one past
+    the newest driver-written BENCH_r{N}.json, i.e. the round in progress."""
+    root = Path(__file__).resolve().parent
+    ns = [
+        int(p.stem[7:9]) for p in root.glob("BENCH_r[0-9][0-9].json")
+    ]
+    return root / f"BENCH_r{(max(ns) + 1) if ns else 1:02d}_validation.json"
+
+
 def main() -> None:
     gate = wait_for_quiet_machine()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,6 +152,17 @@ def main() -> None:
 
     # warm JVM + codegen once, outside any timed region
     registry["q1_pricing_summary"].fn(spark, sf_dir).collect()
+
+    # host scan fingerprint (r9): one bare parquet count over every input
+    # table, post-JVM-warm, pre-cold-pass. Future rounds use it to
+    # attribute cold-total drift to the HOST's IO/CPU path vs engine
+    # changes — the r6→r8 cold drift bisected to the host: the unchanged
+    # round-6 build reproduces today's slower colds (BASELINE.md r9 row).
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+    scan_probe = round(time.perf_counter() - t0, 3)
 
     extras = [n for n in TRACKED_EXTRA if n in registry]
 
@@ -190,8 +213,7 @@ def main() -> None:
 
     cold_total = round(sum(cold.values()), 3)
     warm_total = round(sum(warm.values()), 3)
-    print(
-        json.dumps(
+    payload = json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": cold_total,
@@ -207,6 +229,7 @@ def main() -> None:
                 "loadavg_gate": gate,
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "cpus": os.cpu_count(),
+                "scan_probe_s": scan_probe,
                 "cold_pass_wall_s": cold_wall,
                 "warm_pass_wall_s": warm_wall,
                 "total_wall_s": round(time.time() - wall_start, 3),
@@ -214,9 +237,14 @@ def main() -> None:
                 "warm_gt_cold": warm_gt_cold,
                 "tracked_extra_cold": extra_cold,
                 "tracked_extra_warm": extra_warm,
+                "validation": "--validation" in sys.argv,
             }
         )
-    )
+    print(payload)
+    if "--validation" in sys.argv:
+        path = _validation_path()
+        path.write_text(payload + "\n")
+        print(f"bench: validation artifact written to {path}", file=sys.stderr)
     spark.stop()
 
 

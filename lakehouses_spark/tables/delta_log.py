@@ -330,7 +330,13 @@ def export_delta_log(
                     }
                 }
             )
-        # PROTOCOL.md: add/remove paths are percent-encoded relative URIs
+        # PROTOCOL.md: add/remove paths are percent-encoded relative URIs.
+        # A commit whose recorded change set is authoritatively EMPTY
+        # (cdc == [], e.g. materialize_tombstones — a rewrite that changes
+        # no logical rows) exports its file actions with dataChange=false,
+        # exactly how Delta marks OPTIMIZE, so CDF readers skip it instead
+        # of refusing.
+        dc = c.get("cdc") != []
         for rel in c.get("remove", []):
             final_adds.pop(quote(mapped_path(rel)), None)
             actions.append(
@@ -338,7 +344,7 @@ def export_delta_log(
                     "remove": {
                         "path": quote(mapped_path(rel)),
                         "deletionTimestamp": ts,
-                        "dataChange": True,
+                        "dataChange": dc,
                     }
                 }
             )
@@ -348,7 +354,7 @@ def export_delta_log(
                 "partitionValues": {},
                 "size": add.get("size_bytes") or 0,
                 "modificationTime": ts,
-                "dataChange": True,
+                "dataChange": dc,
                 "stats": json.dumps(_delta_stats(add)),
             }
             final_adds[delta_add["path"]] = delta_add
@@ -1459,6 +1465,143 @@ class DeltaLogReader:
                  ">": c > v, ">=": c >= v}[op]
             )
         return df.select(*out_names)
+
+    def table_changes(
+        self,
+        starting_version: int,
+        ending_version: int | None = None,
+    ) -> DataFrame:
+        """CDF read over an exported/foreign Delta log (Delta's
+        `table_changes`): per commit in the closed range, rows from its
+        `cdc` actions' change files (which carry `_change_type`); commits
+        whose only data actions are dataChange=true adds derive `insert`
+        rows (Delta's blind-append optimization); commits with no
+        dataChange actions contribute nothing (OPTIMIZE, metadata). A
+        commit with data removes and no recorded change data raises — the
+        log predates the table's CDF enablement.
+
+        Change files written under column mapping may store physical
+        names; each logical column resolves logical-name-first, then
+        physical, so both this exporter's logical-named files and
+        spec-strict physical-named files read identically."""
+        versions = self.versions()
+        if ending_version is None:
+            ending_version = max(versions) if versions else starting_version
+        snap = self.snapshot(ending_version)
+        schema = snap.schema
+        mapping_mode = snap.configuration.get("delta.columnMapping.mode", "none")
+
+        def phys_name(f: StructField) -> str:
+            if mapping_mode in ("name", "id"):
+                return f.metadata.get("delta.columnMapping.physicalName", f.name)
+            return f.name
+
+        out_cols = [f.name for f in schema.fields] + [
+            "_change_type", "_commit_version", "_commit_timestamp",
+        ]
+        parts: list[DataFrame] = []
+        for v in range(starting_version, ending_version + 1):
+            if v not in versions:
+                raise DeltaProtocolError(
+                    f"table_changes({starting_version}, {ending_version}): "
+                    f"commit JSON for version {v} is gone (log cleaned up) — "
+                    "CDF ranges must lie within the retained commits"
+                )
+            actions = self._commit_actions(v)
+            ts = next(
+                (a["commitInfo"].get("timestamp") for a in actions
+                 if "commitInfo" in a), None,
+            )
+            cdc = [a["cdc"] for a in actions if "cdc" in a]
+            adds = [a["add"] for a in actions
+                    if "add" in a and a["add"].get("dataChange", True)]
+            removes = [a["remove"] for a in actions
+                       if "remove" in a
+                       and a["remove"].get("dataChange", True)]
+            piece = None
+            if cdc:
+                files = [str(self.path / unquote(c["path"])) for c in cdc]
+                raw = self.spark.read.parquet(*files)
+                sel = []
+                for f in schema.fields:
+                    if f.name in raw.columns:
+                        sel.append(F.col(f.name))
+                    elif phys_name(f) in raw.columns:
+                        sel.append(F.col(phys_name(f)).alias(f.name))
+                    else:
+                        sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+                piece = raw.select(*sel, F.col("_change_type"))
+            elif adds and not removes:
+                paths = [str(self.path / unquote(a["path"])) for a in adds]
+                phys_schema = StructType([
+                    StructField(phys_name(f), f.dataType, f.nullable)
+                    for f in schema.fields
+                    if f.name not in snap.partition_columns
+                ])
+                raw = self.spark.read.schema(phys_schema).parquet(*paths)
+                sel = [
+                    F.col(phys_name(f)).alias(f.name)
+                    for f in schema.fields
+                    if f.name not in snap.partition_columns
+                ]
+                piece = raw.select(*sel)
+                # partition columns come from the add actions; an append
+                # commits one partitionValues map per file
+                for c in snap.partition_columns:
+                    vals = {a.get("partitionValues", {}).get(c) for a in adds}
+                    if len(vals) == 1:
+                        piece = piece.withColumn(
+                            c,
+                            F.lit(next(iter(vals))).cast(
+                                schema[c].dataType),
+                        )
+                    else:
+                        pv = self.spark.createDataFrame(
+                            [(str((self.path / unquote(a["path"])).resolve()),
+                              a.get("partitionValues", {}).get(c))
+                             for a in adds],
+                            "__lh_fp string, __lh_pv string",
+                        )
+                        piece = (
+                            raw.withColumn("__lh_fp", fs_path_col())
+                            .select("__lh_fp", *sel)
+                            .join(F.broadcast(pv), "__lh_fp")
+                            .withColumn(
+                                c, F.col("__lh_pv").cast(schema[c].dataType)
+                            )
+                            .drop("__lh_fp", "__lh_pv")
+                        )
+                piece = piece.withColumn("_change_type", F.lit("insert"))
+            elif removes:
+                raise DeltaProtocolError(
+                    f"change data not recorded for version {v} — the commit "
+                    "removes data files but carries no cdc actions (DML ran "
+                    "before delta.enableChangeDataFeed)"
+                )
+            if piece is None:
+                continue
+            parts.append(
+                piece.withColumn("_commit_version", F.lit(v).cast("long"))
+                .withColumn(
+                    "_commit_timestamp",
+                    F.timestamp_millis(F.lit(ts).cast("long")),
+                )
+            )
+        if not parts:
+            from pyspark.sql.types import LongType, TimestampType
+
+            return self.spark.createDataFrame([], StructType(
+                list(schema.fields)
+                + [StructField("_change_type", StringType()),
+                   StructField("_commit_version", LongType()),
+                   StructField("_commit_timestamp", TimestampType())]
+            ))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        for m in [c for c in out_cols if c not in out.columns]:
+            out = out.withColumn(m, F.lit(None).cast(schema[m].dataType))
+        return out.select(*out_cols)
 
     def history(self) -> list[dict]:
         """One entry per surviving JSON commit: version, timestamp, operation."""

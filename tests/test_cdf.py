@@ -159,3 +159,41 @@ def test_schema_evolution_across_change_range(spark, tmp_path):
             for r in ch.collect()}
     assert rows[(2, "delete", 1)] is None      # pre-evolution rows read NULL
     assert rows[(3, "insert", 300)] == "n"
+
+
+def test_reader_table_changes_roundtrip(spark, tmp_path):
+    """Reader-side CDF interop: DeltaLogReader.table_changes over the
+    EXPORTED log returns the same change rows as LakeTable.table_changes —
+    cdc actions consumed, blind appends derived as inserts, and the
+    materialize commit (exported with dataChange=false, Delta's OPTIMIZE
+    marking) contributing nothing instead of raising."""
+    from lakehouses_spark.tables.delta_log import (
+        DeltaLogReader,
+        DeltaProtocolError,
+    )
+
+    t = _mk(spark, tmp_path / "t")
+    t.update({"price": "price * 2"}, where="k <= 3")         # v2
+    t.delete("k > 18", lazy=True)                            # v3 tombstone
+    t.materialize_tombstones()                               # v4 no-change
+    t.append(spark.createDataFrame(
+        [{"k": 100, "status": "Z", "price": 1.0}],
+        "k long, status string, price double"))              # v5
+    dest = t.export_delta_log(tmp_path / "delta")
+    r = DeltaLogReader(spark, dest)
+
+    def key(df):
+        return sorted(
+            (row["_commit_version"], row["_change_type"], row["k"],
+             row["status"], row["price"])
+            for row in df.collect()
+        )
+
+    assert key(r.table_changes(2, 5)) == key(t.table_changes(2, 5))
+    assert r.table_changes(4, 4).count() == 0  # dataChange=false rewrite
+    # an unrecorded data-changing commit raises, like Delta
+    t2 = _mk(spark, tmp_path / "t2", enable=False)
+    t2.delete("k <= 2")
+    dest2 = t2.export_delta_log(tmp_path / "delta2")
+    with pytest.raises(DeltaProtocolError):
+        DeltaLogReader(spark, dest2).table_changes(1, 1).collect()
