@@ -1421,6 +1421,106 @@ class IcebergMetadataReader:
         return Path(uri)
 
     # -- metadata tables (03.iceberg_primer.py:380-456) ------------------- #
+    def expire_snapshots(
+        self, keep_last: int = 1, dry_run: bool = False
+    ) -> dict:
+        """Iceberg's expireSnapshots maintenance (Spark SQL
+        `CALL catalog.system.expire_snapshots(...)`): retain the newest
+        `keep_last` snapshots (the current snapshot always survives),
+        write a NEW v{n+1}.metadata.json with the expired ones pruned
+        from `snapshots`/`snapshot-log`, flip version-hint, and delete
+        only what the expired snapshots alone referenced — their
+        manifest lists, manifests no retained snapshot lists, and
+        data/delete files no retained snapshot reaches. Time travel to
+        retained snapshots is untouched; reads of expired ids raise
+        snapshot-not-found — exactly Iceberg's contract.
+
+        100 TB shape: cost is O(metadata of expired snapshots) — the
+        kept-file index is built from the RETAINED manifests (bounded by
+        the live table), data files are unlinked, never read."""
+        import time as _time
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        snaps = list(self.meta.get("snapshots") or [])
+        retained = snaps[-keep_last:]
+        cur = self.meta.get("current-snapshot-id", -1)
+        if cur != -1 and all(s["snapshot-id"] != cur for s in retained):
+            retained = [s for s in snaps if s["snapshot-id"] == cur] + retained
+        expired = [s for s in snaps if s not in retained]
+        keep_ids = {s["snapshot-id"] for s in retained}
+
+        keep_files: set[Path] = set()
+        keep_manifests: set[Path] = set()
+        for s in retained:
+            ml = self._local(s["manifest-list"])
+            keep_files.add(ml)
+            _, rows = read_ocf_bytes(ml.read_bytes())
+            for m in rows:
+                mp = self._local(m["manifest_path"])
+                keep_manifests.add(mp)
+                _, entries = read_ocf_bytes(mp.read_bytes())
+                keep_files.update(
+                    self._local_data(e["data_file"]["file_path"])
+                    for e in entries
+                )
+        keep_files |= keep_manifests
+
+        drop: set[Path] = set()
+        stats = {"manifest_lists": 0, "manifests": 0, "data_files": 0}
+        for s in expired:
+            ml = self._local(s["manifest-list"])
+            if ml in keep_files or not ml.exists():
+                continue
+            drop.add(ml)
+            stats["manifest_lists"] += 1
+            _, rows = read_ocf_bytes(ml.read_bytes())
+            for m in rows:
+                mp = self._local(m["manifest_path"])
+                if mp in keep_files or not mp.exists() or mp in drop:
+                    continue
+                drop.add(mp)
+                stats["manifests"] += 1
+                _, entries = read_ocf_bytes(mp.read_bytes())
+                for e in entries:
+                    dp = self._local_data(e["data_file"]["file_path"])
+                    if dp not in keep_files and dp not in drop and dp.exists():
+                        drop.add(dp)
+                        stats["data_files"] += 1
+
+        result = {
+            "expired": [s["snapshot-id"] for s in expired],
+            "deleted_manifest_lists": stats["manifest_lists"],
+            "deleted_manifests": stats["manifests"],
+            "deleted_data_files": stats["data_files"],
+        }
+        if dry_run or not expired:
+            return result
+
+        now_ms = int(_time.time() * 1000)
+        cur_file = self._current_metadata_file()
+        meta = dict(self.meta)
+        meta["snapshots"] = retained
+        meta["snapshot-log"] = [
+            e for e in (self.meta.get("snapshot-log") or [])
+            if e.get("snapshot-id") in keep_ids
+        ]
+        meta["last-updated-ms"] = now_ms
+        meta["metadata-log"] = (self.meta.get("metadata-log") or []) + [{
+            "timestamp-ms": now_ms,
+            "metadata-file":
+                f"{self.meta['location']}/metadata/{cur_file.name}",
+        }]
+        new_v = int(cur_file.name.split(".")[0][1:]) + 1
+        (self.meta_dir / f"v{new_v}.metadata.json").write_text(
+            json.dumps(meta, indent=2)
+        )
+        (self.meta_dir / "version-hint.text").write_text(str(new_v))
+        for p in drop:
+            p.unlink(missing_ok=True)
+        self.meta = meta
+        return result
+
     def snapshots(self) -> DataFrame:
         rows = [
             (

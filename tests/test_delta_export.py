@@ -1239,6 +1239,8 @@ def test_dataframe_json_tail_replay_matches_python_loop(spark, tmp_path, monkeyp
                for a in dfr.snapshot().files.values())
 
 
+@pytest.mark.slow  # 6k-file fixture + ~50 s; the equivalence test above
+# covers the DataFrame-replay semantics in the default run
 def test_dataframe_json_tail_replay_many_commits(spark, tmp_path):
     """VERDICT r8 #6 (scale half): a pathological 6k-commit log with fat
     per-add stats (no checkpoint) crosses JSON_TAIL_DATAFRAME_BYTES

@@ -24,6 +24,7 @@ from lakehouses_spark.functions.avro_py import read_ocf_bytes
 from lakehouses_spark.tables import LakeTable
 from lakehouses_spark.tables.iceberg_meta import (
     IcebergExportError,
+    IcebergFormatError,
     IcebergMetadataReader,
     read_iceberg,
 )
@@ -661,3 +662,60 @@ def test_position_delete_parquet_carries_reserved_field_ids(spark, tmp_path):
                for f in sch}
         assert fid["file_path"] == b"2147483546"
         assert fid["pos"] == b"2147483545"
+
+
+def test_expire_snapshots_maintenance(spark, tmp_path):
+    """expireSnapshots (r9): retain the newest snapshot, prune the rest
+    from a NEW metadata.json, delete only expired-only files. Current
+    reads identical before/after; expired ids raise; retained data files
+    survive; the cleanup actually reclaims manifest lists + old data."""
+    t = _mk_table(spark, tmp_path / "lake")          # 4 snapshots (COW arc)
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    n_snaps = len(r.meta["snapshots"])
+    assert n_snaps >= 4
+    want = _sorted_rows(read_iceberg(spark, dest))
+    hint_before = (dest / "metadata" / "version-hint.text").read_text()
+
+    dry = r.expire_snapshots(keep_last=1, dry_run=True)
+    assert len(dry["expired"]) == n_snaps - 1
+    assert (dest / "metadata" / "version-hint.text").read_text() == \
+        hint_before, "dry_run must not flip the version hint"
+
+    res = r.expire_snapshots(keep_last=1)
+    assert res["expired"] == dry["expired"]
+    assert res["deleted_manifest_lists"] >= 1
+    assert res["deleted_data_files"] >= 1  # COW rewrites orphaned old files
+
+    r2 = IcebergMetadataReader(spark, dest)          # fresh, via new hint
+    assert len(r2.meta["snapshots"]) == 1
+    assert _sorted_rows(read_iceberg(spark, dest)) == want
+    for f in r2.live_files():
+        assert r2._local_data(f["file_path"]).exists()
+    with pytest.raises(IcebergFormatError):
+        r2.to_df(snapshot_id=1)
+    # idempotent: nothing left to expire
+    assert r2.expire_snapshots(keep_last=1)["expired"] == []
+    # metadata-log chains to the pre-expire file
+    assert r2.meta["metadata-log"][-1]["metadata-file"].endswith(
+        f"v{n_snaps}.metadata.json")
+
+
+def test_expire_snapshots_keeps_shared_manifests(spark, tmp_path):
+    """Manifest REUSE interaction: an append-only arc shares its early
+    manifests across every later snapshot — expiring old snapshots must
+    not delete manifests (or data) the retained snapshot still lists."""
+    df = spark.createDataFrame(ROWS[:10], "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    for lo in (11, 21):
+        t.append(spark.createDataFrame(
+            [{"k": i, "status": "Z", "price": 1.0 * i}
+             for i in range(lo, lo + 10)],
+            "k long, status string, price double"))
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    want = _sorted_rows(read_iceberg(spark, dest))
+    r = IcebergMetadataReader(spark, dest)
+    res = r.expire_snapshots(keep_last=1)
+    assert len(res["expired"]) == 2
+    assert res["deleted_data_files"] == 0  # appends: all files still live
+    assert _sorted_rows(read_iceberg(spark, dest)) == want

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Parallel suite runner: split tests/ files across N pytest subprocesses.
+
+`python -m pytest tests/` stays the canonical serial gate (what the driver
+and judge run); this is the development / round-close loop — the same 495
+default tests finish in roughly total/N wall time because every worker is
+its own JVM and all shared state in the default set is tmp_path-scoped
+(verified: no repo-root warehouse/metastore use outside --slow tests).
+
+    python tools/fast_suite.py [-n 3] [--slow]
+
+Exit code is non-zero if any worker fails; each worker's tail is printed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import subprocess
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+TESTS = Path(__file__).resolve().parent.parent / "tests"
+
+# approximate serial seconds per file (r9 --durations profile); unknown
+# files get DEFAULT_W. Only used for greedy balancing — correctness does
+# not depend on these being current.
+WEIGHTS = {
+    "test_delta_export.py": 420, "test_oracle.py": 330,
+    "test_streaming.py": 190, "test_ingest.py": 160,
+    "test_iceberg_export.py": 170, "test_cdf.py": 120,
+    "test_log_integrity.py": 90, "test_laketable.py": 90,
+    "test_quality.py": 70, "test_curation.py": 50, "test_alter.py": 45,
+    "test_materialized.py": 40, "test_property_dml.py": 35,
+    "test_stream_source.py": 35, "test_clone.py": 30,
+    "test_operators.py": 30, "test_functions.py": 30, "test_plans.py": 30,
+}
+DEFAULT_W = 25
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-n", type=int, default=3, help="worker processes")
+    ap.add_argument("--slow", action="store_true",
+                    help="include --slow tests (serial-only pins)")
+    args = ap.parse_args()
+
+    files = sorted(
+        TESTS.glob("test_*.py"),
+        key=lambda p: -WEIGHTS.get(p.name, DEFAULT_W),
+    )
+    buckets: list[list[Path]] = [[] for _ in range(args.n)]
+    loads = [0.0] * args.n
+    for f in files:  # greedy: heaviest file onto the lightest bucket
+        i = loads.index(min(loads))
+        buckets[i].append(f)
+        loads[i] += WEIGHTS.get(f.name, DEFAULT_W)
+
+    t0 = time.time()
+
+    def run(bucket: list[Path]) -> tuple[int, str]:
+        cmd = [sys.executable, "-m", "pytest", "-q",
+               *(["--slow"] if args.slow else []),
+               *[str(p) for p in bucket]]
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        return r.returncode, (r.stdout or "") + (r.stderr or "")
+
+    with ThreadPoolExecutor(max_workers=args.n) as ex:
+        results = list(ex.map(run, buckets))
+
+    ok = True
+    for i, (rc, out) in enumerate(results):
+        tail = "\n".join(out.strip().splitlines()[-3:])
+        print(f"--- worker {i} (rc={rc}, {len(buckets[i])} files) ---")
+        print(tail)
+        if rc != 0:
+            ok = False
+            fails = [ln for ln in out.splitlines() if ln.startswith("FAILED")]
+            print("\n".join(fails[:20]))
+    print(f"fast_suite: {'GREEN' if ok else 'RED'} in "
+          f"{time.time() - t0:.0f}s with {args.n} workers")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
