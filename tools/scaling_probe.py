@@ -595,19 +595,24 @@ def probe_pq_codebook_drift(spark) -> list[str]:
     # the chained index checkpoints are referenced across iterations —
     # clear only once the ladder is done (this probe times nothing)
     clear_persisted(spark)
-    verdict = (
-        "Stale-codebook recall sagged to "
-        f"{worst_stale:.2f} (retrained {worst_retr:.2f})"
-        if worst_stale < worst_retr - 0.02
-        else "Recall held at parity "
-        f"(stale {worst_stale:.2f} vs retrained {worst_retr:.2f})"
-    )
     out += [
         "",
-        f"{verdict}; the stale screen margin recalibrates to"
-        f" {last_margins[0]:.3f} vs {last_margins[1]:.3f} retrained (base"
-        f" {margin0:.3f}) — the margin gap is the screen-cost tax of stale"
-        " codebooks even where shortlist recall survives. Policy"
+        f"Twin SDC recall (stale {worst_stale:.2f} vs retrained"
+        f" {worst_retr:.2f}) needs reading with care: a PERFECT stale"
+        " number is symmetric-distance degeneracy, not retrieval quality —"
+        " stale codebooks quantize a drifted twin and its source to"
+        " IDENTICAL codes (maximal code self-similarity by construction),"
+        " while retrained books resolve the drifted region finely enough"
+        " that several batch members tie at the twin's code distance and"
+        " the fixed top-10 shortlist can drop it (recoverable by widening"
+        " the shortlist; the production path re-ranks exactly). The"
+        " DECISIVE column is the calibrated margin: stale recalibrates to"
+        f" {last_margins[0]:.3f} (vs {last_margins[1]:.3f} retrained, base"
+        f" {margin0:.3f}) — a margin ≥ 1 drives the screen cut"
+        " (threshold − margin) below zero, i.e. the code-only screen"
+        " admits EVERY pair in the probed cells and the IVF-PQ candidate"
+        " stage degrades to an unscreened in-cell scan. Stale codebooks"
+        " tax scan cost, not correctness. Policy"
         f" (PQ_RETRAIN_ON_RECLUSTER = {PQ_RETRAIN_ON_RECLUSTER},"
         " similarity.py): retrain the codebooks whenever the coarse"
         f" recluster trigger (concentration > {ANN_RECLUSTER_CONC}) fires —"
