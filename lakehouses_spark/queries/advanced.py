@@ -330,6 +330,89 @@ def lake_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_expire_snapshots",
+    # the maintenance op must be metadata-only for the CURRENT snapshot:
+    # after expiring everything but the head, the aggregate still equals
+    # the relational replay of the whole DML arc
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey <= 5000
+    ), kept AS (
+      SELECT * FROM base
+      WHERE NOT (o_orderstatus = 'O' AND o_totalprice < 40000)
+    ), upd AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_totalprice > 200000
+                  THEN '5-LOW' ELSE o_orderpriority END AS o_orderpriority,
+             o_totalprice
+      FROM kept
+    )
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+    FROM upd
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def lake_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg MAINTENANCE arc (r9): CTAS from orders → DELETE → UPDATE →
+    export Iceberg v2 → `expire_snapshots(keep_last=1,
+    max_metadata_versions=2)` — the expireSnapshots + previous-versions-max
+    retention pair every production Iceberg table runs on a schedule. The
+    in-query asserts pin the maintenance contract: all but the head
+    snapshot expired, at least one expired-only manifest list AND one
+    copy-on-write-orphaned data file physically deleted, old metadata
+    JSONs unlinked, the expired snapshot unreadable — while the CURRENT
+    snapshot's aggregate still hashes equal to the oracle's relational
+    replay of the full DML arc.
+
+    100 TB shape: expiration cost is O(metadata of expired snapshots) —
+    the kept-file index comes from the retained manifests (bounded by the
+    live table) and data files are unlinked, never read."""
+    from lakehouses_spark.tables import LakeTable
+    from lakehouses_spark.tables.iceberg_meta import (
+        IcebergFormatError,
+        IcebergMetadataReader,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").where("o_orderkey <= 5000").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t = LakeTable.create(spark, f"{tmp}/orders", orders)
+        t.delete("o_orderstatus = 'O' AND o_totalprice < 40000")
+        t.update({"o_orderpriority": "'5-LOW'"}, where="o_totalprice > 200000")
+        dest = t.export_iceberg_metadata(f"{tmp}/orders_iceberg")
+        r = IcebergMetadataReader(spark, dest)
+        n_snaps = len(r.meta["snapshots"])
+        res = r.expire_snapshots(keep_last=1, max_metadata_versions=2)
+        assert len(res["expired"]) == n_snaps - 1, res
+        assert res["deleted_manifest_lists"] >= 1, res
+        assert res["deleted_data_files"] >= 1, res  # COW orphans reclaimed
+        assert res["deleted_metadata_files"] >= 1, res
+        r2 = IcebergMetadataReader(spark, dest)  # fresh reader via new hint
+        assert len(r2.meta["snapshots"]) == 1
+        try:
+            r2.to_df(snapshot_id=res["expired"][0])
+            raise AssertionError("expired snapshot must be unreadable")
+        except IcebergFormatError:
+            pass
+        out = (
+            r2.to_df()
+            .groupBy("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .orderBy("o_orderstatus", "o_orderpriority")
+        )
+        # materialize before the tempdir (and the exported table) disappears
+        return out.localCheckpoint()
+
+
+@query(
     "lake_iceberg_export",
     # deterministic CREATE→DELETE→UPDATE arc replayed relationally; the
     # Spark side must round-trip it through an EXPORTED Iceberg v2 metadata
@@ -1328,6 +1411,102 @@ def streaming_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = result.collect()  # materialize before tmp vanishes
         return spark.createDataFrame(rows, result.schema)
+
+
+@query(
+    "streaming_cdf_drain",
+    # the drained change FEED (not table) must hash-equal the relational
+    # replay of the DML chain's per-commit change sets — the same oracle
+    # shape as lake_cdf_read, driven through the streaming source
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey <= 2500
+    ), v2pre AS (
+      SELECT * FROM base WHERE o_orderpriority = '2-HIGH'
+    ), state2 AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             CASE WHEN o_orderpriority = '2-HIGH'
+                  THEN o_totalprice * 1.25 ELSE o_totalprice END AS o_totalprice
+      FROM base
+    ), v3del AS (
+      SELECT * FROM state2
+      WHERE o_orderstatus = 'F' AND o_totalprice < 60000
+    )
+    SELECT * FROM (
+      SELECT 0 AS version, 'insert' AS change_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+      FROM base HAVING count(*) > 0
+      UNION ALL
+      SELECT 2, 'update_preimage', CAST(count(*) AS BIGINT),
+             round(CAST(sum(o_totalprice) AS DOUBLE), 2)
+      FROM v2pre HAVING count(*) > 0
+      UNION ALL
+      SELECT 2, 'update_postimage', CAST(count(*) AS BIGINT),
+             round(CAST(sum(o_totalprice * 1.25) AS DOUBLE), 2)
+      FROM v2pre HAVING count(*) > 0
+      UNION ALL
+      SELECT 3, 'delete', CAST(count(*) AS BIGINT),
+             round(CAST(sum(o_totalprice) AS DOUBLE), 2)
+      FROM v3del HAVING count(*) > 0
+    ) ORDER BY version, change_type
+    """,
+)
+def streaming_cdf_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Change Data Feed (r9 — Delta's
+    `readStream.option("readChangeFeed", "true")`): CTAS from orders,
+    enable CDF, UPDATE then DELETE, then drain the `laketable` stream
+    source in change-feed mode (availableNow) and aggregate the drained
+    feed per (version, change_type). The oracle replays the same DML chain
+    relationally — the stream/batch-unification contract the other
+    streaming_* queries pin for aggregation and joins, extended to the
+    change feed: the STREAMED feed hashes equal to the relational truth.
+
+    100 TB shape: offsets are log versions, each micro-batch reads only
+    the change files of its commit range (one executor partition per
+    file), and commit metadata is stamped Arrow-side — the downstream-sync
+    consumer never scans the table itself."""
+    from lakehouses_spark.tables import LakeTable
+    from lakehouses_spark.tables.stream_source import LakeTableDataSource
+    from lakehouses_spark.tables.table import CDF_PROPERTY
+
+    spark.dataSource.register(LakeTableDataSource)
+    base = load_table(spark, sf_dir, "orders").where("o_orderkey <= 2500").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t = LakeTable.create(spark, f"{tmp}/orders", base)        # v0
+        t.set_properties({CDF_PROPERTY: "true"})                  # v1
+        t.update({"o_totalprice": "o_totalprice * 1.25"},
+                 where="o_orderpriority = '2-HIGH'")              # v2
+        t.delete("o_orderstatus = 'F' AND o_totalprice < 60000")  # v3
+        q = (
+            spark.readStream.format("laketable")
+            .option("path", str(t.path))
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/feed")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(f"{tmp}/feed")
+            .groupBy(
+                F.col("_commit_version").cast("int").alias("version"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .orderBy("version", "change_type")
+        )
+        rows = out.collect()  # materialize before tmp vanishes
+        return spark.createDataFrame(rows, out.schema)
 
 
 STREAM_JOIN_WINDOW_MIN = 240  # purchase attributed to a view within 4 hours

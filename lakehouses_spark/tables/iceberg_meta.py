@@ -1422,7 +1422,8 @@ class IcebergMetadataReader:
 
     # -- metadata tables (03.iceberg_primer.py:380-456) ------------------- #
     def expire_snapshots(
-        self, keep_last: int = 1, dry_run: bool = False
+        self, keep_last: int = 1, dry_run: bool = False,
+        max_metadata_versions: int | None = None,
     ) -> dict:
         """Iceberg's expireSnapshots maintenance (Spark SQL
         `CALL catalog.system.expire_snapshots(...)`): retain the newest
@@ -1434,6 +1435,12 @@ class IcebergMetadataReader:
         data/delete files no retained snapshot reaches. Time travel to
         retained snapshots is untouched; reads of expired ids raise
         snapshot-not-found — exactly Iceberg's contract.
+
+        ``max_metadata_versions`` additionally trims the metadata-log to
+        its newest N entries and unlinks the older v*.metadata.json files
+        (Iceberg's `write.metadata.previous-versions-max` +
+        delete-after-commit behavior) — the current file and version-hint
+        are never touched.
 
         100 TB shape: cost is O(metadata of expired snapshots) — the
         kept-file index is built from the RETAINED manifests (bounded by
@@ -1511,6 +1518,23 @@ class IcebergMetadataReader:
             "metadata-file":
                 f"{self.meta['location']}/metadata/{cur_file.name}",
         }]
+        if max_metadata_versions is not None:
+            if max_metadata_versions < 1:
+                raise ValueError("max_metadata_versions must be >= 1")
+            kept_log = meta["metadata-log"][-max_metadata_versions:]
+            kept_names = {
+                e["metadata-file"].rsplit("/", 1)[-1] for e in kept_log
+            }
+            result["deleted_metadata_files"] = 0
+            for e in meta["metadata-log"][:-max_metadata_versions]:
+                name = e["metadata-file"].rsplit("/", 1)[-1]
+                if name in kept_names or name == cur_file.name:
+                    continue
+                p = self.meta_dir / name
+                if p.exists():
+                    p.unlink()
+                    result["deleted_metadata_files"] += 1
+            meta["metadata-log"] = kept_log
         new_v = int(cur_file.name.split(".")[0][1:]) + 1
         (self.meta_dir / f"v{new_v}.metadata.json").write_text(
             json.dumps(meta, indent=2)

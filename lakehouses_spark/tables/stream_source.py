@@ -97,14 +97,37 @@ class LakeTableDataSource(DataSource):
             p = urlparse(p).path
         return p
 
+    def _cdf(self) -> bool:
+        # Delta's spark.readStream.option("readChangeFeed", "true") contract
+        return str(self.options.get("readchangefeed", "false")).lower() == "true"
+
     def schema(self) -> StructType:
+        from pyspark.sql.types import LongType, StringType, StructField, TimestampType
+
         st = _replay(self._path())
-        return StructType.fromJson(json.loads(st.schema_json))
+        base = StructType.fromJson(json.loads(st.schema_json))
+        if not self._cdf():
+            return base
+        return StructType(
+            list(base.fields)
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+                StructField("_commit_timestamp", TimestampType()),
+            ]
+        )
 
     def reader(self, schema: StructType) -> "LakeTableBatchReader":
+        if self._cdf():
+            raise ValueError(
+                "readChangeFeed is a STREAMING option; for batch CDF use "
+                "LakeTable.table_changes(from, to)"
+            )
         return LakeTableBatchReader(self._path())
 
-    def streamReader(self, schema: StructType) -> "LakeTableStreamReader":
+    def streamReader(self, schema: StructType):
+        if self._cdf():
+            return LakeTableChangeFeedStreamReader(self._path(), self.schema())
         return LakeTableStreamReader(
             self._path(),
             ignore_changes=str(self.options.get("ignorechanges", "false")).lower()
@@ -188,6 +211,116 @@ class LakeTableStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # progress is durable in the sink checkpoint; nothing to clean
+
+
+class ChangeSlice(InputPartition):
+    """One change-feed file: a cdc change file (carries `_change_type`
+    itself) or a derived-insert data file (`change_type='insert'`), plus
+    the commit identity to stamp onto every row."""
+
+    def __init__(self, path: str, change_type: str | None, version: int,
+                 ts_ms: int, rename: dict[str, str]):
+        self.path = path
+        self.change_type = change_type
+        self.version = version
+        self.ts_ms = ts_ms
+        self.rename = rename  # physical -> logical (derived inserts only)
+
+
+class LakeTableChangeFeedStreamReader(DataSourceStreamReader):
+    """Streaming CDF (Delta's `readStream.option("readChangeFeed",
+    "true")`): each micro-batch is the row-level change set of the commits
+    in (start_version, end_version] — cdc change files when the commit
+    recorded them (DML under delta.enableChangeDataFeed), derived inserts
+    for pure-append commits, nothing for metadata-only / authoritative-
+    empty commits. Mutating commits without recorded change data fail
+    fast, like the batch reader. Fan-out is per change file (one executor
+    partition each); commit metadata columns are stamped Arrow-side, so
+    rows never pass through Python one at a time."""
+
+    def __init__(self, table_path: str, out_schema: StructType):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self.table_path = table_path
+        self.arrow_schema = to_arrow_schema(out_schema)
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        versions = _versions(self.table_path)
+        return {"version": versions[-1] if versions else -1}
+
+    def partitions(self, start: dict, end: dict):
+        start_v, end_v = int(start["version"]), int(end["version"])
+        slices: list[ChangeSlice] = []
+        for v in _versions(self.table_path):
+            if not (start_v < v <= end_v):
+                continue
+            c = _commit(self.table_path, v)
+            ts = c["timestamp_ms"]
+            adds = c.get("add") or []
+            if c.get("cdc") is not None:
+                slices.extend(
+                    ChangeSlice(str(Path(self.table_path) / e["path"]),
+                                None, v, ts, {})
+                    for e in c["cdc"]
+                )
+            elif adds and not c.get("remove") and not c.get("tombstone") \
+                    and c.get("set_tombstones") is None:
+                mapping = _replay(self.table_path, version=v).column_mapping
+                rename = {p: l for l, p in (mapping or {}).items()}
+                slices.extend(
+                    ChangeSlice(str(Path(self.table_path) / a["path"]),
+                                "insert", v, ts, rename)
+                    for a in adds
+                )
+            elif c.get("remove") or c.get("tombstone") \
+                    or c.get("set_tombstones") is not None:
+                raise RuntimeError(
+                    f"change data not recorded for version {v} "
+                    f"({c.get('operation')}); set TBLPROPERTIES "
+                    "('delta.enableChangeDataFeed' = 'true') before DML, "
+                    "or stream the table without readChangeFeed"
+                )
+            # else: metadata-only commit — nothing changed
+        return slices or [ChangeSlice("", None, -1, 0, {})]
+
+    def read(self, partition: ChangeSlice):
+        if not partition.path:  # empty batch placeholder
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        if partition.rename:
+            table = table.rename_columns(
+                [partition.rename.get(n, n) for n in table.column_names]
+            )
+        out = self.arrow_schema
+        for batch in table.to_batches(max_chunksize=10_000):
+            n = len(batch)
+            names = set(batch.schema.names)
+            cols = []
+            for f in out:
+                if f.name == "_change_type" and f.name not in names:
+                    cols.append(pa.array([partition.change_type] * n, f.type))
+                elif f.name == "_commit_version":
+                    cols.append(pa.array([partition.version] * n, f.type))
+                elif f.name == "_commit_timestamp":
+                    cols.append(pa.array(
+                        [partition.ts_ms * 1000] * n,
+                        pa.timestamp(f.type.unit, f.type.tz),
+                    ))
+                elif f.name in names:
+                    col = batch.column(f.name)
+                    cols.append(col if col.type == f.type else col.cast(f.type))
+                else:  # schema evolution: older change files read NULL
+                    cols.append(pa.nulls(n, f.type))
+            yield pa.RecordBatch.from_arrays(cols, schema=out)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 def _register_pickle_by_value() -> None:

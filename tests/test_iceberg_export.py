@@ -719,3 +719,28 @@ def test_expire_snapshots_keeps_shared_manifests(spark, tmp_path):
     assert len(res["expired"]) == 2
     assert res["deleted_data_files"] == 0  # appends: all files still live
     assert _sorted_rows(read_iceberg(spark, dest)) == want
+
+
+def test_expire_snapshots_trims_metadata_log(spark, tmp_path):
+    """max_metadata_versions (Iceberg's previous-versions-max +
+    delete-after-commit): old v*.metadata.json unlinked, metadata-log
+    trimmed to the newest N, current file + hint untouched, table still
+    reads and re-opens."""
+    t = _mk_table(spark, tmp_path / "lake")
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    meta_dir = dest / "metadata"
+    n_json = len(list(meta_dir.glob("v*.metadata.json")))
+    assert n_json >= 4
+    want = _sorted_rows(read_iceberg(spark, dest))
+
+    r = IcebergMetadataReader(spark, dest)
+    res = r.expire_snapshots(keep_last=1, max_metadata_versions=2)
+    assert res["deleted_metadata_files"] >= 2
+    left = sorted(meta_dir.glob("v*.metadata.json"))
+    assert len(left) == n_json + 1 - res["deleted_metadata_files"]
+    assert not (meta_dir / "v1.metadata.json").exists()
+
+    r2 = IcebergMetadataReader(spark, dest)
+    assert _sorted_rows(read_iceberg(spark, dest)) == want
+    assert len(r2.meta["metadata-log"]) == 2
+    assert r2.metadata_log_entries().count() == 2

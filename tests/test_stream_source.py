@@ -78,3 +78,76 @@ def test_streaming_agg_over_table_source(spark, table, tmp_path):
     q.awaitTermination()
     got = {r.v: r.n for r in spark.sql("SELECT * FROM agg_src").collect()}
     assert got == {"a": 2, "b": 1}
+
+
+def test_streaming_change_feed_drains_table_changes(spark, tmp_path):
+    """Streaming CDF (r9 — Delta's readStream readChangeFeed=true): the
+    drained feed equals LakeTable.table_changes over the same version
+    range — cdc files consumed, appends derived as inserts, commit
+    metadata stamped Arrow-side; a resumed drain picks up ONLY new
+    commits' changes; unrecorded DML fails the stream."""
+    from lakehouses_spark.tables.table import CDF_PROPERTY
+
+    spark.dataSource.register(LakeTableDataSource)
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i)) for i in range(1, 11)],
+        "id int, v string, price double")
+    t = LakeTable.create(spark, tmp_path / "cdf_t", df)      # v0
+    t.set_properties({CDF_PROPERTY: "true"})                 # v1
+    t.update({"price": "price * 2"}, where="id <= 2")        # v2
+    t.delete("id >= 9")                                      # v3
+
+    def drain(name):
+        out = tmp_path / f"out_{name}"
+        q = (
+            spark.readStream.format("laketable")
+            .option("path", str(t.path))
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(out))
+
+    def key(df_):
+        return sorted(
+            (r["_commit_version"], r["_change_type"], r["id"], r["price"])
+            for r in df_.collect()
+        )
+
+    got = drain("cdf1")
+    assert set(got.columns) == {"id", "v", "price", "_change_type",
+                                "_commit_version", "_commit_timestamp"}
+    assert key(got) == key(t.table_changes(0, 3))
+    assert got.where(F.col("_commit_timestamp").isNull()).count() == 0
+
+    # new commits only on resume
+    t.merge(spark.createDataFrame([(100, "z", 5.0)],
+                                  "id int, v string, price double"),
+            on="t.id = s.id")                                # v4
+    got2 = drain("cdf1")  # same checkpoint resumes
+    assert key(got2) == key(t.table_changes(0, 4))
+
+    # unrecorded DML → stream fails fast
+    t2 = LakeTable.create(
+        spark, tmp_path / "cdf_off",
+        spark.createDataFrame([(1, "a", 1.0)], "id int, v string, price double"))
+    t2.delete("id = 1")  # CDF off
+    with pytest.raises(Exception, match="change data not recorded"):
+        out = tmp_path / "out_off"
+        q = (
+            spark.readStream.format("laketable")
+            .option("path", str(t2.path))
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt_off"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
