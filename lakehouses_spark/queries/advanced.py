@@ -413,6 +413,85 @@ def lake_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_iceberg_refs",
+    # the returned aggregate reads the TAG — the post-delete, pre-update
+    # snapshot — so the oracle replays exactly base-minus-deletes; the
+    # update that follows must NOT leak into the tagged state, and the
+    # tagged snapshot must survive expire_snapshots(keep_last=1)
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey <= 4000
+    ), kept AS (
+      SELECT * FROM base
+      WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 60000)
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+    FROM kept
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def lake_iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg snapshot refs arc (r9): CTAS → DELETE → UPDATE → export v2 →
+    CREATE TAG at the post-delete snapshot + CREATE BRANCH at the create
+    snapshot → fast_forward the branch to head →
+    expire_snapshots(keep_last=1) — the tag's snapshot must SURVIVE
+    expiration (Iceberg retains every ref target) while the now-unreferenced
+    create snapshot expires. The returned aggregate reads `VERSION AS OF`
+    the tag through a FRESH reader (refs live in the committed
+    metadata.json, not reader state), so ref resolution, ref-aware
+    expiration, and tag-snapshot schema reads are all on the oracle's hash.
+
+    100 TB shape: a ref commit is O(1) — one new metadata.json; no
+    manifest or data file is touched. Expiration with refs stays
+    O(expired metadata).
+
+    Reference scope: branches/tags extend 03.iceberg_primer.py's snapshot
+    time-travel surface (same refs map the primer's history queries walk)."""
+    from lakehouses_spark.tables import LakeTable
+    from lakehouses_spark.tables.iceberg_meta import IcebergMetadataReader
+
+    orders = load_table(spark, sf_dir, "orders").where("o_orderkey <= 4000").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t = LakeTable.create(spark, f"{tmp}/orders", orders)
+        t.delete("o_orderstatus = 'F' AND o_totalprice < 60000")
+        t.update({"o_totalprice": "o_totalprice * 2"},
+                 where="o_orderpriority = '1-URGENT'")
+        dest = t.export_iceberg_metadata(f"{tmp}/orders_iceberg")
+        r = IcebergMetadataReader(spark, dest)
+        snaps = [s["snapshot-id"] for s in r.meta["snapshots"]]
+        assert len(snaps) == 3, snaps
+        r.create_tag("audited", snapshot_id=snaps[1])
+        r.create_branch("dev", snapshot_id=snaps[0])
+        assert r.fast_forward("dev") == (snaps[0], snaps[2])
+        res = r.expire_snapshots(keep_last=1)
+        # the tag pins snaps[1]; the branch moved off snaps[0], so only
+        # the create snapshot expires
+        assert res["expired"] == [snaps[0]], res
+        r2 = IcebergMetadataReader(spark, dest)  # fresh open via new hint
+        ref_rows = {x["name"]: x for x in r2.refs().collect()}
+        assert set(ref_rows) == {"main", "audited", "dev"}, ref_rows
+        assert ref_rows["dev"]["snapshot_id"] == snaps[2]
+        assert r2.to_df(ref="dev").count() == r2.to_df().count()
+        out = (
+            r2.to_df(ref="audited")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        # materialize before the tempdir (and the exported table) disappears
+        return out.localCheckpoint()
+
+
+@query(
     "lake_iceberg_export",
     # deterministic CREATE→DELETE→UPDATE arc replayed relationally; the
     # Spark side must round-trip it through an EXPORTED Iceberg v2 metadata

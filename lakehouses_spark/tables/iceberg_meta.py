@@ -1208,13 +1208,19 @@ class IcebergMetadataReader:
         self,
         filters: list[tuple] | None = None,
         snapshot_id: int | None = None,
+        ref: str | None = None,
     ) -> list[dict]:
         """Manifest-level scan planning: drop every live data file whose
         [lower_bounds, upper_bounds] for a filtered field can't satisfy the
         predicate — Iceberg's min/max file pruning, evaluated driver-side
         from the manifest stats without touching any parquet footer.
         ``filters``: [(column, op, value)] with op in =,<,<=,>,>=; files
-        lacking bounds for a column are conservatively kept."""
+        lacking bounds for a column are conservatively kept.
+        ``ref``: plan at a named branch/tag instead of a snapshot id."""
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either snapshot_id or ref, not both")
+            snapshot_id = self._resolve_ref(ref)
         files = self.live_files(snapshot_id)
         if not filters:
             return files
@@ -1266,12 +1272,19 @@ class IcebergMetadataReader:
         snapshot_id: int | None = None,
         filters: list[tuple] | None = None,
         columns: list[str] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Read the snapshot. ``filters`` prune files via the manifest
         min/max bounds then apply row-wise; ``columns`` (r8) prunes the
         parquet ReadSchema to the requested logical columns (filter and
         equality-delete columns are read internally as needed but not
-        returned)."""
+        returned); ``ref`` (r9) reads a named branch/tag — Iceberg's
+        `VERSION AS OF 'refname'` — with the referenced snapshot's schema,
+        like explicit snapshot time travel."""
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either snapshot_id or ref, not both")
+            snapshot_id = self._resolve_ref(ref)
         snap = self._snapshot(snapshot_id)
         # current reads use current-schema-id (metadata-only alters bump the
         # schema without a new snapshot); explicit time travel uses the
@@ -1450,12 +1463,17 @@ class IcebergMetadataReader:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         snaps = list(self.meta.get("snapshots") or [])
-        retained = snaps[-keep_last:]
         cur = self.meta.get("current-snapshot-id", -1)
-        if cur != -1 and all(s["snapshot-id"] != cur for s in retained):
-            retained = [s for s in snaps if s["snapshot-id"] == cur] + retained
-        expired = [s for s in snaps if s not in retained]
-        keep_ids = {s["snapshot-id"] for s in retained}
+        # snapshots pinned by a ref (branch or tag) never expire — Iceberg's
+        # ExpireSnapshots retains every ref target until the ref is dropped
+        keep_ids = {s["snapshot-id"] for s in snaps[-keep_last:]}
+        keep_ids |= {
+            r["snapshot-id"] for r in (self.meta.get("refs") or {}).values()
+        }
+        if cur != -1:
+            keep_ids.add(cur)
+        retained = [s for s in snaps if s["snapshot-id"] in keep_ids]
+        expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
 
         keep_files: set[Path] = set()
         keep_manifests: set[Path] = set()
@@ -1544,6 +1562,154 @@ class IcebergMetadataReader:
             p.unlink(missing_ok=True)
         self.meta = meta
         return result
+
+    # -- snapshot refs (branches / tags) ---------------------------------- #
+    def _commit_metadata(self, meta: dict) -> int:
+        """Write ``meta`` as the next v{n+1}.metadata.json, append the
+        outgoing current file to the metadata-log, flip version-hint, and
+        adopt it as self.meta. Returns the new version number."""
+        import time as _time
+
+        cur_file = self._current_metadata_file()
+        now_ms = int(_time.time() * 1000)
+        meta["last-updated-ms"] = now_ms
+        meta["metadata-log"] = (self.meta.get("metadata-log") or []) + [{
+            "timestamp-ms": now_ms,
+            "metadata-file":
+                f"{self.meta['location']}/metadata/{cur_file.name}",
+        }]
+        new_v = int(cur_file.name.split(".")[0][1:]) + 1
+        (self.meta_dir / f"v{new_v}.metadata.json").write_text(
+            json.dumps(meta, indent=2)
+        )
+        (self.meta_dir / "version-hint.text").write_text(str(new_v))
+        self.meta = meta
+        return new_v
+
+    def _resolve_ref(self, ref: str) -> int:
+        r = (self.meta.get("refs") or {}).get(ref)
+        if r is None:
+            raise IcebergFormatError(f"ref {ref!r} not found")
+        return r["snapshot-id"]
+
+    def _create_ref(self, name: str, kind: str, snapshot_id: int | None,
+                    extra: dict) -> dict:
+        if not name or "/" in name:
+            raise ValueError(f"invalid ref name: {name!r}")
+        refs = dict(self.meta.get("refs") or {})
+        if name in refs:
+            raise IcebergFormatError(f"ref {name!r} already exists")
+        snap = self._snapshot(snapshot_id)  # validates existence
+        if snap is None:
+            raise IcebergFormatError("table has no snapshots to reference")
+        entry = {"snapshot-id": snap["snapshot-id"], "type": kind}
+        entry.update({k: v for k, v in extra.items() if v is not None})
+        refs[name] = entry
+        meta = dict(self.meta)
+        meta["refs"] = refs
+        self._commit_metadata(meta)
+        return entry
+
+    def create_tag(self, name: str, snapshot_id: int | None = None,
+                   max_ref_age_ms: int | None = None) -> dict:
+        """Iceberg `ALTER TABLE ... CREATE TAG` (spec: refs map in table
+        metadata): pin ``snapshot_id`` (default: current) under an immutable
+        named ref. Tagged snapshots never expire until the tag is dropped.
+        Commits a new metadata.json version — external readers see the ref."""
+        return self._create_ref(
+            name, "tag", snapshot_id, {"max-ref-age-ms": max_ref_age_ms}
+        )
+
+    def create_branch(self, name: str, snapshot_id: int | None = None,
+                      max_ref_age_ms: int | None = None,
+                      max_snapshot_age_ms: int | None = None,
+                      min_snapshots_to_keep: int | None = None) -> dict:
+        """Iceberg `ALTER TABLE ... CREATE BRANCH`: a movable named ref
+        with optional branch-level retention fields (spec names
+        `max-snapshot-age-ms` / `min-snapshots-to-keep`). Advance it with
+        :meth:`fast_forward`."""
+        return self._create_ref(
+            name, "branch", snapshot_id,
+            {"max-ref-age-ms": max_ref_age_ms,
+             "max-snapshot-age-ms": max_snapshot_age_ms,
+             "min-snapshots-to-keep": min_snapshots_to_keep},
+        )
+
+    def drop_ref(self, name: str) -> None:
+        """Drop a branch or tag. `main` is protected (Iceberg refuses to
+        remove the main branch). The referenced snapshot becomes eligible
+        for the next expire_snapshots pass."""
+        if name == "main":
+            raise IcebergFormatError("cannot remove the main branch")
+        refs = dict(self.meta.get("refs") or {})
+        if name not in refs:
+            raise IcebergFormatError(f"ref {name!r} not found")
+        del refs[name]
+        meta = dict(self.meta)
+        meta["refs"] = refs
+        self._commit_metadata(meta)
+
+    def _ancestry(self, snapshot_id: int) -> list[int]:
+        by_id = {s["snapshot-id"]: s for s in self.meta.get("snapshots") or []}
+        chain, cur = [], snapshot_id
+        while cur is not None and cur in by_id:
+            chain.append(cur)
+            cur = by_id[cur].get("parent-snapshot-id")
+        return chain
+
+    def fast_forward(self, branch: str, to: str | int | None = None
+                     ) -> tuple[int, int]:
+        """Spark-Iceberg `CALL system.fast_forward(branch, to)`: advance
+        ``branch`` to ``to`` (a ref name or snapshot id; default: current
+        snapshot) — refused unless the branch's current snapshot is an
+        ancestor of the target, exactly the procedure's not-fast-forward
+        guard. Returns (previous_snapshot_id, new_snapshot_id)."""
+        refs = dict(self.meta.get("refs") or {})
+        if branch not in refs:
+            raise IcebergFormatError(f"ref {branch!r} not found")
+        if refs[branch]["type"] != "branch":
+            raise IcebergFormatError(f"ref {branch!r} is a tag, not a branch")
+        if to is None:
+            target = self.meta.get("current-snapshot-id", -1)
+            if target == -1:
+                raise IcebergFormatError("table has no current snapshot")
+        elif isinstance(to, str):
+            target = self._resolve_ref(to)
+        else:
+            target = self._snapshot(to)["snapshot-id"]
+        old = refs[branch]["snapshot-id"]
+        if target == old:
+            return (old, old)
+        if old not in self._ancestry(target):
+            raise IcebergFormatError(
+                f"cannot fast-forward {branch!r}: {old} is not an ancestor "
+                f"of {target}"
+            )
+        refs[branch] = {**refs[branch], "snapshot-id": target}
+        meta = dict(self.meta)
+        meta["refs"] = refs
+        if branch == "main":
+            meta["current-snapshot-id"] = target
+        self._commit_metadata(meta)
+        return (old, target)
+
+    def refs(self) -> DataFrame:
+        """The `.refs` metadata table (same schema as Spark-Iceberg's):
+        one row per branch/tag with its retention fields."""
+        rows = [
+            (
+                name, r["type"], r["snapshot-id"],
+                r.get("max-ref-age-ms"), r.get("min-snapshots-to-keep"),
+                r.get("max-snapshot-age-ms"),
+            )
+            for name, r in sorted((self.meta.get("refs") or {}).items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "name string, type string, snapshot_id long, "
+            "max_reference_age_in_ms long, min_snapshots_to_keep int, "
+            "max_snapshot_age_in_ms long",
+        )
 
     def snapshots(self) -> DataFrame:
         rows = [

@@ -744,3 +744,106 @@ def test_expire_snapshots_trims_metadata_log(spark, tmp_path):
     assert _sorted_rows(read_iceberg(spark, dest)) == want
     assert len(r2.meta["metadata-log"]) == 2
     assert r2.metadata_log_entries().count() == 2
+
+
+# --------------------------- snapshot refs ------------------------------- #
+def test_refs_create_read_and_metadata_table(spark, tmp_path):
+    """Branches/tags (r9, spec `refs` map): CREATE TAG / CREATE BRANCH
+    commit a NEW metadata.json an external (fresh) reader sees; read-by-ref
+    equals snapshot time travel; the `.refs` metadata table matches
+    Spark-Iceberg's schema; duplicate/unknown names fail loudly."""
+    t = _mk_table(spark, tmp_path / "lake")
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    snaps = [s["snapshot-id"] for s in r.meta["snapshots"]]
+    v_before = int((dest / "metadata" / "version-hint.text").read_text())
+
+    r.create_tag("pre-evolve", snapshot_id=snaps[2], max_ref_age_ms=864000)
+    r.create_branch("audit", snapshot_id=snaps[1], min_snapshots_to_keep=2)
+
+    # two ref commits -> two new metadata versions, hint flipped each time
+    assert int((dest / "metadata" / "version-hint.text").read_text()) == \
+        v_before + 2
+
+    r2 = IcebergMetadataReader(spark, dest)  # fresh open via the new hint
+    refs = {row["name"]: row for row in r2.refs().collect()}
+    assert set(refs) == {"main", "pre-evolve", "audit"}
+    assert refs["pre-evolve"]["type"] == "tag"
+    assert refs["pre-evolve"]["snapshot_id"] == snaps[2]
+    assert refs["pre-evolve"]["max_reference_age_in_ms"] == 864000
+    assert refs["audit"]["type"] == "branch"
+    assert refs["audit"]["min_snapshots_to_keep"] == 2
+    assert refs["main"]["snapshot_id"] == snaps[-1]
+
+    assert _sorted_rows(r2.to_df(ref="pre-evolve")) == \
+        _sorted_rows(r2.to_df(snapshot_id=snaps[2]))
+    assert _sorted_rows(r2.to_df(ref="main")) == _sorted_rows(r2.to_df())
+    # ref reads use the referenced snapshot's schema: the branch points
+    # before the schema-evolution append, so no `note` column
+    assert "note" not in r2.to_df(ref="audit").columns
+
+    with pytest.raises(IcebergFormatError, match="already exists"):
+        r2.create_tag("audit")
+    with pytest.raises(IcebergFormatError, match="not found"):
+        r2.create_tag("ghost", snapshot_id=999999)
+    with pytest.raises(IcebergFormatError, match="not found"):
+        r2.to_df(ref="nope")
+    with pytest.raises(ValueError, match="not both"):
+        r2.to_df(snapshot_id=snaps[0], ref="main")
+
+
+def test_refs_protect_snapshots_from_expiration(spark, tmp_path):
+    """expire_snapshots retains every ref target (Iceberg's ExpireSnapshots
+    contract) — a tagged old snapshot survives keep_last=1 and stays
+    readable by ref; dropping the tag releases it to the next pass."""
+    t = _mk_table(spark, tmp_path / "lake")
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    snaps = [s["snapshot-id"] for s in r.meta["snapshots"]]
+    r.create_tag("pinned", snapshot_id=snaps[0])
+    pinned_rows = _sorted_rows(r.to_df(ref="pinned"))
+
+    res = r.expire_snapshots(keep_last=1)
+    assert snaps[0] not in res["expired"]
+    assert set(res["expired"]) == set(snaps[1:-1])
+    r2 = IcebergMetadataReader(spark, dest)
+    assert _sorted_rows(r2.to_df(ref="pinned")) == pinned_rows
+
+    with pytest.raises(IcebergFormatError, match="main branch"):
+        r2.drop_ref("main")
+    r2.drop_ref("pinned")
+    with pytest.raises(IcebergFormatError, match="not found"):
+        r2.drop_ref("pinned")
+    res2 = r2.expire_snapshots(keep_last=1)
+    assert res2["expired"] == [snaps[0]]
+    r3 = IcebergMetadataReader(spark, dest)
+    assert [s["snapshot-id"] for s in r3.meta["snapshots"]] == [snaps[-1]]
+
+
+def test_fast_forward_branch(spark, tmp_path):
+    """fast_forward advances a branch along its ancestry only (the
+    procedure's not-fast-forward guard); tags refuse to move."""
+    t = _mk_table(spark, tmp_path / "lake")
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    snaps = [s["snapshot-id"] for s in r.meta["snapshots"]]
+
+    r.create_branch("dev", snapshot_id=snaps[0])
+    old, new = r.fast_forward("dev")                 # default: to current
+    assert (old, new) == (snaps[0], snaps[-1])
+    assert _sorted_rows(r.to_df(ref="dev")) == _sorted_rows(r.to_df())
+    # no-op fast-forward is a no-op, not an error
+    assert r.fast_forward("dev") == (snaps[-1], snaps[-1])
+
+    # backwards is NOT a fast-forward
+    r.create_branch("stale", snapshot_id=snaps[-1])
+    with pytest.raises(IcebergFormatError, match="not an ancestor"):
+        r.fast_forward("stale", to=snaps[0])
+    r.create_tag("v1", snapshot_id=snaps[0])
+    with pytest.raises(IcebergFormatError, match="is a tag"):
+        r.fast_forward("v1")
+    with pytest.raises(IcebergFormatError, match="not found"):
+        r.fast_forward("missing")
+    # `to` accepts a ref name too
+    r.create_branch("dev2", snapshot_id=snaps[1])
+    assert r.fast_forward("dev2", to="dev") == (snaps[1], snaps[-1])
