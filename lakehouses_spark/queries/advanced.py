@@ -399,6 +399,13 @@ def lake_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError("expired snapshot must be unreadable")
         except IcebergFormatError:
             pass
+        # maintenance-pair invariant (r9): a clean expire leaves NOTHING
+        # for removeOrphanFiles — every surviving file is still referenced
+        import time as _time
+        orphans = r2.remove_orphan_files(
+            older_than_ms=int(_time.time() * 1000) + 60_000, dry_run=True
+        )
+        assert orphans["orphans"] == [], orphans
         out = (
             r2.to_df()
             .groupBy("o_orderstatus", "o_orderpriority")

@@ -1563,6 +1563,71 @@ class IcebergMetadataReader:
         self.meta = meta
         return result
 
+    def remove_orphan_files(
+        self, older_than_ms: int | None = None, dry_run: bool = False,
+    ) -> dict:
+        """Iceberg's removeOrphanFiles maintenance (Spark SQL
+        `CALL catalog.system.remove_orphan_files(...)`): delete every file
+        under the table location that NO metadata version references —
+        leftovers of failed writes, interrupted expirations, or manual
+        copies. The keep-set is every v*.metadata.json on disk plus every
+        manifest list, manifest, and data/delete file reachable from any
+        of their snapshots (entries of every status — a file an older
+        retained snapshot still lists is not an orphan). ``older_than_ms``
+        is an absolute epoch-millis cutoff; files modified at/after it are
+        kept (default: now − 3 days, Iceberg's guard against deleting
+        files of in-flight commits). Returns the orphan list + count;
+        ``dry_run`` lists without deleting.
+
+        100 TB shape: the keep-set is O(metadata) — manifests decode once
+        each (memoized); the location walk is the same listing a real
+        orphan sweep pays, and data files are unlinked, never read."""
+        import time as _time
+
+        cutoff = (
+            older_than_ms if older_than_ms is not None
+            else int(_time.time() * 1000) - 3 * 24 * 3600 * 1000
+        )
+        keep: set[Path] = {(self.meta_dir / "version-hint.text").resolve()}
+        decoded: set[Path] = set()
+        for mf in sorted(self.meta_dir.glob("v*.metadata.json")):
+            keep.add(mf.resolve())
+            m = json.loads(mf.read_text())
+            for s in m.get("snapshots") or []:
+                ml = self._local(s["manifest-list"])
+                if not ml.exists():
+                    continue
+                keep.add(ml.resolve())
+                if ml in decoded:
+                    continue
+                decoded.add(ml)
+                _, rows = read_ocf_bytes(ml.read_bytes())
+                for r_ in rows:
+                    mp = self._local(r_["manifest_path"])
+                    if not mp.exists():
+                        continue
+                    keep.add(mp.resolve())
+                    if mp in decoded:
+                        continue
+                    decoded.add(mp)
+                    _, entries = read_ocf_bytes(mp.read_bytes())
+                    keep.update(
+                        self._local_data(e["data_file"]["file_path"]).resolve()
+                        for e in entries
+                    )
+        orphans = sorted(
+            p for p in self.path.rglob("*")
+            if p.is_file() and p.resolve() not in keep
+            and int(p.stat().st_mtime * 1000) < cutoff
+        )
+        if not dry_run:
+            for p in orphans:
+                p.unlink(missing_ok=True)
+        return {
+            "orphans": [str(p.relative_to(self.path)) for p in orphans],
+            "deleted": 0 if dry_run else len(orphans),
+        }
+
     # -- snapshot refs (branches / tags) ---------------------------------- #
     def _commit_metadata(self, meta: dict) -> int:
         """Write ``meta`` as the next v{n+1}.metadata.json, append the

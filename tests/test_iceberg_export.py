@@ -847,3 +847,48 @@ def test_fast_forward_branch(spark, tmp_path):
     # `to` accepts a ref name too
     r.create_branch("dev2", snapshot_id=snaps[1])
     assert r.fast_forward("dev2", to="dev") == (snaps[1], snaps[-1])
+
+
+# ------------------------- remove_orphan_files --------------------------- #
+def test_remove_orphan_files(spark, tmp_path):
+    """removeOrphanFiles (r9): strays under data AND metadata are listed
+    by dry_run and deleted by the real pass; every file any metadata
+    version references survives (incl. files only OLD snapshots list);
+    reads are byte-identical after the sweep; second pass finds nothing."""
+    import shutil as _sh
+    import time as _t
+
+    t = _mk_table(spark, tmp_path / "lake")
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    want = _sorted_rows(read_iceberg(spark, dest))
+    n_files = sum(1 for p in dest.rglob("*") if p.is_file())
+
+    # plant strays: a fake data parquet + a fake manifest avro
+    live = r._local_data(r.live_files()[0]["file_path"])
+    stray_data = live.parent / "stray-orphan.parquet"
+    _sh.copy2(live, stray_data)
+    stray_meta = dest / "metadata" / "zzz-orphan-m9.avro"
+    stray_meta.write_bytes(b"Obj\x01 not a real manifest")
+
+    future = int(_t.time() * 1000) + 60_000
+    dry = r.remove_orphan_files(older_than_ms=future, dry_run=True)
+    assert sorted(p.rsplit("/", 1)[-1] for p in dry["orphans"]) == [
+        "stray-orphan.parquet", "zzz-orphan-m9.avro"
+    ]
+    assert dry["deleted"] == 0 and stray_data.exists()
+
+    # default cutoff (now - 3 days) protects fresh files — in-flight commits
+    assert r.remove_orphan_files()["orphans"] == []
+    assert stray_data.exists()
+
+    res = r.remove_orphan_files(older_than_ms=future)
+    assert res["deleted"] == 2
+    assert not stray_data.exists() and not stray_meta.exists()
+    # nothing else was touched: same file count as before planting
+    assert sum(1 for p in dest.rglob("*") if p.is_file()) == n_files
+    assert _sorted_rows(read_iceberg(spark, dest)) == want
+    # files only HISTORICAL snapshots reference are kept: time travel works
+    first = r.meta["snapshots"][0]["snapshot-id"]
+    assert r.to_df(snapshot_id=first).count() > 0
+    assert r.remove_orphan_files(older_than_ms=future)["orphans"] == []
