@@ -153,6 +153,96 @@ def lake_delta_log_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_delta_v2_checkpoint",
+    # UPDATE→lazy-DELETE arc exported with checkpoint_format="v2"; every
+    # commit JSON is then deleted, so the aggregate MUST reconstruct from
+    # the v2 checkpoint alone (top-level uuid json + _sidecars parquet,
+    # native DV descriptors riding in the sidecar add actions)
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_returnflag, l_linestatus, l_quantity,
+             l_extendedprice
+      FROM lineitem WHERE l_orderkey <= 3000
+    ), upd AS (
+      SELECT l_returnflag,
+             CASE WHEN l_quantity >= 45 THEN 'X' ELSE l_linestatus END
+               AS l_linestatus,
+             l_quantity, l_extendedprice
+      FROM base
+    ), kept AS (
+      SELECT * FROM upd
+      WHERE NOT (l_returnflag = 'R' AND l_quantity < 10)
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS total_price
+    FROM kept
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def lake_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2-checkpoint interop arc (r9): CTAS from lineitem → UPDATE →
+    lazy DELETE (merge-on-read tombstone) → `export_delta_log(
+    checkpoint_format="v2")` — the UUID-named top-level
+    `<v>.checkpoint.<uuid>.json` + `_sidecars/*.parquet` layout
+    (PROTOCOL.md "V2 Checkpoint Table Feature") — then every commit JSON
+    is DELETED, Delta's log-retention cleanup. The aggregate must
+    reconstruct from the v2 checkpoint alone: non-file actions + sidecar
+    pointers from the top-level file, add actions (including the native
+    deletionVector descriptor for the lazy delete) from the sidecar
+    parquet. In-query asserts pin the layout: exactly one uuid top-level,
+    ≥1 sidecar, NO classic checkpoint parquet, and a DV-carrying add in
+    the reconstructed snapshot.
+
+    100 TB shape: sidecars chunk at CHECKPOINT_PART_ACTIONS adds each, so
+    a million-file table's checkpoint is ~20 parquet files readable in
+    parallel while the top-level stays O(sidecar count)."""
+    import os as _os
+
+    from lakehouses_spark.tables import LakeTable
+    from lakehouses_spark.tables.delta_log import DeltaLogReader, read_delta
+
+    li = load_table(spark, sf_dir, "lineitem").where("l_orderkey <= 3000").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t = LakeTable.create(spark, f"{tmp}/lineitem", li)
+        t.update({"l_linestatus": "'X'"}, where="l_quantity >= 45")
+        t.delete("l_returnflag = 'R' AND l_quantity < 10", lazy=True)
+        dest = t.export_delta_log(
+            f"{tmp}/lineitem_delta", checkpoint_format="v2"
+        )
+        log = dest / "_delta_log"
+        tops = list(log.glob(f"{t.version:020d}.checkpoint.*.json"))
+        assert len(tops) == 1, tops
+        assert len(list((log / "_sidecars").glob("*.parquet"))) >= 1
+        assert not list(log.glob("*.checkpoint.parquet"))
+        for v in range(t.version + 1):
+            _os.unlink(log / f"{v:020d}.json")
+        r = DeltaLogReader(spark, dest)
+        assert any(
+            a.get("deletionVector") for a in r.snapshot().files.values()
+        ), "lazy delete must survive as a native DV through the sidecar"
+        out = (
+            read_delta(spark, dest)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(F.sum("l_quantity").cast("double"), 2)
+                .alias("sum_qty"),
+                F.round(F.sum("l_extendedprice").cast("double"), 2)
+                .alias("total_price"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+        # materialize before the tempdir (and the exported table) disappears
+        return out.localCheckpoint()
+
+
+@query(
     "lake_delta_pruned_read",
     # the EXPORTED table is read back through the independent reader with
     # column pruning + stats file skipping + a NATIVE deletion-vector

@@ -11,8 +11,10 @@ this module closes the FORMAT gap with stdlib-only code:
   Delta-protocol table — data files hard-linked/copied, one
   ``_delta_log/<20-digit>.json`` commit per LakeTable version (newline-
   delimited protocol/metaData/add/remove/txn/commitInfo actions), optional
-  classic parquet checkpoint + ``_last_checkpoint``. Version history is
-  preserved 1:1, so `VERSION AS OF` works in any Delta client.
+  checkpoint + ``_last_checkpoint`` — classic parquet (single-file or
+  multi-part past 50k actions) or, with ``checkpoint_format="v2"``, the
+  UUID-named v2 layout (top-level json + ``_sidecars/*.parquet``). Version
+  history is preserved 1:1, so `VERSION AS OF` works in any Delta client.
 - ``read_delta(spark, path)`` / ``DeltaLogReader``: an independent reader of
   Delta-protocol tables (exported ones or tables written by real Delta
   writers): stdlib JSON replay of the action log (checkpoint parquet via a
@@ -89,6 +91,7 @@ def export_delta_log(
     dest: str | Path,
     mode: str = "error",
     checkpoint: bool = True,
+    checkpoint_format: str = "classic",
 ) -> Path:
     """Export a LakeTable as a standalone Delta-protocol table at ``dest``.
 
@@ -138,11 +141,19 @@ def export_delta_log(
         # legacy writer version 4 = change data feed (PROTOCOL.md)
         writer_v = max(writer_v, 4)
     protocol_action: dict[str, Any] = {}
-    if any_tombstones:
-        # deletion vectors are a TABLE FEATURE: protocol (3, 7) with every
-        # in-use feature listed explicitly (PROTOCOL.md "Table Features")
-        reader_feats = ["deletionVectors"] + (
-            ["columnMapping"] if any_mapping else []
+    if checkpoint_format not in ("classic", "v2"):
+        raise ValueError(
+            f"checkpoint_format must be 'classic' or 'v2', "
+            f"got {checkpoint_format!r}"
+        )
+    if any_tombstones or checkpoint_format == "v2":
+        # deletion vectors / v2 checkpoints are TABLE FEATURES: protocol
+        # (3, 7) with every in-use feature listed explicitly (PROTOCOL.md
+        # "Table Features" / "V2 Checkpoint Table Feature")
+        reader_feats = (
+            (["deletionVectors"] if any_tombstones else [])
+            + (["columnMapping"] if any_mapping else [])
+            + (["v2Checkpoint"] if checkpoint_format == "v2" else [])
         )
         writer_feats = list(reader_feats) + (
             ["checkConstraints"] if any_constraints else []
@@ -459,7 +470,11 @@ def export_delta_log(
             shutil.copy2(src, tgt)
 
     if checkpoint and commits:
-        _write_checkpoint_parquet(
+        ckpt_writer = (
+            _write_checkpoint_v2 if checkpoint_format == "v2"
+            else _write_checkpoint_parquet
+        )
+        ckpt_writer(
             table.spark,
             log_dest,
             commits[-1]["version"],
@@ -767,6 +782,80 @@ def _write_checkpoint_parquet(
         if n_parts > 1:
             payload["parts"] = n_parts
         json.dump(payload, fh)
+
+
+_SIDECAR_SCHEMA = (
+    "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
+    "modificationTime:bigint,dataChange:boolean,stats:string,"
+    "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+    "offset:int,sizeInBytes:int,cardinality:bigint>>"
+)
+
+
+def _write_checkpoint_v2(
+    spark: SparkSession,
+    log_dest: Path,
+    version: int,
+    protocol: dict,
+    metadata: dict,
+    adds: list[dict],
+    txns: dict[str, tuple[int, int]] | None = None,
+) -> None:
+    """V2 checkpoint (PROTOCOL.md "V2 Checkpoint Table Feature"): a
+    UUID-named top-level `<v>.checkpoint.<uuid>.json` holding
+    checkpointMetadata + protocol/metaData/txn plus `sidecar` pointers,
+    with the add actions chunked into `_delta_log/_sidecars/<uuid>.parquet`
+    files — the layout modern Delta writers emit so the (small) non-file
+    state and the (huge) file manifest scale independently. The reader
+    already consumes this shape; this writer closes the write half.
+
+    100 TB shape: sidecars are parquet chunks of CHECKPOINT_PART_ACTIONS
+    adds each — a million-file table checkpoints as ~20 independent
+    sidecars that readers can fan out across executors, while the
+    top-level file stays O(sidecar count)."""
+    sidecar_dir = log_dest / "_sidecars"
+    sidecar_dir.mkdir(parents=True, exist_ok=True)
+    add_rows: list[tuple] = []
+    for a in adds:
+        dv = a.get("deletionVector")
+        add_rows.append((
+            (a["path"], a["partitionValues"], a["size"],
+             a["modificationTime"], False, a.get("stats"),
+             (dv["storageType"], dv["pathOrInlineDv"], dv.get("offset"),
+              dv["sizeInBytes"], dv["cardinality"]) if dv else None),
+        ))
+    n_parts = max(1, -(-len(add_rows) // CHECKPOINT_PART_ACTIONS))
+    tmp = log_dest / f".tmp-ckpt-{uuid.uuid4().hex}"
+    sidecars: list[dict] = []
+    for k in range(n_parts):
+        chunk = add_rows[k * CHECKPOINT_PART_ACTIONS:
+                         (k + 1) * CHECKPOINT_PART_ACTIONS]
+        spark.createDataFrame(chunk, _SIDECAR_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        name = f"{uuid.uuid4()}.parquet"
+        os.replace(part, sidecar_dir / name)
+        st = (sidecar_dir / name).stat()
+        sidecars.append({
+            "path": name,
+            "sizeInBytes": st.st_size,
+            "modificationTime": int(st.st_mtime * 1000),
+        })
+    shutil.rmtree(tmp, ignore_errors=True)
+    lines: list[dict] = [
+        {"checkpointMetadata": {"version": version}},
+        {"protocol": protocol},
+        {"metaData": metadata},
+    ]
+    for app, (v, ts) in sorted((txns or {}).items()):
+        lines.append({"txn": {"appId": app, "version": v, "lastUpdated": ts}})
+    lines.extend({"sidecar": sc} for sc in sidecars)
+    top = log_dest / f"{version:020d}.checkpoint.{uuid.uuid4()}.json"
+    with open(top, "w") as fh:
+        for line in lines:
+            fh.write(json.dumps(line) + "\n")
+    with open(log_dest / "_last_checkpoint", "w") as fh:
+        json.dump({"version": version, "size": len(lines) + len(add_rows)}, fh)
 
 
 # --------------------------------------------------------------------------- #

@@ -489,14 +489,20 @@ class LakeTable:
         dest: str | Path,
         mode: str = "error",
         checkpoint: bool = True,
+        checkpoint_format: str = "classic",
     ) -> Path:
         """Export this table as a standalone Delta-protocol table (full
         version history; merge-on-read tombstones become native deletion
-        vectors; data files hard-linked, never rewritten). See
-        `lakehouses_spark.tables.delta_log.export_delta_log`."""
+        vectors; data files hard-linked, never rewritten).
+        ``checkpoint_format="v2"`` writes a UUID-named v2 checkpoint with
+        `_sidecars/*.parquet` file actions instead of the classic parquet.
+        See `lakehouses_spark.tables.delta_log.export_delta_log`."""
         from lakehouses_spark.tables.delta_log import export_delta_log
 
-        return export_delta_log(self, dest, mode=mode, checkpoint=checkpoint)
+        return export_delta_log(
+            self, dest, mode=mode, checkpoint=checkpoint,
+            checkpoint_format=checkpoint_format,
+        )
 
     def export_iceberg_metadata(self, dest: str | Path, mode: str = "error") -> Path:
         """Export this table as a standalone Iceberg v2 table (hadoop-catalog

@@ -1309,3 +1309,73 @@ def test_dataframe_json_tail_replay_many_commits(spark, tmp_path):
                 {**a, "__lazyStats": lazy.get(p, {})},
                 [("k", "=", 1003)], {}, {"k": "k"})]
     assert keep == ["data/f-000100.parquet"]
+
+
+# ------------------------- v2 checkpoint WRITE ---------------------------- #
+def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
+    """checkpoint_format="v2" (r9): the exporter writes the UUID-named
+    top-level `<v>.checkpoint.<uuid>.json` + `_sidecars/*.parquet` layout
+    (PROTOCOL.md "V2 Checkpoint Table Feature") the reader already
+    consumes; protocol advertises v2Checkpoint as a (3,7) reader feature
+    in BOTH commit 0 and the checkpoint; after deleting every JSON commit
+    the snapshot reconstructs from the v2 checkpoint alone."""
+    t = _mk_table(spark, tmp_path / "lake")
+    dest = t.export_delta_log(tmp_path / "delta", checkpoint_format="v2")
+    log = dest / "_delta_log"
+
+    tops = list(log.glob(f"{t.version:020d}.checkpoint.*.json"))
+    assert len(tops) == 1 and len(tops[0].name.split(".")) == 4
+    assert not (log / f"{t.version:020d}.checkpoint.parquet").exists()
+    sidecars = list((log / "_sidecars").glob("*.parquet"))
+    assert len(sidecars) >= 1
+    assert json.loads((log / "_last_checkpoint").read_text())["version"] == \
+        t.version
+
+    # top-level holds ONLY non-file actions + sidecar pointers
+    with open(tops[0]) as fh:
+        top_actions = [json.loads(line) for line in fh]
+    kinds = [next(iter(a)) for a in top_actions]
+    assert "checkpointMetadata" in kinds and "sidecar" in kinds
+    assert "add" not in kinds and "remove" not in kinds
+    proto = next(a for a in top_actions if "protocol" in a)["protocol"]
+    assert (proto["minReaderVersion"], proto["minWriterVersion"]) == (3, 7)
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    with open(log / f"{0:020d}.json") as fh:
+        c0 = [json.loads(line) for line in fh]
+    p0 = next(a for a in c0 if "protocol" in a)["protocol"]
+    assert "v2Checkpoint" in p0["readerFeatures"]
+
+    want = _sorted_rows(t.read())
+    assert _sorted_rows(read_delta(spark, dest)) == want
+    for v in range(t.version + 1):
+        (log / f"{v:020d}.json").unlink()
+    assert _sorted_rows(read_delta(spark, dest)) == want
+
+
+def test_v2_checkpoint_dv_and_sidecar_chunking(spark, tmp_path, monkeypatch):
+    """Interaction pin: deletionVector descriptors survive the sidecar
+    parquet, and past CHECKPOINT_PART_ACTIONS adds the file actions chunk
+    into MULTIPLE sidecars (the scale shape), all reconciled on read."""
+    import lakehouses_spark.tables.delta_log as dl
+
+    monkeypatch.setattr(dl, "CHECKPOINT_PART_ACTIONS", 8)
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.delete("k > 30", lazy=True)               # tombstone -> native DV
+    dest = t.export_delta_log(tmp_path / "delta", checkpoint_format="v2")
+    log = dest / "_delta_log"
+    assert len(list((log / "_sidecars").glob("*.parquet"))) >= 2
+    proto_feats = None
+    with open(next(log.glob(f"{t.version:020d}.checkpoint.*.json"))) as fh:
+        for line in fh:
+            a = json.loads(line)
+            if "protocol" in a:
+                proto_feats = a["protocol"]["readerFeatures"]
+    assert set(proto_feats) >= {"deletionVectors", "v2Checkpoint"}
+    want = _sorted_rows(t.read())
+    for v in range(t.version + 1):
+        (log / f"{v:020d}.json").unlink()
+    assert _sorted_rows(read_delta(spark, dest)) == want
+
+    with pytest.raises(ValueError, match="classic"):
+        t.export_delta_log(tmp_path / "delta2", checkpoint_format="v3")
