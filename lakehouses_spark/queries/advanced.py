@@ -243,6 +243,83 @@ def lake_delta_v2_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_uniform_export",
+    # CREATE→UPDATE→lazy-DELETE arc exported ONCE with BOTH metadata
+    # layers over the same hard-linked data files; the returned aggregate
+    # reads the ICEBERG layer and the in-query assert pins it row-equal to
+    # the DELTA layer's read (DV vs position-delete agreement included)
+    oracle="""
+    WITH base AS (
+      SELECT p_partkey, p_brand, p_type, p_size, p_retailprice
+      FROM part WHERE p_partkey <= 3000
+    ), upd AS (
+      SELECT p_partkey, p_brand,
+             CASE WHEN p_size >= 40 THEN 'JUMBO' ELSE p_type END
+               AS p_type,
+             p_size, p_retailprice
+      FROM base
+    ), kept AS (
+      SELECT * FROM upd
+      WHERE NOT (p_brand = 'Brand#45' AND p_size < 10)
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(p_retailprice) AS DOUBLE), 2) AS total_price,
+           CAST(sum(p_size) AS BIGINT) AS total_size
+    FROM kept
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def lake_uniform_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-format (UniForm-shape) export arc (r9): CTAS from part →
+    UPDATE → lazy DELETE (merge-on-read tombstone) → `export_uniform` —
+    ONE copy of the data files with a Delta `_delta_log/` AND an Iceberg
+    `metadata/` layer over them, Delta UniForm's layout. The tombstone
+    surfaces as a native deletion vector on the Delta side and native v2
+    position-delete files on the Iceberg side, over the SAME parquet
+    bytes. The returned aggregate reads the ICEBERG layer; the in-query
+    assert pins the DELTA layer's read row-identical, so a hash match
+    proves both formats' row-level-delete semantics agree on this data.
+
+    100 TB shape: both exports are metadata-only passes; the data is
+    hard-linked once, never copied or rewritten — the whole point of
+    UniForm at scale."""
+    from lakehouses_spark.tables import LakeTable
+    from lakehouses_spark.tables.delta_log import read_delta
+    from lakehouses_spark.tables.iceberg_meta import read_iceberg
+
+    part = load_table(spark, sf_dir, "part").where("p_partkey <= 3000").select(
+        "p_partkey", "p_brand", "p_type", "p_size", "p_retailprice"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t = LakeTable.create(spark, f"{tmp}/part", part)
+        t.update({"p_type": "'JUMBO'"}, where="p_size >= 40")
+        t.delete("p_brand = 'Brand#45' AND p_size < 10", lazy=True)
+        dest = t.export_uniform(f"{tmp}/part_uniform")
+
+        def agg(df: DataFrame) -> DataFrame:
+            return (
+                df.groupBy("p_brand")
+                .agg(
+                    F.count(F.lit(1)).alias("n_parts"),
+                    F.round(F.sum("p_retailprice").cast("double"), 2)
+                    .alias("total_price"),
+                    F.sum("p_size").cast("bigint").alias("total_size"),
+                )
+                .orderBy("p_brand")
+            )
+
+        ice = agg(read_iceberg(spark, dest))
+        delta = agg(read_delta(spark, dest))
+        ice_rows = ice.collect()
+        assert ice_rows == delta.collect(), \
+            "Delta and Iceberg layers disagree over the same data files"
+        # materialize before the tempdir (and the exported table) disappears
+        return spark.createDataFrame(ice_rows, ice.schema)
+
+
+@query(
     "lake_delta_pruned_read",
     # the EXPORTED table is read back through the independent reader with
     # column pruning + stats file skipping + a NATIVE deletion-vector

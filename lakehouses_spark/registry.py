@@ -59,7 +59,7 @@ _SWEEP_PRIORITY = [
     #      rotation no registry row is older than round 7.
     # --- 1. new round-9 queries: first driver row ---
     "lake_cdf_read", "lake_expire_snapshots", "streaming_cdf_drain",
-    "lake_iceberg_refs", "lake_delta_v2_checkpoint",
+    "lake_iceberg_refs", "lake_delta_v2_checkpoint", "lake_uniform_export",
     # --- 2. the 44 r6-stale rows ---
     "curation_keeplist", "dedup_minhash_lsh", "dedup_simhash",
     "fn_array_family", "fn_cast_family", "fn_date_family", "fn_json_family",

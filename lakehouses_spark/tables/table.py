@@ -512,6 +512,40 @@ class LakeTable:
 
         return export_iceberg_metadata(self, dest, mode=mode)
 
+    def export_uniform(
+        self,
+        dest: str | Path,
+        mode: str = "error",
+        checkpoint: bool = True,
+        checkpoint_format: str = "classic",
+    ) -> Path:
+        """Dual-format export (Delta UniForm's shape: ONE copy of the data,
+        BOTH formats' metadata over it): writes `_delta_log/` and an Iceberg
+        `metadata/` layer at the SAME dest. Data files are hard-linked once
+        and shared — the Delta exporter links them, the Iceberg exporter
+        sees them in place and links nothing new — so a Delta client and an
+        Iceberg client read the very same parquet bytes, including row-level
+        deletes (merge-on-read tombstones surface as native deletion
+        vectors on the Delta side and native v2 position-delete files on
+        the Iceberg side, over the same data files).
+
+        ``mode`` applies to the Delta half (which owns dest creation); the
+        Iceberg half always runs in "error" mode against the fresh dest.
+
+        100 TB shape: both exports are metadata-only passes over the same
+        O(files) state — the data is never copied twice, let alone
+        rewritten."""
+        from lakehouses_spark.tables.delta_log import export_delta_log
+        from lakehouses_spark.tables.iceberg_meta import export_iceberg_metadata
+
+        dest = Path(dest)
+        export_delta_log(
+            self, dest, mode=mode, checkpoint=checkpoint,
+            checkpoint_format=checkpoint_format,
+        )
+        export_iceberg_metadata(self, dest, mode="error")
+        return dest
+
     def state(self, version: int | None = None, timestamp_ms: int | None = None):
         return txlog.replay(self.path, version=version, timestamp_ms=timestamp_ms)
 
