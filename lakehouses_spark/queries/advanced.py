@@ -1762,6 +1762,73 @@ def streaming_cdf_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
 
 
+@query(
+    "streaming_delta_tail",
+    # three append commits exported as an EXTERNAL Delta log, drained
+    # through the `deltatable` source (offsets = Delta versions, one
+    # executor partition per added file); the drained union must equal
+    # the plain relational state
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_acctbal
+    FROM customer
+    WHERE c_custkey <= 3000
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def streaming_delta_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FROM an external Delta table (r9, `deltatable` Python
+    data source): CTAS + two appends on a LakeTable, exported as a
+    standalone Delta-protocol log, then drained by tailing `_delta_log`
+    commit JSONs — spark.readStream against a REAL Delta layout, no Delta
+    jar. Offsets are Delta versions (the log IS the changelog: no
+    directory diffing), each micro-batch reads exactly the files its
+    commit range added, one executor partition per file, Arrow batches
+    end-to-end. The drained union hashes equal to the relational truth.
+
+    100 TB shape: planning cost per batch is O(actions in the commit
+    range); the driver never lists data directories, and a 1000-file
+    append fans out as 1000 independent file reads."""
+    from lakehouses_spark.tables import LakeTable
+    from lakehouses_spark.tables.delta_stream import DeltaTableDataSource
+
+    spark.dataSource.register(DeltaTableDataSource)
+    base = load_table(spark, sf_dir, "customer").where("c_custkey <= 3000").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t = LakeTable.create(spark, f"{tmp}/customer",
+                             base.where("c_custkey <= 1000"))
+        t.append(base.where("c_custkey BETWEEN 1001 AND 2000"))
+        t.append(base.where("c_custkey BETWEEN 2001 AND 3000"))
+        dest = t.export_delta_log(f"{tmp}/customer_delta")
+        q = (
+            spark.readStream.format("deltatable")
+            .option("path", str(dest))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/sink")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(f"{tmp}/sink")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.round(F.sum("c_acctbal").cast("double"), 2)
+                .alias("total_acctbal"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        rows = out.collect()  # materialize before tmp vanishes
+        return spark.createDataFrame(rows, out.schema)
+
+
 STREAM_JOIN_WINDOW_MIN = 240  # purchase attributed to a view within 4 hours
 
 

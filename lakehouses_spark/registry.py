@@ -83,10 +83,11 @@ _SWEEP_PRIORITY = [
 # them with the driver's exact comparison in the meantime). The sweep-window
 # guard asserts any never-swept query outside the 50-entry window appears
 # HERE, so a new query can never silently fall outside the rotation.
-# Round 5 registers new queries directly into free budget slots (tier 3
-# above), so the queue is EMPTY — the r3/r4 pattern of rolling deferrals
-# stops here.
-SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = []
+# Round 9 filled all 50 sweep slots (6 new queries + the 44-row rotation);
+# streaming_delta_tail registered after the budget closed and waits for its
+# first driver row in round 10 (the in-repo replica verifies it with the
+# driver's exact comparison in the meantime).
+SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = ["streaming_delta_tail"]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
 
