@@ -1829,6 +1829,77 @@ def streaming_delta_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
 
 
+@query(
+    "streaming_iceberg_tail",
+    # an append snapshot chain exported as an EXTERNAL Iceberg v2 table,
+    # drained through the `icebergtable` source with snapshots EXPIRED
+    # below the head-2 (the initial batch must read the earliest RETAINED
+    # snapshot as a full snapshot); the drained union equals the
+    # relational state
+    oracle="""
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(CAST(sum(s_acctbal) AS DOUBLE), 2) AS total_acctbal
+    FROM supplier
+    WHERE s_suppkey <= 90
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+)
+def streaming_iceberg_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FROM an external Iceberg table (r9, `icebergtable`
+    Python data source): CTAS + two appends exported as a standalone
+    Iceberg v2 table, snapshots EXPIRED to the last two, then drained by
+    tailing the snapshot chain — offsets are sequence numbers, the
+    initial batch reads the earliest retained snapshot as a FULL snapshot
+    (its manifests list the expired snapshots' files as EXISTING, so no
+    data is lost), later snapshots plan only their added manifests.
+    The drained union hashes equal to the relational truth.
+
+    100 TB shape: per-batch planning decodes only the manifests the new
+    snapshots added — O(new files), never the whole table — and each data
+    file is one executor partition."""
+    from lakehouses_spark.tables import LakeTable
+    from lakehouses_spark.tables.iceberg_meta import IcebergMetadataReader
+    from lakehouses_spark.tables.iceberg_stream import IcebergTableDataSource
+
+    spark.dataSource.register(IcebergTableDataSource)
+    base = load_table(spark, sf_dir, "supplier").where("s_suppkey <= 90").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t = LakeTable.create(spark, f"{tmp}/supplier",
+                             base.where("s_suppkey <= 30"))
+        t.append(base.where("s_suppkey BETWEEN 31 AND 60"))
+        t.append(base.where("s_suppkey BETWEEN 61 AND 90"))
+        dest = t.export_iceberg_metadata(f"{tmp}/supplier_iceberg")
+        res = IcebergMetadataReader(spark, dest).expire_snapshots(keep_last=2)
+        assert len(res["expired"]) == 1, res
+        q = (
+            spark.readStream.format("icebergtable")
+            .option("path", str(dest))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/sink")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(f"{tmp}/sink")
+            .groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_suppliers"),
+                F.round(F.sum("s_acctbal").cast("double"), 2)
+                .alias("total_acctbal"),
+            )
+            .orderBy("s_nationkey")
+        )
+        rows = out.collect()  # materialize before tmp vanishes
+        return spark.createDataFrame(rows, out.schema)
+
+
 STREAM_JOIN_WINDOW_MIN = 240  # purchase attributed to a view within 4 hours
 
 

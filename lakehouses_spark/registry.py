@@ -87,7 +87,9 @@ _SWEEP_PRIORITY = [
 # streaming_delta_tail registered after the budget closed and waits for its
 # first driver row in round 10 (the in-repo replica verifies it with the
 # driver's exact comparison in the meantime).
-SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = ["streaming_delta_tail"]
+SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
+    "streaming_delta_tail", "streaming_iceberg_tail",
+]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
 

@@ -1,0 +1,129 @@
+"""Streaming FROM an external Iceberg v2 table via the `icebergtable`
+Python Data Source — sequence-number offsets over the snapshot chain,
+incremental ADDED-manifest planning, full-snapshot initial catch-up after
+expiration, gap/delete gating, name-mapping renames."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakehouses_spark.tables import LakeTable
+from lakehouses_spark.tables.iceberg_meta import (
+    IcebergMetadataReader,
+    read_iceberg,
+)
+from lakehouses_spark.tables.iceberg_stream import (
+    IcebergStreamReader,
+    IcebergTableDataSource,
+)
+
+ROWS = [
+    {"k": i, "status": "AB"[i % 2], "price": float(10 * i)} for i in range(1, 21)
+]
+
+
+def _sorted_rows(df, cols=None):
+    cols = sorted(cols or df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def _drain(spark, dest, tmp_path, name, **opts):
+    spark.dataSource.register(IcebergTableDataSource)
+    out = tmp_path / f"out_{name}"
+    reader = spark.readStream.format("icebergtable").option("path", str(dest))
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(str(out))
+
+
+def test_stream_appends_and_resume(spark, tmp_path):
+    """Append-only snapshot chain drains to the table state; a re-export
+    with more appends resumes from the SAME checkpoint and picks up only
+    the new sequence numbers."""
+    df = spark.createDataFrame(ROWS[:10], "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.append(spark.createDataFrame(ROWS[10:15], "k long, status string, price double"))
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+
+    got = _drain(spark, dest, tmp_path, "tail")
+    assert _sorted_rows(got) == _sorted_rows(read_iceberg(spark, dest))
+
+    t.append(spark.createDataFrame(ROWS[15:], "k long, status string, price double"))
+    t.export_iceberg_metadata(tmp_path / "ice", mode="overwrite")
+    got = _drain(spark, dest, tmp_path, "tail")  # same checkpoint
+    assert sorted(r.k for r in got.collect()) == list(range(1, 21))
+
+
+def test_initial_catchup_after_expiration(spark, tmp_path):
+    """Older snapshots expired: the first batch reads the earliest RETAINED
+    snapshot as a FULL snapshot (its manifests list the older files as
+    EXISTING), then tails incrementally — no data lost."""
+    df = spark.createDataFrame(ROWS[:5], "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.append(spark.createDataFrame(ROWS[5:10], "k long, status string, price double"))
+    t.append(spark.createDataFrame(ROWS[10:15], "k long, status string, price double"))
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    IcebergMetadataReader(spark, dest).expire_snapshots(keep_last=2)
+
+    got = _drain(spark, dest, tmp_path, "exp")
+    assert sorted(r.k for r in got.collect()) == list(range(1, 16))
+
+
+def test_stream_fails_on_delete_unless_ignore_changes(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    dest0 = t.export_iceberg_metadata(tmp_path / "ice0")
+    _ = dest0  # append-only export works; now break append-only
+    t.delete("k > 15")  # copy-on-write delete snapshot
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    with pytest.raises(Exception, match="ignoreChanges"):
+        # start past the full-snapshot catch-up so the delete snapshot is
+        # hit incrementally: drain from scratch still hits it (snapshot 2)
+        _drain(spark, dest, tmp_path, "del")
+    got = _drain(spark, dest, tmp_path, "del2", ignoreChanges="true")
+    # added files stream; deleted rows may reappear — superset of current
+    assert {r.k for r in got.collect()} >= {r.k for r in t.read().collect()}
+
+
+def test_resume_into_expired_gap_fails_loudly(spark, tmp_path):
+    df = spark.createDataFrame(ROWS[:5], "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    for lo in (5, 10, 15):
+        t.append(spark.createDataFrame(
+            ROWS[lo:lo + 5], "k long, status string, price double"))
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    seqs = sorted(s["sequence-number"] for s in r.meta["snapshots"])
+    reader = IcebergStreamReader(str(dest), read_iceberg(spark, dest).schema)
+    # processed through seqs[0]; snapshots up to seqs[-2] then expire
+    r.expire_snapshots(keep_last=1)
+    with pytest.raises(RuntimeError, match="expired"):
+        reader.partitions({"seq": seqs[0]}, {"seq": seqs[-1]})
+
+
+def test_rename_surfaces_logical_names(spark, tmp_path):
+    df = spark.createDataFrame(ROWS[:8], "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.alter_rename_column("price", "amount")
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    got = _drain(spark, dest, tmp_path, "ren")
+    assert "amount" in got.columns and "price" not in got.columns
+    assert _sorted_rows(got) == _sorted_rows(t.read())
+
+
+def test_batch_read_refused_with_pointer(spark, tmp_path):
+    df = spark.createDataFrame(ROWS[:4], "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    spark.dataSource.register(IcebergTableDataSource)
+    with pytest.raises(Exception, match="read_iceberg"):
+        spark.read.format("icebergtable").option("path", str(dest)).load().collect()
