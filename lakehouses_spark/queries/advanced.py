@@ -1900,6 +1900,86 @@ def streaming_iceberg_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
 
 
+@query(
+    "streaming_iceberg_changelog",
+    # CREATE then MERGE-ON-READ delete: the changelog feed is exactly
+    # row-level (INSERTs of the base at ordinal 1, DELETEs of the
+    # tombstoned rows at ordinal 2 — read back through the native
+    # position-delete file), so the per-(ordinal, change_type) aggregate
+    # is relationally reproducible — unlike COW updates, whose
+    # file-granular delete+insert pairs depend on row packing
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_orderkey <= 2000
+    ), dels AS (
+      SELECT * FROM base WHERE l_returnflag = 'R' AND l_quantity < 15
+    )
+    SELECT * FROM (
+      SELECT 1 AS ordinal, 'INSERT' AS change_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS total_price
+      FROM base
+      UNION ALL
+      SELECT 2, 'DELETE', CAST(count(*) AS BIGINT),
+             round(CAST(sum(l_extendedprice) AS DOUBLE), 2)
+      FROM dels
+    ) ORDER BY ordinal, change_type
+    """,
+)
+def streaming_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Iceberg CHANGELOG (r9 — Spark-Iceberg's
+    create_changelog_view semantics as a stream): CTAS from lineitem, a
+    merge-on-read DELETE (exports as a native v2 position-delete file),
+    then drain `icebergtable` with readChangeFeed=true. The feed's
+    DELETE rows are materialized by reading the position-delete parquet
+    and taking the targeted ordinals out of the (untouched) data files —
+    row-level CDC with no rewrite anywhere. Aggregated per
+    (_change_ordinal, _change_type) against the relational replay.
+
+    100 TB shape: the DELETE emission reads only the position-delete
+    file + the targeted data files; planning stays O(manifests the
+    snapshot added)."""
+    from lakehouses_spark.tables import LakeTable
+    from lakehouses_spark.tables.iceberg_stream import IcebergTableDataSource
+
+    spark.dataSource.register(IcebergTableDataSource)
+    li = load_table(spark, sf_dir, "lineitem").where("l_orderkey <= 2000").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t = LakeTable.create(spark, f"{tmp}/lineitem", li)
+        t.delete("l_returnflag = 'R' AND l_quantity < 15", lazy=True)
+        dest = t.export_iceberg_metadata(f"{tmp}/lineitem_iceberg")
+        q = (
+            spark.readStream.format("icebergtable")
+            .option("path", str(dest))
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/feed")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(f"{tmp}/feed")
+            .groupBy(
+                F.col("_change_ordinal").cast("int").alias("ordinal"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("l_extendedprice").cast("double"), 2)
+                .alias("total_price"),
+            )
+            .orderBy("ordinal", "change_type")
+        )
+        rows = out.collect()  # materialize before tmp vanishes
+        return spark.createDataFrame(rows, out.schema)
+
+
 STREAM_JOIN_WINDOW_MIN = 240  # purchase attributed to a view within 4 hours
 
 

@@ -122,9 +122,18 @@ def _rename_map(meta: dict) -> dict[str, str]:
 
 
 class IceSlice(InputPartition):
-    def __init__(self, path: str, rename: dict[str, str]):
+    def __init__(self, path: str, rename: dict[str, str],
+                 change_type: str | None = None, ordinal: int = -1,
+                 snapshot_id: int = -1, mode: str = "data"):
         self.path = path
         self.rename = rename
+        # changelog fields (mode "data" = whole file; "pos-delete" = the
+        # path is a position-delete parquet whose (file_path, pos) rows
+        # select the deleted rows out of their target data files)
+        self.change_type = change_type
+        self.ordinal = ordinal
+        self.snapshot_id = snapshot_id
+        self.mode = mode
 
 
 class IcebergTableDataSource(DataSource):
@@ -144,8 +153,27 @@ class IcebergTableDataSource(DataSource):
             raise ValueError(f"not an iceberg table (no metadata/): {p}")
         return p
 
+    def _changelog(self) -> bool:
+        # Spark-Iceberg exposes CDC as a changelog scan; we accept the same
+        # readChangeFeed spelling the Delta sources use
+        return str(
+            self.options.get("readchangefeed", "false")
+        ).lower() == "true"
+
     def schema(self) -> StructType:
-        return _spark_schema(_current_meta(self._path()))
+        from pyspark.sql.types import IntegerType, LongType, StringType, StructField
+
+        base = _spark_schema(_current_meta(self._path()))
+        if not self._changelog():
+            return base
+        return StructType(
+            list(base.fields)
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_change_ordinal", IntegerType()),
+                StructField("_commit_snapshot_id", LongType()),
+            ]
+        )
 
     def reader(self, schema: StructType):
         raise ValueError(
@@ -154,7 +182,11 @@ class IcebergTableDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType):
-        return IcebergStreamReader(
+        cls = (
+            IcebergChangelogStreamReader if self._changelog()
+            else IcebergStreamReader
+        )
+        return cls(
             self._path(),
             self.schema(),
             ignore_changes=str(
@@ -254,10 +286,32 @@ class IcebergStreamReader(DataSourceStreamReader):
     def read(self, partition: IceSlice):
         if not partition.path:
             return
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.path)
+        if partition.mode == "pos-delete":
+            # the slice is a position-delete parquet; the DELETED rows are
+            # the target files' rows at the listed ordinals
+            import pyarrow as pa
+
+            pd_tbl = pq.read_table(partition.path)
+            by_file: dict[str, list[int]] = {}
+            for fp, pos in zip(
+                pd_tbl.column("file_path").to_pylist(),
+                pd_tbl.column("pos").to_pylist(),
+            ):
+                by_file.setdefault(fp, []).append(pos)
+            meta = _current_meta(self.table_path)
+            for fp, positions in sorted(by_file.items()):
+                data = pq.read_table(_local(self.table_path, meta, fp))
+                yield from self._emit(
+                    data.take(pa.array(sorted(positions))), partition
+                )
+            return
+        yield from self._emit(pq.read_table(partition.path), partition)
+
+    def _emit(self, table, partition: IceSlice):
+        import pyarrow as pa
+
         if partition.rename:
             table = table.rename_columns(
                 [partition.rename.get(n, n) for n in table.column_names]
@@ -268,7 +322,15 @@ class IcebergStreamReader(DataSourceStreamReader):
             names = set(batch.schema.names)
             cols = []
             for f in out:
-                if f.name in names:
+                if f.name == "_change_type" and f.name not in names:
+                    cols.append(pa.array([partition.change_type] * n, f.type))
+                elif f.name == "_change_ordinal" and f.name not in names:
+                    cols.append(pa.array([partition.ordinal] * n, f.type))
+                elif f.name == "_commit_snapshot_id" and f.name not in names:
+                    cols.append(
+                        pa.array([partition.snapshot_id] * n, f.type)
+                    )
+                elif f.name in names:
                     col = batch.column(f.name)
                     cols.append(col if col.type == f.type else col.cast(f.type))
                 else:  # schema evolution: older files read NULL
@@ -277,6 +339,130 @@ class IcebergStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # progress is durable in the sink checkpoint
+
+
+class IcebergChangelogStreamReader(IcebergStreamReader):
+    """Changelog mode (Spark-Iceberg's `create_changelog_view` semantics,
+    streamed): per snapshot, ADDED data entries emit their rows as INSERT,
+    DELETED data entries emit the removed file's rows as DELETE (a
+    copy-on-write UPDATE is its DELETE+INSERT pair), and ADDED
+    position-delete manifests emit the targeted rows as DELETE
+    (merge-on-read). `_change_ordinal` is the snapshot's sequence number —
+    monotone commit order; `_commit_snapshot_id` the snapshot id.
+
+    The INITIAL catch-up emits the earliest retained snapshot's live rows
+    as INSERTs (the stream's opening state, same contract as the plain
+    tail). Snapshots whose semantics this scan cannot reproduce exactly —
+    a DELETED data file that was itself under earlier position deletes
+    (its dead rows would re-emit as DELETE), or an initial snapshot with
+    active position deletes — fail loudly rather than emit a wrong feed."""
+
+    def partitions(self, start: dict, end: dict):
+        start_seq, end_seq = int(start["seq"]), int(end["seq"])
+        meta = _current_meta(self.table_path)
+        snaps = self._snapshots()
+        in_range = [
+            s for s in snaps if start_seq < s["sequence-number"] <= end_seq
+        ]
+        if start_seq >= 0 and in_range and \
+                in_range[0]["sequence-number"] != start_seq + 1:
+            raise RuntimeError(
+                f"snapshot at sequence {start_seq + 1} was expired before "
+                "this stream processed it — the changelog has a gap; "
+                "restart the stream with a fresh checkpoint"
+            )
+        slices: list[IceSlice] = []
+        first_available = snaps[0]["sequence-number"] if snaps else -1
+        prior_deleted_targets: set[str] = set()  # files under earlier MOR deletes
+        for s in snaps:
+            seq = s["sequence-number"]
+            if seq > end_seq:
+                break
+            rows = self._manifest_rows(meta, s)
+            full = start_seq == -1 and seq == first_available
+            mine = lambda r: r["added_snapshot_id"] == s["snapshot-id"]  # noqa: E731
+            # track MOR targets across ALL snapshots walked, so a later
+            # COW remove of a partially-deleted file is detected
+            new_pos_deletes = [
+                r for r in rows if r.get("content", 0) == 1 and mine(r)
+            ]
+            emit = start_seq < seq  # only snapshots in range emit slices
+            if not emit:
+                # already-processed snapshot: only its MOR targets matter
+                # (to detect a later COW remove of a partially-deleted
+                # file); skip its data manifests entirely
+                self._track_mor_targets(
+                    meta, new_pos_deletes, prior_deleted_targets
+                )
+                continue
+            if full:
+                if any(r.get("content", 0) == 1 for r in rows):
+                    raise RuntimeError(
+                        "initial changelog snapshot has active position "
+                        "deletes; expire/compact first or start the stream "
+                        "before the deletes"
+                    )
+                for r in rows:
+                    for e in self._entries(meta, r):
+                        if e["status"] != _STATUS_DELETED:
+                            slices.append(self._slice(
+                                meta, e, "INSERT", seq, s["snapshot-id"]))
+            else:
+                for r in rows:
+                    if r.get("content", 0) == 1:
+                        continue  # handled via new_pos_deletes below
+                    if not mine(r):
+                        continue
+                    for e in self._entries(meta, r):
+                        fp = e["data_file"]["file_path"]
+                        if e["status"] == _STATUS_ADDED:
+                            slices.append(self._slice(
+                                meta, e, "INSERT", seq, s["snapshot-id"]))
+                        elif e["status"] == _STATUS_DELETED:
+                            if fp in prior_deleted_targets:
+                                raise RuntimeError(
+                                    f"snapshot {s['snapshot-id']} removes "
+                                    f"{fp}, which earlier position deletes "
+                                    "already targeted — the DELETE row set "
+                                    "is not reproducible from manifests "
+                                    "alone; use the batch reader"
+                                )
+                            slices.append(self._slice(
+                                meta, e, "DELETE", seq, s["snapshot-id"]))
+                for r in new_pos_deletes:
+                    for e in self._entries(meta, r):
+                        slices.append(IceSlice(
+                            str(_local(self.table_path, meta,
+                                       e["data_file"]["file_path"])),
+                            self.rename, "DELETE", seq,
+                            s["snapshot-id"], mode="pos-delete",
+                        ))
+            self._track_mor_targets(
+                meta, new_pos_deletes, prior_deleted_targets
+            )
+        return slices or [IceSlice("", {})]
+
+    def _track_mor_targets(self, meta: dict, pos_delete_rows: list[dict],
+                           targets: set[str]) -> None:
+        import pyarrow.parquet as pq
+
+        for r in pos_delete_rows:
+            for e in self._entries(meta, r):
+                pd_path = _local(
+                    self.table_path, meta, e["data_file"]["file_path"]
+                )
+                targets.update(
+                    pq.read_table(
+                        pd_path, columns=["file_path"]
+                    ).column("file_path").to_pylist()
+                )
+
+    def _slice(self, meta: dict, entry: dict, change_type: str, seq: int,
+               snap_id: int) -> IceSlice:
+        return IceSlice(
+            str(_local(self.table_path, meta, entry["data_file"]["file_path"])),
+            self.rename, change_type, seq, snap_id,
+        )
 
 
 def _register_pickle_by_value() -> None:

@@ -127,3 +127,90 @@ def test_batch_read_refused_with_pointer(spark, tmp_path):
     spark.dataSource.register(IcebergTableDataSource)
     with pytest.raises(Exception, match="read_iceberg"):
         spark.read.format("icebergtable").option("path", str(dest)).load().collect()
+
+
+# ----------------------------- changelog mode ----------------------------- #
+def _drain_changelog(spark, dest, tmp_path, name):
+    return _drain(spark, dest, tmp_path, name, readChangeFeed="true")
+
+
+def _apply_feed(rows, key_cols):
+    """Reduce an INSERT/DELETE multiset to the surviving row multiset."""
+    from collections import Counter
+
+    c = Counter()
+    for r in rows:
+        k = tuple(r[c_] for c_ in key_cols)
+        c[k] += 1 if r["_change_type"] == "INSERT" else -1
+    assert all(v >= 0 for v in c.values()), c
+    return Counter({k: v for k, v in c.items() if v > 0})
+
+
+def test_changelog_cow_update_delete(spark, tmp_path):
+    """COW arc: UPDATE emits its DELETE(old)+INSERT(new) pair at one
+    ordinal, DELETE emits removed rows; replaying the feed reproduces the
+    final table exactly."""
+    from collections import Counter
+
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.update({"price": "price * 2"}, where="k <= 3")
+    t.delete("k > 17")
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+
+    got = _drain_changelog(spark, dest, tmp_path, "cl")
+    rows = [r.asDict() for r in got.collect()]
+    cols = ["k", "status", "price"]
+    final = Counter(
+        tuple(r[c] for c in cols) for r in t.read().collect()
+    )
+    assert _apply_feed(rows, cols) == final
+    # the update's pair shares one ordinal; old and new price both present
+    upd = [r for r in rows if r["k"] == 1]
+    assert {r["_change_type"] for r in upd} == {"INSERT", "DELETE"}
+    ords = {r["_change_ordinal"] for r in upd if r["price"] in (20.0, 10.0)
+            and r["_change_ordinal"] > 1}
+    assert len(ords) == 1  # DELETE(10.0) + INSERT(20.0) at the update commit
+    # ordinals are the snapshot sequence numbers: monotone from 1
+    assert min(r["_change_ordinal"] for r in rows) == 1
+
+
+def test_changelog_mor_position_deletes(spark, tmp_path):
+    """A merge-on-read tombstone emits exactly the targeted rows as DELETE
+    (read back through the position-delete file), no rewrite needed."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.delete("k > 15", lazy=True)
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+
+    got = _drain_changelog(spark, dest, tmp_path, "mor")
+    dels = [r for r in got.collect() if r["_change_type"] == "DELETE"]
+    assert sorted(r.k for r in dels) == list(range(16, 21))
+    assert {r["_change_ordinal"] for r in dels} == {2}
+    from collections import Counter
+
+    cols = ["k", "status", "price"]
+    final = Counter(tuple(r[c] for c in cols) for r in t.read().collect())
+    assert _apply_feed([r.asDict() for r in got.collect()], cols) == final
+
+
+def test_changelog_unreproducible_cases_fail_loudly(spark, tmp_path):
+    """(1) COW-removing a file earlier position deletes targeted cannot be
+    replayed from manifests alone; (2) an initial snapshot with ACTIVE
+    position deletes cannot open as a full-snapshot INSERT set."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.delete("k > 15", lazy=True)
+    t.materialize_tombstones()  # rewrites the DV-targeted files
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    with pytest.raises(Exception, match="position deletes already targeted"):
+        _drain_changelog(spark, dest, tmp_path, "bad")
+
+    t2 = LakeTable.create(
+        spark, tmp_path / "lake2",
+        spark.createDataFrame(ROWS, "k long, status string, price double"))
+    t2.delete("k > 15", lazy=True)
+    dest2 = t2.export_iceberg_metadata(tmp_path / "ice2")
+    IcebergMetadataReader(spark, dest2).expire_snapshots(keep_last=1)
+    with pytest.raises(Exception, match="active position deletes"):
+        _drain_changelog(spark, dest2, tmp_path, "bad2")
