@@ -214,3 +214,32 @@ def test_changelog_unreproducible_cases_fail_loudly(spark, tmp_path):
     IcebergMetadataReader(spark, dest2).expire_snapshots(keep_last=1)
     with pytest.raises(Exception, match="active position deletes"):
         _drain_changelog(spark, dest2, tmp_path, "bad2")
+
+
+def test_incremental_planning_decodes_only_new_manifests(
+        spark, tmp_path, monkeypatch):
+    """Scale pin: planning a 1-snapshot batch decodes exactly TWO Avro
+    files — the new snapshot's manifest list and its ONE added manifest —
+    never the reused manifests of prior snapshots. At 100× (thousands of
+    snapshots, thousands of manifests) per-batch planning stays O(new)."""
+    import lakehouses_spark.functions.avro_py as avro_py
+
+    df = spark.createDataFrame(ROWS[:5], "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    for lo in (5, 10, 15):
+        t.append(spark.createDataFrame(
+            ROWS[lo:lo + 5], "k long, status string, price double"))
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    seqs = sorted(s["sequence-number"] for s in r.meta["snapshots"])
+    reader = IcebergStreamReader(str(dest), read_iceberg(spark, dest).schema)
+
+    calls = []
+    real = avro_py.read_ocf_bytes
+    monkeypatch.setattr(
+        avro_py, "read_ocf_bytes",
+        lambda b: (calls.append(1), real(b))[1],
+    )
+    slices = reader.partitions({"seq": seqs[-2]}, {"seq": seqs[-1]})
+    assert len(calls) == 2, f"decoded {len(calls)} OCF files, want 2"
+    assert len(slices) >= 1 and all(s.path for s in slices)

@@ -511,3 +511,56 @@ def test_dv_payload_roundtrip(idxs):
 
     want = sorted(set(idxs))
     assert dv.decode_dv_payload(dv.encode_dv_payload(want)) == want
+
+
+# --------------- dual-format export: differential property ---------------- #
+_ARC_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "delete", "lazy_delete", "update"]),
+        st.integers(min_value=0, max_value=9),   # predicate bucket
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(ops=_ARC_OPS)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_uniform_export_differential(spark, tmp_path_factory, ops):
+    """DIFFERENTIAL property over random DML arcs: whatever sequence of
+    append/COW-delete/MOR-delete/update commits a table takes,
+    `export_uniform` yields a Delta layer and an Iceberg layer that read
+    IDENTICALLY at the final state — deletion vectors on one side must
+    always agree with position-delete files on the other, over the same
+    shared data files."""
+    from lakehouses_spark.tables import LakeTable
+    from lakehouses_spark.tables.delta_log import read_delta
+    from lakehouses_spark.tables.iceberg_meta import read_iceberg
+
+    tmp = tmp_path_factory.mktemp("uni_prop")
+    df = spark.createDataFrame(
+        [(i, i % 10, float(i)) for i in range(40)], "k long, b int, v double"
+    )
+    t = LakeTable.create(spark, tmp / "lake", df)
+    nxt = 100
+    for op, bucket in ops:
+        if op == "append":
+            t.append(spark.createDataFrame(
+                [(nxt + j, bucket, 1.0) for j in range(5)],
+                "k long, b int, v double"))
+            nxt += 5
+        elif op == "delete":
+            t.delete(f"b = {bucket}")
+        elif op == "lazy_delete":
+            t.delete(f"b = {bucket}", lazy=True)
+        else:
+            t.update({"v": "v + 1"}, where=f"b = {bucket}")
+    dest = t.export_uniform(tmp / "uni")
+
+    def rows(df_):
+        return sorted(tuple(r) for r in df_.select("k", "b", "v").collect())
+
+    want = rows(t.read())
+    assert rows(read_delta(spark, dest)) == want
+    assert rows(read_iceberg(spark, dest)) == want
