@@ -1555,6 +1555,62 @@ class DeltaLogReader:
             )
         return df.select(*out_names)
 
+    def vacuum(self, retention_hours: float = 168.0,
+               dry_run: bool = False) -> dict:
+        """Delta's VACUUM on an external table: delete every data file
+        under the table root that the CURRENT snapshot no longer
+        references and whose modification time is older than
+        ``retention_hours`` (default 168 = Delta's 7-day guard against
+        in-flight readers/writers). Deletion-vector sidecars the current
+        snapshot's descriptors point at are kept; `_delta_log/` and
+        `_change_data/` are never candidates (the log has its own
+        retention; change files serve `table_changes` until then) —
+        the same exclusions real VACUUM applies. After a vacuum, time
+        travel to versions whose files were reclaimed fails, exactly
+        Delta's documented trade-off.
+
+        100 TB shape: the keep-set is the live-file index the reader
+        already holds (O(live files)); candidates come from the same
+        listing a real vacuum pays; files are unlinked, never read."""
+        import time as _time
+
+        if retention_hours < 0:
+            raise ValueError("retention_hours must be >= 0")
+        cutoff_ms = int(_time.time() * 1000) - retention_hours * 3600 * 1000
+        snap = self.snapshot()
+        keep: set[Path] = set()
+        for rel, a in snap.files.items():
+            keep.add((self.path / rel).resolve())
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                import uuid as _uuid
+
+                from lakehouses_spark.tables.dv import z85_decode
+
+                enc = dv["pathOrInlineDv"]
+                prefix, uuid_part = enc[:-20], enc[-20:]
+                u = _uuid.UUID(bytes=z85_decode(uuid_part))
+                name = f"deletion_vector_{u}.bin"
+                keep.add(
+                    ((self.path / prefix / name) if prefix
+                     else (self.path / name)).resolve()
+                )
+        skip_dirs = {DELTA_LOG_DIR, "_change_data"}
+        victims = sorted(
+            p for p in self.path.rglob("*")
+            if p.is_file()
+            and not (set(p.relative_to(self.path).parts) & skip_dirs)
+            and p.resolve() not in keep
+            and int(p.stat().st_mtime * 1000) < cutoff_ms
+        )
+        if not dry_run:
+            for p in victims:
+                p.unlink(missing_ok=True)
+        return {
+            "files": [str(p.relative_to(self.path)) for p in victims],
+            "deleted": 0 if dry_run else len(victims),
+        }
+
     def table_changes(
         self,
         starting_version: int,

@@ -1379,3 +1379,42 @@ def test_v2_checkpoint_dv_and_sidecar_chunking(spark, tmp_path, monkeypatch):
 
     with pytest.raises(ValueError, match="classic"):
         t.export_delta_log(tmp_path / "delta2", checkpoint_format="v3")
+
+
+# ------------------------------ external VACUUM --------------------------- #
+def test_external_vacuum(spark, tmp_path):
+    """DeltaLogReader.vacuum: files only OLD versions reference are
+    reclaimed past the retention cutoff; live files, the current
+    snapshot's DV sidecars, `_delta_log/` and `_change_data/` survive;
+    current reads are unchanged; vacuumed time travel fails."""
+    import time as _time
+
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.update({"price": "price * 2"}, where="k <= 5")   # COW rewrite: orphans v0 file
+    t.delete("k > 38", lazy=True)                      # current snapshot carries a DV
+    dest = t.export_delta_log(tmp_path / "delta")
+    r = DeltaLogReader(spark, dest)
+    want = _sorted_rows(read_delta(spark, dest))
+    n_live = len(r.snapshot().files)
+
+    # default 7-day retention protects everything just written
+    assert r.vacuum()["files"] == []
+
+    dry = r.vacuum(retention_hours=0, dry_run=True)
+    assert dry["deleted"] == 0 and len(dry["files"]) >= 1
+    assert all("deletion_vector" not in f and "_delta_log" not in f
+               for f in dry["files"])
+
+    res = r.vacuum(retention_hours=0)
+    assert res["files"] == dry["files"] and res["deleted"] == len(dry["files"])
+    assert _sorted_rows(read_delta(spark, dest)) == want
+    assert len(r.snapshot().files) == n_live
+    # time travel to version 0 now fails: its rewritten file is gone
+    with pytest.raises(Exception):
+        r.to_df(0).collect()
+    # idempotent
+    assert r.vacuum(retention_hours=0)["files"] == []
+    with pytest.raises(ValueError):
+        r.vacuum(retention_hours=-1)
+    _ = _time  # (kept for symmetry with other maintenance tests)
