@@ -1563,6 +1563,102 @@ class IcebergMetadataReader:
         self.meta = meta
         return result
 
+    def changelog(self, from_seq: int | None = None,
+                  to_seq: int | None = None) -> DataFrame:
+        """Batch row-level CDC (Spark-Iceberg's `create_changelog_view`):
+        INSERT/DELETE rows for the snapshots with sequence number in
+        (``from_seq``, ``to_seq``] — defaults: the whole retained chain.
+        Plans via the same incremental scan as the `icebergtable`
+        changelog stream (ADDED entries → INSERT, DELETED entries →
+        DELETE, position-delete manifests → the targeted rows as DELETE),
+        then reads DISTRIBUTED: data-file groups as plain parquet scans
+        with the change identity as literals, position-deleted rows via a
+        broadcast (file, pos) semi-join on `_metadata.row_index` — the
+        driver never materializes row data."""
+        from lakehouses_spark.tables.iceberg_stream import (
+            IcebergChangelogStreamReader,
+        )
+
+        snaps = sorted(
+            (self.meta.get("snapshots") or []),
+            key=lambda s: s["sequence-number"],
+        )
+        if not snaps:
+            raise IcebergFormatError("table has no snapshots")
+        lo = from_seq if from_seq is not None else -1
+        hi = to_seq if to_seq is not None else snaps[-1]["sequence-number"]
+        base = self.schema()
+        out_schema = T.StructType(
+            list(base.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_change_ordinal", T.IntegerType()),
+                T.StructField("_commit_snapshot_id", T.LongType()),
+            ]
+        )
+        planner = IcebergChangelogStreamReader(str(self.path), out_schema)
+        slices = planner.partitions({"seq": lo}, {"seq": hi})
+        slices = [s for s in slices if s.path]
+        empty = self.spark.createDataFrame([], out_schema)
+        if not slices:
+            return empty
+
+        def _stamp(df_, s):
+            if s.rename:
+                for phys, logical in s.rename.items():
+                    if phys in df_.columns:
+                        df_ = df_.withColumnRenamed(phys, logical)
+            return df_.select(
+                *[F.col(f.name).cast(f.dataType)
+                  if f.name in df_.columns else
+                  F.lit(None).cast(f.dataType).alias(f.name)
+                  for f in base.fields],
+                F.lit(s.change_type).alias("_change_type"),
+                F.lit(s.ordinal).cast("int").alias("_change_ordinal"),
+                F.lit(s.snapshot_id).alias("_commit_snapshot_id"),
+            )
+
+        parts: list[DataFrame] = []
+        groups: dict[tuple, list] = {}
+        for s in slices:
+            groups.setdefault(
+                (s.change_type, s.ordinal, s.snapshot_id, s.mode), []
+            ).append(s)
+        for (ct, ordinal, snap_id, mode), grp in sorted(
+            groups.items(), key=lambda kv: (kv[0][1], kv[0][0] or "")
+        ):
+            if mode == "data":
+                df_ = self.spark.read.parquet(*[s.path for s in grp])
+                parts.append(_stamp(df_, grp[0]))
+                continue
+            # pos-delete: the slice paths are (file_path, pos) parquet;
+            # the DELETE rows are the targets' rows at those ordinals
+            pd_df = self.spark.read.parquet(*[s.path for s in grp])
+            targets = [
+                str(self._local_data(r.file_path))
+                for r in pd_df.select("file_path").distinct().collect()
+            ]
+            keys = pd_df.select(
+                F.element_at(F.split(F.col("file_path"), "/"), -1)
+                .alias("__fname"),
+                F.col("pos").alias("__pos"),
+            )
+            data = self.spark.read.parquet(*targets).select(
+                "*",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__fname"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            joined = data.join(
+                F.broadcast(keys), on=["__fname", "__pos"], how="semi"
+            ).drop("__fname", "__pos")
+            parts.append(_stamp(joined, grp[0]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def remove_orphan_files(
         self, older_than_ms: int | None = None, dry_run: bool = False,
     ) -> dict:

@@ -243,3 +243,29 @@ def test_incremental_planning_decodes_only_new_manifests(
     slices = reader.partitions({"seq": seqs[-2]}, {"seq": seqs[-1]})
     assert len(calls) == 2, f"decoded {len(calls)} OCF files, want 2"
     assert len(slices) >= 1 and all(s.path for s in slices)
+
+
+def test_batch_changelog_matches_stream(spark, tmp_path):
+    """IcebergMetadataReader.changelog (batch) returns exactly the rows
+    the streamed changelog drains — COW update pair, MOR position-delete
+    rows, full-insert opening state — and (from_seq, to_seq] windows
+    select the right slice."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.update({"price": "price * 2"}, where="k <= 3")
+    t.delete("k > 17", lazy=True)
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+
+    streamed = _drain_changelog(spark, dest, tmp_path, "bvs")
+    batch = IcebergMetadataReader(spark, dest).changelog()
+    cols = ["k", "status", "price", "_change_type", "_change_ordinal",
+            "_commit_snapshot_id"]
+    assert _sorted_rows(batch, cols) == _sorted_rows(streamed, cols)
+
+    # windowed: only the MOR delete commit (last sequence number)
+    r = IcebergMetadataReader(spark, dest)
+    seqs = sorted(s["sequence-number"] for s in r.meta["snapshots"])
+    win = r.changelog(from_seq=seqs[-2], to_seq=seqs[-1])
+    rows = win.collect()
+    assert {x["_change_type"] for x in rows} == {"DELETE"}
+    assert sorted(x.k for x in rows) == list(range(18, 21))
