@@ -587,6 +587,81 @@ def lake_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_rewrite_compaction",
+    # a fragmented table with an ACTIVE merge-on-read delete is compacted
+    # into ONE file by rewrite_data_files; the post-compaction aggregate
+    # (through a FRESH reader) must equal the relational replay of
+    # base-minus-deleted — proving the rewrite applied the position
+    # deletes physically and lost nothing
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey <= 2400
+    ), kept AS (
+      SELECT * FROM base
+      WHERE NOT (c_mktsegment = 'BUILDING' AND c_acctbal < 0)
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_acctbal
+    FROM kept
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def lake_rewrite_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg rewriteDataFiles arc (r9): CTAS + two appends (a
+    fragmented file layout) → MOR DELETE (native position-delete file)
+    → export Iceberg v2 → `rewrite_data_files(target_files=1)` — one
+    distributed scan→repartition→write pass that bin-packs the live rows
+    and applies the deletes physically, committing a `replace` snapshot.
+    In-query asserts pin the compaction contract: one live file after,
+    zero delete files, min/max bounds regenerated (plan_files prunes),
+    refs moved with the head, pre-rewrite snapshot still time-travels.
+    The aggregate reads the compacted table through a FRESH reader.
+
+    100 TB shape: this is the maintenance op that keeps MOR tables from
+    accumulating delete files; metadata cost O(live files), data cost
+    one distributed pass."""
+    from lakehouses_spark.tables import LakeTable
+    from lakehouses_spark.tables.iceberg_meta import IcebergMetadataReader
+
+    base = load_table(spark, sf_dir, "customer").where("c_custkey <= 2400").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        t = LakeTable.create(spark, f"{tmp}/customer",
+                             base.where("c_custkey <= 800"))
+        t.append(base.where("c_custkey BETWEEN 801 AND 1600"))
+        t.append(base.where("c_custkey BETWEEN 1601 AND 2400"))
+        t.delete("c_mktsegment = 'BUILDING' AND c_acctbal < 0", lazy=True)
+        dest = t.export_iceberg_metadata(f"{tmp}/customer_iceberg")
+        r = IcebergMetadataReader(spark, dest)
+        assert r.position_delete_files(), "MOR delete must export natively"
+        pre_head = r.meta["current-snapshot-id"]
+        res = r.rewrite_data_files(target_files=1)
+        assert res["output_files"] == 1, res
+        r2 = IcebergMetadataReader(spark, dest)  # fresh open via new hint
+        assert len(r2.live_files()) == 1
+        assert not r2.position_delete_files()
+        assert r2.plan_files(filters=[("c_custkey", ">", 10_000_000)]) == []
+        assert r2.meta["refs"]["main"]["snapshot-id"] == res["snapshot_id"]
+        assert r2.to_df(snapshot_id=pre_head).count() > 0
+        out = (
+            r2.to_df()
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.round(F.sum("c_acctbal").cast("double"), 2)
+                .alias("total_acctbal"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        # materialize before the tempdir (and the exported table) disappears
+        return out.localCheckpoint()
+
+
+@query(
     "lake_iceberg_refs",
     # the returned aggregate reads the TAG — the post-delete, pre-update
     # snapshot — so the oracle replays exactly base-minus-deletes; the

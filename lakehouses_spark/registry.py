@@ -89,7 +89,7 @@ _SWEEP_PRIORITY = [
 # driver's exact comparison in the meantime).
 SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
     "streaming_delta_tail", "streaming_iceberg_tail",
-    "streaming_iceberg_changelog",
+    "streaming_iceberg_changelog", "lake_rewrite_compaction",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 

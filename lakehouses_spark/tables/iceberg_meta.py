@@ -1485,9 +1485,14 @@ class IcebergMetadataReader:
                 mp = self._local(m["manifest_path"])
                 keep_manifests.add(mp)
                 _, entries = read_ocf_bytes(mp.read_bytes())
+                # reachability = ADDED/EXISTING entries only: a DELETED
+                # entry records removal, it does not keep the file alive
+                # (Iceberg's expireSnapshots contract — this is what lets
+                # rewrite_data_files' replaced files reclaim)
                 keep_files.update(
                     self._local_data(e["data_file"]["file_path"])
                     for e in entries
+                    if e["status"] != _STATUS_DELETED
                 )
         keep_files |= keep_manifests
 
@@ -1562,6 +1567,185 @@ class IcebergMetadataReader:
             p.unlink(missing_ok=True)
         self.meta = meta
         return result
+
+    def rewrite_data_files(
+        self, target_files: int | None = None,
+        target_file_size_mb: int = 128, dry_run: bool = False,
+    ) -> dict:
+        """Iceberg's rewriteDataFiles compaction (Spark SQL
+        `CALL catalog.system.rewrite_data_files(...)`): read the CURRENT
+        snapshot (row-level deletes applied), bin-pack it into
+        ``target_files`` files (default: ceil(live bytes / target size)),
+        and commit a new `replace` snapshot whose single manifest lists
+        the new files as ADDED and every old live file as DELETED —
+        active position/equality-delete manifests drop out because their
+        rows are now physically gone. Time travel to prior snapshots is
+        untouched (their manifest lists still exist); the old files
+        become reclaimable by the next `expire_snapshots`.
+
+        100 TB shape: the rewrite is ONE distributed Spark pass over the
+        live data (scan → repartition → write); metadata cost is O(live
+        files). This is the maintenance op that keeps MOR tables from
+        accumulating delete files and small-file tables from drowning
+        their planners."""
+        import time as _time
+
+        live = self._live_data_entries()
+        if not live:
+            raise IcebergFormatError("no live data files to rewrite")
+        total_bytes = sum(
+            e["data_file"]["file_size_in_bytes"] or 0 for e in live
+        )
+        n_out = target_files or max(
+            1, -(-total_bytes // (target_file_size_mb * 1024 * 1024))
+        )
+        plan = {
+            "input_files": len(live),
+            "input_bytes": total_bytes,
+            "target_files": int(n_out),
+            "applied_delete_files": len(self.position_delete_files())
+            + len({e["data_file"]["file_path"]
+                   for e in self.equality_delete_entries()}),
+        }
+        if dry_run:
+            return plan
+
+        logical = self.schema()
+        mapping = self.name_mapping()  # field-id -> physical name
+        ice = next(
+            s for s in self.meta["schemas"]
+            if s["schema-id"] == self.meta["current-schema-id"]
+        )
+        phys_of = {
+            f["name"]: mapping.get(f["id"], f["name"]) for f in ice["fields"]
+        }
+        fid_of_phys = {mapping.get(f["id"], f["name"]): f["id"]
+                       for f in ice["fields"]}
+        dt_of_phys = {phys_of[f.name]: f.dataType for f in logical.fields}
+
+        df = self.to_df()
+        for f in logical.fields:  # files store PHYSICAL names
+            if phys_of[f.name] != f.name:
+                df = df.withColumnRenamed(f.name, phys_of[f.name])
+        rel_dir = f"data/rewritten-{uuid.uuid4().hex[:8]}"
+        tmp = self.path / f".tmp-rewrite-{uuid.uuid4().hex}"
+        df.repartition(int(n_out)).write.parquet(str(tmp))
+        (self.path / rel_dir).mkdir(parents=True, exist_ok=True)
+        new_rels: list[str] = []
+        for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
+            rel = f"{rel_dir}/part-{i:05d}.parquet"
+            os.replace(part, self.path / rel)
+            new_rels.append(rel)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        # per-file stats from the parquet footers -> manifest bounds
+        import pyarrow.parquet as pq
+
+        location = self.meta["location"].rstrip("/")
+        now_ms = int(_time.time() * 1000)
+        snap_ids = [s["snapshot-id"] for s in self.meta.get("snapshots") or []]
+        new_id = max(snap_ids) + 1
+        seq = int(self.meta.get("last-sequence-number", 0)) + 1
+        entries: list[dict] = []
+        for rel in new_rels:
+            pf = pq.ParquetFile(self.path / rel)
+            md = pf.metadata
+            lower: list[dict] = []
+            upper: list[dict] = []
+            mins: dict[str, Any] = {}
+            maxs: dict[str, Any] = {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    st = col.statistics
+                    name = col.path_in_schema
+                    if st is None or not st.has_min_max or "." in name:
+                        continue
+                    mins[name] = st.min if name not in mins else min(
+                        mins[name], st.min)
+                    maxs[name] = st.max if name not in maxs else max(
+                        maxs[name], st.max)
+            for name in sorted(mins):
+                fid = fid_of_phys.get(name)
+                dt = dt_of_phys.get(name)
+                if fid is None or dt is None:
+                    continue
+                lo = _encode_bound(mins[name], dt)
+                hi = _encode_bound(maxs[name], dt)
+                if lo is not None:
+                    lower.append({"key": fid, "value": lo})
+                if hi is not None:
+                    upper.append({"key": fid, "value": hi})
+            entries.append({
+                "status": 1,  # ADDED
+                "snapshot_id": new_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"{location}/{rel}",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": md.num_rows,
+                    "file_size_in_bytes": (self.path / rel).stat().st_size,
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
+                    "equality_ids": None,
+                },
+            })
+        for e in live:  # relist every replaced file as DELETED
+            entries.append({
+                "status": 2,
+                "snapshot_id": new_id,
+                "sequence_number": e.get("sequence_number"),
+                "file_sequence_number": e.get("file_sequence_number"),
+                "data_file": e["data_file"],
+            })
+        ice_schema_json = json.dumps(ice)
+        m = _write_manifest(self.meta_dir, entries, ice_schema_json,
+                            new_id, seq)
+        ml_name = f"snap-{new_id}-1-{uuid.uuid4()}.avro"
+        (self.meta_dir / ml_name).write_bytes(
+            write_ocf_bytes_with_meta(
+                [m["ml_row"]],
+                _MANIFEST_LIST_SCHEMA,
+                {
+                    "format-version": str(FORMAT_VERSION),
+                    "snapshot-id": str(new_id),
+                    "sequence-number": str(seq),
+                },
+            )
+        )
+        cur = self.meta.get("current-snapshot-id", -1)
+        snap = {
+            "snapshot-id": new_id,
+            **({"parent-snapshot-id": cur} if cur != -1 else {}),
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": f"{location}/metadata/{ml_name}",
+            "summary": {
+                "operation": "replace",
+                "added-data-files": str(len(new_rels)),
+                "deleted-data-files": str(len(live)),
+                "total-data-files": str(len(new_rels)),
+            },
+            "schema-id": self.meta["current-schema-id"],
+        }
+        meta = dict(self.meta)
+        meta["snapshots"] = list(self.meta.get("snapshots") or []) + [snap]
+        meta["snapshot-log"] = list(self.meta.get("snapshot-log") or []) + [
+            {"timestamp-ms": now_ms, "snapshot-id": new_id}
+        ]
+        meta["current-snapshot-id"] = new_id
+        meta["last-sequence-number"] = seq
+        refs = dict(meta.get("refs") or {})
+        if "main" in refs:
+            refs["main"] = {**refs["main"], "snapshot-id": new_id}
+        meta["refs"] = refs
+        self._commit_metadata(meta)
+        plan["output_files"] = len(new_rels)
+        plan["snapshot_id"] = new_id
+        return plan
 
     def changelog(self, from_seq: int | None = None,
                   to_seq: int | None = None) -> DataFrame:

@@ -892,3 +892,50 @@ def test_remove_orphan_files(spark, tmp_path):
     first = r.meta["snapshots"][0]["snapshot-id"]
     assert r.to_df(snapshot_id=first).count() > 0
     assert r.remove_orphan_files(older_than_ms=future)["orphans"] == []
+
+
+# --------------------------- rewrite_data_files --------------------------- #
+def test_rewrite_data_files_compaction(spark, tmp_path):
+    """rewriteDataFiles: many small files + an active position delete
+    bin-pack into ONE file; reads identical; the delete manifests drop
+    out (rows physically gone); time travel to the pre-rewrite snapshot
+    untouched; expire afterwards reclaims the replaced files."""
+    df = spark.createDataFrame(ROWS[:10], "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    for lo in (11, 21):
+        t.append(spark.createDataFrame(
+            [{"k": i, "status": "Z", "price": 1.0 * i}
+             for i in range(lo, lo + 10)],
+            "k long, status string, price double"))
+    t.delete("k > 25", lazy=True)            # MOR tombstone -> pos deletes
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    want = _sorted_rows(r.to_df())
+    n_live = len(r.live_files())
+    assert n_live >= 3 and r.position_delete_files()
+    pre_head = r.meta["current-snapshot-id"]
+
+    dry = r.rewrite_data_files(target_files=1, dry_run=True)
+    assert dry["input_files"] == n_live and dry["applied_delete_files"] >= 1
+    assert r.meta["current-snapshot-id"] == pre_head  # dry_run committed nothing
+
+    res = r.rewrite_data_files(target_files=1)
+    assert res["output_files"] == 1
+    r2 = IcebergMetadataReader(spark, dest)          # fresh via new hint
+    assert r2.meta["current-snapshot-id"] == res["snapshot_id"]
+    assert len(r2.live_files()) == 1
+    assert not r2.position_delete_files()            # deletes applied away
+    assert _sorted_rows(r2.to_df()) == want
+    # bounds survive the rewrite: plan_files prunes on k
+    assert r2.plan_files(filters=[("k", ">", 100)]) == []
+    assert len(r2.plan_files(filters=[("k", "<=", 25)])) == 1
+    # prior snapshot still time-travels (manifest list untouched)
+    assert len(r2.to_df(snapshot_id=pre_head).collect()) == len(want)
+    # summary + refs moved with the head
+    head = r2.meta["snapshots"][-1]
+    assert head["summary"]["operation"] == "replace"
+    assert r2.meta["refs"]["main"]["snapshot-id"] == res["snapshot_id"]
+    # expire now reclaims the replaced small files
+    exp = r2.expire_snapshots(keep_last=1)
+    assert exp["deleted_data_files"] >= n_live - 1
+    assert _sorted_rows(IcebergMetadataReader(spark, dest).to_df()) == want
