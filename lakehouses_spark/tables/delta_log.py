@@ -1555,6 +1555,99 @@ class DeltaLogReader:
             )
         return df.select(*out_names)
 
+    def optimize(self, target_files: int | None = None,
+                 target_file_size_mb: int = 128,
+                 dry_run: bool = False) -> dict:
+        """Delta's OPTIMIZE on an external table: bin-pack the CURRENT
+        snapshot into ``target_files`` files (default: ceil(live bytes /
+        target size)) in one distributed scan→repartition→write pass —
+        deletion-vector rows are applied physically (Delta's
+        "purge"/rewrite behavior) — and commit it as version N+1 with
+        `dataChange=false` on every add/remove, the compaction
+        convention: streams tailing the log skip the rewrite instead of
+        re-emitting rows. Time travel to prior versions is untouched
+        (old files stay until VACUUM). Hive-partitioned tables are
+        refused (compaction must group per partition).
+
+        100 TB shape: one distributed pass over live data, O(files)
+        metadata; the op that keeps DV-heavy tables from paying the
+        anti-join read tax forever."""
+        from urllib.parse import quote
+
+        snap = self.snapshot()
+        if snap.partition_columns:
+            raise DeltaProtocolError(
+                "optimize on hive-partitioned external tables is not "
+                "supported (per-partition grouping required)"
+            )
+        if not snap.files:
+            raise DeltaProtocolError("no live files to optimize")
+        total_bytes = sum(a.get("size") or 0 for a in snap.files.values())
+        n_out = target_files or max(
+            1, -(-total_bytes // (target_file_size_mb * 1024 * 1024))
+        )
+        plan = {
+            "input_files": len(snap.files),
+            "input_bytes": total_bytes,
+            "target_files": int(n_out),
+            "dv_files_purged": sum(
+                1 for a in snap.files.values() if a.get("deletionVector")
+            ),
+        }
+        if dry_run:
+            return plan
+
+        import time as _time
+
+        df = self.to_df()  # logical names, DVs applied
+        # files store PHYSICAL names under column mapping
+        meta_conf = snap.configuration
+        if meta_conf.get("delta.columnMapping.mode") in ("name", "id"):
+            for f in json.loads(
+                snap.metadata["schemaString"]
+            ).get("fields", []):
+                phys = (f.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName"
+                )
+                if phys and phys != f["name"] and f["name"] in df.columns:
+                    df = df.withColumnRenamed(f["name"], phys)
+        rel_dir = f"data/optimized-{uuid.uuid4().hex[:8]}"
+        tmp = self.path / f".tmp-optimize-{uuid.uuid4().hex}"
+        df.repartition(int(n_out)).write.parquet(str(tmp))
+        (self.path / rel_dir).mkdir(parents=True, exist_ok=True)
+        ts = int(_time.time() * 1000)
+        actions: list[dict] = [{
+            "commitInfo": {
+                "timestamp": ts, "operation": "OPTIMIZE",
+                "operationParameters": {"targetFiles": str(int(n_out))},
+            }
+        }]
+        import pyarrow.parquet as pq
+
+        for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
+            rel = f"{rel_dir}/part-{i:05d}.parquet"
+            os.replace(part, self.path / rel)
+            n_rows = pq.ParquetFile(self.path / rel).metadata.num_rows
+            actions.append({"add": {
+                "path": quote(rel),
+                "partitionValues": {},
+                "size": (self.path / rel).stat().st_size,
+                "modificationTime": ts,
+                "dataChange": False,
+                "stats": json.dumps({"numRecords": n_rows}),
+            }})
+        shutil.rmtree(tmp, ignore_errors=True)
+        for old in snap.files:
+            actions.append({"remove": {
+                "path": quote(old), "deletionTimestamp": ts,
+                "dataChange": False,
+            }})
+        new_v = snap.version + 1
+        _write_commit(self.log / f"{new_v:020d}.json", actions)
+        plan["output_files"] = len(actions) - 1 - len(snap.files)
+        plan["version"] = new_v
+        return plan
+
     def vacuum(self, retention_hours: float = 168.0,
                dry_run: bool = False) -> dict:
         """Delta's VACUUM on an external table: delete every data file

@@ -1418,3 +1418,59 @@ def test_external_vacuum(spark, tmp_path):
     with pytest.raises(ValueError):
         r.vacuum(retention_hours=-1)
     _ = _time  # (kept for symmetry with other maintenance tests)
+
+
+def test_external_optimize(spark, tmp_path):
+    """DeltaLogReader.optimize: fragmented files + an active DV bin-pack
+    into ONE file via a dataChange=false commit; reads identical; DVs
+    purged; time travel untouched; VACUUM then reclaims the old files;
+    a tailing stream resumes across the rewrite WITHOUT re-emitting."""
+    from lakehouses_spark.tables.delta_stream import DeltaTableDataSource
+
+    df = spark.createDataFrame(ROWS[:20], "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.append(spark.createDataFrame(ROWS[20:], "k long, status string, price double"))
+    t.delete("k > 35", lazy=True)
+    dest = t.export_delta_log(tmp_path / "delta")
+    r = DeltaLogReader(spark, dest)
+    want = _sorted_rows(read_delta(spark, dest))
+    n_live = len(r.snapshot().files)
+    assert n_live >= 2
+    v_before = r.snapshot().version
+
+    # drain a stream BEFORE the optimize so its checkpoint sits at v_before
+    spark.dataSource.register(DeltaTableDataSource)
+    sink, ckpt = tmp_path / "sink", tmp_path / "ckpt"
+
+    def drain():
+        q = (
+            spark.readStream.format("deltatable")
+            .option("path", str(dest)).option("ignoreChanges", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(sink)).option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(sink)).count()
+
+    n_streamed = drain()
+
+    dry = r.optimize(target_files=1, dry_run=True)
+    assert dry["input_files"] == n_live and dry["dv_files_purged"] >= 1
+    res = r.optimize(target_files=1)
+    assert res["output_files"] == 1 and res["version"] == v_before + 1
+
+    r2 = DeltaLogReader(spark, dest)
+    assert len(r2.snapshot().files) == 1
+    assert not any(a.get("deletionVector")
+                   for a in r2.snapshot().files.values())
+    assert _sorted_rows(read_delta(spark, dest)) == want
+    assert _sorted_rows(r2.to_df(v_before)) == want  # time travel intact
+    # the compaction commit is dataChange=false: the resumed stream
+    # advances past it without emitting a single row
+    assert drain() == n_streamed
+    # vacuum reclaims the replaced files (+ the now-unreferenced DV sidecar)
+    res_v = r2.vacuum(retention_hours=0)
+    assert len(res_v["files"]) >= n_live
+    assert _sorted_rows(read_delta(spark, dest)) == want
