@@ -1557,7 +1557,8 @@ class DeltaLogReader:
 
     def optimize(self, target_files: int | None = None,
                  target_file_size_mb: int = 128,
-                 dry_run: bool = False) -> dict:
+                 dry_run: bool = False,
+                 zorder_by: list[str] | None = None) -> dict:
         """Delta's OPTIMIZE on an external table: bin-pack the CURRENT
         snapshot into ``target_files`` files (default: ceil(live bytes /
         target size)) in one distributed scan→repartition→write pass —
@@ -1565,9 +1566,13 @@ class DeltaLogReader:
         "purge"/rewrite behavior) — and commit it as version N+1 with
         `dataChange=false` on every add/remove, the compaction
         convention: streams tailing the log skip the rewrite instead of
-        re-emitting rows. Time travel to prior versions is untouched
-        (old files stay until VACUUM). Hive-partitioned tables are
-        refused (compaction must group per partition).
+        re-emitting rows. ``zorder_by`` range-partitions on the
+        interleaved z-value (OPTIMIZE ... ZORDER BY), and per-file
+        min/max from the parquet footers land in ``add.stats`` so
+        `read_delta(filters=)` skips files on any clustered column.
+        Time travel to prior versions is untouched (old files stay
+        until VACUUM). Hive-partitioned tables are refused (compaction
+        must group per partition).
 
         100 TB shape: one distributed pass over live data, O(files)
         metadata; the op that keeps DV-heavy tables from paying the
@@ -1601,6 +1606,7 @@ class DeltaLogReader:
 
         df = self.to_df()  # logical names, DVs applied
         # files store PHYSICAL names under column mapping
+        phys_of: dict[str, str] = {}
         meta_conf = snap.configuration
         if meta_conf.get("delta.columnMapping.mode") in ("name", "id"):
             for f in json.loads(
@@ -1610,10 +1616,23 @@ class DeltaLogReader:
                     "delta.columnMapping.physicalName"
                 )
                 if phys and phys != f["name"] and f["name"] in df.columns:
+                    phys_of[f["name"]] = phys
                     df = df.withColumnRenamed(f["name"], phys)
+        if zorder_by:
+            from lakehouses_spark.tables.table import zorder_column
+
+            # callers pass LOGICAL names; df carries physical ones by here
+            zcols = [phys_of.get(c, c) for c in zorder_by]
+            df = (
+                df.withColumn("__z", zorder_column(df, zcols))
+                .repartitionByRange(int(n_out), "__z")
+                .drop("__z")
+            )
+        else:
+            df = df.repartition(int(n_out))
         rel_dir = f"data/optimized-{uuid.uuid4().hex[:8]}"
         tmp = self.path / f".tmp-optimize-{uuid.uuid4().hex}"
-        df.repartition(int(n_out)).write.parquet(str(tmp))
+        df.write.parquet(str(tmp))
         (self.path / rel_dir).mkdir(parents=True, exist_ok=True)
         ts = int(_time.time() * 1000)
         actions: list[dict] = [{
@@ -1627,14 +1646,35 @@ class DeltaLogReader:
         for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
             rel = f"{rel_dir}/part-{i:05d}.parquet"
             os.replace(part, self.path / rel)
-            n_rows = pq.ParquetFile(self.path / rel).metadata.num_rows
+            md = pq.ParquetFile(self.path / rel).metadata
+            # footer min/max -> add.stats so read_delta(filters=) keeps
+            # skipping files on the compacted (and z-ordered) layout
+            mins: dict[str, Any] = {}
+            maxs: dict[str, Any] = {}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    st_ = col.statistics
+                    name = col.path_in_schema
+                    if st_ is None or not st_.has_min_max or "." in name:
+                        continue
+                    if not isinstance(st_.min, (int, float, str, bool)):
+                        continue
+                    mins[name] = st_.min if name not in mins else min(
+                        mins[name], st_.min)
+                    maxs[name] = st_.max if name not in maxs else max(
+                        maxs[name], st_.max)
+            stats = {"numRecords": md.num_rows}
+            if mins:
+                stats["minValues"] = mins
+                stats["maxValues"] = maxs
             actions.append({"add": {
                 "path": quote(rel),
                 "partitionValues": {},
                 "size": (self.path / rel).stat().st_size,
                 "modificationTime": ts,
                 "dataChange": False,
-                "stats": json.dumps({"numRecords": n_rows}),
+                "stats": json.dumps(stats),
             }})
         shutil.rmtree(tmp, ignore_errors=True)
         for old in snap.files:

@@ -50,6 +50,30 @@ CHECKPOINT_INTERVAL = 10
 # DML writes row-level change files only when the property is on, so
 # tables that never read CDF pay zero extra scan/write cost
 CDF_PROPERTY = "delta.enableChangeDataFeed"
+
+
+def zorder_column(df: DataFrame, cols: list[str], bits: int = 10):
+    """Z-value expression over ``cols``: normalize each to ``bits`` bits
+    via the DataFrame's global min/max, interleave with shift/mask. Range-
+    partitioning on this column gives every file a small hyper-rectangle,
+    so per-file min/max stats skip on ANY of the clustered columns. Shared
+    by LakeTable.optimize_zorder and DeltaLogReader.optimize(zorder_by=)."""
+    ranges = df.agg(
+        *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+    ).collect()[0]
+    max_val = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lo, hi = ranges[f"__lo_{c}"], ranges[f"__hi_{c}"]
+        span = (hi - lo) or 1.0
+        norm = F.floor(
+            (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * max_val
+        ).cast("long")
+        for b in range(bits):
+            bit = F.shiftrightunsigned(norm, b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * len(cols) + i)
+    return z
 CHANGE_DATA_DIR = "_change_data"
 
 
@@ -1709,21 +1733,7 @@ class LakeTable:
         with shift/mask, range-repartition on the z-value."""
         st = self.state()
         df = self._snapshot(st)
-        ranges = df.agg(
-            *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
-            *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
-        ).collect()[0]
-        max_val = (1 << bits) - 1
-        z = F.lit(0).cast("long")
-        for i, c in enumerate(cols):
-            lo, hi = ranges[f"__lo_{c}"], ranges[f"__hi_{c}"]
-            span = (hi - lo) or 1.0
-            norm = F.floor(
-                (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * max_val
-            ).cast("long")
-            for b in range(bits):
-                bit = F.shiftrightunsigned(norm, b).bitwiseAND(F.lit(1))
-                z = z + F.shiftleft(bit, b * len(cols) + i)
+        z = zorder_column(df, cols, bits)
         clustered = df.withColumn("__z", z).repartitionByRange(num_files, "__z").drop("__z")
         adds = self._write_files(clustered, [], skip_cluster=True, state=st)
         self._commit(

@@ -1474,3 +1474,35 @@ def test_external_optimize(spark, tmp_path):
     res_v = r2.vacuum(retention_hours=0)
     assert len(res_v["files"]) >= n_live
     assert _sorted_rows(read_delta(spark, dest)) == want
+
+
+def test_external_optimize_zorder_skips_files(spark, tmp_path):
+    """optimize(zorder_by=): the rewritten files carry footer min/max in
+    add.stats and the z-ordered layout lets read_delta(filters=) open a
+    strict subset of files on EITHER clustered column; LakeTable's own
+    optimize_zorder (refactored onto the shared z-expression) stays green."""
+    rows = [(i, float((i * 37) % 100), "AB"[i % 2]) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, price double, status string")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    dest = t.export_delta_log(tmp_path / "delta")
+    r = DeltaLogReader(spark, dest)
+    want = _sorted_rows(read_delta(spark, dest))
+    res = r.optimize(target_files=8, zorder_by=["k", "price"])
+    assert res["output_files"] == 8
+
+    r2 = DeltaLogReader(spark, dest)
+    assert _sorted_rows(read_delta(spark, dest)) == want
+    adds = list(r2.snapshot().files.values())
+    assert all("minValues" in json.loads(a["stats"]) for a in adds)
+    full = len(r2.to_df().inputFiles())
+    for col, op, val in (("k", "<", 30), ("price", "<", 10.0)):
+        pruned = len(r2.to_df(filters=[(col, op, val)]).inputFiles())
+        assert pruned < full, (col, pruned, full)
+
+    # the shared z-expression also still drives the in-table ZORDER
+    t2 = LakeTable.create(
+        spark, tmp_path / "lake2",
+        spark.createDataFrame(rows, "k long, price double, status string"))
+    zres = t2.optimize_zorder(["k", "price"], num_files=8)
+    assert zres["new_files"] >= 1
+    assert _sorted_rows(t2.read()) == want
