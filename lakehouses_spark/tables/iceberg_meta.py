@@ -1747,6 +1747,106 @@ class IcebergMetadataReader:
         plan["snapshot_id"] = new_id
         return plan
 
+    def rewrite_manifests(self, dry_run: bool = False) -> dict:
+        """Iceberg's rewriteManifests maintenance (Spark SQL
+        `CALL catalog.system.rewrite_manifests(...)`): consolidate the
+        current snapshot's DATA manifests into ONE manifest (entries
+        relisted as EXISTING with their original sequence numbers — data
+        files untouched) and commit a `replace` snapshot. Delete
+        manifests pass through unchanged. After many commits a snapshot's
+        manifest list grows O(commits); planning then opens every
+        manifest — this collapses that to one open per scan.
+
+        100 TB shape: metadata-only; cost O(live entries), no data read."""
+        import time as _time
+
+        live = self._live_data_entries()
+        snap = self._snapshot()
+        if snap is None:
+            raise IcebergFormatError("table has no snapshots")
+        _, ml_rows = read_ocf_bytes(
+            self._local(snap["manifest-list"]).read_bytes()
+        )
+        data_manifests = [r for r in ml_rows if r.get("content", 0) == 0]
+        delete_rows = [r for r in ml_rows if r.get("content", 0) == 1]
+        plan = {
+            "input_manifests": len(data_manifests),
+            "output_manifests": 1,
+            "live_entries": len(live),
+        }
+        if dry_run or len(data_manifests) <= 1:
+            plan["rewritten"] = False
+            return plan
+
+        now_ms = int(_time.time() * 1000)
+        snap_ids = [s["snapshot-id"] for s in self.meta.get("snapshots") or []]
+        new_id = max(snap_ids) + 1
+        seq = int(self.meta.get("last-sequence-number", 0)) + 1
+        entries = [
+            {
+                "status": 0,  # EXISTING: same files, same sequence numbers
+                "snapshot_id": e.get("snapshot_id"),
+                "sequence_number": e.get("sequence_number"),
+                "file_sequence_number": e.get("file_sequence_number"),
+                "data_file": e["data_file"],
+            }
+            for e in live
+        ]
+        ice = next(
+            s for s in self.meta["schemas"]
+            if s["schema-id"] == self.meta["current-schema-id"]
+        )
+        m = _write_manifest(self.meta_dir, entries, json.dumps(ice),
+                            new_id, seq)
+        # EXISTING entries keep the min sequence across the live set
+        m["ml_row"]["min_sequence_number"] = min(
+            (e["sequence_number"] for e in entries
+             if e["sequence_number"] is not None),
+            default=seq,
+        )
+        location = self.meta["location"].rstrip("/")
+        ml_name = f"snap-{new_id}-1-{uuid.uuid4()}.avro"
+        (self.meta_dir / ml_name).write_bytes(
+            write_ocf_bytes_with_meta(
+                [m["ml_row"]] + delete_rows,
+                _MANIFEST_LIST_SCHEMA,
+                {
+                    "format-version": str(FORMAT_VERSION),
+                    "snapshot-id": str(new_id),
+                    "sequence-number": str(seq),
+                },
+            )
+        )
+        snap_new = {
+            "snapshot-id": new_id,
+            "parent-snapshot-id": snap["snapshot-id"],
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": f"{location}/metadata/{ml_name}",
+            "summary": {
+                "operation": "replace",
+                "manifests-replaced": str(len(data_manifests)),
+                "manifests-created": "1",
+                "total-data-files": str(len(entries)),
+            },
+            "schema-id": self.meta["current-schema-id"],
+        }
+        meta = dict(self.meta)
+        meta["snapshots"] = list(self.meta.get("snapshots") or []) + [snap_new]
+        meta["snapshot-log"] = list(self.meta.get("snapshot-log") or []) + [
+            {"timestamp-ms": now_ms, "snapshot-id": new_id}
+        ]
+        meta["current-snapshot-id"] = new_id
+        meta["last-sequence-number"] = seq
+        refs = dict(meta.get("refs") or {})
+        if "main" in refs:
+            refs["main"] = {**refs["main"], "snapshot-id": new_id}
+        meta["refs"] = refs
+        self._commit_metadata(meta)
+        plan["rewritten"] = True
+        plan["snapshot_id"] = new_id
+        return plan
+
     def changelog(self, from_seq: int | None = None,
                   to_seq: int | None = None) -> DataFrame:
         """Batch row-level CDC (Spark-Iceberg's `create_changelog_view`):

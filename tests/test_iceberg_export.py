@@ -939,3 +939,41 @@ def test_rewrite_data_files_compaction(spark, tmp_path):
     exp = r2.expire_snapshots(keep_last=1)
     assert exp["deleted_data_files"] >= n_live - 1
     assert _sorted_rows(IcebergMetadataReader(spark, dest).to_df()) == want
+
+
+def test_rewrite_manifests(spark, tmp_path):
+    """rewriteManifests: N data manifests collapse into ONE (entries
+    relisted EXISTING, sequence numbers preserved so position deletes
+    still apply), delete manifests pass through, reads identical, time
+    travel intact, the reuse-aware expire keeps the still-listed files."""
+    df = spark.createDataFrame(ROWS[:10], "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    for lo in (11, 21):
+        t.append(spark.createDataFrame(
+            [{"k": i, "status": "Z", "price": 1.0 * i}
+             for i in range(lo, lo + 10)],
+            "k long, status string, price double"))
+    t.delete("k > 25", lazy=True)            # delete manifest must survive
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    want = _sorted_rows(r.to_df())
+    pre_head = r.meta["current-snapshot-id"]
+    assert r.manifests().count() >= 3
+
+    res = r.rewrite_manifests(dry_run=True)
+    assert res["input_manifests"] >= 3 and not res["rewritten"]
+    res = r.rewrite_manifests()
+    assert res["rewritten"]
+
+    r2 = IcebergMetadataReader(spark, dest)
+    _, ml_rows = read_ocf_bytes(
+        r2._local(r2._snapshot()["manifest-list"]).read_bytes())
+    assert sum(1 for x in ml_rows if x.get("content", 0) == 0) == 1
+    assert sum(1 for x in ml_rows if x.get("content", 0) == 1) >= 1
+    assert _sorted_rows(r2.to_df()) == want          # deletes still apply
+    assert _sorted_rows(r2.to_df(snapshot_id=pre_head)) == want
+    # idempotent: second call is a no-op
+    assert not r2.rewrite_manifests()["rewritten"]
+    # expire keeps every file the consolidated manifest lists as EXISTING
+    r2.expire_snapshots(keep_last=1)
+    assert _sorted_rows(IcebergMetadataReader(spark, dest).to_df()) == want
