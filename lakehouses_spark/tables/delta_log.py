@@ -1555,6 +1555,34 @@ class DeltaLogReader:
             )
         return df.select(*out_names)
 
+    def describe_history(self) -> DataFrame:
+        """DESCRIBE HISTORY for an external Delta table (the DataFrame
+        sibling of the lightweight `history()` list): one row per
+        commit JSON, newest first — version, commitInfo timestamp (file
+        mtime when absent), operation, operationParameters as JSON, and
+        the commit's add/remove counts. Pure log metadata; no data read."""
+        rows = []
+        for v in self.versions():
+            actions = self._commit_actions(v)
+            ci = next(
+                (a["commitInfo"] for a in actions if "commitInfo" in a), {}
+            )
+            ts = ci.get("timestamp") or int(
+                (self.log / f"{v:020d}.json").stat().st_mtime * 1000
+            )
+            rows.append((
+                v, ts, ci.get("operation"),
+                json.dumps(ci.get("operationParameters") or {}),
+                sum(1 for a in actions if "add" in a),
+                sum(1 for a in actions if "remove" in a),
+            ))
+        return self.spark.createDataFrame(
+            sorted(rows, reverse=True),
+            "version long, timestamp_ms long, operation string, "
+            "operation_parameters string, num_added_files int, "
+            "num_removed_files int",
+        )
+
     def optimize(self, target_files: int | None = None,
                  target_file_size_mb: int = 128,
                  dry_run: bool = False,

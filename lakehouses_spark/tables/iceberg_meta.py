@@ -2192,6 +2192,58 @@ class IcebergMetadataReader:
             "existing_data_files_count int, deleted_data_files_count int",
         )
 
+    def all_manifests(self) -> DataFrame:
+        """The `.all_manifests` metadata table: the manifests of EVERY
+        retained snapshot (deduplicated by path — manifest reuse means
+        most appear under many snapshots), with the reference snapshot id
+        each row was reached from."""
+        rows = []
+        seen: set[tuple] = set()
+        for s in self.meta.get("snapshots") or []:
+            _, ml = read_ocf_bytes(
+                self._local(s["manifest-list"]).read_bytes()
+            )
+            for m in ml:
+                key = (m["manifest_path"], s["snapshot-id"])
+                if key in seen:
+                    continue
+                seen.add(key)
+                rows.append((
+                    m["manifest_path"], m["manifest_length"],
+                    m.get("content", 0), m["added_snapshot_id"],
+                    s["snapshot-id"],
+                ))
+        return self.spark.createDataFrame(
+            rows,
+            "path string, length long, content int, "
+            "added_snapshot_id long, reference_snapshot_id long",
+        )
+
+    def entries(self, snapshot_id: int | None = None) -> DataFrame:
+        """The `.entries` metadata table: raw manifest entries of the
+        snapshot — status (0 EXISTING / 1 ADDED / 2 DELETED), snapshot id,
+        sequence numbers, and the data file's path/format/counts."""
+        snap = self._snapshot(snapshot_id)
+        rows = []
+        if snap is not None:
+            data_entries, delete_entries = self._manifest_rows(snap)
+            for e in data_entries + delete_entries:
+                df_ = e["data_file"]
+                rows.append((
+                    e["status"], e.get("snapshot_id"),
+                    e.get("sequence_number"), e.get("file_sequence_number"),
+                    df_["file_path"], df_["file_format"],
+                    df_.get("content", 0), df_["record_count"],
+                    df_["file_size_in_bytes"],
+                ))
+        return self.spark.createDataFrame(
+            rows,
+            "status int, snapshot_id long, sequence_number long, "
+            "file_sequence_number long, file_path string, "
+            "file_format string, content int, record_count long, "
+            "file_size_in_bytes long",
+        )
+
     def metadata_log_entries(self) -> DataFrame:
         rows = [
             (m["timestamp-ms"], m["metadata-file"])

@@ -1506,3 +1506,19 @@ def test_external_optimize_zorder_skips_files(spark, tmp_path):
     zres = t2.optimize_zorder(["k", "price"], num_files=8)
     assert zres["new_files"] >= 1
     assert _sorted_rows(t2.read()) == want
+
+
+def test_external_history(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "lake")
+    dest = t.export_delta_log(tmp_path / "delta")
+    r = DeltaLogReader(spark, dest)
+    hist = r.describe_history().collect()
+    assert [h.version for h in hist] == list(range(t.version, -1, -1))
+    assert all(h.timestamp_ms > 0 for h in hist)
+    ops = {h.operation for h in hist}
+    assert ops & {"CREATE", "WRITE", "DELETE", "UPDATE", "CREATE TABLE AS SELECT"}
+    assert hist[-1].num_added_files >= 1          # the CTAS commit
+    # an external OPTIMIZE shows up at the head
+    r.optimize(target_files=1)
+    h2 = DeltaLogReader(spark, dest).describe_history().collect()[0]
+    assert h2.operation == "OPTIMIZE" and h2.num_removed_files >= 1

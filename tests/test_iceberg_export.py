@@ -977,3 +977,19 @@ def test_rewrite_manifests(spark, tmp_path):
     # expire keeps every file the consolidated manifest lists as EXISTING
     r2.expire_snapshots(keep_last=1)
     assert _sorted_rows(IcebergMetadataReader(spark, dest).to_df()) == want
+
+
+def test_entries_and_all_manifests_metadata_tables(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "lake")
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    ent = r.entries().collect()
+    assert {e.status for e in ent} <= {0, 1, 2}
+    live = sum(1 for e in ent if e.status != 2 and e.content == 0)
+    assert live == len(r.live_files())
+    am = r.all_manifests().collect()
+    # manifest reuse: strictly more (manifest, reference-snapshot) pairs
+    # than distinct manifests; every current manifest is reachable
+    assert len(am) > len({m.path for m in am})
+    cur = {m.path for m in r.manifests().collect()}
+    assert cur <= {m.path for m in am}
