@@ -556,6 +556,13 @@ class LakeTable:
         ``mode`` applies to the Delta half (which owns dest creation); the
         Iceberg half always runs in "error" mode against the fresh dest.
 
+        The two layers are consistent AS OF THE EXPORT. Maintenance run
+        through one layer's reader afterwards (optimize / vacuum /
+        rewrite_data_files / expire) commits to that layer only — re-run
+        `export_uniform(mode="overwrite")` from the source table to
+        re-sync both, exactly like Delta UniForm regenerates its Iceberg
+        metadata after Delta commits.
+
         100 TB shape: both exports are metadata-only passes over the same
         O(files) state — the data is never copied twice, let alone
         rewritten."""

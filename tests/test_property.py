@@ -564,3 +564,59 @@ def test_uniform_export_differential(spark, tmp_path_factory, ops):
     want = rows(t.read())
     assert rows(read_delta(spark, dest)) == want
     assert rows(read_iceberg(spark, dest)) == want
+
+
+@given(ops=_ARC_OPS)
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_external_maintenance_differential(spark, tmp_path_factory, ops):
+    """DIFFERENTIAL property over random DML arcs for the r9 maintenance
+    ops: after ANY arc, `DeltaLogReader.optimize` (DV purge included) and
+    `IcebergMetadataReader.rewrite_data_files` (position deletes applied)
+    each leave their layer reading EXACTLY the source table's rows, and
+    the follow-up reclamation (vacuum / expire) changes nothing."""
+    from lakehouses_spark.tables import LakeTable
+    from lakehouses_spark.tables.delta_log import DeltaLogReader, read_delta
+    from lakehouses_spark.tables.iceberg_meta import (
+        IcebergMetadataReader, read_iceberg,
+    )
+
+    tmp = tmp_path_factory.mktemp("maint_prop")
+    df = spark.createDataFrame(
+        [(i, i % 10, float(i)) for i in range(40)], "k long, b int, v double"
+    )
+    t = LakeTable.create(spark, tmp / "lake", df)
+    nxt = 100
+    for op, bucket in ops:
+        if op == "append":
+            t.append(spark.createDataFrame(
+                [(nxt + j, bucket, 1.0) for j in range(5)],
+                "k long, b int, v double"))
+            nxt += 5
+        elif op == "delete":
+            t.delete(f"b = {bucket}")
+        elif op == "lazy_delete":
+            t.delete(f"b = {bucket}", lazy=True)
+        else:
+            t.update({"v": "v + 1"}, where=f"b = {bucket}")
+
+    def rows(df_):
+        return sorted(tuple(r) for r in df_.select("k", "b", "v").collect())
+
+    want = rows(t.read())
+
+    d_dest = t.export_delta_log(tmp / "delta")
+    dr = DeltaLogReader(spark, d_dest)
+    if dr.snapshot().files:
+        dr.optimize(target_files=2)
+        assert rows(read_delta(spark, d_dest)) == want
+        DeltaLogReader(spark, d_dest).vacuum(retention_hours=0)
+        assert rows(read_delta(spark, d_dest)) == want
+
+    i_dest = t.export_iceberg_metadata(tmp / "ice")
+    ir = IcebergMetadataReader(spark, i_dest)
+    if ir.live_files():
+        ir.rewrite_data_files(target_files=2)
+        assert rows(read_iceberg(spark, i_dest)) == want
+        ir.expire_snapshots(keep_last=1)
+        assert rows(read_iceberg(spark, i_dest)) == want
