@@ -65,10 +65,12 @@ HEADLINE = [
 R1_WARM_TOTAL = 12.967  # round-1 anchor (warm pass, sf0.1, local[32])
 
 # Tracked OUTSIDE the headline totals (VERDICT r3 #6): the most complex plan
-# in the registry (8 exchanges) as a curation-tier canary — its time is
-# reported per-pass but never enters value/cold_total/warm_total, so the
-# round-over-round headline comparison stays apples-to-apples.
-TRACKED_EXTRA = ["text_perplexity_proxy"]
+# in the registry (8 exchanges) as a curation-tier canary, plus (r9) the
+# maintenance-arc canary — CTAS+appends+MOR-delete → Iceberg export →
+# rewrite_data_files → aggregate, the full metadata-plane round trip. Their
+# times are reported per-pass but never enter value/cold_total/warm_total,
+# so the round-over-round headline comparison stays apples-to-apples.
+TRACKED_EXTRA = ["text_perplexity_proxy", "lake_rewrite_compaction"]
 
 
 LOADAVG_GATE = 1.5  # BASELINE.md: only quiet runs are comparable across rounds
