@@ -12,12 +12,15 @@ commit JSONs present: tables this repo exports (`export_delta_log`) or
 tables written by real Delta writers.
 
 Semantics mirrored from Delta's source:
-- append commits stream their added files (`dataChange=false` rewrites —
-  OPTIMIZE — are skipped);
-- commits that REMOVE files or attach deletion vectors break the
-  append-only contract and fail fast unless `ignoreChanges=true` (then
-  only the (re-)added files stream — Delta documents the same
-  may-see-duplicates caveat);
+- the INITIAL batch is the CURRENT snapshot (a stdlib replay of the
+  commit JSONs to the live add set) — DML anywhere in history is fine;
+  live files carrying deletion vectors fail fast unless
+  `ignoreChanges=true` (whole-file reads would resurrect deleted rows);
+- after the start, append commits stream their added files
+  (`dataChange=false` rewrites — OPTIMIZE — are skipped); commits that
+  REMOVE files or attach deletion vectors break the append-only contract
+  and fail fast unless `ignoreChanges=true` (then only the (re-)added
+  files stream — Delta documents the same may-see-duplicates caveat);
 - `startingVersion=N` starts the tail at version N (skips the initial
   snapshot catch-up), exactly Delta's option;
 - `readChangeFeed=true` streams the row-level change feed: native `cdc`
@@ -285,9 +288,44 @@ class DeltaStreamReader(DataSourceStreamReader):
         versions = _json_versions(self.table_path)
         return {"version": versions[-1] if versions else -1}
 
+    def _snapshot_adds(self, upto_v: int) -> list[dict]:
+        """Replay the commit JSONs 0..upto_v to the live add set —
+        last-add-wins, removes pop — exactly the reader's snapshot but
+        stdlib-only (the planner worker has no DeltaLogReader)."""
+        files: dict[str, dict] = {}
+        for v in _json_versions(self.table_path):
+            if v > upto_v:
+                break
+            for a in _commit_actions(self.table_path, v):
+                if "add" in a:
+                    files[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    files.pop(a["remove"]["path"], None)
+        return list(files.values())
+
     def partitions(self, start: dict, end: dict):
         start_v, end_v = int(start["version"]), int(end["version"])
         slices: list[DeltaSlice] = []
+        if start_v == -1 and self.starting_version is None:
+            # INITIAL batch = the CURRENT snapshot at end_v (Delta's
+            # source semantics: the opening state is the table, not a
+            # replay of history adds — DML in history is fine); the tail
+            # below then only sees versions > end_v
+            adds = self._snapshot_adds(end_v)
+            dv = [a for a in adds if a.get("deletionVector")]
+            if dv and not self.ignore_changes:
+                raise RuntimeError(
+                    f"{len(dv)} live file(s) carry deletion vectors; the "
+                    "stream source reads whole files — set .option("
+                    "'ignoreChanges', 'true') to stream them including "
+                    "deleted rows, or OPTIMIZE the table first"
+                )
+            slices.extend(DeltaSlice(
+                str(Path(self.table_path) / unquote(a["path"])),
+                a.get("partitionValues") or {},
+                self.rename,
+            ) for a in adds)
+            return slices or [DeltaSlice("", {}, {})]
         for v in _json_versions(self.table_path):
             if not (start_v < v <= end_v):
                 continue

@@ -7,15 +7,19 @@ Offsets are snapshot SEQUENCE NUMBERS (monotonic, survive snapshot-id
 renumbering); each micro-batch is the set of data files the snapshots in
 (start_seq, end_seq] ADDED — planned from their manifest lists by taking
 manifests with `added_snapshot_id == snapshot-id` and entries with status
-ADDED, Iceberg's own incremental-scan design. The INITIAL catch-up reads
-the earliest available snapshot as a FULL snapshot (all live entries —
-correct even when older snapshots were expired), then tails incrementally.
+ADDED, Iceberg's own incremental-scan design. The INITIAL batch is the
+CURRENT snapshot's live entries (the table's opening state — history may
+contain any DML; expired history costs nothing), then the tail is
+incremental.
 
 Semantics mirrored from the Iceberg Spark source:
-- append snapshots stream their added files;
-- delete/overwrite snapshots (row-level deletes or copy-on-write removes)
-  break the append-only contract and fail fast unless `ignoreChanges=true`
-  (then only added data files stream — may emit rows that were deleted);
+- a current snapshot with ACTIVE position/equality deletes fails fast at
+  start unless `ignoreChanges=true` (whole-file reads would resurrect
+  deleted rows; rewrite_data_files first);
+- after the start, append snapshots stream their added files;
+  delete/overwrite snapshots break the append-only contract and fail
+  fast unless `ignoreChanges=true` (then only added data files stream —
+  may emit rows that were deleted);
 - resuming into a sequence gap (an unprocessed snapshot was expired)
   fails loudly instead of silently dropping data;
 - name-mapping physical parquet names rename to the logical schema names.
@@ -244,20 +248,43 @@ class IcebergStreamReader(DataSourceStreamReader):
                 "the stream with a fresh checkpoint"
             )
         slices: list[IceSlice] = []
-        first_available = snaps[0]["sequence-number"] if snaps else -1
+        if start_seq == -1 and in_range:
+            # INITIAL batch = the CURRENT snapshot at end_seq (the Iceberg
+            # source's opening state is the table, not a replay of history
+            # adds — delete/overwrite snapshots in history are fine); the
+            # tail below then only sees sequences > end_seq
+            s = in_range[-1]
+            rows = self._manifest_rows(meta, s)
+            if any(r.get("content", 0) == 1 for r in rows) \
+                    and not self.ignore_changes:
+                raise RuntimeError(
+                    "the current snapshot has active position/equality "
+                    "deletes; the stream source reads whole files — set "
+                    ".option('ignoreChanges', 'true') to stream them "
+                    "including deleted rows, or rewrite_data_files first"
+                )
+            for r in rows:
+                if r.get("content", 0) != 0:
+                    continue
+                slices.extend(
+                    IceSlice(
+                        str(_local(self.table_path, meta,
+                                   e["data_file"]["file_path"])),
+                        self.rename,
+                    )
+                    for e in self._entries(meta, r)
+                    if e["status"] != _STATUS_DELETED
+                )
+            return slices or [IceSlice("", {})]
         for s in in_range:
             rows = self._manifest_rows(meta, s)
-            full = (
-                start_seq == -1 and s["sequence-number"] == first_available
+            has_deletes = any(
+                r.get("content", 0) == 1
+                and r["added_snapshot_id"] == s["snapshot-id"]
+                for r in rows
             )
-            has_deletes = any(r.get("content", 0) == 1 for r in rows) if full \
-                else any(
-                    r.get("content", 0) == 1
-                    and r["added_snapshot_id"] == s["snapshot-id"]
-                    for r in rows
-                )
             op = (s.get("summary") or {}).get("operation", "append")
-            breaking = has_deletes or (not full and op != "append")
+            breaking = has_deletes or op != "append"
             if breaking and not self.ignore_changes:
                 raise RuntimeError(
                     f"snapshot {s['snapshot-id']} ({op}) removed or deleted "
@@ -268,19 +295,17 @@ class IcebergStreamReader(DataSourceStreamReader):
             for r in rows:
                 if r.get("content", 0) != 0:
                     continue  # delete manifest — gated above
-                if not full and r["added_snapshot_id"] != s["snapshot-id"]:
+                if r["added_snapshot_id"] != s["snapshot-id"]:
                     continue  # manifest reuse: not this snapshot's adds
-                for e in self._entries(meta, r):
-                    if full:
-                        keep = e["status"] != _STATUS_DELETED
-                    else:
-                        keep = e["status"] == _STATUS_ADDED
-                    if keep:
-                        slices.append(IceSlice(
-                            str(_local(self.table_path, meta,
-                                       e["data_file"]["file_path"])),
-                            self.rename,
-                        ))
+                slices.extend(
+                    IceSlice(
+                        str(_local(self.table_path, meta,
+                                   e["data_file"]["file_path"])),
+                        self.rename,
+                    )
+                    for e in self._entries(meta, r)
+                    if e["status"] == _STATUS_ADDED
+                )
         return slices or [IceSlice("", {})]
 
     def read(self, partition: IceSlice):
@@ -446,16 +471,24 @@ class IcebergChangelogStreamReader(IcebergStreamReader):
                            targets: set[str]) -> None:
         import pyarrow.parquet as pq
 
+        # memoized per reader: the historical walk re-runs every batch, but
+        # a position-delete file's target list never changes once written
+        cache = getattr(self, "_mor_target_cache", None)
+        if cache is None:
+            cache = self._mor_target_cache = {}
         for r in pos_delete_rows:
             for e in self._entries(meta, r):
                 pd_path = _local(
                     self.table_path, meta, e["data_file"]["file_path"]
                 )
-                targets.update(
-                    pq.read_table(
-                        pd_path, columns=["file_path"]
-                    ).column("file_path").to_pylist()
-                )
+                key = str(pd_path)
+                if key not in cache:
+                    cache[key] = set(
+                        pq.read_table(
+                            pd_path, columns=["file_path"]
+                        ).column("file_path").to_pylist()
+                    )
+                targets.update(cache[key])
 
     def _slice(self, meta: dict, entry: dict, change_type: str, seq: int,
                snap_id: int) -> IceSlice:

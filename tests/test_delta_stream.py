@@ -73,16 +73,46 @@ def test_stream_column_mapping_renames(spark, tmp_path):
     assert _sorted_rows(got) == _sorted_rows(t.read())
 
 
-def test_stream_fails_on_rewrite_unless_ignore_changes(spark, tmp_path):
+def test_initial_snapshot_tolerates_dml_history(spark, tmp_path):
+    """Delta-source semantics: the INITIAL batch is the CURRENT snapshot,
+    so DML anywhere in history streams cleanly from scratch — exact rows,
+    no duplicates, no ignoreChanges needed."""
     df = spark.createDataFrame(ROWS, "k long, status string, price double")
     t = LakeTable.create(spark, tmp_path / "lake", df)
-    t.delete("k > 15")  # copy-on-write rewrite
+    t.delete("k > 15")  # copy-on-write rewrite IN HISTORY
+    t.update({"price": "price * 2"}, where="k <= 3")
     dest = t.export_delta_log(tmp_path / "delta")
+    got = _drain(spark, dest, tmp_path, "hist")
+    assert _sorted_rows(got) == _sorted_rows(read_delta(spark, dest))
+
+
+def test_stream_fails_on_rewrite_unless_ignore_changes(spark, tmp_path):
+    """POST-START removes break the append-only tail: the resumed stream
+    fails fast; ignoreChanges streams the (re-)added files instead. Live
+    deletion vectors at START also gate on ignoreChanges (whole-file
+    reads would resurrect deleted rows)."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    dest = t.export_delta_log(tmp_path / "delta")
+    _drain(spark, dest, tmp_path, "rw")            # checkpoint at head
+    t.delete("k > 15")                             # COW remove AFTER start
+    t.export_delta_log(tmp_path / "delta", mode="overwrite")
     with pytest.raises(Exception, match="ignoreChanges"):
-        _drain(spark, dest, tmp_path, "rw")
+        _drain(spark, dest, tmp_path, "rw")        # resume hits the remove
     got = _drain(spark, dest, tmp_path, "rw2", ignoreChanges="true")
-    # re-added files stream (duplicates possible) — final keys are a superset
+    # fresh drain + re-added files: final keys are a superset
     assert {r.k for r in got.collect()} >= {r.k for r in t.read().collect()}
+
+    # live DVs at start: fail fast, ignoreChanges reads whole files
+    t2 = LakeTable.create(
+        spark, tmp_path / "lake2",
+        spark.createDataFrame(ROWS, "k long, status string, price double"))
+    t2.delete("k > 15", lazy=True)
+    dest2 = t2.export_delta_log(tmp_path / "delta2")
+    with pytest.raises(Exception, match="deletion vectors"):
+        _drain(spark, dest2, tmp_path, "dv")
+    got2 = _drain(spark, dest2, tmp_path, "dv2", ignoreChanges="true")
+    assert {r.k for r in got2.collect()} >= {r.k for r in t2.read().collect()}
 
 
 def test_stream_cdf_matches_batch_table_changes(spark, tmp_path):

@@ -64,9 +64,9 @@ def test_stream_appends_and_resume(spark, tmp_path):
 
 
 def test_initial_catchup_after_expiration(spark, tmp_path):
-    """Older snapshots expired: the first batch reads the earliest RETAINED
-    snapshot as a FULL snapshot (its manifests list the older files as
-    EXISTING), then tails incrementally — no data lost."""
+    """Older snapshots expired: the first batch reads the CURRENT snapshot
+    (whose manifests list the older files as EXISTING), then tails
+    incrementally — no data lost."""
     df = spark.createDataFrame(ROWS[:5], "k long, status string, price double")
     t = LakeTable.create(spark, tmp_path / "lake", df)
     t.append(spark.createDataFrame(ROWS[5:10], "k long, status string, price double"))
@@ -78,20 +78,43 @@ def test_initial_catchup_after_expiration(spark, tmp_path):
     assert sorted(r.k for r in got.collect()) == list(range(1, 16))
 
 
-def test_stream_fails_on_delete_unless_ignore_changes(spark, tmp_path):
+def test_initial_snapshot_tolerates_dml_history(spark, tmp_path):
+    """Iceberg-source semantics: the INITIAL batch is the CURRENT
+    snapshot's live entries, so COW DML anywhere in history streams
+    cleanly from scratch — exact rows, no ignoreChanges needed."""
     df = spark.createDataFrame(ROWS, "k long, status string, price double")
     t = LakeTable.create(spark, tmp_path / "lake", df)
-    dest0 = t.export_iceberg_metadata(tmp_path / "ice0")
-    _ = dest0  # append-only export works; now break append-only
-    t.delete("k > 15")  # copy-on-write delete snapshot
+    t.delete("k > 15")  # copy-on-write delete IN HISTORY
+    t.update({"price": "price * 2"}, where="k <= 3")
     dest = t.export_iceberg_metadata(tmp_path / "ice")
+    got = _drain(spark, dest, tmp_path, "hist")
+    assert _sorted_rows(got) == _sorted_rows(read_iceberg(spark, dest))
+
+
+def test_stream_fails_on_delete_unless_ignore_changes(spark, tmp_path):
+    """POST-START delete snapshots break the append-only tail; ACTIVE
+    position deletes at start gate on ignoreChanges."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    _drain(spark, dest, tmp_path, "del")           # checkpoint at head
+    t.delete("k > 15")                             # COW delete AFTER start
+    t.export_iceberg_metadata(tmp_path / "ice", mode="overwrite")
     with pytest.raises(Exception, match="ignoreChanges"):
-        # start past the full-snapshot catch-up so the delete snapshot is
-        # hit incrementally: drain from scratch still hits it (snapshot 2)
-        _drain(spark, dest, tmp_path, "del")
+        _drain(spark, dest, tmp_path, "del")       # resume hits the delete
     got = _drain(spark, dest, tmp_path, "del2", ignoreChanges="true")
-    # added files stream; deleted rows may reappear — superset of current
+    # fresh drain reads the (clean) current snapshot
     assert {r.k for r in got.collect()} >= {r.k for r in t.read().collect()}
+
+    t2 = LakeTable.create(
+        spark, tmp_path / "lake2",
+        spark.createDataFrame(ROWS, "k long, status string, price double"))
+    t2.delete("k > 15", lazy=True)                 # ACTIVE position deletes
+    dest2 = t2.export_iceberg_metadata(tmp_path / "ice2")
+    with pytest.raises(Exception, match="position/equality deletes"):
+        _drain(spark, dest2, tmp_path, "mor")
+    got2 = _drain(spark, dest2, tmp_path, "mor2", ignoreChanges="true")
+    assert {r.k for r in got2.collect()} >= {r.k for r in t2.read().collect()}
 
 
 def test_resume_into_expired_gap_fails_loudly(spark, tmp_path):
