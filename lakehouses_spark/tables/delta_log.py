@@ -1716,23 +1716,68 @@ class DeltaLogReader:
         plan["version"] = new_v
         return plan
 
+    def _tombstones(self) -> dict[Path, int]:
+        """Remove-action tombstones: resolved data-file path → latest
+        ``deletionTimestamp`` (ms; a remove without one counts as 0,
+        i.e. immediately eligible — Delta's ``getOrElse(0L)``). Sources:
+        every commit JSON still present plus every checkpoint parquet
+        (after log cleanup, unexpired tombstones survive only in the
+        checkpoint, exactly where real Delta retains them). One narrow
+        JVM-side scan per format — only (path, ts) pairs reach the
+        driver, O(tombstones) memory regardless of stats size."""
+        remove_schema = "remove struct<path:string,deletionTimestamp:bigint>"
+        sources: list[DataFrame] = []
+        json_paths = [str(self.log / f"{v:020d}.json") for v in self.versions()]
+        if json_paths:
+            sources.append(
+                self.spark.read.schema(remove_schema).json(json_paths)
+            )
+        ckpt_paths = [str(p) for p in self.log.glob("*.checkpoint*.parquet")]
+        if ckpt_paths:
+            # explicit schema subset: checkpoints lacking a `remove`
+            # column (or with extra fields) read as nulls, not errors
+            sources.append(
+                self.spark.read.schema(remove_schema).parquet(*ckpt_paths)
+            )
+        tomb: dict[Path, int] = {}
+        for df in sources:
+            rows = (
+                df.where(F.col("remove.path").isNotNull())
+                .groupBy(F.col("remove.path").alias("p"))
+                .agg(F.max(F.coalesce(
+                    F.col("remove.deletionTimestamp"), F.lit(0)
+                )).alias("ts"))
+                .collect()
+            )
+            for r in rows:
+                key = (self.path / unquote(r.p)).resolve()
+                tomb[key] = max(tomb.get(key, 0), r.ts)
+        return tomb
+
     def vacuum(self, retention_hours: float = 168.0,
                dry_run: bool = False) -> dict:
         """Delta's VACUUM on an external table: delete every data file
         under the table root that the CURRENT snapshot no longer
-        references and whose modification time is older than
-        ``retention_hours`` (default 168 = Delta's 7-day guard against
-        in-flight readers/writers). Deletion-vector sidecars the current
-        snapshot's descriptors point at are kept; `_delta_log/` and
-        `_change_data/` are never candidates (the log has its own
-        retention; change files serve `table_changes` until then) —
-        the same exclusions real VACUUM applies. After a vacuum, time
-        travel to versions whose files were reclaimed fails, exactly
-        Delta's documented trade-off.
+        references and whose remove-action ``deletionTimestamp`` is older
+        than ``retention_hours`` (default 168 = Delta's 7-day guard
+        against in-flight readers/writers) — matching Delta's
+        VacuumCommand, which protects tombstones by when the REMOVE was
+        committed, not by file mtime (exports hard-link/copy2 data files,
+        preserving mtimes far older than their tombstones; mtime-based
+        retention would reclaim a just-OPTIMIZEd file immediately). Files
+        the log never tracked fall back to the mtime clock. Deletion-
+        vector sidecars the current snapshot's descriptors point at are
+        kept; `_delta_log/` and `_change_data/` are never candidates (the
+        log has its own retention; change files serve `table_changes`
+        until then) — the same exclusions real VACUUM applies. After a
+        vacuum, time travel to versions whose files were reclaimed fails,
+        exactly Delta's documented trade-off.
 
         100 TB shape: the keep-set is the live-file index the reader
-        already holds (O(live files)); candidates come from the same
-        listing a real vacuum pays; files are unlinked, never read."""
+        already holds (O(live files)); tombstones arrive from one narrow
+        JVM-side scan (O(tombstones) driver memory); candidates come from
+        the same listing a real vacuum pays; files are unlinked, never
+        read."""
         import time as _time
 
         if retention_hours < 0:
@@ -1757,12 +1802,20 @@ class DeltaLogReader:
                      else (self.path / name)).resolve()
                 )
         skip_dirs = {DELTA_LOG_DIR, "_change_data"}
+        tomb = self._tombstones()
+
+        def _eligible(p: Path) -> bool:
+            ts = tomb.get(p.resolve())
+            if ts is not None:
+                return ts < cutoff_ms
+            return int(p.stat().st_mtime * 1000) < cutoff_ms
+
         victims = sorted(
             p for p in self.path.rglob("*")
             if p.is_file()
             and not (set(p.relative_to(self.path).parts) & skip_dirs)
             and p.resolve() not in keep
-            and int(p.stat().st_mtime * 1000) < cutoff_ms
+            and _eligible(p)
         )
         if not dry_run:
             for p in victims:

@@ -1420,6 +1420,55 @@ def test_external_vacuum(spark, tmp_path):
     _ = _time  # (kept for symmetry with other maintenance tests)
 
 
+def test_external_vacuum_retention_by_deletion_timestamp(spark, tmp_path):
+    """ADVICE r9 (high): retention is keyed on the remove action's
+    deletionTimestamp, NOT file mtime. Exports hard-link/copy2 data files
+    preserving mtimes, so a week-old mtime must not defeat the 7-day
+    guard for a file whose tombstone was committed seconds ago — time
+    travel and in-flight readers stay protected for the full window.
+    Untracked junk files (never in the log) still fall to the mtime
+    clock."""
+    import os
+    import time as _time
+
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.append(spark.createDataFrame(ROWS, "k long, status string, price double"))
+    dest = t.export_delta_log(tmp_path / "delta")
+    r = DeltaLogReader(spark, dest)
+
+    # simulate an export of an old table: every data file's mtime is 30
+    # days in the past (copy2/hard-link preserve source mtimes)
+    old = _time.time() - 30 * 24 * 3600
+    for p in Path(dest).rglob("*.parquet"):
+        if "_delta_log" not in p.parts:
+            os.utime(p, (old, old))
+    v0_files = set(r.snapshot().files)
+
+    res = r.optimize()  # removes every pre-compaction file, tombstones NOW
+    assert res["output_files"] >= 1
+
+    # default 7-day retention: tombstones are seconds old → protected,
+    # even though the files' mtimes are 30 days old (the former bug
+    # reclaimed them here, breaking time travel inside the window)
+    assert r.vacuum()["files"] == []
+    assert {Path(f).name for f in r.to_df(len(r.versions()) - 2).inputFiles()} \
+        <= {Path(f).name for f in map(str, Path(dest).rglob("*.parquet"))}
+
+    # an untracked file with an old mtime is mtime-governed: reclaimed
+    junk = Path(dest) / "junk-not-in-log.parquet"
+    junk.write_bytes(b"x")
+    os.utime(junk, (old, old))
+    got = r.vacuum()
+    assert got["files"] == ["junk-not-in-log.parquet"]
+
+    # retention 0: tombstoned files now eligible; old snapshot unreadable
+    reclaimed = set(r.vacuum(retention_hours=0)["files"])
+    assert v0_files <= reclaimed
+    with pytest.raises(Exception):
+        r.to_df(0).collect()
+
+
 def test_external_optimize(spark, tmp_path):
     """DeltaLogReader.optimize: fragmented files + an active DV bin-pack
     into ONE file via a dataChange=false commit; reads identical; DVs
