@@ -20,6 +20,12 @@ Semantics mirrored from the Iceberg Spark source:
   delete/overwrite snapshots break the append-only contract and fail
   fast unless `ignoreChanges=true` (then only added data files stream —
   may emit rows that were deleted);
+- `replace` snapshots (rewrite_data_files / rewrite_manifests) are
+  SKIPPED — data is unchanged, only its layout; streaming their adds
+  would duplicate the whole compacted table;
+- planning and gap detection walk the MAIN-branch ancestry
+  (parent-snapshot-id chain from the `main` ref), so branch/tag-only
+  snapshots neither enter the feed nor trip the expiration check;
 - resuming into a sequence gap (an unprocessed snapshot was expired)
   fails loudly instead of silently dropping data;
 - name-mapping physical parquet names rename to the logical schema names.
@@ -210,11 +216,24 @@ class IcebergStreamReader(DataSourceStreamReader):
         self.rename = _rename_map(_current_meta(table_path))
 
     def _snapshots(self) -> list[dict]:
+        """Main-branch ancestry only, oldest first: walk the parent chain
+        from the `main` ref (falling back to current-snapshot-id), like
+        the Spark-Iceberg source. The global snapshots list also holds
+        branch/tag-only snapshots (refs pin them); ordering THOSE by
+        sequence number would open the stream on a branch head and tail
+        branch commits into the main feed."""
         meta = _current_meta(self.table_path)
-        return sorted(
-            meta.get("snapshots") or [],
-            key=lambda s: s["sequence-number"],
+        by_id = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+        cur = (meta.get("refs") or {}).get("main", {}).get(
+            "snapshot-id", meta.get("current-snapshot-id", -1)
         )
+        chain: list[dict] = []
+        while cur in by_id:
+            s = by_id[cur]
+            chain.append(s)
+            cur = s.get("parent-snapshot-id")
+        chain.reverse()
+        return chain
 
     def initialOffset(self) -> dict:
         return {"seq": -1}
@@ -240,7 +259,13 @@ class IcebergStreamReader(DataSourceStreamReader):
         in_range = [
             s for s in snaps if start_seq < s["sequence-number"] <= end_seq
         ]
+        # gap check over the MAIN ancestry: if the snapshot we last
+        # processed is still retained, the parent chain up from it is
+        # contiguous by construction — branch commits may hold the skipped
+        # sequence numbers, that's not a gap. Only when it was expired do
+        # we require density (an expired UNPROCESSED ancestor is data loss).
         if start_seq >= 0 and in_range and \
+                not any(s["sequence-number"] == start_seq for s in snaps) and \
                 in_range[0]["sequence-number"] != start_seq + 1:
             raise RuntimeError(
                 f"snapshot at sequence {start_seq + 1} was expired before "
@@ -277,13 +302,20 @@ class IcebergStreamReader(DataSourceStreamReader):
                 )
             return slices or [IceSlice("", {})]
         for s in in_range:
+            op = (s.get("summary") or {}).get("operation", "append")
+            if op == "replace":
+                # rewrite_data_files / rewrite_manifests: the data is
+                # unchanged, only its file layout — the Spark-Iceberg
+                # source skips compaction snapshots (no slices, no error;
+                # streaming their ADDED entries would re-emit the whole
+                # compacted table as duplicates)
+                continue
             rows = self._manifest_rows(meta, s)
             has_deletes = any(
                 r.get("content", 0) == 1
                 and r["added_snapshot_id"] == s["snapshot-id"]
                 for r in rows
             )
-            op = (s.get("summary") or {}).get("operation", "append")
             breaking = has_deletes or op != "append"
             if breaking and not self.ignore_changes:
                 raise RuntimeError(
@@ -390,6 +422,7 @@ class IcebergChangelogStreamReader(IcebergStreamReader):
             s for s in snaps if start_seq < s["sequence-number"] <= end_seq
         ]
         if start_seq >= 0 and in_range and \
+                not any(s["sequence-number"] == start_seq for s in snaps) and \
                 in_range[0]["sequence-number"] != start_seq + 1:
             raise RuntimeError(
                 f"snapshot at sequence {start_seq + 1} was expired before "
@@ -403,8 +436,15 @@ class IcebergChangelogStreamReader(IcebergStreamReader):
             seq = s["sequence-number"]
             if seq > end_seq:
                 break
-            rows = self._manifest_rows(meta, s)
             full = start_seq == -1 and seq == first_available
+            if not full and (
+                (s.get("summary") or {}).get("operation") == "replace"
+            ):
+                # compaction: no semantic change, no changelog rows (the
+                # initial catch-up still reads a replace snapshot's live
+                # entries — that IS the opening state)
+                continue
+            rows = self._manifest_rows(meta, s)
             mine = lambda r: r["added_snapshot_id"] == s["snapshot-id"]  # noqa: E731
             # track MOR targets across ALL snapshots walked, so a later
             # COW remove of a partially-deleted file is detected

@@ -63,6 +63,74 @@ def test_stream_appends_and_resume(spark, tmp_path):
     assert sorted(r.k for r in got.collect()) == list(range(1, 21))
 
 
+def test_stream_skips_replace_snapshots(spark, tmp_path):
+    """ADVICE r9: rewrite_data_files commits a `replace` snapshot — data
+    unchanged, only its layout. A tailing stream must skip it (the
+    Spark-Iceberg source's compaction rule): no error without
+    ignoreChanges, and NO re-emission of the compacted table."""
+    df = spark.createDataFrame(ROWS[:10], "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.append(spark.createDataFrame(
+        ROWS[10:15], "k long, status string, price double"))
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+
+    got = _drain(spark, dest, tmp_path, "replace")
+    assert sorted(r.k for r in got.collect()) == list(range(1, 16))
+
+    r = IcebergMetadataReader(spark, dest)
+    assert len(r.live_files()) >= 2
+    res = r.rewrite_data_files(target_files=1)
+    assert res["output_files"] == 1
+
+    # same checkpoint across the compaction: nothing new streams
+    got = _drain(spark, dest, tmp_path, "replace")
+    assert sorted(r.k for r in got.collect()) == list(range(1, 16))
+
+
+def test_stream_plans_main_ancestry_not_branch_heads(spark, tmp_path):
+    """ADVICE r9: offsets/planning walk the parent chain from the `main`
+    ref, not the global sequence-ordered snapshot list — a branch-only
+    snapshot with a higher sequence number must not become the stream's
+    opening state (nor feed branch commits into the main tail)."""
+    import json as _json
+    from lakehouses_spark.tables.iceberg_stream import _current_meta, _meta_dir
+
+    df = spark.createDataFrame(ROWS[:10], "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.append(spark.createDataFrame(
+        ROWS[10:], "k long, status string, price double"))
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+
+    # graft a branch-only snapshot ON TOP of snapshot 0 (its manifest list
+    # re-used — the branch head sees only the first 10 rows) with the
+    # HIGHEST sequence number, referenced by an `audit` branch ref
+    md = _meta_dir(str(dest))
+    hint = md / "version-hint.text"
+    meta_path = md / f"v{hint.read_text().strip()}.metadata.json"
+    meta = _json.loads(meta_path.read_text())
+    snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+    branch = {
+        "snapshot-id": 999001,
+        "parent-snapshot-id": snaps[0]["snapshot-id"],
+        "sequence-number": snaps[-1]["sequence-number"] + 1,
+        "timestamp-ms": snaps[-1]["timestamp-ms"] + 1,
+        "manifest-list": snaps[0]["manifest-list"],
+        "summary": {"operation": "append"},
+        "schema-id": snaps[0].get("schema-id", 0),
+    }
+    meta["snapshots"].append(branch)
+    meta.setdefault("refs", {})["audit"] = {
+        "snapshot-id": 999001, "type": "branch",
+    }
+    meta_path.write_text(_json.dumps(meta))
+    assert _current_meta(str(dest))["refs"]["audit"]["snapshot-id"] == 999001
+
+    # the stream opens on the MAIN head (all 20 rows), not the branch
+    # head (10 rows) that the old global-sequence ordering would pick
+    got = _drain(spark, dest, tmp_path, "branch")
+    assert sorted(r.k for r in got.collect()) == list(range(1, 21))
+
+
 def test_initial_catchup_after_expiration(spark, tmp_path):
     """Older snapshots expired: the first batch reads the CURRENT snapshot
     (whose manifests list the older files as EXISTING), then tails
@@ -196,6 +264,30 @@ def test_changelog_cow_update_delete(spark, tmp_path):
     assert len(ords) == 1  # DELETE(10.0) + INSERT(20.0) at the update commit
     # ordinals are the snapshot sequence numbers: monotone from 1
     assert min(r["_change_ordinal"] for r in rows) == 1
+
+
+def test_changelog_skips_replace_snapshots(spark, tmp_path):
+    """Compaction is not change data: after rewrite_data_files, the
+    changelog tail emits NOTHING (no DELETE+INSERT churn for the
+    rewritten layout)."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.append(spark.createDataFrame(
+        [{"k": 100, "status": "Z", "price": 1.0}],
+        "k long, status string, price double"))
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+
+    got = _drain_changelog(spark, dest, tmp_path, "clr")
+    n_before = got.count()
+    assert n_before == 21 and set(
+        r["_change_type"] for r in got.collect()
+    ) == {"INSERT"}
+
+    r = IcebergMetadataReader(spark, dest)
+    res = r.rewrite_data_files(target_files=1)
+    assert res["output_files"] == 1
+    got = _drain_changelog(spark, dest, tmp_path, "clr")  # same checkpoint
+    assert got.count() == n_before
 
 
 def test_changelog_mor_position_deletes(spark, tmp_path):
