@@ -367,11 +367,36 @@ class DeltaChangeFeedStreamReader(DeltaStreamReader):
     actions (the change files carry `_change_type` themselves), derived
     inserts for pure-append commits, nothing for metadata-only commits,
     fail-fast on data-changing commits with no recorded change data —
-    the same contract as `DeltaLogReader.table_changes` batch reads."""
+    the same contract as `DeltaLogReader.table_changes` batch reads.
+
+    Without `startingVersion`, the INITIAL batch is the current
+    snapshot's live files emitted as derived INSERTs (Delta's streaming
+    CDF default: latest snapshot first, then future changes) — NOT a
+    replay of every commit from version 0 as change data, which would
+    both duplicate history and fail-fast on any pre-CDF DML in the log."""
 
     def partitions(self, start: dict, end: dict):
         start_v, end_v = int(start["version"]), int(end["version"])
         slices: list[DeltaSlice] = []
+        if start_v == -1 and self.starting_version is None:
+            adds = self._snapshot_adds(end_v)
+            dv = [a for a in adds if a.get("deletionVector")]
+            if dv and not self.ignore_changes:
+                raise RuntimeError(
+                    f"{len(dv)} live file(s) carry deletion vectors; the "
+                    "stream source reads whole files — set .option("
+                    "'ignoreChanges', 'true') to stream them including "
+                    "deleted rows, or OPTIMIZE the table first"
+                )
+            ts = _commit_ts_ms(
+                self.table_path, end_v,
+                _commit_actions(self.table_path, end_v),
+            ) if end_v >= 0 else 0
+            return [DeltaSlice(
+                str(Path(self.table_path) / unquote(a["path"])),
+                a.get("partitionValues") or {}, self.rename,
+                "insert", end_v, ts,
+            ) for a in adds] or [DeltaSlice("", {}, {})]
         for v in _json_versions(self.table_path):
             if not (start_v < v <= end_v):
                 continue

@@ -1916,27 +1916,38 @@ class IcebergMetadataReader:
                 parts.append(_stamp(df_, grp[0]))
                 continue
             # pos-delete: the slice paths are (file_path, pos) parquet;
-            # the DELETE rows are the targets' rows at those ordinals
+            # the DELETE rows are the targets' rows at those ordinals.
+            # Join on the FULL normalized path, not the basename —
+            # rewrite/compaction outputs in different dirs may share a
+            # basename (e.g. part-00000.parquet), and a basename join
+            # would cross-match, deleting the same row index of every
+            # colliding file. The stored-URI → local-path mapping is the
+            # one already computed for the read targets.
+            import os as _os
+
             pd_df = self.spark.read.parquet(*[s.path for s in grp])
-            targets = [
-                str(self._local_data(r.file_path))
+            mapping = [
+                (r.file_path,
+                 _os.path.abspath(str(self._local_data(r.file_path))))
                 for r in pd_df.select("file_path").distinct().collect()
             ]
-            keys = pd_df.select(
-                F.element_at(F.split(F.col("file_path"), "/"), -1)
-                .alias("__fname"),
-                F.col("pos").alias("__pos"),
+            targets = [local for _, local in mapping]
+            map_df = self.spark.createDataFrame(
+                mapping, "file_path string, __fpath string"
+            )
+            keys = pd_df.join(F.broadcast(map_df), "file_path").select(
+                F.col("__fpath"), F.col("pos").alias("__pos"),
             )
             data = self.spark.read.parquet(*targets).select(
                 "*",
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias("__fname"),
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), r"^file:/+", "/"
+                ).alias("__fpath"),
                 F.col("_metadata.row_index").alias("__pos"),
             )
             joined = data.join(
-                F.broadcast(keys), on=["__fname", "__pos"], how="semi"
-            ).drop("__fname", "__pos")
+                F.broadcast(keys), on=["__fpath", "__pos"], how="semi"
+            ).drop("__fpath", "__pos")
             parts.append(_stamp(joined, grp[0]))
         out = parts[0]
         for p in parts[1:]:

@@ -116,8 +116,9 @@ def test_stream_fails_on_rewrite_unless_ignore_changes(spark, tmp_path):
 
 
 def test_stream_cdf_matches_batch_table_changes(spark, tmp_path):
-    """readChangeFeed=true over the exported log drains the same change
-    set as the batch LakeTable.table_changes replay."""
+    """readChangeFeed=true with startingVersion=0 over the exported log
+    drains the same change set as the batch LakeTable.table_changes
+    replay (Delta's spelling for a full-history CDF stream)."""
     df = spark.createDataFrame(ROWS, "k long, status string, price double")
     t = LakeTable.create(spark, tmp_path / "lake", df)
     t.set_properties({"delta.enableChangeDataFeed": "true"})
@@ -125,10 +126,42 @@ def test_stream_cdf_matches_batch_table_changes(spark, tmp_path):
     t.delete("k > 17")
     dest = t.export_delta_log(tmp_path / "delta")
 
-    got = _drain(spark, dest, tmp_path, "cdf", readChangeFeed="true")
+    got = _drain(spark, dest, tmp_path, "cdf", readChangeFeed="true",
+                 startingVersion="0")
     want = t.table_changes(0, t.version)
     cols = ["k", "status", "price", "_change_type", "_commit_version"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_stream_cdf_initial_snapshot_then_changes(spark, tmp_path):
+    """ADVICE r9: WITHOUT startingVersion, the CDF stream opens on the
+    latest snapshot as derived INSERTs (Delta's streaming CDF default) —
+    pre-CDF DML history neither replays as change data nor fails — then
+    tails real change data from later commits on the same checkpoint."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.update({"price": "price * 3"}, where="k = 1")  # pre-CDF mutation
+    t.delete("k > 18")                               # pre-CDF delete
+    t.set_properties({"delta.enableChangeDataFeed": "true"})
+    dest = t.export_delta_log(tmp_path / "delta")
+
+    got = _drain(spark, dest, tmp_path, "cdf0", readChangeFeed="true")
+    rows = got.collect()
+    assert {r["_change_type"] for r in rows} == {"insert"}
+    assert sorted(r.k for r in rows) == sorted(
+        r.k for r in t.read().collect())
+    head = t.version
+    assert {r["_commit_version"] for r in rows} == {head}
+
+    # tail: CDF-recorded DML streams as change data after the snapshot
+    t.update({"price": "price * 2"}, where="k = 2")
+    t.export_delta_log(tmp_path / "delta", mode="overwrite")
+    got = _drain(spark, dest, tmp_path, "cdf0",
+                 readChangeFeed="true")  # same checkpoint
+    new = [r for r in got.collect() if r["_commit_version"] > head]
+    assert sorted(r["_change_type"] for r in new) \
+        == ["update_postimage", "update_preimage"]
+    assert {r.k for r in new} == {2}
 
 
 def test_starting_version_skips_snapshot(spark, tmp_path):

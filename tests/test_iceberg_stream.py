@@ -309,6 +309,87 @@ def test_changelog_mor_position_deletes(spark, tmp_path):
     assert _apply_feed([r.asDict() for r in got.collect()], cols) == final
 
 
+def test_changelog_pos_deletes_join_full_path_not_basename(spark, tmp_path):
+    """ADVICE r9: two data files in different dirs sharing a BASENAME
+    (compaction outputs are all part-00000.parquet) must not cross-match
+    in the position-delete semi-join — a position targeting file A would
+    otherwise also delete the same row index of file B, emitting wrong
+    DELETE rows."""
+    from lakehouses_spark.functions.avro_py import read_ocf_bytes
+    from lakehouses_spark.tables.iceberg_meta import (
+        _MANIFEST_ENTRY_SCHEMA,
+        write_ocf_bytes_with_meta,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = LakeTable.create(
+        spark, tmp_path / "lake",
+        spark.createDataFrame(
+            ROWS[:10], "k long, status string, price double").coalesce(1),
+        num_files=1,
+    )
+    t.append(spark.createDataFrame(
+        ROWS[10:], "k long, status string, price double").coalesce(1))
+    t.delete("k <= 3", lazy=True)  # MOR: positions 0-2 of the FIRST file
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+
+    # surgery: rename both commit dirs' data files to ONE basename, then
+    # rewrite every path that mentions them (data manifests + the
+    # pos-delete parquet's file_path column)
+    import json as _json
+    meta = _json.loads(sorted(
+        (dest / "metadata").glob("v*.metadata.json"),
+        key=lambda p: int(p.name.split(".")[0][1:]))[-1].read_text())
+    loc = meta["location"].rstrip("/")
+    rename: dict[str, str] = {}
+    for p in sorted(dest.rglob("*.parquet")):
+        if p.parent == dest / "data" or "_delta_log" in p.parts \
+                or "metadata" in p.parts:
+            continue  # flat data/ holds the pos-delete parquet; skip it
+        new = p.parent / "part-00000.snappy.parquet"
+        rel_old = p.relative_to(dest).as_posix()
+        rel_new = new.relative_to(dest).as_posix()
+        p.rename(new)
+        rename[f"{loc}/{rel_old}"] = f"{loc}/{rel_new}"
+    assert len(rename) == 2, rename
+
+    for mf in (dest / "metadata").glob("*.avro"):
+        schema, rows = read_ocf_bytes(mf.read_bytes())
+        if not rows or "data_file" not in rows[0]:
+            continue  # manifest list — manifest paths unchanged
+        changed = False
+        for e in rows:
+            fp = e["data_file"]["file_path"]
+            if fp in rename:
+                e["data_file"]["file_path"] = rename[fp]
+                changed = True
+        if changed:
+            mf.write_bytes(write_ocf_bytes_with_meta(
+                rows, _MANIFEST_ENTRY_SCHEMA,
+                {"partition-spec": "[]", "partition-spec-id": "0",
+                 "format-version": "2", "content": "data"},
+            ))
+    for pd_file in (dest / "data").glob("*.parquet"):
+        tbl = pq.read_table(pd_file)
+        fps = [rename.get(v, v) for v in tbl.column("file_path").to_pylist()]
+        pq.write_table(
+            tbl.set_column(
+                tbl.schema.get_field_index("file_path"), "file_path",
+                pa.array(fps, tbl.schema.field("file_path").type)),
+            pd_file,
+        )
+
+    # reads still resolve (paths consistent after surgery)
+    assert sorted(r.k for r in read_iceberg(spark, dest).collect()) \
+        == list(range(4, 21))
+    # the changelog's DELETE set is EXACTLY the targeted file's rows —
+    # a basename join would also emit k=11..13 (same positions, file 2)
+    cl = IcebergMetadataReader(spark, dest).changelog()
+    dels = sorted(r.k for r in cl.collect() if r["_change_type"] == "DELETE")
+    assert dels == [1, 2, 3]
+
+
 def test_changelog_unreproducible_cases_fail_loudly(spark, tmp_path):
     """(1) COW-removing a file earlier position deletes targeted cannot be
     replayed from manifests alone; (2) an initial snapshot with ACTIVE
