@@ -53,28 +53,37 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # emitted FIRST, so the hard signal lands on them; everything already
 # driver-verified in round 1 follows in registration order.
 _SWEEP_PRIORITY = [
-    # Round-9 rotation (VERDICT r8 #3), sized to the 50-entry budget:
-    #   1. new round-9 queries — FIRST driver row,
-    #   2. ALL 44 rows whose latest driver row is round 6 — after this
-    #      rotation no registry row is older than round 7.
-    # --- 1. new round-9 queries: first driver row ---
-    "lake_cdf_read", "lake_expire_snapshots", "streaming_cdf_drain",
-    "lake_iceberg_refs", "lake_delta_v2_checkpoint", "lake_uniform_export",
-    # --- 2. the 44 r6-stale rows ---
-    "curation_keeplist", "dedup_minhash_lsh", "dedup_simhash",
-    "fn_array_family", "fn_cast_family", "fn_date_family", "fn_json_family",
-    "fn_map_family", "fn_math_conditional", "fn_string_family",
-    "fn_struct_expand", "join_bloom_prefilter", "join_bucketed_colocated",
-    "join_full_outer", "join_inner_agg", "join_left_outer", "join_semi",
-    "lake_delta_log_export", "lake_scd2_build", "lateral_tokens_posexplode",
-    "multimodal_image_pipeline", "multimodal_metadata",
-    "pivot_status_by_priority", "q2_best_supplier", "q4_priority_check",
-    "sim_ann_incremental", "sim_ann_ivf", "sim_centroids",
-    "sim_pairs_threshold", "sim_range_search", "text_bigram_topk",
-    "text_bpe_token_count", "text_fingerprint", "text_langid",
-    "text_quality_score", "text_token_stats", "ts_asof_nearest",
-    "ts_daily_rollup", "ts_funnel", "ts_range_join", "ts_retention_cohorts",
-    "ts_sliding_window", "ts_tumbling_window", "unpivot_measures",
+    # Round-10 rotation (VERDICT r9 #1), sized to the 50-entry budget:
+    #   1. new round-10 queries — FIRST driver row,
+    #   2. the 4 queries deferred from round 9 — first driver row,
+    #   3. 44 of the 50 rows whose latest driver row is round 5 (the
+    #      cohort the r9 rotation missed). The 6 left for round 11 —
+    #      distinct_projection, filter_between_in, project_rename_derive,
+    #      set_except, set_intersect, union_by_name — are the simplest
+    #      single-operator relational queries in that cohort (replica-
+    #      green every session); they lead the round-11 rotation.
+    # --- 1. new round-10 queries: first driver row ---
+    "lake_iceberg_pruned_read", "lake_external_delta_dml",
+    # --- 2. deferred from round 9: first driver row ---
+    "streaming_delta_tail", "streaming_iceberg_tail",
+    "streaming_iceberg_changelog", "lake_rewrite_compaction",
+    # --- 3. 44 of the 50 r5-stale rows ---
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "agg_approx_distinct", "avro_file_roundtrip", "curation_domain_cap",
+    "curation_length_profile", "curation_mix_weights",
+    "curation_pipeline_report", "dedup_containment",
+    "dedup_incremental_minhash", "dedup_url_canonical", "fn_interval_family",
+    "fn_pad_family", "fn_regexp_family", "fn_trig_family",
+    "gold_als_recommendations", "graph_triangles", "join_lateral_topk",
+    "join_salted_skew", "lake_cdc_apply", "lake_clone_isolation",
+    "lake_dml_roundtrip", "multimodal_tar_shards", "random_split_sample",
+    "sim_ann_lsh", "sim_filtered_knn", "sim_knn_cosine",
+    "sim_maxsim_multivector", "sort_limit_topk", "sql_over_path",
+    "streaming_cdc_apply", "streaming_session_drain",
+    "streaming_stateful_totals", "streaming_windowed_drain",
+    "subquery_not_in_null_trap", "ts_asof_join", "ts_asof_tolerance",
+    "ts_cross_correlation", "ts_interval_overlap_join", "ts_sessionize",
+    "window_distinct_rolling", "window_rolling_median", "window_streaks",
 ]
 
 # Queries registered after the current round's 50-entry sweep budget
@@ -83,14 +92,9 @@ _SWEEP_PRIORITY = [
 # them with the driver's exact comparison in the meantime). The sweep-window
 # guard asserts any never-swept query outside the 50-entry window appears
 # HERE, so a new query can never silently fall outside the rotation.
-# Round 9 filled all 50 sweep slots (6 new queries + the 44-row rotation);
-# streaming_delta_tail registered after the budget closed and waits for its
-# first driver row in round 10 (the in-repo replica verifies it with the
-# driver's exact comparison in the meantime).
-SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
-    "streaming_delta_tail", "streaming_iceberg_tail",
-    "streaming_iceberg_changelog", "lake_rewrite_compaction",
-]
+# Round 10's budget: 2 new + 4 previously-deferred + 44 r5-stale = 50;
+# every query registered so far fits, so nothing is deferred.
+SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = []
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
 

@@ -1414,6 +1414,7 @@ class DeltaLogReader:
         version: int | None = None,
         columns: list[str] | None = None,
         filters: list[tuple[str, str, Any]] | None = None,
+        _with_path: bool = False,
     ) -> DataFrame:
         """ONE parquet scan over every live file (partition columns are NOT
         in Delta data files — they live in add.partitionValues), with the
@@ -1471,8 +1472,12 @@ class DeltaLogReader:
         )
         part_types = {f.name: f.dataType for f in schema.fields if f.name in part_cols}
         empty = self.spark.createDataFrame(
-            [], StructType([StructField(n, by_name[n].dataType, True)
-                            for n in out_names])
+            [], StructType(
+                [StructField(n, by_name[n].dataType, True)
+                 for n in out_names]
+                + ([StructField("__lh_fp", StringType())]
+                   if _with_path else [])
+            )
         )
         if not snap.files:
             return empty
@@ -1553,6 +1558,8 @@ class DeltaLogReader:
                 {"=": c == v, "==": c == v, "<": c < v, "<=": c <= v,
                  ">": c > v, ">=": c >= v}[op]
             )
+        if _with_path:  # internal: COW DML keys rewrites by source file
+            return df.select(*out_names, "__lh_fp")
         return df.select(*out_names)
 
     def describe_history(self) -> DataFrame:
@@ -1658,10 +1665,6 @@ class DeltaLogReader:
             )
         else:
             df = df.repartition(int(n_out))
-        rel_dir = f"data/optimized-{uuid.uuid4().hex[:8]}"
-        tmp = self.path / f".tmp-optimize-{uuid.uuid4().hex}"
-        df.write.parquet(str(tmp))
-        (self.path / rel_dir).mkdir(parents=True, exist_ok=True)
         ts = int(_time.time() * 1000)
         actions: list[dict] = [{
             "commitInfo": {
@@ -1669,14 +1672,38 @@ class DeltaLogReader:
                 "operationParameters": {"targetFiles": str(int(n_out))},
             }
         }]
+        adds = self._write_data_files(df, "optimized", ts, data_change=False)
+        actions.extend(adds)
+        for old in snap.files:
+            actions.append({"remove": {
+                "path": quote(old), "deletionTimestamp": ts,
+                "dataChange": False,
+            }})
+        new_v = snap.version + 1
+        _write_commit(self.log / f"{new_v:020d}.json", actions)
+        plan["output_files"] = len(adds)
+        plan["version"] = new_v
+        return plan
+
+    def _write_data_files(self, df: DataFrame, rel_prefix: str, ts: int,
+                          data_change: bool) -> list[dict]:
+        """Write ``df`` as parquet files under ``data/<prefix>-<uuid>/``
+        and return their add actions with footer min/max in ``add.stats``
+        (so `read_delta(filters=)` keeps skipping files on the new
+        layout) — the shared writer behind OPTIMIZE and the COW DML."""
+        from urllib.parse import quote
+
         import pyarrow.parquet as pq
 
+        rel_dir = f"data/{rel_prefix}-{uuid.uuid4().hex[:8]}"
+        tmp = self.path / f".tmp-{rel_prefix}-{uuid.uuid4().hex}"
+        df.write.parquet(str(tmp))
+        (self.path / rel_dir).mkdir(parents=True, exist_ok=True)
+        actions: list[dict] = []
         for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
             rel = f"{rel_dir}/part-{i:05d}.parquet"
             os.replace(part, self.path / rel)
             md = pq.ParquetFile(self.path / rel).metadata
-            # footer min/max -> add.stats so read_delta(filters=) keeps
-            # skipping files on the compacted (and z-ordered) layout
             mins: dict[str, Any] = {}
             maxs: dict[str, Any] = {}
             for rg in range(md.num_row_groups):
@@ -1701,20 +1728,210 @@ class DeltaLogReader:
                 "partitionValues": {},
                 "size": (self.path / rel).stat().st_size,
                 "modificationTime": ts,
-                "dataChange": False,
+                "dataChange": data_change,
                 "stats": json.dumps(stats),
             }})
         shutil.rmtree(tmp, ignore_errors=True)
-        for old in snap.files:
+        return actions
+
+    # -- copy-on-write DML (delta_lake_primer.py:213-320 against an ------ #
+    # -- EXTERNAL _delta_log, no LakeTable adoption required) ------------- #
+    def delete(self, predicate: str, dry_run: bool = False) -> dict:
+        """DELETE FROM on an external Delta table, copy-on-write: files
+        containing matching rows are rewritten without them (deletion
+        vectors on rewritten files are materialized away); untouched
+        files are untouched. Commits native Delta JSON — removes+adds
+        with dataChange=true — at version N+1; with
+        delta.enableChangeDataFeed set, the deleted rows are also written
+        as a `cdc` change file so `table_changes` keeps working."""
+        return self._cow_dml("DELETE", predicate, None, dry_run)
+
+    def update(self, set: dict[str, str], where: str | None = None,
+               dry_run: bool = False) -> dict:
+        """UPDATE ... SET on an external Delta table, copy-on-write:
+        affected files rewrite with ``set`` expressions applied to the
+        matching rows (non-matching rows of the same file carry over
+        verbatim). CDF-enabled tables also record update_preimage /
+        update_postimage change files."""
+        if not set:
+            raise ValueError("update() requires at least one SET column")
+        return self._cow_dml("UPDATE", where or "true", set, dry_run)
+
+    def _cow_dml(self, op: str, predicate: str,
+                 set_exprs: dict[str, str] | None,
+                 dry_run: bool) -> dict:
+        """Shared COW rewrite: plan affected files (one distributed scan
+        keyed by `_metadata.file_path`), rewrite only those, commit
+        removes+adds (+cdc when CDF is on). O(affected files) driver
+        state; the rewrite is one distributed pass over affected data.
+
+        Hive-partitioned tables are refused (per-partition COW grouping,
+        same restriction as optimize); appendOnly tables are refused per
+        the Delta protocol."""
+        import time as _time
+        from urllib.parse import quote
+
+        snap = self.snapshot()
+        conf = snap.configuration
+        if conf.get("delta.appendOnly") == "true":
+            raise DeltaProtocolError(
+                f"{op} on an appendOnly table (delta.appendOnly=true)"
+            )
+        if snap.partition_columns:
+            raise DeltaProtocolError(
+                f"{op} on hive-partitioned external tables is not "
+                "supported (per-partition COW grouping required)"
+            )
+        schema = snap.schema
+        if set_exprs:
+            for c in set_exprs:
+                if c not in {f.name for f in schema.fields}:
+                    raise ValueError(f"unknown SET column {c!r}")
+        plan = {"candidate_files": len(snap.files), "rewritten_files": 0,
+                "version": snap.version}
+        if not snap.files:
+            return plan
+        df = self.to_df(_with_path=True)
+        pred = F.expr(predicate)
+        affected = [
+            r["__lh_fp"] for r in
+            df.where(pred).select("__lh_fp").distinct().collect()
+        ]
+        plan["rewritten_files"] = len(affected)
+        if dry_run or not affected:
+            return plan
+        rel_of = {
+            str((self.path / p).resolve()): p for p in snap.files
+        }
+        sub = df.where(F.col("__lh_fp").isin(affected))
+        cdf_on = conf.get("delta.enableChangeDataFeed") == "true"
+        cdc_parts: list[DataFrame] = []
+        if op == "DELETE":
+            new_rows = sub.where(~pred).drop("__lh_fp")
+            if cdf_on:
+                cdc_parts.append(
+                    sub.where(pred).drop("__lh_fp")
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+        else:
+            if cdf_on:
+                pre = sub.where(pred).drop("__lh_fp")
+                cdc_parts.append(
+                    pre.withColumn("_change_type", F.lit("update_preimage"))
+                )
+            new_rows = sub.withColumns({
+                c: F.when(pred, F.expr(e)).otherwise(F.col(c))
+                for c, e in (set_exprs or {}).items()
+            }).drop("__lh_fp")
+            if cdf_on:
+                post = sub.where(pred).withColumns({
+                    c: F.expr(e) for c, e in (set_exprs or {}).items()
+                }).drop("__lh_fp")
+                cdc_parts.append(post.withColumn(
+                    "_change_type", F.lit("update_postimage")))
+        # files store PHYSICAL names under column mapping
+        mapping_mode = conf.get("delta.columnMapping.mode", "none")
+        if mapping_mode in ("name", "id"):
+            for f in json.loads(snap.metadata["schemaString"]).get(
+                    "fields", []):
+                phys = (f.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName")
+                if phys and phys != f["name"]:
+                    new_rows = new_rows.withColumnRenamed(f["name"], phys)
+                    cdc_parts = [
+                        p.withColumnRenamed(f["name"], phys)
+                        for p in cdc_parts
+                    ]
+        ts = int(_time.time() * 1000)
+        actions: list[dict] = [{
+            "commitInfo": {
+                "timestamp": ts, "operation": op,
+                "operationParameters": {"predicate": predicate},
+            }
+        }]
+        actions.extend(
+            self._write_data_files(new_rows, op.lower(), ts,
+                                   data_change=True)
+        )
+        for ap in affected:
             actions.append({"remove": {
-                "path": quote(old), "deletionTimestamp": ts,
-                "dataChange": False,
+                "path": quote(rel_of[ap]), "deletionTimestamp": ts,
+                "dataChange": True,
             }})
+        if cdc_parts:
+            cdc_df = cdc_parts[0]
+            for p in cdc_parts[1:]:
+                cdc_df = cdc_df.unionByName(p)
+            cdc_dir = self.path / "_change_data"
+            cdc_dir.mkdir(exist_ok=True)
+            tmp = self.path / f".tmp-cdc-{uuid.uuid4().hex}"
+            cdc_df.coalesce(1).write.parquet(str(tmp))
+            for part in sorted(tmp.glob("part-*.parquet")):
+                rel = f"_change_data/cdc-{uuid.uuid4().hex[:12]}.parquet"
+                os.replace(part, self.path / rel)
+                actions.append({"cdc": {
+                    "path": quote(rel), "partitionValues": {},
+                    "size": (self.path / rel).stat().st_size,
+                    "dataChange": False,
+                }})
+            shutil.rmtree(tmp, ignore_errors=True)
         new_v = snap.version + 1
         _write_commit(self.log / f"{new_v:020d}.json", actions)
-        plan["output_files"] = len(actions) - 1 - len(snap.files)
         plan["version"] = new_v
         return plan
+
+    def restore(self, version: int) -> dict:
+        """RESTORE TABLE ... TO VERSION AS OF on an external Delta table:
+        a metadata-only commit re-adding the target snapshot's file set —
+        adds for files live then but not now, removes for files live now
+        but not then, both dataChange=true (Delta's RestoreTableCommand);
+        files present in both snapshots with identical add payloads are
+        untouched. Data is never copied; time travel to every prior
+        version still works."""
+        import time as _time
+        from urllib.parse import quote
+
+        cur = self.snapshot()
+        tgt = self.snapshot(version)
+        missing = [
+            p for p in tgt.files
+            if not (self.path / p).exists()
+        ]
+        if missing:
+            raise DeltaProtocolError(
+                f"cannot restore to version {version}: {len(missing)} "
+                f"data file(s) were vacuumed (first: {missing[0]})"
+            )
+
+        def payload(a: dict) -> dict:
+            return {k: v for k, v in a.items() if not k.startswith("__")}
+
+        ts = int(_time.time() * 1000)
+        actions: list[dict] = [{
+            "commitInfo": {
+                "timestamp": ts, "operation": "RESTORE",
+                "operationParameters": {"version": str(version)},
+            }
+        }]
+        n_add = n_rm = 0
+        for p, a in tgt.files.items():
+            c = cur.files.get(p)
+            if c is None or payload(c) != payload(a):
+                actions.append({"add": {
+                    **payload(a), "path": quote(p), "dataChange": True,
+                }})
+                n_add += 1
+        for p in cur.files:
+            if p not in tgt.files:
+                actions.append({"remove": {
+                    "path": quote(p), "deletionTimestamp": ts,
+                    "dataChange": True,
+                }})
+                n_rm += 1
+        new_v = cur.version + 1
+        _write_commit(self.log / f"{new_v:020d}.json", actions)
+        return {"restored_to": version, "version": new_v,
+                "added_files": n_add, "removed_files": n_rm}
 
     def _tombstones(self) -> dict[Path, int]:
         """Remove-action tombstones: resolved data-file path → latest

@@ -2299,6 +2299,78 @@ class IcebergMetadataReader:
             "file_size_in_bytes long",
         )
 
+    def partitions(self, snapshot_id: int | None = None) -> DataFrame:
+        """The `.partitions` metadata table — the reference queries
+        `empleados.partitions` (notebooks/01.formatos_ficheros/
+        03.iceberg_primer.py:370); Spark-Iceberg's schema: per partition
+        tuple, record/file counts and bytes over the snapshot's LIVE data
+        entries, position/equality delete file+record counts over its live
+        delete entries, and the latest snapshot that touched the
+        partition. Unpartitioned tables (spec with no fields — every
+        export of this repo) emit ONE row with an empty partition map.
+
+        O(metadata): aggregates the already-decoded manifest entries
+        driver-side — the same walk live_files() pays, no data read."""
+        by_id = {
+            s["snapshot-id"]: s for s in self.meta.get("snapshots") or []
+        }
+
+        def key(df_: dict) -> tuple:
+            return tuple(sorted(
+                (str(k), None if v is None else str(v))
+                for k, v in (df_.get("partition") or {}).items()
+            ))
+
+        acc: dict[tuple, dict] = {}
+
+        def bucket(k: tuple) -> dict:
+            return acc.setdefault(k, {
+                "record_count": 0, "file_count": 0, "bytes": 0,
+                "pos_del_records": 0, "pos_del_files": 0,
+                "eq_del_records": 0, "eq_del_files": 0,
+                "last_snap": None, "last_ts": None,
+            })
+
+        for e in self._live_data_entries(snapshot_id):
+            df_ = e["data_file"]
+            b = bucket(key(df_))
+            b["record_count"] += df_["record_count"]
+            b["file_count"] += 1
+            b["bytes"] += df_["file_size_in_bytes"]
+            sid = e.get("snapshot_id")
+            ts = (by_id.get(sid) or {}).get("timestamp-ms")
+            if sid is not None and (
+                b["last_ts"] is None or (ts or 0) >= (b["last_ts"] or 0)
+            ):
+                b["last_snap"], b["last_ts"] = sid, ts
+        for e in self._live_delete_entries(snapshot_id):
+            df_ = e["data_file"]
+            b = bucket(key(df_))
+            kind = "pos" if df_.get("content", 0) == 1 else "eq"
+            b[f"{kind}_del_records"] += df_["record_count"]
+            b[f"{kind}_del_files"] += 1
+        spec_id = self.meta.get("default-spec-id", 0)
+        rows = [
+            (
+                dict(k), spec_id, b["record_count"], b["file_count"],
+                b["bytes"], b["pos_del_records"], b["pos_del_files"],
+                b["eq_del_records"], b["eq_del_files"],
+                b["last_ts"], b["last_snap"],
+            )
+            for k, b in sorted(acc.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "partition map<string,string>, spec_id int, "
+            "record_count long, file_count long, "
+            "total_data_file_size_in_bytes long, "
+            "position_delete_record_count long, "
+            "position_delete_file_count long, "
+            "equality_delete_record_count long, "
+            "equality_delete_file_count long, "
+            "last_updated_at_ms long, last_updated_snapshot_id long",
+        )
+
 
 def read_iceberg(
     spark: SparkSession, path: str | Path, snapshot_id: int | None = None

@@ -979,6 +979,108 @@ def test_rewrite_manifests(spark, tmp_path):
     assert _sorted_rows(IcebergMetadataReader(spark, dest).to_df()) == want
 
 
+def test_partitions_metadata_table(spark, tmp_path):
+    """`.partitions` (03.iceberg_primer.py:370): unpartitioned exports
+    emit one row whose totals equal the live file set; MOR deletes
+    surface in the position-delete columns."""
+    t = _mk_table(spark, tmp_path / "lake")     # history incl. a lazy path?
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    rows = r.partitions().collect()
+    assert len(rows) == 1
+    p = rows[0]
+    assert p.partition == {} and p.spec_id == 0
+    assert p.file_count == len(r.live_files())
+    assert p.record_count == sum(
+        f["record_count"] for f in r.live_files())
+    assert p.total_data_file_size_in_bytes == sum(
+        f["file_size_in_bytes"] for f in r.live_files())
+    assert p.last_updated_snapshot_id in {
+        s["snapshot-id"] for s in r.meta["snapshots"]}
+
+    # MOR tombstone → live position-delete entries surface
+    t2 = LakeTable.create(
+        spark, tmp_path / "lake2",
+        spark.createDataFrame(ROWS, "k long, status string, price double"))
+    t2.delete("k > 15", lazy=True)
+    r2 = IcebergMetadataReader(
+        spark, t2.export_iceberg_metadata(tmp_path / "ice2"))
+    p2 = r2.partitions().collect()[0]
+    assert p2.position_delete_file_count >= 1
+    assert p2.position_delete_record_count == 25  # k in 16..40
+    assert p2.equality_delete_file_count == 0
+
+    # empty table: no snapshots -> no rows
+    t3 = LakeTable.create(
+        spark, tmp_path / "lake3",
+        spark.createDataFrame([], "k long, status string, price double"))
+    r3 = IcebergMetadataReader(
+        spark, t3.export_iceberg_metadata(tmp_path / "ice3"))
+    assert r3.partitions().count() <= 1  # at most an all-zero row
+
+
+def test_partitions_metadata_table_partitioned_foreign(spark, tmp_path):
+    """A FOREIGN partitioned table (manifest entries carry partition
+    tuples — hand-built by re-encoding the export's manifest with a
+    populated partition record) aggregates per tuple, Spark-Iceberg's
+    partitions semantics."""
+    import copy
+
+    from lakehouses_spark.tables.iceberg_meta import (
+        _MANIFEST_ENTRY_SCHEMA,
+        write_ocf_bytes_with_meta,
+    )
+
+    t = LakeTable.create(
+        spark, tmp_path / "lake",
+        spark.createDataFrame(
+            ROWS[:10], "k long, status string, price double").coalesce(1),
+        num_files=1,
+    )
+    t.append(spark.createDataFrame(
+        ROWS[10:], "k long, status string, price double").coalesce(1))
+    t.append(spark.createDataFrame(
+        [{"k": 99, "status": "B", "price": 9.0}],
+        "k long, status string, price double"))
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+
+    part_schema = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+    for f in part_schema["fields"]:
+        if f["name"] == "data_file":
+            for g in f["type"]["fields"]:
+                if g["name"] == "partition":
+                    g["type"]["fields"] = [{
+                        "name": "bucket", "type": ["null", "string"],
+                        "field-id": 1000,
+                    }]
+    # assign partitions round-robin: entry i -> bucket "pA"/"pB"
+    buckets = ["pA", "pB"]
+    i = 0
+    for mf in sorted((dest / "metadata").glob("*.avro")):
+        _, rows = read_ocf_bytes(mf.read_bytes())
+        if not rows or "data_file" not in rows[0]:
+            continue
+        for e in rows:
+            if e["data_file"].get("content", 0) == 0:
+                e["data_file"]["partition"] = {"bucket": buckets[i % 2]}
+                i += 1
+        mf.write_bytes(write_ocf_bytes_with_meta(
+            rows, part_schema,
+            {"partition-spec": "[]", "partition-spec-id": "0",
+             "format-version": "2", "content": "data"},
+        ))
+    assert i >= 3
+
+    r = IcebergMetadataReader(spark, dest)
+    rows = sorted(
+        r.partitions().collect(), key=lambda x: x.partition["bucket"])
+    assert [x.partition for x in rows] == [
+        {"bucket": "pA"}, {"bucket": "pB"}]
+    assert sum(x.file_count for x in rows) == len(r.live_files())
+    assert sum(x.record_count for x in rows) == 41  # 40 ROWS + 1 extra
+    assert all(x.file_count >= 1 for x in rows)
+
+
 def test_entries_and_all_manifests_metadata_tables(spark, tmp_path):
     t = _mk_table(spark, tmp_path / "lake")
     dest = t.export_iceberg_metadata(tmp_path / "ice")

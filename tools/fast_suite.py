@@ -2,10 +2,12 @@
 """Parallel suite runner: split tests/ files across N pytest subprocesses.
 
 `python -m pytest tests/` stays the canonical serial gate (what the driver
-and judge run); this is the development / round-close loop — the same 495
-default tests finish in roughly total/N wall time because every worker is
-its own JVM and all shared state in the default set is tmp_path-scoped
-(verified: no repo-root warehouse/metastore use outside --slow tests).
+and judge run); this is the development / round-close loop — the full
+default test set (count pinned by tools/sync_counts.py in COVERAGE.md, so
+no number here to drift) finishes in roughly total/N wall time because
+every worker is its own JVM and all shared state in the default set is
+tmp_path-scoped (verified: no repo-root warehouse/metastore use outside
+--slow tests).
 
     python tools/fast_suite.py [-n 3] [--slow]
 
