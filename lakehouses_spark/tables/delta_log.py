@@ -1829,7 +1829,25 @@ class DeltaLogReader:
                 }).drop("__lh_fp")
                 cdc_parts.append(post.withColumn(
                     "_change_type", F.lit("update_postimage")))
-        # files store PHYSICAL names under column mapping
+        plan["version"] = self._commit_dml(
+            op, {"predicate": predicate}, new_rows,
+            [rel_of[ap] for ap in affected], cdc_parts, snap,
+        )
+        return plan
+
+    def _commit_dml(self, op: str, params: dict[str, str],
+                    new_rows: DataFrame, removed_rels: list[str],
+                    cdc_parts: list[DataFrame], snap: "DeltaSnapshot",
+                    ) -> int:
+        """Assemble and write one DML commit: physical-name the output
+        under column mapping, write the rewritten/inserted rows as data
+        files (footer stats on every add), tombstone the removed files,
+        attach cdc change files, commit version N+1. Returns the new
+        version."""
+        import time as _time
+        from urllib.parse import quote
+
+        conf = snap.configuration
         mapping_mode = conf.get("delta.columnMapping.mode", "none")
         if mapping_mode in ("name", "id"):
             for f in json.loads(snap.metadata["schemaString"]).get(
@@ -1846,16 +1864,16 @@ class DeltaLogReader:
         actions: list[dict] = [{
             "commitInfo": {
                 "timestamp": ts, "operation": op,
-                "operationParameters": {"predicate": predicate},
+                "operationParameters": params,
             }
         }]
         actions.extend(
             self._write_data_files(new_rows, op.lower(), ts,
                                    data_change=True)
         )
-        for ap in affected:
+        for rel in removed_rels:
             actions.append({"remove": {
-                "path": quote(rel_of[ap]), "deletionTimestamp": ts,
+                "path": quote(rel), "deletionTimestamp": ts,
                 "dataChange": True,
             }})
         if cdc_parts:
@@ -1877,7 +1895,191 @@ class DeltaLogReader:
             shutil.rmtree(tmp, ignore_errors=True)
         new_v = snap.version + 1
         _write_commit(self.log / f"{new_v:020d}.json", actions)
-        plan["version"] = new_v
+        return new_v
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: str,
+        when_matched_update: dict[str, str] | str | None = "all",
+        when_not_matched_insert: dict[str, str] | str | None = "all",
+        when_matched_delete: bool = False,
+    ) -> dict:
+        """MERGE INTO on an external Delta table, copy-on-write — the
+        same clause surface as `LakeTable.merge`
+        (02.delta_lake_primer.py:312-320) minus schema evolution: `on`
+        references columns as t.<col> / s.<col>; only files containing
+        matched rows rewrite, inserts append as new files, and a source
+        whose columns are not a subset of the table schema is refused
+        (adopt via convert_from_delta for evolution). Multiple source
+        rows matching one target row with an update clause raise, like
+        Delta. CDF-enabled tables record the matched/insert change
+        images.
+
+        100 TB shape: matched-file planning is one distributed semi-join
+        keyed by `_metadata.file_path`; the rewrite touches only matched
+        files and the insert set — O(affected + inserts), never the
+        table."""
+        snap = self.snapshot()
+        conf = snap.configuration
+        if conf.get("delta.appendOnly") == "true":
+            raise DeltaProtocolError(
+                "MERGE on an appendOnly table (delta.appendOnly=true)"
+            )
+        if snap.partition_columns:
+            raise DeltaProtocolError(
+                "MERGE on hive-partitioned external tables is not "
+                "supported (per-partition COW grouping required)"
+            )
+        schema = snap.schema
+        names = [f.name for f in schema.fields]
+        extra = [c for c in source.columns if c not in names]
+        if extra:
+            raise DeltaProtocolError(
+                f"MERGE source columns {extra} are not in the table "
+                "schema; external MERGE does not evolve schemas — adopt "
+                "the table with convert_from_delta first"
+            )
+        cond = F.expr(on)
+        src = source.alias("s")
+        t = self.to_df(_with_path=True).alias("t")
+        affected = [
+            r["__lh_fp"] for r in
+            t.join(src, cond, "inner")
+            .select(F.col("t.__lh_fp").alias("__lh_fp"))
+            .distinct().collect()
+        ]
+        plan = {"candidate_files": len(snap.files),
+                "rewritten_files": len(affected),
+                "version": snap.version}
+        rel_of = {str((self.path / p).resolve()): p for p in snap.files}
+        cdf_on = conf.get("delta.enableChangeDataFeed") == "true"
+        out_parts: list[DataFrame] = []
+        cdc_parts: list[DataFrame] = []
+        if affected:
+            sub = (
+                self.to_df(_with_path=True)
+                .where(F.col("__lh_fp").isin(affected))
+                .alias("t")
+            )
+            if when_matched_update and not when_matched_delete:
+                t_chk = (
+                    self.to_df(_with_path=True)
+                    .where(F.col("__lh_fp").isin(affected))
+                    .withColumn("__tid__", F.monotonically_increasing_id())
+                    .alias("t")
+                )
+                n_dup = (
+                    t_chk.join(src, cond, "inner")
+                    .groupBy("__tid__")
+                    .agg(F.count(F.lit(1)).alias("__n__"))
+                    .where(F.col("__n__") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if n_dup:
+                    raise DeltaProtocolError(
+                        "MERGE: multiple source rows matched the same "
+                        "target row with an update clause; dedupe the "
+                        "source on the merge key first"
+                    )
+            if when_matched_delete:
+                rewritten = sub.join(src, cond, "left_anti").select(
+                    *[F.col(f"t.{c}").alias(c) for c in names]
+                )
+            elif when_matched_update == "all":
+                is_matched = F.col("s.__m__").isNotNull()
+                marked = sub.join(
+                    src.withColumn("__m__", F.lit(1)).alias("s"),
+                    cond, "left",
+                )
+                rewritten = marked.select(*[
+                    (F.when(is_matched, F.col(f"s.{c}"))
+                     .otherwise(F.col(f"t.{c}")).alias(c))
+                    if c in source.columns else F.col(f"t.{c}").alias(c)
+                    for c in names
+                ])
+            elif when_matched_update:
+                is_matched = F.col("s.__m__").isNotNull()
+                marked = sub.join(
+                    src.withColumn("__m__", F.lit(1)).alias("s"),
+                    cond, "left",
+                )
+                rewritten = marked.select(*[
+                    F.when(is_matched,
+                           F.expr(when_matched_update[c])
+                           .cast(schema[c].dataType))
+                    .otherwise(F.col(f"t.{c}")).alias(c)
+                    if c in when_matched_update
+                    else F.col(f"t.{c}").alias(c)
+                    for c in names
+                ])
+            else:
+                rewritten = sub.select(
+                    *[F.col(f"t.{c}").alias(c) for c in names]
+                )
+            out_parts.append(rewritten)
+            if cdf_on:
+                pre = sub.join(src, cond, "left_semi").select(
+                    *[F.col(f"t.{c}").alias(c) for c in names])
+                if when_matched_delete:
+                    cdc_parts.append(pre.withColumn(
+                        "_change_type", F.lit("delete")))
+                elif when_matched_update == "all":
+                    post = sub.join(src, cond, "inner").select(*[
+                        (F.col(f"s.{c}") if c in source.columns
+                         else F.col(f"t.{c}")).alias(c)
+                        for c in names])
+                    cdc_parts.append(pre.withColumn(
+                        "_change_type", F.lit("update_preimage")))
+                    cdc_parts.append(post.withColumn(
+                        "_change_type", F.lit("update_postimage")))
+                elif when_matched_update:
+                    post = sub.join(src, cond, "inner").select(*[
+                        F.expr(when_matched_update[c])
+                        .cast(schema[c].dataType).alias(c)
+                        if c in when_matched_update
+                        else F.col(f"t.{c}").alias(c)
+                        for c in names])
+                    cdc_parts.append(pre.withColumn(
+                        "_change_type", F.lit("update_preimage")))
+                    cdc_parts.append(post.withColumn(
+                        "_change_type", F.lit("update_postimage")))
+
+        n_inserted = 0
+        if when_not_matched_insert:
+            t_all = self.to_df().alias("t")
+            unmatched = src.join(t_all, cond, "left_anti")
+            if when_not_matched_insert == "all":
+                ins = unmatched.select(*[
+                    F.col(c).alias(c) if c in source.columns
+                    else F.lit(None).cast(schema[c].dataType).alias(c)
+                    for c in names
+                ])
+            else:
+                ins = unmatched.select(*[
+                    F.expr(when_not_matched_insert[c])
+                    .cast(schema[c].dataType).alias(c)
+                    if c in when_not_matched_insert
+                    else F.lit(None).cast(schema[c].dataType).alias(c)
+                    for c in names
+                ])
+            n_inserted = ins.count()
+            if n_inserted:
+                out_parts.append(ins)
+                if cdf_on:
+                    cdc_parts.append(ins.withColumn(
+                        "_change_type", F.lit("insert")))
+        plan["inserted_rows"] = n_inserted
+        if not affected and not n_inserted:
+            return plan
+        new_rows = out_parts[0]
+        for p in out_parts[1:]:
+            new_rows = new_rows.unionByName(p)
+        plan["version"] = self._commit_dml(
+            "MERGE", {"predicate": on}, new_rows,
+            [rel_of[ap] for ap in affected], cdc_parts, snap,
+        )
         return plan
 
     def restore(self, version: int) -> dict:

@@ -806,6 +806,77 @@ def test_external_dml_records_cdf(spark, tmp_path):
     assert [x.price for x in by_type["update_postimage"]] == [11.0]
 
 
+def test_external_merge_upsert(spark, tmp_path):
+    """DeltaLogReader.merge: the delta_lake_primer MERGE arc
+    (02.delta_lake_primer.py:312-320) against an external log — matched
+    rows update in place (only their files rewrite), unmatched source
+    rows insert as new files."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    dest = t.export_delta_log(tmp_path / "delta")
+    r = DeltaLogReader(spark, dest)
+    v0 = r.snapshot().version
+
+    src = spark.createDataFrame(
+        [{"k": 1, "status": "X", "price": 111.0},
+         {"k": 2, "status": "X", "price": 222.0},
+         {"k": 999, "status": "N", "price": 9.0}],
+        "k long, status string, price double")
+    res = r.merge(src, "t.k = s.k")
+    assert res["version"] == v0 + 1
+    assert res["rewritten_files"] >= 1 and res["inserted_rows"] == 1
+    rows = {x.k: (x.status, x.price)
+            for x in read_delta(spark, dest).collect()}
+    assert len(rows) == 41
+    assert rows[1] == ("X", 111.0) and rows[2] == ("X", 222.0)
+    assert rows[999] == ("N", 9.0)
+    assert rows[3] == ("B", 30.0)  # untouched row intact
+    assert [h.operation for h in r.describe_history().collect()][:1] \
+        == ["MERGE"]
+
+    # matched-DELETE clause
+    res = r.merge(
+        spark.createDataFrame([{"k": 999}], "k long"),
+        "t.k = s.k", when_matched_update=None,
+        when_not_matched_insert=None, when_matched_delete=True)
+    assert 999 not in {x.k for x in read_delta(spark, dest).collect()}
+
+    # multiple source matches with an update clause raise, like Delta
+    dup = spark.createDataFrame(
+        [{"k": 5, "status": "D1", "price": 1.0},
+         {"k": 5, "status": "D2", "price": 2.0}],
+        "k long, status string, price double")
+    with pytest.raises(DeltaProtocolError, match="multiple source rows"):
+        r.merge(dup, "t.k = s.k")
+
+    # schema evolution is refused on the external path
+    wide = spark.createDataFrame(
+        [{"k": 1, "extra": "x"}], "k long, extra string")
+    with pytest.raises(DeltaProtocolError, match="not in the table schema"):
+        r.merge(wide, "t.k = s.k")
+
+
+def test_external_merge_records_cdf(spark, tmp_path):
+    df = spark.createDataFrame(ROWS[:10], "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.set_properties({"delta.enableChangeDataFeed": "true"})
+    dest = t.export_delta_log(tmp_path / "delta")
+    r = DeltaLogReader(spark, dest)
+    v0 = r.snapshot().version
+    src = spark.createDataFrame(
+        [{"k": 1, "status": "X", "price": 111.0},
+         {"k": 77, "status": "N", "price": 7.0}],
+        "k long, status string, price double")
+    r.merge(src, "t.k = s.k")
+    ch = r.table_changes(v0 + 1, v0 + 1).collect()
+    by_type = {}
+    for x in ch:
+        by_type.setdefault(x["_change_type"], []).append(x)
+    assert [x.k for x in by_type["insert"]] == [77]
+    assert [x.price for x in by_type["update_preimage"]] == [10.0]
+    assert [x.price for x in by_type["update_postimage"]] == [111.0]
+
+
 def test_external_restore(spark, tmp_path):
     """DeltaLogReader.restore: metadata-only commit re-adding a prior
     snapshot's file set; round-trips against LakeTable's own RESTORE
