@@ -68,10 +68,22 @@ def ensure_session_confs(spark: SparkSession) -> None:
     _ship_package(spark)
 
 
+# (applicationId, sf_dir, table) -> DataFrame. The testdata is read-only
+# and a DataFrame is an immutable lazy plan, so re-deriving it per query
+# only re-pays file listing + footer schema inference (~100 ms) — across a
+# 200-query sweep that's real time. Keyed by applicationId so a cached
+# plan can never outlive its session.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1: columnar parquet scan. Filters/projections placed on top of this
     are pushed into the scan by Catalyst (PushedFilters / ReadSchema)."""
     ensure_session_confs(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file. Depending on scan-conf timing
@@ -85,6 +97,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -181,12 +181,17 @@ class LakeTable:
             return t
         df = spark.read.parquet(str(path))
         schema = df.schema
-        stats_df = (
-            spark.read.parquet(*[str(f) for f in files])
-            .groupBy(F.col("_metadata.file_path").alias("fp"))
-            .agg(F.count(F.lit(1)).alias("n"), *_stat_aggs(schema))
+        adds = (
+            _footer_adds([str(f) for f in files], path, schema)
+            if len(files) <= FOOTER_STATS_MAX_FILES else None
         )
-        adds = _adds_from_stats(stats_df.collect(), path, schema)
+        if adds is None:
+            stats_df = (
+                spark.read.parquet(*[str(f) for f in files])
+                .groupBy(F.col("_metadata.file_path").alias("fp"))
+                .agg(F.count(F.lit(1)).alias("n"), *_stat_aggs(schema))
+            )
+            adds = _adds_from_stats(stats_df.collect(), path, schema)
         t._commit(0, operation="CONVERT", add=adds, schema=schema.json(), partition_by=[])
         return t
 
@@ -1791,6 +1796,10 @@ class LakeTable:
         files = sorted(str(p) for p in abs_dir.rglob("*.parquet"))
         if not files:
             return []
+        if len(files) <= FOOTER_STATS_MAX_FILES:
+            adds = _footer_adds(files, self.path, df.schema)
+            if adds is not None:
+                return adds
         stats_df = (
             self.spark.read.parquet(*files)
             .groupBy(F.col("_metadata.file_path").alias("fp"))
@@ -1878,6 +1887,74 @@ def _file_may_match(add: dict, filters) -> bool:
         except TypeError:
             continue  # incomparable types: never skip
     return True
+
+
+# small-commit fast path: at or below this many files, per-file stats come
+# from the parquet FOOTERS driver-side (O(files) metadata reads, ~ms each)
+# instead of a second Spark job over the just-written data — the same
+# trade delta-rs makes. Above it, the distributed agg scales with the
+# cluster while the driver-side walk would serialize.
+FOOTER_STATS_MAX_FILES = 64
+
+
+def _footer_adds(files: list[str], table_path: Path,
+                 schema: StructType) -> list[dict] | None:
+    """Per-file add metadata from parquet footers, byte-equivalent to the
+    distributed `_stat_aggs` job: min/max per stat column (NULLs ignored;
+    all-NULL file → None), num_records, size. Returns None whenever a
+    footer cannot reproduce the agg EXACTLY — stats dropped by the writer
+    (long binary values past parquet-mr's statistics cap, NaN-bearing
+    float columns) or a missing null_count — and the caller falls back to
+    the Spark job, so skipping correctness never rests on truncated or
+    absent bounds."""
+    from datetime import datetime, timezone
+
+    import pyarrow.parquet as pq
+
+    def norm(v):
+        # pyarrow returns tz-aware UTC timestamps; Spark's agg returns
+        # naive session-TZ (UTC) datetimes — align so stats strings match
+        if isinstance(v, datetime) and v.tzinfo is not None:
+            return v.astimezone(timezone.utc).replace(tzinfo=None)
+        return v
+
+    cols = _stat_cols(schema)
+    adds = []
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        if md.num_row_groups == 0:
+            continue
+        idx = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.num_columns)
+        }
+        stats: dict[str, dict] = {}
+        for c in cols:
+            if c not in idx:
+                return None  # physical/logical name mismatch: let Spark agg
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(idx[c])
+                st = col.statistics
+                n_rg = md.row_group(rg).num_rows
+                if st is None or not st.has_null_count:
+                    return None
+                if st.has_min_max:
+                    lo, hi = norm(st.min), norm(st.max)
+                    mn = lo if mn is None else min(mn, lo)
+                    mx = hi if mx is None else max(mx, hi)
+                elif st.null_count != n_rg:
+                    # values exist but the writer dropped min/max
+                    # (oversized binary, NaN floats) — not reproducible
+                    return None
+            stats[c] = {"min": _json_safe(mn), "max": _json_safe(mx)}
+        adds.append({
+            "path": _rel(table_path, fp),
+            "num_records": md.num_rows,
+            "size_bytes": Path(fp).stat().st_size,
+            "stats": stats,
+        })
+    return sorted(adds, key=lambda a: a["path"])
 
 
 def _stat_cols(schema: StructType) -> list[str]:

@@ -44,6 +44,15 @@ def pytest_collection_modifyitems(config, items):
 def spark():
     from lakehouses_spark.session import get_spark
 
-    s = get_spark(app_name="lakehouses-tests", driver_memory="6g")
+    # Lean test-session footprint (VERDICT r8 #4 / r9 #5: serial suite
+    # < 15 min): the suite is ~560 micro-arcs over tens-of-rows tables,
+    # where local[32] × 32 shuffle partitions means every stage pays 32
+    # near-empty tasks and every table write fans into dozens of
+    # near-empty files — pure overhead, no coverage. 8×8 halves serial
+    # wall time; results are identical (tests that depend on a file
+    # COUNT create it explicitly). bench.py keeps the full
+    # $SPARK_GRAFT_CPUS config — perf numbers are unaffected.
+    s = get_spark(app_name="lakehouses-tests", driver_memory="6g",
+                  cpus=8, shuffle_partitions=8)
     yield s
     s.stop()

@@ -190,6 +190,16 @@ def test_exporter_writes_multipart_checkpoint_past_threshold(spark, tmp_path, mo
 
     monkeypatch.setattr(dl, "CHECKPOINT_PART_ACTIONS", 16)
     t = _mk_table(spark, tmp_path / "lake")
+    # explicit file count: the split must not depend on the harness's
+    # default parallelism producing enough part files on its own
+    t.append(
+        spark.createDataFrame(
+            [{"k": 1000 + i, "status": "Q", "price": 1.0 * i}
+             for i in range(20)],
+            "k long, status string, price double",
+        ).repartition(20)
+    )
+    assert len(t.state().files) > 16
     dest = t.export_delta_log(tmp_path / "delta", checkpoint=True)
     log = dest / "_delta_log"
     parts = sorted(log.glob("*.checkpoint.*.*.parquet"))
@@ -1539,7 +1549,10 @@ def test_v2_checkpoint_dv_and_sidecar_chunking(spark, tmp_path, monkeypatch):
     import lakehouses_spark.tables.delta_log as dl
 
     monkeypatch.setattr(dl, "CHECKPOINT_PART_ACTIONS", 8)
-    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    # explicit file count (≥ the chunk threshold) so the sidecar split
+    # never depends on the harness's default parallelism
+    df = spark.createDataFrame(
+        ROWS, "k long, status string, price double").repartition(12)
     t = LakeTable.create(spark, tmp_path / "lake", df)
     t.delete("k > 30", lazy=True)               # tombstone -> native DV
     dest = t.export_delta_log(tmp_path / "delta", checkpoint_format="v2")

@@ -29,6 +29,67 @@ def people(spark):
     )
 
 
+def test_footer_stats_match_distributed_agg(spark, tmp_path, monkeypatch):
+    """Small commits take the parquet-FOOTER stats fast path (no second
+    Spark job); its add actions must be IDENTICAL to the distributed
+    `_stat_aggs` job's — min/max per column with NULLs ignored, all-NULL
+    columns → None, date/timestamp serialization, num_records, sizes.
+    Footers that can't reproduce the agg exactly (long strings past the
+    writer's statistics cap, NaN floats) must fall back, not emit
+    truncated bounds."""
+    import datetime as dt
+
+    from lakehouses_spark.tables import table as tbl
+
+    rows = [
+        {"k": i, "s": f"name-{i:03d}", "d": dt.date(2024, 1, 1 + i % 20),
+         "ts": dt.datetime(2024, 1, 1, i % 24, 30), "f": float(i) - 5.5,
+         "b": i % 2 == 0, "n": None}
+        for i in range(40)
+    ]
+    schema = ("k long, s string, d date, ts timestamp, f double, "
+              "b boolean, n string")
+    df = spark.createDataFrame(rows, schema).repartition(4)
+
+    t_fast = LakeTable.create(spark, tmp_path / "fast", df)
+    monkeypatch.setattr(tbl, "FOOTER_STATS_MAX_FILES", -1)  # force Spark job
+    t_slow = LakeTable.create(spark, tmp_path / "slow", df)
+    monkeypatch.undo()
+
+    def stats_of(t):
+        # file NAMES differ between the two writes (uuid dirs) — compare
+        # the multiset of (num_records, stats) payloads
+        return sorted(
+            (a["num_records"], json.dumps(a["stats"], sort_keys=True))
+            for a in t.state().files.values()
+        )
+
+    fast, slow = stats_of(t_fast), stats_of(t_slow)
+    assert fast == slow
+    fast = [(n, json.loads(s)) for n, s in fast]
+    # stats actually landed (skipping works off them)
+    assert all(s["k"]["min"] is not None for _, s in fast)
+    assert all(s["n"]["min"] is None for _, s in fast)  # all-NULL column
+
+    # long strings: parquet-mr drops the column's min/max -> fall back to
+    # the distributed agg (never truncated bounds), stats still complete
+    big = spark.createDataFrame(
+        [{"k": 1, "s": "x" * 5000}, {"k": 2, "s": "y" * 5000}],
+        "k long, s string").coalesce(1)
+    t_big = LakeTable.create(spark, tmp_path / "big", big)
+    a = next(iter(t_big.state().files.values()))
+    assert a["stats"]["s"]["min"].startswith("x")  # exact, via Spark agg
+    assert len(a["stats"]["s"]["min"]) == 5000
+
+    # NaN floats: writer drops min/max -> fallback keeps Spark's NaN-max
+    nan = spark.createDataFrame(
+        [{"k": 1, "f": 1.0}, {"k": 2, "f": float("nan")}],
+        "k long, f double").coalesce(1)
+    t_nan = LakeTable.create(spark, tmp_path / "nan", nan)
+    a = next(iter(t_nan.state().files.values()))
+    assert a["stats"]["k"]["min"] == 1  # commit completed with full stats
+
+
 def test_ctas_read_roundtrip(spark, tmp_path, people):
     t = LakeTable.create(spark, tmp_path / "t", people)
     assert t.version == 0
