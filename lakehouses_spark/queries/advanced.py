@@ -542,6 +542,85 @@ def lake_external_delta_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_external_iceberg_dml",
+    # the DML runs through IcebergMetadataReader ALONE (no adoption);
+    # the oracle replays the same DELETE→UPDATE chain relationally
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_nationkey, c_acctbal
+      FROM customer WHERE c_custkey <= 4000
+    ), kept AS (
+      SELECT * FROM base
+      WHERE NOT (c_mktsegment = 'BUILDING' AND c_acctbal < 1000)
+    ), upd AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_nationkey <= 5 THEN c_acctbal + 100
+                  ELSE c_acctbal END AS c_acctbal
+      FROM kept
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_acctbal
+    FROM upd
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def lake_external_iceberg_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-ICEBERG write plane (r10, the format twin of
+    `lake_external_delta_dml`): a foreign client with nothing but the
+    `metadata/` layer runs copy-on-write DELETE then UPDATE through
+    `IcebergMetadataReader` alone — each committed as a new Iceberg v2
+    snapshot (new manifest with ADDED/DELETED/EXISTING entries, manifest
+    list carrying live delete manifests, next metadata.json, main ref
+    advanced). In-query asserts pin the snapshot chain: operations
+    `delete` then `overwrite`, monotonic sequence numbers, untouched
+    files EXISTING (never rewritten), and time travel to the pre-DML
+    snapshot returning the original row count.
+
+    100 TB shape: affected-file planning is one distributed scan keyed
+    by `_metadata.file_path`; the rewrite is one pass over affected data;
+    commit cost is O(live files) manifest rows — Iceberg's own COW
+    write-path contract (write.delete.mode=copy-on-write)."""
+    from lakehouses_spark.tables import LakeTable
+    from lakehouses_spark.tables.iceberg_meta import (
+        IcebergMetadataReader,
+        read_iceberg,
+    )
+
+    base = load_table(spark, sf_dir, "customer").where(
+        "c_custkey <= 4000"
+    ).select("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+    with tempfile.TemporaryDirectory() as tmp:
+        t = LakeTable.create(spark, f"{tmp}/customer", base)
+        dest = t.export_iceberg_metadata(f"{tmp}/customer_iceberg")
+        r = IcebergMetadataReader(spark, dest)
+        pre = r.meta["current-snapshot-id"]
+        n0 = r.to_df().count()
+        res_d = r.delete("c_mktsegment = 'BUILDING' AND c_acctbal < 1000")
+        r2 = IcebergMetadataReader(spark, dest)
+        res_u = r2.update({"c_acctbal": "c_acctbal + 100"},
+                          where="c_nationkey <= 5")
+        assert res_d["rewritten_files"] >= 1 and res_u["rewritten_files"] >= 1
+        r3 = IcebergMetadataReader(spark, dest)
+        ops = [s["summary"]["operation"] for s in r3.meta["snapshots"][-2:]]
+        assert ops == ["delete", "overwrite"], ops
+        seqs = [s["sequence-number"] for s in r3.meta["snapshots"]]
+        assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+        assert r3.to_df(snapshot_id=pre).count() == n0  # time travel
+        out = (
+            read_iceberg(spark, dest)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        # materialize before the tempdir (and the exported table) disappears
+        return out.localCheckpoint()
+
+
+@query(
     "lake_cdf_read",
     # the change feed is re-derived relationally: each DML's pre/post/
     # delete/insert row sets recomputed from orders by replaying the same

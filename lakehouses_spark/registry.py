@@ -56,14 +56,16 @@ _SWEEP_PRIORITY = [
     # Round-10 rotation (VERDICT r9 #1), sized to the 50-entry budget:
     #   1. new round-10 queries — FIRST driver row,
     #   2. the 4 queries deferred from round 9 — first driver row,
-    #   3. 44 of the 50 rows whose latest driver row is round 5 (the
-    #      cohort the r9 rotation missed). The 6 left for round 11 —
+    #   3. 43 of the 50 rows whose latest driver row is round 5 (the
+    #      cohort the r9 rotation missed). The 7 left for round 11 —
     #      distinct_projection, filter_between_in, project_rename_derive,
-    #      set_except, set_intersect, union_by_name — are the simplest
-    #      single-operator relational queries in that cohort (replica-
-    #      green every session); they lead the round-11 rotation.
+    #      set_except, set_intersect, union_by_name, window_streaks —
+    #      are the simplest single-operator relational/window queries in
+    #      that cohort (replica-green every session); they lead the
+    #      round-11 rotation.
     # --- 1. new round-10 queries: first driver row ---
     "lake_iceberg_pruned_read", "lake_external_delta_dml",
+    "lake_external_iceberg_dml",
     # --- 2. deferred from round 9: first driver row ---
     "streaming_delta_tail", "streaming_iceberg_tail",
     "streaming_iceberg_changelog", "lake_rewrite_compaction",
@@ -83,7 +85,7 @@ _SWEEP_PRIORITY = [
     "streaming_stateful_totals", "streaming_windowed_drain",
     "subquery_not_in_null_trap", "ts_asof_join", "ts_asof_tolerance",
     "ts_cross_correlation", "ts_interval_overlap_join", "ts_sessionize",
-    "window_distinct_rolling", "window_rolling_median", "window_streaks",
+    "window_distinct_rolling", "window_rolling_median",
 ]
 
 # Queries registered after the current round's 50-entry sweep budget
@@ -92,7 +94,7 @@ _SWEEP_PRIORITY = [
 # them with the driver's exact comparison in the meantime). The sweep-window
 # guard asserts any never-swept query outside the 50-entry window appears
 # HERE, so a new query can never silently fall outside the rotation.
-# Round 10's budget: 2 new + 4 previously-deferred + 44 r5-stale = 50;
+# Round 10's budget: 3 new + 4 previously-deferred + 43 r5-stale = 50;
 # every query registered so far fits, so nothing is deferred.
 SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = []
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND

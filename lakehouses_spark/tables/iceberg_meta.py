@@ -1273,6 +1273,7 @@ class IcebergMetadataReader:
         filters: list[tuple] | None = None,
         columns: list[str] | None = None,
         ref: str | None = None,
+        _with_path: bool = False,
     ) -> DataFrame:
         """Read the snapshot. ``filters`` prune files via the manifest
         min/max bounds then apply row-wise; ``columns`` (r8) prunes the
@@ -1296,7 +1297,11 @@ class IcebergMetadataReader:
         files = self.plan_files(filters, snapshot_id)
         if not files:
             empty = self.spark.createDataFrame([], logical)
-            return empty.select(*columns) if columns is not None else empty
+            empty = empty.select(*columns) if columns is not None else empty
+            if _with_path:  # internal: COW DML keys rewrites by file
+                empty = empty.withColumn(
+                    "__if_fp", F.lit(None).cast("string"))
+            return empty
         mapping = self.name_mapping()
         # physical (in-file) name per top-level field via name mapping
         ice = next(
@@ -1412,8 +1417,12 @@ class IcebergMetadataReader:
                 for c in cols:
                     cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
                 df = df.join(F.broadcast(del_rows), cond, "left_anti")
+        path_extra = ["__if_fp"] if _with_path else []
+        if _with_path and "__if_fp" not in df.columns:
+            df = df.withColumn("__if_fp", fs_path_col())
         out = df.select(
-            *[F.col(phys[f.name]).alias(f.name) for f in read_fields]
+            *[F.col(phys[f.name]).alias(f.name) for f in read_fields],
+            *path_extra,
         )
         # residual row-level filter on top of the file-level prune
         ops = {
@@ -1425,7 +1434,7 @@ class IcebergMetadataReader:
                 {"==": c == v, "<": c < v, "<=": c <= v,
                  ">": c > v, ">=": c >= v}[ops[op]]
             )
-        return out.select(*out_names)
+        return out.select(*out_names, *path_extra)
 
     def _local_data(self, uri: str) -> Path:
         loc = self.meta["location"].rstrip("/")
@@ -1588,8 +1597,6 @@ class IcebergMetadataReader:
         files). This is the maintenance op that keeps MOR tables from
         accumulating delete files and small-file tables from drowning
         their planners."""
-        import time as _time
-
         live = self._live_data_entries()
         if not live:
             raise IcebergFormatError("no live data files to rewrite")
@@ -1610,6 +1617,42 @@ class IcebergMetadataReader:
         if dry_run:
             return plan
 
+        logical, ice, phys_of, fid_of_phys, dt_of_phys = self._phys_maps()
+
+        df = self.to_df()
+        for f in logical.fields:  # files store PHYSICAL names
+            if phys_of[f.name] != f.name:
+                df = df.withColumnRenamed(f.name, phys_of[f.name])
+        new_rels = self._write_cow_files(
+            df.repartition(int(n_out)), "rewritten")
+
+        new_id, seq = self._next_ids()
+        entries = self._added_entries(
+            new_rels, new_id, seq, fid_of_phys, dt_of_phys)
+        n_added = len(entries)  # zero-row partitions were dropped
+        for e in live:  # relist every replaced file as DELETED
+            entries.append({
+                "status": 2,
+                "snapshot_id": new_id,
+                "sequence_number": e.get("sequence_number"),
+                "file_sequence_number": e.get("file_sequence_number"),
+                "data_file": e["data_file"],
+            })
+        self._commit_snapshot(
+            entries, ice, new_id, seq,
+            operation="replace",
+            summary={
+                "added-data-files": str(n_added),
+                "deleted-data-files": str(len(live)),
+                "total-data-files": str(n_added),
+            },
+        )
+        plan["output_files"] = n_added
+        plan["snapshot_id"] = new_id
+        return plan
+
+    # -- COW commit plumbing shared by rewrite_data_files and the DML ---- #
+    def _phys_maps(self):
         logical = self.schema()
         mapping = self.name_mapping()  # field-id -> physical name
         ice = next(
@@ -1622,14 +1665,19 @@ class IcebergMetadataReader:
         fid_of_phys = {mapping.get(f["id"], f["name"]): f["id"]
                        for f in ice["fields"]}
         dt_of_phys = {phys_of[f.name]: f.dataType for f in logical.fields}
+        return logical, ice, phys_of, fid_of_phys, dt_of_phys
 
-        df = self.to_df()
-        for f in logical.fields:  # files store PHYSICAL names
-            if phys_of[f.name] != f.name:
-                df = df.withColumnRenamed(f.name, phys_of[f.name])
-        rel_dir = f"data/rewritten-{uuid.uuid4().hex[:8]}"
-        tmp = self.path / f".tmp-rewrite-{uuid.uuid4().hex}"
-        df.repartition(int(n_out)).write.parquet(str(tmp))
+    def _next_ids(self) -> tuple[int, int]:
+        snap_ids = [s["snapshot-id"]
+                    for s in self.meta.get("snapshots") or []]
+        new_id = max(snap_ids) + 1 if snap_ids else 1
+        seq = int(self.meta.get("last-sequence-number", 0)) + 1
+        return new_id, seq
+
+    def _write_cow_files(self, df: DataFrame, prefix: str) -> list[str]:
+        rel_dir = f"data/{prefix}-{uuid.uuid4().hex[:8]}"
+        tmp = self.path / f".tmp-{prefix}-{uuid.uuid4().hex}"
+        df.write.parquet(str(tmp))
         (self.path / rel_dir).mkdir(parents=True, exist_ok=True)
         new_rels: list[str] = []
         for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
@@ -1637,19 +1685,25 @@ class IcebergMetadataReader:
             os.replace(part, self.path / rel)
             new_rels.append(rel)
         shutil.rmtree(tmp, ignore_errors=True)
+        return new_rels
 
-        # per-file stats from the parquet footers -> manifest bounds
+    def _added_entries(self, new_rels: list[str], new_id: int, seq: int,
+                       fid_of_phys: dict, dt_of_phys: dict) -> list[dict]:
+        """ADDED manifest entries for freshly-written parquet files, with
+        lower/upper bounds decoded from the footers (so filter-driven
+        file skipping keeps working on the new layout)."""
         import pyarrow.parquet as pq
 
         location = self.meta["location"].rstrip("/")
-        now_ms = int(_time.time() * 1000)
-        snap_ids = [s["snapshot-id"] for s in self.meta.get("snapshots") or []]
-        new_id = max(snap_ids) + 1
-        seq = int(self.meta.get("last-sequence-number", 0)) + 1
         entries: list[dict] = []
         for rel in new_rels:
-            pf = pq.ParquetFile(self.path / rel)
-            md = pf.metadata
+            md = pq.ParquetFile(self.path / rel).metadata
+            if md.num_rows == 0:
+                # an empty rewrite partition (e.g. a COW DELETE that
+                # removed every row of the affected files) — a zero-row
+                # live file is pure planner noise; drop it
+                (self.path / rel).unlink(missing_ok=True)
+                continue
             lower: list[dict] = []
             upper: list[dict] = []
             mins: dict[str, Any] = {}
@@ -1693,21 +1747,34 @@ class IcebergMetadataReader:
                     "equality_ids": None,
                 },
             })
-        for e in live:  # relist every replaced file as DELETED
-            entries.append({
-                "status": 2,
-                "snapshot_id": new_id,
-                "sequence_number": e.get("sequence_number"),
-                "file_sequence_number": e.get("file_sequence_number"),
-                "data_file": e["data_file"],
-            })
-        ice_schema_json = json.dumps(ice)
-        m = _write_manifest(self.meta_dir, entries, ice_schema_json,
+        return entries
+
+    def _commit_snapshot(self, entries: list[dict], ice: dict,
+                         new_id: int, seq: int, operation: str,
+                         summary: dict,
+                         carried_ml_rows: list[dict] | None = None) -> None:
+        """Write one manifest for ``entries``, a manifest list referencing
+        it (plus any carried manifest-list rows — e.g. live delete
+        manifests that must keep applying), and the next metadata.json
+        with the snapshot appended and main ref advanced."""
+        import time as _time
+
+        location = self.meta["location"].rstrip("/")
+        now_ms = int(_time.time() * 1000)
+        m = _write_manifest(self.meta_dir, entries, json.dumps(ice),
                             new_id, seq)
+        ml_rows = [m["ml_row"]]
+        for r in carried_ml_rows or []:
+            # normalize to our manifest-list schema (foreign rows may
+            # carry extra/missing optional fields)
+            ml_rows.append({
+                f["name"]: r.get(f["name"], 0)
+                for f in _MANIFEST_LIST_SCHEMA["fields"]
+            })
         ml_name = f"snap-{new_id}-1-{uuid.uuid4()}.avro"
         (self.meta_dir / ml_name).write_bytes(
             write_ocf_bytes_with_meta(
-                [m["ml_row"]],
+                ml_rows,
                 _MANIFEST_LIST_SCHEMA,
                 {
                     "format-version": str(FORMAT_VERSION),
@@ -1723,12 +1790,7 @@ class IcebergMetadataReader:
             "sequence-number": seq,
             "timestamp-ms": now_ms,
             "manifest-list": f"{location}/metadata/{ml_name}",
-            "summary": {
-                "operation": "replace",
-                "added-data-files": str(len(new_rels)),
-                "deleted-data-files": str(len(live)),
-                "total-data-files": str(len(new_rels)),
-            },
+            "summary": {"operation": operation, **summary},
             "schema-id": self.meta["current-schema-id"],
         }
         meta = dict(self.meta)
@@ -1743,7 +1805,111 @@ class IcebergMetadataReader:
             refs["main"] = {**refs["main"], "snapshot-id": new_id}
         meta["refs"] = refs
         self._commit_metadata(meta)
-        plan["output_files"] = len(new_rels)
+
+    def delete(self, predicate: str, dry_run: bool = False) -> dict:
+        """DELETE FROM on an external Iceberg v2 table, copy-on-write
+        (Spark-Iceberg's default write.delete.mode): files containing
+        matching rows are rewritten without them; the commit is a new
+        `delete` snapshot whose manifest relists rewritten files as
+        ADDED, removed files as DELETED, and untouched files as EXISTING
+        — live delete manifests for untouched files carry over, so
+        merge-on-read deletes keep applying. The format twin of
+        `DeltaLogReader.delete`."""
+        return self._cow_dml("DELETE", predicate, None, dry_run)
+
+    def update(self, set: dict[str, str], where: str | None = None,
+               dry_run: bool = False) -> dict:
+        """UPDATE ... SET on an external Iceberg v2 table, copy-on-write:
+        affected files rewrite with ``set`` applied to matching rows;
+        commits an `overwrite` snapshot. The format twin of
+        `DeltaLogReader.update`."""
+        if not set:
+            raise ValueError("update() requires at least one SET column")
+        return self._cow_dml("UPDATE", where or "true", set, dry_run)
+
+    def _cow_dml(self, op: str, predicate: str,
+                 set_exprs: dict[str, str] | None, dry_run: bool) -> dict:
+        """Shared COW rewrite over the external Iceberg metadata layer:
+        plan affected files from ONE distributed scan keyed by
+        `_metadata.file_path` (position/equality deletes already applied
+        by the read), rewrite only those files, commit a snapshot that
+        keeps every untouched file EXISTING at its original sequence
+        number. O(affected) driver state; the rewrite is one distributed
+        pass over affected data — never the table."""
+        live = self._live_data_entries()
+        cur = self.meta.get("current-snapshot-id", -1)
+        plan = {"candidate_files": len(live), "rewritten_files": 0,
+                "snapshot_id": cur}
+        if not live:
+            return plan
+        logical, ice, phys_of, fid_of_phys, dt_of_phys = self._phys_maps()
+        if set_exprs:
+            names = {f.name for f in logical.fields}
+            for c in set_exprs:
+                if c not in names:
+                    raise ValueError(f"unknown SET column {c!r}")
+        df = self.to_df(_with_path=True)
+        pred = F.expr(predicate)
+        affected = {
+            r["__if_fp"] for r in
+            df.where(pred).select("__if_fp").distinct().collect()
+        }
+        plan["rewritten_files"] = len(affected)
+        if dry_run or not affected:
+            return plan
+        sub = df.where(F.col("__if_fp").isin(list(affected)))
+        if op == "DELETE":
+            new_rows = sub.where(~pred).drop("__if_fp")
+        else:
+            new_rows = sub.withColumns({
+                c: F.when(pred, F.expr(e)).otherwise(F.col(c))
+                for c, e in (set_exprs or {}).items()
+            }).drop("__if_fp")
+        for f in logical.fields:  # files store PHYSICAL names
+            if phys_of[f.name] != f.name:
+                new_rows = new_rows.withColumnRenamed(
+                    f.name, phys_of[f.name])
+        new_rels = self._write_cow_files(new_rows, op.lower())
+
+        new_id, seq = self._next_ids()
+        entries = self._added_entries(
+            new_rels, new_id, seq, fid_of_phys, dt_of_phys)
+        n_added = len(entries)  # zero-row partitions were dropped
+        n_deleted = 0
+        for e in live:
+            ap = str(self._local_data(
+                e["data_file"]["file_path"]).resolve())
+            is_affected = ap in affected
+            n_deleted += is_affected
+            entries.append({
+                "status": 2 if is_affected else 0,  # DELETED / EXISTING
+                # spec: snapshot_id = snapshot that ADDED the file, or the
+                # one that DELETED it when status is 2
+                "snapshot_id": new_id if is_affected
+                else e.get("snapshot_id"),
+                "sequence_number": e.get("sequence_number"),
+                "file_sequence_number": e.get("file_sequence_number"),
+                "data_file": e["data_file"],
+            })
+        # live delete manifests carry over: their position deletes
+        # target only paths (rewritten files' paths are gone — inert) and
+        # their equality deletes bind by sequence number (< the rewritten
+        # files' new seq — already applied in the rewrite)
+        snap = self._snapshot()
+        _, ml_rows = read_ocf_bytes(
+            self._local(snap["manifest-list"]).read_bytes())
+        carried = [r for r in ml_rows if int(r.get("content", 0) or 0) == 1]
+        self._commit_snapshot(
+            entries, ice, new_id, seq,
+            operation="delete" if op == "DELETE" else "overwrite",
+            summary={
+                "added-data-files": str(n_added),
+                "deleted-data-files": str(n_deleted),
+                "total-data-files": str(len(live) - n_deleted + n_added),
+                "lakehouses-predicate": predicate,
+            },
+            carried_ml_rows=carried,
+        )
         plan["snapshot_id"] = new_id
         return plan
 

@@ -979,6 +979,90 @@ def test_rewrite_manifests(spark, tmp_path):
     assert _sorted_rows(IcebergMetadataReader(spark, dest).to_df()) == want
 
 
+# -------------------- external COW DML (Iceberg twin) --------------------- #
+def test_iceberg_external_delete_update(spark, tmp_path):
+    """IcebergMetadataReader.delete/update: copy-on-write DML committed as
+    new Iceberg v2 snapshots against the external metadata layer — the
+    format twin of DeltaLogReader's DML. Affected files rewrite; untouched
+    files stay EXISTING at their original sequence numbers; time travel to
+    pre-DML snapshots is intact."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.append(spark.createDataFrame(
+        [{"k": 100 + i, "status": "Z", "price": 1.0} for i in range(5)],
+        "k long, status string, price double").coalesce(1))
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    pre = r.meta["current-snapshot-id"]
+    n_live0 = len(r.live_files())
+
+    dry = r.delete("status = 'Z'", dry_run=True)
+    assert dry["rewritten_files"] == 1
+    assert IcebergMetadataReader(spark, dest).meta[
+        "current-snapshot-id"] == pre
+
+    res = r.delete("status = 'Z'")
+    r2 = IcebergMetadataReader(spark, dest)
+    assert r2.meta["current-snapshot-id"] == res["snapshot_id"]
+    got = sorted(x.k for x in r2.to_df().collect())
+    assert got == [x["k"] for x in ROWS]
+    head = r2.meta["snapshots"][-1]
+    assert head["summary"]["operation"] == "delete"
+    # the affected file held ONLY matching rows -> deleted outright with
+    # no replacement; every untouched file is EXISTING, not rewritten
+    assert len(r2.live_files()) == n_live0 - 1
+    # time travel to the pre-DML snapshot still sees the Z rows
+    assert len(r2.to_df(snapshot_id=pre).collect()) == 45
+
+    res = r2.update({"price": "price * 2"}, where="k <= 5")
+    r3 = IcebergMetadataReader(spark, dest)
+    rows = {x.k: x.price for x in r3.to_df().collect()}
+    for i in range(1, 41):
+        assert rows[i] == (10.0 * i * 2 if i <= 5 else 10.0 * i)
+    assert r3.meta["snapshots"][-1]["summary"]["operation"] == "overwrite"
+    # sequence numbers stayed monotonic; the stream source tails cleanly
+    seqs = [s["sequence-number"] for s in r3.meta["snapshots"]]
+    assert seqs == sorted(seqs)
+
+    # no-match predicate commits nothing
+    head = r3.meta["current-snapshot-id"]
+    assert r3.delete("k > 99999")["rewritten_files"] == 0
+    assert IcebergMetadataReader(spark, dest).meta[
+        "current-snapshot-id"] == head
+    with pytest.raises(ValueError, match="SET column"):
+        r3.update({"nope": "1"})
+
+
+def test_iceberg_external_dml_carries_live_mor_deletes(spark, tmp_path):
+    """A COW DELETE touching file A must not lose the position deletes
+    still masking file B: live delete manifests carry over into the new
+    snapshot's manifest list."""
+    df = spark.createDataFrame(
+        ROWS[:10], "k long, status string, price double").coalesce(1)
+    t = LakeTable.create(spark, tmp_path / "lake", df, num_files=1)
+    t.append(spark.createDataFrame(
+        ROWS[10:20], "k long, status string, price double").coalesce(1))
+    t.delete("k >= 19", lazy=True)   # MOR tombstone on the SECOND file
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    assert r.position_delete_files()
+    want_before = sorted(x.k for x in r.to_df().collect())
+    assert want_before == list(range(1, 19))
+
+    res = r.delete("k <= 3")          # affects only the FIRST file
+    r2 = IcebergMetadataReader(spark, dest)
+    assert res["rewritten_files"] == 1
+    # file B's MOR delete still applies: 19,20 stay gone; 1-3 now gone too
+    assert sorted(x.k for x in r2.to_df().collect()) == list(range(4, 19))
+    assert r2.position_delete_files()  # carried, still live
+
+    # update on file B materializes its MOR delete in the rewrite
+    r2.update({"status": "'Q'"}, where="k = 15")
+    r3 = IcebergMetadataReader(spark, dest)
+    rows = {x.k: x.status for x in r3.to_df().collect()}
+    assert rows[15] == "Q" and sorted(rows) == list(range(4, 19))
+
+
 def test_partitions_metadata_table(spark, tmp_path):
     """`.partitions` (03.iceberg_primer.py:370): unpartitioned exports
     emit one row whose totals equal the live file set; MOR deletes
