@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""External-client round trip — the round-10 WRITE plane end-to-end.
+
+The story: engine A (this library) produces a table and exports it as a
+plain Delta table and a plain Iceberg v2 table; engine B (a "foreign
+client" holding nothing but the exported metadata — no LakeTable, no
+jars) reads it, MUTATES it with copy-on-write DML, reads its own change
+feed, rolls it back, and runs maintenance — entirely through
+`DeltaLogReader` / `IcebergMetadataReader`.
+
+    python examples/external_client.py [workdir]
+
+Every capability shown here is also a registered driver query or pytest
+pin (`lake_external_delta_dml`, `lake_external_iceberg_dml`,
+test_delta_export / test_iceberg_export); this script just sequences
+them the way a real two-engine deployment would.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from lakehouses_spark.io import load_table
+from lakehouses_spark.session import get_spark
+from lakehouses_spark.tables import LakeTable
+from lakehouses_spark.tables.delta_log import DeltaLogReader, read_delta
+from lakehouses_spark.tables.iceberg_meta import (
+    IcebergMetadataReader,
+    read_iceberg,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    work = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(
+        tempfile.mkdtemp(prefix="external-client-"))
+    work.mkdir(parents=True, exist_ok=True)
+    spark = get_spark(app_name="external-client", driver_memory="4g")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- engine A: produce + export ---------------------------------- #
+    base = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    # range-clustered into 4 files so the COW DML and the manifest-bounds
+    # pruning below are visibly PARTIAL (touch some files, skip others)
+    t = LakeTable.create(spark, work / "lake", base,
+                         partition_by=["o_orderkey"], num_files=4)
+    t.set_properties({"delta.enableChangeDataFeed": "true"})
+    ddest = t.export_delta_log(work / "orders_delta")
+    idest = t.export_iceberg_metadata(work / "orders_iceberg")
+    n0 = base.count()
+    print(f"exported {n0} rows as Delta ({ddest}) and Iceberg ({idest})")
+
+    # ---- engine B, Delta side: read, mutate, CDF, restore, maintain -- #
+    r = DeltaLogReader(spark, ddest)
+    v0 = r.snapshot().version
+    res = r.delete("o_orderstatus = 'F' AND o_totalprice < 50000")
+    print(f"[delta] DELETE rewrote {res['rewritten_files']}/"
+          f"{res['candidate_files']} files -> v{res['version']}")
+    res = r.update({"o_totalprice": "o_totalprice * 1.1"},
+                   where="o_orderpriority = '1-URGENT'")
+    print(f"[delta] UPDATE rewrote {res['rewritten_files']} files "
+          f"-> v{res['version']}")
+    src = base.limit(3).withColumn("o_totalprice", F.lit(0.0))
+    res = r.merge(src, "t.o_orderkey = s.o_orderkey")
+    print(f"[delta] MERGE rewrote {res['rewritten_files']} files, "
+          f"inserted {res['inserted_rows']} rows -> v{res['version']}")
+    feed = r.table_changes(v0 + 1, r.snapshot().version)
+    mix = {x["_change_type"]: x["n"] for x in
+           feed.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n"))
+           .collect()}
+    print(f"[delta] change feed over the foreign DML: {mix}")
+    n_now = read_delta(spark, ddest).count()
+    r.restore(v0)
+    assert read_delta(spark, ddest).count() == n0 != n_now
+    print(f"[delta] RESTORE v{v0}: {n_now} -> {n0} rows (metadata-only)")
+    res = r.optimize()
+    vac = r.vacuum(retention_hours=0)
+    print(f"[delta] OPTIMIZE -> {res['output_files']} files; "
+          f"VACUUM reclaimed {vac['deleted']} "
+          f"(tombstone-timestamp retention)")
+
+    # ---- engine B, Iceberg side: read, prune, mutate, inspect -------- #
+    ir = IcebergMetadataReader(spark, idest)
+    pre = ir.meta["current-snapshot-id"]
+    n_all = len(ir.plan_files())
+    n_hit = len(ir.plan_files(filters=[("o_orderkey", "<=", 100)]))
+    print(f"[iceberg] manifest-bounds pruning: {n_hit}/{n_all} files "
+          "planned for o_orderkey <= 100")
+    res = ir.delete("o_orderstatus = 'F' AND o_totalprice < 50000")
+    print(f"[iceberg] DELETE rewrote {res['rewritten_files']} files -> "
+          f"snapshot {res['snapshot_id']} (operation=delete)")
+    ir2 = IcebergMetadataReader(spark, idest)
+    res = ir2.update({"o_totalprice": "o_totalprice * 1.1"},
+                     where="o_orderpriority = '1-URGENT'")
+    print(f"[iceberg] UPDATE rewrote {res['rewritten_files']} files -> "
+          f"snapshot {res['snapshot_id']} (operation=overwrite)")
+    ir3 = IcebergMetadataReader(spark, idest)
+    assert ir3.to_df(snapshot_id=pre).count() == n0  # time travel intact
+    parts = ir3.partitions().collect()
+    print(f"[iceberg] .partitions: {len(parts)} tuple(s), "
+          f"{parts[0].record_count} records in "
+          f"{parts[0].file_count} files")
+    exp = ir3.expire_snapshots(keep_last=1)
+    print(f"[iceberg] expire_snapshots reclaimed "
+          f"{exp['deleted_data_files']} data files")
+
+    got = sorted(
+        x.o_orderkey for x in read_iceberg(spark, idest).limit(5).collect())
+    print(f"[iceberg] final read OK (sample keys {got})")
+    print("external-client round trip complete")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

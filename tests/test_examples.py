@@ -25,6 +25,7 @@ EXAMPLES = sorted(p.name for p in (REPO / "examples").glob("*.py"))
 def test_every_example_is_covered():
     assert EXAMPLES, "examples/ directory is empty?"
     assert set(EXAMPLES) == {
+        "external_client.py",
         "incremental_daily_pipeline.py",
         "medallion_pipeline.py",
         "retrieval_pipeline.py",
