@@ -128,10 +128,12 @@ class LakeTableDataSource(DataSource):
     def streamReader(self, schema: StructType):
         if self._cdf():
             return LakeTableChangeFeedStreamReader(self._path(), self.schema())
+        sv = self.options.get("startingversion")
         return LakeTableStreamReader(
             self._path(),
             ignore_changes=str(self.options.get("ignorechanges", "false")).lower()
             == "true",
+            starting_version=int(sv) if sv is not None else None,
         )
 
 
@@ -171,11 +173,22 @@ class LakeTableBatchReader(DataSourceReader):
 
 
 class LakeTableStreamReader(DataSourceStreamReader):
-    def __init__(self, table_path: str, ignore_changes: bool = False):
+    """Plain tail over a LakeTable log. Without `startingVersion` the
+    INITIAL batch is the CURRENT snapshot's live files (r10 — the same
+    Delta-source default the `deltatable`/`icebergtable` twins follow:
+    DML in history streams cleanly, active merge-on-read tombstones gate
+    on ignoreChanges); `startingVersion=N` tails per-commit adds from
+    version N instead (0 = the full history replay)."""
+
+    def __init__(self, table_path: str, ignore_changes: bool = False,
+                 starting_version: int | None = None):
         self.table_path = table_path
         self.ignore_changes = ignore_changes
+        self.starting_version = starting_version
 
     def initialOffset(self) -> dict:
+        if self.starting_version is not None:
+            return {"version": self.starting_version - 1}
         # start BEFORE version 0 so the initial snapshot is batch 0
         return {"version": -1}
 
@@ -189,17 +202,39 @@ class LakeTableStreamReader(DataSourceStreamReader):
             if not (start_v < v <= end_v):
                 continue
             c = _commit(self.table_path, v)
-            if c.get("remove") and not self.ignore_changes:
+            breaking = (
+                c.get("remove") or c.get("tombstone")
+                or c.get("set_tombstones") is not None
+            )
+            if breaking and not self.ignore_changes:
                 raise RuntimeError(
-                    f"commit {v} ({c.get('operation')}) removed files from the "
-                    "streamed table; set .option('ignoreChanges', 'true') to "
-                    "stream only appended files (Delta-source semantics)"
+                    f"commit {v} ({c.get('operation')}) removed or deleted "
+                    "rows on the streamed table; set .option("
+                    "'ignoreChanges', 'true') to stream only appended files "
+                    "(Delta-source semantics)"
                 )
             out.extend(a["path"] for a in c.get("add") or [])
         return out
 
     def partitions(self, start: dict, end: dict):
-        rels = self._added_files(int(start["version"]), int(end["version"]))
+        start_v, end_v = int(start["version"]), int(end["version"])
+        if start_v == -1 and self.starting_version is None:
+            # INITIAL batch = the CURRENT snapshot at end_v; the tail
+            # below then only sees versions > end_v
+            st = _replay(self.table_path, version=end_v)
+            if st.tombstones and not self.ignore_changes:
+                raise RuntimeError(
+                    f"{len(st.tombstones)} active merge-on-read "
+                    "tombstone(s); the stream source reads whole files — "
+                    "set .option('ignoreChanges', 'true') to stream them "
+                    "including deleted rows, or materialize_tombstones() "
+                    "first"
+                )
+            return [
+                FileSlice(str(Path(self.table_path) / rel))
+                for rel in st.files
+            ] or [FileSlice("")]
+        rels = self._added_files(start_v, end_v)
         return [FileSlice(str(Path(self.table_path) / rel)) for rel in rels] or [
             FileSlice("")
         ]

@@ -61,6 +61,40 @@ def test_stream_fails_on_rewrite_unless_ignore_changes(spark, table, tmp_path):
     assert out.count() >= 1
 
 
+def test_initial_snapshot_tolerates_dml_history(spark, table, tmp_path):
+    """r10 parity with the deltatable/icebergtable twins: a FRESH stream
+    (no startingVersion) opens on the CURRENT snapshot, so COW DML in
+    history neither fails nor replays stale pre-DML files."""
+    table.delete("id = 1")                       # COW rewrite in history
+    table.insert_values([{"id": 3, "v": "c"}])
+    out = _drain(spark, table, tmp_path, "snap")
+    assert sorted(r.id for r in out.collect()) == [2, 3]
+    # the tail after the snapshot is incremental, same checkpoint
+    table.insert_values([{"id": 4, "v": "d"}])
+    out = _drain(spark, table, tmp_path, "snap")
+    assert sorted(r.id for r in out.collect()) == [2, 3, 4]
+
+
+def test_starting_version_replays_adds(spark, table, tmp_path):
+    """startingVersion=N keeps the per-commit replay spelling."""
+    table.insert_values([{"id": 3, "v": "c"}])
+    out = _drain(spark, table, tmp_path, "sv", startingVersion="1")
+    assert sorted(r.id for r in out.collect()) == [3]
+    out = _drain(spark, table, tmp_path, "sv0", startingVersion="0")
+    assert sorted(r.id for r in out.collect()) == [1, 2, 3]
+
+
+def test_initial_snapshot_gates_on_live_tombstones(spark, table, tmp_path):
+    """Active merge-on-read tombstones would resurrect deleted rows in a
+    whole-file read — fail fast unless ignoreChanges (the DV gate the
+    external twins apply)."""
+    table.delete("id = 1", lazy=True)            # MOR tombstone stays live
+    with pytest.raises(Exception, match="ignoreChanges"):
+        _drain(spark, table, tmp_path, "tomb")
+    out = _drain(spark, table, tmp_path, "tomb2", ignoreChanges="true")
+    assert sorted(r.id for r in out.collect()) == [1, 2]  # incl. deleted
+
+
 def test_streaming_agg_over_table_source(spark, table, tmp_path):
     """The reference's live pattern: stream → groupBy → complete sink while
     inserts land (02.delta_lake_primer.py:133-151)."""
