@@ -785,6 +785,48 @@ def test_external_delete_update(spark, tmp_path):
         r.update({"nope": "1"})
 
 
+def test_external_dml_under_column_mapping(spark, tmp_path):
+    """COW DML against an exported COLUMN-MAPPED table: predicates and
+    SET expressions use LOGICAL names, rewritten data files store
+    PHYSICAL names, and the read round-trips — the mapping layer must be
+    applied symmetrically on both sides of the rewrite."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.alter_rename_column("price", "amount")  # metadata-only: mapping on
+    dest = t.export_delta_log(tmp_path / "delta")
+    r = DeltaLogReader(spark, dest)
+    assert r.snapshot().configuration.get(
+        "delta.columnMapping.mode") in ("name", "id")
+
+    res = r.delete("amount > 350.0")           # logical name in predicate
+    assert res["rewritten_files"] >= 1
+    got = read_delta(spark, dest)
+    assert "amount" in got.columns
+    assert sorted(x.k for x in got.collect()) == list(range(1, 36))
+
+    r.update({"amount": "amount + 0.5"}, where="k = 1")
+    rows = {x.k: x.amount for x in read_delta(spark, dest).collect()}
+    assert rows[1] == 10.5 and rows[2] == 20.0
+
+    src = spark.createDataFrame(
+        [{"k": 2, "status": "M", "amount": 99.0},
+         {"k": 777, "status": "N", "amount": 7.0}],
+        "k long, status string, amount double")
+    res = r.merge(src, "t.k = s.k")
+    rows = {x.k: (x.status, x.amount)
+            for x in read_delta(spark, dest).collect()}
+    assert rows[2] == ("M", 99.0) and rows[777] == ("N", 7.0)
+    # the rewritten parquet really stores the PHYSICAL column name
+    import pyarrow.parquet as pq
+    newest = max(
+        (p for p in Path(dest).rglob("*.parquet")
+         if "_delta_log" not in p.parts and "_change_data" not in p.parts),
+        key=lambda p: p.stat().st_mtime,
+    )
+    names = set(pq.ParquetFile(newest).schema_arrow.names)
+    assert "amount" not in names and "k" in names, names
+
+
 def test_external_dml_refusals(spark, tmp_path):
     df = spark.createDataFrame(ROWS, "k long, status string, price double")
     t = LakeTable.create(spark, tmp_path / "lake", df)

@@ -1033,6 +1033,28 @@ def test_iceberg_external_delete_update(spark, tmp_path):
         r3.update({"nope": "1"})
 
 
+def test_iceberg_external_dml_under_name_mapping(spark, tmp_path):
+    """COW DML on an exported table whose column was RENAMED (the
+    name-mapping layer): logical names in predicates/SET, physical names
+    in the rewritten files, reads round-trip."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.alter_rename_column("price", "amount")
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+
+    res = r.delete("amount > 350.0")
+    assert res["rewritten_files"] >= 1
+    r2 = IcebergMetadataReader(spark, dest)
+    got = r2.to_df()
+    assert "amount" in got.columns
+    assert sorted(x.k for x in got.collect()) == list(range(1, 36))
+    r2.update({"amount": "amount + 0.5"}, where="k = 1")
+    rows = {x.k: x.amount for x in
+            IcebergMetadataReader(spark, dest).to_df().collect()}
+    assert rows[1] == 10.5 and rows[2] == 20.0
+
+
 def test_iceberg_external_dml_carries_live_mor_deletes(spark, tmp_path):
     """A COW DELETE touching file A must not lose the position deletes
     still masking file B: live delete manifests carry over into the new
