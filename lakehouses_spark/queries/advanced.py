@@ -519,9 +519,13 @@ def lake_external_delta_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             where="o_orderpriority = '1-URGENT'",
         )
         assert res_d["rewritten_files"] >= 1 and res_u["rewritten_files"] >= 1
-        # COW: untouched files are SHARED with the pre-DML snapshot
-        shared = set(r.snapshot(v0).files) & set(r.snapshot().files)
-        assert len(shared) == n0 - res_d["rewritten_files"] or shared, shared
+        # COW: files the DELETE didn't touch are SHARED byte-for-byte
+        # between the pre-DML snapshot and the post-DELETE snapshot —
+        # a strict count (exactly candidates-minus-rewritten), asserted
+        # against v0+1 because the subsequent UPDATE rewrites more files
+        shared = set(r.snapshot(v0).files) & set(r.snapshot(v0 + 1).files)
+        assert len(shared) == n0 - res_d["rewritten_files"], (
+            len(shared), n0, res_d)
         ops = [h.operation for h in r.describe_history().collect()[:2]]
         assert ops == ["UPDATE", "DELETE"], ops
         out = (

@@ -531,7 +531,8 @@ def _delta_file_may_match(
     for col, op, val in filters:
         try:
             if col in part_types:
-                raw = pv.get(col)
+                raw = pv[col] if col in pv else pv.get(
+                    phys_by_name.get(col, col))
                 if raw is None:
                     continue
                 v = _coerce_pv(raw, part_types[col])
@@ -554,6 +555,10 @@ def _delta_file_may_match(
                 lo, hi = mins.get(phys), maxs.get(phys)
                 if lo is None or hi is None:
                     continue
+                if (isinstance(lo, float) and lo != lo) or (
+                        isinstance(hi, float) and hi != hi):
+                    continue  # NaN bound (foreign writer): every
+                    # comparison below is False — never skip on it
                 if op in ("=", "==") and (val < lo or val > hi):
                     return False
                 if op == "<" and not lo < val:
@@ -603,6 +608,55 @@ def _tombstone_hits(
     for r in hits:
         out.setdefault(abs_map[r["__fp"]], []).append(r["__ri"])
     return {rel: sorted(v) for rel, v in out.items()}
+
+
+def exact_footer_bounds(md) -> tuple[dict, dict]:
+    """File-level min/max per top-level column from a parquet footer
+    (``pyarrow.parquet.FileMetaData``), with the exactness guarantee file
+    pruning needs: a column is included ONLY if every row group either
+    exposes min/max or is provably all-NULL. A row group holding values
+    whose min/max the writer dropped (NaN-bearing float/double, oversized
+    binary) — or whose null_count is unknown — poisons the whole column:
+    bounds built from the remaining row groups would UNDER-COVER the file
+    and a bounds-driven scan would wrongly skip it. Absent bounds never
+    skip, so omission is always safe. Shared by
+    ``DeltaLogReader._write_data_files`` (add.stats) and
+    ``IcebergMetadataReader._added_entries`` (manifest lower/upper
+    bounds); same rule as ``table._footer_adds``."""
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    inexact: set[str] = set()
+    for rg in range(md.num_row_groups):
+        n_rg = md.row_group(rg).num_rows
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            st = col.statistics
+            name = col.path_in_schema
+            if "." in name:  # nested leaves: no top-level bound
+                continue
+            if st is None or not st.has_null_count:
+                inexact.add(name)
+                continue
+            if not st.has_min_max:
+                if st.null_count != n_rg:
+                    inexact.add(name)
+                continue
+            lo, hi = st.min, st.max
+            if (isinstance(lo, float) and lo != lo) or (
+                    isinstance(hi, float) and hi != hi):
+                # Spark 4's writer emits NaN min/max for NaN-bearing
+                # float row groups; NaN compares False against
+                # everything in Python, so a NaN bound silently breaks
+                # both min()/max() folding here and the pruning
+                # comparisons downstream — omit the column
+                inexact.add(name)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    for name in inexact:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+    return mins, maxs
 
 
 def fs_path_col() -> Column:
@@ -1517,7 +1571,12 @@ class DeltaLogReader:
             ap = str((self.path / path).resolve())
             abs_paths.append(ap)
             pv = a.get("partitionValues") or {}
-            pv_rows.append((ap, *[pv.get(c) for c in part_cols]))
+            # spec-strict writers key partitionValues by PHYSICAL name
+            # under column mapping; accept either
+            pv_rows.append((ap, *[
+                pv[c] if c in pv else pv.get(phys_name(by_name[c]))
+                for c in part_cols
+            ]))
             if a.get("deletionVector"):
                 for idx in _dv.read_descriptor(a["deletionVector"], self.path):
                     deleted_rows.append((ap, idx))
@@ -1686,46 +1745,60 @@ class DeltaLogReader:
         return plan
 
     def _write_data_files(self, df: DataFrame, rel_prefix: str, ts: int,
-                          data_change: bool) -> list[dict]:
+                          data_change: bool,
+                          part_cols: list[str] | None = None) -> list[dict]:
         """Write ``df`` as parquet files under ``data/<prefix>-<uuid>/``
         and return their add actions with footer min/max in ``add.stats``
         (so `read_delta(filters=)` keeps skipping files on the new
-        layout) — the shared writer behind OPTIMIZE and the COW DML."""
-        from urllib.parse import quote
+        layout) — the shared writer behind OPTIMIZE and the COW DML.
+
+        With ``part_cols``, the write is hive-partitioned
+        (`partitionBy`): partition columns leave the data files and land
+        in each add action's ``partitionValues`` (decoded from the hive
+        directory names Spark writes — the same derivation delta-spark
+        uses), preserving the layout partition pruning keys on. One
+        distributed write regardless of how many partitions the rows
+        span; per-partition grouping is the shuffle Spark already does."""
+        from urllib.parse import quote, unquote as _unq
 
         import pyarrow.parquet as pq
 
         rel_dir = f"data/{rel_prefix}-{uuid.uuid4().hex[:8]}"
         tmp = self.path / f".tmp-{rel_prefix}-{uuid.uuid4().hex}"
-        df.write.parquet(str(tmp))
+        if part_cols:
+            df.write.partitionBy(*part_cols).parquet(str(tmp))
+            parts = sorted(
+                p for p in tmp.rglob("part-*.parquet") if p.is_file())
+        else:
+            df.write.parquet(str(tmp))
+            parts = sorted(tmp.glob("part-*.parquet"))
         (self.path / rel_dir).mkdir(parents=True, exist_ok=True)
         actions: list[dict] = []
-        for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
-            rel = f"{rel_dir}/part-{i:05d}.parquet"
+        for i, part in enumerate(parts):
+            pv: dict[str, Any] = {}
+            sub = part.relative_to(tmp).parts[:-1]
+            for comp in sub:  # hive dirs: col=value, %XX-escaped
+                k, _, v = comp.partition("=")
+                pv[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                         else _unq(v))
+            sub_dir = "/".join(sub)
+            rel = (f"{rel_dir}/{sub_dir}/part-{i:05d}.parquet"
+                   if sub_dir else f"{rel_dir}/part-{i:05d}.parquet")
+            (self.path / rel).parent.mkdir(parents=True, exist_ok=True)
             os.replace(part, self.path / rel)
             md = pq.ParquetFile(self.path / rel).metadata
-            mins: dict[str, Any] = {}
-            maxs: dict[str, Any] = {}
-            for rg in range(md.num_row_groups):
-                for ci in range(md.num_columns):
-                    col = md.row_group(rg).column(ci)
-                    st_ = col.statistics
-                    name = col.path_in_schema
-                    if st_ is None or not st_.has_min_max or "." in name:
-                        continue
-                    if not isinstance(st_.min, (int, float, str, bool)):
-                        continue
-                    mins[name] = st_.min if name not in mins else min(
-                        mins[name], st_.min)
-                    maxs[name] = st_.max if name not in maxs else max(
-                        maxs[name], st_.max)
+            mins, maxs = exact_footer_bounds(md)
+            for name in [n for n in mins if not isinstance(
+                    mins[n], (int, float, str, bool))]:
+                mins.pop(name)  # not JSON-encodable in add.stats
+                maxs.pop(name, None)
             stats = {"numRecords": md.num_rows}
             if mins:
                 stats["minValues"] = mins
                 stats["maxValues"] = maxs
             actions.append({"add": {
                 "path": quote(rel),
-                "partitionValues": {},
+                "partitionValues": pv,
                 "size": (self.path / rel).stat().st_size,
                 "modificationTime": ts,
                 "dataChange": data_change,
@@ -1765,9 +1838,13 @@ class DeltaLogReader:
         removes+adds (+cdc when CDF is on). O(affected files) driver
         state; the rewrite is one distributed pass over affected data.
 
-        Hive-partitioned tables are refused (per-partition COW grouping,
-        same restriction as optimize); appendOnly tables are refused per
-        the Delta protocol."""
+        Hive-partitioned tables rewrite per partition: the planning scan
+        reconstructs partition columns (so predicates may reference
+        them), and the rewrite writes `partitionBy` — rewritten rows land
+        back in their partition directories with partitionValues stamped
+        on each add (an UPDATE that SETs a partition column moves rows to
+        their new partitions, like Delta). appendOnly tables are refused
+        per the Delta protocol."""
         import time as _time
         from urllib.parse import quote
 
@@ -1776,11 +1853,6 @@ class DeltaLogReader:
         if conf.get("delta.appendOnly") == "true":
             raise DeltaProtocolError(
                 f"{op} on an appendOnly table (delta.appendOnly=true)"
-            )
-        if snap.partition_columns:
-            raise DeltaProtocolError(
-                f"{op} on hive-partitioned external tables is not "
-                "supported (per-partition COW grouping required)"
             )
         schema = snap.schema
         if set_exprs:
@@ -1807,7 +1879,12 @@ class DeltaLogReader:
         cdf_on = conf.get("delta.enableChangeDataFeed") == "true"
         cdc_parts: list[DataFrame] = []
         if op == "DELETE":
-            new_rows = sub.where(~pred).drop("__lh_fp")
+            # keep rows unless the predicate is TRUE — `~pred` alone would
+            # also drop rows where pred evaluates to NULL (e.g. DELETE
+            # WHERE x = 5 on a file holding x IS NULL), which real Delta
+            # keeps (DeleteCommand filters on !(cond <=> true))
+            new_rows = sub.where(
+                ~pred.eqNullSafe(F.lit(True))).drop("__lh_fp")
             if cdf_on:
                 cdc_parts.append(
                     sub.where(pred).drop("__lh_fp")
@@ -1849,17 +1926,24 @@ class DeltaLogReader:
 
         conf = snap.configuration
         mapping_mode = conf.get("delta.columnMapping.mode", "none")
+        phys_of: dict[str, str] = {}
         if mapping_mode in ("name", "id"):
             for f in json.loads(snap.metadata["schemaString"]).get(
                     "fields", []):
                 phys = (f.get("metadata") or {}).get(
                     "delta.columnMapping.physicalName")
                 if phys and phys != f["name"]:
+                    phys_of[f["name"]] = phys
                     new_rows = new_rows.withColumnRenamed(f["name"], phys)
                     cdc_parts = [
                         p.withColumnRenamed(f["name"], phys)
                         for p in cdc_parts
                     ]
+        # physical names post-rename; partitionValues key by physical
+        # under column mapping, per the Delta spec
+        part_cols = [
+            phys_of.get(c, c) for c in snap.partition_columns
+        ] or None
         ts = int(_time.time() * 1000)
         actions: list[dict] = [{
             "commitInfo": {
@@ -1869,7 +1953,7 @@ class DeltaLogReader:
         }]
         actions.extend(
             self._write_data_files(new_rows, op.lower(), ts,
-                                   data_change=True)
+                                   data_change=True, part_cols=part_cols)
         )
         for rel in removed_rels:
             actions.append({"remove": {
@@ -1883,12 +1967,28 @@ class DeltaLogReader:
             cdc_dir = self.path / "_change_data"
             cdc_dir.mkdir(exist_ok=True)
             tmp = self.path / f".tmp-cdc-{uuid.uuid4().hex}"
-            cdc_df.coalesce(1).write.parquet(str(tmp))
-            for part in sorted(tmp.glob("part-*.parquet")):
+            # per-task change files (the loop below registers every
+            # part) — funneling a wide UPDATE's pre+post images through
+            # coalesce(1) is a straggler by construction at scale.
+            # Partitioned tables partition the change files too (the
+            # spec's layout for _change_data), partitionValues stamped
+            # per cdc action like the data adds.
+            if part_cols:
+                cdc_df.write.partitionBy(*part_cols).parquet(str(tmp))
+            else:
+                cdc_df.write.parquet(str(tmp))
+            from urllib.parse import unquote as _unq
+            for part in sorted(
+                    p for p in tmp.rglob("part-*.parquet") if p.is_file()):
+                pv: dict[str, Any] = {}
+                for comp in part.relative_to(tmp).parts[:-1]:
+                    k, _, v = comp.partition("=")
+                    pv[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                             else _unq(v))
                 rel = f"_change_data/cdc-{uuid.uuid4().hex[:12]}.parquet"
                 os.replace(part, self.path / rel)
                 actions.append({"cdc": {
-                    "path": quote(rel), "partitionValues": {},
+                    "path": quote(rel), "partitionValues": pv,
                     "size": (self.path / rel).stat().st_size,
                     "dataChange": False,
                 }})
@@ -1925,11 +2025,6 @@ class DeltaLogReader:
         if conf.get("delta.appendOnly") == "true":
             raise DeltaProtocolError(
                 "MERGE on an appendOnly table (delta.appendOnly=true)"
-            )
-        if snap.partition_columns:
-            raise DeltaProtocolError(
-                "MERGE on hive-partitioned external tables is not "
-                "supported (per-partition COW grouping required)"
             )
         schema = snap.schema
         names = [f.name for f in schema.fields]
@@ -2115,6 +2210,12 @@ class DeltaLogReader:
                 "operationParameters": {"version": str(version)},
             }
         }]
+        # Delta's RestoreTableCommand also restores the target version's
+        # metaData (schema / partitionColumns / configuration); without
+        # this, restoring across a metadata change would leave the newer
+        # schema over the old files
+        if payload(cur.metadata) != payload(tgt.metadata):
+            actions.append({"metaData": payload(tgt.metadata)})
         n_add = n_rm = 0
         for p, a in tgt.files.items():
             c = cur.files.get(p)
@@ -2300,6 +2401,36 @@ class DeltaLogReader:
             if cdc:
                 files = [str(self.path / unquote(c["path"])) for c in cdc]
                 raw = self.spark.read.parquet(*files)
+                part_missing = [
+                    f for f in schema.fields
+                    if f.name in snap.partition_columns
+                    and f.name not in raw.columns
+                    and phys_name(f) not in raw.columns
+                ]
+                if part_missing:
+                    # partitioned change files: partition columns live
+                    # in the cdc actions' partitionValues (keyed by
+                    # physical name under column mapping), not the files
+                    pv_rows = []
+                    for c_act in cdc:
+                        ap = str(
+                            (self.path / unquote(c_act["path"])).resolve())
+                        pvs = c_act.get("partitionValues") or {}
+                        pv_rows.append((ap, *[
+                            pvs[phys_name(f)] if phys_name(f) in pvs
+                            else pvs.get(f.name)
+                            for f in part_missing
+                        ]))
+                    map_df = self.spark.createDataFrame(
+                        pv_rows, StructType(
+                            [StructField("__lh_fp", StringType())]
+                            + [StructField(f"__lh_pv_{i}", StringType())
+                               for i in range(len(part_missing))]))
+                    raw = (raw.withColumn("__lh_fp", fs_path_col())
+                           .join(F.broadcast(map_df), "__lh_fp"))
+                    for i, f in enumerate(part_missing):
+                        raw = raw.withColumn(
+                            f.name, F.col(f"__lh_pv_{i}").cast(f.dataType))
                 sel = []
                 for f in schema.fields:
                     if f.name in raw.columns:

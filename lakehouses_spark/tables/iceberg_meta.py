@@ -59,7 +59,7 @@ from pyspark.sql import types as T
 
 from lakehouses_spark.functions.avro_py import read_ocf_bytes, write_ocf_bytes
 from lakehouses_spark.tables import log as txlog
-from lakehouses_spark.tables.delta_log import fs_path_col
+from lakehouses_spark.tables.delta_log import exact_footer_bounds, fs_path_col
 
 FORMAT_VERSION = 2
 _DATA_CONTENT = 0  # manifest-entry data_file.content: 0=DATA, 1/2=deletes
@@ -285,6 +285,10 @@ def _encode_bound(value: Any, dt: T.DataType) -> bytes | None:
     import struct as _st
 
     if value is None:
+        return None
+    if isinstance(value, float) and value != value:
+        # the Iceberg spec excludes NaN from lower/upper bounds
+        # (nan_value_counts is the dedicated field) — never encode one
         return None
     name = dt.typeName()
     try:
@@ -1253,6 +1257,10 @@ class IcebergMetadataReader:
                 hi = bound(df_, "upper_bounds", fid, dt)
                 if lo is None or hi is None:
                     continue  # no stats -> keep
+                if (isinstance(lo, float) and lo != lo) or (
+                        isinstance(hi, float) and hi != hi):
+                    continue  # NaN bound (foreign writer): comparisons
+                    # below are all False — keep the file
                 if op in ("=", "==") and not (lo <= val <= hi):
                     return False
                 if op == "<" and not (lo < val):
@@ -1597,6 +1605,7 @@ class IcebergMetadataReader:
         files). This is the maintenance op that keeps MOR tables from
         accumulating delete files and small-file tables from drowning
         their planners."""
+        self._require_unpartitioned("rewrite_data_files")
         live = self._live_data_entries()
         if not live:
             raise IcebergFormatError("no live data files to rewrite")
@@ -1706,19 +1715,11 @@ class IcebergMetadataReader:
                 continue
             lower: list[dict] = []
             upper: list[dict] = []
-            mins: dict[str, Any] = {}
-            maxs: dict[str, Any] = {}
-            for rg in range(md.num_row_groups):
-                for ci in range(md.num_columns):
-                    col = md.row_group(rg).column(ci)
-                    st = col.statistics
-                    name = col.path_in_schema
-                    if st is None or not st.has_min_max or "." in name:
-                        continue
-                    mins[name] = st.min if name not in mins else min(
-                        mins[name], st.min)
-                    maxs[name] = st.max if name not in maxs else max(
-                        maxs[name], st.max)
+            # exactness-guarded bounds (see exact_footer_bounds): a
+            # column with any row group holding values but no min/max
+            # gets NO bounds — partial bounds would under-cover the file
+            # and manifest pruning would wrongly skip it
+            mins, maxs = exact_footer_bounds(md)
             for name in sorted(mins):
                 fid = fid_of_phys.get(name)
                 dt = dt_of_phys.get(name)
@@ -1827,6 +1828,30 @@ class IcebergMetadataReader:
             raise ValueError("update() requires at least one SET column")
         return self._cow_dml("UPDATE", where or "true", set, dry_run)
 
+    def _require_unpartitioned(self, op: str) -> None:
+        """Refuse metadata-rewriting ops on a foreign table whose CURRENT
+        partition spec has fields: the commit plumbing writes
+        unpartitioned data files and spec-`[]` manifest headers
+        (`_write_manifest`), so committing over a partitioned spec would
+        publish mixed-spec metadata (and relisted entries would lose
+        their partition tuples) that other engines misread — the exact
+        hazard VERDICT r10 flagged. Mirrors the refusal the Delta twin
+        carried before per-partition grouping landed; lifting it needs
+        typed partition records in the manifest Avro schema."""
+        spec_id = self.meta.get("default-spec-id", 0)
+        spec = next(
+            (s for s in (self.meta.get("partition-specs") or [])
+             if s.get("spec-id") == spec_id), None,
+        )
+        fields = (spec or {}).get("fields") or []
+        if fields:
+            raise IcebergFormatError(
+                f"{op} on a partitioned external Iceberg table is not "
+                f"supported (current spec has {len(fields)} partition "
+                "field(s); the commit path writes spec-[] manifests — "
+                "per-partition COW grouping required)"
+            )
+
     def _cow_dml(self, op: str, predicate: str,
                  set_exprs: dict[str, str] | None, dry_run: bool) -> dict:
         """Shared COW rewrite over the external Iceberg metadata layer:
@@ -1836,6 +1861,7 @@ class IcebergMetadataReader:
         keeps every untouched file EXISTING at its original sequence
         number. O(affected) driver state; the rewrite is one distributed
         pass over affected data — never the table."""
+        self._require_unpartitioned(op)
         live = self._live_data_entries()
         cur = self.meta.get("current-snapshot-id", -1)
         plan = {"candidate_files": len(live), "rewritten_files": 0,
@@ -1859,7 +1885,11 @@ class IcebergMetadataReader:
             return plan
         sub = df.where(F.col("__if_fp").isin(list(affected)))
         if op == "DELETE":
-            new_rows = sub.where(~pred).drop("__if_fp")
+            # keep rows unless the predicate is TRUE — NULL-valued
+            # predicates keep the row (same fix as the Delta twin:
+            # engines filter kept rows on !(cond <=> true))
+            new_rows = sub.where(
+                ~pred.eqNullSafe(F.lit(True))).drop("__if_fp")
         else:
             new_rows = sub.withColumns({
                 c: F.when(pred, F.expr(e)).otherwise(F.col(c))
@@ -1926,6 +1956,7 @@ class IcebergMetadataReader:
         100 TB shape: metadata-only; cost O(live entries), no data read."""
         import time as _time
 
+        self._require_unpartitioned("rewrite_manifests")
         live = self._live_data_entries()
         snap = self._snapshot()
         if snap is None:
@@ -2106,9 +2137,12 @@ class IcebergMetadataReader:
             )
             data = self.spark.read.parquet(*targets).select(
                 "*",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), r"^file:/+", "/"
-                ).alias("__fpath"),
+                # fs_path_col, not a bare scheme-strip: Spark reports
+                # _metadata.file_path percent-encoded while the map side
+                # is a raw os.path.abspath — a table rooted at a path
+                # with a space/%/+ would otherwise match nothing and the
+                # changelog would silently drop its delete rows
+                fs_path_col().alias("__fpath"),
                 F.col("_metadata.row_index").alias("__pos"),
             )
             joined = data.join(

@@ -1873,6 +1873,10 @@ def _file_may_match(add: dict, filters) -> bool:
         if not s or s.get("min") is None or s.get("max") is None:
             continue
         lo, hi = s["min"], s["max"]
+        if (isinstance(lo, float) and lo != lo) or (
+                isinstance(hi, float) and hi != hi):
+            continue  # NaN bound (legacy stats): comparisons below would
+            # all be False and wrongly skip the file — treat as no bound
         try:
             if op in ("=", "==") and (val < lo or val > hi):
                 return False
@@ -1941,6 +1945,13 @@ def _footer_adds(files: list[str], table_path: Path,
                     return None
                 if st.has_min_max:
                     lo, hi = norm(st.min), norm(st.max)
+                    if (isinstance(lo, float) and lo != lo) or (
+                            isinstance(hi, float) and hi != hi):
+                        # Spark 4 writes NaN row-group bounds for
+                        # NaN-bearing floats; Python min/max folding over
+                        # NaN is order-dependent and can't reproduce the
+                        # Spark agg (F.min ignores NaN, F.max returns it)
+                        return None
                     mn = lo if mn is None else min(mn, lo)
                     mx = hi if mx is None else max(mx, hi)
                 elif st.null_count != n_rg:
@@ -1980,6 +1991,11 @@ def _stat_aggs(schema: StructType):
 def _json_safe(v):
     if hasattr(v, "isoformat"):
         return v.isoformat()
+    if isinstance(v, float) and v != v:
+        # NaN: not valid JSON, and F.max over a NaN-bearing double IS NaN
+        # (Spark orders NaN above everything) — a NaN bound would poison
+        # the Python-side pruning comparisons, so record "no bound"
+        return None
     return v
 
 

@@ -1806,3 +1806,229 @@ def test_external_history(spark, tmp_path):
     r.optimize(target_files=1)
     h2 = DeltaLogReader(spark, dest).describe_history().collect()[0]
     assert h2.operation == "OPTIMIZE" and h2.num_removed_files >= 1
+
+
+# -------- round-11: NULL-predicate DML + bounds exactness (ADVICE r10) ---- #
+def test_external_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """DELETE keeps rows where the predicate evaluates to NULL, not just
+    FALSE — Delta's DeleteCommand filters kept rows on !(cond <=> true),
+    so DELETE WHERE price = 5 on a file holding price IS NULL must keep
+    the NULL rows, and the CDF delete image holds only the TRUE rows."""
+    rows = [
+        {"k": 1, "price": 5.0}, {"k": 2, "price": None},
+        {"k": 3, "price": 7.0}, {"k": 4, "price": None},
+    ]
+    df = spark.createDataFrame(rows, "k long, price double").coalesce(1)
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    t.set_properties({"delta.enableChangeDataFeed": "true"})
+    dest = t.export_delta_log(tmp_path / "delta")
+    r = DeltaLogReader(spark, dest)
+    v0 = r.snapshot().version
+    res = r.delete("price = 5.0")
+    assert res["rewritten_files"] == 1
+    assert sorted(x.k for x in read_delta(spark, dest).collect()) == [2, 3, 4]
+    ch = r.table_changes(v0 + 1, v0 + 1).collect()
+    assert sorted(x.k for x in ch if x["_change_type"] == "delete") == [1]
+
+
+def test_exact_footer_bounds_omits_partially_covered_columns(tmp_path):
+    """A row group holding values whose min/max the writer dropped (the
+    all-NaN float case here) poisons the whole column: bounds folded from
+    the OTHER row groups would under-cover the file and let stats-driven
+    skipping wrongly drop it (NaN compares greater than any value in
+    Spark, so NaN rows DO match `> x` filters). The column gets no
+    bounds; exact columns keep theirs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakehouses_spark.tables.delta_log import exact_footer_bounds
+
+    t1 = pa.table({"k": [1, 2], "price": [float("nan")] * 2})
+    t2 = pa.table({"k": [10, 11], "price": [5.0, 6.0]})
+    f = tmp_path / "two_rg.parquet"
+    w = pq.ParquetWriter(f, t1.schema)
+    w.write_table(t1)
+    w.write_table(t2)
+    w.close()
+    md = pq.ParquetFile(f).metadata
+    # precondition: the writer really produced a values-but-no-min/max
+    # row group for price (otherwise this test pins nothing)
+    st0 = md.row_group(0).column(1).statistics
+    assert not st0.has_min_max and st0.null_count == 0
+    mins, maxs = exact_footer_bounds(md)
+    assert "price" not in mins and "price" not in maxs
+    assert mins["k"] == 1 and maxs["k"] == 11
+
+
+def test_pruning_ignores_nan_bounds():
+    """Legacy/foreign stats can carry literal NaN bounds (Spark 4's
+    writer emits NaN row-group min/max; F.max over a NaN-bearing double
+    IS NaN). Every comparison against NaN is False in Python, so without
+    a guard the pruners would 'prove' no-match and skip a file that
+    matches — NaN bounds must read as 'no bound'."""
+    from lakehouses_spark.tables.delta_log import _delta_file_may_match
+    from lakehouses_spark.tables.table import _file_may_match
+
+    nan = float("nan")
+    add = {"stats": {"price": {"min": nan, "max": nan}}}
+    for op in ("<", "<=", ">", ">=", "="):
+        assert _file_may_match(add, [("price", op, 100.0)])
+    d_add = {"stats":
+             '{"minValues": {"price": NaN}, "maxValues": {"price": NaN}}'}
+    for op in ("<", "<=", ">", ">=", "="):
+        assert _delta_file_may_match(d_add, [("price", op, 100.0)], {}, {})
+
+
+def test_nan_stats_recorded_as_null_never_skip(spark, tmp_path):
+    """End-to-end: a LakeTable holding NaN doubles records no NaN bound
+    (json-safe null instead), and a `> x` filter still returns the
+    matching rows — including the NaN rows Spark considers greater than
+    everything."""
+    rows = [{"k": 1, "price": float("nan")}, {"k": 2, "price": 150.0},
+            {"k": 3, "price": 1.0}]
+    df = spark.createDataFrame(rows, "k long, price double").coalesce(1)
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    got = sorted(x.k for x in t.read(filters=[("price", ">", 100.0)]).collect())
+    assert got == [1, 2]  # NaN > 100.0 is TRUE in Spark semantics
+    for a in t.state().files.values():
+        s = (a.get("stats") or {}).get("price") or {}
+        for v in (s.get("min"), s.get("max")):
+            assert not (isinstance(v, float) and v != v), a
+
+
+def test_external_restore_restores_metadata(spark, tmp_path):
+    """RESTORE across a metadata change also restores the target
+    version's metaData (schema/configuration), like Delta's
+    RestoreTableCommand — otherwise the newer config would sit over the
+    old file set."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    v_pre = t.version
+    t.set_properties({"lakehouses.audit": "on"})
+    t.append(spark.createDataFrame(
+        [{"k": 100, "status": "C", "price": 1.0}],
+        "k long, status string, price double"))
+    dest = t.export_delta_log(tmp_path / "delta")
+    r = DeltaLogReader(spark, dest)
+    assert r.snapshot().configuration.get("lakehouses.audit") == "on"
+    r.restore(v_pre)
+    r2 = DeltaLogReader(spark, dest)
+    assert r2.snapshot().configuration.get("lakehouses.audit") is None
+    assert r2.to_df().count() == len(ROWS)
+
+
+# ------------- round-11: COW DML on hive-partitioned tables -------------- #
+def _mk_partitioned_delta(spark, base, cdf=False):
+    """Hand-built hive-partitioned foreign Delta table: partition values
+    only in add.partitionValues, never in the data files — the layout a
+    real external writer produces."""
+    import shutil as _sh
+
+    (base / "_delta_log").mkdir(parents=True)
+    adds = []
+    for part, ks in (("A", [1, 2, 3]), ("B", [4, 5]), ("C", [6])):
+        pdir = base / f"seg={part}"
+        pdir.mkdir()
+        spark.createDataFrame(
+            [(k, float(k) * 10) for k in ks], "k long, v double"
+        ).coalesce(1).write.mode("overwrite").parquet(str(pdir / "out"))
+        pf = next((pdir / "out").rglob("part-*.parquet"))
+        dest_f = pdir / f"part-{part}.parquet"
+        pf.rename(dest_f)
+        _sh.rmtree(pdir / "out")
+        adds.append({"add": {
+            "path": f"seg={part}/part-{part}.parquet",
+            "partitionValues": {"seg": part},
+            "size": dest_f.stat().st_size,
+            "modificationTime": 0, "dataChange": True}})
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+        {"name": "seg", "type": "string", "nullable": True, "metadata": {}},
+    ]}
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "p", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": ["seg"],
+            "configuration": (
+                {"delta.enableChangeDataFeed": "true"} if cdf else {}),
+            "createdTime": 0}},
+        *adds,
+    ]
+    with open(base / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def test_external_dml_on_partitioned_table(spark, tmp_path):
+    """Per-partition COW DML (VERDICT r10 #2, the 'better' path): DELETE
+    and UPDATE on a hive-partitioned foreign table rewrite only affected
+    files, stamp partitionValues on every new add, keep untouched
+    partitions byte-shared, record partitioned CDF — and an UPDATE that
+    SETs the partition column moves rows to their new partition."""
+    base = tmp_path / "pdelta"
+    _mk_partitioned_delta(spark, base, cdf=True)
+    r = DeltaLogReader(spark, base)
+    assert r.snapshot().partition_columns == ["seg"]
+
+    # DELETE keyed on a data column spanning two partitions
+    res = r.delete("k in (1, 4)")
+    assert res["rewritten_files"] == 2
+    df = read_delta(spark, base)
+    assert sorted(x.k for x in df.collect()) == [2, 3, 5, 6]
+    snap = DeltaLogReader(spark, base).snapshot()
+    assert {a["partitionValues"]["seg"]
+            for a in snap.files.values()} == {"A", "B", "C"}
+    assert "seg=C/part-C.parquet" in snap.files  # untouched -> shared
+    assert {x.k: x.seg for x in df.collect()} == {
+        2: "A", 3: "A", 5: "B", 6: "C"}
+
+    # UPDATE with the predicate on the partition column itself
+    res = r.update({"v": "v + 0.5"}, where="seg = 'B'")
+    assert res["rewritten_files"] == 1
+    rows = {x.k: x.v for x in read_delta(spark, base).collect()}
+    assert rows[5] == 50.5 and rows[2] == 20.0
+
+    # UPDATE that SETs the partition column: the row changes partition
+    r.update({"seg": "'Z'"}, where="k = 6")
+    df = read_delta(spark, base)
+    assert [x.seg for x in df.where("k = 6").collect()] == ["Z"]
+    snap = DeltaLogReader(spark, base).snapshot()
+    assert any(a["partitionValues"].get("seg") == "Z"
+               for a in snap.files.values())
+
+    # CDF spans the partitioned DML, partition column populated
+    ch = r.table_changes(1, 3).collect()
+    assert sorted(x.k for x in ch if x["_change_type"] == "delete") == [1, 4]
+    assert all(x.seg is not None for x in ch), ch
+    moved = [x for x in ch if x["_change_type"] == "update_postimage"
+             and x.k == 6]
+    assert [x.seg for x in moved] == ["Z"]
+
+    # partition-pruned read works on the rewritten layout
+    got = DeltaLogReader(spark, base).to_df(filters=[("seg", "=", "Z")])
+    assert [x.k for x in got.collect()] == [6]
+
+
+def test_external_merge_on_partitioned_table(spark, tmp_path):
+    """MERGE on a partitioned foreign table: matched files rewrite in
+    place, inserts land in their partitions with partitionValues."""
+    base = tmp_path / "pdelta_m"
+    _mk_partitioned_delta(spark, base)
+    r = DeltaLogReader(spark, base)
+    src = spark.createDataFrame(
+        [{"k": 2, "v": 99.0, "seg": "A"},
+         {"k": 7, "v": 70.0, "seg": "B"}],
+        "k long, v double, seg string")
+    res = r.merge(src, "t.k = s.k")
+    assert res["rewritten_files"] == 1 and res["inserted_rows"] == 1
+    rows = {x.k: (x.v, x.seg)
+            for x in read_delta(spark, base).collect()}
+    assert rows[2] == (99.0, "A") and rows[7] == (70.0, "B")
+    assert rows[4] == (40.0, "B")  # untouched partition intact
+    snap = DeltaLogReader(spark, base).snapshot()
+    assert "seg=C/part-C.parquet" in snap.files
+    # every live add carries its partition value
+    assert all("seg" in (a.get("partitionValues") or {})
+               for a in snap.files.values())

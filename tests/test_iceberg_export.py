@@ -1201,3 +1201,63 @@ def test_entries_and_all_manifests_metadata_tables(spark, tmp_path):
     assert len(am) > len({m.path for m in am})
     cur = {m.path for m in r.manifests().collect()}
     assert cur <= {m.path for m in am}
+
+
+def test_iceberg_external_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """DELETE keeps rows where the predicate evaluates to NULL — the
+    format twin of the Delta NULL-predicate rule (engines filter kept
+    rows on !(cond <=> true))."""
+    rows = [
+        {"k": 1, "price": 5.0}, {"k": 2, "price": None},
+        {"k": 3, "price": 7.0}, {"k": 4, "price": None},
+    ]
+    df = spark.createDataFrame(rows, "k long, price double").coalesce(1)
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    res = r.delete("price = 5.0")
+    assert res["rewritten_files"] == 1
+    got = sorted(
+        x.k for x in IcebergMetadataReader(spark, dest).to_df().collect())
+    assert got == [2, 3, 4]
+
+
+def test_iceberg_plan_files_ignores_nan_bounds(spark, tmp_path):
+    """Manifest bounds pruning treats a NaN lower/upper bound as 'no
+    bound' (the Iceberg spec keeps NaN out of bounds; foreign writers
+    may not) — and `_encode_bound` refuses to emit one."""
+    from lakehouses_spark.tables.iceberg_meta import _encode_bound
+
+    from pyspark.sql import types as T
+
+    assert _encode_bound(float("nan"), T.DoubleType()) is None
+
+
+def test_iceberg_partitioned_foreign_dml_refused(spark, tmp_path):
+    """A foreign table whose CURRENT spec has partition fields refuses
+    metadata-rewriting ops loudly (VERDICT r10 #2): the commit plumbing
+    writes spec-[] manifests, so committing over a partitioned spec
+    would publish mixed-spec metadata other engines misread."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    metas = sorted(
+        (dest / "metadata").glob("v*.metadata.json"),
+        key=lambda p: int(p.name.split(".")[0][1:]),
+    )
+    m = json.loads(metas[-1].read_text())
+    m["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"name": "status", "transform": "identity",
+         "source-id": 2, "field-id": 1000}]}]
+    m["default-spec-id"] = 0
+    metas[-1].write_text(json.dumps(m))
+
+    r = IcebergMetadataReader(spark, dest)
+    for call in (lambda: r.delete("k = 1"),
+                 lambda: r.update({"price": "1.0"}),
+                 lambda: r.rewrite_data_files(),
+                 lambda: r.rewrite_manifests()):
+        with pytest.raises(IcebergFormatError, match="partitioned"):
+            call()
+    # reading is unaffected by the spec — only writes are refused
+    assert IcebergMetadataReader(spark, dest).to_df().count() == len(ROWS)
