@@ -561,30 +561,45 @@ def lake_external_delta_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN c_nationkey <= 5 THEN c_acctbal + 100
                   ELSE c_acctbal END AS c_acctbal
       FROM kept
+    ), merged AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey <= 50 THEN 'MERGED'
+                  ELSE c_mktsegment END AS c_mktsegment,
+             CASE WHEN c_custkey <= 50 THEN 1000.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM upd
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey,
+             'NEWSEG' AS c_mktsegment, 10.0 AS c_acctbal
+      FROM base WHERE c_custkey <= 20
     )
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_customers,
            round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_acctbal
-    FROM upd
+    FROM merged
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
 )
 def lake_external_iceberg_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """External-ICEBERG write plane (r10, the format twin of
-    `lake_external_delta_dml`): a foreign client with nothing but the
-    `metadata/` layer runs copy-on-write DELETE then UPDATE through
-    `IcebergMetadataReader` alone — each committed as a new Iceberg v2
-    snapshot (new manifest with ADDED/DELETED/EXISTING entries, manifest
-    list carrying live delete manifests, next metadata.json, main ref
-    advanced). In-query asserts pin the snapshot chain: operations
-    `delete` then `overwrite`, monotonic sequence numbers, untouched
-    files EXISTING (never rewritten), and time travel to the pre-DML
-    snapshot returning the original row count.
+    """External-ICEBERG write plane (r10, extended r11 with MERGE +
+    rollback — the full format twin of `lake_external_delta_dml`): a
+    foreign client with nothing but the `metadata/` layer runs
+    copy-on-write DELETE → UPDATE → MERGE through `IcebergMetadataReader`
+    alone — each committed as a new Iceberg v2 snapshot (new manifest
+    with ADDED/DELETED/EXISTING entries, manifest list carrying live
+    delete manifests, next metadata.json, main ref advanced) — then
+    `rollback_to_snapshot` (metadata-only, Iceberg's procedure) returns
+    to the exported snapshot and `set_current_snapshot` rolls forward.
+    In-query asserts pin the snapshot chain: operations
+    `delete`/`overwrite`/`overwrite`, monotonic sequence numbers,
+    deterministic MERGE insert count, rollback restoring the original
+    row count, and time travel to the pre-DML snapshot.
 
     100 TB shape: affected-file planning is one distributed scan keyed
     by `_metadata.file_path`; the rewrite is one pass over affected data;
     commit cost is O(live files) manifest rows — Iceberg's own COW
-    write-path contract (write.delete.mode=copy-on-write)."""
+    write-path contract (write.delete.mode=copy-on-write); rollback
+    touches zero data bytes."""
     from lakehouses_spark.tables import LakeTable
     from lakehouses_spark.tables.iceberg_meta import (
         IcebergMetadataReader,
@@ -605,12 +620,33 @@ def lake_external_iceberg_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         res_u = r2.update({"c_acctbal": "c_acctbal + 100"},
                           where="c_nationkey <= 5")
         assert res_d["rewritten_files"] >= 1 and res_u["rewritten_files"] >= 1
+        # MERGE: matched rows re-segment to 'MERGED' @ 1000.0; unmatched
+        # synthetic keys insert as 'NEWSEG' @ 10.0 (oracle replays both)
         r3 = IcebergMetadataReader(spark, dest)
-        ops = [s["summary"]["operation"] for s in r3.meta["snapshots"][-2:]]
-        assert ops == ["delete", "overwrite"], ops
-        seqs = [s["sequence-number"] for s in r3.meta["snapshots"]]
+        cur = r3.to_df()
+        src_upd = cur.where("c_custkey <= 50").select(
+            "c_custkey", F.lit("MERGED").alias("c_mktsegment"),
+            "c_nationkey", F.lit(1000.0).alias("c_acctbal"))
+        src_ins = base.where("c_custkey <= 20").select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.lit("NEWSEG").alias("c_mktsegment"),
+            "c_nationkey", F.lit(10.0).alias("c_acctbal"))
+        res_m = r3.merge(src_upd.unionByName(src_ins),
+                         "t.c_custkey = s.c_custkey")
+        assert res_m["rewritten_files"] >= 1
+        assert res_m["inserted_rows"] == src_ins.count(), res_m
+        r4 = IcebergMetadataReader(spark, dest)
+        post = r4.meta["current-snapshot-id"]
+        ops = [s["summary"]["operation"] for s in r4.meta["snapshots"][-3:]]
+        assert ops == ["delete", "overwrite", "overwrite"], ops
+        seqs = [s["sequence-number"] for s in r4.meta["snapshots"]]
         assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
-        assert r3.to_df(snapshot_id=pre).count() == n0  # time travel
+        assert r4.to_df(snapshot_id=pre).count() == n0  # time travel
+        # metadata-only rollback to the exported snapshot, then forward
+        r4.rollback_to_snapshot(pre)
+        assert IcebergMetadataReader(spark, dest).to_df().count() == n0
+        r5 = IcebergMetadataReader(spark, dest)
+        r5.set_current_snapshot(post)
         out = (
             read_iceberg(spark, dest)
             .groupBy("c_mktsegment")

@@ -659,6 +659,70 @@ def exact_footer_bounds(md) -> tuple[dict, dict]:
     return mins, maxs
 
 
+def merge_rewritten(sub, src, cond, names, dtype_of, source_cols,
+                    when_matched_update, when_matched_delete):
+    """Rewritten contents of the MERGE-affected files (target aliased
+    ``t``, source ``s``): matched rows deleted / replaced by source
+    columns / SET expressions per the clause; unmatched rows of the same
+    files carry over verbatim. Shared by the Delta and Iceberg external
+    MERGE implementations — identical clause surface on both formats."""
+    if when_matched_delete:
+        return sub.join(src, cond, "left_anti").select(
+            *[F.col(f"t.{c}").alias(c) for c in names])
+    if when_matched_update == "all":
+        is_matched = F.col("s.__m__").isNotNull()
+        marked = sub.join(
+            src.withColumn("__m__", F.lit(1)).alias("s"), cond, "left")
+        return marked.select(*[
+            (F.when(is_matched, F.col(f"s.{c}"))
+             .otherwise(F.col(f"t.{c}")).alias(c))
+            if c in source_cols else F.col(f"t.{c}").alias(c)
+            for c in names])
+    if when_matched_update:
+        is_matched = F.col("s.__m__").isNotNull()
+        marked = sub.join(
+            src.withColumn("__m__", F.lit(1)).alias("s"), cond, "left")
+        return marked.select(*[
+            F.when(is_matched,
+                   F.expr(when_matched_update[c]).cast(dtype_of[c]))
+            .otherwise(F.col(f"t.{c}")).alias(c)
+            if c in when_matched_update
+            else F.col(f"t.{c}").alias(c)
+            for c in names])
+    return sub.select(*[F.col(f"t.{c}").alias(c) for c in names])
+
+
+def merge_inserts(src, t_all, cond, names, dtype_of, source_cols,
+                  when_not_matched_insert):
+    """Source rows matching no target row, shaped to the table schema
+    (absent columns null; insert SET expressions applied)."""
+    unmatched = src.join(t_all, cond, "left_anti")
+    if when_not_matched_insert == "all":
+        return unmatched.select(*[
+            F.col(c).alias(c) if c in source_cols
+            else F.lit(None).cast(dtype_of[c]).alias(c)
+            for c in names])
+    return unmatched.select(*[
+        F.expr(when_not_matched_insert[c]).cast(dtype_of[c]).alias(c)
+        if c in when_not_matched_insert
+        else F.lit(None).cast(dtype_of[c]).alias(c)
+        for c in names])
+
+
+def merge_dup_match_check(t_chk, src, cond) -> bool:
+    """True when multiple source rows match one target row (``t_chk``
+    carries a ``__tid__`` row id) — the condition MERGE must refuse
+    under an update clause, like Delta/Iceberg."""
+    return bool(
+        t_chk.join(src, cond, "inner")
+        .groupBy("__tid__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .where(F.col("__n__") > 1)
+        .limit(1)
+        .count()
+    )
+
+
 def fs_path_col() -> Column:
     """``_metadata.file_path`` normalized to the raw local filesystem path.
 
@@ -2064,56 +2128,17 @@ class DeltaLogReader:
                     .withColumn("__tid__", F.monotonically_increasing_id())
                     .alias("t")
                 )
-                n_dup = (
-                    t_chk.join(src, cond, "inner")
-                    .groupBy("__tid__")
-                    .agg(F.count(F.lit(1)).alias("__n__"))
-                    .where(F.col("__n__") > 1)
-                    .limit(1)
-                    .count()
-                )
-                if n_dup:
+                if merge_dup_match_check(t_chk, src, cond):
                     raise DeltaProtocolError(
                         "MERGE: multiple source rows matched the same "
                         "target row with an update clause; dedupe the "
                         "source on the merge key first"
                     )
-            if when_matched_delete:
-                rewritten = sub.join(src, cond, "left_anti").select(
-                    *[F.col(f"t.{c}").alias(c) for c in names]
-                )
-            elif when_matched_update == "all":
-                is_matched = F.col("s.__m__").isNotNull()
-                marked = sub.join(
-                    src.withColumn("__m__", F.lit(1)).alias("s"),
-                    cond, "left",
-                )
-                rewritten = marked.select(*[
-                    (F.when(is_matched, F.col(f"s.{c}"))
-                     .otherwise(F.col(f"t.{c}")).alias(c))
-                    if c in source.columns else F.col(f"t.{c}").alias(c)
-                    for c in names
-                ])
-            elif when_matched_update:
-                is_matched = F.col("s.__m__").isNotNull()
-                marked = sub.join(
-                    src.withColumn("__m__", F.lit(1)).alias("s"),
-                    cond, "left",
-                )
-                rewritten = marked.select(*[
-                    F.when(is_matched,
-                           F.expr(when_matched_update[c])
-                           .cast(schema[c].dataType))
-                    .otherwise(F.col(f"t.{c}")).alias(c)
-                    if c in when_matched_update
-                    else F.col(f"t.{c}").alias(c)
-                    for c in names
-                ])
-            else:
-                rewritten = sub.select(
-                    *[F.col(f"t.{c}").alias(c) for c in names]
-                )
-            out_parts.append(rewritten)
+            dtype_of = {f.name: f.dataType for f in schema.fields}
+            out_parts.append(merge_rewritten(
+                sub, src, cond, names, dtype_of, source.columns,
+                when_matched_update, when_matched_delete,
+            ))
             if cdf_on:
                 pre = sub.join(src, cond, "left_semi").select(
                     *[F.col(f"t.{c}").alias(c) for c in names])
@@ -2143,22 +2168,11 @@ class DeltaLogReader:
 
         n_inserted = 0
         if when_not_matched_insert:
-            t_all = self.to_df().alias("t")
-            unmatched = src.join(t_all, cond, "left_anti")
-            if when_not_matched_insert == "all":
-                ins = unmatched.select(*[
-                    F.col(c).alias(c) if c in source.columns
-                    else F.lit(None).cast(schema[c].dataType).alias(c)
-                    for c in names
-                ])
-            else:
-                ins = unmatched.select(*[
-                    F.expr(when_not_matched_insert[c])
-                    .cast(schema[c].dataType).alias(c)
-                    if c in when_not_matched_insert
-                    else F.lit(None).cast(schema[c].dataType).alias(c)
-                    for c in names
-                ])
+            ins = merge_inserts(
+                src, self.to_df().alias("t"), cond, names,
+                {f.name: f.dataType for f in schema.fields},
+                source.columns, when_not_matched_insert,
+            )
             n_inserted = ins.count()
             if n_inserted:
                 out_parts.append(ins)

@@ -1828,6 +1828,200 @@ class IcebergMetadataReader:
             raise ValueError("update() requires at least one SET column")
         return self._cow_dml("UPDATE", where or "true", set, dry_run)
 
+    def merge(
+        self,
+        source: DataFrame,
+        on: str,
+        when_matched_update: dict[str, str] | str | None = "all",
+        when_not_matched_insert: dict[str, str] | str | None = "all",
+        when_matched_delete: bool = False,
+    ) -> dict:
+        """MERGE INTO on an external Iceberg v2 table, copy-on-write —
+        the format twin of `DeltaLogReader.merge` with the identical
+        clause surface (the shared `merge_rewritten`/`merge_inserts`
+        helpers compute both): `on` references columns as t.<col> /
+        s.<col>; only files containing matched rows rewrite, inserts
+        append as new files, a source whose columns aren't a subset of
+        the table schema is refused (adopt via convert_from_iceberg for
+        evolution), and multiple source rows matching one target row
+        with an update clause raise. Commits one `overwrite` snapshot:
+        rewritten+inserted files ADDED, matched files DELETED, untouched
+        files EXISTING at their original sequence numbers, live delete
+        manifests carried (reference DML arc 03.iceberg_primer.py:203-215).
+
+        100 TB shape: matched-file planning is one distributed semi-join
+        keyed by `_metadata.file_path`; the rewrite touches only matched
+        files and the insert set — O(affected + inserts), never the
+        table."""
+        from lakehouses_spark.tables.delta_log import (
+            merge_dup_match_check,
+            merge_inserts,
+            merge_rewritten,
+        )
+
+        self._require_unpartitioned("MERGE")
+        live = self._live_data_entries()
+        logical, ice, phys_of, fid_of_phys, dt_of_phys = self._phys_maps()
+        names = [f.name for f in logical.fields]
+        extra = [c for c in source.columns if c not in names]
+        if extra:
+            raise IcebergFormatError(
+                f"MERGE source columns {extra} are not in the table "
+                "schema; external MERGE does not evolve schemas — adopt "
+                "the table with convert_from_iceberg first"
+            )
+        cond = F.expr(on)
+        src = source.alias("s")
+        t = self.to_df(_with_path=True).alias("t")
+        affected = {
+            r["__if_fp"] for r in
+            t.join(src, cond, "inner")
+            .select(F.col("t.__if_fp").alias("__if_fp"))
+            .distinct().collect()
+        }
+        plan = {"candidate_files": len(live),
+                "rewritten_files": len(affected),
+                "snapshot_id": self.meta.get("current-snapshot-id", -1)}
+        dtype_of = {f.name: f.dataType for f in logical.fields}
+        out_parts: list[DataFrame] = []
+        if affected:
+            sub = (
+                self.to_df(_with_path=True)
+                .where(F.col("__if_fp").isin(list(affected)))
+                .alias("t")
+            )
+            if when_matched_update and not when_matched_delete:
+                t_chk = (
+                    self.to_df(_with_path=True)
+                    .where(F.col("__if_fp").isin(list(affected)))
+                    .withColumn("__tid__", F.monotonically_increasing_id())
+                    .alias("t")
+                )
+                if merge_dup_match_check(t_chk, src, cond):
+                    raise IcebergFormatError(
+                        "MERGE: multiple source rows matched the same "
+                        "target row with an update clause; dedupe the "
+                        "source on the merge key first"
+                    )
+            out_parts.append(merge_rewritten(
+                sub, src, cond, names, dtype_of, source.columns,
+                when_matched_update, when_matched_delete,
+            ))
+        n_inserted = 0
+        if when_not_matched_insert:
+            ins = merge_inserts(
+                src, self.to_df().alias("t"), cond, names, dtype_of,
+                source.columns, when_not_matched_insert,
+            )
+            n_inserted = ins.count()
+            if n_inserted:
+                out_parts.append(ins)
+        plan["inserted_rows"] = n_inserted
+        if not affected and not n_inserted:
+            return plan
+        new_rows = out_parts[0]
+        for p in out_parts[1:]:
+            new_rows = new_rows.unionByName(p)
+        for f in logical.fields:  # files store PHYSICAL names
+            if phys_of[f.name] != f.name:
+                new_rows = new_rows.withColumnRenamed(
+                    f.name, phys_of[f.name])
+        new_rels = self._write_cow_files(new_rows, "merge")
+        new_id, seq = self._next_ids()
+        entries = self._added_entries(
+            new_rels, new_id, seq, fid_of_phys, dt_of_phys)
+        n_added = len(entries)
+        n_deleted = 0
+        for e in live:
+            ap = str(self._local_data(
+                e["data_file"]["file_path"]).resolve())
+            is_affected = ap in affected
+            n_deleted += is_affected
+            entries.append({
+                "status": 2 if is_affected else 0,
+                "snapshot_id": new_id if is_affected
+                else e.get("snapshot_id"),
+                "sequence_number": e.get("sequence_number"),
+                "file_sequence_number": e.get("file_sequence_number"),
+                "data_file": e["data_file"],
+            })
+        snap = self._snapshot()
+        carried = []
+        if snap is not None:
+            _, ml_rows = read_ocf_bytes(
+                self._local(snap["manifest-list"]).read_bytes())
+            carried = [
+                r for r in ml_rows if int(r.get("content", 0) or 0) == 1
+            ]
+        self._commit_snapshot(
+            entries, ice, new_id, seq,
+            operation="overwrite",
+            summary={
+                "added-data-files": str(n_added),
+                "deleted-data-files": str(n_deleted),
+                "total-data-files": str(len(live) - n_deleted + n_added),
+                "lakehouses-merge-on": on,
+            },
+            carried_ml_rows=carried,
+        )
+        plan["snapshot_id"] = new_id
+        return plan
+
+    def rollback_to_snapshot(self, snapshot_id: int) -> dict:
+        """Iceberg's `rollback_to_snapshot` procedure (Spark SQL `CALL
+        catalog.system.rollback_to_snapshot(...)`) — the format-parity
+        twin of `DeltaLogReader.restore`: a METADATA-ONLY re-point of
+        `current-snapshot-id` (and the main branch ref) to an ANCESTOR
+        of the current snapshot. No manifest or data file is touched;
+        rolling forward again via `set_current_snapshot` keeps working
+        because abandoned snapshots stay in the metadata until
+        `expire_snapshots`."""
+        snaps = {s["snapshot-id"]: s
+                 for s in self.meta.get("snapshots") or []}
+        if snapshot_id not in snaps:
+            raise IcebergFormatError(f"unknown snapshot {snapshot_id}")
+        cur = self.meta.get("current-snapshot-id", -1)
+        anc = set()
+        sid = cur
+        while sid in snaps:
+            anc.add(sid)
+            sid = snaps[sid].get("parent-snapshot-id")
+        if snapshot_id not in anc:
+            raise IcebergFormatError(
+                f"snapshot {snapshot_id} is not an ancestor of the "
+                f"current snapshot {cur}; use set_current_snapshot for "
+                "non-linear re-points"
+            )
+        return self._repoint(snapshot_id, cur)
+
+    def set_current_snapshot(self, snapshot_id: int) -> dict:
+        """Iceberg's `set_current_snapshot` procedure: re-point the table
+        to ANY retained snapshot (no ancestry requirement) — the
+        roll-forward companion to `rollback_to_snapshot`."""
+        snaps = {s["snapshot-id"]: s
+                 for s in self.meta.get("snapshots") or []}
+        if snapshot_id not in snaps:
+            raise IcebergFormatError(f"unknown snapshot {snapshot_id}")
+        return self._repoint(
+            snapshot_id, self.meta.get("current-snapshot-id", -1))
+
+    def _repoint(self, snapshot_id: int, prev: int) -> dict:
+        import time as _time
+
+        meta = dict(self.meta)
+        meta["current-snapshot-id"] = snapshot_id
+        meta["snapshot-log"] = list(
+            self.meta.get("snapshot-log") or []) + [{
+                "timestamp-ms": int(_time.time() * 1000),
+                "snapshot-id": snapshot_id,
+            }]
+        refs = dict(meta.get("refs") or {})
+        if "main" in refs:
+            refs["main"] = {**refs["main"], "snapshot-id": snapshot_id}
+        meta["refs"] = refs
+        self._commit_metadata(meta)
+        return {"rolled_back_to": snapshot_id, "previous": prev}
+
     def _require_unpartitioned(self, op: str) -> None:
         """Refuse metadata-rewriting ops on a foreign table whose CURRENT
         partition spec has fields: the commit plumbing writes

@@ -1261,3 +1261,81 @@ def test_iceberg_partitioned_foreign_dml_refused(spark, tmp_path):
             call()
     # reading is unaffected by the spec — only writes are refused
     assert IcebergMetadataReader(spark, dest).to_df().count() == len(ROWS)
+
+
+def test_iceberg_external_merge_upsert(spark, tmp_path):
+    """IcebergMetadataReader.merge: the format twin of the Delta external
+    MERGE (same clause surface via the shared helpers) — matched files
+    rewrite, inserts append, untouched files stay EXISTING, one
+    `overwrite` snapshot."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    src = spark.createDataFrame(
+        [{"k": 1, "status": "M", "price": 111.0},
+         {"k": 999, "status": "N", "price": 9.0}],
+        "k long, status string, price double")
+    res = r.merge(src, "t.k = s.k")
+    assert res["rewritten_files"] >= 1 and res["inserted_rows"] == 1
+    r2 = IcebergMetadataReader(spark, dest)
+    assert r2.meta["current-snapshot-id"] == res["snapshot_id"]
+    rows = {x.k: (x.status, x.price) for x in r2.to_df().collect()}
+    assert rows[1] == ("M", 111.0) and rows[999] == ("N", 9.0)
+    assert rows[2] == (ROWS[1]["status"], 20.0)
+    assert r2.meta["snapshots"][-1]["summary"]["operation"] == "overwrite"
+    seqs = [s["sequence-number"] for s in r2.meta["snapshots"]]
+    assert seqs == sorted(seqs)
+
+    # matched-delete clause (subset source: just the key)
+    r2.merge(spark.createDataFrame([{"k": 999}], "k long"),
+             "t.k = s.k", when_matched_update=None,
+             when_not_matched_insert=None, when_matched_delete=True)
+    left = {x.k for x in IcebergMetadataReader(spark, dest).to_df().collect()}
+    assert 999 not in left and 1 in left
+
+    # multiple source rows matching one target row refuse
+    dup = spark.createDataFrame(
+        [{"k": 1, "status": "X", "price": 1.0},
+         {"k": 1, "status": "Y", "price": 2.0}],
+        "k long, status string, price double")
+    with pytest.raises(IcebergFormatError, match="multiple source rows"):
+        IcebergMetadataReader(spark, dest).merge(dup, "t.k = s.k")
+
+    # a source widening the schema refuses (no evolution on externals)
+    wide = spark.createDataFrame([{"k": 1, "zz": 1}], "k long, zz long")
+    with pytest.raises(IcebergFormatError, match="not in the table"):
+        IcebergMetadataReader(spark, dest).merge(wide, "t.k = s.k")
+
+
+def test_iceberg_rollback_and_set_current_snapshot(spark, tmp_path):
+    """rollback_to_snapshot / set_current_snapshot: metadata-only
+    re-points of the main ref (Iceberg's procedures; the format-parity
+    twin of DeltaLogReader.restore). Data files and manifests untouched;
+    abandoned snapshots stay addressable until expiration."""
+    df = spark.createDataFrame(ROWS, "k long, status string, price double")
+    t = LakeTable.create(spark, tmp_path / "lake", df)
+    dest = t.export_iceberg_metadata(tmp_path / "ice")
+    r = IcebergMetadataReader(spark, dest)
+    pre = r.meta["current-snapshot-id"]
+    n0 = r.to_df().count()
+    r.delete("k <= 5")
+    mid = r.meta["current-snapshot-id"]
+    assert r.to_df().count() == n0 - 5
+
+    res = r.rollback_to_snapshot(pre)
+    assert res["rolled_back_to"] == pre and res["previous"] == mid
+    r2 = IcebergMetadataReader(spark, dest)
+    assert r2.meta["current-snapshot-id"] == pre
+    assert r2.to_df().count() == n0
+    assert (r2.meta.get("refs") or {}).get("main", {}).get(
+        "snapshot-id", pre) == pre
+
+    # roll FORWARD again: mid is not an ancestor of pre, so
+    # rollback refuses and set_current_snapshot is the tool
+    with pytest.raises(IcebergFormatError, match="not an ancestor"):
+        r2.rollback_to_snapshot(mid)
+    r2.set_current_snapshot(mid)
+    assert IcebergMetadataReader(spark, dest).to_df().count() == n0 - 5
+    with pytest.raises(IcebergFormatError, match="unknown snapshot"):
+        IcebergMetadataReader(spark, dest).rollback_to_snapshot(10 ** 9)
