@@ -53,39 +53,35 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # emitted FIRST, so the hard signal lands on them; everything already
 # driver-verified in round 1 follows in registration order.
 _SWEEP_PRIORITY = [
-    # Round-10 rotation (VERDICT r9 #1), sized to the 50-entry budget:
-    #   1. new round-10 queries — FIRST driver row,
-    #   2. the 4 queries deferred from round 9 — first driver row,
-    #   3. 43 of the 50 rows whose latest driver row is round 5 (the
-    #      cohort the r9 rotation missed). The 7 left for round 11 —
-    #      distinct_projection, filter_between_in, project_rename_derive,
-    #      set_except, set_intersect, union_by_name, window_streaks —
-    #      are the simplest single-operator relational/window queries in
-    #      that cohort (replica-green every session); they lead the
-    #      round-11 rotation.
-    # --- 1. new round-10 queries: first driver row ---
-    "lake_iceberg_pruned_read", "lake_external_delta_dml",
-    "lake_external_iceberg_dml",
-    # --- 2. deferred from round 9: first driver row ---
-    "streaming_delta_tail", "streaming_iceberg_tail",
-    "streaming_iceberg_changelog", "lake_rewrite_compaction",
-    # --- 3. 44 of the 50 r5-stale rows ---
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "agg_approx_distinct", "avro_file_roundtrip", "curation_domain_cap",
-    "curation_length_profile", "curation_mix_weights",
-    "curation_pipeline_report", "dedup_containment",
-    "dedup_incremental_minhash", "dedup_url_canonical", "fn_interval_family",
-    "fn_pad_family", "fn_regexp_family", "fn_trig_family",
-    "gold_als_recommendations", "graph_triangles", "join_lateral_topk",
-    "join_salted_skew", "lake_cdc_apply", "lake_clone_isolation",
-    "lake_dml_roundtrip", "multimodal_tar_shards", "random_split_sample",
-    "sim_ann_lsh", "sim_filtered_knn", "sim_knn_cosine",
-    "sim_maxsim_multivector", "sort_limit_topk", "sql_over_path",
-    "streaming_cdc_apply", "streaming_session_drain",
-    "streaming_stateful_totals", "streaming_windowed_drain",
-    "subquery_not_in_null_trap", "ts_asof_join", "ts_asof_tolerance",
-    "ts_cross_correlation", "ts_interval_overlap_join", "ts_sessionize",
-    "window_distinct_rolling", "window_rolling_median",
+    # Round-11 rotation (VERDICT r10 #1), sized to the 50-entry budget:
+    #   1. the 7 remaining rows whose latest driver row is round 5 —
+    #      the tail of the r5 cohort the r9/r10 rotations worked down,
+    #   2. 43 of the 50 rows whose latest driver row is round 7 (now
+    #      the oldest cohort). The 7 left for round 12 — agg_corr_stats,
+    #      agg_filtered, agg_histogram, agg_mode, fn_bitwise_family,
+    #      fn_variant_family, window_cume_dist — are the simplest
+    #      single-operator agg/scalar shapes in that cohort
+    #      (replica-green every session); they lead the r12 rotation.
+    # After r11: r11:50, r10:50, r9:50, r8:50, r7:7 — no row older than r7.
+    # --- 1. the 7 r5-stale rows: hard signal lands here first ---
+    "distinct_projection", "filter_between_in", "project_rename_derive",
+    "set_except", "set_intersect", "union_by_name", "window_streaks",
+    # --- 2. 43 of the 50 r7-stale rows ---
+    "dedup_common_substring", "dedup_incremental", "graph_pagerank",
+    "lake_iceberg_export", "multimodal_audio_stats",
+    "multimodal_frame_manifest", "multimodal_manifest_probe",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q11_value_concentration",
+    "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_count",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "q20_volume_suppliers", "q21_waiting_suppliers", "q22_dormant_customers",
+    "sample_hash_split", "sample_stratified", "sample_temperature",
+    "sim_ann_ivfpq", "sim_pairs_blocked", "streaming_dedup_drain",
+    "streaming_matview_rollup", "streaming_minhash_dedup",
+    "streaming_stream_join", "text_boilerplate_ngrams", "text_chunk_overlap",
+    "text_decontaminate", "text_perplexity_proxy", "text_pii_scrub",
+    "text_tfidf_terms", "text_word_entropy", "ts_anomaly_mad", "ts_ewma",
+    "ts_gap_fill", "ts_interpolate_linear", "ts_ohlc", "ts_rolling_stats",
 ]
 
 # Queries registered after the current round's 50-entry sweep budget
@@ -94,8 +90,9 @@ _SWEEP_PRIORITY = [
 # them with the driver's exact comparison in the meantime). The sweep-window
 # guard asserts any never-swept query outside the 50-entry window appears
 # HERE, so a new query can never silently fall outside the rotation.
-# Round 10's budget: 3 new + 4 previously-deferred + 43 r5-stale = 50;
-# every query registered so far fits, so nothing is deferred.
+# Round 11's budget: 7 r5-stale + 43 r7-stale = 50; the 7 r7 rows that
+# didn't fit (listed in the rotation comment above) are the ONLY deferral
+# and they lead round 12.
 SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = []
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
