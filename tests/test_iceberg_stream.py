@@ -465,3 +465,92 @@ def test_batch_changelog_matches_stream(spark, tmp_path):
     rows = win.collect()
     assert {x["_change_type"] for x in rows} == {"DELETE"}
     assert sorted(x.k for x in rows) == list(range(18, 21))
+
+
+# ------- round-11: foreign PARTITIONED manifests tail and changelog ------- #
+def _make_foreign_partitioned(spark, tmp_path, dest_name):
+    """Hand-built partitioned foreign table (the `.partitions` fixture):
+    manifest entries carry non-empty partition records under a re-encoded
+    Avro schema — what a real identity-partitioned writer publishes. Data
+    files keep all columns (Iceberg, unlike Delta, stores identity
+    partition source columns in the files)."""
+    import copy
+    import json
+
+    from lakehouses_spark.functions.avro_py import read_ocf_bytes
+    from lakehouses_spark.tables.iceberg_meta import (
+        _MANIFEST_ENTRY_SCHEMA,
+        write_ocf_bytes_with_meta,
+    )
+
+    t = LakeTable.create(
+        spark, tmp_path / f"lake_{dest_name}",
+        spark.createDataFrame(
+            ROWS[:10], "k long, status string, price double").coalesce(1),
+        num_files=1,
+    )
+    t.append(spark.createDataFrame(
+        ROWS[10:], "k long, status string, price double").coalesce(1))
+    dest = t.export_iceberg_metadata(tmp_path / dest_name)
+
+    part_schema = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+    for f in part_schema["fields"]:
+        if f["name"] == "data_file":
+            for g in f["type"]["fields"]:
+                if g["name"] == "partition":
+                    g["type"]["fields"] = [{
+                        "name": "status", "type": ["null", "string"],
+                        "field-id": 1000,
+                    }]
+    stamped = 0
+    for mf in sorted((dest / "metadata").glob("*.avro")):
+        _, rows = read_ocf_bytes(mf.read_bytes())
+        if not rows or "data_file" not in rows[0]:
+            continue
+        for e in rows:
+            if e["data_file"].get("content", 0) == 0:
+                e["data_file"]["partition"] = {"status": "p%d" % stamped}
+                stamped += 1
+        mf.write_bytes(write_ocf_bytes_with_meta(
+            rows, part_schema,
+            {"partition-spec": "[]", "partition-spec-id": "0",
+             "format-version": "2", "content": "data"},
+        ))
+    assert stamped >= 2
+    # the table metadata declares the matching identity spec
+    metas = sorted(
+        (dest / "metadata").glob("v*.metadata.json"),
+        key=lambda p: int(p.name.split(".")[0][1:]),
+    )
+    m = json.loads(metas[-1].read_text())
+    m["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"name": "status", "transform": "identity",
+         "source-id": 2, "field-id": 1000}]}]
+    m["default-spec-id"] = 0
+    metas[-1].write_text(json.dumps(m))
+    return dest
+
+
+def test_tail_foreign_partitioned_table(spark, tmp_path):
+    """VERDICT r10 #6: a foreign table whose manifests carry partition
+    tuples tails cleanly — entries decode under the widened partition
+    record, and every column (including the identity-partitioned one)
+    round-trips from the data files."""
+    dest = _make_foreign_partitioned(spark, tmp_path, "ice_pt")
+    got = _drain(spark, dest, tmp_path, "pt_tail")
+    assert _sorted_rows(got) == _sorted_rows(read_iceberg(spark, dest))
+    assert sorted(r.k for r in got.collect()) == list(range(1, 21))
+
+
+def test_changelog_foreign_partitioned_table(spark, tmp_path):
+    """The changelog twin: both streaming and batch changelog plan over
+    partition-stamped manifests; INSERT rows carry the partition source
+    column values from the files."""
+    dest = _make_foreign_partitioned(spark, tmp_path, "ice_pc")
+    streamed = _drain_changelog(spark, dest, tmp_path, "pc_cl")
+    assert {x["_change_type"] for x in streamed.collect()} == {"INSERT"}
+    assert sorted(x.k for x in streamed.collect()) == list(range(1, 21))
+    assert all(x.status in ("A", "B") for x in streamed.collect())
+    batch = IcebergMetadataReader(spark, dest).changelog()
+    cols = ["k", "status", "price", "_change_type"]
+    assert _sorted_rows(batch, cols) == _sorted_rows(streamed, cols)
