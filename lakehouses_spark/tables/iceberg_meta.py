@@ -279,6 +279,36 @@ _MANIFEST_ENTRY_SCHEMA = {
 }
 
 
+# identity partition sources supported for external writes: spark type
+# name -> avro type in the manifest's typed partition record (r102).
+# Date encodes as days-since-epoch int, the spec's representation.
+_PV_AVRO = {
+    "long": "long", "integer": "int", "short": "int", "byte": "int",
+    "string": "string", "double": "double", "float": "float",
+    "boolean": "boolean", "date": "int",
+}
+
+
+def _pv_from_dir(raw: str | None, dt: T.DataType) -> Any:
+    """A hive directory value (already %XX-unescaped) back to the typed
+    partition value the manifest stores."""
+    if raw is None:
+        return None
+    name = dt.typeName()
+    if name in ("integer", "long", "short", "byte"):
+        return int(raw)
+    if name in ("double", "float"):
+        return float(raw)
+    if name == "boolean":
+        return raw == "true"
+    if name == "date":
+        import datetime
+
+        return (datetime.date.fromisoformat(raw)
+                - datetime.date(1970, 1, 1)).days
+    return raw
+
+
 # single-value binary serialization (Iceberg spec appendix D): the subset of
 # types LakeTable stats actually carry
 def _encode_bound(value: Any, dt: T.DataType) -> bytes | None:
@@ -914,18 +944,39 @@ def write_ocf_bytes_with_meta(rows: list, schema: dict, extra_meta: dict) -> byt
 
 def _write_manifest(
     meta_dir: Path, entries: list[dict], ice_schema_json: str,
-    snap_id: int, seq: int,
+    snap_id: int, seq: int, pctx: dict | None = None,
 ) -> dict:
     """Write one manifest Avro file; return its registry record with the
-    manifest-list row (counts by entry status, min sequence number)."""
+    manifest-list row (counts by entry status, min sequence number).
+    With ``pctx`` (an identity partition-write context) the entry
+    schema's r102 partition record carries one TYPED field per spec
+    field and the header declares the real spec — so a partitioned
+    foreign table's commits stay readable by other engines."""
+    import copy
+
+    entry_schema = _MANIFEST_ENTRY_SCHEMA
+    spec_json, spec_id = "[]", 0
+    if pctx:
+        entry_schema = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+        for f in entry_schema["fields"]:
+            if f["name"] == "data_file":
+                for g in f["type"]["fields"]:
+                    if g["name"] == "partition":
+                        g["type"]["fields"] = [
+                            {"name": pf["pname"],
+                             "type": ["null", pf["avro"]],
+                             "field-id": pf["field_id"]}
+                            for pf in pctx["fields"]
+                        ]
+        spec_json, spec_id = pctx["spec_json"], pctx["spec_id"]
     name = f"{uuid.uuid4()}-m0.avro"
     data = write_ocf_bytes_with_meta(
         entries,
-        _MANIFEST_ENTRY_SCHEMA,
+        entry_schema,
         {
             "schema": ice_schema_json,
-            "partition-spec": "[]",
-            "partition-spec-id": "0",
+            "partition-spec": spec_json,
+            "partition-spec-id": str(spec_id),
             "format-version": str(FORMAT_VERSION),
             "content": "data",
         },
@@ -946,7 +997,7 @@ def _write_manifest(
         "ml_row": {
             "manifest_path": f"{location}/metadata/{name}",
             "manifest_length": len(data),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec_id,
             "content": 0,
             "sequence_number": seq,
             "min_sequence_number": min(
@@ -1605,7 +1656,7 @@ class IcebergMetadataReader:
         files). This is the maintenance op that keeps MOR tables from
         accumulating delete files and small-file tables from drowning
         their planners."""
-        self._require_unpartitioned("rewrite_data_files")
+        pctx = self._partition_ctx("rewrite_data_files")
         live = self._live_data_entries()
         if not live:
             raise IcebergFormatError("no live data files to rewrite")
@@ -1633,7 +1684,7 @@ class IcebergMetadataReader:
             if phys_of[f.name] != f.name:
                 df = df.withColumnRenamed(f.name, phys_of[f.name])
         new_rels = self._write_cow_files(
-            df.repartition(int(n_out)), "rewritten")
+            df.repartition(int(n_out)), "rewritten", pctx=pctx)
 
         new_id, seq = self._next_ids()
         entries = self._added_entries(
@@ -1655,6 +1706,7 @@ class IcebergMetadataReader:
                 "deleted-data-files": str(len(live)),
                 "total-data-files": str(n_added),
             },
+            pctx=pctx,
         )
         plan["output_files"] = n_added
         plan["snapshot_id"] = new_id
@@ -1683,29 +1735,64 @@ class IcebergMetadataReader:
         seq = int(self.meta.get("last-sequence-number", 0)) + 1
         return new_id, seq
 
-    def _write_cow_files(self, df: DataFrame, prefix: str) -> list[str]:
+    def _write_cow_files(
+        self, df: DataFrame, prefix: str, pctx: dict | None = None,
+    ) -> list[tuple[str, dict]]:
+        """Write ``df`` as data files; return [(relative path, partition
+        tuple)]. Under an identity spec (``pctx``) the write groups rows
+        per partition via `partitionBy` on DUPLICATED columns — so the
+        data files keep every table column (Iceberg's native layout,
+        unlike Delta's hive stripping) while each file still belongs to
+        exactly one partition tuple, decoded typed from the hive
+        directory names. One distributed write either way."""
+        from urllib.parse import unquote as _unq
+
         rel_dir = f"data/{prefix}-{uuid.uuid4().hex[:8]}"
         tmp = self.path / f".tmp-{prefix}-{uuid.uuid4().hex}"
-        df.write.parquet(str(tmp))
+        dup_of: list[tuple[str, dict]] = []
+        if pctx:
+            for i, f in enumerate(pctx["fields"]):
+                dup = f"__lhp_{i}"
+                df = df.withColumn(dup, F.col(f["phys"]))
+                dup_of.append((dup, f))
+            df.write.partitionBy(*[d for d, _ in dup_of]).parquet(str(tmp))
+            parts = sorted(
+                p for p in tmp.rglob("part-*.parquet") if p.is_file())
+        else:
+            df.write.parquet(str(tmp))
+            parts = sorted(tmp.glob("part-*.parquet"))
         (self.path / rel_dir).mkdir(parents=True, exist_ok=True)
-        new_rels: list[str] = []
-        for i, part in enumerate(sorted(tmp.glob("part-*.parquet"))):
+        out: list[tuple[str, dict]] = []
+        for i, part in enumerate(parts):
+            pv: dict[str, Any] = {}
+            if pctx:
+                raw_by_dup = {}
+                for comp in part.relative_to(tmp).parts[:-1]:
+                    k, _, v = comp.partition("=")
+                    raw_by_dup[k] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__"
+                        else _unq(v))
+                for dup, f in dup_of:
+                    pv[f["pname"]] = _pv_from_dir(
+                        raw_by_dup.get(dup), f["dt"])
             rel = f"{rel_dir}/part-{i:05d}.parquet"
             os.replace(part, self.path / rel)
-            new_rels.append(rel)
+            out.append((rel, pv))
         shutil.rmtree(tmp, ignore_errors=True)
-        return new_rels
+        return out
 
-    def _added_entries(self, new_rels: list[str], new_id: int, seq: int,
+    def _added_entries(self, new_rels: list[tuple[str, dict]],
+                       new_id: int, seq: int,
                        fid_of_phys: dict, dt_of_phys: dict) -> list[dict]:
-        """ADDED manifest entries for freshly-written parquet files, with
+        """ADDED manifest entries for freshly-written parquet files
+        (``new_rels``: [(relative path, partition tuple)]), with
         lower/upper bounds decoded from the footers (so filter-driven
         file skipping keeps working on the new layout)."""
         import pyarrow.parquet as pq
 
         location = self.meta["location"].rstrip("/")
         entries: list[dict] = []
-        for rel in new_rels:
+        for rel, pv in new_rels:
             md = pq.ParquetFile(self.path / rel).metadata
             if md.num_rows == 0:
                 # an empty rewrite partition (e.g. a COW DELETE that
@@ -1740,7 +1827,7 @@ class IcebergMetadataReader:
                     "content": 0,
                     "file_path": f"{location}/{rel}",
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": pv,
                     "record_count": md.num_rows,
                     "file_size_in_bytes": (self.path / rel).stat().st_size,
                     "lower_bounds": lower or None,
@@ -1753,17 +1840,20 @@ class IcebergMetadataReader:
     def _commit_snapshot(self, entries: list[dict], ice: dict,
                          new_id: int, seq: int, operation: str,
                          summary: dict,
-                         carried_ml_rows: list[dict] | None = None) -> None:
+                         carried_ml_rows: list[dict] | None = None,
+                         pctx: dict | None = None) -> None:
         """Write one manifest for ``entries``, a manifest list referencing
         it (plus any carried manifest-list rows — e.g. live delete
         manifests that must keep applying), and the next metadata.json
-        with the snapshot appended and main ref advanced."""
+        with the snapshot appended and main ref advanced. ``pctx``
+        threads the identity partition-write context so partitioned
+        tables commit typed partition records under the declared spec."""
         import time as _time
 
         location = self.meta["location"].rstrip("/")
         now_ms = int(_time.time() * 1000)
         m = _write_manifest(self.meta_dir, entries, json.dumps(ice),
-                            new_id, seq)
+                            new_id, seq, pctx=pctx)
         ml_rows = [m["ml_row"]]
         for r in carried_ml_rows or []:
             # normalize to our manifest-list schema (foreign rows may
@@ -1859,7 +1949,7 @@ class IcebergMetadataReader:
             merge_rewritten,
         )
 
-        self._require_unpartitioned("MERGE")
+        pctx = self._partition_ctx("MERGE")
         live = self._live_data_entries()
         logical, ice, phys_of, fid_of_phys, dt_of_phys = self._phys_maps()
         names = [f.name for f in logical.fields]
@@ -1926,7 +2016,7 @@ class IcebergMetadataReader:
             if phys_of[f.name] != f.name:
                 new_rows = new_rows.withColumnRenamed(
                     f.name, phys_of[f.name])
-        new_rels = self._write_cow_files(new_rows, "merge")
+        new_rels = self._write_cow_files(new_rows, "merge", pctx=pctx)
         new_id, seq = self._next_ids()
         entries = self._added_entries(
             new_rels, new_id, seq, fid_of_phys, dt_of_phys)
@@ -1963,6 +2053,7 @@ class IcebergMetadataReader:
                 "lakehouses-merge-on": on,
             },
             carried_ml_rows=carried,
+            pctx=pctx,
         )
         plan["snapshot_id"] = new_id
         return plan
@@ -2022,29 +2113,66 @@ class IcebergMetadataReader:
         self._commit_metadata(meta)
         return {"rolled_back_to": snapshot_id, "previous": prev}
 
-    def _require_unpartitioned(self, op: str) -> None:
-        """Refuse metadata-rewriting ops on a foreign table whose CURRENT
-        partition spec has fields: the commit plumbing writes
-        unpartitioned data files and spec-`[]` manifest headers
-        (`_write_manifest`), so committing over a partitioned spec would
-        publish mixed-spec metadata (and relisted entries would lose
-        their partition tuples) that other engines misread — the exact
-        hazard VERDICT r10 flagged. Mirrors the refusal the Delta twin
-        carried before per-partition grouping landed; lifting it needs
-        typed partition records in the manifest Avro schema."""
+    def _partition_ctx(self, op: str) -> dict | None:
+        """Write context for the table's CURRENT partition spec (VERDICT
+        r10 #2): None when unpartitioned; for an IDENTITY-transformed
+        spec, everything the write plane needs — per-field source
+        column (physical name), Spark type, the Avro type of the typed
+        partition record, and the spec JSON for the manifest header — so
+        commits publish the SAME spec the table declares instead of the
+        spec-[] hazard. Non-identity transforms (bucket/truncate/days/…)
+        and unsupported source types refuse loudly: computing those
+        tuples requires evaluating the transform, and a wrong tuple is
+        silent data loss for every other engine."""
         spec_id = self.meta.get("default-spec-id", 0)
         spec = next(
             (s for s in (self.meta.get("partition-specs") or [])
              if s.get("spec-id") == spec_id), None,
         )
         fields = (spec or {}).get("fields") or []
-        if fields:
-            raise IcebergFormatError(
-                f"{op} on a partitioned external Iceberg table is not "
-                f"supported (current spec has {len(fields)} partition "
-                "field(s); the commit path writes spec-[] manifests — "
-                "per-partition COW grouping required)"
-            )
+        if not fields:
+            return None
+        ice = next(
+            s for s in self.meta["schemas"]
+            if s["schema-id"] == self.meta["current-schema-id"]
+        )
+        by_id = {f["id"]: f for f in ice["fields"]}
+        mapping = self.name_mapping()
+        out = []
+        for pf in fields:
+            if pf.get("transform") != "identity":
+                raise IcebergFormatError(
+                    f"{op} on a partitioned external Iceberg table with "
+                    f"transform {pf.get('transform')!r} is not supported "
+                    "(identity transforms only — evaluating other "
+                    "transforms externally risks wrong partition tuples)"
+                )
+            src = by_id.get(pf.get("source-id"))
+            if src is None or isinstance(src.get("type"), dict):
+                raise IcebergFormatError(
+                    f"{op}: partition field {pf.get('name')!r} has no "
+                    "resolvable primitive source column"
+                )
+            dt = _iceberg_type_to_spark(src["type"])
+            avro_t = _PV_AVRO.get(dt.typeName())
+            if avro_t is None:
+                raise IcebergFormatError(
+                    f"{op}: identity partition source type "
+                    f"{src['type']!r} is not supported for external "
+                    "writes"
+                )
+            out.append({
+                "pname": pf["name"],
+                "field_id": pf.get("field-id", 1000),
+                "phys": mapping.get(src["id"], src["name"]),
+                "dt": dt,
+                "avro": avro_t,
+            })
+        return {
+            "spec_id": spec_id,
+            "fields": out,
+            "spec_json": json.dumps(fields),
+        }
 
     def _cow_dml(self, op: str, predicate: str,
                  set_exprs: dict[str, str] | None, dry_run: bool) -> dict:
@@ -2055,7 +2183,7 @@ class IcebergMetadataReader:
         keeps every untouched file EXISTING at its original sequence
         number. O(affected) driver state; the rewrite is one distributed
         pass over affected data — never the table."""
-        self._require_unpartitioned(op)
+        pctx = self._partition_ctx(op)
         live = self._live_data_entries()
         cur = self.meta.get("current-snapshot-id", -1)
         plan = {"candidate_files": len(live), "rewritten_files": 0,
@@ -2093,7 +2221,7 @@ class IcebergMetadataReader:
             if phys_of[f.name] != f.name:
                 new_rows = new_rows.withColumnRenamed(
                     f.name, phys_of[f.name])
-        new_rels = self._write_cow_files(new_rows, op.lower())
+        new_rels = self._write_cow_files(new_rows, op.lower(), pctx=pctx)
 
         new_id, seq = self._next_ids()
         entries = self._added_entries(
@@ -2133,6 +2261,7 @@ class IcebergMetadataReader:
                 "lakehouses-predicate": predicate,
             },
             carried_ml_rows=carried,
+            pctx=pctx,
         )
         plan["snapshot_id"] = new_id
         return plan
@@ -2150,7 +2279,7 @@ class IcebergMetadataReader:
         100 TB shape: metadata-only; cost O(live entries), no data read."""
         import time as _time
 
-        self._require_unpartitioned("rewrite_manifests")
+        pctx = self._partition_ctx("rewrite_manifests")
         live = self._live_data_entries()
         snap = self._snapshot()
         if snap is None:
@@ -2188,7 +2317,7 @@ class IcebergMetadataReader:
             if s["schema-id"] == self.meta["current-schema-id"]
         )
         m = _write_manifest(self.meta_dir, entries, json.dumps(ice),
-                            new_id, seq)
+                            new_id, seq, pctx=pctx)
         # EXISTING entries keep the min sequence across the live set
         m["ml_row"]["min_sequence_number"] = min(
             (e["sequence_number"] for e in entries

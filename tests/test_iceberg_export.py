@@ -1233,11 +1233,12 @@ def test_iceberg_plan_files_ignores_nan_bounds(spark, tmp_path):
     assert _encode_bound(float("nan"), T.DoubleType()) is None
 
 
-def test_iceberg_partitioned_foreign_dml_refused(spark, tmp_path):
-    """A foreign table whose CURRENT spec has partition fields refuses
-    metadata-rewriting ops loudly (VERDICT r10 #2): the commit plumbing
-    writes spec-[] manifests, so committing over a partitioned spec
-    would publish mixed-spec metadata other engines misread."""
+def test_iceberg_nonidentity_partitioned_dml_refused(spark, tmp_path):
+    """A foreign table whose CURRENT spec uses a NON-IDENTITY transform
+    refuses metadata-rewriting ops loudly (VERDICT r10 #2): evaluating
+    bucket/truncate/days externally risks wrong partition tuples —
+    silent data loss for every other engine. Identity specs are the
+    supported write path (see the identity-partitioned DML tests)."""
     df = spark.createDataFrame(ROWS, "k long, status string, price double")
     t = LakeTable.create(spark, tmp_path / "lake", df)
     dest = t.export_iceberg_metadata(tmp_path / "ice")
@@ -1247,8 +1248,8 @@ def test_iceberg_partitioned_foreign_dml_refused(spark, tmp_path):
     )
     m = json.loads(metas[-1].read_text())
     m["partition-specs"] = [{"spec-id": 0, "fields": [
-        {"name": "status", "transform": "identity",
-         "source-id": 2, "field-id": 1000}]}]
+        {"name": "k_bucket", "transform": "bucket[4]",
+         "source-id": 1, "field-id": 1000}]}]
     m["default-spec-id"] = 0
     metas[-1].write_text(json.dumps(m))
 
@@ -1257,7 +1258,7 @@ def test_iceberg_partitioned_foreign_dml_refused(spark, tmp_path):
                  lambda: r.update({"price": "1.0"}),
                  lambda: r.rewrite_data_files(),
                  lambda: r.rewrite_manifests()):
-        with pytest.raises(IcebergFormatError, match="partitioned"):
+        with pytest.raises(IcebergFormatError, match="transform"):
             call()
     # reading is unaffected by the spec — only writes are refused
     assert IcebergMetadataReader(spark, dest).to_df().count() == len(ROWS)
@@ -1339,3 +1340,185 @@ def test_iceberg_rollback_and_set_current_snapshot(spark, tmp_path):
     assert IcebergMetadataReader(spark, dest).to_df().count() == n0 - 5
     with pytest.raises(IcebergFormatError, match="unknown snapshot"):
         IcebergMetadataReader(spark, dest).rollback_to_snapshot(10 ** 9)
+
+
+# -------- round-11: identity-partitioned external COW writes ------------- #
+def _mk_identity_partitioned(spark, tmp_path, name):
+    """A truthful identity-partitioned foreign table: every data file
+    holds exactly one `status` value, manifests carry the matching typed
+    partition record, and the metadata declares identity(status)."""
+    import copy
+
+    import pyarrow.parquet as pq
+
+    from lakehouses_spark.tables.iceberg_meta import (
+        _MANIFEST_ENTRY_SCHEMA,
+        write_ocf_bytes_with_meta,
+    )
+
+    rows_a = [{"k": i, "status": "A", "price": float(10 * i)}
+              for i in range(1, 6)]
+    rows_b = [{"k": i, "status": "B", "price": float(10 * i)}
+              for i in range(6, 11)]
+    t = LakeTable.create(
+        spark, tmp_path / f"lake_{name}",
+        spark.createDataFrame(
+            rows_a, "k long, status string, price double").coalesce(1),
+        num_files=1,
+    )
+    t.append(spark.createDataFrame(
+        rows_b, "k long, status string, price double").coalesce(1))
+    dest = t.export_iceberg_metadata(tmp_path / name)
+
+    m = json.loads(sorted(
+        (dest / "metadata").glob("v*.metadata.json"),
+        key=lambda p: int(p.name.split(".")[0][1:]))[-1].read_text())
+    ice = next(s for s in m["schemas"]
+               if s["schema-id"] == m["current-schema-id"])
+    status_id = next(f["id"] for f in ice["fields"] if f["name"] == "status")
+
+    part_schema = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+    for f in part_schema["fields"]:
+        if f["name"] == "data_file":
+            for g in f["type"]["fields"]:
+                if g["name"] == "partition":
+                    g["type"]["fields"] = [{
+                        "name": "status", "type": ["null", "string"],
+                        "field-id": 1000,
+                    }]
+    stamped = 0
+    for mf in sorted((dest / "metadata").glob("*.avro")):
+        _, mrows = read_ocf_bytes(mf.read_bytes())
+        if not mrows or "data_file" not in mrows[0]:
+            continue
+        for e in mrows:
+            if e["data_file"].get("content", 0) == 0:
+                fp = e["data_file"]["file_path"]
+                tbl = pq.read_table(
+                    fp[7:] if fp.startswith("file://") else fp)
+                vals = set(tbl.column("status").to_pylist())
+                assert len(vals) == 1, vals
+                e["data_file"]["partition"] = {"status": vals.pop()}
+                stamped += 1
+        mf.write_bytes(write_ocf_bytes_with_meta(
+            mrows, part_schema,
+            {"partition-spec":
+                 '[{"name": "status", "transform": "identity", '
+                 '"source-id": %d, "field-id": 1000}]' % status_id,
+             "partition-spec-id": "0",
+             "format-version": "2", "content": "data"},
+        ))
+    assert stamped >= 2
+    meta_file = sorted(
+        (dest / "metadata").glob("v*.metadata.json"),
+        key=lambda p: int(p.name.split(".")[0][1:]))[-1]
+    m["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"name": "status", "transform": "identity",
+         "source-id": status_id, "field-id": 1000}]}]
+    m["default-spec-id"] = 0
+    meta_file.write_text(json.dumps(m))
+    return dest
+
+
+def test_iceberg_partitioned_external_dml(spark, tmp_path):
+    """Identity-partitioned external COW DML (VERDICT r10 #2, the
+    'better' path on the Iceberg side): DELETE/UPDATE rewrite per
+    partition — data files keep every column (native Iceberg layout),
+    each new file belongs to exactly one partition tuple, manifests
+    carry TYPED partition records under the declared spec, and an
+    UPDATE that SETs the partition source moves rows to their new
+    partition."""
+    from lakehouses_spark.functions.avro_py import read_ocf_bytes as _rd
+
+    dest = _mk_identity_partitioned(spark, tmp_path, "ice_idp")
+    r = IcebergMetadataReader(spark, dest)
+    assert len(r.live_files()) == 2
+
+    res = r.delete("k in (1, 2)")          # touches only the A file
+    assert res["rewritten_files"] == 1
+    r2 = IcebergMetadataReader(spark, dest)
+    assert sorted(x.k for x in r2.to_df().collect()) == list(range(3, 11))
+    # the new manifest carries a truthful typed partition record
+    by_part = {}
+    for e in r2._live_data_entries():
+        p = (e["data_file"].get("partition") or {}).get("status")
+        by_part.setdefault(p, []).append(e)
+    assert set(by_part) == {"A", "B"}
+    # untouched B file is EXISTING at its original path
+    assert by_part["B"][0]["data_file"]["file_path"].endswith(".parquet")
+
+    # the writer schema of the new manifest types the partition record
+    newest = max((dest / "metadata").glob("*-m0.avro"),
+                 key=lambda p: p.stat().st_mtime)
+    schema, _ = _rd(newest.read_bytes())
+    r102 = next(
+        g for f in schema["fields"] if f["name"] == "data_file"
+        for g in f["type"]["fields"] if g["name"] == "partition")
+    assert [pf["name"] for pf in r102["type"]["fields"]] == ["status"]
+
+    # each rewritten data file holds exactly ONE partition value and
+    # KEEPS the partition source column (native Iceberg layout)
+    import pyarrow.parquet as pq
+    for e in r2._live_data_entries():
+        local = r2._local_data(e["data_file"]["file_path"])
+        vals = set(pq.read_table(local).column("status").to_pylist())
+        assert len(vals) == 1
+        assert vals == {(e["data_file"].get("partition") or {}).get("status")}
+
+    # UPDATE that SETs the partition source column: rows move partitions
+    res = r2.update({"status": "'B'"}, where="k = 3")
+    assert res["rewritten_files"] == 1
+    r3 = IcebergMetadataReader(spark, dest)
+    moved = [e for e in r3._live_data_entries()
+             if (e["data_file"].get("partition") or {}).get("status") == "B"]
+    rows = {x.k: x.status for x in r3.to_df().collect()}
+    assert rows[3] == "B" and rows[4] == "A"
+    # the moved row's file is stamped partition B
+    ks_in_b = set()
+    for e in moved:
+        local = r3._local_data(e["data_file"]["file_path"])
+        ks_in_b |= set(pq.read_table(local).column("k").to_pylist())
+    assert 3 in ks_in_b
+
+    # .partitions metadata table aggregates the tuples
+    parts = {x.partition["status"]: x.record_count
+             for x in r3.partitions().collect()}
+    assert parts == {"A": 2, "B": 6}
+
+
+def test_iceberg_partitioned_external_merge_and_compaction(spark, tmp_path):
+    """MERGE and rewrite_data_files on an identity-partitioned foreign
+    table: inserts land in their partitions, compaction stays
+    partition-grouped, every committed entry keeps a truthful tuple."""
+    import pyarrow.parquet as pq
+
+    dest = _mk_identity_partitioned(spark, tmp_path, "ice_idpm")
+    r = IcebergMetadataReader(spark, dest)
+    src = spark.createDataFrame(
+        [{"k": 1, "status": "A", "price": 999.0},     # match -> update
+         {"k": 20, "status": "B", "price": 200.0}],   # no match -> insert
+        "k long, status string, price double")
+    res = r.merge(src, "t.k = s.k")
+    assert res["rewritten_files"] == 1 and res["inserted_rows"] == 1
+    r2 = IcebergMetadataReader(spark, dest)
+    rows = {x.k: (x.status, x.price) for x in r2.to_df().collect()}
+    assert rows[1] == ("A", 999.0) and rows[20] == ("B", 200.0)
+    for e in r2._live_data_entries():
+        local = r2._local_data(e["data_file"]["file_path"])
+        vals = set(pq.read_table(local).column("status").to_pylist())
+        assert vals == {(e["data_file"].get("partition") or {}).get("status")}
+
+    # compaction keeps the partition grouping
+    res = r2.rewrite_data_files(target_files=1)
+    r3 = IcebergMetadataReader(spark, dest)
+    assert sorted(x.k for x in r3.to_df().collect()) == sorted(rows)
+    for e in r3._live_data_entries():
+        local = r3._local_data(e["data_file"]["file_path"])
+        vals = set(pq.read_table(local).column("status").to_pylist())
+        assert len(vals) == 1
+        assert vals == {(e["data_file"].get("partition") or {}).get("status")}
+    # rewrite_manifests relists tuples intact
+    r3.rewrite_manifests()
+    r4 = IcebergMetadataReader(spark, dest)
+    parts = {x.partition["status"] for x in r4.partitions().collect()}
+    assert parts == {"A", "B"}
