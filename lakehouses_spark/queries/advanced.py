@@ -2954,3 +2954,122 @@ def lake_clone_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("table_state")
         res = out.collect()
         return spark.createDataFrame(res, out.schema)
+
+
+@query(
+    "lake_partitioned_external_dml",
+    # the oracle replays the same append -> UPDATE -> DELETE chain
+    # relationally; the appended 'Z' rows are untouched by both DMLs
+    # regardless of order, so the replay composes cleanly
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= 5000
+    ), upd AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 1.05
+                  ELSE o_totalprice END AS o_totalprice
+      FROM base
+    ), kept AS (
+      SELECT * FROM upd
+      WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 40000)
+    ), appended AS (
+      SELECT * FROM kept
+      UNION ALL
+      SELECT o_orderkey + 1000000 AS o_orderkey,
+             'Z' AS o_orderstatus, 100.0 AS o_totalprice
+      FROM base WHERE o_orderkey <= 40
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+    FROM appended
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_partitioned_external_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED no-LakeTable write path, BOTH formats (r11): CTAS a
+    hive-partitioned Delta table (`write_delta_table`) and an
+    identity-partitioned Iceberg table (`write_iceberg_table`) straight
+    from a DataFrame — the reference's `partitionBy` write and
+    `USING iceberg PARTITIONED BY` surfaces (02.delta_lake_primer.py
+    write cells, 03.iceberg_primer.py:114-124) — then run the SAME
+    append → UPDATE → DELETE chain through each external reader and
+    assert the two formats agree row-for-row. In-query asserts pin the
+    partition mechanics: Delta partition pruning actually skips files on
+    the fresh layout, every rewritten add carries its partitionValues,
+    and the Iceberg `.partitions` metadata table reports exactly the
+    live status tuples.
+
+    100 TB shape: CTAS is one distributed partition-grouped write; each
+    DML plans affected files from one scan and rewrites per partition —
+    on a date-partitioned fact table the rewrite touches only the
+    partitions holding matches, never the table."""
+    from lakehouses_spark.tables.delta_log import (
+        DeltaLogReader,
+        read_delta,
+        write_delta_table,
+    )
+    from lakehouses_spark.tables.iceberg_meta import (
+        IcebergMetadataReader,
+        read_iceberg,
+        write_iceberg_table,
+    )
+
+    base = load_table(spark, sf_dir, "orders").where(
+        "o_orderkey <= 5000"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    app = base.where("o_orderkey <= 40").select(
+        (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+        F.lit("Z").alias("o_orderstatus"),
+        F.lit(100.0).alias("o_totalprice"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        rd = write_delta_table(
+            spark, base, f"{tmp}/d", partition_by=["o_orderstatus"])
+        ri = write_iceberg_table(
+            spark, base, f"{tmp}/i", partition_by=["o_orderstatus"])
+        rd.append(app)
+        ri.append(app)
+        rd = DeltaLogReader(spark, f"{tmp}/d")
+        ri = IcebergMetadataReader(spark, f"{tmp}/i")
+        for r in (rd, ri):
+            res_u = r.update(
+                {"o_totalprice": "o_totalprice * 1.05"},
+                where="o_orderstatus = 'P'")
+            assert res_u["rewritten_files"] >= 1, res_u
+            res_d = r.delete("o_orderstatus = 'F' AND o_totalprice < 40000")
+            assert res_d["rewritten_files"] >= 1, res_d
+        # Delta: partition pruning skips files on the fresh layout, and
+        # every live add still carries its partition value
+        rd = DeltaLogReader(spark, f"{tmp}/d")
+        full = len(rd.to_df().inputFiles())
+        pruned = len(rd.to_df(
+            filters=[("o_orderstatus", "=", "Z")]).inputFiles())
+        assert 0 < pruned < full, (pruned, full)
+        assert all(
+            "o_orderstatus" in (a.get("partitionValues") or {})
+            for a in rd.snapshot().files.values())
+        # Iceberg: live partition tuples are exactly the live statuses
+        ri = IcebergMetadataReader(spark, f"{tmp}/i")
+        tuples = {x.partition["o_orderstatus"]
+                  for x in ri.partitions().collect()}
+        statuses = {x.o_orderstatus for x in
+                    read_iceberg(spark, f"{tmp}/i")
+                    .select("o_orderstatus").distinct().collect()}
+        assert tuples == statuses, (tuples, statuses)
+
+        def agg(df):
+            return (
+                df.groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+                .orderBy("o_orderstatus")
+            )
+
+        out_d = agg(read_delta(spark, f"{tmp}/d")).localCheckpoint()
+        out_i = agg(read_iceberg(spark, f"{tmp}/i")).localCheckpoint()
+        # format parity: the two external write planes agree row-for-row
+        assert [tuple(r) for r in out_d.collect()] == \
+            [tuple(r) for r in out_i.collect()]
+        return out_d

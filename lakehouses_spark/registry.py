@@ -90,10 +90,13 @@ _SWEEP_PRIORITY = [
 # them with the driver's exact comparison in the meantime). The sweep-window
 # guard asserts any never-swept query outside the 50-entry window appears
 # HERE, so a new query can never silently fall outside the rotation.
-# Round 11's budget: 7 r5-stale + 43 r7-stale = 50; the 7 r7 rows that
-# didn't fit (listed in the rotation comment above) are the ONLY deferral
-# and they lead round 12.
-SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = []
+# Round 11's budget: 7 r5-stale + 43 r7-stale = 50. The query registered
+# after it filled waits here for its first driver row (the in-repo oracle
+# replica verifies it with the driver's exact comparison every session);
+# it joins the 7 remaining r7 rows at the head of the round-12 rotation.
+SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
+    "lake_partitioned_external_dml",
+]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
 

@@ -659,6 +659,120 @@ def exact_footer_bounds(md) -> tuple[dict, dict]:
     return mins, maxs
 
 
+def emit_data_files(table_path: Path, df: DataFrame, rel_prefix: str,
+                    ts: int, data_change: bool,
+                    part_cols: list[str] | None = None) -> list[dict]:
+    """Write ``df`` as parquet files under ``data/<prefix>-<uuid>/`` of
+    ``table_path`` and return their add actions with exactness-guarded
+    footer min/max in ``add.stats`` (so `read_delta(filters=)` keeps
+    skipping files on the new layout) — the shared writer behind CTAS
+    (`write_delta_table`), external append, OPTIMIZE, and the COW DML.
+
+    With ``part_cols``, the write is hive-partitioned (`partitionBy`):
+    partition columns leave the data files and land in each add action's
+    ``partitionValues`` (decoded from the hive directory names Spark
+    writes — the same derivation delta-spark uses). One distributed write
+    regardless of how many partitions the rows span; per-partition
+    grouping is the shuffle Spark already does."""
+    from urllib.parse import quote, unquote as _unq
+
+    import pyarrow.parquet as pq
+
+    rel_dir = f"data/{rel_prefix}-{uuid.uuid4().hex[:8]}"
+    tmp = table_path / f".tmp-{rel_prefix}-{uuid.uuid4().hex}"
+    if part_cols:
+        df.write.partitionBy(*part_cols).parquet(str(tmp))
+        parts = sorted(
+            p for p in tmp.rglob("part-*.parquet") if p.is_file())
+    else:
+        df.write.parquet(str(tmp))
+        parts = sorted(tmp.glob("part-*.parquet"))
+    (table_path / rel_dir).mkdir(parents=True, exist_ok=True)
+    actions: list[dict] = []
+    for i, part in enumerate(parts):
+        pv: dict[str, Any] = {}
+        sub = part.relative_to(tmp).parts[:-1]
+        for comp in sub:  # hive dirs: col=value, %XX-escaped
+            k, _, v = comp.partition("=")
+            pv[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                     else _unq(v))
+        sub_dir = "/".join(sub)
+        rel = (f"{rel_dir}/{sub_dir}/part-{i:05d}.parquet"
+               if sub_dir else f"{rel_dir}/part-{i:05d}.parquet")
+        (table_path / rel).parent.mkdir(parents=True, exist_ok=True)
+        os.replace(part, table_path / rel)
+        md = pq.ParquetFile(table_path / rel).metadata
+        mins, maxs = exact_footer_bounds(md)
+        for name in [n for n in mins if not isinstance(
+                mins[n], (int, float, str, bool))]:
+            mins.pop(name)  # not JSON-encodable in add.stats
+            maxs.pop(name, None)
+        stats = {"numRecords": md.num_rows}
+        if mins:
+            stats["minValues"] = mins
+            stats["maxValues"] = maxs
+        actions.append({"add": {
+            "path": quote(rel),
+            "partitionValues": pv,
+            "size": (table_path / rel).stat().st_size,
+            "modificationTime": ts,
+            "dataChange": data_change,
+            "stats": json.dumps(stats),
+        }})
+    shutil.rmtree(tmp, ignore_errors=True)
+    return actions
+
+
+def write_delta_table(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str | Path,
+    partition_by: list[str] | None = None,
+    properties: dict[str, str] | None = None,
+) -> "DeltaLogReader":
+    """CTAS for the Delta protocol WITHOUT a LakeTable — the
+    `df.write.format("delta").partitionBy(...).save(path)` surface
+    (02.delta_lake_primer.py write cells): create a brand-new (optionally
+    hive-partitioned) Delta table at ``path`` from ``df``. Version 0 is
+    one commit of protocol + metaData + adds with exactness-guarded
+    footer stats; partition columns leave the data files and live in
+    ``partitionValues``. Refuses a path that already holds a Delta log.
+
+    100 TB shape: one distributed `partitionBy` write; driver cost is
+    O(files) add actions — exactly what delta-spark's CTAS commits."""
+    import time as _time
+
+    path = Path(path)
+    log = path / "_delta_log"
+    if log.exists() and any(log.iterdir()):
+        raise DeltaProtocolError(f"a Delta table already exists at {path}")
+    part = list(partition_by or [])
+    missing = [c for c in part if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition_by columns {missing} not in DataFrame")
+    log.mkdir(parents=True, exist_ok=True)
+    ts = int(_time.time() * 1000)
+    actions: list[dict] = [
+        {"commitInfo": {
+            "timestamp": ts, "operation": "CREATE TABLE AS SELECT",
+            "operationParameters": {"partitionBy": json.dumps(part)},
+        }},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(df.schema.jsonValue()),
+            "partitionColumns": part,
+            "configuration": dict(properties or {}),
+            "createdTime": ts,
+        }},
+    ]
+    actions.extend(
+        emit_data_files(path, df, "ctas", ts, True, part or None))
+    _write_commit(log / f"{0:020d}.json", actions)
+    return DeltaLogReader(spark, path)
+
+
 def merge_rewritten(sub, src, cond, names, dtype_of, source_cols,
                     when_matched_update, when_matched_delete):
     """Rewritten contents of the MERGE-affected files (target aliased
@@ -1811,65 +1925,69 @@ class DeltaLogReader:
     def _write_data_files(self, df: DataFrame, rel_prefix: str, ts: int,
                           data_change: bool,
                           part_cols: list[str] | None = None) -> list[dict]:
-        """Write ``df`` as parquet files under ``data/<prefix>-<uuid>/``
-        and return their add actions with footer min/max in ``add.stats``
-        (so `read_delta(filters=)` keeps skipping files on the new
-        layout) — the shared writer behind OPTIMIZE and the COW DML.
+        return emit_data_files(
+            self.path, df, rel_prefix, ts, data_change, part_cols)
 
-        With ``part_cols``, the write is hive-partitioned
-        (`partitionBy`): partition columns leave the data files and land
-        in each add action's ``partitionValues`` (decoded from the hive
-        directory names Spark writes — the same derivation delta-spark
-        uses), preserving the layout partition pruning keys on. One
-        distributed write regardless of how many partitions the rows
-        span; per-partition grouping is the shuffle Spark already does."""
-        from urllib.parse import quote, unquote as _unq
+    def append(self, df: DataFrame) -> dict:
+        """Blind APPEND to an external Delta table (delta-rs/delta-spark's
+        `mode("append")`): new data files + adds with dataChange=true at
+        version N+1, no reads of existing data. Values cast to the table
+        schema; absent nullable columns fill null; extra or absent
+        required columns refuse (no schema evolution on externals —
+        adopt via convert_from_delta). Partitioned tables write
+        `partitionBy`; column-mapped tables store physical names.
+        Allowed on appendOnly tables — append is the one verb they
+        permit. CDF needs no change file: adds-only commits derive
+        `insert` rows (Delta's blind-append optimization)."""
+        import time as _time
 
-        import pyarrow.parquet as pq
-
-        rel_dir = f"data/{rel_prefix}-{uuid.uuid4().hex[:8]}"
-        tmp = self.path / f".tmp-{rel_prefix}-{uuid.uuid4().hex}"
-        if part_cols:
-            df.write.partitionBy(*part_cols).parquet(str(tmp))
-            parts = sorted(
-                p for p in tmp.rglob("part-*.parquet") if p.is_file())
-        else:
-            df.write.parquet(str(tmp))
-            parts = sorted(tmp.glob("part-*.parquet"))
-        (self.path / rel_dir).mkdir(parents=True, exist_ok=True)
-        actions: list[dict] = []
-        for i, part in enumerate(parts):
-            pv: dict[str, Any] = {}
-            sub = part.relative_to(tmp).parts[:-1]
-            for comp in sub:  # hive dirs: col=value, %XX-escaped
-                k, _, v = comp.partition("=")
-                pv[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
-                         else _unq(v))
-            sub_dir = "/".join(sub)
-            rel = (f"{rel_dir}/{sub_dir}/part-{i:05d}.parquet"
-                   if sub_dir else f"{rel_dir}/part-{i:05d}.parquet")
-            (self.path / rel).parent.mkdir(parents=True, exist_ok=True)
-            os.replace(part, self.path / rel)
-            md = pq.ParquetFile(self.path / rel).metadata
-            mins, maxs = exact_footer_bounds(md)
-            for name in [n for n in mins if not isinstance(
-                    mins[n], (int, float, str, bool))]:
-                mins.pop(name)  # not JSON-encodable in add.stats
-                maxs.pop(name, None)
-            stats = {"numRecords": md.num_rows}
-            if mins:
-                stats["minValues"] = mins
-                stats["maxValues"] = maxs
-            actions.append({"add": {
-                "path": quote(rel),
-                "partitionValues": pv,
-                "size": (self.path / rel).stat().st_size,
-                "modificationTime": ts,
-                "dataChange": data_change,
-                "stats": json.dumps(stats),
-            }})
-        shutil.rmtree(tmp, ignore_errors=True)
-        return actions
+        snap = self.snapshot()
+        schema = snap.schema
+        names = {f.name for f in schema.fields}
+        extra = [c for c in df.columns if c not in names]
+        if extra:
+            raise DeltaProtocolError(
+                f"append columns {extra} are not in the table schema; "
+                "external append does not evolve schemas"
+            )
+        required = [f.name for f in schema.fields
+                    if f.name not in df.columns and not f.nullable]
+        if required:
+            raise DeltaProtocolError(
+                f"append is missing required column(s) {required}"
+            )
+        out = df.select(*[
+            (F.col(f.name).cast(f.dataType) if f.name in df.columns
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in schema.fields
+        ])
+        conf = snap.configuration
+        mapping_mode = conf.get("delta.columnMapping.mode", "none")
+        phys_of: dict[str, str] = {}
+        if mapping_mode in ("name", "id"):
+            for f in json.loads(snap.metadata["schemaString"]).get(
+                    "fields", []):
+                phys = (f.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName")
+                if phys and phys != f["name"]:
+                    phys_of[f["name"]] = phys
+                    out = out.withColumnRenamed(f["name"], phys)
+        part_cols = [
+            phys_of.get(c, c) for c in snap.partition_columns
+        ] or None
+        ts = int(_time.time() * 1000)
+        actions: list[dict] = [{
+            "commitInfo": {
+                "timestamp": ts, "operation": "WRITE",
+                "operationParameters": {"mode": "Append"},
+            }
+        }]
+        adds = self._write_data_files(out, "append", ts, data_change=True,
+                                      part_cols=part_cols)
+        actions.extend(adds)
+        new_v = snap.version + 1
+        _write_commit(self.log / f"{new_v:020d}.json", actions)
+        return {"version": new_v, "added_files": len(adds)}
 
     # -- copy-on-write DML (delta_lake_primer.py:213-320 against an ------ #
     # -- EXTERNAL _delta_log, no LakeTable adoption required) ------------- #

@@ -1054,6 +1054,97 @@ def _manifest_entry(
 # --------------------------------------------------------------------------- #
 # reader
 # --------------------------------------------------------------------------- #
+def write_iceberg_table(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str | Path,
+    partition_by: list[str] | None = None,
+    properties: dict[str, str] | None = None,
+) -> "IcebergMetadataReader":
+    """CTAS for Iceberg v2 WITHOUT a LakeTable — the `CREATE TABLE ...
+    USING iceberg PARTITIONED BY (...) AS SELECT` surface
+    (03.iceberg_primer.py:114-124): bootstrap the metadata layer (schema
+    with stable field ids, name-mapping property, IDENTITY partition
+    spec) at ``path``, then commit the initial `append` snapshot through
+    the same plumbing the external DML uses — typed partition records in
+    the manifest, one data-file group per partition tuple, data files
+    keeping every column. Refuses an existing table and non-identity-
+    encodable partition sources.
+
+    100 TB shape: one distributed partition-grouped write; driver cost is
+    O(files) manifest entries."""
+    import time as _time
+
+    path = Path(path)
+    meta_dir = path / "metadata"
+    if meta_dir.exists() and any(meta_dir.iterdir()):
+        raise IcebergFormatError(
+            f"an Iceberg table already exists at {path}")
+    part = list(partition_by or [])
+    missing = [c for c in part if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition_by columns {missing} not in DataFrame")
+    for c in part:
+        if df.schema[c].dataType.typeName() not in _PV_AVRO:
+            raise IcebergFormatError(
+                f"partition column {c!r} has type "
+                f"{df.schema[c].dataType.typeName()!r}, not supported as "
+                "an identity partition source"
+            )
+    meta_dir.mkdir(parents=True, exist_ok=True)
+    location = str(path.resolve())
+    path_ids: dict[str, int] = {}
+
+    def alloc(p: str) -> int:
+        if p not in path_ids:
+            path_ids[p] = len(path_ids) + 1
+        return path_ids[p]
+
+    ice_struct = _spark_type_to_iceberg(df.schema, alloc)
+    ice_schema = {"schema-id": 0, **ice_struct}
+    top_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    spec_fields = [
+        {"name": c, "transform": "identity",
+         "source-id": top_id[c], "field-id": 1000 + i}
+        for i, c in enumerate(part)
+    ]
+    now_ms = int(_time.time() * 1000)
+    name_mapping = [
+        {"field-id": f["id"], "names": [f["name"]]}
+        for f in ice_schema["fields"]
+    ]
+    meta = {
+        "format-version": FORMAT_VERSION,
+        "table-uuid": str(uuid.uuid4()),
+        "location": location,
+        "last-sequence-number": 0,
+        "last-updated-ms": now_ms,
+        "last-column-id": len(path_ids),
+        "current-schema-id": 0,
+        "schemas": [ice_schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            **(properties or {}),
+            "schema.name-mapping.default": json.dumps(name_mapping),
+            "created-ms": str(now_ms),
+        },
+        "current-snapshot-id": -1,
+        "refs": {},
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    (meta_dir / "v1.metadata.json").write_text(json.dumps(meta, indent=2))
+    (meta_dir / "version-hint.text").write_text("1")
+    r = IcebergMetadataReader(spark, path)
+    r.append(df)
+    return IcebergMetadataReader(spark, path)
+
+
 class IcebergMetadataReader:
     """Independent Iceberg v1/v2 metadata reader: stdlib JSON + pure-Python
     Avro OCF. Resolves current metadata via version-hint.text (hadoop
@@ -1892,8 +1983,11 @@ class IcebergMetadataReader:
         meta["current-snapshot-id"] = new_id
         meta["last-sequence-number"] = seq
         refs = dict(meta.get("refs") or {})
-        if "main" in refs:
-            refs["main"] = {**refs["main"], "snapshot-id": new_id}
+        # the main branch always tracks the current snapshot; create it
+        # on the FIRST commit to a fresh table (write_iceberg_table)
+        refs["main"] = {
+            **refs.get("main", {"type": "branch"}), "snapshot-id": new_id,
+        }
         meta["refs"] = refs
         self._commit_metadata(meta)
 
@@ -1917,6 +2011,72 @@ class IcebergMetadataReader:
         if not set:
             raise ValueError("update() requires at least one SET column")
         return self._cow_dml("UPDATE", where or "true", set, dry_run)
+
+    def append(self, df: DataFrame) -> dict:
+        """Blind APPEND to an external Iceberg table — the format twin
+        of `DeltaLogReader.append`: commit an `append` snapshot whose
+        manifest lists the new files ADDED and every live file EXISTING
+        at its original sequence number; live delete manifests carry
+        over untouched. Values cast to the table schema; absent nullable
+        columns fill null; extra or absent required columns refuse.
+        Identity-partitioned tables write one file group per tuple."""
+        pctx = self._partition_ctx("APPEND")
+        logical, ice, phys_of, fid_of_phys, dt_of_phys = self._phys_maps()
+        names = {f.name for f in logical.fields}
+        extra = [c for c in df.columns if c not in names]
+        if extra:
+            raise IcebergFormatError(
+                f"append columns {extra} are not in the table schema; "
+                "external append does not evolve schemas"
+            )
+        required = [f.name for f in logical.fields
+                    if f.name not in df.columns and not f.nullable]
+        if required:
+            raise IcebergFormatError(
+                f"append is missing required column(s) {required}"
+            )
+        out = df.select(*[
+            (F.col(f.name).cast(f.dataType) if f.name in df.columns
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in logical.fields
+        ])
+        for f in logical.fields:  # files store PHYSICAL names
+            if phys_of[f.name] != f.name:
+                out = out.withColumnRenamed(f.name, phys_of[f.name])
+        new_rels = self._write_cow_files(out, "append", pctx=pctx)
+        new_id, seq = self._next_ids()
+        entries = self._added_entries(
+            new_rels, new_id, seq, fid_of_phys, dt_of_phys)
+        n_added = len(entries)
+        live = self._live_data_entries()
+        for e in live:
+            entries.append({
+                "status": 0,  # EXISTING
+                "snapshot_id": e.get("snapshot_id"),
+                "sequence_number": e.get("sequence_number"),
+                "file_sequence_number": e.get("file_sequence_number"),
+                "data_file": e["data_file"],
+            })
+        snap = self._snapshot()
+        carried = []
+        if snap is not None:
+            _, ml_rows = read_ocf_bytes(
+                self._local(snap["manifest-list"]).read_bytes())
+            carried = [
+                r for r in ml_rows if int(r.get("content", 0) or 0) == 1
+            ]
+        self._commit_snapshot(
+            entries, ice, new_id, seq,
+            operation="append",
+            summary={
+                "added-data-files": str(n_added),
+                "deleted-data-files": "0",
+                "total-data-files": str(len(live) + n_added),
+            },
+            carried_ml_rows=carried,
+            pctx=pctx,
+        )
+        return {"snapshot_id": new_id, "added_files": n_added}
 
     def merge(
         self,

@@ -1,0 +1,229 @@
+"""Native external-format WRITERS (round 11): create and append to
+Delta / Iceberg tables WITHOUT a LakeTable — the
+`df.write.format("delta").partitionBy(...).save(path)` and `CREATE TABLE
+... USING iceberg PARTITIONED BY ... AS SELECT` surfaces
+(02.delta_lake_primer.py write cells, 03.iceberg_primer.py:114-124).
+Until this round a foreign table could only be born from a LakeTable
+export (unpartitioned); now `write_delta_table` / `write_iceberg_table`
+CTAS fresh (optionally partitioned) tables and `append` adds to any
+external table — composing with the external DML/MERGE/rollback plane
+into a complete no-LakeTable write path."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lakehouses_spark.tables import LakeTable
+from lakehouses_spark.tables.delta_log import (
+    DeltaLogReader,
+    DeltaProtocolError,
+    read_delta,
+    write_delta_table,
+)
+from lakehouses_spark.tables.iceberg_meta import (
+    IcebergFormatError,
+    IcebergMetadataReader,
+    read_iceberg,
+    write_iceberg_table,
+)
+
+ROWS = [
+    {"k": i, "seg": "AB"[i % 2], "v": float(10 * i)} for i in range(1, 21)
+]
+SCHEMA = "k long, seg string, v double"
+
+
+def _sorted_rows(df, cols=None):
+    cols = sorted(cols or df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+# ------------------------------ Delta ------------------------------------ #
+def test_write_delta_table_partitioned_ctas(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA).coalesce(2)
+    r = write_delta_table(spark, df, tmp_path / "d", partition_by=["seg"])
+    snap = r.snapshot()
+    assert snap.version == 0
+    assert snap.partition_columns == ["seg"]
+    # every add carries its partition value; stats present for pruning
+    for a in snap.files.values():
+        assert a["partitionValues"]["seg"] in ("A", "B")
+        assert "minValues" in json.loads(a["stats"])
+    assert _sorted_rows(read_delta(spark, tmp_path / "d")) == _sorted_rows(df)
+    # partition pruning works on the fresh layout
+    full = len(r.to_df().inputFiles())
+    pruned = len(r.to_df(filters=[("seg", "=", "A")]).inputFiles())
+    assert 0 < pruned < full
+    # refuses to clobber an existing table / unknown partition column
+    with pytest.raises(DeltaProtocolError, match="already exists"):
+        write_delta_table(spark, df, tmp_path / "d")
+    with pytest.raises(ValueError, match="partition_by"):
+        write_delta_table(spark, df, tmp_path / "d2", partition_by=["nope"])
+
+
+def test_delta_external_append(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA).coalesce(1)
+    r = write_delta_table(
+        spark, df, tmp_path / "d", partition_by=["seg"],
+        properties={"delta.enableChangeDataFeed": "true"})
+    res = r.append(spark.createDataFrame(
+        [{"k": 100, "seg": "C", "v": 1.0},
+         {"k": 101, "seg": "A", "v": 2.0}], SCHEMA).coalesce(1))
+    assert res["version"] == 1 and res["added_files"] >= 1
+    got = read_delta(spark, tmp_path / "d")
+    assert got.count() == 22
+    assert [x.seg for x in got.where("k = 100").collect()] == ["C"]
+    # absent nullable column fills null; values cast to the schema
+    r2 = DeltaLogReader(spark, tmp_path / "d")
+    r2.append(spark.createDataFrame([{"k": 200, "seg": "Z"}],
+                                    "k int, seg string").coalesce(1))
+    row = read_delta(spark, tmp_path / "d").where("k = 200").collect()[0]
+    assert row.v is None and row.seg == "Z"
+    # blind append derives CDF inserts without change files
+    ch = r2.table_changes(1, 1).collect()
+    assert {x["_change_type"] for x in ch} == {"insert"}
+    assert sorted(x.k for x in ch) == [100, 101]
+    # extra columns refuse (no schema evolution on externals)
+    with pytest.raises(DeltaProtocolError, match="not in the table schema"):
+        r2.append(spark.createDataFrame([{"k": 1, "zz": 1}], "k long, zz long"))
+
+
+def test_delta_append_allowed_on_append_only(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA).coalesce(1)
+    r = write_delta_table(spark, df, tmp_path / "d",
+                          properties={"delta.appendOnly": "true"})
+    r.append(spark.createDataFrame([{"k": 99, "seg": "Q", "v": 0.0}],
+                                   SCHEMA).coalesce(1))
+    assert read_delta(spark, tmp_path / "d").count() == 21
+    with pytest.raises(DeltaProtocolError, match="appendOnly"):
+        DeltaLogReader(spark, tmp_path / "d").delete("k = 99")
+
+
+def test_delta_ctas_append_dml_full_arc(spark, tmp_path):
+    """A user with NO LakeTable runs the whole lifecycle: CTAS ->
+    append -> UPDATE -> DELETE -> MERGE -> RESTORE, partitioned."""
+    df = spark.createDataFrame(ROWS, SCHEMA).coalesce(1)
+    r = write_delta_table(spark, df, tmp_path / "d", partition_by=["seg"])
+    r.append(spark.createDataFrame(
+        [{"k": 50 + i, "seg": "C", "v": 5.0} for i in range(3)],
+        SCHEMA).coalesce(1))
+    r = DeltaLogReader(spark, tmp_path / "d")
+    r.update({"v": "v + 1"}, where="seg = 'C'")
+    r.delete("k = 52")
+    src = spark.createDataFrame(
+        [{"k": 50, "seg": "C", "v": 0.0}, {"k": 300, "seg": "D", "v": 3.0}],
+        SCHEMA)
+    r.merge(src, "t.k = s.k")
+    rows = {x.k: (x.seg, x.v) for x in read_delta(spark, tmp_path / "d").collect()}
+    assert rows[50] == ("C", 0.0) and rows[51] == ("C", 6.0)
+    assert 52 not in rows and rows[300] == ("D", 3.0)
+    r.restore(0)
+    assert read_delta(spark, tmp_path / "d").count() == len(ROWS)
+
+
+# ------------------------------ Iceberg ---------------------------------- #
+def test_write_iceberg_table_partitioned_ctas(spark, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame(ROWS, SCHEMA).coalesce(2)
+    r = write_iceberg_table(spark, df, tmp_path / "i", partition_by=["seg"])
+    # identity spec declared; tuples truthful; main ref created
+    spec = r.meta["partition-specs"][0]
+    assert [f["transform"] for f in spec["fields"]] == ["identity"]
+    assert r.meta["refs"]["main"]["snapshot-id"] == \
+        r.meta["current-snapshot-id"]
+    for e in r._live_data_entries():
+        p = (e["data_file"].get("partition") or {}).get("seg")
+        local = r._local_data(e["data_file"]["file_path"])
+        vals = set(pq.read_table(local).column("seg").to_pylist())
+        assert vals == {p}
+    assert _sorted_rows(read_iceberg(spark, tmp_path / "i")) == \
+        _sorted_rows(df)
+    # external-client proof: DuckDB reads the resolved live files
+    files = [str(r._local_data(e["data_file"]["file_path"]))
+             for e in r._live_data_entries()]
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
+    assert n == len(ROWS)
+    # .partitions aggregates the fresh tuples
+    parts = {x.partition["seg"]: x.record_count
+             for x in r.partitions().collect()}
+    assert parts == {"A": 10, "B": 10}
+    with pytest.raises(IcebergFormatError, match="already exists"):
+        write_iceberg_table(spark, df, tmp_path / "i")
+    with pytest.raises(ValueError, match="partition_by"):
+        write_iceberg_table(spark, df, tmp_path / "i2", partition_by=["no"])
+
+
+def test_iceberg_external_append(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA).coalesce(1)
+    r = write_iceberg_table(spark, df, tmp_path / "i", partition_by=["seg"])
+    n_live0 = len(r.live_files())
+    res = r.append(spark.createDataFrame(
+        [{"k": 100, "seg": "C", "v": 1.0}], SCHEMA).coalesce(1))
+    assert res["added_files"] == 1
+    r2 = IcebergMetadataReader(spark, tmp_path / "i")
+    assert r2.meta["snapshots"][-1]["summary"]["operation"] == "append"
+    assert r2.to_df().count() == 21
+    # prior files relisted EXISTING at their original sequence numbers
+    seqs = {e["sequence_number"] for e in r2._live_data_entries()}
+    assert len(seqs) == 2 and len(r2.live_files()) == n_live0 + 1
+    # absent nullable fills null; extra refuses
+    r2.append(spark.createDataFrame([{"k": 200, "seg": "Z"}],
+                                    "k int, seg string").coalesce(1))
+    row = IcebergMetadataReader(spark, tmp_path / "i").to_df() \
+        .where("k = 200").collect()[0]
+    assert row.v is None
+    with pytest.raises(IcebergFormatError, match="not in the table schema"):
+        r2.append(spark.createDataFrame([{"k": 1, "zz": 1}],
+                                        "k long, zz long"))
+
+
+def test_iceberg_append_carries_live_mor_deletes(spark, tmp_path):
+    """Appending must not resurrect rows a live position-delete manifest
+    removes: the delete manifests carry over and keep applying."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    t = LakeTable.create(spark, tmp_path / "lake", df.coalesce(1))
+    t.delete("k <= 3", lazy=True)  # merge-on-read tombstone
+    dest = t.export_iceberg_metadata(tmp_path / "i")
+    r = IcebergMetadataReader(spark, dest)
+    assert r.to_df().count() == 17
+    r.append(spark.createDataFrame([{"k": 100, "seg": "C", "v": 1.0}],
+                                   SCHEMA).coalesce(1))
+    got = IcebergMetadataReader(spark, dest).to_df()
+    assert got.count() == 18
+    assert sorted(x.k for x in got.collect()) == list(range(4, 21)) + [100]
+
+
+def test_iceberg_ctas_append_dml_rollback_full_arc(spark, tmp_path):
+    """No-LakeTable lifecycle on Iceberg: CTAS -> append -> UPDATE ->
+    MERGE -> rollback, identity-partitioned throughout."""
+    df = spark.createDataFrame(ROWS, SCHEMA).coalesce(1)
+    r = write_iceberg_table(spark, df, tmp_path / "i", partition_by=["seg"])
+    v0 = r.meta["current-snapshot-id"]
+    r.append(spark.createDataFrame(
+        [{"k": 50, "seg": "C", "v": 5.0}], SCHEMA).coalesce(1))
+    r = IcebergMetadataReader(spark, tmp_path / "i")
+    r.update({"v": "v * 2"}, where="seg = 'C'")
+    r2 = IcebergMetadataReader(spark, tmp_path / "i")
+    src = spark.createDataFrame(
+        [{"k": 50, "seg": "C", "v": 0.0}, {"k": 300, "seg": "D", "v": 3.0}],
+        SCHEMA)
+    r2.merge(src, "t.k = s.k")
+    r3 = IcebergMetadataReader(spark, tmp_path / "i")
+    rows = {x.k: (x.seg, x.v) for x in r3.to_df().collect()}
+    assert rows[50] == ("C", 0.0) and rows[300] == ("D", 3.0)
+    # tuples stay truthful through the whole arc
+    import pyarrow.parquet as pq
+    for e in r3._live_data_entries():
+        local = r3._local_data(e["data_file"]["file_path"])
+        vals = set(pq.read_table(local).column("seg").to_pylist())
+        assert vals == {(e["data_file"].get("partition") or {}).get("seg")}
+    r3.rollback_to_snapshot(v0)
+    assert IcebergMetadataReader(spark, tmp_path / "i").to_df().count() \
+        == len(ROWS)
