@@ -823,6 +823,26 @@ def merge_inserts(src, t_all, cond, names, dtype_of, source_cols,
         for c in names])
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _quiet_analysis_probe():
+    """Suppress PySpark's SQLQueryContextLogger for the duration of an
+    EXPECTED-to-maybe-fail analysis (the partition-only planning probe):
+    the AnalysisException is the probe's answer, not an error, and the
+    logger would otherwise print a full stack per fallback."""
+    import logging
+
+    lg = logging.getLogger("SQLQueryContextLogger")
+    prev = lg.level
+    lg.setLevel(logging.CRITICAL)
+    try:
+        yield
+    finally:
+        lg.setLevel(prev)
+
+
 def merge_dup_match_check(t_chk, src, cond) -> bool:
     """True when multiple source rows match one target row (``t_chk``
     carries a ``__tid__`` row id) — the condition MERGE must refuse
@@ -1647,6 +1667,7 @@ class DeltaLogReader:
         columns: list[str] | None = None,
         filters: list[tuple[str, str, Any]] | None = None,
         _with_path: bool = False,
+        _paths: set[str] | None = None,
     ) -> DataFrame:
         """ONE parquet scan over every live file (partition columns are NOT
         in Delta data files — they live in add.partitionValues), with the
@@ -1740,13 +1761,17 @@ class DeltaLogReader:
         pv_rows: list[tuple] = []
         deleted_rows: list[tuple[str, int]] = []
         for path, a in snap.files.items():
+            ap = str((self.path / path).resolve())
+            if _paths is not None and ap not in _paths:
+                # caller-scoped read (the COW DML rewrite pass): list and
+                # scan ONLY the affected files, never the table
+                continue
             if filters and a.get("__statsPruned") and path in lazy_stats:
                 a = {**a, "__lazyStats": lazy_stats[path]}
             if filters and not _delta_file_may_match(
                 a, filters, part_types, {f.name: phys_name(f) for f in schema.fields}
             ):
                 continue
-            ap = str((self.path / path).resolve())
             abs_paths.append(ap)
             pv = a.get("partitionValues") or {}
             # spec-strict writers key partitionValues by PHYSICAL name
@@ -2045,19 +2070,16 @@ class DeltaLogReader:
                 "version": snap.version}
         if not snap.files:
             return plan
-        df = self.to_df(_with_path=True)
         pred = F.expr(predicate)
-        affected = [
-            r["__lh_fp"] for r in
-            df.where(pred).select("__lh_fp").distinct().collect()
-        ]
+        affected = self._plan_affected(snap, pred)
         plan["rewritten_files"] = len(affected)
         if dry_run or not affected:
             return plan
         rel_of = {
             str((self.path / p).resolve()): p for p in snap.files
         }
-        sub = df.where(F.col("__lh_fp").isin(affected))
+        # the rewrite pass lists and scans ONLY the affected files
+        sub = self.to_df(_with_path=True, _paths=set(affected))
         cdf_on = conf.get("delta.enableChangeDataFeed") == "true"
         cdc_parts: list[DataFrame] = []
         if op == "DELETE":
@@ -2093,6 +2115,59 @@ class DeltaLogReader:
             [rel_of[ap] for ap in affected], cdc_parts, snap,
         )
         return plan
+
+    def _plan_affected(self, snap: "DeltaSnapshot", pred: Column) -> list[str]:
+        """Absolute paths of the live files holding rows where ``pred``
+        is TRUE. A predicate referencing ONLY partition columns plans
+        from ``partitionValues`` — classic partition pruning, zero data
+        read (every row of a file shares its tuple, so tuple-TRUE is
+        exactly rows-TRUE); the tuples job is O(files) driver rows, not
+        a table scan. Anything referencing a data column falls back to
+        ONE distributed scan keyed by `_metadata.file_path` that
+        collects only paths — O(affected) driver state either way."""
+        schema = snap.schema
+        part_cols = snap.partition_columns
+        if part_cols:
+            mapping_mode = snap.configuration.get(
+                "delta.columnMapping.mode", "none")
+            by_name = {f.name: f for f in schema.fields}
+
+            def phys(f: StructField) -> str:
+                if mapping_mode in ("name", "id"):
+                    return f.metadata.get(
+                        "delta.columnMapping.physicalName", f.name)
+                return f.name
+
+            rows = []
+            for path, a in snap.files.items():
+                pv = a.get("partitionValues") or {}
+                rows.append((
+                    str((self.path / path).resolve()),
+                    *[pv[c] if c in pv else pv.get(phys(by_name[c]))
+                      for c in part_cols],
+                ))
+            tuples = self.spark.createDataFrame(
+                rows, StructType(
+                    [StructField("__lh_fp", StringType())]
+                    + [StructField(f"__lh_pv_{i}", StringType())
+                       for i in range(len(part_cols))]))
+            for i, c in enumerate(part_cols):
+                tuples = tuples.withColumn(
+                    c, F.col(f"__lh_pv_{i}").cast(by_name[c].dataType))
+            try:
+                with _quiet_analysis_probe():
+                    # analysis raises if the predicate references any
+                    # non-partition column -> fall back to the scan
+                    matched = tuples.where(pred)
+                    return [r["__lh_fp"]
+                            for r in matched.select("__lh_fp").collect()]
+            except Exception:
+                pass
+        df = self.to_df(_with_path=True)
+        return [
+            r["__lh_fp"] for r in
+            df.where(pred).select("__lh_fp").distinct().collect()
+        ]
 
     def _commit_dml(self, op: str, params: dict[str, str],
                     new_rows: DataFrame, removed_rels: list[str],
@@ -2234,15 +2309,12 @@ class DeltaLogReader:
         out_parts: list[DataFrame] = []
         cdc_parts: list[DataFrame] = []
         if affected:
-            sub = (
-                self.to_df(_with_path=True)
-                .where(F.col("__lh_fp").isin(affected))
-                .alias("t")
-            )
+            # both rewrite-side reads list and scan ONLY the matched files
+            sub = self.to_df(
+                _with_path=True, _paths=set(affected)).alias("t")
             if when_matched_update and not when_matched_delete:
                 t_chk = (
-                    self.to_df(_with_path=True)
-                    .where(F.col("__lh_fp").isin(affected))
+                    self.to_df(_with_path=True, _paths=set(affected))
                     .withColumn("__tid__", F.monotonically_increasing_id())
                     .alias("t")
                 )

@@ -1424,6 +1424,7 @@ class IcebergMetadataReader:
         columns: list[str] | None = None,
         ref: str | None = None,
         _with_path: bool = False,
+        _paths: set[str] | None = None,
     ) -> DataFrame:
         """Read the snapshot. ``filters`` prune files via the manifest
         min/max bounds then apply row-wise; ``columns`` (r8) prunes the
@@ -1445,6 +1446,13 @@ class IcebergMetadataReader:
         )
         logical = self.schema(schema_id)
         files = self.plan_files(filters, snapshot_id)
+        if _paths is not None:
+            # caller-scoped read (the COW DML rewrite pass): list and
+            # scan ONLY the affected files, never the table
+            files = [
+                f for f in files
+                if str(self._local_data(f["file_path"]).resolve()) in _paths
+            ]
         if not files:
             empty = self.spark.createDataFrame([], logical)
             empty = empty.select(*columns) if columns is not None else empty
@@ -2135,15 +2143,12 @@ class IcebergMetadataReader:
         dtype_of = {f.name: f.dataType for f in logical.fields}
         out_parts: list[DataFrame] = []
         if affected:
-            sub = (
-                self.to_df(_with_path=True)
-                .where(F.col("__if_fp").isin(list(affected)))
-                .alias("t")
-            )
+            # both rewrite-side reads list and scan ONLY the matched files
+            sub = self.to_df(
+                _with_path=True, _paths=set(affected)).alias("t")
             if when_matched_update and not when_matched_delete:
                 t_chk = (
-                    self.to_df(_with_path=True)
-                    .where(F.col("__if_fp").isin(list(affected)))
+                    self.to_df(_with_path=True, _paths=set(affected))
                     .withColumn("__tid__", F.monotonically_increasing_id())
                     .alias("t")
                 )
@@ -2273,6 +2278,67 @@ class IcebergMetadataReader:
         self._commit_metadata(meta)
         return {"rolled_back_to": snapshot_id, "previous": prev}
 
+    def _plan_affected(self, pred, pctx: dict | None,
+                       live: list[dict]) -> set[str]:
+        """Absolute local paths of the live files holding rows where
+        ``pred`` is TRUE. Under an identity spec, a predicate that
+        references ONLY the partition source columns plans from the
+        manifest partition tuples — classic partition pruning, zero data
+        read (every row of a file shares its tuple). Anything touching a
+        data column falls back to ONE distributed scan keyed by
+        `_metadata.file_path` that collects only paths."""
+        if pctx:
+            import datetime
+
+            rows = []
+            complete = True
+            for e in live:
+                part = e["data_file"].get("partition") or {}
+                vals = []
+                for f in pctx["fields"]:
+                    if f["pname"] not in part:
+                        complete = False  # sloppy foreign manifest: scan
+                        break
+                    v = part[f["pname"]]
+                    if f["dt"].typeName() == "date" and v is not None:
+                        v = (datetime.date(1970, 1, 1)
+                             + datetime.timedelta(days=int(v)))
+                    vals.append(v)
+                if not complete:
+                    break
+                rows.append((
+                    str(self._local_data(
+                        e["data_file"]["file_path"]).resolve()),
+                    *vals,
+                ))
+            if complete:
+                schema = T.StructType(
+                    [T.StructField("__if_fp", T.StringType())]
+                    + [T.StructField(f["src_name"], f["dt"])
+                       for f in pctx["fields"]]
+                )
+                from lakehouses_spark.tables.delta_log import (
+                    _quiet_analysis_probe,
+                )
+
+                tuples = self.spark.createDataFrame(rows, schema)
+                try:
+                    with _quiet_analysis_probe():
+                        # analysis raises if the predicate references
+                        # any data column -> fall back to the scan
+                        matched = tuples.where(pred)
+                        return {
+                            r["__if_fp"]
+                            for r in matched.select("__if_fp").collect()
+                        }
+                except Exception:
+                    pass
+        df = self.to_df(_with_path=True)
+        return {
+            r["__if_fp"] for r in
+            df.where(pred).select("__if_fp").distinct().collect()
+        }
+
     def _partition_ctx(self, op: str) -> dict | None:
         """Write context for the table's CURRENT partition spec (VERDICT
         r10 #2): None when unpartitioned; for an IDENTITY-transformed
@@ -2325,6 +2391,7 @@ class IcebergMetadataReader:
                 "pname": pf["name"],
                 "field_id": pf.get("field-id", 1000),
                 "phys": mapping.get(src["id"], src["name"]),
+                "src_name": src["name"],
                 "dt": dt,
                 "avro": avro_t,
             })
@@ -2356,16 +2423,13 @@ class IcebergMetadataReader:
             for c in set_exprs:
                 if c not in names:
                     raise ValueError(f"unknown SET column {c!r}")
-        df = self.to_df(_with_path=True)
         pred = F.expr(predicate)
-        affected = {
-            r["__if_fp"] for r in
-            df.where(pred).select("__if_fp").distinct().collect()
-        }
+        affected = self._plan_affected(pred, pctx, live)
         plan["rewritten_files"] = len(affected)
         if dry_run or not affected:
             return plan
-        sub = df.where(F.col("__if_fp").isin(list(affected)))
+        # the rewrite pass lists and scans ONLY the affected files
+        sub = self.to_df(_with_path=True, _paths=set(affected))
         if op == "DELETE":
             # keep rows unless the predicate is TRUE — NULL-valued
             # predicates keep the row (same fix as the Delta twin:

@@ -14,12 +14,19 @@ reference's %sql cells batch statements, e.g. 03.iceberg_primer.py:67-70):
 
     CREATE DATABASE|SCHEMA [IF NOT EXISTS] <db> / DROP DATABASE|SCHEMA [IF EXISTS] <db> [CASCADE]
     CREATE TABLE <t> (col type, ...) [USING fmt] [PARTITIONED BY (expr, ...)]
-    CREATE TABLE <t> [USING fmt] [LOCATION '<path>'] AS SELECT ...
+    CREATE TABLE <t> [USING fmt] [PARTITIONED BY (...)] [LOCATION '<path>'] AS SELECT ...
+    CREATE TABLE delta.`/p`|iceberg.`/p` [PARTITIONED BY (...)] AS SELECT ...
+        (path-table CTAS = format-NATIVE unmanaged table via
+         write_delta_table / write_iceberg_table, r11 —
+         03.iceberg_primer.py:114-124 without the jar)
     DROP TABLE [IF EXISTS] <t>
     USE <db> / SHOW CATALOGS / SHOW DATABASES / SHOW TABLES [IN db] / DESCRIBE SCHEMA <db>
     INSERT INTO <table> VALUES (...), (...)
     DELETE FROM <table> WHERE <predicate>
+    DELETE FROM delta.`/p`|iceberg.`/p` WHERE <predicate>   (external COW, r11)
     UPDATE <table> SET c1 = e1, c2 = e2 [WHERE <predicate>]
+    UPDATE delta.`/p`|iceberg.`/p` SET ... [WHERE ...]      (external COW, r11)
+    SELECT ... FROM delta.`/p` | iceberg.`/p` | parquet.`/p` ...
     MERGE INTO <table> [AS] <ta> USING <view | (subquery)> [AS] <sa> ON <cond>
         [WHEN MATCHED THEN UPDATE SET *] [WHEN MATCHED THEN DELETE]
         [WHEN NOT MATCHED THEN INSERT *]
@@ -142,19 +149,60 @@ class LakeSQL:
         if m:
             self.catalog.drop_database(m.group(1).split(".")[-1], cascade=bool(m.group(2)))
             return self._result(dropped=1)
-        # CREATE TABLE t [USING fmt] [LOCATION 'p'] AS SELECT ...
-        # (CTAS, 02.delta_lake_primer.py:93-99)
+        # CREATE TABLE delta.`/p` | iceberg.`/p` [PARTITIONED BY (...)]
+        # AS SELECT ... — Spark's PATH-TABLE CTAS: a format-NATIVE
+        # unmanaged table lands at the path via write_delta_table /
+        # write_iceberg_table (hive-partitioned _delta_log /
+        # identity-partitioned Iceberg v2 — the reference's `USING
+        # iceberg PARTITIONED BY` surface, 03.iceberg_primer.py:114-124,
+        # jar-free). Query/mutate it via the `fmt.`/p`` SELECT and DML
+        # spellings; `USING fmt LOCATION` below keeps its established
+        # catalog-managed semantics (the by-name lifecycle).
+        m = _m(
+            rf"CREATE{_WS}TABLE{_WS}(delta|iceberg)\.`([^`]+)`"
+            rf"(?:{_WS}PARTITIONED{_WS}BY{_WS}?\(([^)]+)\))?"
+            rf"{_WS}AS{_WS}((?:SELECT|WITH).+)$",
+            s,
+        )
+        if m:
+            fmt, location, part, select = m.groups()
+            partition_by = (
+                [p.strip() for p in _split_top_level(part)] if part else None
+            )
+            df = self._select(select)
+            if fmt.lower() == "delta":
+                from lakehouses_spark.tables.delta_log import (
+                    write_delta_table,
+                )
+                write_delta_table(
+                    self.spark, df, location, partition_by=partition_by)
+            else:
+                from lakehouses_spark.tables.iceberg_meta import (
+                    write_iceberg_table,
+                )
+                write_iceberg_table(
+                    self.spark, df, location, partition_by=partition_by)
+            return self._result(rows=df.count())
+        # CREATE TABLE t [USING fmt] [PARTITIONED BY (...)] [LOCATION 'p']
+        # AS SELECT ... (managed/external-by-pointer CTAS,
+        # 02.delta_lake_primer.py:93-99)
         m = _m(
             rf"CREATE{_WS}TABLE{_WS}({_ID})"
             rf"(?:{_WS}USING{_WS}\w+)?"
+            rf"(?:{_WS}PARTITIONED{_WS}BY{_WS}?\(([^)]+)\))?"
             rf"(?:{_WS}LOCATION{_WS}'([^']+)')?"
             rf"{_WS}AS{_WS}((?:SELECT|WITH).+)$",
             s,
         )
         if m:
-            df = self._select(m.group(3))
+            name, part, location, select = m.groups()
+            partition_by = (
+                [p.strip() for p in _split_top_level(part)] if part else None
+            )
+            df = self._select(select)
             self.catalog.create_table(
-                self._qualify(m.group(1)), df, location=m.group(2)
+                self._qualify(name), df, location=location,
+                partition_by=partition_by,
             )
             return self._result(rows=df.count())
         # CREATE TABLE t2 [SHALLOW|DEEP] CLONE t1 [VERSION AS OF n]
@@ -305,7 +353,30 @@ class LakeSQL:
         t.append(df)
         return self._result(rows_affected=df.count())
 
+    def _path_reader(self, fmt: str, p: str):
+        """External reader for a format-qualified path target — the
+        write-side twin of the `fmt.`path`` SELECT support: DML routed
+        straight through DeltaLogReader / IcebergMetadataReader."""
+        if fmt.lower() == "delta":
+            from lakehouses_spark.tables.delta_log import DeltaLogReader
+
+            return DeltaLogReader(self.spark, p)
+        from lakehouses_spark.tables.iceberg_meta import (
+            IcebergMetadataReader,
+        )
+
+        return IcebergMetadataReader(self.spark, p)
+
     def _delete(self, s: str) -> DataFrame | None:
+        m = _m(
+            rf"DELETE{_WS}FROM{_WS}(delta|iceberg)\.`([^`]+)`"
+            rf"{_WS}WHERE{_WS}(.+)$", s,
+        )
+        if m:
+            res = self._path_reader(m.group(1), m.group(2)).delete(
+                m.group(3))
+            return self._result(
+                rewritten_files=res["rewritten_files"])
         m = _m(rf"DELETE{_WS}FROM{_WS}({_ID}){_WS}WHERE{_WS}(.+)$", s)
         if not m:
             return None
@@ -313,6 +384,23 @@ class LakeSQL:
         return self._result(**res)
 
     def _update(self, s: str) -> DataFrame | None:
+        m = _m(
+            rf"UPDATE{_WS}(delta|iceberg)\.`([^`]+)`{_WS}SET{_WS}(.+)$", s,
+        )
+        if m:
+            set_clause, where = _split_on_keyword(m.group(3), "WHERE")
+            sets: dict[str, str] = {}
+            for part in _split_top_level(set_clause):
+                col, _, expr = part.partition("=")
+                col = col.strip()
+                if not expr.strip() or not re.fullmatch(_ID, col):
+                    raise LakeSQLError(
+                        f"bad SET clause: {part!r} (expected col = expr)")
+                sets[col] = expr.strip()
+            res = self._path_reader(m.group(1), m.group(2)).update(
+                sets, where=where or "true")
+            return self._result(
+                rewritten_files=res["rewritten_files"])
         m = _m(rf"UPDATE{_WS}({_ID}){_WS}SET{_WS}(.+)$", s)
         if not m:
             return None
@@ -466,6 +554,35 @@ class LakeSQL:
         rewritten = re.sub(
             r"\b([A-Za-z_][A-Za-z0-9_.]*?)\.(snapshots|files|partitions|history)\b",
             meta_replace, rewritten, flags=re.IGNORECASE,
+        )
+
+        # Spark's format-qualified path tables: SELECT ... FROM
+        # delta.`/path` / iceberg.`/path` / parquet.`/path` — resolved
+        # through the in-repo external readers, no jar
+        # (02.delta_lake_primer.py path reads, S4 sql-over-path)
+        def path_replace(m: re.Match) -> str:
+            import hashlib
+
+            fmt, p = m.group(1).lower(), m.group(2)
+            view = f"_path_{fmt}_" + hashlib.md5(
+                p.encode()).hexdigest()[:10]
+            if fmt == "delta":
+                from lakehouses_spark.tables.delta_log import read_delta
+
+                read_delta(self.spark, p).createOrReplaceTempView(view)
+            elif fmt == "iceberg":
+                from lakehouses_spark.tables.iceberg_meta import (
+                    read_iceberg,
+                )
+
+                read_iceberg(self.spark, p).createOrReplaceTempView(view)
+            else:
+                self.spark.read.parquet(p).createOrReplaceTempView(view)
+            return view
+
+        rewritten = re.sub(
+            r"\b(delta|iceberg|parquet)\.`([^`]+)`",
+            path_replace, rewritten, flags=re.IGNORECASE,
         )
         # register dotted table references that exist in the catalog
         for name in set(re.findall(rf"\b({_ID}\.{_ID})\b", rewritten)):

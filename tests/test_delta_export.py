@@ -1465,7 +1465,12 @@ def test_dataframe_json_tail_replay_matches_python_loop(spark, tmp_path, monkeyp
         assert s_py.metadata["schemaString"] == s_df.metadata["schemaString"]
         assert s_py.protocol == s_df.protocol
         assert s_py.num_records == s_df.num_records, v
-        assert _sorted_rows(dfr.to_df(v)) == _sorted_rows(py.to_df(v)), v
+        # full row compare on the two versions whose READ semantics can
+        # diverge (DV filtering at v1, duplicate-add RESTORE head);
+        # identical file sets + DV flags + metadata pin the rest without
+        # 4 more full-table replays (suite-time discipline, VERDICT r8 #4)
+        if v in (1, t.version):
+            assert _sorted_rows(dfr.to_df(v)) == _sorted_rows(py.to_df(v)), v
     # stats stayed JVM-side on the DataFrame path
     assert all(a.get("__statsPruned")
                for a in dfr.snapshot().files.values())
@@ -1984,7 +1989,9 @@ def test_external_dml_on_partitioned_table(spark, tmp_path):
     assert {x.k: x.seg for x in df.collect()} == {
         2: "A", 3: "A", 5: "B", 6: "C"}
 
-    # UPDATE with the predicate on the partition column itself
+    # UPDATE with the predicate on the partition column itself — plans
+    # DRIVER-SIDE from partitionValues (r11 partition pruning: the
+    # planning job never reads data); result identical to the row scan
     res = r.update({"v": "v + 0.5"}, where="seg = 'B'")
     assert res["rewritten_files"] == 1
     rows = {x.k: x.v for x in read_delta(spark, base).collect()}
@@ -2010,6 +2017,14 @@ def test_external_dml_on_partitioned_table(spark, tmp_path):
     got = DeltaLogReader(spark, base).to_df(filters=[("seg", "=", "Z")])
     assert [x.k for x in got.collect()] == [6]
 
+    # MIXED predicate (partition + data column) falls back to the scan
+    # planner and still answers correctly
+    r2 = DeltaLogReader(spark, base)
+    res = r2.delete("seg = 'A' AND v > 25.0")  # deletes k=3 only
+    assert res["rewritten_files"] == 1
+    assert sorted(x.k for x in read_delta(spark, base).collect()) \
+        == [2, 5, 6]
+
 
 def test_external_merge_on_partitioned_table(spark, tmp_path):
     """MERGE on a partitioned foreign table: matched files rewrite in
@@ -2032,3 +2047,25 @@ def test_external_merge_on_partitioned_table(spark, tmp_path):
     # every live add carries its partition value
     assert all("seg" in (a.get("partitionValues") or {})
                for a in snap.files.values())
+
+
+def test_partition_only_planning_never_reads_data(spark, tmp_path, monkeypatch):
+    """r11: a DML predicate referencing ONLY partition columns plans
+    driver-side from partitionValues — the planner must never open a
+    data file. Pinned by making every to_df call explode during a
+    dry-run plan."""
+    base = tmp_path / "pplan"
+    _mk_partitioned_delta(spark, base)
+    r = DeltaLogReader(spark, base)
+
+    def boom(*a, **k):
+        raise AssertionError("partition-only planning read data")
+
+    monkeypatch.setattr(r, "to_df", boom)
+    plan = r.delete("seg = 'B'", dry_run=True)
+    assert plan["rewritten_files"] == 1  # exactly the seg=B file
+    plan = r.delete("seg in ('A', 'C')", dry_run=True)
+    assert plan["rewritten_files"] == 2
+    # a data-column predicate falls back to the scan (and trips the boom)
+    with pytest.raises(AssertionError, match="read data"):
+        r.delete("v > 0", dry_run=True)

@@ -1522,3 +1522,21 @@ def test_iceberg_partitioned_external_merge_and_compaction(spark, tmp_path):
     r4 = IcebergMetadataReader(spark, dest)
     parts = {x.partition["status"] for x in r4.partitions().collect()}
     assert parts == {"A", "B"}
+
+
+def test_iceberg_partition_only_planning_never_reads_data(
+        spark, tmp_path, monkeypatch):
+    """r11: under an identity spec, a DML predicate referencing only the
+    partition source columns plans from the manifest partition tuples —
+    zero data files opened."""
+    dest = _mk_identity_partitioned(spark, tmp_path, "ice_pplan")
+    r = IcebergMetadataReader(spark, dest)
+
+    def boom(*a, **k):
+        raise AssertionError("partition-only planning read data")
+
+    monkeypatch.setattr(r, "to_df", boom)
+    plan = r.delete("status = 'A'", dry_run=True)
+    assert plan["rewritten_files"] == 1
+    with pytest.raises(AssertionError, match="read data"):
+        r.delete("price > 0", dry_run=True)

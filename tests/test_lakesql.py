@@ -378,3 +378,68 @@ def test_sql_literal_roundtrip_adversarial(spark, tmp_path):
     # and the seed row survived every statement (nothing was misrouted into
     # a DELETE/DROP despite the literals claiming otherwise)
     assert lsql.sql("SELECT count(*) AS n FROM bronze.notes").collect()[0].n == 9
+
+
+# --------- round-11: format-native DDL/DML over explicit paths ----------- #
+def test_sql_ctas_using_delta_location_partitioned(spark, lake, tmp_path):
+    """CREATE TABLE delta.`/p` PARTITIONED BY (...) AS SELECT (Spark's
+    path-table CTAS) routes to write_delta_table: a real hive-partitioned
+    _delta_log lands at the path, SELECT/DML reach it via the same
+    delta.`path` spelling — the reference's format-native DDL without a
+    jar."""
+    from lakehouses_spark.tables.delta_log import DeltaLogReader
+
+    p = tmp_path / "ext_d"
+    lake.sql(
+        f"""CREATE TABLE delta.`{p}` PARTITIONED BY (name)
+            AS SELECT * FROM bronze.emp"""
+    )
+    r = DeltaLogReader(spark, p)
+    assert r.snapshot().partition_columns == ["name"]
+    got = lake.sql(f"SELECT count(*) AS n FROM delta.`{p}`").collect()
+    assert got[0].n == 3
+    # DML over the path target: external COW through DeltaLogReader
+    lake.sql(f"UPDATE delta.`{p}` SET salario = salario + 1 WHERE id = 1")
+    lake.sql(f"DELETE FROM delta.`{p}` WHERE id = 3")
+    rows = {x.id: x.salario
+            for x in lake.sql(f"SELECT * FROM delta.`{p}`").collect()}
+    assert rows == {1: 30001.0, 2: 40000.0}
+    # path table joins with catalog tables in one statement
+    n = lake.sql(
+        f"""SELECT count(*) AS n FROM delta.`{p}` d
+            JOIN bronze.emp e ON d.id = e.id"""
+    ).collect()[0].n
+    assert n == 2
+
+
+def test_sql_ctas_using_iceberg_location_partitioned(spark, lake, tmp_path):
+    """The Iceberg twin: CREATE TABLE iceberg.`/p` PARTITIONED BY ... —
+    identity spec declared, typed manifest tuples, readable and mutable
+    through the iceberg.`path` spelling (03.iceberg_primer.py:114-124)."""
+    from lakehouses_spark.tables.iceberg_meta import IcebergMetadataReader
+
+    p = tmp_path / "ext_i"
+    lake.sql(
+        f"""CREATE TABLE iceberg.`{p}` PARTITIONED BY (name)
+            AS SELECT * FROM bronze.emp"""
+    )
+    r = IcebergMetadataReader(spark, p)
+    spec = r.meta["partition-specs"][0]
+    assert [f["transform"] for f in spec["fields"]] == ["identity"]
+    got = lake.sql(f"SELECT count(*) AS n FROM iceberg.`{p}`").collect()
+    assert got[0].n == 3
+    lake.sql(f"DELETE FROM iceberg.`{p}` WHERE id = 2")
+    ids = sorted(x.id for x in
+                 lake.sql(f"SELECT id FROM iceberg.`{p}`").collect())
+    assert ids == [1, 3]
+    # the DELETE committed a native snapshot
+    r2 = IcebergMetadataReader(spark, p)
+    assert r2.meta["snapshots"][-1]["summary"]["operation"] == "delete"
+
+
+def test_sql_path_ctas_refuses_existing_table(lake, tmp_path):
+    p = tmp_path / "dup"
+    lake.sql(f"CREATE TABLE delta.`{p}` AS SELECT * FROM bronze.emp")
+    from lakehouses_spark.tables.delta_log import DeltaProtocolError
+    with pytest.raises(DeltaProtocolError, match="already exists"):
+        lake.sql(f"CREATE TABLE delta.`{p}` AS SELECT * FROM bronze.emp")
