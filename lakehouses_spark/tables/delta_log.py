@@ -1868,8 +1868,12 @@ class DeltaLogReader:
         min/max from the parquet footers land in ``add.stats`` so
         `read_delta(filters=)` skips files on any clustered column.
         Time travel to prior versions is untouched (old files stay
-        until VACUUM). Hive-partitioned tables are refused (compaction
-        must group per partition).
+        until VACUUM). Hive-partitioned tables compact PER PARTITION
+        (r11): rows co-locate by partition tuple before the
+        `partitionBy` write, so each output file belongs to exactly one
+        partition and partition pruning keeps working on the compacted
+        layout; with ``zorder_by`` the z-clustering applies within each
+        partition.
 
         100 TB shape: one distributed pass over live data, O(files)
         metadata; the op that keeps DV-heavy tables from paying the
@@ -1877,11 +1881,6 @@ class DeltaLogReader:
         from urllib.parse import quote
 
         snap = self.snapshot()
-        if snap.partition_columns:
-            raise DeltaProtocolError(
-                "optimize on hive-partitioned external tables is not "
-                "supported (per-partition grouping required)"
-            )
         if not snap.files:
             raise DeltaProtocolError("no live files to optimize")
         total_bytes = sum(a.get("size") or 0 for a in snap.files.values())
@@ -1915,6 +1914,9 @@ class DeltaLogReader:
                 if phys and phys != f["name"] and f["name"] in df.columns:
                     phys_of[f["name"]] = phys
                     df = df.withColumnRenamed(f["name"], phys)
+        part_phys = [
+            phys_of.get(c, c) for c in snap.partition_columns
+        ] or None
         if zorder_by:
             from lakehouses_spark.tables.table import zorder_column
 
@@ -1922,9 +1924,13 @@ class DeltaLogReader:
             zcols = [phys_of.get(c, c) for c in zorder_by]
             df = (
                 df.withColumn("__z", zorder_column(df, zcols))
-                .repartitionByRange(int(n_out), "__z")
+                # partitioned: same-tuple rows stay adjacent, z-ordered
+                # within their partition
+                .repartitionByRange(int(n_out), *(part_phys or []), "__z")
                 .drop("__z")
             )
+        elif part_phys:
+            df = df.repartition(int(n_out), *part_phys)
         else:
             df = df.repartition(int(n_out))
         ts = int(_time.time() * 1000)
@@ -1934,7 +1940,9 @@ class DeltaLogReader:
                 "operationParameters": {"targetFiles": str(int(n_out))},
             }
         }]
-        adds = self._write_data_files(df, "optimized", ts, data_change=False)
+        adds = self._write_data_files(df, "optimized", ts,
+                                      data_change=False,
+                                      part_cols=part_phys)
         actions.extend(adds)
         for old in snap.files:
             actions.append({"remove": {
@@ -1953,28 +1961,53 @@ class DeltaLogReader:
         return emit_data_files(
             self.path, df, rel_prefix, ts, data_change, part_cols)
 
-    def append(self, df: DataFrame) -> dict:
+    def append(self, df: DataFrame, merge_schema: bool = False) -> dict:
         """Blind APPEND to an external Delta table (delta-rs/delta-spark's
         `mode("append")`): new data files + adds with dataChange=true at
         version N+1, no reads of existing data. Values cast to the table
-        schema; absent nullable columns fill null; extra or absent
-        required columns refuse (no schema evolution on externals —
-        adopt via convert_from_delta). Partitioned tables write
-        `partitionBy`; column-mapped tables store physical names.
-        Allowed on appendOnly tables — append is the one verb they
-        permit. CDF needs no change file: adds-only commits derive
-        `insert` rows (Delta's blind-append optimization)."""
+        schema; absent nullable columns fill null; absent required
+        columns refuse. Extra columns refuse unless ``merge_schema``
+        (delta's mergeSchema write option): the commit then also carries
+        a metaData action with the widened schema — new columns nullable,
+        old files read them as NULL. Partitioned tables write
+        `partitionBy`; column-mapped tables store physical names
+        (merge_schema under column mapping is refused — minting physical
+        names/ids belongs to the owning writer). Allowed on appendOnly
+        tables — append is the one verb they permit. CDF needs no change
+        file: adds-only commits derive `insert` rows (Delta's
+        blind-append optimization)."""
         import time as _time
 
         snap = self.snapshot()
         schema = snap.schema
+        conf = snap.configuration
+        mapping_mode = conf.get("delta.columnMapping.mode", "none")
         names = {f.name for f in schema.fields}
         extra = [c for c in df.columns if c not in names]
-        if extra:
+        new_metadata: dict | None = None
+        if extra and not merge_schema:
             raise DeltaProtocolError(
                 f"append columns {extra} are not in the table schema; "
-                "external append does not evolve schemas"
+                "pass merge_schema=True to evolve it"
             )
+        if extra:
+            if mapping_mode in ("name", "id"):
+                raise DeltaProtocolError(
+                    "merge_schema append on a column-mapped table is not "
+                    "supported (physical-name/id minting belongs to the "
+                    "owning writer) — adopt via convert_from_delta"
+                )
+            schema_json = json.loads(snap.metadata["schemaString"])
+            for c in extra:
+                schema_json["fields"].append({
+                    "name": c,
+                    "type": df.schema[c].dataType.jsonValue(),
+                    "nullable": True, "metadata": {},
+                })
+            new_metadata = {
+                **snap.metadata, "schemaString": json.dumps(schema_json),
+            }
+            schema = StructType.fromJson(schema_json)
         required = [f.name for f in schema.fields
                     if f.name not in df.columns and not f.nullable]
         if required:
@@ -1986,8 +2019,6 @@ class DeltaLogReader:
              else F.lit(None).cast(f.dataType)).alias(f.name)
             for f in schema.fields
         ])
-        conf = snap.configuration
-        mapping_mode = conf.get("delta.columnMapping.mode", "none")
         phys_of: dict[str, str] = {}
         if mapping_mode in ("name", "id"):
             for f in json.loads(snap.metadata["schemaString"]).get(
@@ -2007,12 +2038,52 @@ class DeltaLogReader:
                 "operationParameters": {"mode": "Append"},
             }
         }]
+        if new_metadata is not None:
+            actions.append({"metaData": new_metadata})
         adds = self._write_data_files(out, "append", ts, data_change=True,
                                       part_cols=part_cols)
         actions.extend(adds)
         new_v = snap.version + 1
         _write_commit(self.log / f"{new_v:020d}.json", actions)
         return {"version": new_v, "added_files": len(adds)}
+
+    def checkpoint(self) -> dict:
+        """Write a classic parquet checkpoint of the CURRENT snapshot +
+        `_last_checkpoint` pointer — Delta's periodic checkpointing (real
+        writers emit one every `checkpointInterval` commits): readers
+        open from the checkpoint and replay only the JSON tail, so a
+        table mutated through long external-DML/append chains keeps
+        O(tail) open cost for every other client instead of O(commits).
+        Refused when the in-memory state was pruned-replayed (>50k adds):
+        per-file stats then live JVM-side only and a checkpoint written
+        without them would permanently drop stats-based skipping for
+        downstream readers."""
+        snap = self.snapshot()
+        if any(a.get("__statsPruned") for a in snap.files.values()):
+            raise DeltaProtocolError(
+                "checkpoint from a pruned replay would drop per-file "
+                "stats; re-export with export_delta_log instead"
+            )
+
+        def payload(p: str, a: dict) -> dict:
+            out = {k: v for k, v in a.items() if not k.startswith("__")}
+            out["path"] = quote(p)
+            out.setdefault("partitionValues", {})
+            out.setdefault("modificationTime", 0)
+            return out
+
+        adds = sorted(
+            (payload(p, a) for p, a in snap.files.items()),
+            key=lambda a: a["path"],
+        )
+        _write_checkpoint_parquet(
+            self.spark, self.log, snap.version,
+            protocol=snap.protocol,
+            metadata=snap.metadata,
+            adds=adds,
+            txns={app: (v, None) for app, v in (snap.txns or {}).items()},
+        )
+        return {"version": snap.version, "actions": len(adds) + 2}
 
     # -- copy-on-write DML (delta_lake_primer.py:213-320 against an ------ #
     # -- EXTERNAL _delta_log, no LakeTable adoption required) ------------- #

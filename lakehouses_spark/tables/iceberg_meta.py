@@ -2020,23 +2020,69 @@ class IcebergMetadataReader:
             raise ValueError("update() requires at least one SET column")
         return self._cow_dml("UPDATE", where or "true", set, dry_run)
 
-    def append(self, df: DataFrame) -> dict:
+    def _schema_add_columns(self, new_cols: list[tuple[str, Any]]) -> None:
+        """Evolve the IN-MEMORY metadata with appended optional columns —
+        fresh field ids, a new schema entry (old schemas stay for
+        time-travel reads), current-schema-id bumped, name-mapping
+        extended. Nothing touches disk until the caller's
+        `_commit_metadata`, so the evolution and the data commit land as
+        ONE metadata write (Iceberg's add-column + append transaction)."""
+        meta = self.meta
+        ice = next(s for s in meta["schemas"]
+                   if s["schema-id"] == meta["current-schema-id"])
+        last_id = int(meta.get(
+            "last-column-id", max(f["id"] for f in ice["fields"])))
+        fields = list(ice["fields"])
+        mapping = json.loads((meta.get("properties") or {}).get(
+            "schema.name-mapping.default", "[]"))
+        for name, dt in new_cols:
+            ice_t = _spark_type_to_iceberg(dt, lambda p: 0)
+            if isinstance(ice_t, dict):
+                raise IcebergFormatError(
+                    f"merge_schema append: column {name!r} has a nested "
+                    "type — external evolution supports primitives only"
+                )
+            last_id += 1
+            fields.append({"id": last_id, "name": name,
+                           "required": False, "type": ice_t})
+            mapping.append({"field-id": last_id, "names": [name]})
+        new_schema = {
+            "schema-id": max(s["schema-id"] for s in meta["schemas"]) + 1,
+            "type": "struct",
+            "fields": fields,
+        }
+        meta["schemas"] = list(meta["schemas"]) + [new_schema]
+        meta["current-schema-id"] = new_schema["schema-id"]
+        meta["last-column-id"] = last_id
+        props = dict(meta.get("properties") or {})
+        props["schema.name-mapping.default"] = json.dumps(mapping)
+        meta["properties"] = props
+
+    def append(self, df: DataFrame, merge_schema: bool = False) -> dict:
         """Blind APPEND to an external Iceberg table — the format twin
         of `DeltaLogReader.append`: commit an `append` snapshot whose
         manifest lists the new files ADDED and every live file EXISTING
         at its original sequence number; live delete manifests carry
         over untouched. Values cast to the table schema; absent nullable
-        columns fill null; extra or absent required columns refuse.
-        Identity-partitioned tables write one file group per tuple."""
+        columns fill null; absent required columns refuse. Extra columns
+        refuse unless ``merge_schema``: the commit then carries a NEW
+        schema (fresh field ids, old schemas retained for time travel) in
+        the same metadata write. Identity-partitioned tables write one
+        file group per tuple."""
         pctx = self._partition_ctx("APPEND")
         logical, ice, phys_of, fid_of_phys, dt_of_phys = self._phys_maps()
         names = {f.name for f in logical.fields}
         extra = [c for c in df.columns if c not in names]
-        if extra:
+        if extra and not merge_schema:
             raise IcebergFormatError(
                 f"append columns {extra} are not in the table schema; "
-                "external append does not evolve schemas"
+                "pass merge_schema=True to evolve it"
             )
+        if extra:
+            self._schema_add_columns(
+                [(c, df.schema[c].dataType) for c in extra])
+            logical, ice, phys_of, fid_of_phys, dt_of_phys = \
+                self._phys_maps()
         required = [f.name for f in logical.fields
                     if f.name not in df.columns and not f.nullable]
         if required:

@@ -227,3 +227,146 @@ def test_iceberg_ctas_append_dml_rollback_full_arc(spark, tmp_path):
     r3.rollback_to_snapshot(v0)
     assert IcebergMetadataReader(spark, tmp_path / "i").to_df().count() \
         == len(ROWS)
+
+
+# --------- round-11b: checkpoint, schema evolution, compaction ----------- #
+def test_delta_external_checkpoint(spark, tmp_path):
+    """DeltaLogReader.checkpoint: a classic parquet checkpoint at the
+    current version — after log cleanup of the older commit JSONs, a
+    fresh reader still reconstructs the state from checkpoint + tail."""
+    df = spark.createDataFrame(ROWS, SCHEMA).coalesce(1)
+    r = write_delta_table(spark, df, tmp_path / "d", partition_by=["seg"])
+    for i in range(3):
+        r.append(spark.createDataFrame(
+            [{"k": 100 + i, "seg": "C", "v": 1.0}], SCHEMA).coalesce(1))
+        r = DeltaLogReader(spark, tmp_path / "d")
+    r.delete("k = 101")
+    r = DeltaLogReader(spark, tmp_path / "d")
+    res = r.checkpoint()
+    assert res["version"] == 4
+    log = tmp_path / "d" / "_delta_log"
+    assert (log / f"{4:020d}.checkpoint.parquet").exists()
+    assert (log / "_last_checkpoint").exists()
+    # log cleanup: drop every commit JSON at or before the checkpoint
+    for v in range(5):
+        (log / f"{v:020d}.json").unlink()
+    got = read_delta(spark, tmp_path / "d")
+    assert sorted(x.k for x in got.collect()) == \
+        sorted([x["k"] for x in ROWS] + [100, 102])
+    # stats survived the checkpoint: filters still skip files
+    r2 = DeltaLogReader(spark, tmp_path / "d")
+    full = len(r2.to_df().inputFiles())
+    pruned = len(r2.to_df(filters=[("seg", "=", "C")]).inputFiles())
+    assert 0 < pruned < full
+
+
+def test_delta_append_merge_schema(spark, tmp_path):
+    """append(merge_schema=True) widens the schema in the same commit
+    (delta's mergeSchema): old files read the new column as NULL, the
+    new metaData is in the log for every other client."""
+    df = spark.createDataFrame(ROWS, SCHEMA).coalesce(1)
+    r = write_delta_table(spark, df, tmp_path / "d")
+    with pytest.raises(DeltaProtocolError, match="merge_schema"):
+        r.append(spark.createDataFrame(
+            [{"k": 100, "seg": "C", "v": 1.0, "note": "n"}],
+            SCHEMA + ", note string"))
+    r.append(spark.createDataFrame(
+        [{"k": 100, "seg": "C", "v": 1.0, "note": "n"}],
+        SCHEMA + ", note string"), merge_schema=True)
+    got = read_delta(spark, tmp_path / "d")
+    assert "note" in got.columns
+    rows = {x.k: x.note for x in got.collect()}
+    assert rows[100] == "n" and rows[1] is None
+    r2 = DeltaLogReader(spark, tmp_path / "d")
+    assert "note" in {f.name for f in r2.snapshot().schema.fields}
+
+
+def test_iceberg_append_merge_schema(spark, tmp_path):
+    """The Iceberg twin: evolution commits a NEW schema with fresh field
+    ids in the same metadata write; old snapshots keep their schema."""
+    df = spark.createDataFrame(ROWS, SCHEMA).coalesce(1)
+    r = write_iceberg_table(spark, df, tmp_path / "i")
+    pre = r.meta["current-snapshot-id"]
+    sid0 = r.meta["current-schema-id"]
+    with pytest.raises(IcebergFormatError, match="merge_schema"):
+        r.append(spark.createDataFrame(
+            [{"k": 100, "seg": "C", "v": 1.0, "note": "n"}],
+            SCHEMA + ", note string"))
+    r.append(spark.createDataFrame(
+        [{"k": 100, "seg": "C", "v": 1.0, "note": "n"}],
+        SCHEMA + ", note string"), merge_schema=True)
+    r2 = IcebergMetadataReader(spark, tmp_path / "i")
+    assert r2.meta["current-schema-id"] == sid0 + 1
+    assert len(r2.meta["schemas"]) == 2
+    got = r2.to_df()
+    rows = {x.k: x.note for x in got.collect()}
+    assert rows[100] == "n" and rows[1] is None
+    # field ids stayed unique and monotone
+    ice = r2.meta["schemas"][-1]
+    ids = [f["id"] for f in ice["fields"]]
+    assert len(set(ids)) == len(ids) == r2.meta["last-column-id"]
+    # time travel to the pre-evolution snapshot uses the OLD schema
+    assert "note" not in r2.to_df(snapshot_id=pre).columns
+
+
+def test_delta_external_optimize_partitioned(spark, tmp_path):
+    """r11: external OPTIMIZE on a hive-partitioned table compacts PER
+    PARTITION — each output file belongs to one partition tuple, the
+    adds carry partitionValues, and pruning works on the new layout."""
+    df = spark.createDataFrame(ROWS, SCHEMA).repartition(8)
+    r = write_delta_table(spark, df, tmp_path / "d", partition_by=["seg"])
+    n0 = len(r.snapshot().files)
+    assert n0 > 2
+    res = r.optimize(target_files=2)
+    assert res["output_files"] >= 2  # at least one file per partition
+    r2 = DeltaLogReader(spark, tmp_path / "d")
+    assert len(r2.snapshot().files) <= n0
+    assert {a["partitionValues"]["seg"]
+            for a in r2.snapshot().files.values()} == {"A", "B"}
+    assert _sorted_rows(read_delta(spark, tmp_path / "d")) == \
+        _sorted_rows(df)
+    pruned = len(r2.to_df(filters=[("seg", "=", "A")]).inputFiles())
+    assert 0 < pruned < len(r2.snapshot().files) + 1
+    # ZORDER within partitions keeps the same guarantees
+    res = r2.optimize(target_files=2, zorder_by=["k"])
+    r3 = DeltaLogReader(spark, tmp_path / "d")
+    assert _sorted_rows(read_delta(spark, tmp_path / "d")) == \
+        _sorted_rows(df)
+    assert all("seg" in (a.get("partitionValues") or {})
+               for a in r3.snapshot().files.values())
+
+
+def test_fresh_written_tables_stream(spark, tmp_path):
+    """Tables born from write_delta_table / write_iceberg_table tail
+    through the external stream sources like any other foreign table."""
+    from lakehouses_spark.tables.delta_stream import DeltaTableDataSource
+    from lakehouses_spark.tables.iceberg_stream import (
+        IcebergTableDataSource,
+    )
+
+    df = spark.createDataFrame(ROWS[:5], SCHEMA).coalesce(1)
+    rd = write_delta_table(spark, df, tmp_path / "d", partition_by=["seg"])
+    ri = write_iceberg_table(
+        spark, df, tmp_path / "i", partition_by=["seg"])
+    rd.append(spark.createDataFrame(
+        [{"k": 100, "seg": "C", "v": 1.0}], SCHEMA).coalesce(1))
+    ri.append(spark.createDataFrame(
+        [{"k": 100, "seg": "C", "v": 1.0}], SCHEMA).coalesce(1))
+
+    spark.dataSource.register(DeltaTableDataSource)
+    spark.dataSource.register(IcebergTableDataSource)
+    for fmt, path in (("deltatable", tmp_path / "d"),
+                      ("icebergtable", tmp_path / "i")):
+        out = tmp_path / f"out_{fmt}"
+        q = (
+            spark.readStream.format(fmt).option("path", str(path)).load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / f"ck_{fmt}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(str(out))
+        assert sorted(x.k for x in got.collect()) == [1, 2, 3, 4, 5, 100]
+        assert sorted({x.seg for x in got.collect()}) == ["A", "B", "C"]
