@@ -26,6 +26,10 @@ reference's %sql cells batch statements, e.g. 03.iceberg_primer.py:67-70):
     DELETE FROM delta.`/p`|iceberg.`/p` WHERE <predicate>   (external COW, r11)
     UPDATE <table> SET c1 = e1, c2 = e2 [WHERE <predicate>]
     UPDATE delta.`/p`|iceberg.`/p` SET ... [WHERE ...]      (external COW, r11)
+    INSERT INTO delta.`/p`|iceberg.`/p` VALUES (...)        (external append, r11)
+    VACUUM delta.`/p` [RETAIN n HOURS]                      (external vacuum, r11)
+    OPTIMIZE delta.`/p` [ZORDER BY (...)] / OPTIMIZE iceberg.`/p`
+    DESCRIBE HISTORY delta.`/p`|iceberg.`/p`
     SELECT ... FROM delta.`/p` | iceberg.`/p` | parquet.`/p` ...
     MERGE INTO <table> [AS] <ta> USING <view | (subquery)> [AS] <sa> ON <cond>
         [WHEN MATCHED THEN UPDATE SET *] [WHEN MATCHED THEN DELETE]
@@ -337,6 +341,26 @@ class LakeSQL:
 
     # --- DML ----------------------------------------------------------- #
     def _insert(self, s: str) -> DataFrame | None:
+        # INSERT INTO delta.`/p`|iceberg.`/p` VALUES ... — external blind
+        # append through the format reader (r11 write plane)
+        m = _m(
+            rf"INSERT{_WS}INTO{_WS}(delta|iceberg)\.`([^`]+)`"
+            rf"{_WS}VALUES{_WS}?(.+)$", s,
+        )
+        if m:
+            from pyspark.sql import functions as F
+
+            r = self._path_reader(m.group(1), m.group(2))
+            schema = (
+                r.snapshot().schema if m.group(1).lower() == "delta"
+                else r.schema()
+            )
+            df = self.spark.sql(
+                f"SELECT * FROM VALUES {m.group(3)}").toDF(*schema.names)
+            df = df.select(
+                *[F.col(f.name).cast(f.dataType) for f in schema.fields])
+            r.append(df)
+            return self._result(rows_affected=df.count())
         m = _m(rf"INSERT{_WS}INTO{_WS}({_ID}){_WS}VALUES{_WS}?(.+)$", s)
         if not m:
             return None
@@ -475,6 +499,14 @@ class LakeSQL:
 
     # --- maintenance / metadata ---------------------------------------- #
     def _describe(self, s: str) -> DataFrame | None:
+        m = _m(
+            rf"DESCRIBE{_WS}HISTORY{_WS}(delta|iceberg)\.`([^`]+)`$", s,
+        )
+        if m:
+            r = self._path_reader(m.group(1), m.group(2))
+            if m.group(1).lower() == "delta":
+                return r.describe_history()
+            return r.history()  # Iceberg's .history metadata table
         m = _m(rf"DESCRIBE{_WS}(HISTORY|DETAIL|EXTENDED){_WS}({_ID})$", s)
         if not m:
             return None
@@ -485,6 +517,16 @@ class LakeSQL:
         return self.spark.createDataFrame([{k: str(v) for k, v in d.items()}])
 
     def _vacuum(self, s: str) -> DataFrame | None:
+        # VACUUM delta.`/p` [RETAIN n HOURS] — Delta's external vacuum
+        # (retention keyed on remove-action deletionTimestamp)
+        m = _m(
+            rf"VACUUM{_WS}delta\.`([^`]+)`"
+            rf"(?:{_WS}RETAIN{_WS}(\d+){_WS}HOURS)?$", s,
+        )
+        if m:
+            res = self._path_reader("delta", m.group(1)).vacuum(
+                retention_hours=float(m.group(2) or 168))
+            return self._result(files_removed=res["deleted"])
         m = _m(rf"VACUUM{_WS}({_ID})(?:{_WS}RETAIN{_WS}(\d+){_WS}VERSIONS)?$", s)
         if not m:
             return None
@@ -494,6 +536,27 @@ class LakeSQL:
         return self._result(files_removed=len(removed))
 
     def _optimize(self, s: str) -> DataFrame | None:
+        # OPTIMIZE delta.`/p` [ZORDER BY (...)] / OPTIMIZE iceberg.`/p`
+        # — external compaction (Delta OPTIMIZE / Iceberg
+        # rewrite_data_files) straight over the path
+        m = _m(
+            rf"OPTIMIZE{_WS}(delta|iceberg)\.`([^`]+)`"
+            rf"(?:{_WS}ZORDER{_WS}BY{_WS}\(([^)]+)\))?$", s,
+        )
+        if m:
+            r = self._path_reader(m.group(1), m.group(2))
+            if m.group(1).lower() == "delta":
+                zcols = ([c.strip() for c in m.group(3).split(",")]
+                         if m.group(3) else None)
+                res = r.optimize(zorder_by=zcols)
+            else:
+                if m.group(3):
+                    raise LakeSQLError(
+                        "OPTIMIZE iceberg.`path` does not take ZORDER "
+                        "(use rewrite_data_files sort orders)")
+                res = r.rewrite_data_files()
+            return self._result(**{
+                k: v for k, v in res.items() if isinstance(v, (int, bool))})
         m = _m(
             rf"OPTIMIZE{_WS}({_ID})(?:{_WS}ZORDER{_WS}BY{_WS}\(([^)]+)\))?$", s
         )

@@ -443,3 +443,35 @@ def test_sql_path_ctas_refuses_existing_table(lake, tmp_path):
     from lakehouses_spark.tables.delta_log import DeltaProtocolError
     with pytest.raises(DeltaProtocolError, match="already exists"):
         lake.sql(f"CREATE TABLE delta.`{p}` AS SELECT * FROM bronze.emp")
+
+
+def test_sql_path_maintenance_and_insert(spark, lake, tmp_path):
+    """The full SQL lifecycle over a path target, no catalog entry at
+    all: CTAS -> INSERT -> OPTIMIZE (ZORDER) -> DESCRIBE HISTORY ->
+    VACUUM on delta.`/p`; OPTIMIZE + DESCRIBE HISTORY on iceberg.`/p`."""
+    p = tmp_path / "pd"
+    lake.sql(f"CREATE TABLE delta.`{p}` PARTITIONED BY (name) "
+             "AS SELECT * FROM bronze.emp")
+    lake.sql(f"INSERT INTO delta.`{p}` VALUES (9, 'zoe', 1000.0)")
+    got = lake.sql(f"SELECT * FROM delta.`{p}`")
+    assert got.count() == 4
+    assert [x.name for x in got.where("id = 9").collect()] == ["zoe"]
+    res = lake.sql(f"OPTIMIZE delta.`{p}` ZORDER BY (id)").collect()[0]
+    assert res.output_files >= 1
+    hist = lake.sql(f"DESCRIBE HISTORY delta.`{p}`").collect()
+    assert [h.operation for h in hist[:2]] == ["OPTIMIZE", "WRITE"]
+    # RETAIN 0 HOURS reclaims the pre-OPTIMIZE files immediately
+    res = lake.sql(f"VACUUM delta.`{p}` RETAIN 0 HOURS").collect()[0]
+    assert res.files_removed >= 1
+    assert lake.sql(f"SELECT count(*) AS n FROM delta.`{p}`") \
+        .collect()[0].n == 4
+
+    pi = tmp_path / "pi"
+    lake.sql(f"CREATE TABLE iceberg.`{pi}` AS SELECT * FROM bronze.emp")
+    lake.sql(f"INSERT INTO iceberg.`{pi}` VALUES (9, 'zoe', 1000.0)")
+    assert lake.sql(f"SELECT count(*) AS n FROM iceberg.`{pi}`") \
+        .collect()[0].n == 4
+    res = lake.sql(f"OPTIMIZE iceberg.`{pi}`").collect()[0]
+    assert res.output_files >= 1
+    hist = lake.sql(f"DESCRIBE HISTORY iceberg.`{pi}`")
+    assert hist.count() >= 3  # ctas + insert + replace
