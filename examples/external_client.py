@@ -115,6 +115,43 @@ def main() -> None:
     got = sorted(
         x.o_orderkey for x in read_iceberg(spark, idest).limit(5).collect())
     print(f"[iceberg] final read OK (sample keys {got})")
+
+    # ---- round 11: engine B creates its OWN tables from scratch ------ #
+    # No LakeTable anywhere: partitioned CTAS + append + MERGE + rollback
+    # through the native writers, plus the SQL spelling over paths.
+    from lakehouses_spark.tables import LakeCatalog, LakeSQL
+    from lakehouses_spark.tables.delta_log import write_delta_table
+    from lakehouses_spark.tables.iceberg_meta import write_iceberg_table
+
+    fresh = base.limit(2000)
+    wd = write_delta_table(spark, fresh, work / "fresh_delta",
+                           partition_by=["o_orderstatus"])
+    wi = write_iceberg_table(spark, fresh, work / "fresh_iceberg",
+                             partition_by=["o_orderstatus"])
+    print(f"[fresh] CTAS: delta {len(wd.snapshot().files)} files "
+          f"(hive-partitioned), iceberg {len(wi.live_files())} files "
+          "(identity spec, typed manifest tuples)")
+    app = fresh.limit(5).withColumn("o_orderstatus", F.lit("Z"))
+    wd.append(app)
+    wi.append(app)
+    wi2 = IcebergMetadataReader(spark, work / "fresh_iceberg")
+    pre_m = wi2.meta["current-snapshot-id"]
+    wi2.merge(app.withColumn("o_totalprice", F.lit(1.0)),
+              "t.o_orderkey = s.o_orderkey AND t.o_orderstatus = 'Z'")
+    wi3 = IcebergMetadataReader(spark, work / "fresh_iceberg")
+    wi3.rollback_to_snapshot(pre_m)  # metadata-only undo of the MERGE
+    print("[fresh] append -> MERGE -> rollback_to_snapshot on the "
+          "fresh Iceberg table (zero data bytes moved by the rollback)")
+    # the same lifecycle as SQL over path targets
+    lake = LakeSQL(LakeCatalog(spark, work / "wh"))
+    n_z = lake.sql(
+        f"SELECT count(*) AS n FROM delta.`{work / 'fresh_delta'}` "
+        "WHERE o_orderstatus = 'Z'").collect()[0].n
+    lake.sql(f"DELETE FROM delta.`{work / 'fresh_delta'}` "
+             "WHERE o_orderstatus = 'Z'")
+    lake.sql(f"OPTIMIZE delta.`{work / 'fresh_delta'}`")
+    print(f"[fresh] SQL over the path: counted {n_z} 'Z' rows, deleted "
+          "them, compacted — no catalog entry involved")
     print("external-client round trip complete")
     spark.stop()
 
