@@ -2069,3 +2069,84 @@ def test_partition_only_planning_never_reads_data(spark, tmp_path, monkeypatch):
     # a data-column predicate falls back to the scan (and trips the boom)
     with pytest.raises(AssertionError, match="read data"):
         r.delete("v > 0", dry_run=True)
+
+
+def test_partitioned_dml_under_column_mapping(spark, tmp_path):
+    """Partitioned + COLUMN-MAPPED foreign table (the combined input
+    class): metadata.partitionColumns hold LOGICAL names, add
+    partitionValues key by PHYSICAL name, data files store physical
+    column names with the partition column absent. DML plans partition-
+    only predicates from the physical-keyed partitionValues, rewrites
+    per partition with physical-named dirs, and the read round-trips."""
+    base = tmp_path / "pm_delta"
+    (base / "_delta_log").mkdir(parents=True)
+    adds = []
+    for part, ks in (("A", [1, 2, 3]), ("B", [4, 5])):
+        pdir = base / f"col-seg={part}"
+        pdir.mkdir()
+        spark.createDataFrame(
+            [(k, float(k) * 10) for k in ks], "`col-k` long, `col-v` double"
+        ).coalesce(1).write.mode("overwrite").parquet(str(pdir / "out"))
+        pf = next((pdir / "out").rglob("part-*.parquet"))
+        dest_f = pdir / f"part-{part}.parquet"
+        pf.rename(dest_f)
+        import shutil as _sh
+        _sh.rmtree(pdir / "out")
+        adds.append({"add": {
+            "path": f"col-seg={part}/part-{part}.parquet",
+            "partitionValues": {"col-seg": part},  # PHYSICAL key
+            "size": dest_f.stat().st_size,
+            "modificationTime": 0, "dataChange": True}})
+
+    def fld(name, typ, phys, fid):
+        return {"name": name, "type": typ, "nullable": True, "metadata": {
+            "delta.columnMapping.id": fid,
+            "delta.columnMapping.physicalName": phys}}
+
+    schema = {"type": "struct", "fields": [
+        fld("k", "long", "col-k", 1),
+        fld("v", "double", "col-v", 2),
+        fld("seg", "string", "col-seg", 3),
+    ]}
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "pm", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["seg"],  # LOGICAL name, per spec
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "3"},
+            "createdTime": 0}},
+        *adds,
+    ]
+    with open(base / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+    r = DeltaLogReader(spark, base)
+    got = read_delta(spark, base)
+    assert {x.k: x.seg for x in got.collect()} == {
+        1: "A", 2: "A", 3: "A", 4: "B", 5: "B"}
+
+    # partition-only predicate: plans from the PHYSICAL-keyed pv map
+    res = r.update({"v": "v + 0.5"}, where="seg = 'B'")
+    assert res["rewritten_files"] == 1
+    rows = {x.k: x.v for x in read_delta(spark, base).collect()}
+    assert rows[4] == 40.5 and rows[1] == 10.0
+    # the rewritten add keys partitionValues by the PHYSICAL name
+    snap = DeltaLogReader(spark, base).snapshot()
+    assert any((a.get("partitionValues") or {}).get("col-seg") == "B"
+               for a in snap.files.values())
+    # mixed predicate falls back to the scan and still answers right
+    r2 = DeltaLogReader(spark, base)
+    r2.delete("seg = 'A' AND v > 15.0")
+    assert sorted(x.k for x in read_delta(spark, base).collect()) \
+        == [1, 4, 5]
+    # the rewritten files store PHYSICAL column names
+    import pyarrow.parquet as pq
+    newest = max(
+        (p for p in base.rglob("*.parquet") if "_delta_log" not in p.parts),
+        key=lambda p: p.stat().st_mtime)
+    names = set(pq.ParquetFile(newest).schema_arrow.names)
+    assert "col-k" in names and "seg" not in names and "k" not in names

@@ -1540,3 +1540,100 @@ def test_iceberg_partition_only_planning_never_reads_data(
     assert plan["rewritten_files"] == 1
     with pytest.raises(AssertionError, match="read data"):
         r.delete("price > 0", dry_run=True)
+
+
+def test_iceberg_partitioned_dml_under_name_mapping(spark, tmp_path):
+    """Identity-partitioned + NAME-MAPPED foreign table (the combined
+    input class): the partition SOURCE column was renamed after export,
+    so its logical name (spec field, predicates) differs from the
+    physical name the data files store. DML plans partition-only
+    predicates from the manifest tuples, duplicates the PHYSICAL column
+    for the partitioned write, and commits truthful typed tuples under
+    the logical spec name."""
+    import copy
+
+    import pyarrow.parquet as pq
+
+    from lakehouses_spark.tables.iceberg_meta import (
+        _MANIFEST_ENTRY_SCHEMA,
+        write_ocf_bytes_with_meta,
+    )
+
+    rows_a = [{"k": i, "status": "A", "price": float(10 * i)}
+              for i in range(1, 6)]
+    rows_b = [{"k": i, "status": "B", "price": float(10 * i)}
+              for i in range(6, 11)]
+    t = LakeTable.create(
+        spark, tmp_path / "lake_nm",
+        spark.createDataFrame(
+            rows_a, "k long, status string, price double").coalesce(1),
+        num_files=1)
+    t.append(spark.createDataFrame(
+        rows_b, "k long, status string, price double").coalesce(1))
+    t.alter_rename_column("status", "state")  # mapping: state -> status
+    dest = t.export_iceberg_metadata(tmp_path / "ice_nm")
+
+    meta_file = sorted(
+        (dest / "metadata").glob("v*.metadata.json"),
+        key=lambda p: int(p.name.split(".")[0][1:]))[-1]
+    m = json.loads(meta_file.read_text())
+    ice = next(s for s in m["schemas"]
+               if s["schema-id"] == m["current-schema-id"])
+    state_id = next(f["id"] for f in ice["fields"] if f["name"] == "state")
+
+    part_schema = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+    for f in part_schema["fields"]:
+        if f["name"] == "data_file":
+            for g in f["type"]["fields"]:
+                if g["name"] == "partition":
+                    g["type"]["fields"] = [{
+                        "name": "state", "type": ["null", "string"],
+                        "field-id": 1000}]
+    stamped = 0
+    for mf in sorted((dest / "metadata").glob("*.avro")):
+        _, mrows = read_ocf_bytes(mf.read_bytes())
+        if not mrows or "data_file" not in mrows[0]:
+            continue
+        for e in mrows:
+            if e["data_file"].get("content", 0) == 0:
+                fp = e["data_file"]["file_path"]
+                tbl = pq.read_table(
+                    fp[7:] if fp.startswith("file://") else fp)
+                # data files store the PHYSICAL column name
+                vals = set(tbl.column("status").to_pylist())
+                assert len(vals) == 1
+                e["data_file"]["partition"] = {"state": vals.pop()}
+                stamped += 1
+        mf.write_bytes(write_ocf_bytes_with_meta(
+            mrows, part_schema,
+            {"partition-spec":
+                 '[{"name": "state", "transform": "identity", '
+                 '"source-id": %d, "field-id": 1000}]' % state_id,
+             "partition-spec-id": "0",
+             "format-version": "2", "content": "data"}))
+    assert stamped == 2
+    m["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"name": "state", "transform": "identity",
+         "source-id": state_id, "field-id": 1000}]}]
+    m["default-spec-id"] = 0
+    meta_file.write_text(json.dumps(m))
+
+    r = IcebergMetadataReader(spark, dest)
+    # partition-only predicate on the LOGICAL name: tuple-planned
+    res = r.delete("state = 'A'")
+    assert res["rewritten_files"] == 1
+    r2 = IcebergMetadataReader(spark, dest)
+    assert sorted(x.k for x in r2.to_df().collect()) == list(range(6, 11))
+    # data predicate: per-partition rewrite, tuples stay truthful and
+    # files keep the PHYSICAL column
+    res = r2.update({"price": "price * 2"}, where="k = 6")
+    assert res["rewritten_files"] == 1
+    r3 = IcebergMetadataReader(spark, dest)
+    rows = {x.k: x.price for x in r3.to_df().collect()}
+    assert rows[6] == 120.0 and rows[7] == 70.0
+    for e in r3._live_data_entries():
+        local = r3._local_data(e["data_file"]["file_path"])
+        names = set(pq.ParquetFile(local).schema_arrow.names)
+        assert "status" in names and "state" not in names
+        vals = set(pq.read_table(local).column("status").to_pylist())
+        assert vals == {(e["data_file"].get("partition") or {}).get("state")}
