@@ -232,6 +232,7 @@ def export_delta_log(
     last_metadata_json: str | None = None
     log_dest.mkdir(parents=True, exist_ok=True)
     final_adds: dict[str, dict] = {}
+    final_removes: dict[str, int] = {}  # quoted rel -> deletionTimestamp
     final_txns: dict[str, tuple[int, int]] = {}  # appId -> (version, ts)
     # merge-on-read tombstones → native deletion vectors
     live_rels: set[str] = set()
@@ -350,6 +351,7 @@ def export_delta_log(
         dc = c.get("cdc") != []
         for rel in c.get("remove", []):
             final_adds.pop(quote(mapped_path(rel)), None)
+            final_removes[quote(mapped_path(rel))] = ts
             actions.append(
                 {
                     "remove": {
@@ -369,6 +371,7 @@ def export_delta_log(
                 "stats": json.dumps(_delta_stats(add)),
             }
             final_adds[delta_add["path"]] = delta_add
+            final_removes.pop(delta_add["path"], None)
             actions.append({"add": delta_add})
         # Change Data Feed files → native `cdc` actions (PROTOCOL.md "Add
         # CDC File"); readers substitute them for this commit's add/remove
@@ -483,6 +486,10 @@ def export_delta_log(
             metadata=json.loads(last_metadata_json),
             adds=sorted(final_adds.values(), key=lambda a: a["path"]),
             txns=final_txns,
+            removes=[
+                {"path": p_, "deletionTimestamp": ts_}
+                for p_, ts_ in sorted(final_removes.items())
+            ],
         )
     return dest
 
@@ -627,9 +634,10 @@ def exact_footer_bounds(md) -> tuple[dict, dict]:
     maxs: dict[str, Any] = {}
     inexact: set[str] = set()
     for rg in range(md.num_row_groups):
-        n_rg = md.row_group(rg).num_rows
+        rgm = md.row_group(rg)
+        n_rg = rgm.num_rows
         for ci in range(md.num_columns):
-            col = md.row_group(rg).column(ci)
+            col = rgm.column(ci)
             st = col.statistics
             name = col.path_in_schema
             if "." in name:  # nested leaves: no top-level bound
@@ -659,6 +667,21 @@ def exact_footer_bounds(md) -> tuple[dict, dict]:
     return mins, maxs
 
 
+def hive_partition_values(dir_parts: tuple[str, ...] | list[str]) -> dict:
+    """Decode hive partition directory components (``col=value``,
+    %XX-escaped, ``__HIVE_DEFAULT_PARTITION__`` = null) into a raw
+    string-valued map — the single implementation behind the Delta data
+    writer, the CDC writer, and the Iceberg partition-grouped writer
+    (they must never diverge on escaping rules)."""
+    from urllib.parse import unquote as _unq
+
+    pv: dict[str, Any] = {}
+    for comp in dir_parts:
+        k, _, v = comp.partition("=")
+        pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else _unq(v)
+    return pv
+
+
 def emit_data_files(table_path: Path, df: DataFrame, rel_prefix: str,
                     ts: int, data_change: bool,
                     part_cols: list[str] | None = None) -> list[dict]:
@@ -674,7 +697,7 @@ def emit_data_files(table_path: Path, df: DataFrame, rel_prefix: str,
     writes — the same derivation delta-spark uses). One distributed write
     regardless of how many partitions the rows span; per-partition
     grouping is the shuffle Spark already does."""
-    from urllib.parse import quote, unquote as _unq
+    from urllib.parse import quote
 
     import pyarrow.parquet as pq
 
@@ -690,12 +713,8 @@ def emit_data_files(table_path: Path, df: DataFrame, rel_prefix: str,
     (table_path / rel_dir).mkdir(parents=True, exist_ok=True)
     actions: list[dict] = []
     for i, part in enumerate(parts):
-        pv: dict[str, Any] = {}
         sub = part.relative_to(tmp).parts[:-1]
-        for comp in sub:  # hive dirs: col=value, %XX-escaped
-            k, _, v = comp.partition("=")
-            pv[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
-                     else _unq(v))
+        pv = hive_partition_values(sub)
         sub_dir = "/".join(sub)
         rel = (f"{rel_dir}/{sub_dir}/part-{i:05d}.parquet"
                if sub_dir else f"{rel_dir}/part-{i:05d}.parquet")
@@ -970,12 +989,16 @@ def _write_checkpoint_parquet(
     metadata: dict,
     adds: list[dict],
     txns: dict[str, tuple[int, int]] | None = None,
+    removes: list[dict] | None = None,
 ) -> None:
     """Classic single-file parquet checkpoint + `_last_checkpoint` pointer
     (01.parquet_primer.py:386): one row per reconciled action — protocol,
-    metaData, every live add (dataChange=false per the protocol), and the
+    metaData, every live add (dataChange=false per the protocol), the
     surviving txn watermarks (idempotent writers stay exactly-once after
-    log truncation)."""
+    log truncation), and the net remove TOMBSTONES (PROTOCOL.md keeps
+    unexpired removes in checkpoints so VACUUM retention survives log
+    cleanup — without them, retention silently degrades to file mtime,
+    which exports deliberately preserve from the source files)."""
     rows: list[tuple] = [
         (None, None, None, None,
          (protocol["minReaderVersion"], protocol["minWriterVersion"],
@@ -993,6 +1016,12 @@ def _write_checkpoint_parquet(
     ]
     for app, (v, ts) in sorted((txns or {}).items()):
         rows.append(((app, v, ts), None, None, None, None))
+    for r in sorted(removes or [], key=lambda r: r["path"]):
+        rows.append((
+            None, None,
+            (r["path"], r.get("deletionTimestamp"), False),
+            None, None,
+        ))
     for a in adds:
         dv = a.get("deletionVector")
         rows.append(
@@ -1040,7 +1069,8 @@ _SIDECAR_SCHEMA = (
     "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
     "modificationTime:bigint,dataChange:boolean,stats:string,"
     "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
-    "offset:int,sizeInBytes:int,cardinality:bigint>>"
+    "offset:int,sizeInBytes:int,cardinality:bigint>>, "
+    "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
 )
 
 
@@ -1052,6 +1082,7 @@ def _write_checkpoint_v2(
     metadata: dict,
     adds: list[dict],
     txns: dict[str, tuple[int, int]] | None = None,
+    removes: list[dict] | None = None,
 ) -> None:
     """V2 checkpoint (PROTOCOL.md "V2 Checkpoint Table Feature"): a
     UUID-named top-level `<v>.checkpoint.<uuid>.json` holding
@@ -1068,6 +1099,11 @@ def _write_checkpoint_v2(
     sidecar_dir = log_dest / "_sidecars"
     sidecar_dir.mkdir(parents=True, exist_ok=True)
     add_rows: list[tuple] = []
+    for r in sorted(removes or [], key=lambda r: r["path"]):
+        # net remove tombstones live in the sidecars with the other file
+        # actions (v2 spec) so VACUUM retention survives log cleanup
+        add_rows.append(
+            (None, (r["path"], r.get("deletionTimestamp"), False)))
     for a in adds:
         dv = a.get("deletionVector")
         add_rows.append((
@@ -1075,6 +1111,7 @@ def _write_checkpoint_v2(
              a["modificationTime"], False, a.get("stats"),
              (dv["storageType"], dv["pathOrInlineDv"], dv.get("offset"),
               dv["sizeInBytes"], dv["cardinality"]) if dv else None),
+            None,
         ))
     n_parts = max(1, -(-len(add_rows) // CHECKPOINT_PART_ACTIONS))
     tmp = log_dest / f".tmp-ckpt-{uuid.uuid4().hex}"
@@ -1881,6 +1918,7 @@ class DeltaLogReader:
         from urllib.parse import quote
 
         snap = self.snapshot()
+        self._check_write(snap, None)  # writer-feature gate
         if not snap.files:
             raise DeltaProtocolError("no live files to optimize")
         total_bytes = sum(a.get("size") or 0 for a in snap.files.values())
@@ -1930,7 +1968,17 @@ class DeltaLogReader:
                 .drop("__z")
             )
         elif part_phys:
-            df = df.repartition(int(n_out), *part_phys)
+            # range over (partition cols, row-hash salt): rows co-locate
+            # by tuple AND a big partition still splits across tasks, so
+            # target_file_size bin-packing holds within each partition —
+            # hashing by tuple alone would funnel a 10 GB partition into
+            # ONE task/file (r11 review)
+            df = (
+                df.withColumn(
+                    "__s", F.hash(*[F.col(c) for c in df.columns]))
+                .repartitionByRange(int(n_out), *part_phys, "__s")
+                .drop("__s")
+            )
         else:
             df = df.repartition(int(n_out))
         ts = int(_time.time() * 1000)
@@ -1960,6 +2008,46 @@ class DeltaLogReader:
                           part_cols: list[str] | None = None) -> list[dict]:
         return emit_data_files(
             self.path, df, rel_prefix, ts, data_change, part_cols)
+
+    _SUPPORTED_WRITER_FEATURES = {
+        "appendOnly", "invariants", "checkConstraints", "columnMapping",
+        "changeDataFeed", "deletionVectors", "timestampNtz", "v2Checkpoint",
+    }
+
+    def _check_write(self, snap: "DeltaSnapshot",
+                     df: DataFrame | None) -> None:
+        """Write-side gate shared by every committing verb (r11 review):
+        refuse writerFeatures this engine does not implement — the
+        protocol requires a writer to understand EVERY listed feature
+        (e.g. rowTracking demands per-add fields we never emit) — and
+        enforce `delta.constraints.*` CHECKs on the incoming rows with
+        Delta's semantics (violation only when the expression is FALSE;
+        NULL passes), so other engines can keep trusting the table as
+        constraint-clean after foreign writes."""
+        proto = snap.protocol
+        if proto.get("minWriterVersion", 2) >= 7:
+            unsupported = set(
+                proto.get("writerFeatures") or []
+            ) - self._SUPPORTED_WRITER_FEATURES
+            if unsupported:
+                raise DeltaProtocolError(
+                    f"table requires writer feature(s) "
+                    f"{sorted(unsupported)} this engine does not implement"
+                )
+        if df is None:
+            return
+        names = [k for k in snap.configuration
+                 if k.startswith("delta.constraints.")]
+        if not names:
+            return
+        cond = F.lit(True)
+        for k in names:
+            cond = cond & F.expr(snap.configuration[k])
+        n_bad = df.where(~cond).count()
+        if n_bad:
+            raise DeltaProtocolError(
+                f"{n_bad} row(s) violate CHECK constraint(s) {names}"
+            )
 
     def append(self, df: DataFrame, merge_schema: bool = False) -> dict:
         """Blind APPEND to an external Delta table (delta-rs/delta-spark's
@@ -2019,6 +2107,7 @@ class DeltaLogReader:
              else F.lit(None).cast(f.dataType)).alias(f.name)
             for f in schema.fields
         ])
+        self._check_write(snap, out)  # writer features + CHECK constraints
         phys_of: dict[str, str] = {}
         if mapping_mode in ("name", "id"):
             for f in json.loads(snap.metadata["schemaString"]).get(
@@ -2076,14 +2165,30 @@ class DeltaLogReader:
             (payload(p, a) for p, a in snap.files.items()),
             key=lambda a: a["path"],
         )
+        # net remove TOMBSTONES survive in the checkpoint (PROTOCOL.md):
+        # after log cleanup they are what keeps VACUUM retention keyed on
+        # deletionTimestamp instead of degrading to file mtime
+        live = set(snap.files)
+        root = self.path.resolve()
+        removes = [
+            {"path": quote(str(p.relative_to(root))),
+             "deletionTimestamp": ts}
+            for p, ts in self._tombstones().items()
+            if root in p.parents
+            and str(p.relative_to(root)) not in live
+        ]
         _write_checkpoint_parquet(
             self.spark, self.log, snap.version,
             protocol=snap.protocol,
             metadata=snap.metadata,
             adds=adds,
             txns={app: (v, None) for app, v in (snap.txns or {}).items()},
+            removes=removes,
         )
-        return {"version": snap.version, "actions": len(adds) + 2}
+        return {
+            "version": snap.version,
+            "actions": len(adds) + len(removes) + 2,
+        }
 
     # -- copy-on-write DML (delta_lake_primer.py:213-320 against an ------ #
     # -- EXTERNAL _delta_log, no LakeTable adoption required) ------------- #
@@ -2253,6 +2358,9 @@ class DeltaLogReader:
         from urllib.parse import quote
 
         conf = snap.configuration
+        # DELETE keeps existing rows only — it can't introduce a CHECK
+        # violation; UPDATE/MERGE rewrites can (r11 review)
+        self._check_write(snap, None if op == "DELETE" else new_rows)
         mapping_mode = conf.get("delta.columnMapping.mode", "none")
         phys_of: dict[str, str] = {}
         if mapping_mode in ("name", "id"):
@@ -2305,14 +2413,9 @@ class DeltaLogReader:
                 cdc_df.write.partitionBy(*part_cols).parquet(str(tmp))
             else:
                 cdc_df.write.parquet(str(tmp))
-            from urllib.parse import unquote as _unq
             for part in sorted(
                     p for p in tmp.rglob("part-*.parquet") if p.is_file()):
-                pv: dict[str, Any] = {}
-                for comp in part.relative_to(tmp).parts[:-1]:
-                    k, _, v = comp.partition("=")
-                    pv[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
-                             else _unq(v))
+                pv = hive_partition_values(part.relative_to(tmp).parts[:-1])
                 rel = f"_change_data/cdc-{uuid.uuid4().hex[:12]}.parquet"
                 os.replace(part, self.path / rel)
                 actions.append({"cdc": {
@@ -2464,6 +2567,7 @@ class DeltaLogReader:
         from urllib.parse import quote
 
         cur = self.snapshot()
+        self._check_write(cur, None)  # writer-feature gate
         tgt = self.snapshot(version)
         missing = [
             p for p in tgt.files
@@ -2528,6 +2632,9 @@ class DeltaLogReader:
                 self.spark.read.schema(remove_schema).json(json_paths)
             )
         ckpt_paths = [str(p) for p in self.log.glob("*.checkpoint*.parquet")]
+        # v2 checkpoints keep file actions (incl. remove tombstones) in
+        # sidecars — scan those too
+        ckpt_paths += [str(p) for p in self.log.glob("_sidecars/*.parquet")]
         if ckpt_paths:
             # explicit schema subset: checkpoints lacking a `remove`
             # column (or with extra fields) read as nulls, not errors
@@ -2728,33 +2835,51 @@ class DeltaLogReader:
                     for f in schema.fields
                     if f.name not in snap.partition_columns
                 ]
-                piece = raw.select(*sel)
                 # partition columns come from the add actions; an append
-                # commits one partitionValues map per file
-                for c in snap.partition_columns:
-                    vals = {a.get("partitionValues", {}).get(c) for a in adds}
-                    if len(vals) == 1:
+                # commits one partitionValues map per file. Look up by
+                # PHYSICAL name first (spec-strict writers key
+                # partitionValues physically under column mapping), then
+                # logical; attach every partition column from ONE
+                # progressively-built frame so multi-column partitioning
+                # never drops an earlier column (r11 review).
+                part_cols = list(snap.partition_columns)
+
+                def a_pv(a: dict, c: str) -> str | None:
+                    pvs = a.get("partitionValues") or {}
+                    ph = phys_name(schema[c])
+                    return pvs[ph] if ph in pvs else pvs.get(c)
+
+                multi = [
+                    c for c in part_cols
+                    if len({a_pv(a, c) for a in adds}) > 1
+                ]
+                if multi:
+                    piece = raw.withColumn(
+                        "__lh_fp", fs_path_col()).select("__lh_fp", *sel)
+                    pv_map = self.spark.createDataFrame(
+                        [(str((self.path / unquote(a["path"])).resolve()),
+                          *[a_pv(a, c) for c in multi])
+                         for a in adds],
+                        StructType(
+                            [StructField("__lh_fp", StringType())]
+                            + [StructField(f"__lh_pv_{i}", StringType())
+                               for i in range(len(multi))]),
+                    )
+                    piece = piece.join(F.broadcast(pv_map), "__lh_fp")
+                    for i, c in enumerate(multi):
                         piece = piece.withColumn(
-                            c,
-                            F.lit(next(iter(vals))).cast(
-                                schema[c].dataType),
-                        )
-                    else:
-                        pv = self.spark.createDataFrame(
-                            [(str((self.path / unquote(a["path"])).resolve()),
-                              a.get("partitionValues", {}).get(c))
-                             for a in adds],
-                            "__lh_fp string, __lh_pv string",
-                        )
-                        piece = (
-                            raw.withColumn("__lh_fp", fs_path_col())
-                            .select("__lh_fp", *sel)
-                            .join(F.broadcast(pv), "__lh_fp")
-                            .withColumn(
-                                c, F.col("__lh_pv").cast(schema[c].dataType)
-                            )
-                            .drop("__lh_fp", "__lh_pv")
-                        )
+                            c, F.col(f"__lh_pv_{i}").cast(schema[c].dataType))
+                    piece = piece.drop(
+                        "__lh_fp", *[f"__lh_pv_{i}"
+                                     for i in range(len(multi))])
+                else:
+                    piece = raw.select(*sel)
+                for c in part_cols:
+                    if c in multi:
+                        continue
+                    vals = {a_pv(a, c) for a in adds}
+                    piece = piece.withColumn(
+                        c, F.lit(next(iter(vals))).cast(schema[c].dataType))
                 piece = piece.withColumn("_change_type", F.lit("insert"))
             elif removes:
                 raise DeltaProtocolError(

@@ -1844,7 +1844,7 @@ class IcebergMetadataReader:
         unlike Delta's hive stripping) while each file still belongs to
         exactly one partition tuple, decoded typed from the hive
         directory names. One distributed write either way."""
-        from urllib.parse import unquote as _unq
+        from lakehouses_spark.tables.delta_log import hive_partition_values
 
         rel_dir = f"data/{prefix}-{uuid.uuid4().hex[:8]}"
         tmp = self.path / f".tmp-{prefix}-{uuid.uuid4().hex}"
@@ -1865,12 +1865,8 @@ class IcebergMetadataReader:
         for i, part in enumerate(parts):
             pv: dict[str, Any] = {}
             if pctx:
-                raw_by_dup = {}
-                for comp in part.relative_to(tmp).parts[:-1]:
-                    k, _, v = comp.partition("=")
-                    raw_by_dup[k] = (
-                        None if v == "__HIVE_DEFAULT_PARTITION__"
-                        else _unq(v))
+                raw_by_dup = hive_partition_values(
+                    part.relative_to(tmp).parts[:-1])
                 for dup, f in dup_of:
                     pv[f["pname"]] = _pv_from_dir(
                         raw_by_dup.get(dup), f["dt"])

@@ -643,7 +643,11 @@ class LakeSQL:
                 self.spark.read.parquet(p).createOrReplaceTempView(view)
             return view
 
-        rewritten = re.sub(
+        # literal-aware: a 'delta.`x`' inside a quoted string is DATA,
+        # not a table reference — substitute only outside literals
+        # (r11 review: the eager read during substitution would otherwise
+        # raise FileNotFoundError on a query plain Spark runs fine)
+        rewritten = _sub_outside_literals(
             r"\b(delta|iceberg|parquet)\.`([^`]+)`",
             path_replace, rewritten, flags=re.IGNORECASE,
         )
@@ -664,6 +668,32 @@ class LakeSQL:
 
     def _result(self, **kv) -> DataFrame:
         return self.spark.createDataFrame([{k: int(v) for k, v in kv.items()}])
+
+
+def _sub_outside_literals(pattern: str, repl, text: str, flags=0) -> str:
+    """`re.sub` applied only OUTSIDE single-quoted string literals
+    (SQL-style '' escaping honored) — pattern rewrites must never touch
+    quoted data."""
+    out: list[str] = []
+    i, n, seg_start = 0, len(text), 0
+    while i < n:
+        if text[i] == "'":
+            out.append(re.sub(pattern, repl, text[seg_start:i], flags=flags))
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(text[i:min(j + 1, n)])
+            i = j + 1
+            seg_start = i
+        else:
+            i += 1
+    out.append(re.sub(pattern, repl, text[seg_start:], flags=flags))
+    return "".join(out)
 
 
 def _strip_comments(text: str) -> str:

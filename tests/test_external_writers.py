@@ -370,3 +370,151 @@ def test_fresh_written_tables_stream(spark, tmp_path):
         got = spark.read.parquet(str(out))
         assert sorted(x.k for x in got.collect()) == [1, 2, 3, 4, 5, 100]
         assert sorted({x.seg for x in got.collect()}) == ["A", "B", "C"]
+
+
+# ------------- round-11c: review-driven hardening pins -------------------- #
+def test_checkpoint_keeps_remove_tombstones_for_vacuum(spark, tmp_path):
+    """PROTOCOL.md: unexpired remove tombstones survive in checkpoints.
+    After checkpoint + log cleanup, VACUUM retention must stay keyed on
+    deletionTimestamp — with a backdated file mtime (what export
+    hard-links produce), an mtime fallback would reclaim a file removed
+    five minutes ago despite the 168h window."""
+    import os as _os
+    import time as _time
+
+    df = spark.createDataFrame(ROWS, SCHEMA).coalesce(1)
+    r = write_delta_table(spark, df, tmp_path / "d", partition_by=["seg"])
+    r.delete("seg = 'A'")  # tombstones the A file NOW
+    r = DeltaLogReader(spark, tmp_path / "d")
+    r.checkpoint()
+    log = tmp_path / "d" / "_delta_log"
+    for v in range(2):
+        (log / f"{v:020d}.json").unlink()
+    # backdate every data file far past the retention window
+    old = _time.time() - 10 * 24 * 3600
+    for p in (tmp_path / "d").rglob("*.parquet"):
+        if "_delta_log" not in p.parts:
+            _os.utime(p, (old, old))
+    r2 = DeltaLogReader(spark, tmp_path / "d")
+    res = r2.vacuum(retention_hours=168, dry_run=True)
+    assert res["files"] == [], res  # tombstone is 5s old: protected
+    # with retention 0 the tombstoned file IS reclaimable
+    res = r2.vacuum(retention_hours=0, dry_run=True)
+    assert len(res["files"]) >= 1
+
+
+def test_append_cdf_partition_values_under_column_mapping(spark, tmp_path):
+    """r11 review: blind-append CDF on a PARTITIONED + column-mapped
+    table must read add.partitionValues by PHYSICAL name — the derived
+    insert rows carry the real partition value, not NULL."""
+    import json as _json
+
+    base = tmp_path / "pm"
+    (base / "_delta_log").mkdir(parents=True)
+
+    def fld(name, typ, phys, fid):
+        return {"name": name, "type": typ, "nullable": True, "metadata": {
+            "delta.columnMapping.id": fid,
+            "delta.columnMapping.physicalName": phys}}
+
+    schema = {"type": "struct", "fields": [
+        fld("k", "long", "col-k", 1),
+        fld("zone", "string", "col-zone", 2),
+    ]}
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "pmc", "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": ["zone"],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "2",
+                "delta.enableChangeDataFeed": "true"},
+            "createdTime": 0}},
+    ]
+    with open(base / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+
+    r = DeltaLogReader(spark, base)
+    # append writes adds whose partitionValues key by PHYSICAL name
+    r.append(spark.createDataFrame(
+        [{"k": 1, "zone": "C"}, {"k": 2, "zone": "D"}],
+        "k long, zone string").coalesce(1))
+    snap = DeltaLogReader(spark, base).snapshot()
+    assert all("col-zone" in a["partitionValues"]
+               for a in snap.files.values())
+    ch = {x.k: x.zone for x in r.table_changes(1, 1).collect()}
+    assert ch == {1: "C", 2: "D"}  # NOT None: physical-name pv lookup
+
+
+def test_append_cdf_multiple_partition_columns(spark, tmp_path):
+    """r11 review: an append spanning several values of several
+    partition columns derives CDF inserts with EVERY partition column
+    populated (the per-column rebuild used to drop earlier columns)."""
+    df = spark.createDataFrame(
+        [(1, "A", "x", 1.0), (2, "B", "y", 2.0)],
+        "k long, a string, b string, v double")
+    r = write_delta_table(
+        spark, df.coalesce(1), tmp_path / "d",
+        partition_by=["a", "b"],
+        properties={"delta.enableChangeDataFeed": "true"})
+    r.append(spark.createDataFrame(
+        [(3, "A", "x", 3.0), (4, "B", "x", 4.0), (5, "B", "z", 5.0)],
+        "k long, a string, b string, v double").coalesce(1))
+    ch = {x.k: (x.a, x.b) for x in r.table_changes(1, 1).collect()}
+    assert ch == {3: ("A", "x"), 4: ("B", "x"), 5: ("B", "z")}
+
+
+def test_external_write_enforces_check_constraints(spark, tmp_path):
+    """r11 review: external append/UPDATE enforce delta.constraints.*
+    with Delta semantics (violation only when FALSE; NULL passes);
+    unknown writerFeatures refuse every committing verb."""
+    df = spark.createDataFrame(ROWS, SCHEMA).coalesce(1)
+    r = write_delta_table(
+        spark, df, tmp_path / "d",
+        properties={"delta.constraints.v_positive": "v > 0"})
+    with pytest.raises(DeltaProtocolError, match="CHECK constraint"):
+        r.append(spark.createDataFrame(
+            [{"k": 99, "seg": "Q", "v": -1.0}], SCHEMA))
+    # NULL passes (SQL CHECK semantics)
+    r.append(spark.createDataFrame(
+        [{"k": 99, "seg": "Q"}], "k long, seg string"))
+    r2 = DeltaLogReader(spark, tmp_path / "d")
+    with pytest.raises(DeltaProtocolError, match="CHECK constraint"):
+        r2.update({"v": "v - 1000"}, where="k = 1")
+    r2.delete("k = 2")  # DELETE can't violate: allowed without the job
+
+    # unknown writer feature refuses the write plane
+    import json as _json
+    log = tmp_path / "d" / "_delta_log"
+    head = sorted(log.glob("*.json"))[-1]
+    v = int(head.name.split(".")[0]) + 1
+    with open(log / f"{v:020d}.json", "w") as fh:
+        fh.write(_json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["rowTracking"]}}) + "\n")
+    r3 = DeltaLogReader(spark, tmp_path / "d")
+    for call in (lambda: r3.append(df.limit(1)),
+                 lambda: r3.delete("k = 3"),
+                 lambda: r3.optimize(target_files=1)):
+        with pytest.raises(DeltaProtocolError, match="rowTracking"):
+            call()
+
+
+def test_partitioned_optimize_bin_packs_within_partition(spark, tmp_path):
+    """r11 review: a big partition must split across multiple output
+    files — hashing by tuple alone would funnel it into one task/file."""
+    rows = [(i, "A" if i % 10 else "B", float(i)) for i in range(20_000)]
+    df = spark.createDataFrame(rows, SCHEMA).repartition(8)
+    r = write_delta_table(spark, df, tmp_path / "d", partition_by=["seg"])
+    res = r.optimize(target_files=6)
+    assert res["output_files"] >= 4, res  # the 90% partition split up
+    r2 = DeltaLogReader(spark, tmp_path / "d")
+    by_seg = {}
+    for a in r2.snapshot().files.values():
+        by_seg.setdefault(a["partitionValues"]["seg"], []).append(a)
+    assert len(by_seg["A"]) >= 3  # big partition: multiple files
+    assert _sorted_rows(read_delta(spark, tmp_path / "d")) == \
+        _sorted_rows(df)

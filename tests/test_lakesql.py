@@ -475,3 +475,10 @@ def test_sql_path_maintenance_and_insert(spark, lake, tmp_path):
     assert res.output_files >= 1
     hist = lake.sql(f"DESCRIBE HISTORY iceberg.`{pi}`")
     assert hist.count() >= 3  # ctas + insert + replace
+
+
+def test_sql_path_pattern_inside_string_literal_is_data(lake):
+    """r11 review: a 'delta.`...`' inside a quoted literal is DATA — the
+    path resolver must not try to open it (plain Spark runs this fine)."""
+    got = lake.sql("SELECT 'see delta.`/does/not/exist`' AS note").collect()
+    assert got[0].note == "see delta.`/does/not/exist`"
