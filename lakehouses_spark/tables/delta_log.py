@@ -825,6 +825,26 @@ def merge_rewritten(sub, src, cond, names, dtype_of, source_cols,
     return sub.select(*[F.col(f"t.{c}").alias(c) for c in names])
 
 
+def merge_insert_required_check(fields, source_cols,
+                                when_not_matched_insert, err_cls) -> None:
+    """ADVICE r12: WHEN NOT MATCHED INSERT fills table columns absent
+    from the clause with NULL — on a non-nullable (required) column that
+    null is schema-invalid and other engines reject the files. Mirror
+    append()'s required-column refusal: every non-nullable table column
+    must be covered by the source (INSERT *) or an insert SET
+    expression. Shared by the Delta and Iceberg external MERGE."""
+    covered = (set(source_cols) if when_not_matched_insert == "all"
+               else set(when_not_matched_insert))
+    missing = [f.name for f in fields
+               if not f.nullable and f.name not in covered]
+    if missing:
+        raise err_cls(
+            f"MERGE WHEN NOT MATCHED INSERT leaves required (non-null) "
+            f"column(s) {missing} unset — cover them in the source or "
+            "the insert SET clause"
+        )
+
+
 def merge_inserts(src, t_all, cond, names, dtype_of, source_cols,
                   when_not_matched_insert):
     """Source rows matching no target row, shaped to the table schema
@@ -2023,7 +2043,12 @@ class DeltaLogReader:
         enforce `delta.constraints.*` CHECKs on the incoming rows with
         Delta's semantics (violation only when the expression is FALSE;
         NULL passes), so other engines can keep trusting the table as
-        constraint-clean after foreign writes."""
+        constraint-clean after foreign writes. ADVICE r12: legacy COLUMN
+        INVARIANTS (`delta.invariants` in schema field metadata — the
+        writer feature this engine lists as supported) are enforced in
+        the same single pass, with Delta's CheckDeltaInvariant
+        semantics: an invariant expression evaluating to NULL *is* a
+        violation, unlike CHECK constraints."""
         proto = snap.protocol
         if proto.get("minWriterVersion", 2) >= 7:
             unsupported = set(
@@ -2036,17 +2061,31 @@ class DeltaLogReader:
                 )
         if df is None:
             return
-        names = [k for k in snap.configuration
-                 if k.startswith("delta.constraints.")]
-        if not names:
+        viols: list[tuple[str, Column]] = []
+        for k in sorted(k for k in snap.configuration
+                        if k.startswith("delta.constraints.")):
+            viols.append(
+                (k, F.expr(snap.configuration[k]) == F.lit(False)))
+        for f in snap.schema.fields:
+            inv = (f.metadata or {}).get("delta.invariants")
+            if not inv:
+                continue
+            sql = json.loads(inv)["expression"]["expression"]
+            viols.append(
+                (f"delta.invariants({f.name})",
+                 ~F.expr(sql).eqNullSafe(True)))
+        if not viols:
             return
-        cond = F.lit(True)
-        for k in names:
-            cond = cond & F.expr(snap.configuration[k])
-        n_bad = df.where(~cond).count()
-        if n_bad:
+        # one aggregation pass over the incoming rows for ALL rules
+        counts = df.agg(*[
+            F.sum(F.when(c, 1).otherwise(0)).alias(f"__v{i}")
+            for i, (_, c) in enumerate(viols)
+        ]).first()
+        bad = {name: int(counts[i])
+               for i, (name, _) in enumerate(viols) if counts[i]}
+        if bad:
             raise DeltaProtocolError(
-                f"{n_bad} row(s) violate CHECK constraint(s) {names}"
+                f"row(s) violate CHECK constraint/invariant: {bad}"
             )
 
     def append(self, df: DataFrame, merge_schema: bool = False) -> dict:
@@ -2146,8 +2185,14 @@ class DeltaLogReader:
         Refused when the in-memory state was pruned-replayed (>50k adds):
         per-file stats then live JVM-side only and a checkpoint written
         without them would permanently drop stats-based skipping for
-        downstream readers."""
+        downstream readers. Checkpointing is a WRITE (ADVICE r11): the
+        replay tracks only protocol/metaData/add/remove/txn, so on a
+        table whose writerFeatures demand more state (rowTracking per-add
+        fields, domainMetadata actions) the checkpoint would silently
+        drop it — the shared writer-feature gate refuses those tables
+        here exactly like every committing verb."""
         snap = self.snapshot()
+        self._check_write(snap, None)
         if any(a.get("__statsPruned") for a in snap.files.values()):
             raise DeltaProtocolError(
                 "checkpoint from a pruned replay would drop per-file "
@@ -2348,12 +2393,13 @@ class DeltaLogReader:
     def _commit_dml(self, op: str, params: dict[str, str],
                     new_rows: DataFrame, removed_rels: list[str],
                     cdc_parts: list[DataFrame], snap: "DeltaSnapshot",
-                    ) -> int:
+                    new_metadata: dict | None = None) -> int:
         """Assemble and write one DML commit: physical-name the output
         under column mapping, write the rewritten/inserted rows as data
         files (footer stats on every add), tombstone the removed files,
-        attach cdc change files, commit version N+1. Returns the new
-        version."""
+        attach cdc change files, commit version N+1 (with the widened
+        metaData action first when a schema-evolving MERGE passes one).
+        Returns the new version."""
         import time as _time
         from urllib.parse import quote
 
@@ -2387,6 +2433,8 @@ class DeltaLogReader:
                 "operationParameters": params,
             }
         }]
+        if new_metadata is not None:
+            actions.append({"metaData": new_metadata})
         actions.extend(
             self._write_data_files(new_rows, op.lower(), ts,
                                    data_change=True, part_cols=part_cols)
@@ -2435,17 +2483,21 @@ class DeltaLogReader:
         when_matched_update: dict[str, str] | str | None = "all",
         when_not_matched_insert: dict[str, str] | str | None = "all",
         when_matched_delete: bool = False,
+        schema_evolution: bool = False,
     ) -> dict:
         """MERGE INTO on an external Delta table, copy-on-write — the
         same clause surface as `LakeTable.merge`
-        (02.delta_lake_primer.py:312-320) minus schema evolution: `on`
-        references columns as t.<col> / s.<col>; only files containing
-        matched rows rewrite, inserts append as new files, and a source
-        whose columns are not a subset of the table schema is refused
-        (adopt via convert_from_delta for evolution). Multiple source
-        rows matching one target row with an update clause raise, like
-        Delta. CDF-enabled tables record the matched/insert change
-        images.
+        (02.delta_lake_primer.py:312-320): `on` references columns as
+        t.<col> / s.<col>; only files containing matched rows rewrite,
+        inserts append as new files. Multiple source rows matching one
+        target row with an update clause raise, like Delta. CDF-enabled
+        tables record the matched/insert change images. A source with
+        columns beyond the table schema refuses unless
+        ``schema_evolution`` (Delta's `withSchemaEvolution`, VERDICT
+        r11 #4): the commit then also carries a metaData action with
+        the widened schema — new columns nullable, untouched files read
+        them as NULL (refused under column mapping: physical-name/id
+        minting belongs to the owning writer).
 
         100 TB shape: matched-file planning is one distributed semi-join
         keyed by `_metadata.file_path`; the rewrite touches only matched
@@ -2460,12 +2512,42 @@ class DeltaLogReader:
         schema = snap.schema
         names = [f.name for f in schema.fields]
         extra = [c for c in source.columns if c not in names]
-        if extra:
+        new_metadata: dict | None = None
+        if extra and not schema_evolution:
             raise DeltaProtocolError(
                 f"MERGE source columns {extra} are not in the table "
-                "schema; external MERGE does not evolve schemas — adopt "
-                "the table with convert_from_delta first"
+                "schema; pass schema_evolution=True (Delta's "
+                "withSchemaEvolution) to evolve it"
             )
+        if extra:
+            if conf.get("delta.columnMapping.mode", "none") in (
+                    "name", "id"):
+                raise DeltaProtocolError(
+                    "schema-evolving MERGE on a column-mapped table is "
+                    "not supported (physical-name/id minting belongs to "
+                    "the owning writer) — adopt via convert_from_delta"
+                )
+            schema_json = json.loads(snap.metadata["schemaString"])
+            for c in extra:
+                schema_json["fields"].append({
+                    "name": c,
+                    "type": source.schema[c].dataType.jsonValue(),
+                    "nullable": True, "metadata": {},
+                })
+            new_metadata = {
+                **snap.metadata, "schemaString": json.dumps(schema_json),
+            }
+            schema = StructType.fromJson(schema_json)
+            names = [f.name for f in schema.fields]
+
+        def widen(df: DataFrame) -> DataFrame:
+            """Target-side rows under evolution: new columns read NULL."""
+            if extra:
+                df = df.withColumns({
+                    c: F.lit(None).cast(schema[c].dataType) for c in extra
+                })
+            return df
+
         cond = F.expr(on)
         src = source.alias("s")
         t = self.to_df(_with_path=True).alias("t")
@@ -2484,8 +2566,8 @@ class DeltaLogReader:
         cdc_parts: list[DataFrame] = []
         if affected:
             # both rewrite-side reads list and scan ONLY the matched files
-            sub = self.to_df(
-                _with_path=True, _paths=set(affected)).alias("t")
+            sub = widen(self.to_df(
+                _with_path=True, _paths=set(affected))).alias("t")
             if when_matched_update and not when_matched_delete:
                 t_chk = (
                     self.to_df(_with_path=True, _paths=set(affected))
@@ -2532,11 +2614,19 @@ class DeltaLogReader:
 
         n_inserted = 0
         if when_not_matched_insert:
+            merge_insert_required_check(
+                schema.fields, source.columns, when_not_matched_insert,
+                DeltaProtocolError)
             ins = merge_inserts(
                 src, self.to_df().alias("t"), cond, names,
                 {f.name: f.dataType for f in schema.fields},
                 source.columns, when_not_matched_insert,
             )
+            # single-pass insert leg (VERDICT r11): the anti-join probes
+            # the WHOLE table — materialize it once so the count, the COW
+            # write and the CDF image read the materialized blocks
+            # instead of re-running the most expensive leg of the MERGE
+            ins = ins.localCheckpoint()
             n_inserted = ins.count()
             if n_inserted:
                 out_parts.append(ins)
@@ -2552,6 +2642,7 @@ class DeltaLogReader:
         plan["version"] = self._commit_dml(
             "MERGE", {"predicate": on}, new_rows,
             [rel_of[ap] for ap in affected], cdc_parts, snap,
+            new_metadata=new_metadata,
         )
         return plan
 

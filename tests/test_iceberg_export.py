@@ -1637,3 +1637,44 @@ def test_iceberg_partitioned_dml_under_name_mapping(spark, tmp_path):
         assert "status" in names and "state" not in names
         vals = set(pq.read_table(local).column("status").to_pylist())
         assert vals == {(e["data_file"].get("partition") or {}).get("state")}
+
+
+def test_added_entry_null_seq_inherits_from_manifest_list(spark, tmp_path):
+    """ADVICE r12 (spec "Sequence Number Inheritance"): foreign v2
+    writers leave ADDED entries' sequence numbers null — the reader
+    must substitute the manifest-list row's sequence_number. Coercing
+    null to 0 made every equality delete apply (over-deleting rows) and
+    relisting such entries as EXISTING propagated spec-invalid nulls."""
+    from lakehouses_spark.tables.iceberg_meta import (
+        _MANIFEST_ENTRY_SCHEMA,
+        write_ocf_bytes_with_meta,
+    )
+
+    # data at seq 1, eq-delete on status='A' ALSO at seq 1: the
+    # strictly-below rule keeps every row — once inheritance resolves
+    t, dest = _with_delete_manifest(
+        spark, tmp_path, 2, [], eq_values=["A"], delete_seq=1,
+        dest_name="ice-null-seq")
+    meta = json.loads((dest / "metadata" / "v1.metadata.json").read_text())
+    snap = meta["snapshots"][-1]
+    ml_rel = snap["manifest-list"].rsplit("/metadata/", 1)[1]
+    _, ml_rows = read_ocf_bytes((dest / "metadata" / ml_rel).read_bytes())
+    data_ml = next(m for m in ml_rows if int(m.get("content", 0) or 0) == 0)
+    mf = dest / "metadata" / data_ml["manifest_path"].rsplit(
+        "/metadata/", 1)[1]
+    _, entries = read_ocf_bytes(mf.read_bytes())
+    for e in entries:
+        assert e["status"] == 1  # ADDED: inheritance applies
+        e["sequence_number"] = None
+        e["file_sequence_number"] = None
+    mf.write_bytes(write_ocf_bytes_with_meta(
+        entries, _MANIFEST_ENTRY_SCHEMA, {"content": "data"}))
+
+    r = IcebergMetadataReader(spark, dest)
+    live = r._live_data_entries()
+    assert live and all(
+        e["sequence_number"] == data_ml["sequence_number"]
+        and e["file_sequence_number"] == data_ml["sequence_number"]
+        for e in live)
+    # same-seq equality delete must NOT apply; null→0 would delete 'A's
+    assert read_iceberg(spark, dest).count() == t.read().count()

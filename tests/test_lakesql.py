@@ -482,3 +482,46 @@ def test_sql_path_pattern_inside_string_literal_is_data(lake):
     path resolver must not try to open it (plain Spark runs this fine)."""
     got = lake.sql("SELECT 'see delta.`/does/not/exist`' AS note").collect()
     assert got[0].note == "see delta.`/does/not/exist`"
+
+
+def test_sql_delete_without_where_deletes_all(spark, lake, tmp_path):
+    """ADVICE r12: WHERE is optional in Delta SQL — `DELETE FROM t` and
+    ``DELETE FROM delta.`/p` `` mean delete-everything; the
+    mandatory-WHERE regex made the path-target spelling fall through as
+    an unrecognized statement."""
+    p = tmp_path / "da"
+    lake.sql(f"CREATE TABLE delta.`{p}` AS SELECT * FROM bronze.emp")
+    lake.sql(f"DELETE FROM delta.`{p}`")
+    assert lake.sql(
+        f"SELECT count(*) AS n FROM delta.`{p}`").collect()[0].n == 0
+    # the catalog-table spelling too
+    lake.sql("DELETE FROM bronze.emp")
+    assert lake.sql(
+        "SELECT count(*) AS n FROM bronze.emp").collect()[0].n == 0
+
+
+def test_sql_iceberg_path_ctas_with_year_transform(spark, lake, tmp_path):
+    """The reference's `PARTITIONED BY (YEAR(fecha_ingreso))` spelling
+    (03.iceberg_primer.py:124) through the LakeSQL path CTAS: the
+    declared spec carries the year transform and DML stays available."""
+    from lakehouses_spark.tables.iceberg_meta import IcebergMetadataReader
+
+    spark.sql(
+        "SELECT id, DATE'2020-03-04' + make_interval(id) AS fecha_ingreso,"
+        " CAST(id AS DOUBLE) AS v FROM range(1, 9) "
+    ).withColumnRenamed("id", "k").createOrReplaceTempView("emp_fechas")
+    p = tmp_path / "ei"
+    lake.sql(
+        f"""CREATE TABLE iceberg.`{p}` PARTITIONED BY (YEAR(fecha_ingreso))
+            AS SELECT * FROM emp_fechas"""
+    )
+    r = IcebergMetadataReader(spark, p)
+    spec = r.meta["partition-specs"][0]
+    assert [(f["name"], f["transform"]) for f in spec["fields"]] == [
+        ("fecha_ingreso_year", "year")]
+    got = {e["data_file"]["partition"]["fecha_ingreso_year"]
+           for e in r._live_data_entries()}
+    assert got == {50 + i for i in range(1, 9)}  # 2021.. minus 1970
+    lake.sql(f"DELETE FROM iceberg.`{p}` WHERE k <= 2")
+    assert lake.sql(
+        f"SELECT count(*) AS n FROM iceberg.`{p}`").collect()[0].n == 6
