@@ -3073,3 +3073,125 @@ def lake_partitioned_external_dml(spark: SparkSession, sf_dir: str) -> DataFrame
         assert [tuple(r) for r in out_d.collect()] == \
             [tuple(r) for r in out_i.collect()]
         return out_d
+
+
+@query(
+    "lake_transform_evolution_dml",
+    # relational replay of the same DELETE -> schema-evolving MERGE
+    # chain: matched rows take the source's doubled price + flag,
+    # source rows absent from the kept set insert (including rows the
+    # DELETE removed), everything else keeps NULL in the new column
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders WHERE o_orderkey <= 4000
+    ), kept AS (
+      SELECT * FROM base WHERE o_orderdate < DATE '1997-01-01'
+    ), src AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice * 2 AS o_totalprice,
+             'M' AS o_flag
+      FROM base WHERE o_orderkey % 100 < 3
+    ), merged AS (
+      SELECT k.o_orderkey, k.o_orderdate,
+             COALESCE(s.o_totalprice, k.o_totalprice) AS o_totalprice,
+             s.o_flag
+      FROM kept k LEFT JOIN src s ON k.o_orderkey = s.o_orderkey
+      UNION ALL
+      SELECT s.o_orderkey, s.o_orderdate, s.o_totalprice, s.o_flag
+      FROM src s
+      WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM kept)
+    )
+    SELECT CAST(year(o_orderdate) - 1970 AS INT) AS y,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(o_flag) AS BIGINT) AS n_flagged,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+    FROM merged GROUP BY y ORDER BY y
+    """,
+)
+def lake_transform_evolution_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 external-plane arc: a YEARS()-transformed Iceberg table
+    (the reference's own partition spec — `PARTITIONED BY
+    (YEAR(fecha_ingreso))`, 03.iceberg_primer.py:124) plus an
+    unpartitioned Delta twin run the same DELETE → SCHEMA-EVOLVING MERGE
+    chain (Delta's withSchemaEvolution; reference evolution arcs
+    02.delta_lake_primer.py:362, 03.iceberg_primer.py:232) and must
+    agree row-for-row. In-query asserts pin the transform mechanics:
+    the declared spec carries the `year` transform, live manifest
+    tuples equal the Spark-computed `year(o_orderdate) - 1970`
+    ordinals, and the evolution minted a new Iceberg schema (old one
+    retained) / a widened Delta metaData whose new column reads NULL on
+    untouched rows.
+
+    100 TB shape: the year-transformed layout is the common production
+    Iceberg shape — DML rewrites touch only files whose year buckets
+    hold matches; the schema-evolving MERGE is one matched-file rewrite
+    + one anti-join insert leg (materialized once), never a table scan
+    per leg."""
+    from lakehouses_spark.tables.delta_log import (
+        DeltaLogReader,
+        read_delta,
+        write_delta_table,
+    )
+    from lakehouses_spark.tables.iceberg_meta import (
+        IcebergMetadataReader,
+        read_iceberg,
+        write_iceberg_table,
+    )
+
+    base = load_table(spark, sf_dir, "orders").where(
+        "o_orderkey <= 4000"
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+    src = base.where("o_orderkey % 100 < 3").select(
+        "o_orderkey", "o_orderdate",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("M").alias("o_flag"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        rd = write_delta_table(spark, base, f"{tmp}/d")
+        ri = write_iceberg_table(
+            spark, base, f"{tmp}/i", partition_by=["years(o_orderdate)"])
+        # the declared spec carries the spec-named transform
+        spec = ri.meta["partition-specs"][0]
+        assert [f["transform"] for f in spec["fields"]] == ["year"], spec
+        # live tuples == Spark-computed year ordinals
+        expect_y = {r[0] for r in base.select(
+            (F.year("o_orderdate") - F.lit(1970)).cast("int")).collect()}
+        got_y = {e["data_file"]["partition"]["o_orderdate_year"]
+                 for e in ri._live_data_entries()}
+        assert got_y == expect_y, (sorted(got_y), sorted(expect_y))
+
+        for r in (rd, ri):
+            res = r.delete("o_orderdate >= DATE'1997-01-01'")
+            assert res["rewritten_files"] >= 1, res
+        rd = DeltaLogReader(spark, f"{tmp}/d")
+        ri = IcebergMetadataReader(spark, f"{tmp}/i")
+        for r in (rd, ri):
+            res = r.merge(src, "t.o_orderkey = s.o_orderkey",
+                          schema_evolution=True)
+            assert res["inserted_rows"] > 0, res
+
+        # evolution landed: widened Delta schema; new Iceberg schema
+        # with the old retained for time travel
+        rd = DeltaLogReader(spark, f"{tmp}/d")
+        assert [f.name for f in rd.snapshot().schema.fields][-1] == "o_flag"
+        ri = IcebergMetadataReader(spark, f"{tmp}/i")
+        assert len(ri.meta["schemas"]) == 2
+        assert ri.schema().fields[-1].name == "o_flag"
+
+        def agg(df):
+            return (
+                df.groupBy(
+                    (F.year("o_orderdate") - F.lit(1970))
+                    .cast("int").alias("y"))
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.count("o_flag").alias("n_flagged"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+                .orderBy("y")
+            )
+
+        out_d = agg(read_delta(spark, f"{tmp}/d")).localCheckpoint()
+        out_i = agg(read_iceberg(spark, f"{tmp}/i")).localCheckpoint()
+        # format parity: both write planes agree row-for-row
+        assert [tuple(r) for r in out_d.collect()] == \
+            [tuple(r) for r in out_i.collect()]
+        return out_d

@@ -53,35 +53,40 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # emitted FIRST, so the hard signal lands on them; everything already
 # driver-verified in round 1 follows in registration order.
 _SWEEP_PRIORITY = [
-    # Round-11 rotation (VERDICT r10 #1), sized to the 50-entry budget:
-    #   1. the 7 remaining rows whose latest driver row is round 5 —
-    #      the tail of the r5 cohort the r9/r10 rotations worked down,
-    #   2. 43 of the 50 rows whose latest driver row is round 7 (now
-    #      the oldest cohort). The 7 left for round 12 — agg_corr_stats,
-    #      agg_filtered, agg_histogram, agg_mode, fn_bitwise_family,
-    #      fn_variant_family, window_cume_dist — are the simplest
-    #      single-operator agg/scalar shapes in that cohort
-    #      (replica-green every session); they lead the r12 rotation.
-    # After r11: r11:50, r10:50, r9:50, r8:50, r7:7 — no row older than r7.
-    # --- 1. the 7 r5-stale rows: hard signal lands here first ---
-    "distinct_projection", "filter_between_in", "project_rename_derive",
-    "set_except", "set_intersect", "union_by_name", "window_streaks",
-    # --- 2. 43 of the 50 r7-stale rows ---
-    "dedup_common_substring", "dedup_incremental", "graph_pagerank",
-    "lake_iceberg_export", "multimodal_audio_stats",
-    "multimodal_frame_manifest", "multimodal_manifest_probe",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "q10_returned_items", "q11_value_concentration",
-    "q14_promo_effect", "q15_top_supplier", "q16_supplier_part_count",
-    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
-    "q20_volume_suppliers", "q21_waiting_suppliers", "q22_dormant_customers",
-    "sample_hash_split", "sample_stratified", "sample_temperature",
-    "sim_ann_ivfpq", "sim_pairs_blocked", "streaming_dedup_drain",
-    "streaming_matview_rollup", "streaming_minhash_dedup",
-    "streaming_stream_join", "text_boilerplate_ngrams", "text_chunk_overlap",
-    "text_decontaminate", "text_perplexity_proxy", "text_pii_scrub",
-    "text_tfidf_terms", "text_word_entropy", "ts_anomaly_mad", "ts_ewma",
-    "ts_gap_fill", "ts_interpolate_linear", "ts_ohlc", "ts_rolling_stats",
+    # Round-12 rotation (VERDICT r11 #1), sized to the 50-entry budget:
+    #   1. the 2 never-swept queries — the r11-deferred partitioned-DML
+    #      flagship and round 12's new transform+evolution arc — so the
+    #      hard signal lands on them first,
+    #   2. the 7 remaining rows whose latest driver row is round 7 (the
+    #      tail of the r7 cohort the r11 rotation worked down),
+    #   3. 41 of the 50 rows whose latest driver row is round 8 (now the
+    #      oldest cohort). The 9 left for round 13 — fn_conv_family,
+    #      fn_encode_family, fn_hash_family, fn_levenshtein_family,
+    #      fn_url_family, window_lag_delta, window_rank_dense,
+    #      window_running_sum, window_zscore — are the simplest
+    #      single-operator scalar/window shapes in that cohort
+    #      (replica-green every session); they lead the r13 rotation.
+    # After r12: r12:50, r11:50, r10:50, r9:50, r8:9 — no row older than r8.
+    # --- 1. never-swept: first driver rows land here ---
+    "lake_partitioned_external_dml", "lake_transform_evolution_dml",
+    # --- 2. the 7 r7-stale rows ---
+    "agg_corr_stats", "agg_filtered", "agg_histogram", "agg_mode",
+    "fn_bitwise_family", "fn_variant_family", "window_cume_dist",
+    # --- 3. 41 of the 50 r8-stale rows ---
+    "agg_bool_family", "agg_count_by_key", "agg_cube", "agg_entropy_gini",
+    "agg_global_scalars", "agg_grouping_sets", "agg_having_topk",
+    "agg_percentiles", "agg_rollup", "agg_skew_kurtosis", "agg_string_agg",
+    "agg_sum_all_numeric", "agg_weighted_median", "dedup_clusters",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_ngram_jaccard",
+    "join_anti", "join_broadcast_dims", "join_count_distribution",
+    "lake_delta_pruned_read", "pack_sequences", "q12_priority_split",
+    "set_except_intersect_all", "sim_ann_drift_recall", "sim_knn_batch",
+    "subquery_correlated_min", "subquery_exists",
+    "subquery_exists_not_exists", "subquery_in_having",
+    "subquery_not_exists_avg", "subquery_scalar", "text_repetition_filter",
+    "ts_seasonal_decompose", "udaf_weighted_avg", "udtf_tokenize",
+    "window_dedup_keep_latest", "window_lead_ntile", "window_nth_value",
+    "window_range_frame", "window_topk_per_group",
 ]
 
 # Queries registered after the current round's 50-entry sweep budget
@@ -90,13 +95,9 @@ _SWEEP_PRIORITY = [
 # them with the driver's exact comparison in the meantime). The sweep-window
 # guard asserts any never-swept query outside the 50-entry window appears
 # HERE, so a new query can never silently fall outside the rotation.
-# Round 11's budget: 7 r5-stale + 43 r7-stale = 50. The query registered
-# after it filled waits here for its first driver row (the in-repo oracle
-# replica verifies it with the driver's exact comparison every session);
-# it joins the 7 remaining r7 rows at the head of the round-12 rotation.
-SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
-    "lake_partitioned_external_dml",
-]
+# Round 12's budget: 2 never-swept + 7 r7-stale + 41 r8-stale = 50, so
+# nothing waits this round.
+SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = []
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
 

@@ -164,10 +164,15 @@ def _emit_batches(partition: DeltaSlice, arrow_schema):
     import pyarrow.parquet as pq
 
     table = pq.read_table(partition.path)
+    # under column mapping, partitionValues key by PHYSICAL name (spec);
+    # the output schema speaks logical — normalize once (r12, found by
+    # the cross-plane agreement test on the shared column-mapped fixture)
+    pv = partition.pv
     if partition.rename:
         table = table.rename_columns(
             [partition.rename.get(n, n) for n in table.column_names]
         )
+        pv = {partition.rename.get(k, k): v for k, v in pv.items()}
     for batch in table.to_batches(max_chunksize=10_000):
         n = len(batch)
         names = set(batch.schema.names)
@@ -185,8 +190,8 @@ def _emit_batches(partition: DeltaSlice, arrow_schema):
             elif f.name in names:
                 col = batch.column(f.name)
                 cols.append(col if col.type == f.type else col.cast(f.type))
-            elif f.name in partition.pv:
-                raw = partition.pv[f.name]
+            elif f.name in pv:
+                raw = pv[f.name]
                 if raw is None:
                     cols.append(pa.nulls(n, f.type))
                 else:  # partition values serialize as strings in the log
@@ -291,16 +296,21 @@ class DeltaStreamReader(DataSourceStreamReader):
     def _snapshot_adds(self, upto_v: int) -> list[dict]:
         """Replay the commit JSONs 0..upto_v to the live add set —
         last-add-wins, removes pop — exactly the reader's snapshot but
-        stdlib-only (the planner worker has no DeltaLogReader)."""
+        stdlib-only (the planner worker has no DeltaLogReader). Keys are
+        UNQUOTED like the batch reader's replay (r12): the spec allows
+        both percent-encoded and literal spellings of the same path, and
+        a remove whose writer encoded differently from the add (e.g. a
+        foreign `seg=A/...` add removed by this repo's quoted DML) must
+        still pop the file, or the initial snapshot resurrects it."""
         files: dict[str, dict] = {}
         for v in _json_versions(self.table_path):
             if v > upto_v:
                 break
             for a in _commit_actions(self.table_path, v):
                 if "add" in a:
-                    files[a["add"]["path"]] = a["add"]
+                    files[unquote(a["add"]["path"])] = a["add"]
                 elif "remove" in a:
-                    files.pop(a["remove"]["path"], None)
+                    files.pop(unquote(a["remove"]["path"]), None)
         return list(files.values())
 
     def partitions(self, start: dict, end: dict):

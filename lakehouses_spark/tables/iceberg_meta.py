@@ -326,6 +326,12 @@ def _transform_col(transform: str, col: Column,
         if transform in ("hour", "hours"):
             return _floor_div_us(us, _US_PER_HOUR)
         d = F.date_add(epoch, _floor_div_us(us, _US_PER_DAY))
+    elif name == "timestamp_ntz":
+        # ntz transforms by the LITERAL calendar value (no zone): derive
+        # from the date/hour fields directly — tz-independent and exact
+        d = F.to_date(col)
+        if transform in ("hour", "hours"):
+            return (F.datediff(d, epoch) * 24 + F.hour(col)).cast("int")
     else:
         return None
     if transform in ("day", "days"):

@@ -1923,47 +1923,10 @@ def test_external_restore_restores_metadata(spark, tmp_path):
 
 
 # ------------- round-11: COW DML on hive-partitioned tables -------------- #
-def _mk_partitioned_delta(spark, base, cdf=False):
-    """Hand-built hive-partitioned foreign Delta table: partition values
-    only in add.partitionValues, never in the data files — the layout a
-    real external writer produces."""
-    import shutil as _sh
-
-    (base / "_delta_log").mkdir(parents=True)
-    adds = []
-    for part, ks in (("A", [1, 2, 3]), ("B", [4, 5]), ("C", [6])):
-        pdir = base / f"seg={part}"
-        pdir.mkdir()
-        spark.createDataFrame(
-            [(k, float(k) * 10) for k in ks], "k long, v double"
-        ).coalesce(1).write.mode("overwrite").parquet(str(pdir / "out"))
-        pf = next((pdir / "out").rglob("part-*.parquet"))
-        dest_f = pdir / f"part-{part}.parquet"
-        pf.rename(dest_f)
-        _sh.rmtree(pdir / "out")
-        adds.append({"add": {
-            "path": f"seg={part}/part-{part}.parquet",
-            "partitionValues": {"seg": part},
-            "size": dest_f.stat().st_size,
-            "modificationTime": 0, "dataChange": True}})
-    schema = {"type": "struct", "fields": [
-        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
-        {"name": "v", "type": "double", "nullable": True, "metadata": {}},
-        {"name": "seg", "type": "string", "nullable": True, "metadata": {}},
-    ]}
-    actions = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        {"metaData": {
-            "id": "p", "format": {"provider": "parquet", "options": {}},
-            "schemaString": json.dumps(schema), "partitionColumns": ["seg"],
-            "configuration": (
-                {"delta.enableChangeDataFeed": "true"} if cdf else {}),
-            "createdTime": 0}},
-        *adds,
-    ]
-    with open(base / "_delta_log" / f"{0:020d}.json", "w") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
+# the canonical hive-partitioned foreign fixture now lives in
+# tests/foreign_fixtures.py (VERDICT r11 #6), shared with the stream and
+# cross-plane agreement tests
+from tests.foreign_fixtures import mk_foreign_delta as _mk_partitioned_delta  # noqa: E402,E501
 
 
 def test_external_dml_on_partitioned_table(spark, tmp_path):
@@ -2079,55 +2042,12 @@ def test_partitioned_dml_under_column_mapping(spark, tmp_path):
     only predicates from the physical-keyed partitionValues, rewrites
     per partition with physical-named dirs, and the read round-trips."""
     base = tmp_path / "pm_delta"
-    (base / "_delta_log").mkdir(parents=True)
-    adds = []
-    for part, ks in (("A", [1, 2, 3]), ("B", [4, 5])):
-        pdir = base / f"col-seg={part}"
-        pdir.mkdir()
-        spark.createDataFrame(
-            [(k, float(k) * 10) for k in ks], "`col-k` long, `col-v` double"
-        ).coalesce(1).write.mode("overwrite").parquet(str(pdir / "out"))
-        pf = next((pdir / "out").rglob("part-*.parquet"))
-        dest_f = pdir / f"part-{part}.parquet"
-        pf.rename(dest_f)
-        import shutil as _sh
-        _sh.rmtree(pdir / "out")
-        adds.append({"add": {
-            "path": f"col-seg={part}/part-{part}.parquet",
-            "partitionValues": {"col-seg": part},  # PHYSICAL key
-            "size": dest_f.stat().st_size,
-            "modificationTime": 0, "dataChange": True}})
-
-    def fld(name, typ, phys, fid):
-        return {"name": name, "type": typ, "nullable": True, "metadata": {
-            "delta.columnMapping.id": fid,
-            "delta.columnMapping.physicalName": phys}}
-
-    schema = {"type": "struct", "fields": [
-        fld("k", "long", "col-k", 1),
-        fld("v", "double", "col-v", 2),
-        fld("seg", "string", "col-seg", 3),
-    ]}
-    actions = [
-        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
-        {"metaData": {
-            "id": "pm", "format": {"provider": "parquet", "options": {}},
-            "schemaString": json.dumps(schema),
-            "partitionColumns": ["seg"],  # LOGICAL name, per spec
-            "configuration": {
-                "delta.columnMapping.mode": "name",
-                "delta.columnMapping.maxColumnId": "3"},
-            "createdTime": 0}},
-        *adds,
-    ]
-    with open(base / "_delta_log" / f"{0:020d}.json", "w") as fh:
-        for a in actions:
-            fh.write(json.dumps(a) + "\n")
+    _mk_partitioned_delta(spark, base, column_mapped=True)
 
     r = DeltaLogReader(spark, base)
     got = read_delta(spark, base)
     assert {x.k: x.seg for x in got.collect()} == {
-        1: "A", 2: "A", 3: "A", 4: "B", 5: "B"}
+        1: "A", 2: "A", 3: "A", 4: "B", 5: "B", 6: "C"}
 
     # partition-only predicate: plans from the PHYSICAL-keyed pv map
     res = r.update({"v": "v + 0.5"}, where="seg = 'B'")
@@ -2142,7 +2062,7 @@ def test_partitioned_dml_under_column_mapping(spark, tmp_path):
     r2 = DeltaLogReader(spark, base)
     r2.delete("seg = 'A' AND v > 15.0")
     assert sorted(x.k for x in read_delta(spark, base).collect()) \
-        == [1, 4, 5]
+        == [1, 4, 5, 6]
     # the rewritten files store PHYSICAL column names
     import pyarrow.parquet as pq
     newest = max(

@@ -1343,81 +1343,10 @@ def test_iceberg_rollback_and_set_current_snapshot(spark, tmp_path):
 
 
 # -------- round-11: identity-partitioned external COW writes ------------- #
-def _mk_identity_partitioned(spark, tmp_path, name):
-    """A truthful identity-partitioned foreign table: every data file
-    holds exactly one `status` value, manifests carry the matching typed
-    partition record, and the metadata declares identity(status)."""
-    import copy
-
-    import pyarrow.parquet as pq
-
-    from lakehouses_spark.tables.iceberg_meta import (
-        _MANIFEST_ENTRY_SCHEMA,
-        write_ocf_bytes_with_meta,
-    )
-
-    rows_a = [{"k": i, "status": "A", "price": float(10 * i)}
-              for i in range(1, 6)]
-    rows_b = [{"k": i, "status": "B", "price": float(10 * i)}
-              for i in range(6, 11)]
-    t = LakeTable.create(
-        spark, tmp_path / f"lake_{name}",
-        spark.createDataFrame(
-            rows_a, "k long, status string, price double").coalesce(1),
-        num_files=1,
-    )
-    t.append(spark.createDataFrame(
-        rows_b, "k long, status string, price double").coalesce(1))
-    dest = t.export_iceberg_metadata(tmp_path / name)
-
-    m = json.loads(sorted(
-        (dest / "metadata").glob("v*.metadata.json"),
-        key=lambda p: int(p.name.split(".")[0][1:]))[-1].read_text())
-    ice = next(s for s in m["schemas"]
-               if s["schema-id"] == m["current-schema-id"])
-    status_id = next(f["id"] for f in ice["fields"] if f["name"] == "status")
-
-    part_schema = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
-    for f in part_schema["fields"]:
-        if f["name"] == "data_file":
-            for g in f["type"]["fields"]:
-                if g["name"] == "partition":
-                    g["type"]["fields"] = [{
-                        "name": "status", "type": ["null", "string"],
-                        "field-id": 1000,
-                    }]
-    stamped = 0
-    for mf in sorted((dest / "metadata").glob("*.avro")):
-        _, mrows = read_ocf_bytes(mf.read_bytes())
-        if not mrows or "data_file" not in mrows[0]:
-            continue
-        for e in mrows:
-            if e["data_file"].get("content", 0) == 0:
-                fp = e["data_file"]["file_path"]
-                tbl = pq.read_table(
-                    fp[7:] if fp.startswith("file://") else fp)
-                vals = set(tbl.column("status").to_pylist())
-                assert len(vals) == 1, vals
-                e["data_file"]["partition"] = {"status": vals.pop()}
-                stamped += 1
-        mf.write_bytes(write_ocf_bytes_with_meta(
-            mrows, part_schema,
-            {"partition-spec":
-                 '[{"name": "status", "transform": "identity", '
-                 '"source-id": %d, "field-id": 1000}]' % status_id,
-             "partition-spec-id": "0",
-             "format-version": "2", "content": "data"},
-        ))
-    assert stamped >= 2
-    meta_file = sorted(
-        (dest / "metadata").glob("v*.metadata.json"),
-        key=lambda p: int(p.name.split(".")[0][1:]))[-1]
-    m["partition-specs"] = [{"spec-id": 0, "fields": [
-        {"name": "status", "transform": "identity",
-         "source-id": status_id, "field-id": 1000}]}]
-    m["default-spec-id"] = 0
-    meta_file.write_text(json.dumps(m))
-    return dest
+# the canonical identity-partitioned foreign fixture now lives in
+# tests/foreign_fixtures.py (VERDICT r11 #6), shared with the stream and
+# cross-plane agreement tests
+from tests.foreign_fixtures import mk_foreign_iceberg as _mk_identity_partitioned  # noqa: E402,E501
 
 
 def test_iceberg_partitioned_external_dml(spark, tmp_path):

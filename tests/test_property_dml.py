@@ -87,9 +87,12 @@ def test_dml_sequence_matches_model(spark, tmp_path_factory, ops, data):
 # ops over the no-LakeTable lifecycle: the same random sequence runs
 # through DeltaLogReader AND IcebergMetadataReader on tables born from
 # write_delta_table / write_iceberg_table, against the in-memory model —
-# the two formats must agree with the model and with each other, and a
-# partitioned Delta twin must match too (per-partition rewrite is pure
-# layout, never semantics).
+# the two formats must agree with the model and with each other, and
+# PARTITIONED twins on both formats must match too (per-partition
+# rewrite is pure layout, never semantics). The partition key is
+# NULLABLE by construction (VERDICT r11 #5): negative-even rows carry a
+# NULL seg, so every op sequence exercises the
+# __HIVE_DEFAULT_PARTITION__ round trip on the write and plan paths.
 _wop = st.one_of(
     st.tuples(st.just("append"), _rows),
     st.tuples(st.just("delete"), st.integers(-50, 50)),
@@ -116,8 +119,18 @@ def _apply_writer_model(model, op):
     raise AssertionError(kind)
 
 
+# 4 examples, not 6: this differential drives FOUR tables per op (plain +
+# partitioned on both formats) since r12; shape diversity saturates well
+# before the extra examples pay for their wall-clock.
+SET_X = settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
 @given(ops=st.lists(_wop, min_size=1, max_size=4))
-@SET
+@SET_X
 def test_external_writer_dml_cross_format(spark, tmp_path_factory, ops):
     from lakehouses_spark.tables.delta_log import (
         DeltaLogReader,
@@ -133,11 +146,14 @@ def test_external_writer_dml_cross_format(spark, tmp_path_factory, ops):
     tmp = tmp_path_factory.mktemp("xfmt")
     init = [(1, 10), (2, -20), (3, 30)]
     init_df = spark.createDataFrame(init, "k int, v int").coalesce(1)
-    # partition column derived from v's sign so DML moves rows around
-    pdf = init_df.selectExpr("k", "v", "IF(v >= 0, 'pos', 'neg') AS seg")
+    # partition column derived from v so DML moves rows around; the
+    # negative-even branch is NULL — a null-valued partition key
+    seg_expr = "IF(v >= 0, 'pos', IF(v % 2 = 0, NULL, 'neg')) AS seg"
+    pdf = init_df.selectExpr("k", "v", seg_expr)
     write_delta_table(spark, init_df, tmp / "d")
     write_delta_table(spark, pdf, tmp / "dp", partition_by=["seg"])
     write_iceberg_table(spark, init_df, tmp / "i")
+    write_iceberg_table(spark, pdf, tmp / "ip", partition_by=["seg"])
     model = list(init)
 
     def mk_src(rows):
@@ -147,21 +163,24 @@ def test_external_writer_dml_cross_format(spark, tmp_path_factory, ops):
         rd = DeltaLogReader(spark, tmp / "d")
         rp = DeltaLogReader(spark, tmp / "dp")
         ri = IcebergMetadataReader(spark, tmp / "i")
+        rip = IcebergMetadataReader(spark, tmp / "ip")
         kind = op[0]
         if kind == "append":
             rd.append(mk_src(op[1]))
-            rp.append(mk_src(op[1]).selectExpr(
-                "k", "v", "IF(v >= 0, 'pos', 'neg') AS seg"))
+            rp.append(mk_src(op[1]).selectExpr("k", "v", seg_expr))
             ri.append(mk_src(op[1]))
+            rip.append(mk_src(op[1]).selectExpr("k", "v", seg_expr))
         elif kind == "delete":
             rd.delete(f"v > {op[1]}")
             rp.delete(f"v > {op[1]}")
             ri.delete(f"v > {op[1]}")
+            rip.delete(f"v > {op[1]}")
         elif kind == "update":
             _, factor, thr = op
             rd.update({"v": f"v * {factor}"}, where=f"v > {thr}")
             rp.update({"v": f"v * {factor}"}, where=f"v > {thr}")
             ri.update({"v": f"v * {factor}"}, where=f"v > {thr}")
+            rip.update({"v": f"v * {factor}"}, where=f"v > {thr}")
         elif kind == "merge":
             # last-wins dedupe: MERGE refuses multi-match sources
             src = {}
@@ -169,10 +188,11 @@ def test_external_writer_dml_cross_format(spark, tmp_path_factory, ops):
                 src[k] = v
             rows = sorted(src.items())
             rd.merge(mk_src(rows), "t.k = s.k")
-            rp.merge(mk_src(rows).selectExpr(
-                "k", "v", "IF(v >= 0, 'pos', 'neg') AS seg"),
-                "t.k = s.k")
+            rp.merge(mk_src(rows).selectExpr("k", "v", seg_expr),
+                     "t.k = s.k")
             ri.merge(mk_src(rows), "t.k = s.k")
+            rip.merge(mk_src(rows).selectExpr("k", "v", seg_expr),
+                      "t.k = s.k")
             model = _apply_writer_model(model, ("merge", rows))
             continue
         model = _apply_writer_model(model, op)
@@ -187,12 +207,29 @@ def test_external_writer_dml_cross_format(spark, tmp_path_factory, ops):
                    read_delta(spark, tmp / "dp").select("k", "v").collect()])
     got_i = canon([(r.k, r.v)
                    for r in read_iceberg(spark, tmp / "i").collect()])
+    got_ip = canon([(r.k, r.v) for r in
+                    read_iceberg(spark, tmp / "ip")
+                    .select("k", "v").collect()])
     assert got_d == want, f"delta diverged after {ops}"
     assert got_i == want, f"iceberg diverged after {ops}"
     assert got_p == want, f"partitioned delta diverged after {ops}"
-    # the partitioned layout stayed truthful: every row's partition value
-    # matches its v sign (MERGE sources recompute seg, so a matched row
-    # whose sign changed moved to its new partition; updates here scale
-    # by a positive factor and never flip signs)
+    assert got_ip == want, f"partitioned iceberg diverged after {ops}"
+
+    def expect_seg(v):
+        return "pos" if v >= 0 else (None if v % 2 == 0 else "neg")
+
+    # the partitioned layouts stayed truthful — including the NULL
+    # partition (__HIVE_DEFAULT_PARTITION__ round trip): every row's
+    # partition value matches its v (MERGE sources recompute seg, so a
+    # matched row whose bucket changed moved; updates here scale by a
+    # positive factor and never flip signs)
     for r in read_delta(spark, tmp / "dp").collect():
-        assert r.seg == ("pos" if r.v >= 0 else "neg"), r
+        assert r.seg == expect_seg(r.v), r
+    rip = IcebergMetadataReader(spark, tmp / "ip")
+    import pyarrow.parquet as pq
+    for e in rip._live_data_entries():
+        part = (e["data_file"].get("partition") or {}).get("seg")
+        local = rip._local_data(e["data_file"]["file_path"])
+        vals = {expect_seg(v)
+                for v in pq.read_table(local).column("v").to_pylist()}
+        assert vals == {part}, (part, vals)
