@@ -862,6 +862,42 @@ def merge_inserts(src, t_all, cond, names, dtype_of, source_cols,
         for c in names])
 
 
+def split_top_level_and(s: str) -> list[str]:
+    """Split a SQL boolean expression on its TOP-LEVEL ``AND``s —
+    quote-aware (single/double quotes, backticks) and paren-depth-0
+    only, so an AND inside a string literal, an identifier, or a
+    parenthesized OR is data. Used for sound candidate pruning (r12): a
+    row matching the whole predicate satisfies every top-level
+    conjunct, so intersecting per-conjunct candidate supersets stays a
+    superset of the truly-affected files."""
+    parts: list[str] = []
+    depth, i, start, n = 0, 0, 0, len(s)
+    quote: str | None = None
+    while i < n:
+        c = s[i]
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in ("'", '"', "`"):
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and s[i:i + 3].upper() == "AND":
+            before = s[i - 1] if i else " "
+            after = s[i + 3] if i + 3 < n else " "
+            if not (before.isalnum() or before == "_") and \
+                    not (after.isalnum() or after == "_"):
+                parts.append(s[start:i].strip())
+                start = i + 3
+                i += 3
+                continue
+        i += 1
+    parts.append(s[start:].strip())
+    return [p for p in parts if p]
+
+
 from contextlib import contextmanager
 
 
@@ -2292,7 +2328,7 @@ class DeltaLogReader:
         if not snap.files:
             return plan
         pred = F.expr(predicate)
-        affected = self._plan_affected(snap, pred)
+        affected = self._plan_affected(snap, pred, predicate)
         plan["rewritten_files"] = len(affected)
         if dry_run or not affected:
             return plan
@@ -2337,17 +2373,22 @@ class DeltaLogReader:
         )
         return plan
 
-    def _plan_affected(self, snap: "DeltaSnapshot", pred: Column) -> list[str]:
+    def _plan_affected(self, snap: "DeltaSnapshot", pred: Column,
+                       predicate_sql: str | None = None) -> list[str]:
         """Absolute paths of the live files holding rows where ``pred``
         is TRUE. A predicate referencing ONLY partition columns plans
         from ``partitionValues`` — classic partition pruning, zero data
         read (every row of a file shares its tuple, so tuple-TRUE is
         exactly rows-TRUE); the tuples job is O(files) driver rows, not
-        a table scan. Anything referencing a data column falls back to
-        ONE distributed scan keyed by `_metadata.file_path` that
-        collects only paths — O(affected) driver state either way."""
+        a table scan. A MIXED predicate (r12) first prunes candidates
+        by its partition-only top-level AND conjuncts — a matching row
+        satisfies every conjunct, so the intersection stays a sound
+        superset — then runs the exact scan over the candidates only.
+        Only a predicate with no evaluable conjunct falls back to the
+        full one-pass scan keyed by `_metadata.file_path`."""
         schema = snap.schema
         part_cols = snap.partition_columns
+        cand: set[str] | None = None
         if part_cols:
             mapping_mode = snap.configuration.get(
                 "delta.columnMapping.mode", "none")
@@ -2375,16 +2416,32 @@ class DeltaLogReader:
             for i, c in enumerate(part_cols):
                 tuples = tuples.withColumn(
                     c, F.col(f"__lh_pv_{i}").cast(by_name[c].dataType))
-            try:
-                with _quiet_analysis_probe():
-                    # analysis raises if the predicate references any
-                    # non-partition column -> fall back to the scan
-                    matched = tuples.where(pred)
-                    return [r["__lh_fp"]
-                            for r in matched.select("__lh_fp").collect()]
-            except Exception:
-                pass
-        df = self.to_df(_with_path=True)
+
+            def tuple_hits(expr) -> set[str] | None:
+                try:
+                    with _quiet_analysis_probe():
+                        # analysis raises if the expression references
+                        # any non-partition column -> no constraint
+                        return {r["__lh_fp"] for r in tuples.where(expr)
+                                .select("__lh_fp").collect()}
+                except Exception:
+                    return None
+
+            hit = tuple_hits(pred)
+            if hit is not None:
+                return sorted(hit)
+            parts = (split_top_level_and(predicate_sql)
+                     if predicate_sql else [])
+            if len(parts) >= 2:
+                acc: set[str] | None = None
+                for p in parts:
+                    h = tuple_hits(p)
+                    if h is not None:
+                        acc = h if acc is None else acc & h
+                cand = acc  # None when no conjunct was partition-only
+            if cand is not None and not cand:
+                return []
+        df = self.to_df(_with_path=True, _paths=cand)
         return [
             r["__lh_fp"] for r in
             df.where(pred).select("__lh_fp").distinct().collect()

@@ -2454,22 +2454,29 @@ class IcebergMetadataReader:
         return {"rolled_back_to": snapshot_id, "previous": prev}
 
     def _plan_affected(self, pred, pctx: dict | None,
-                       live: list[dict]) -> set[str]:
+                       live: list[dict],
+                       predicate_sql: str | None = None) -> set[str]:
         """Absolute local paths of the live files holding rows where
         ``pred`` is TRUE. Under an identity spec, a predicate that
         references ONLY the partition source columns plans from the
         manifest partition tuples — classic partition pruning, zero data
-        read (every row of a file shares its tuple). Anything touching a
-        data column falls back to ONE distributed scan keyed by
-        `_metadata.file_path` that collects only paths."""
-        # driver-side tuple planning covers IDENTITY fields only: their
-        # tuple value IS the source-column value, so the predicate can be
-        # evaluated on it directly. A transform field's tuple (e.g. a
-        # year ordinal) cannot answer a source-column predicate —
-        # predicates touching those columns fail analysis on the tuples
-        # frame and fall back to the distributed scan, which is correct.
+        read (every row of a file shares its tuple). A MIXED predicate
+        (r12) prunes candidates first — by its partition-only top-level
+        AND conjuncts on identity tuples, and/or by enumerating a
+        date-family transform tuple's finite date domain — then runs the
+        exact scan over the candidates only. Only a predicate with no
+        evaluable conjunct falls back to the full one-pass scan keyed by
+        `_metadata.file_path`."""
+        from lakehouses_spark.tables.delta_log import (
+            _quiet_analysis_probe,
+            split_top_level_and,
+        )
+
+        # driver-side tuple planning covers IDENTITY fields directly:
+        # their tuple value IS the source-column value
         id_fields = [f for f in (pctx or {}).get("fields", [])
                      if f.get("transform") == "identity"]
+        cand: set[str] | None = None
         if id_fields:
             import datetime
 
@@ -2500,27 +2507,165 @@ class IcebergMetadataReader:
                     + [T.StructField(f["src_name"], f["dt"])
                        for f in id_fields]
                 )
-                from lakehouses_spark.tables.delta_log import (
-                    _quiet_analysis_probe,
-                )
-
                 tuples = self.spark.createDataFrame(rows, schema)
-                try:
-                    with _quiet_analysis_probe():
-                        # analysis raises if the predicate references
-                        # any data column -> fall back to the scan
-                        matched = tuples.where(pred)
-                        return {
-                            r["__if_fp"]
-                            for r in matched.select("__if_fp").collect()
-                        }
-                except Exception:
-                    pass
-        df = self.to_df(_with_path=True)
+
+                def tuple_hits(expr) -> set[str] | None:
+                    try:
+                        with _quiet_analysis_probe():
+                            # analysis raises if the expression touches
+                            # any data column -> no constraint
+                            return {r["__if_fp"] for r in
+                                    tuples.where(expr)
+                                    .select("__if_fp").collect()}
+                    except Exception:
+                        return None
+
+                hit = tuple_hits(pred)
+                if hit is not None:
+                    return hit  # tuple-exact: every row shares its tuple
+                parts = (split_top_level_and(predicate_sql)
+                         if predicate_sql else [])
+                if len(parts) >= 2:
+                    for p in parts:
+                        h = tuple_hits(p)
+                        if h is not None:
+                            cand = h if cand is None else cand & h
+        # date-family transform specs: prune candidates by enumerating
+        # each tuple's finite date domain (sound superset), then run the
+        # exact scan over the candidates only — O(partition), not O(table)
+        cand_tr = self._transform_candidates(pred, pctx, live,
+                                             predicate_sql)
+        if cand_tr is not None:
+            cand = cand_tr if cand is None else cand & cand_tr
+        if cand is not None and not cand:
+            return set()
+        df = self.to_df(_with_path=True, _paths=cand)
         return {
             r["__if_fp"] for r in
             df.where(pred).select("__if_fp").distinct().collect()
         }
+
+    # days a tuple of each enumerable transform can span (year: leap)
+    _ENUM_CAP_ROWS = 250_000
+
+    def _transform_candidates(self, pred, pctx: dict | None,
+                              live: list[dict],
+                              predicate_sql: str | None = None,
+                              ) -> set[str] | None:
+        """Candidate files for a DML predicate on a DATE-source
+        year/month/day transform spec (r12): a transform tuple cannot
+        answer a source-column predicate directly, but its DATE DOMAIN
+        is finite and small (year ≤ 366 days, month ≤ 31, day = 1) — so
+        enumerate each DISTINCT tuple's domain, evaluate the predicate
+        driver-side over (domain date, identity values), and keep the
+        files whose tuple COULD hold a matching row. Sound superset
+        pruning: the domain covers every value a file's rows can take;
+        the caller still runs the exact scan over the candidates.
+        Returns None when not applicable (no/multiple transform fields,
+        timestamp source, incomplete or null tuples, predicate touches
+        other data columns) — the caller then scans everything."""
+        import calendar
+        import datetime
+
+        fields = (pctx or {}).get("fields") or []
+        trs = [f for f in fields if f["transform"] != "identity"]
+        if len(trs) != 1:
+            return None
+        tf = trs[0]
+        if (tf["transform"] not in ("year", "month", "day")
+                or tf["dt"].typeName() != "date"):
+            return None
+        names = [f["src_name"] for f in fields]
+        if len(set(names)) != len(names):
+            return None
+        ti = fields.index(tf)
+        combos: dict[tuple, list[str]] = {}
+        for e in live:
+            part = e["data_file"].get("partition") or {}
+            if any(f["pname"] not in part for f in fields):
+                return None  # sloppy foreign manifest: scan
+            key = tuple(part[f["pname"]] for f in fields)
+            if key[ti] is None:
+                return None  # null transform tuple: can't enumerate
+            combos.setdefault(key, []).append(
+                str(self._local_data(
+                    e["data_file"]["file_path"]).resolve()))
+
+        epoch = datetime.date(1970, 1, 1)
+
+        def domain(ordinal: int) -> list[datetime.date]:
+            o = int(ordinal)
+            if tf["transform"] == "day":
+                return [epoch + datetime.timedelta(days=o)]
+            if tf["transform"] == "month":
+                y, m = 1970 + (o // 12), (o % 12) + 1
+                return [datetime.date(y, m, d + 1)
+                        for d in range(calendar.monthrange(y, m)[1])]
+            y = 1970 + o
+            start = datetime.date(y, 1, 1).toordinal()
+            return [datetime.date.fromordinal(start + d)
+                    for d in range(366 if calendar.isleap(y) else 365)]
+
+        rows, keys = [], list(combos)
+        for i, key in enumerate(keys):
+            for d in domain(key[ti]):
+                vals = list(key)
+                # identity values keep their typed decode from the tuple
+                for j, f in enumerate(fields):
+                    if j != ti and f["dt"].typeName() == "date" \
+                            and vals[j] is not None:
+                        vals[j] = epoch + datetime.timedelta(
+                            days=int(vals[j]))
+                vals[ti] = d
+                rows.append((i, *vals))
+                if len(rows) > self._ENUM_CAP_ROWS:
+                    return None  # domain blew the driver budget: scan
+        schema = T.StructType(
+            [T.StructField("__combo", T.IntegerType())]
+            + [T.StructField(
+                f["src_name"],
+                f["dt"] if i != ti else T.DateType())
+               for i, f in enumerate(fields)]
+        )
+        from lakehouses_spark.tables.delta_log import (
+            _quiet_analysis_probe,
+            split_top_level_and,
+        )
+
+        frame = self.spark.createDataFrame(rows, schema)
+
+        def combos_hit(expr) -> set[int] | None:
+            try:
+                with _quiet_analysis_probe():
+                    return {r["__combo"] for r in
+                            frame.where(expr).select("__combo")
+                            .distinct().collect()}
+            except Exception:
+                return None  # references data columns: no constraint
+
+        hit = combos_hit(pred)
+        if hit is None:
+            # mixed predicate: every row matching `pred` satisfies each
+            # top-level AND conjunct, so intersecting the conjuncts that
+            # DO evaluate on the domain stays a sound superset; conjuncts
+            # touching data columns just add no constraint
+            parts = (split_top_level_and(predicate_sql)
+                     if predicate_sql else [])
+            if len(parts) < 2:
+                return None
+            hit = set(range(len(keys)))
+            constrained = False
+            for p in parts:
+                h = combos_hit(p)
+                if h is not None:
+                    hit &= h
+                    constrained = True
+            if not constrained:
+                return None
+        out: set[str] = set()
+        for i in hit:
+            out.update(combos[keys[i]])
+        return out
 
     def _partition_ctx(self, op: str) -> dict | None:
         """Write context for the table's CURRENT partition spec (VERDICT
@@ -2627,7 +2772,7 @@ class IcebergMetadataReader:
                 if c not in names:
                     raise ValueError(f"unknown SET column {c!r}")
         pred = F.expr(predicate)
-        affected = self._plan_affected(pred, pctx, live)
+        affected = self._plan_affected(pred, pctx, live, predicate)
         plan["rewritten_files"] = len(affected)
         if dry_run or not affected:
             return plan

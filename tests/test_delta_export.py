@@ -2070,3 +2070,38 @@ def test_partitioned_dml_under_column_mapping(spark, tmp_path):
         key=lambda p: p.stat().st_mtime)
     names = set(pq.ParquetFile(newest).schema_arrow.names)
     assert "col-k" in names and "seg" not in names and "k" not in names
+
+
+def test_mixed_predicate_prunes_candidates_before_scan(spark, tmp_path,
+                                                       monkeypatch):
+    """r12: a DML predicate mixing a partition conjunct with a data
+    conjunct must not scan the table — the partition-only top-level AND
+    conjuncts prune candidates driver-side (sound superset: a matching
+    row satisfies every conjunct) and the exact scan runs over the
+    candidates only. Pinned by spying on to_df's _paths."""
+    base = tmp_path / "mixed"
+    _mk_partitioned_delta(spark, base)
+    r = DeltaLogReader(spark, base)
+    want = {str((base / p).resolve())
+            for p, a in r.snapshot().files.items()
+            if a["partitionValues"]["seg"] == "B"}
+    seen = []
+    real = r.to_df
+
+    def spy(*a, **k):
+        seen.append(k.get("_paths"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(r, "to_df", spy)
+    res = r.delete("seg = 'B' AND v > 45.0")
+    assert res["rewritten_files"] == 1
+    assert seen and all(p is not None and p <= want for p in seen), \
+        [None if p is None else len(p) for p in seen]
+    rows = sorted(x.k for x in read_delta(spark, base).collect())
+    assert rows == [1, 2, 3, 4, 6]  # only (5, 50.0, 'B') matched
+    # a disjunctive predicate cannot split: falls back to the full scan
+    r2 = DeltaLogReader(spark, base)
+    res2 = r2.delete("seg = 'C' OR v > 39.0")
+    assert res2["rewritten_files"] == 2
+    assert sorted(x.k for x in read_delta(spark, base).collect()) \
+        == [1, 2, 3]

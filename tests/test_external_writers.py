@@ -773,3 +773,69 @@ def test_merge_schema_evolution_both_formats(spark, tmp_path):
     with pytest.raises(IcebergFormatError, match="nested|primitives"):
         IcebergMetadataReader(spark, tmp_path / "i").merge(
             src3, "t.k = s.k", schema_evolution=True)
+
+
+def test_transform_partition_dml_prunes_candidates(spark, tmp_path,
+                                                   monkeypatch):
+    """r12: DML on a years()-partitioned table must not scan the table.
+    A transform tuple can't answer a source-column predicate directly,
+    but its date DOMAIN is finite — the planner enumerates it per
+    distinct tuple, evaluates the predicate driver-side, and restricts
+    BOTH the exact planning scan and the rewrite to candidate files.
+    Pinned by spying on to_df's _paths."""
+    import datetime
+
+    rows = [(i, datetime.date(1994 + i % 4, 1 + i % 12, 5), float(i))
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "k long, d date, v double").coalesce(4)
+    r = write_iceberg_table(spark, df, tmp_path / "i",
+                            partition_by=["years(d)"])
+    live = {str(r._local_data(e["data_file"]["file_path"]).resolve()):
+            e["data_file"]["partition"]["d_year"]
+            for e in r._live_data_entries()}
+    assert len(live) == 16  # 4 files x 4 years
+    seen = []
+    real = r.to_df
+
+    def spy(*a, **k):
+        seen.append(k.get("_paths"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(r, "to_df", spy)
+    res = r.delete("d >= DATE'1996-01-01' AND d < DATE'1997-01-01'")
+    want_files = {p for p, y in live.items() if y == 1996 - 1970}
+    assert res["rewritten_files"] == len(want_files) == 4
+    assert seen and all(p is not None and p <= want_files for p in seen), \
+        [None if p is None else len(p) for p in seen]
+    got = read_iceberg(spark, tmp_path / "i")
+    assert got.count() == 60
+    assert got.where("year(d) = 1996").count() == 0
+    # no candidate at all: zero-file plan, no scan, no commit
+    r2 = IcebergMetadataReader(spark, tmp_path / "i")
+    res2 = r2.delete("d >= DATE'2050-01-01'")
+    assert res2["rewritten_files"] == 0
+    # MIXED predicate: the date conjunct prunes candidates (top-level
+    # AND split, sound superset), the data conjunct resolves in the
+    # exact scan — which must touch only the 1995+ candidate files
+    r3 = IcebergMetadataReader(spark, tmp_path / "i")
+    live3 = {str(r3._local_data(e["data_file"]["file_path"]).resolve()):
+             e["data_file"]["partition"]["d_year"]
+             for e in r3._live_data_entries()}
+    cand_1995p = {p for p, y in live3.items() if y >= 1995 - 1970}
+    seen3 = []
+    real3 = r3.to_df
+
+    def spy3(*a, **k):
+        seen3.append(k.get("_paths"))
+        return real3(*a, **k)
+
+    monkeypatch.setattr(r3, "to_df", spy3)
+    res3 = r3.update({"v": "v + 1000"},
+                     where="d >= DATE'1995-01-01' AND v < 10")
+    assert res3["rewritten_files"] >= 1
+    assert seen3 and all(p is not None and p <= cand_1995p
+                         for p in seen3), \
+        [None if p is None else len(p) for p in seen3]
+    got = {x.k: x.v for x in
+           read_iceberg(spark, tmp_path / "i").collect()}
+    assert got[1] == 1001.0  # (1995-02-05, v=1) matched

@@ -912,6 +912,104 @@ def probe_partitioned_dml(spark) -> list[str]:
     return lines
 
 
+def probe_transform_dml(spark) -> list[str]:
+    """Transform-partitioned external DML (r12): a years()-partitioned
+    Iceberg table grows by ADDING years (rows per year constant); DML
+    keyed on ONE year's date range must stay near-flat — the planner
+    enumerates each year tuple's date domain driver-side (sound
+    superset candidates) and both the exact planning scan and the
+    rewrite touch only that year's files. Flat here is what makes
+    single-year DML on a date-partitioned 100 TB fact table an
+    O(partition) op even though the tuple stores a transform ORDINAL,
+    not the source value."""
+    from lakehouses_spark.tables.iceberg_meta import (
+        IcebergMetadataReader,
+        write_iceberg_table,
+    )
+
+    rows_py = 150_000
+    rows: list[tuple] = []
+    with tempfile.TemporaryDirectory() as tmp:
+        for factor in (0,) + PDML_FACTORS:
+            warm = factor == 0
+            f = 1 if warm else factor
+            nyears = 4 * f
+            df = (
+                spark.range(rows_py * nyears)
+                .select(
+                    F.col("id").alias("k"),
+                    F.date_add(
+                        F.to_date(F.lit("1980-01-01")),
+                        ((F.col("id") % nyears) * 366).cast("int"),
+                    ).alias("d"),
+                    ((F.col("id") * 7 % 1000) / 10.0).alias("v"),
+                )
+                .repartition(nyears, "d")
+            )
+            d = Path(tmp) / f"tdml_{'warm' if warm else 'x'}{f}"
+            r = write_iceberg_table(spark, df, d,
+                                    partition_by=["years(d)"])
+            t0 = time.perf_counter()
+            res = r.delete(
+                "d >= DATE'1980-01-01' AND d < DATE'1981-01-01'")
+            t_del = time.perf_counter() - t0
+            r2 = IcebergMetadataReader(spark, d)
+            t0 = time.perf_counter()
+            r2.update(
+                {"v": "v + 1"},
+                where="d >= DATE'1981-01-01' AND d < DATE'1982-01-01'")
+            t_upd = time.perf_counter() - t0
+            if warm:
+                continue
+            rows.append((
+                f, nyears, res["candidate_files"],
+                res["rewritten_files"], round(t_del, 2), round(t_upd, 2),
+            ))
+
+    def alpha(ts: list[float]) -> float:
+        xs = [math.log(f) for f in PDML_FACTORS]
+        ys = [math.log(max(t, 1e-3)) for t in ts]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+
+    a_del = alpha([r[4] for r in rows])
+    a_upd = alpha([r[5] for r in rows])
+    lines = [
+        "",
+        "## Transform-partitioned external DML ladder (r12)",
+        "",
+        "A years()-partitioned Iceberg table created by "
+        "`write_iceberg_table` grows by ADDING years (150k rows per "
+        "year); a DELETE / UPDATE keyed on ONE year's date range runs "
+        "through `IcebergMetadataReader`. The year tuple stores an "
+        "ORDINAL, not the date, so identity tuple-planning cannot "
+        "apply — instead the planner enumerates each distinct tuple's "
+        "finite date domain driver-side, keeps candidate files whose "
+        "domain can satisfy the predicate, and restricts both the exact "
+        "planning scan and the rewrite to them.",
+        "",
+        "| ×factor | years | candidate files | rewritten | "
+        "delete-1-year (s) | update-1-year (s) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| ×{r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]:.2f} "
+            f"| {r[5]:.2f} |"
+        )
+    lines += [
+        "",
+        f"Fitted exponents vs the ×16 table growth: delete α={a_del:.2f}, "
+        f"update α={a_upd:.2f} — the affected year is constant-size, so "
+        "the residual slope is O(files) plan/commit metadata only. "
+        "Without the domain-enumeration planner the planning pass scans "
+        "every live file (α≈1 on the scan leg).",
+    ]
+    return lines
+
+
 def _patch_section(lines: list[str]) -> None:
     """Replace (or append) one `## ...` section of SCALING.md in place —
     lets a single probe refresh its evidence without re-running the full
@@ -1098,6 +1196,7 @@ def main() -> None:
     lines += probe_ingest(spark)
     lines += probe_external_dml(spark)
     lines += probe_partitioned_dml(spark)
+    lines += probe_transform_dml(spark)
     Path(__file__).resolve().parent.parent.joinpath("SCALING.md").write_text(
         "\n".join(lines) + "\n"
     )
