@@ -876,6 +876,9 @@ def split_top_level_and(s: str) -> list[str]:
     while i < n:
         c = s[i]
         if quote:
+            if c == "\\":  # backslash-escaped char inside a literal
+                i += 2
+                continue
             if c == quote:
                 quote = None
         elif c in ("'", '"', "`"):

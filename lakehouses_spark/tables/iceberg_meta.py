@@ -2621,7 +2621,7 @@ class IcebergMetadataReader:
                 if len(rows) > self._ENUM_CAP_ROWS:
                     return None  # domain blew the driver budget: scan
         schema = T.StructType(
-            [T.StructField("__combo", T.IntegerType())]
+            [T.StructField("__lh_combo__", T.IntegerType())]
             + [T.StructField(
                 f["src_name"],
                 f["dt"] if i != ti else T.DateType())
@@ -2637,8 +2637,8 @@ class IcebergMetadataReader:
         def combos_hit(expr) -> set[int] | None:
             try:
                 with _quiet_analysis_probe():
-                    return {r["__combo"] for r in
-                            frame.where(expr).select("__combo")
+                    return {r["__lh_combo__"] for r in
+                            frame.where(expr).select("__lh_combo__")
                             .distinct().collect()}
             except Exception:
                 return None  # references data columns: no constraint
