@@ -825,6 +825,17 @@ def merge_rewritten(sub, src, cond, names, dtype_of, source_cols,
     return sub.select(*[F.col(f"t.{c}").alias(c) for c in names])
 
 
+def merge_widen(df, extra, dtype_of):
+    """Target-side rows under a schema-evolving MERGE: the new columns
+    read NULL. Shared by the format twins (r12 review) like the other
+    merge helpers."""
+    if extra:
+        df = df.withColumns({
+            c: F.lit(None).cast(dtype_of[c]) for c in extra
+        })
+    return df
+
+
 def merge_insert_required_check(fields, source_cols,
                                 when_not_matched_insert, err_cls) -> None:
     """ADVICE r12: WHEN NOT MATCHED INSERT fills table columns absent
@@ -864,15 +875,28 @@ def merge_inserts(src, t_all, cond, names, dtype_of, source_cols,
 
 def split_top_level_and(s: str) -> list[str]:
     """Split a SQL boolean expression on its TOP-LEVEL ``AND``s —
-    quote-aware (single/double quotes, backticks) and paren-depth-0
-    only, so an AND inside a string literal, an identifier, or a
-    parenthesized OR is data. Used for sound candidate pruning (r12): a
-    row matching the whole predicate satisfies every top-level
-    conjunct, so intersecting per-conjunct candidate supersets stays a
-    superset of the truly-affected files."""
+    quote-aware (single/double quotes with backslash escapes,
+    backticks) and paren-depth-0 only, so an AND inside a string
+    literal, an identifier, or a parenthesized OR is data. Used for
+    sound candidate pruning (r12): a row matching the whole predicate
+    satisfies every top-level conjunct, so intersecting per-conjunct
+    candidate supersets stays a superset of the truly-affected files.
+    A top-level ``OR`` defeats that reading entirely — AND binds
+    tighter, so ``a AND b OR c`` is ``(a AND b) OR c`` and ``a`` is NOT
+    a required conjunct (r12 review) — the expression then returns
+    whole, unsplit."""
     parts: list[str] = []
     depth, i, start, n = 0, 0, 0, len(s)
     quote: str | None = None
+
+    def _kw(idx: int, kw: str) -> bool:
+        if s[idx:idx + len(kw)].upper() != kw:
+            return False
+        before = s[idx - 1] if idx else " "
+        after = s[idx + len(kw)] if idx + len(kw) < n else " "
+        return not (before.isalnum() or before == "_") and \
+            not (after.isalnum() or after == "_")
+
     while i < n:
         c = s[i]
         if quote:
@@ -887,18 +911,42 @@ def split_top_level_and(s: str) -> list[str]:
             depth += 1
         elif c == ")":
             depth -= 1
-        elif depth == 0 and s[i:i + 3].upper() == "AND":
-            before = s[i - 1] if i else " "
-            after = s[i + 3] if i + 3 < n else " "
-            if not (before.isalnum() or before == "_") and \
-                    not (after.isalnum() or after == "_"):
-                parts.append(s[start:i].strip())
-                start = i + 3
-                i += 3
-                continue
+        elif depth == 0 and _kw(i, "OR"):
+            return [s.strip()]  # disjunction at top level: no conjuncts
+        elif depth == 0 and _kw(i, "AND"):
+            parts.append(s[start:i].strip())
+            start = i + 3
+            i += 3
+            continue
         i += 1
     parts.append(s[start:].strip())
     return [p for p in parts if p]
+
+
+def conjunct_candidates(hits_fn, pred, predicate_sql: str | None):
+    """Shared candidate-pruning rule (r12 review: ONE implementation of
+    the soundness argument). ``hits_fn(expr) -> set | None`` evaluates
+    an expression against the driver-side tuple/domain frame, returning
+    the matching candidate keys or None when the expression references
+    columns the frame doesn't carry. Whole-predicate evaluation is
+    EXACT when it succeeds; otherwise the predicate's top-level AND
+    conjuncts (none exist under a top-level OR) each constrain the
+    candidate set — a matching row satisfies every conjunct, so the
+    intersection of the evaluable conjuncts' hits stays a sound
+    superset. Returns (hits, exact): hits None = no constraint at all
+    (caller scans everything)."""
+    hit = hits_fn(pred)
+    if hit is not None:
+        return hit, True
+    parts = split_top_level_and(predicate_sql) if predicate_sql else []
+    if len(parts) < 2:
+        return None, False
+    acc = None
+    for p in parts:
+        h = hits_fn(p)
+        if h is not None:
+            acc = h if acc is None else acc & h
+    return acc, False
 
 
 from contextlib import contextmanager
@@ -2105,14 +2153,23 @@ class DeltaLogReader:
                         if k.startswith("delta.constraints.")):
             viols.append(
                 (k, F.expr(snap.configuration[k]) == F.lit(False)))
-        for f in snap.schema.fields:
-            inv = (f.metadata or {}).get("delta.invariants")
-            if not inv:
-                continue
-            sql = json.loads(inv)["expression"]["expression"]
-            viols.append(
-                (f"delta.invariants({f.name})",
-                 ~F.expr(sql).eqNullSafe(True)))
+
+        def collect_invariants(fields, prefix: str = "") -> None:
+            # Delta stores invariants on the declaring field, which may
+            # be NESTED (CheckDeltaInvariant walks the struct tree); the
+            # stored expression references the full dotted path itself
+            for f in fields:
+                inv = (f.metadata or {}).get("delta.invariants")
+                if inv:
+                    sql = json.loads(inv)["expression"]["expression"]
+                    viols.append(
+                        (f"delta.invariants({prefix}{f.name})",
+                         ~F.expr(sql).eqNullSafe(True)))
+                if isinstance(f.dataType, StructType):
+                    collect_invariants(
+                        f.dataType.fields, f"{prefix}{f.name}.")
+
+        collect_invariants(snap.schema.fields)
         if not viols:
             return
         # one aggregation pass over the incoming rows for ALL rules
@@ -2430,18 +2487,11 @@ class DeltaLogReader:
                 except Exception:
                     return None
 
-            hit = tuple_hits(pred)
-            if hit is not None:
+            hit, exact = conjunct_candidates(
+                tuple_hits, pred, predicate_sql)
+            if exact:
                 return sorted(hit)
-            parts = (split_top_level_and(predicate_sql)
-                     if predicate_sql else [])
-            if len(parts) >= 2:
-                acc: set[str] | None = None
-                for p in parts:
-                    h = tuple_hits(p)
-                    if h is not None:
-                        acc = h if acc is None else acc & h
-                cand = acc  # None when no conjunct was partition-only
+            cand = hit  # None when no conjunct was partition-only
             if cand is not None and not cand:
                 return []
         df = self.to_df(_with_path=True, _paths=cand)
@@ -2601,12 +2651,8 @@ class DeltaLogReader:
             names = [f.name for f in schema.fields]
 
         def widen(df: DataFrame) -> DataFrame:
-            """Target-side rows under evolution: new columns read NULL."""
-            if extra:
-                df = df.withColumns({
-                    c: F.lit(None).cast(schema[c].dataType) for c in extra
-                })
-            return df
+            return merge_widen(
+                df, extra, {c: schema[c].dataType for c in extra})
 
         cond = F.expr(on)
         src = source.alias("s")

@@ -2264,6 +2264,7 @@ class IcebergMetadataReader:
             merge_insert_required_check,
             merge_inserts,
             merge_rewritten,
+            merge_widen,
         )
 
         pctx = self._partition_ctx("MERGE")
@@ -2280,12 +2281,7 @@ class IcebergMetadataReader:
         names = names + extra
 
         def widen(df: DataFrame) -> DataFrame:
-            """Target-side rows under evolution: new columns read NULL."""
-            if extra:
-                df = df.withColumns({
-                    c: F.lit(None).cast(widen_dtype[c]) for c in extra
-                })
-            return df
+            return merge_widen(df, extra, widen_dtype)
 
         cond = F.expr(on)
         src = source.alias("s")
@@ -2469,7 +2465,7 @@ class IcebergMetadataReader:
         `_metadata.file_path`."""
         from lakehouses_spark.tables.delta_log import (
             _quiet_analysis_probe,
-            split_top_level_and,
+            conjunct_candidates,
         )
 
         # driver-side tuple planning covers IDENTITY fields directly:
@@ -2520,16 +2516,11 @@ class IcebergMetadataReader:
                     except Exception:
                         return None
 
-                hit = tuple_hits(pred)
-                if hit is not None:
+                hit, exact = conjunct_candidates(
+                    tuple_hits, pred, predicate_sql)
+                if exact:
                     return hit  # tuple-exact: every row shares its tuple
-                parts = (split_top_level_and(predicate_sql)
-                         if predicate_sql else [])
-                if len(parts) >= 2:
-                    for p in parts:
-                        h = tuple_hits(p)
-                        if h is not None:
-                            cand = h if cand is None else cand & h
+                cand = hit
         # date-family transform specs: prune candidates by enumerating
         # each tuple's finite date domain (sound superset), then run the
         # exact scan over the candidates only — O(partition), not O(table)
@@ -2629,7 +2620,7 @@ class IcebergMetadataReader:
         )
         from lakehouses_spark.tables.delta_log import (
             _quiet_analysis_probe,
-            split_top_level_and,
+            conjunct_candidates,
         )
 
         frame = self.spark.createDataFrame(rows, schema)
@@ -2643,25 +2634,12 @@ class IcebergMetadataReader:
             except Exception:
                 return None  # references data columns: no constraint
 
-        hit = combos_hit(pred)
+        # NOTE: even the whole-predicate hit is a SUPERSET here, not
+        # exact — a file's rows cover only part of its tuple's domain —
+        # so exact=True changes nothing for this caller
+        hit, _ = conjunct_candidates(combos_hit, pred, predicate_sql)
         if hit is None:
-            # mixed predicate: every row matching `pred` satisfies each
-            # top-level AND conjunct, so intersecting the conjuncts that
-            # DO evaluate on the domain stays a sound superset; conjuncts
-            # touching data columns just add no constraint
-            parts = (split_top_level_and(predicate_sql)
-                     if predicate_sql else [])
-            if len(parts) < 2:
-                return None
-            hit = set(range(len(keys)))
-            constrained = False
-            for p in parts:
-                h = combos_hit(p)
-                if h is not None:
-                    hit &= h
-                    constrained = True
-            if not constrained:
-                return None
+            return None
         out: set[str] = set()
         for i in hit:
             out.update(combos[keys[i]])

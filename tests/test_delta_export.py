@@ -2099,9 +2099,11 @@ def test_mixed_predicate_prunes_candidates_before_scan(spark, tmp_path,
         [None if p is None else len(p) for p in seen]
     rows = sorted(x.k for x in read_delta(spark, base).collect())
     assert rows == [1, 2, 3, 4, 6]  # only (5, 50.0, 'B') matched
-    # a disjunctive predicate cannot split: falls back to the full scan
+    # TOP-LEVEL OR defeats conjunct pruning entirely (r12 review: AND
+    # binds tighter, so "a AND b OR c" makes `a` NOT a required
+    # conjunct) — rows matching only the OR branch must still delete
     r2 = DeltaLogReader(spark, base)
-    res2 = r2.delete("seg = 'C' OR v > 39.0")
-    assert res2["rewritten_files"] == 2
+    res2 = r2.delete("seg = 'B' AND v > 39.0 OR seg = 'C'")
+    assert res2["rewritten_files"] == 2  # the B file AND the C file
     assert sorted(x.k for x in read_delta(spark, base).collect()) \
         == [1, 2, 3]

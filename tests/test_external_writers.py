@@ -561,6 +561,40 @@ def test_column_invariants_enforced(spark, tmp_path):
     assert read_delta(spark, tmp_path / "d").count() == len(ROWS) + 1
 
 
+def test_nested_column_invariants_enforced(spark, tmp_path):
+    """r12 review: delta.invariants live on the DECLARING field, which
+    may be nested inside a struct (CheckDeltaInvariant walks the tree);
+    the write gate must find and enforce them there too."""
+    df = spark.createDataFrame(
+        [(i, (float(i), "x")) for i in range(1, 6)],
+        "k long, info struct<qty: double, tag: string>").coalesce(1)
+    write_delta_table(spark, df, tmp_path / "d")
+    log = tmp_path / "d" / "_delta_log"
+    head = sorted(log.glob("*.json"))[0]
+    acts = [json.loads(x) for x in head.read_text().splitlines()]
+    for a in acts:
+        md = a.get("metaData")
+        if md:
+            sch = json.loads(md["schemaString"])
+            info = next(f for f in sch["fields"] if f["name"] == "info")
+            qty = next(f for f in info["type"]["fields"]
+                       if f["name"] == "qty")
+            qty.setdefault("metadata", {})["delta.invariants"] = (
+                json.dumps({"expression":
+                            {"expression": "info.qty > 0"}}))
+            md["schemaString"] = json.dumps(sch)
+    head.write_text("\n".join(json.dumps(a) for a in acts) + "\n")
+    r = DeltaLogReader(spark, tmp_path / "d")
+    with pytest.raises(DeltaProtocolError, match="invariant"):
+        r.append(spark.createDataFrame(
+            [(9, (-1.0, "y"))],
+            "k long, info struct<qty: double, tag: string>"))
+    r.append(spark.createDataFrame(
+        [(9, (1.0, "y"))],
+        "k long, info struct<qty: double, tag: string>"))
+    assert read_delta(spark, tmp_path / "d").count() == 6
+
+
 def test_merge_insert_refuses_unset_required_column(spark, tmp_path):
     """ADVICE r12: WHEN NOT MATCHED INSERT fills table columns absent
     from the clause with NULL — refused when the column is non-nullable
@@ -839,3 +873,11 @@ def test_transform_partition_dml_prunes_candidates(spark, tmp_path,
     got = {x.k: x.v for x in
            read_iceberg(spark, tmp_path / "i").collect()}
     assert got[1] == 1001.0  # (1995-02-05, v=1) matched
+    # TOP-LEVEL OR defeats conjunct pruning (r12 review): rows matching
+    # only the OR branch (all of 1997) must still delete
+    r4 = IcebergMetadataReader(spark, tmp_path / "i")
+    r4.delete("d >= DATE'1995-01-01' AND d < DATE'1996-01-01' "
+              "AND v < 2 OR d >= DATE'1997-01-01'")
+    left = read_iceberg(spark, tmp_path / "i")
+    assert left.where("year(d) = 1997").count() == 0
+    assert left.where("year(d) = 1995").count() > 0
