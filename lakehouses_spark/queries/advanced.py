@@ -3195,3 +3195,82 @@ def lake_transform_evolution_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert [tuple(r) for r in out_d.collect()] == \
             [tuple(r) for r in out_i.collect()]
         return out_d
+
+
+@query(
+    "lake_mor_delete",
+    # the oracle replays both DELETE predicates relationally — the MOR
+    # position-delete files must make the reader see exactly this
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= 5000
+    ), kept AS (
+      SELECT * FROM base
+      WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+        AND NOT (o_orderkey % 10 = 0)
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+    FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def lake_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 merge-on-read DELETE arc: a `write.delete.mode=
+    merge-on-read` external Iceberg table takes two stacking DELETEs as
+    POSITION DELETE files (spec "Position Delete Files") — zero data
+    rewritten (asserted: the live data-file set is byte-identical
+    across both commits), O(matching rows) write cost — then
+    `rewrite_data_files` materializes the deletes away and the read is
+    unchanged. The reference's UPDATE/DELETE arc
+    (03.iceberg_primer.py:177-188) on the merge-on-read path real
+    Spark-Iceberg deployments default to for sparse deletes.
+
+    100 TB shape: a sparse DELETE over wide files writes only the
+    (file_path, pos) tombstones — a fraction of COW's affected-file
+    rewrite — and compaction amortizes the materialization into the
+    maintenance window."""
+    from lakehouses_spark.tables.iceberg_meta import (
+        IcebergMetadataReader,
+        read_iceberg,
+        write_iceberg_table,
+    )
+
+    base = load_table(spark, sf_dir, "orders").where(
+        "o_orderkey <= 5000"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    with tempfile.TemporaryDirectory() as tmp:
+        r = write_iceberg_table(
+            spark, base, f"{tmp}/i",
+            properties={"write.delete.mode": "merge-on-read"})
+        files0 = sorted(f["file_path"] for f in r.live_files())
+        res1 = r.delete("o_orderstatus = 'F' AND o_totalprice < 100000")
+        assert res1["rewritten_files"] == 0, res1
+        assert res1["delete_files"] >= 1 and res1["deleted_rows"] > 0
+        r2 = IcebergMetadataReader(spark, f"{tmp}/i")
+        # stacking second MOR delete; data files stay byte-identical
+        res2 = r2.delete("o_orderkey % 10 = 0")
+        assert res2["rewritten_files"] == 0, res2
+        r3 = IcebergMetadataReader(spark, f"{tmp}/i")
+        assert sorted(f["file_path"] for f in r3.live_files()) == files0
+        assert len(r3.position_delete_files()) >= 2  # both commits live
+
+        def agg(df):
+            return (
+                df.groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+                .orderBy("o_orderstatus")
+            )
+
+        before = agg(read_iceberg(spark, f"{tmp}/i")).localCheckpoint()
+        # compaction materializes the deletes; the read must not move
+        res3 = r3.rewrite_data_files(target_file_size_mb=64)
+        assert res3["applied_delete_files"] >= 2, res3
+        r4 = IcebergMetadataReader(spark, f"{tmp}/i")
+        assert len(r4.position_delete_files()) == 0
+        after = agg(read_iceberg(spark, f"{tmp}/i")).localCheckpoint()
+        assert [tuple(x) for x in before.collect()] == \
+            [tuple(x) for x in after.collect()]
+        return after

@@ -95,9 +95,13 @@ _SWEEP_PRIORITY = [
 # them with the driver's exact comparison in the meantime). The sweep-window
 # guard asserts any never-swept query outside the 50-entry window appears
 # HERE, so a new query can never silently fall outside the rotation.
-# Round 12's budget: 2 never-swept + 7 r7-stale + 41 r8-stale = 50, so
-# nothing waits this round.
-SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = []
+# Round 12's budget: 2 never-swept + 7 r7-stale + 41 r8-stale = 50. The
+# merge-on-read DELETE arc registered after it filled waits here for its
+# first driver row; it joins the 9 remaining r8 rows at the head of the
+# round-13 rotation.
+SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
+    "lake_mor_delete",
+]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
 

@@ -998,6 +998,7 @@ def write_ocf_bytes_with_meta(rows: list, schema: dict, extra_meta: dict) -> byt
 def _write_manifest(
     meta_dir: Path, entries: list[dict], ice_schema_json: str,
     snap_id: int, seq: int, pctx: dict | None = None,
+    content: int = 0,
 ) -> dict:
     """Write one manifest Avro file; return its registry record with the
     manifest-list row (counts by entry status, min sequence number).
@@ -1031,7 +1032,7 @@ def _write_manifest(
             "partition-spec": spec_json,
             "partition-spec-id": str(spec_id),
             "format-version": str(FORMAT_VERSION),
-            "content": "data",
+            "content": "deletes" if content == 1 else "data",
         },
     )
     (meta_dir / name).write_bytes(data)
@@ -1051,7 +1052,7 @@ def _write_manifest(
             "manifest_path": f"{location}/metadata/{name}",
             "manifest_length": len(data),
             "partition_spec_id": spec_id,
-            "content": 0,
+            "content": content,
             "sequence_number": seq,
             "min_sequence_number": min(
                 (e["sequence_number"] for e in entries if e["sequence_number"]),
@@ -1526,6 +1527,7 @@ class IcebergMetadataReader:
         ref: str | None = None,
         _with_path: bool = False,
         _paths: set[str] | None = None,
+        _with_pos: bool = False,
     ) -> DataFrame:
         """Read the snapshot. ``filters`` prune files via the manifest
         min/max bounds then apply row-wise; ``columns`` (r8) prunes the
@@ -1560,6 +1562,9 @@ class IcebergMetadataReader:
             if _with_path:  # internal: COW DML keys rewrites by file
                 empty = empty.withColumn(
                     "__if_fp", F.lit(None).cast("string"))
+            if _with_pos:
+                empty = empty.withColumn(
+                    "__if_pos", F.lit(None).cast("bigint"))
             return empty
         mapping = self.name_mapping()
         # physical (in-file) name per top-level field via name mapping
@@ -1604,6 +1609,10 @@ class IcebergMetadataReader:
         )
         paths = [str(self._local_data(df_["file_path"])) for df_ in files]
         df = self.spark.read.schema(phys_schema).parquet(*paths)
+        if _with_pos:
+            # physical row ordinal, captured at the scan (the MOR delete
+            # writer needs it; _metadata is only addressable here)
+            df = df.withColumn("__if_pos", F.col("_metadata.row_index"))
         dels = self.position_delete_files(snapshot_id)
         if dels:
             # v2 position deletes: (file_path, pos) rows in parquet delete
@@ -1679,6 +1688,8 @@ class IcebergMetadataReader:
         path_extra = ["__if_fp"] if _with_path else []
         if _with_path and "__if_fp" not in df.columns:
             df = df.withColumn("__if_fp", fs_path_col())
+        if _with_pos:
+            path_extra = path_extra + ["__if_pos"]
         out = df.select(
             *[F.col(phys[f.name]).alias(f.name) for f in read_fields],
             *path_extra,
@@ -2037,7 +2048,8 @@ class IcebergMetadataReader:
                          new_id: int, seq: int, operation: str,
                          summary: dict,
                          carried_ml_rows: list[dict] | None = None,
-                         pctx: dict | None = None) -> None:
+                         pctx: dict | None = None,
+                         delete_entries: list[dict] | None = None) -> None:
         """Write one manifest for ``entries``, a manifest list referencing
         it (plus any carried manifest-list rows — e.g. live delete
         manifests that must keep applying), and the next metadata.json
@@ -2051,6 +2063,13 @@ class IcebergMetadataReader:
         m = _write_manifest(self.meta_dir, entries, json.dumps(ice),
                             new_id, seq, pctx=pctx)
         ml_rows = [m["ml_row"]]
+        if delete_entries:
+            # merge-on-read DML: the new row-level delete files commit in
+            # their own DELETE manifest (manifest-list content=1)
+            dm = _write_manifest(self.meta_dir, delete_entries,
+                                 json.dumps(ice), new_id, seq, pctx=pctx,
+                                 content=1)
+            ml_rows.append(dm["ml_row"])
         for r in carried_ml_rows or []:
             # normalize to our manifest-list schema (foreign rows may
             # carry extra/missing optional fields)
@@ -2096,16 +2115,158 @@ class IcebergMetadataReader:
         meta["refs"] = refs
         self._commit_metadata(meta)
 
-    def delete(self, predicate: str, dry_run: bool = False) -> dict:
-        """DELETE FROM on an external Iceberg v2 table, copy-on-write
-        (Spark-Iceberg's default write.delete.mode): files containing
-        matching rows are rewritten without them; the commit is a new
-        `delete` snapshot whose manifest relists rewritten files as
-        ADDED, removed files as DELETED, and untouched files as EXISTING
-        — live delete manifests for untouched files carry over, so
-        merge-on-read deletes keep applying. The format twin of
-        `DeltaLogReader.delete`."""
+    def delete(self, predicate: str, dry_run: bool = False,
+               mode: str | None = None) -> dict:
+        """DELETE FROM on an external Iceberg v2 table. Mode resolves
+        from the argument, else the table's `write.delete.mode`
+        property, else copy-on-write (Spark-Iceberg's default):
+
+        - ``copy-on-write``: files containing matching rows are
+          rewritten without them; the commit is a new `delete` snapshot
+          whose manifest relists rewritten files as ADDED, removed files
+          as DELETED, and untouched files as EXISTING — live delete
+          manifests for untouched files carry over. The format twin of
+          `DeltaLogReader.delete`.
+        - ``merge-on-read`` (r12): commit POSITION DELETE files instead
+          of rewriting data — the scale path for sparse deletes over
+          huge files (see `_mor_delete`)."""
+        mode = mode or (self.meta.get("properties") or {}).get(
+            "write.delete.mode", "copy-on-write")
+        if mode == "merge-on-read":
+            return self._mor_delete(predicate, dry_run)
+        if mode != "copy-on-write":
+            raise IcebergFormatError(
+                f"unknown write.delete.mode {mode!r} (copy-on-write or "
+                "merge-on-read)")
         return self._cow_dml("DELETE", predicate, None, dry_run)
+
+    def _mor_delete(self, predicate: str, dry_run: bool) -> dict:
+        """DELETE, merge-on-read (spec "Position Delete Files"): write
+        parquet files of (file_path, pos) naming the matching rows and
+        commit them in a DELETE manifest (manifest-list content=1) —
+        every live data file relists EXISTING, prior delete manifests
+        carry over, NOTHING is rewritten. Write cost is O(matching
+        rows) instead of O(affected files' bytes) — at 100 TB a sparse
+        DELETE over wide files costs a fraction of COW. Readers (this
+        repo's to_df/plan_files, the tail/changelog streams, real
+        engines) apply the deletes; `rewrite_data_files` materializes
+        them away later. Delete files are written PER PARTITION TUPLE
+        of the files they target (real readers prune delete manifests
+        by partition) and each is sorted by (file_path, pos) per the
+        spec."""
+        pctx = self._partition_ctx("DELETE")
+        live = self._live_data_entries()
+        cur = self.meta.get("current-snapshot-id", -1)
+        plan = {"candidate_files": len(live), "rewritten_files": 0,
+                "delete_files": 0, "deleted_rows": 0, "snapshot_id": cur}
+        if not live:
+            return plan
+        pred = F.expr(predicate)
+        affected = self._plan_affected(pred, pctx, live, predicate)
+        if dry_run or not affected:
+            return plan
+        logical, ice, phys_of, fid_of_phys, dt_of_phys = self._phys_maps()
+        # resolved local path -> (manifest URI, partition tuple)
+        info = {
+            str(self._local_data(e["data_file"]["file_path"]).resolve()):
+            (e["data_file"]["file_path"],
+             e["data_file"].get("partition") or {})
+            for e in live
+        }
+        sub = self.to_df(_with_path=True, _with_pos=True,
+                         _paths=set(affected))
+        uri_map = self.spark.createDataFrame(
+            [(k, u) for k, (u, _) in info.items()],
+            "__if_fp string, file_path string")
+        # materialized ONCE: the per-tuple writes below re-read blocks,
+        # not the match scan
+        rows = (sub.where(pred).select("__if_fp", "__if_pos")
+                .join(F.broadcast(uri_map), "__if_fp")
+                .select("file_path", F.col("__if_pos").alias("pos"))
+                .localCheckpoint())
+        by_tuple: dict[str, tuple[dict, set[str]]] = {}
+        for ap in affected:
+            u, pv = info[ap]
+            key = json.dumps(pv, sort_keys=True, default=str)
+            by_tuple.setdefault(key, (pv, set()))[1].add(u)
+        import pyarrow.parquet as pq
+
+        rel_dir = f"data/mor-delete-{uuid.uuid4().hex[:8]}"
+        (self.path / rel_dir).mkdir(parents=True, exist_ok=True)
+        new_id, seq = self._next_ids()
+        location = self.meta["location"].rstrip("/")
+        delete_entries: list[dict] = []
+        n_deleted, i = 0, 0
+        for key in sorted(by_tuple):
+            pv, uris = by_tuple[key]
+            part_rows = rows.where(F.col("file_path").isin(sorted(uris)))
+            tmp = self.path / f".tmp-mor-{uuid.uuid4().hex}"
+            (part_rows.repartition("file_path")
+             .sortWithinPartitions("file_path", "pos")
+             .write.parquet(str(tmp)))
+            for part in sorted(tmp.glob("part-*.parquet")):
+                md = pq.ParquetFile(part).metadata
+                if md.num_rows == 0:
+                    part.unlink()
+                    continue
+                rel = f"{rel_dir}/delete-{i:05d}.parquet"
+                i += 1
+                os.replace(part, self.path / rel)
+                n_deleted += md.num_rows
+                delete_entries.append({
+                    "status": 1,
+                    "snapshot_id": new_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": f"{location}/{rel}",
+                        "file_format": "PARQUET",
+                        "partition": pv,
+                        "record_count": md.num_rows,
+                        "file_size_in_bytes":
+                            (self.path / rel).stat().st_size,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "equality_ids": None,
+                    },
+                })
+            shutil.rmtree(tmp, ignore_errors=True)
+        if not delete_entries:
+            shutil.rmtree(self.path / rel_dir, ignore_errors=True)
+            return plan
+        entries = [{
+            "status": 0,  # every data file stays EXISTING, untouched
+            "snapshot_id": e.get("snapshot_id"),
+            "sequence_number": e.get("sequence_number"),
+            "file_sequence_number": e.get("file_sequence_number"),
+            "data_file": e["data_file"],
+        } for e in live]
+        snap = self._snapshot()
+        carried = []
+        if snap is not None:
+            _, ml_rows = read_ocf_bytes(
+                self._local(snap["manifest-list"]).read_bytes())
+            carried = [r for r in ml_rows
+                       if int(r.get("content", 0) or 0) == 1]
+        self._commit_snapshot(
+            entries, ice, new_id, seq,
+            operation="delete",
+            summary={
+                "added-delete-files": str(len(delete_entries)),
+                "added-position-delete-records": str(n_deleted),
+                "total-data-files": str(len(live)),
+                "lakehouses-delete-mode": "merge-on-read",
+                "lakehouses-delete-predicate": predicate,
+            },
+            carried_ml_rows=carried,
+            pctx=pctx,
+            delete_entries=delete_entries,
+        )
+        plan["delete_files"] = len(delete_entries)
+        plan["deleted_rows"] = n_deleted
+        plan["snapshot_id"] = new_id
+        return plan
 
     def update(self, set: dict[str, str], where: str | None = None,
                dry_run: bool = False) -> dict:

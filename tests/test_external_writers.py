@@ -881,3 +881,66 @@ def test_transform_partition_dml_prunes_candidates(spark, tmp_path,
     left = read_iceberg(spark, tmp_path / "i")
     assert left.where("year(d) = 1997").count() == 0
     assert left.where("year(d) = 1995").count() > 0
+
+
+def test_iceberg_merge_on_read_delete(spark, tmp_path):
+    """r12: DELETE with write.delete.mode=merge-on-read commits
+    POSITION DELETE files (spec "Position Delete Files") instead of
+    rewriting data — O(matching rows) write cost, data files untouched
+    and relisted EXISTING. Deletes stack, readers apply them, the
+    changelog stream emits the targeted rows as DELETE, and
+    rewrite_data_files materializes them away."""
+    rows = [(i, "AB"[i % 2], float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, seg string, v double") \
+        .coalesce(4)
+    r = write_iceberg_table(
+        spark, df, tmp_path / "i",
+        properties={"write.delete.mode": "merge-on-read"})
+    n_files0 = len(r.live_files())
+    res = r.delete("k % 10 = 3")
+    assert res["rewritten_files"] == 0 and res["delete_files"] >= 1
+    assert res["deleted_rows"] == 10
+    r2 = IcebergMetadataReader(spark, tmp_path / "i")
+    assert len(r2.live_files()) == n_files0  # nothing rewritten
+    assert len(r2.position_delete_files()) == res["delete_files"]
+    got = read_iceberg(spark, tmp_path / "i")
+    assert got.count() == 90 and got.where("k % 10 = 3").count() == 0
+    # the delete files are spec-shaped: (file_path, pos), sorted
+    import pyarrow.parquet as pq
+    for d in r2.position_delete_files():
+        t = pq.read_table(r2._local_data(d["file_path"]))
+        assert t.column_names == ["file_path", "pos"]
+        pairs = list(zip(t.column("file_path").to_pylist(),
+                         t.column("pos").to_pylist()))
+        assert pairs == sorted(pairs)
+    # a second MOR delete STACKS (prior delete manifests carry over)
+    r2.delete("k < 5", mode="merge-on-read")
+    r3 = IcebergMetadataReader(spark, tmp_path / "i")
+    got = read_iceberg(spark, tmp_path / "i")
+    assert got.count() == 86
+    assert sorted(x.k for x in got.collect())[:3] == [5, 6, 7]
+    # the changelog stream surfaces the MOR commit as DELETE rows
+    ch = r3.changelog(1, 2)  # range is (from, to]
+    dels = [x.k for x in ch.where("_change_type = 'DELETE'").collect()]
+    assert sorted(dels) == [3, 13, 23, 33, 43, 53, 63, 73, 83, 93]
+    # compaction applies + retires the delete files
+    res3 = r3.rewrite_data_files(target_files=2)
+    assert res3["applied_delete_files"] == 2
+    r4 = IcebergMetadataReader(spark, tmp_path / "i")
+    assert len(r4.position_delete_files()) == 0
+    assert read_iceberg(spark, tmp_path / "i").count() == 86
+
+    # partitioned table: one delete-file set PER PARTITION TUPLE so
+    # real readers keep pruning delete manifests
+    rp = write_iceberg_table(spark, df, tmp_path / "ip",
+                             partition_by=["seg"])
+    resp = rp.delete("v >= 90", mode="merge-on-read")
+    assert resp["delete_files"] == 2 and resp["deleted_rows"] == 10
+    rp2 = IcebergMetadataReader(spark, tmp_path / "ip")
+    tuples = {(e["data_file"]["partition"] or {}).get("seg")
+              for e in rp2._live_delete_entries()}
+    assert tuples == {"A", "B"}
+    assert read_iceberg(spark, tmp_path / "ip").count() == 90
+    # unknown mode refuses
+    with pytest.raises(IcebergFormatError, match="write.delete.mode"):
+        rp2.delete("k = 1", mode="mystery")
