@@ -3199,8 +3199,9 @@ def lake_transform_evolution_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lake_mor_delete",
-    # the oracle replays both DELETE predicates relationally — the MOR
-    # position-delete files must make the reader see exactly this
+    # the oracle replays the DELETE -> DELETE -> UPDATE chain
+    # relationally — the MOR position-delete files + appended update
+    # images must make the reader see exactly this
     oracle="""
     WITH base AS (
       SELECT o_orderkey, o_orderstatus, o_totalprice
@@ -3209,11 +3210,16 @@ def lake_transform_evolution_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM base
       WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
         AND NOT (o_orderkey % 10 = 0)
+    ), upd AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM kept
     )
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_orders,
            round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
-    FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus
+    FROM upd GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
 def lake_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3222,10 +3228,12 @@ def lake_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     POSITION DELETE files (spec "Position Delete Files") — zero data
     rewritten (asserted: the live data-file set is byte-identical
     across both commits), O(matching rows) write cost — then
-    `rewrite_data_files` materializes the deletes away and the read is
-    unchanged. The reference's UPDATE/DELETE arc
-    (03.iceberg_primer.py:177-188) on the merge-on-read path real
-    Spark-Iceberg deployments default to for sparse deletes.
+    a merge-on-read UPDATE tombstones the old row versions and appends
+    the SET-applied images in one snapshot, and `rewrite_data_files`
+    materializes everything away with the read unchanged. The
+    reference's UPDATE/DELETE arc (03.iceberg_primer.py:177-188) on the
+    merge-on-read path real Spark-Iceberg deployments use for sparse
+    DML.
 
     100 TB shape: a sparse DELETE over wide files writes only the
     (file_path, pos) tombstones — a fraction of COW's affected-file
@@ -3255,6 +3263,15 @@ def lake_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         r3 = IcebergMetadataReader(spark, f"{tmp}/i")
         assert sorted(f["file_path"] for f in r3.live_files()) == files0
         assert len(r3.position_delete_files()) >= 2  # both commits live
+        # merge-on-read UPDATE on top: old versions tombstone, images
+        # append; prior files all stay live (byte-identical superset)
+        res_u = r3.update({"o_totalprice": "o_totalprice * 2"},
+                          where="o_orderstatus = 'P'",
+                          mode="merge-on-read")
+        assert res_u["rewritten_files"] == 0, res_u
+        assert res_u["updated_rows"] > 0 and res_u["added_files"] >= 1
+        r3 = IcebergMetadataReader(spark, f"{tmp}/i")
+        assert set(files0) <= {f["file_path"] for f in r3.live_files()}
 
         def agg(df):
             return (
@@ -3267,7 +3284,7 @@ def lake_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         before = agg(read_iceberg(spark, f"{tmp}/i")).localCheckpoint()
         # compaction materializes the deletes; the read must not move
         res3 = r3.rewrite_data_files(target_file_size_mb=64)
-        assert res3["applied_delete_files"] >= 2, res3
+        assert res3["applied_delete_files"] >= 3, res3
         r4 = IcebergMetadataReader(spark, f"{tmp}/i")
         assert len(r4.position_delete_files()) == 0
         after = agg(read_iceberg(spark, f"{tmp}/i")).localCheckpoint()

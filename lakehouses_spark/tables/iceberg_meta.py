@@ -2140,32 +2140,18 @@ class IcebergMetadataReader:
                 "merge-on-read)")
         return self._cow_dml("DELETE", predicate, None, dry_run)
 
-    def _mor_delete(self, predicate: str, dry_run: bool) -> dict:
-        """DELETE, merge-on-read (spec "Position Delete Files"): write
-        parquet files of (file_path, pos) naming the matching rows and
-        commit them in a DELETE manifest (manifest-list content=1) —
-        every live data file relists EXISTING, prior delete manifests
-        carry over, NOTHING is rewritten. Write cost is O(matching
-        rows) instead of O(affected files' bytes) — at 100 TB a sparse
-        DELETE over wide files costs a fraction of COW. Readers (this
-        repo's to_df/plan_files, the tail/changelog streams, real
-        engines) apply the deletes; `rewrite_data_files` materializes
-        them away later. Delete files are written PER PARTITION TUPLE
-        of the files they target (real readers prune delete manifests
-        by partition) and each is sorted by (file_path, pos) per the
-        spec."""
-        pctx = self._partition_ctx("DELETE")
-        live = self._live_data_entries()
-        cur = self.meta.get("current-snapshot-id", -1)
-        plan = {"candidate_files": len(live), "rewritten_files": 0,
-                "delete_files": 0, "deleted_rows": 0, "snapshot_id": cur}
-        if not live:
-            return plan
-        pred = F.expr(predicate)
-        affected = self._plan_affected(pred, pctx, live, predicate)
-        if dry_run or not affected:
-            return plan
-        logical, ice, phys_of, fid_of_phys, dt_of_phys = self._phys_maps()
+    def _write_position_deletes(self, matches: DataFrame,
+                                affected: set[str], live: list[dict],
+                                new_id: int, seq: int,
+                                ) -> tuple[list[dict], int]:
+        """Write spec-shaped POSITION DELETE files for ``matches``
+        (columns ``__if_fp``: resolved local path, ``__if_pos``: row
+        ordinal): one sorted (file_path, pos) parquet set per partition
+        tuple of the files they target, returning the ADDED delete
+        manifest entries + tombstone count. Shared by the merge-on-read
+        DELETE and UPDATE paths."""
+        import pyarrow.parquet as pq
+
         # resolved local path -> (manifest URI, partition tuple)
         info = {
             str(self._local_data(e["data_file"]["file_path"]).resolve()):
@@ -2173,14 +2159,12 @@ class IcebergMetadataReader:
              e["data_file"].get("partition") or {})
             for e in live
         }
-        sub = self.to_df(_with_path=True, _with_pos=True,
-                         _paths=set(affected))
         uri_map = self.spark.createDataFrame(
             [(k, u) for k, (u, _) in info.items()],
             "__if_fp string, file_path string")
         # materialized ONCE: the per-tuple writes below re-read blocks,
         # not the match scan
-        rows = (sub.where(pred).select("__if_fp", "__if_pos")
+        rows = (matches
                 .join(F.broadcast(uri_map), "__if_fp")
                 .select("file_path", F.col("__if_pos").alias("pos"))
                 .localCheckpoint())
@@ -2189,11 +2173,8 @@ class IcebergMetadataReader:
             u, pv = info[ap]
             key = json.dumps(pv, sort_keys=True, default=str)
             by_tuple.setdefault(key, (pv, set()))[1].add(u)
-        import pyarrow.parquet as pq
-
         rel_dir = f"data/mor-delete-{uuid.uuid4().hex[:8]}"
         (self.path / rel_dir).mkdir(parents=True, exist_ok=True)
-        new_id, seq = self._next_ids()
         location = self.meta["location"].rstrip("/")
         delete_entries: list[dict] = []
         n_deleted, i = 0, 0
@@ -2234,6 +2215,41 @@ class IcebergMetadataReader:
             shutil.rmtree(tmp, ignore_errors=True)
         if not delete_entries:
             shutil.rmtree(self.path / rel_dir, ignore_errors=True)
+        return delete_entries, n_deleted
+
+    def _mor_delete(self, predicate: str, dry_run: bool) -> dict:
+        """DELETE, merge-on-read (spec "Position Delete Files"): write
+        parquet files of (file_path, pos) naming the matching rows and
+        commit them in a DELETE manifest (manifest-list content=1) —
+        every live data file relists EXISTING, prior delete manifests
+        carry over, NOTHING is rewritten. Write cost is O(matching
+        rows) instead of O(affected files' bytes) — at 100 TB a sparse
+        DELETE over wide files costs a fraction of COW. Readers (this
+        repo's to_df/plan_files, the tail/changelog streams, real
+        engines) apply the deletes; `rewrite_data_files` materializes
+        them away later. Delete files are written PER PARTITION TUPLE
+        of the files they target (real readers prune delete manifests
+        by partition) and each is sorted by (file_path, pos) per the
+        spec."""
+        pctx = self._partition_ctx("DELETE")
+        live = self._live_data_entries()
+        cur = self.meta.get("current-snapshot-id", -1)
+        plan = {"candidate_files": len(live), "rewritten_files": 0,
+                "delete_files": 0, "deleted_rows": 0, "snapshot_id": cur}
+        if not live:
+            return plan
+        pred = F.expr(predicate)
+        affected = self._plan_affected(pred, pctx, live, predicate)
+        if dry_run or not affected:
+            return plan
+        logical, ice, phys_of, fid_of_phys, dt_of_phys = self._phys_maps()
+        sub = self.to_df(_with_path=True, _with_pos=True,
+                         _paths=set(affected))
+        matches = sub.where(pred).select("__if_fp", "__if_pos")
+        new_id, seq = self._next_ids()
+        delete_entries, n_deleted = self._write_position_deletes(
+            matches, affected, live, new_id, seq)
+        if not delete_entries:
             return plan
         entries = [{
             "status": 0,  # every data file stays EXISTING, untouched
@@ -2269,14 +2285,112 @@ class IcebergMetadataReader:
         return plan
 
     def update(self, set: dict[str, str], where: str | None = None,
-               dry_run: bool = False) -> dict:
-        """UPDATE ... SET on an external Iceberg v2 table, copy-on-write:
-        affected files rewrite with ``set`` applied to matching rows;
-        commits an `overwrite` snapshot. The format twin of
-        `DeltaLogReader.update`."""
+               dry_run: bool = False, mode: str | None = None) -> dict:
+        """UPDATE ... SET on an external Iceberg v2 table. Mode resolves
+        from the argument, else the table's `write.update.mode`
+        property, else copy-on-write:
+
+        - ``copy-on-write``: affected files rewrite with ``set`` applied
+          to matching rows; commits an `overwrite` snapshot. The format
+          twin of `DeltaLogReader.update`.
+        - ``merge-on-read`` (r12): the OLD row versions tombstone as
+          position deletes and the UPDATED rows append as new data files
+          in the same snapshot — unmatched rows of affected files are
+          never rewritten, so a sparse UPDATE over wide files costs
+          O(matching rows), not O(affected files' bytes)."""
         if not set:
             raise ValueError("update() requires at least one SET column")
+        mode = mode or (self.meta.get("properties") or {}).get(
+            "write.update.mode", "copy-on-write")
+        if mode == "merge-on-read":
+            return self._mor_update(set, where or "true", dry_run)
+        if mode != "copy-on-write":
+            raise IcebergFormatError(
+                f"unknown write.update.mode {mode!r} (copy-on-write or "
+                "merge-on-read)")
         return self._cow_dml("UPDATE", where or "true", set, dry_run)
+
+    def _mor_update(self, set_exprs: dict[str, str], predicate: str,
+                    dry_run: bool) -> dict:
+        """UPDATE, merge-on-read: ONE scan of the affected files feeds
+        both legs (localCheckpoint) — the matching rows' (file, pos)
+        write as position deletes, the SET-applied row images write as
+        ADDED data files (partition-grouped, so a SET on a partition
+        source moves rows to their new partition) — committed as one
+        `overwrite` snapshot with every prior data file EXISTING and
+        prior delete manifests carried."""
+        pctx = self._partition_ctx("UPDATE")
+        live = self._live_data_entries()
+        cur = self.meta.get("current-snapshot-id", -1)
+        plan = {"candidate_files": len(live), "rewritten_files": 0,
+                "delete_files": 0, "updated_rows": 0, "snapshot_id": cur}
+        if not live:
+            return plan
+        logical, ice, phys_of, fid_of_phys, dt_of_phys = self._phys_maps()
+        names = {f.name for f in logical.fields}
+        for c in set_exprs:
+            if c not in names:
+                raise ValueError(f"unknown SET column {c!r}")
+        pred = F.expr(predicate)
+        affected = self._plan_affected(pred, pctx, live, predicate)
+        if dry_run or not affected:
+            return plan
+        sub = self.to_df(_with_path=True, _with_pos=True,
+                         _paths=set(affected))
+        matches = sub.where(pred).localCheckpoint()
+        new_id, seq = self._next_ids()
+        delete_entries, n_updated = self._write_position_deletes(
+            matches.select("__if_fp", "__if_pos"),
+            affected, live, new_id, seq)
+        if not delete_entries:
+            return plan
+        upd = matches.select(*[
+            F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in set_exprs else F.col(f.name)
+            for f in logical.fields
+        ])
+        for f in logical.fields:  # files store PHYSICAL names
+            if phys_of[f.name] != f.name:
+                upd = upd.withColumnRenamed(f.name, phys_of[f.name])
+        new_rels = self._write_cow_files(upd, "update", pctx=pctx)
+        entries = self._added_entries(
+            new_rels, new_id, seq, fid_of_phys, dt_of_phys)
+        n_added = len(entries)
+        for e in live:
+            entries.append({
+                "status": 0,  # every prior data file stays EXISTING
+                "snapshot_id": e.get("snapshot_id"),
+                "sequence_number": e.get("sequence_number"),
+                "file_sequence_number": e.get("file_sequence_number"),
+                "data_file": e["data_file"],
+            })
+        snap = self._snapshot()
+        carried = []
+        if snap is not None:
+            _, ml_rows = read_ocf_bytes(
+                self._local(snap["manifest-list"]).read_bytes())
+            carried = [r for r in ml_rows
+                       if int(r.get("content", 0) or 0) == 1]
+        self._commit_snapshot(
+            entries, ice, new_id, seq,
+            operation="overwrite",
+            summary={
+                "added-data-files": str(n_added),
+                "added-delete-files": str(len(delete_entries)),
+                "added-position-delete-records": str(n_updated),
+                "total-data-files": str(len(live) + n_added),
+                "lakehouses-update-mode": "merge-on-read",
+                "lakehouses-update-predicate": predicate,
+            },
+            carried_ml_rows=carried,
+            pctx=pctx,
+            delete_entries=delete_entries,
+        )
+        plan["delete_files"] = len(delete_entries)
+        plan["updated_rows"] = n_updated
+        plan["added_files"] = n_added
+        plan["snapshot_id"] = new_id
+        return plan
 
     def _schema_add_columns(self, new_cols: list[tuple[str, Any]]) -> None:
         """Evolve the IN-MEMORY metadata with appended optional columns —

@@ -944,3 +944,45 @@ def test_iceberg_merge_on_read_delete(spark, tmp_path):
     # unknown mode refuses
     with pytest.raises(IcebergFormatError, match="write.delete.mode"):
         rp2.delete("k = 1", mode="mystery")
+
+
+def test_iceberg_merge_on_read_update(spark, tmp_path):
+    """r12: UPDATE with write.update.mode=merge-on-read — old row
+    versions tombstone as position deletes, SET-applied images append
+    as new files in the SAME snapshot; unmatched rows of affected files
+    never rewrite. A SET on the partition source moves rows to their
+    new partition, and compaction materializes everything away."""
+    rows = [(i, "AB"[i % 2], float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, seg string, v double") \
+        .coalesce(4)
+    r = write_iceberg_table(
+        spark, df, tmp_path / "i", partition_by=["seg"],
+        properties={"write.update.mode": "merge-on-read"})
+    files0 = {f["file_path"] for f in r.live_files()}
+    res = r.update({"v": "v + 1000"}, where="k % 10 = 3")
+    assert res["rewritten_files"] == 0 and res["updated_rows"] == 10
+    assert res["delete_files"] >= 1 and res["added_files"] >= 1
+    r2 = IcebergMetadataReader(spark, tmp_path / "i")
+    assert files0 <= {f["file_path"] for f in r2.live_files()}
+    got = {x.k: x.v for x in read_iceberg(spark, tmp_path / "i").collect()}
+    assert len(got) == 100
+    assert got[3] == 1003.0 and got[13] == 1013.0 and got[4] == 4.0
+    # partition-moving SET: rows land in the NEW partition's files
+    r2.update({"seg": "'C'"}, where="k < 4", mode="merge-on-read")
+    r3 = IcebergMetadataReader(spark, tmp_path / "i")
+    moved = read_iceberg(spark, tmp_path / "i").where("seg = 'C'")
+    assert sorted(x.k for x in moved.collect()) == [0, 1, 2, 3]
+    tuples = {(e["data_file"]["partition"] or {}).get("seg")
+              for e in r3._live_data_entries()}
+    assert "C" in tuples
+    # MOR delete stacks on MOR update; compaction settles the lot
+    r3.delete("k = 13", mode="merge-on-read")
+    r4 = IcebergMetadataReader(spark, tmp_path / "i")
+    r4.rewrite_data_files(target_files=2)
+    r5 = IcebergMetadataReader(spark, tmp_path / "i")
+    assert len(r5.position_delete_files()) == 0
+    got = read_iceberg(spark, tmp_path / "i")
+    assert got.count() == 99 and got.where("k = 13").count() == 0
+    assert {x.v for x in got.where("k = 3").collect()} == {1003.0}
+    with pytest.raises(IcebergFormatError, match="write.update.mode"):
+        r5.update({"v": "v"}, mode="bogus")
