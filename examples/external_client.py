@@ -152,6 +152,41 @@ def main() -> None:
     lake.sql(f"OPTIMIZE delta.`{work / 'fresh_delta'}`")
     print(f"[fresh] SQL over the path: counted {n_z} 'Z' rows, deleted "
           "them, compacted — no catalog entry involved")
+
+    # ---- round 12: transforms, schema evolution, merge-on-read ------- #
+    # The reference's own Iceberg spec is PARTITIONED BY (YEAR(col));
+    # sparse DML at scale wants merge-on-read; real upsert pipelines
+    # add columns. All three, still with no jar and no LakeTable:
+    tdest = work / "fresh_year_iceberg"
+    dated = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice").limit(3000)
+    wt = write_iceberg_table(
+        spark, dated, tdest, partition_by=["YEAR(o_orderdate)"],
+        properties={"write.delete.mode": "merge-on-read"})
+    spec = wt.meta["partition-specs"][0]["fields"][0]
+    print(f"[r12] CTAS under the {spec['transform']} transform "
+          f"({spec['name']}); tuples are spec-exact epoch ordinals")
+    res = wt.delete("o_orderdate >= DATE'1997-01-01'")  # property: MOR
+    print(f"[r12] merge-on-read DELETE: {res['deleted_rows']} rows "
+          f"tombstoned in {res['delete_files']} position-delete "
+          f"file(s), {res['rewritten_files']} data files rewritten")
+    wt2 = IcebergMetadataReader(spark, tdest)
+    res = wt2.update({"o_totalprice": "o_totalprice * 2"},
+                     where="o_orderkey % 100 = 0", mode="merge-on-read")
+    print(f"[r12] merge-on-read UPDATE: {res['updated_rows']} old "
+          f"versions tombstoned, {res['added_files']} image file(s) "
+          "appended — same snapshot")
+    evo = dated.limit(50).withColumn("o_channel", F.lit("backfill"))
+    wt3 = IcebergMetadataReader(spark, tdest)
+    res = wt3.merge(evo, "t.o_orderkey = s.o_orderkey",
+                    schema_evolution=True)
+    wt4 = IcebergMetadataReader(spark, tdest)
+    print(f"[r12] schema-evolving MERGE: +o_channel (schema-id "
+          f"{wt4.meta['current-schema-id']}, old schema retained), "
+          f"{res['inserted_rows']} inserted; untouched rows read NULL")
+    wt4.rewrite_data_files(target_file_size_mb=64)
+    print("[r12] compaction materialized the MOR tombstones away; "
+          f"final count {read_iceberg(spark, tdest).count()}")
     print("external-client round trip complete")
     spark.stop()
 
