@@ -3223,22 +3223,30 @@ def lake_transform_evolution_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lake_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-12 merge-on-read DELETE arc: a `write.delete.mode=
-    merge-on-read` external Iceberg table takes two stacking DELETEs as
-    POSITION DELETE files (spec "Position Delete Files") — zero data
-    rewritten (asserted: the live data-file set is byte-identical
-    across both commits), O(matching rows) write cost — then
-    a merge-on-read UPDATE tombstones the old row versions and appends
-    the SET-applied images in one snapshot, and `rewrite_data_files`
-    materializes everything away with the read unchanged. The
-    reference's UPDATE/DELETE arc (03.iceberg_primer.py:177-188) on the
-    merge-on-read path real Spark-Iceberg deployments use for sparse
+    """Round-12 merge-on-read DML arc, BOTH formats: an Iceberg table
+    (`write.delete.mode=merge-on-read`) takes two stacking DELETEs as
+    POSITION DELETE files (spec "Position Delete Files") and an UPDATE
+    as tombstones + appended images, while a Delta twin
+    (`delta.enableDeletionVectors=true`) runs the SAME chain as
+    DELETION VECTORS (PROTOCOL.md "Deletion Vectors") — zero data
+    rewritten on either side (asserted: the original data-file sets
+    stay byte-identical), O(matching rows) write cost. Compaction
+    (`rewrite_data_files` / OPTIMIZE) then materializes everything away
+    with the read unchanged, and the two formats must agree
+    row-for-row. The reference's UPDATE/DELETE arc
+    (03.iceberg_primer.py:177-188, 02.delta_lake_primer.py:213-252) on
+    the merge-on-read path modern deployments default to for sparse
     DML.
 
     100 TB shape: a sparse DELETE over wide files writes only the
-    (file_path, pos) tombstones — a fraction of COW's affected-file
+    (file, ordinal) tombstones — a fraction of COW's affected-file
     rewrite — and compaction amortizes the materialization into the
     maintenance window."""
+    from lakehouses_spark.tables.delta_log import (
+        DeltaLogReader,
+        read_delta,
+        write_delta_table,
+    )
     from lakehouses_spark.tables.iceberg_meta import (
         IcebergMetadataReader,
         read_iceberg,
@@ -3249,29 +3257,39 @@ def lake_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey <= 5000"
     ).select("o_orderkey", "o_orderstatus", "o_totalprice")
     with tempfile.TemporaryDirectory() as tmp:
-        r = write_iceberg_table(
+        ri = write_iceberg_table(
             spark, base, f"{tmp}/i",
-            properties={"write.delete.mode": "merge-on-read"})
-        files0 = sorted(f["file_path"] for f in r.live_files())
-        res1 = r.delete("o_orderstatus = 'F' AND o_totalprice < 100000")
-        assert res1["rewritten_files"] == 0, res1
-        assert res1["delete_files"] >= 1 and res1["deleted_rows"] > 0
-        r2 = IcebergMetadataReader(spark, f"{tmp}/i")
-        # stacking second MOR delete; data files stay byte-identical
-        res2 = r2.delete("o_orderkey % 10 = 0")
-        assert res2["rewritten_files"] == 0, res2
-        r3 = IcebergMetadataReader(spark, f"{tmp}/i")
-        assert sorted(f["file_path"] for f in r3.live_files()) == files0
-        assert len(r3.position_delete_files()) >= 2  # both commits live
-        # merge-on-read UPDATE on top: old versions tombstone, images
-        # append; prior files all stay live (byte-identical superset)
-        res_u = r3.update({"o_totalprice": "o_totalprice * 2"},
-                          where="o_orderstatus = 'P'",
-                          mode="merge-on-read")
-        assert res_u["rewritten_files"] == 0, res_u
-        assert res_u["updated_rows"] > 0 and res_u["added_files"] >= 1
-        r3 = IcebergMetadataReader(spark, f"{tmp}/i")
-        assert set(files0) <= {f["file_path"] for f in r3.live_files()}
+            properties={"write.delete.mode": "merge-on-read",
+                        "write.update.mode": "merge-on-read"})
+        rd = write_delta_table(
+            spark, base, f"{tmp}/d",
+            properties={"delta.enableDeletionVectors": "true"})
+        ifiles0 = {f["file_path"] for f in ri.live_files()}
+        dfiles0 = set(rd.snapshot().files)
+        # two stacking MOR deletes + one MOR update on each format
+        for r in (ri, rd):
+            res = r.delete("o_orderstatus = 'F' AND o_totalprice < 100000")
+            assert res["rewritten_files"] == 0, res
+        ri2 = IcebergMetadataReader(spark, f"{tmp}/i")
+        rd2 = DeltaLogReader(spark, f"{tmp}/d")
+        for r in (ri2, rd2):
+            res = r.delete("o_orderkey % 10 = 0")
+            assert res["rewritten_files"] == 0, res
+        ri3 = IcebergMetadataReader(spark, f"{tmp}/i")
+        rd3 = DeltaLogReader(spark, f"{tmp}/d")
+        for r in (ri3, rd3):
+            res = r.update({"o_totalprice": "o_totalprice * 2"},
+                           where="o_orderstatus = 'P'")
+            assert res["rewritten_files"] == 0, res
+            assert res["updated_rows"] > 0
+        # nothing rewritten anywhere: the original file sets are intact
+        ri4 = IcebergMetadataReader(spark, f"{tmp}/i")
+        rd4 = DeltaLogReader(spark, f"{tmp}/d")
+        assert ifiles0 <= {f["file_path"] for f in ri4.live_files()}
+        assert dfiles0 <= set(rd4.snapshot().files)
+        assert len(ri4.position_delete_files()) >= 3
+        assert any(a.get("deletionVector")
+                   for a in rd4.snapshot().files.values())
 
         def agg(df):
             return (
@@ -3282,12 +3300,20 @@ def lake_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         before = agg(read_iceberg(spark, f"{tmp}/i")).localCheckpoint()
-        # compaction materializes the deletes; the read must not move
-        res3 = r3.rewrite_data_files(target_file_size_mb=64)
+        # compaction materializes the tombstones; the read must not move
+        res3 = ri4.rewrite_data_files(target_file_size_mb=64)
         assert res3["applied_delete_files"] >= 3, res3
-        r4 = IcebergMetadataReader(spark, f"{tmp}/i")
-        assert len(r4.position_delete_files()) == 0
+        rd4.optimize(target_file_size_mb=64)
+        ri5 = IcebergMetadataReader(spark, f"{tmp}/i")
+        rd5 = DeltaLogReader(spark, f"{tmp}/d")
+        assert len(ri5.position_delete_files()) == 0
+        assert not any(a.get("deletionVector")
+                       for a in rd5.snapshot().files.values())
         after = agg(read_iceberg(spark, f"{tmp}/i")).localCheckpoint()
+        out_d = agg(read_delta(spark, f"{tmp}/d")).localCheckpoint()
+        # compaction-stable AND format parity, row-for-row
         assert [tuple(x) for x in before.collect()] == \
             [tuple(x) for x in after.collect()]
-        return after
+        assert [tuple(x) for x in out_d.collect()] == \
+            [tuple(x) for x in after.collect()]
+        return out_d

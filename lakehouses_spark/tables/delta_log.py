@@ -55,7 +55,7 @@ from urllib.parse import quote, unquote
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from lakehouses_spark.tables import log as txlog
 
@@ -1812,6 +1812,7 @@ class DeltaLogReader:
         filters: list[tuple[str, str, Any]] | None = None,
         _with_path: bool = False,
         _paths: set[str] | None = None,
+        _with_pos: bool = False,
     ) -> DataFrame:
         """ONE parquet scan over every live file (partition columns are NOT
         in Delta data files — they live in add.partitionValues), with the
@@ -1874,6 +1875,8 @@ class DeltaLogReader:
                  for n in out_names]
                 + ([StructField("__lh_fp", StringType())]
                    if _with_path else [])
+                + ([StructField("__lh_pos", LongType())]
+                   if _with_pos else [])
             )
         )
         if not snap.files:
@@ -1933,6 +1936,10 @@ class DeltaLogReader:
         df = self.spark.read.schema(phys_schema).parquet(*abs_paths)
         # scheme-stripped + percent-decoded so both sides key identically
         fp = fs_path_col()
+        if _with_pos:
+            # physical row ordinal, captured at the scan (the DV delete
+            # writer needs it; _metadata is only addressable here)
+            df = df.withColumn("__lh_pos", F.col("_metadata.row_index"))
         if deleted_rows:
             df = df.withColumns({"__lh_fp": fp, "__lh_ri": F.col("_metadata.row_index")})
             dv_df = self.spark.createDataFrame(
@@ -1942,7 +1949,9 @@ class DeltaLogReader:
         else:
             df = df.withColumn("__lh_fp", fp)
         df = df.select(
-            "__lh_fp", *[F.col(phys_name(f)).alias(f.name) for f in data_fields]
+            "__lh_fp",
+            *(["__lh_pos"] if _with_pos else []),
+            *[F.col(phys_name(f)).alias(f.name) for f in data_fields]
         )
         if part_cols:
             map_df = self.spark.createDataFrame(
@@ -1965,7 +1974,8 @@ class DeltaLogReader:
                  ">": c > v, ">=": c >= v}[op]
             )
         if _with_path:  # internal: COW DML keys rewrites by source file
-            return df.select(*out_names, "__lh_fp")
+            return df.select(*out_names, "__lh_fp",
+                             *(["__lh_pos"] if _with_pos else []))
         return df.select(*out_names)
 
     def describe_history(self) -> DataFrame:
@@ -2119,6 +2129,22 @@ class DeltaLogReader:
     _SUPPORTED_WRITER_FEATURES = {
         "appendOnly", "invariants", "checkConstraints", "columnMapping",
         "changeDataFeed", "deletionVectors", "timestampNtz", "v2Checkpoint",
+        # supported as DECLARED-but-unused: these legacy features ride
+        # along on any minWriterVersion>=4 upgrade to table features
+        # (PROTOCOL.md requires enumerating them); _check_write refuses
+        # the write the moment a schema actually USES one (generation
+        # expressions / identity columns we cannot compute)
+        "generatedColumns", "identityColumns",
+    }
+
+    # legacy protocol versions imply feature sets (PROTOCOL.md "Table
+    # Features"): an upgrade to (3, 7) must enumerate them
+    _LEGACY_WRITER_FEATURES = {
+        2: ["appendOnly", "invariants"],
+        3: ["checkConstraints"],
+        4: ["changeDataFeed", "generatedColumns"],
+        5: ["columnMapping"],
+        6: ["identityColumns"],
     }
 
     def _check_write(self, snap: "DeltaSnapshot",
@@ -2153,6 +2179,22 @@ class DeltaLogReader:
                         if k.startswith("delta.constraints.")):
             viols.append(
                 (k, F.expr(snap.configuration[k]) == F.lit(False)))
+
+        # generated / identity columns: the feature is tolerated when
+        # declared, refused when actually USED — we cannot compute
+        # generation expressions or identity allocation for the writer
+        for f in snap.schema.fields:
+            md = f.metadata or {}
+            if "delta.generationExpression" in md:
+                raise DeltaProtocolError(
+                    f"column {f.name!r} declares a generation expression; "
+                    "this engine does not compute generated columns"
+                )
+            if any(k.startswith("delta.identity.") for k in md):
+                raise DeltaProtocolError(
+                    f"column {f.name!r} is an identity column; this "
+                    "engine does not allocate identity values"
+                )
 
         def collect_invariants(fields, prefix: str = "") -> None:
             # Delta stores invariants on the declaring field, which may
@@ -2333,26 +2375,350 @@ class DeltaLogReader:
 
     # -- copy-on-write DML (delta_lake_primer.py:213-320 against an ------ #
     # -- EXTERNAL _delta_log, no LakeTable adoption required) ------------- #
-    def delete(self, predicate: str, dry_run: bool = False) -> dict:
-        """DELETE FROM on an external Delta table, copy-on-write: files
-        containing matching rows are rewritten without them (deletion
-        vectors on rewritten files are materialized away); untouched
-        files are untouched. Commits native Delta JSON — removes+adds
-        with dataChange=true — at version N+1; with
-        delta.enableChangeDataFeed set, the deleted rows are also written
-        as a `cdc` change file so `table_changes` keeps working."""
+    def delete(self, predicate: str, dry_run: bool = False,
+               mode: str | None = None) -> dict:
+        """DELETE FROM on an external Delta table. Mode resolves from
+        the argument, else `delta.enableDeletionVectors=true` in the
+        table configuration, else copy-on-write:
+
+        - ``copy-on-write``: files containing matching rows are
+          rewritten without them (deletion vectors on rewritten files
+          are materialized away); untouched files are untouched.
+          Commits native Delta JSON — removes+adds with
+          dataChange=true — at version N+1.
+        - ``merge-on-read`` (r12): matching rows tombstone as DELETION
+          VECTORS (PROTOCOL.md "Deletion Vectors") on their files — the
+          affected adds re-commit with a DV descriptor, no data
+          rewritten (see `_dv_delete`).
+
+        With delta.enableChangeDataFeed set, either mode also writes the
+        deleted rows as a `cdc` change file so `table_changes` keeps
+        working."""
+        mode = mode or (
+            "merge-on-read"
+            if self.snapshot().configuration.get(
+                "delta.enableDeletionVectors") == "true"
+            else "copy-on-write"
+        )
+        if mode == "merge-on-read":
+            return self._dv_delete(predicate, dry_run)
+        if mode != "copy-on-write":
+            raise DeltaProtocolError(
+                f"unknown delete mode {mode!r} (copy-on-write or "
+                "merge-on-read)")
         return self._cow_dml("DELETE", predicate, None, dry_run)
 
+    def _dv_protocol_upgrade(self, snap: "DeltaSnapshot") -> dict | None:
+        """Protocol action enabling the deletionVectors table feature,
+        or None when the table already has it. Upgrading a legacy
+        protocol to (3, 7) enumerates the features the old version
+        implied, per PROTOCOL.md — exactly what delta-spark commits when
+        delta.enableDeletionVectors turns on."""
+        proto = snap.protocol
+        wfeat = set(proto.get("writerFeatures") or [])
+        if proto.get("minWriterVersion", 2) >= 7:
+            if "deletionVectors" in wfeat:
+                return None
+        else:
+            for v, feats in self._LEGACY_WRITER_FEATURES.items():
+                if proto.get("minWriterVersion", 2) >= v:
+                    wfeat.update(feats)
+        rfeat = set(proto.get("readerFeatures") or [])
+        if proto.get("minReaderVersion", 1) >= 2:
+            rfeat.add("columnMapping")
+        wfeat.add("deletionVectors")
+        rfeat.add("deletionVectors")
+        return {"protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rfeat),
+            "writerFeatures": sorted(wfeat),
+        }}
+
+    def _dv_delete(self, predicate: str, dry_run: bool) -> dict:
+        """DELETE, merge-on-read (modern Delta's default with
+        delta.enableDeletionVectors): for each file holding matching
+        rows, re-commit its add with a DELETION VECTOR descriptor — a
+        roaring bitmap of the deleted row ordinals, unioned with any
+        existing DV on the file — plus the paired remove, dataChange
+        true (the protocol's DV-update shape). Nothing is rewritten;
+        write cost is O(matching rows), the scale path for sparse
+        deletes over wide files. Bitmaps encode EXECUTOR-side (Arrow
+        batches through `encode_dv_payload`); the driver receives only
+        (file, payload, cardinality). The commit auto-upgrades a legacy
+        protocol to the deletionVectors table feature, like delta-spark
+        does on enablement."""
+        import time as _time
+        from urllib.parse import quote
+
+        from lakehouses_spark.tables import dv as dvmod
+
+        snap = self.snapshot()
+        conf = snap.configuration
+        if conf.get("delta.appendOnly") == "true":
+            raise DeltaProtocolError(
+                "DELETE on an appendOnly table (delta.appendOnly=true)"
+            )
+        self._check_write(snap, None)  # DELETE can't violate CHECKs
+        plan = {"candidate_files": len(snap.files),
+                "rewritten_files": 0, "dv_files": 0, "deleted_rows": 0,
+                "version": snap.version}
+        if not snap.files:
+            return plan
+        pred = F.expr(predicate)
+        affected = self._plan_affected(snap, pred, predicate)
+        if dry_run or not affected:
+            return plan
+        rel_of = {str((self.path / p).resolve()): p for p in snap.files}
+        sub = self.to_df(_with_path=True, _with_pos=True,
+                         _paths=set(affected))
+        matched = sub.where(pred)
+        cdf_on = conf.get("delta.enableChangeDataFeed") == "true"
+        if cdf_on:
+            matched = matched.localCheckpoint()  # one scan feeds both
+
+        def encode(pdf):
+            import pandas as pd
+
+            idxs = sorted({int(x) for x in pdf["__lh_pos"]})
+            return pd.DataFrame({
+                "fp": [pdf["__lh_fp"].iloc[0]],
+                "payload": [dvmod.encode_dv_payload(idxs)],
+                "card": [len(idxs)],
+            })
+
+        # union the files' EXISTING deleted ordinals (a DV descriptor
+        # REPLACES the old one, so the new bitmap must cover both)
+        old_rows = [
+            (ap, idx)
+            for ap in sorted(affected)
+            for idx in (
+                dvmod.read_descriptor(
+                    snap.files[rel_of[ap]]["deletionVector"], self.path)
+                if snap.files[rel_of[ap]].get("deletionVector") else ()
+            )
+        ]
+        pos = matched.select("__lh_fp", "__lh_pos")
+        if old_rows:
+            pos = pos.unionByName(self.spark.createDataFrame(
+                old_rows, "__lh_fp string, __lh_pos bigint"))
+        encoded = {
+            r["fp"]: (bytes(r["payload"]), int(r["card"]))
+            for r in pos.groupBy("__lh_fp").applyInPandas(
+                encode, "fp string, payload binary, card long").collect()
+        }
+        ts = int(_time.time() * 1000)
+        actions: list[dict] = [{
+            "commitInfo": {
+                "timestamp": ts, "operation": "DELETE",
+                "operationParameters": {"predicate": predicate},
+            }
+        }]
+        upgrade = self._dv_protocol_upgrade(snap)
+        if upgrade is not None:
+            actions.append(upgrade)
+        n_deleted = 0
+        for ap in sorted(encoded):
+            rel = rel_of[ap]
+            old_add = snap.files[rel]
+            payload, card = encoded[ap]
+            prior = (old_add.get("deletionVector") or {}).get(
+                "cardinality", 0)
+            n_deleted += card - prior
+            qp = quote(rel)
+            actions.append({"remove": {
+                "path": qp, "deletionTimestamp": ts, "dataChange": True,
+            }})
+            new_add = {k: v for k, v in old_add.items()
+                       if not k.startswith("__")}
+            new_add["path"] = qp
+            new_add.setdefault("partitionValues", {})
+            new_add["modificationTime"] = ts
+            new_add["dataChange"] = True
+            new_add["deletionVector"] = dvmod.make_descriptor_from_payload(
+                payload, card, self.path)
+            actions.append({"add": new_add})
+        cdc_parts = []
+        if cdf_on:
+            names = [f.name for f in snap.schema.fields]
+            cdc_parts.append(
+                matched.select(*names)
+                .withColumn("_change_type", F.lit("delete")))
+        self._attach_cdc_and_commit(actions, cdc_parts, snap)
+        plan["dv_files"] = len(encoded)
+        plan["deleted_rows"] = n_deleted
+        plan["version"] = snap.version + 1
+        return plan
+
     def update(self, set: dict[str, str], where: str | None = None,
-               dry_run: bool = False) -> dict:
-        """UPDATE ... SET on an external Delta table, copy-on-write:
-        affected files rewrite with ``set`` expressions applied to the
-        matching rows (non-matching rows of the same file carry over
-        verbatim). CDF-enabled tables also record update_preimage /
-        update_postimage change files."""
+               dry_run: bool = False, mode: str | None = None) -> dict:
+        """UPDATE ... SET on an external Delta table. Mode resolves from
+        the argument, else `delta.enableDeletionVectors=true`, else
+        copy-on-write:
+
+        - ``copy-on-write``: affected files rewrite with ``set``
+          applied to the matching rows (non-matching rows of the same
+          file carry over verbatim).
+        - ``merge-on-read`` (r12): the matching rows' OLD versions
+          tombstone as deletion vectors on their files and the
+          SET-applied images append as new data files in the same
+          commit — unmatched rows never rewrite.
+
+        CDF-enabled tables record update_preimage / update_postimage
+        change files in either mode."""
         if not set:
             raise ValueError("update() requires at least one SET column")
+        mode = mode or (
+            "merge-on-read"
+            if self.snapshot().configuration.get(
+                "delta.enableDeletionVectors") == "true"
+            else "copy-on-write"
+        )
+        if mode == "merge-on-read":
+            return self._dv_update(set, where or "true", dry_run)
+        if mode != "copy-on-write":
+            raise DeltaProtocolError(
+                f"unknown update mode {mode!r} (copy-on-write or "
+                "merge-on-read)")
         return self._cow_dml("UPDATE", where or "true", set, dry_run)
+
+    def _dv_update(self, set_exprs: dict[str, str], predicate: str,
+                   dry_run: bool) -> dict:
+        """UPDATE, merge-on-read: ONE scan of the affected files feeds
+        both legs — the matching rows' (file, pos) become deletion
+        vectors (bitmaps unioned with any existing DV, encoded
+        executor-side) and the SET-applied images write as new ADDED
+        data files — in one commit with the protocol auto-upgraded to
+        the deletionVectors feature when needed. Cost is O(matching
+        rows), never the affected files' full bytes."""
+        import time as _time
+        from urllib.parse import quote
+
+        from lakehouses_spark.tables import dv as dvmod
+
+        snap = self.snapshot()
+        conf = snap.configuration
+        if conf.get("delta.appendOnly") == "true":
+            raise DeltaProtocolError(
+                "UPDATE on an appendOnly table (delta.appendOnly=true)"
+            )
+        schema = snap.schema
+        names = {f.name for f in schema.fields}
+        for c in set_exprs:
+            if c not in names:
+                raise ValueError(f"unknown SET column {c!r}")
+        plan = {"candidate_files": len(snap.files),
+                "rewritten_files": 0, "dv_files": 0, "updated_rows": 0,
+                "version": snap.version}
+        if not snap.files:
+            return plan
+        pred = F.expr(predicate)
+        affected = self._plan_affected(snap, pred, predicate)
+        if dry_run or not affected:
+            return plan
+        rel_of = {str((self.path / p).resolve()): p for p in snap.files}
+        sub = self.to_df(_with_path=True, _with_pos=True,
+                         _paths=set(affected))
+        matched = sub.where(pred).localCheckpoint()
+
+        def encode(pdf):
+            import pandas as pd
+
+            idxs = sorted({int(x) for x in pdf["__lh_pos"]})
+            return pd.DataFrame({
+                "fp": [pdf["__lh_fp"].iloc[0]],
+                "payload": [dvmod.encode_dv_payload(idxs)],
+                "card": [len(idxs)],
+            })
+
+        old_rows = [
+            (ap, idx)
+            for ap in sorted(affected)
+            for idx in (
+                dvmod.read_descriptor(
+                    snap.files[rel_of[ap]]["deletionVector"], self.path)
+                if snap.files[rel_of[ap]].get("deletionVector") else ()
+            )
+        ]
+        pos = matched.select("__lh_fp", "__lh_pos")
+        if old_rows:
+            pos = pos.unionByName(self.spark.createDataFrame(
+                old_rows, "__lh_fp string, __lh_pos bigint"))
+        encoded = {
+            r["fp"]: (bytes(r["payload"]), int(r["card"]))
+            for r in pos.groupBy("__lh_fp").applyInPandas(
+                encode, "fp string, payload binary, card long").collect()
+        }
+        # the SET-applied images, checked like every row-writing verb
+        new_rows = matched.select(*[
+            F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in set_exprs else F.col(f.name)
+            for f in schema.fields
+        ])
+        self._check_write(snap, new_rows)
+        mapping_mode = conf.get("delta.columnMapping.mode", "none")
+        phys_of: dict[str, str] = {}
+        out = new_rows
+        if mapping_mode in ("name", "id"):
+            for f in json.loads(snap.metadata["schemaString"]).get(
+                    "fields", []):
+                phys = (f.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName")
+                if phys and phys != f["name"]:
+                    phys_of[f["name"]] = phys
+                    out = out.withColumnRenamed(f["name"], phys)
+        part_cols = [
+            phys_of.get(c, c) for c in snap.partition_columns
+        ] or None
+        ts = int(_time.time() * 1000)
+        actions: list[dict] = [{
+            "commitInfo": {
+                "timestamp": ts, "operation": "UPDATE",
+                "operationParameters": {"predicate": predicate},
+            }
+        }]
+        upgrade = self._dv_protocol_upgrade(snap)
+        if upgrade is not None:
+            actions.append(upgrade)
+        n_updated = 0
+        for ap in sorted(encoded):
+            rel = rel_of[ap]
+            old_add = snap.files[rel]
+            payload, card = encoded[ap]
+            prior = (old_add.get("deletionVector") or {}).get(
+                "cardinality", 0)
+            n_updated += card - prior
+            qp = quote(rel)
+            actions.append({"remove": {
+                "path": qp, "deletionTimestamp": ts, "dataChange": True,
+            }})
+            new_add = {k: v for k, v in old_add.items()
+                       if not k.startswith("__")}
+            new_add["path"] = qp
+            new_add.setdefault("partitionValues", {})
+            new_add["modificationTime"] = ts
+            new_add["dataChange"] = True
+            new_add["deletionVector"] = dvmod.make_descriptor_from_payload(
+                payload, card, self.path)
+            actions.append({"add": new_add})
+        adds = self._write_data_files(out, "update", ts,
+                                      data_change=True,
+                                      part_cols=part_cols)
+        actions.extend(adds)
+        cdc_parts: list[DataFrame] = []
+        if conf.get("delta.enableChangeDataFeed") == "true":
+            lognames = [f.name for f in schema.fields]
+            cdc_parts.append(
+                matched.select(*lognames)
+                .withColumn("_change_type", F.lit("update_preimage")))
+            cdc_parts.append(new_rows.withColumn(
+                "_change_type", F.lit("update_postimage")))
+        self._attach_cdc_and_commit(actions, cdc_parts, snap)
+        plan["dv_files"] = len(encoded)
+        plan["updated_rows"] = n_updated
+        plan["added_files"] = len(adds)
+        plan["version"] = snap.version + 1
+        return plan
 
     def _cow_dml(self, op: str, predicate: str,
                  set_exprs: dict[str, str] | None,
@@ -2554,6 +2920,38 @@ class DeltaLogReader:
                 "path": quote(rel), "deletionTimestamp": ts,
                 "dataChange": True,
             }})
+        return self._attach_cdc_and_commit(
+            actions, cdc_parts, snap, part_cols, _renamed=True)
+
+    def _attach_cdc_and_commit(self, actions: list[dict],
+                               cdc_parts: list[DataFrame],
+                               snap: "DeltaSnapshot",
+                               part_cols: list[str] | None = None,
+                               _renamed: bool = False) -> int:
+        """Shared commit tail (r12): physical-name the change images
+        under column mapping (unless the caller already did), write
+        per-task partitioned change files + their cdc actions, commit
+        version N+1. Used by `_commit_dml` and the DV delete."""
+        from urllib.parse import quote
+
+        if not _renamed and cdc_parts:
+            conf = snap.configuration
+            phys_of: dict[str, str] = {}
+            if conf.get("delta.columnMapping.mode", "none") in (
+                    "name", "id"):
+                for f in json.loads(snap.metadata["schemaString"]).get(
+                        "fields", []):
+                    phys = (f.get("metadata") or {}).get(
+                        "delta.columnMapping.physicalName")
+                    if phys and phys != f["name"]:
+                        phys_of[f["name"]] = phys
+                        cdc_parts = [
+                            p.withColumnRenamed(f["name"], phys)
+                            for p in cdc_parts
+                        ]
+            part_cols = [
+                phys_of.get(c, c) for c in snap.partition_columns
+            ] or None
         if cdc_parts:
             cdc_df = cdc_parts[0]
             for p in cdc_parts[1:]:

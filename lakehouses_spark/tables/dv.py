@@ -293,3 +293,29 @@ def make_descriptor(indexes: list[int], table_root: Path) -> dict:
         "sizeInBytes": len(payload),
         "cardinality": len(indexes),
     }
+
+
+def make_descriptor_from_payload(payload: bytes, cardinality: int,
+                                 table_root: Path) -> dict:
+    """`make_descriptor` for a pre-encoded payload (the merge-on-read
+    DELETE encodes bitmaps executor-side and ships only the bytes):
+    inline (storageType 'i') up to INLINE_DV_MAX_BYTES, else a
+    `deletion_vector_<uuid>.bin` sidecar (storageType 'u')."""
+    import uuid as _uuid
+
+    if len(payload) <= INLINE_DV_MAX_BYTES:
+        return {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode_padded(payload),
+            "sizeInBytes": len(payload),
+            "cardinality": cardinality,
+        }
+    u = _uuid.uuid4()
+    off = write_dv_file(table_root / f"deletion_vector_{u}.bin", payload)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": z85_encode(u.bytes),
+        "offset": off,
+        "sizeInBytes": len(payload),
+        "cardinality": cardinality,
+    }

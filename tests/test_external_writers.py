@@ -986,3 +986,118 @@ def test_iceberg_merge_on_read_update(spark, tmp_path):
     assert {x.v for x in got.where("k = 3").collect()} == {1003.0}
     with pytest.raises(IcebergFormatError, match="write.update.mode"):
         r5.update({"v": "v"}, mode="bogus")
+
+
+def test_delta_deletion_vector_delete(spark, tmp_path):
+    """r12: DELETE with delta.enableDeletionVectors=true (or
+    mode="merge-on-read") re-commits the affected adds with DELETION
+    VECTOR descriptors instead of rewriting files — the modern Delta
+    default for sparse deletes. The commit auto-upgrades a legacy
+    protocol to the table feature; stacked deletes UNION bitmaps; CDF
+    records the rows; OPTIMIZE materializes the DVs away; a >32 KiB
+    bitmap goes to a sidecar file that VACUUM protects."""
+    rows = [(i, "AB"[i % 2], float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, seg string, v double") \
+        .coalesce(4)
+    r = write_delta_table(
+        spark, df, tmp_path / "d", partition_by=["seg"],
+        properties={"delta.enableDeletionVectors": "true",
+                    "delta.enableChangeDataFeed": "true"})
+    files0 = set(r.snapshot().files)
+    res = r.delete("k % 10 = 3")
+    assert res["rewritten_files"] == 0 and res["deleted_rows"] == 10
+    assert res["dv_files"] >= 1
+    r2 = DeltaLogReader(spark, tmp_path / "d")
+    proto = r2.snapshot().protocol
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["writerFeatures"]
+    assert set(r2.snapshot().files) == files0  # nothing rewritten
+    got = read_delta(spark, tmp_path / "d")
+    assert got.count() == 90 and got.where("k % 10 = 3").count() == 0
+    # stacking: the new descriptor unions the old bitmap
+    r2.delete("k < 5", mode="merge-on-read")
+    r3 = DeltaLogReader(spark, tmp_path / "d")
+    got = read_delta(spark, tmp_path / "d")
+    assert got.count() == 86
+    assert sorted(x.k for x in got.collect())[:3] == [5, 6, 7]
+    # CDF recorded both deletes' rows
+    ch = r3.table_changes(1, 2)
+    assert ch.where("_change_type = 'delete'").count() == 14
+    # OPTIMIZE materializes DVs away, read unchanged
+    r3.optimize(target_files=2)
+    r4 = DeltaLogReader(spark, tmp_path / "d")
+    assert not any(a.get("deletionVector")
+                   for a in r4.snapshot().files.values())
+    assert read_delta(spark, tmp_path / "d").count() == 86
+    with pytest.raises(DeltaProtocolError, match="delete mode"):
+        r4.delete("k = 1", mode="nope")
+
+    # sidecar path: a bitmap too big to inline lands in a
+    # deletion_vector_<uuid>.bin file that VACUUM keeps
+    # a roaring bitmap container covers 65536 ordinals in <=8 KiB, so
+    # the 32 KiB inline cap needs a single file spanning >~260k rows
+    big = spark.range(600_000).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ).coalesce(1)
+    rb = write_delta_table(spark, big, tmp_path / "big")
+    res = rb.delete("k % 3 = 1", mode="merge-on-read")
+    assert res["deleted_rows"] == 200_000 and res["rewritten_files"] == 0
+    rb2 = DeltaLogReader(spark, tmp_path / "big")
+    descs = [a["deletionVector"]
+             for a in rb2.snapshot().files.values()
+             if a.get("deletionVector")]
+    assert descs and any(d["storageType"] == "u" for d in descs)
+    sidecars = list((tmp_path / "big").glob("deletion_vector_*.bin"))
+    assert sidecars
+    vac = rb2.vacuum(retention_hours=0)
+    assert all((tmp_path / "big" / s.name).exists() for s in sidecars), vac
+    got = read_delta(spark, tmp_path / "big")
+    assert got.count() == 400_000
+    assert got.where("k % 3 = 1").count() == 0
+
+
+def test_delta_deletion_vector_update(spark, tmp_path):
+    """r12: UPDATE with merge-on-read on Delta — old row versions
+    tombstone as deletion vectors, SET-applied images append as new
+    files in the same commit; unmatched rows never rewrite; CDF records
+    the pre/post images; a SET on the partition column moves rows."""
+    rows = [(i, "AB"[i % 2], float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, seg string, v double") \
+        .coalesce(4)
+    r = write_delta_table(
+        spark, df, tmp_path / "d", partition_by=["seg"],
+        properties={"delta.enableDeletionVectors": "true",
+                    "delta.enableChangeDataFeed": "true"})
+    files0 = set(r.snapshot().files)
+    res = r.update({"v": "v + 1000"}, where="k % 10 = 3")
+    assert res["rewritten_files"] == 0 and res["updated_rows"] == 10
+    assert res["dv_files"] >= 1 and res["added_files"] >= 1
+    r2 = DeltaLogReader(spark, tmp_path / "d")
+    assert files0 <= set(r2.snapshot().files)  # originals all still live
+    got = {x.k: x.v for x in read_delta(spark, tmp_path / "d").collect()}
+    assert len(got) == 100
+    assert got[3] == 1003.0 and got[13] == 1013.0 and got[4] == 4.0
+    # CDF pre/post images
+    ch = r2.table_changes(1, 1)
+    mix = {x["_change_type"]: 0 for x in ch.select("_change_type")
+           .distinct().collect()}
+    for x in ch.collect():
+        mix[x["_change_type"]] += 1
+    assert mix == {"update_preimage": 10, "update_postimage": 10}
+    # partition-moving SET lands rows in the new partition
+    r2.update({"seg": "'C'"}, where="k < 4", mode="merge-on-read")
+    r3 = DeltaLogReader(spark, tmp_path / "d")
+    moved = read_delta(spark, tmp_path / "d").where("seg = 'C'")
+    assert sorted(x.k for x in moved.collect()) == [0, 1, 2, 3]
+    assert any((a.get("partitionValues") or {}).get("seg") == "C"
+               for a in r3.snapshot().files.values())
+    # DV delete stacks on DV update; OPTIMIZE settles everything
+    r3.delete("k = 13", mode="merge-on-read")
+    r4 = DeltaLogReader(spark, tmp_path / "d")
+    r4.optimize(target_files=2)
+    r5 = DeltaLogReader(spark, tmp_path / "d")
+    assert not any(a.get("deletionVector")
+                   for a in r5.snapshot().files.values())
+    got = read_delta(spark, tmp_path / "d")
+    assert got.count() == 99 and got.where("k = 13").count() == 0
+    assert {x.v for x in got.where("k = 3").collect()} == {1003.0}
