@@ -3317,3 +3317,172 @@ def lake_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert [tuple(x) for x in out_d.collect()] == \
             [tuple(x) for x in after.collect()]
         return out_d
+
+
+@query(
+    "lake_bucket_transform_dml",
+    # relational replay of the DELETE -> UPDATE -> MERGE chain the
+    # bucket/truncate-partitioned Iceberg table (and its Delta twin)
+    # executes; minck/mincl are the deterministic smallest keys
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey <= 5000
+    ), keys AS (
+      SELECT min(o_custkey) AS minck, min(o_orderpriority) AS mincl FROM base
+    ), kept AS (
+      SELECT b.* FROM base b, keys k WHERE b.o_custkey <> k.minck
+    ), upd AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+             CASE WHEN o_orderpriority = (SELECT mincl FROM keys)
+                  THEN o_totalprice * 2 ELSE o_totalprice END
+               AS o_totalprice
+      FROM kept
+    ), src AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+             o_totalprice + 100000 AS o_totalprice
+      FROM base WHERE o_orderkey % 97 < 2
+      UNION ALL
+      SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey,
+             o_orderpriority, o_totalprice + 100000 AS o_totalprice
+      FROM base WHERE o_orderkey % 11 = 0
+    ), merged AS (
+      SELECT u.o_orderkey, u.o_custkey, u.o_orderpriority,
+             COALESCE(s.o_totalprice, u.o_totalprice) AS o_totalprice
+      FROM upd u LEFT JOIN src s ON u.o_orderkey = s.o_orderkey
+      UNION ALL
+      SELECT s.* FROM src s
+      WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    )
+    SELECT substring(o_orderpriority, 1, 3) AS prio3,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+    FROM merged GROUP BY prio3 ORDER BY prio3
+    """,
+)
+def lake_bucket_transform_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 bucket/truncate external-plane arc: an Iceberg table
+    partitioned by `bucket(8, o_custkey), truncate(3, o_orderpriority)` — the
+    spec's hash/truncation transforms, evaluated by the
+    Appendix-B-vector-verified murmur3 in iceberg_transforms.py — runs
+    DELETE -> UPDATE -> MERGE against an unpartitioned Delta twin and
+    must agree row-for-row. In-query asserts pin the mechanics: the
+    declared spec carries `bucket[8]`/`truncate[3]`, every live manifest
+    tuple equals the driver-side py_bucket/py_truncate of its rows'
+    keys, and the equality-literal DML scans are RESTRICTED to the
+    literal's bucket (spied via to_df(_paths=)) — never the whole table.
+
+    100 TB shape: bucket pruning is the point — `DELETE WHERE o_custkey
+    = K` reads ~1/8 of the files on an 8-bucket layout (the candidate
+    mapping is driver-side manifest arithmetic, zero data read), and the
+    truncate-prefix UPDATE prunes the same way. The transforms
+    themselves are one numpy-vectorized Arrow batch pass at write time,
+    not per-row Python."""
+    from pyspark.sql import types as T
+
+    from lakehouses_spark.tables.delta_log import (
+        DeltaLogReader,
+        read_delta,
+        write_delta_table,
+    )
+    from lakehouses_spark.tables.iceberg_meta import (
+        IcebergMetadataReader,
+        read_iceberg,
+        write_iceberg_table,
+    )
+    from lakehouses_spark.tables.iceberg_transforms import (
+        py_bucket,
+        py_truncate,
+    )
+
+    base = load_table(spark, sf_dir, "orders").where(
+        "o_orderkey <= 5000"
+    ).select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    minck, mincl = base.agg(
+        F.min("o_custkey"), F.min("o_orderpriority")).collect()[0]
+    src = base.where("o_orderkey % 97 < 2").select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        (F.col("o_totalprice") + 100000).alias("o_totalprice"),
+    ).unionByName(
+        # brand-new keys: guaranteed not-matched insert leg
+        base.where("o_orderkey % 11 = 0").select(
+            (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+            "o_custkey", "o_orderpriority",
+            (F.col("o_totalprice") + 100000).alias("o_totalprice"),
+        )
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_delta_table(spark, base, f"{tmp}/d")
+        ri = write_iceberg_table(
+            spark, base, f"{tmp}/i",
+            partition_by=["bucket(8, o_custkey)", "truncate(3, o_orderpriority)"])
+        spec = ri.meta["partition-specs"][0]
+        assert [f["transform"] for f in spec["fields"]] == \
+            ["bucket[8]", "truncate[3]"], spec
+        # every live tuple agrees with the driver-side transform of the
+        # distinct keys its file holds (checked per distinct key pair)
+        expect = {
+            (py_bucket(ck, T.LongType(), 8),
+             py_truncate(cl, T.StringType(), 3))
+            for ck, cl in base.select("o_custkey", "o_orderpriority")
+            .distinct().collect()
+        }
+        got = {(e["data_file"]["partition"]["o_custkey_bucket"],
+                e["data_file"]["partition"]["o_orderpriority_trunc"])
+               for e in ri._live_data_entries()}
+        assert got <= expect, (sorted(got - expect)[:5])
+
+        # spy the candidate scans: equality DML must restrict _paths
+        seen: list = []
+        orig_to_df = IcebergMetadataReader.to_df
+
+        def spy(self, *a, **kw):
+            seen.append(kw.get("_paths"))
+            return orig_to_df(self, *a, **kw)
+
+        total = len(ri._live_data_entries())
+        IcebergMetadataReader.to_df = spy
+        try:
+            res = ri.delete(f"o_custkey = {minck}")
+            assert res["rewritten_files"] >= 1, res
+            restricted = [c for c in seen if c is not None]
+            assert restricted and all(
+                len(c) < total for c in restricted), (
+                [len(c) if c else None for c in seen], total)
+            seen.clear()
+            ri2 = IcebergMetadataReader(spark, f"{tmp}/i")
+            res = ri2.update(
+                {"o_totalprice": "o_totalprice * 2"},
+                where=f"o_orderpriority = '{mincl}'")
+            assert res["rewritten_files"] >= 1, res
+            restricted = [c for c in seen if c is not None]
+            assert restricted and all(
+                len(c) < total for c in restricted), (
+                [len(c) if c else None for c in seen], total)
+        finally:
+            IcebergMetadataReader.to_df = orig_to_df
+        rd = DeltaLogReader(spark, f"{tmp}/d")
+        rd.delete(f"o_custkey = {minck}")
+        DeltaLogReader(spark, f"{tmp}/d").update(
+            {"o_totalprice": "o_totalprice * 2"},
+            where=f"o_orderpriority = '{mincl}'")
+        ri3 = IcebergMetadataReader(spark, f"{tmp}/i")
+        rd3 = DeltaLogReader(spark, f"{tmp}/d")
+        for r in (ri3, rd3):
+            res = r.merge(src, "t.o_orderkey = s.o_orderkey")
+            assert res["inserted_rows"] > 0, res
+
+        def agg(df):
+            return (
+                df.groupBy(F.substring("o_orderpriority", 1, 3).alias("prio3"))
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+                .orderBy("prio3")
+            )
+
+        out_d = agg(read_delta(spark, f"{tmp}/d")).localCheckpoint()
+        out_i = agg(read_iceberg(spark, f"{tmp}/i")).localCheckpoint()
+        # format parity: both write planes agree row-for-row
+        assert [tuple(r) for r in out_d.collect()] == \
+            [tuple(r) for r in out_i.collect()]
+        return out_d

@@ -96,11 +96,12 @@ _SWEEP_PRIORITY = [
 # guard asserts any never-swept query outside the 50-entry window appears
 # HERE, so a new query can never silently fall outside the rotation.
 # Round 12's budget: 2 never-swept + 7 r7-stale + 41 r8-stale = 50. The
-# merge-on-read DELETE arc registered after it filled waits here for its
-# first driver row; it joins the 9 remaining r8 rows at the head of the
-# round-13 rotation.
+# merge-on-read DELETE arc and the bucket/truncate-transform arc
+# registered after it filled wait here for their first driver rows; they
+# join the 9 remaining r8 rows at the head of the round-13 rotation.
 SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
     "lake_mor_delete",
+    "lake_bucket_transform_dml",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 

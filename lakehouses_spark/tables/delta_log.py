@@ -939,7 +939,12 @@ def conjunct_candidates(hits_fn, pred, predicate_sql: str | None):
     if hit is not None:
         return hit, True
     parts = split_top_level_and(predicate_sql) if predicate_sql else []
-    if len(parts) < 2:
+    # a single part is the whole predicate re-tried in its SQL-string
+    # form: needed by hits_fns that evaluate strings only (the
+    # bucket/truncate literal mapper), harmless for frame-based ones
+    # (same analysis outcome as the Column probe above). Never exact —
+    # string-form hits are conjunct-grade supersets.
+    if not parts:
         return None, False
     acc = None
     for p in parts:

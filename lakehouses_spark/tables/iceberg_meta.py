@@ -1134,19 +1134,32 @@ def write_iceberg_table(
     if meta_dir.exists() and any(meta_dir.iterdir()):
         raise IcebergFormatError(
             f"an Iceberg table already exists at {path}")
-    # each partition_by entry is a column name (identity) or a
-    # date-family transform spelling — `YEAR(col)` / `months(col)` / … —
-    # the reference's own spec (PARTITIONED BY (YEAR(fecha_ingreso)),
-    # 03.iceberg_primer.py:124). Parsed to (spec transform, source col).
+    # each partition_by entry is a column name (identity), a date-family
+    # transform spelling — `YEAR(col)` / `months(col)` / … — the
+    # reference's own spec (PARTITIONED BY (YEAR(fecha_ingreso)),
+    # 03.iceberg_primer.py:124), or the Spark SQL bucket/truncate
+    # spellings `bucket(16, col)` / `truncate(4, col)`. Parsed to
+    # (spec transform string, source col).
     import re as _re
+
+    from lakehouses_spark.tables.iceberg_transforms import (
+        bucket_col,
+        truncate_col,
+    )
 
     part: list[tuple[str, str]] = []
     for ent in partition_by or []:
         m = _re.fullmatch(
             r"(years?|months?|days?|hours?)\s*\(\s*(\w+)\s*\)",
             ent.strip(), _re.IGNORECASE)
+        bm = _re.fullmatch(
+            r"(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)",
+            ent.strip(), _re.IGNORECASE)
         if m:
             part.append((m.group(1).lower().rstrip("s"), m.group(2)))
+        elif bm:
+            part.append((f"{bm.group(1).lower()}[{int(bm.group(2))}]",
+                         bm.group(3)))
         else:
             part.append(("identity", ent.strip()))
     missing = [c for _, c in part if c not in df.columns]
@@ -1159,6 +1172,24 @@ def write_iceberg_table(
                 raise IcebergFormatError(
                     f"partition column {c!r} has type {tname!r}, not "
                     "supported as an identity partition source"
+                )
+        elif tr.startswith("bucket["):
+            n = int(tr[7:-1])
+            if n <= 0 or bucket_col(
+                    F.col(c), df.schema[c].dataType, n) is None:
+                raise IcebergFormatError(
+                    f"partition transform bucket({n}, {c}) over type "
+                    f"{tname!r} is not supported (int/long/date/"
+                    "timestamp/string/binary sources, N > 0)"
+                )
+        elif tr.startswith("truncate["):
+            w = int(tr[9:-1])
+            if w <= 0 or truncate_col(
+                    F.col(c), df.schema[c].dataType, w) is None:
+                raise IcebergFormatError(
+                    f"partition transform truncate({w}, {c}) over type "
+                    f"{tname!r} is not supported (int/long/string "
+                    "sources, W > 0)"
                 )
         elif _transform_col(tr, F.col(c), df.schema[c].dataType) is None:
             raise IcebergFormatError(
@@ -1179,8 +1210,14 @@ def write_iceberg_table(
     ice_schema = {"schema-id": 0, **ice_struct}
     top_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
     spec_fields = [
-        {"name": c if tr == "identity" else f"{c}_{tr}", "transform": tr,
-         "source-id": top_id[c], "field-id": 1000 + i}
+        # Avro-safe field names matching Iceberg's own conventions:
+        # identity keeps the column name, bucket[N] -> col_bucket,
+        # truncate[W] -> col_trunc, date family -> col_year etc.
+        {"name": c if tr == "identity"
+         else f"{c}_bucket" if tr.startswith("bucket[")
+         else f"{c}_trunc" if tr.startswith("truncate[")
+         else f"{c}_{tr}",
+         "transform": tr, "source-id": top_id[c], "field-id": 1000 + i}
         for i, (tr, c) in enumerate(part)
     ]
     now_ms = int(_time.time() * 1000)
@@ -2803,6 +2840,12 @@ class IcebergMetadataReader:
                                              predicate_sql)
         if cand_tr is not None:
             cand = cand_tr if cand is None else cand & cand_tr
+        # bucket/truncate specs: prune by mapping literal-comparison
+        # conjuncts through the transform driver-side (sound superset)
+        cand_bt = self._bucket_truncate_candidates(pctx, live,
+                                                   predicate_sql)
+        if cand_bt is not None:
+            cand = cand_bt if cand is None else cand & cand_bt
         if cand is not None and not cand:
             return set()
         df = self.to_df(_with_path=True, _paths=cand)
@@ -2920,6 +2963,125 @@ class IcebergMetadataReader:
             out.update(combos[keys[i]])
         return out
 
+    def _bucket_truncate_candidates(self, pctx: dict | None,
+                                    live: list[dict],
+                                    predicate_sql: str | None,
+                                    ) -> set[str] | None:
+        """Candidate files for a DML predicate over a bucket[N] /
+        truncate[W] spec (the transforms whose source domain per tuple
+        is NOT enumerable): map literal-comparison top-level conjuncts
+        through the transform driver-side and keep the files whose
+        tuple could hold a matching row. Sound superset — a row
+        matching the whole predicate satisfies every top-level conjunct
+        (split_top_level_and returns the predicate WHOLE under a
+        top-level OR), `col = lit` forces the file's bucket/truncate
+        value to equal transform(lit), and for order-preserving
+        int/long truncate a range conjunct bounds the tuple's covered
+        interval [t, t+W-1]. NULL tuples are excluded: a NULL source
+        value never satisfies a comparison. Literal/type mismatches,
+        casts, functions — anything the conservative parser does not
+        fully recognize — contribute NO constraint, never a wrong
+        prune. None = no constraint (caller scans)."""
+        if not predicate_sql or not pctx:
+            return None
+        from lakehouses_spark.tables.delta_log import conjunct_candidates
+        from lakehouses_spark.tables.iceberg_transforms import (
+            parse_col_op_literal,
+            parse_spec_transform,
+            py_bucket,
+            py_truncate,
+        )
+
+        bt_fields = [
+            (f, bt) for f in pctx["fields"]
+            if (bt := parse_spec_transform(f["transform"])) is not None
+        ]
+        if not bt_fields:
+            return None
+        tuples: list[tuple[str, dict]] = []
+        for e in live:
+            part = e["data_file"].get("partition") or {}
+            vals = {}
+            for f, _ in bt_fields:
+                if f["pname"] not in part:
+                    return None  # sloppy foreign manifest: no pruning
+                vals[f["src_name"]] = part[f["pname"]]
+            tuples.append((
+                str(self._local_data(
+                    e["data_file"]["file_path"]).resolve()),
+                vals,
+            ))
+        by_col: dict[str, tuple[dict, tuple[str, int]]] = {}
+        for f, bt in bt_fields:
+            by_col[f["src_name"]] = (f, bt)
+            by_col.setdefault(f["phys"], (f, bt))
+
+        import datetime as _dt
+
+        def lit_ok(v: Any, tname: str) -> bool:
+            if tname in ("integer", "long", "short", "byte"):
+                return isinstance(v, int) and not isinstance(v, bool)
+            if tname == "string":
+                return isinstance(v, str)
+            if tname == "date":
+                return isinstance(v, _dt.date)
+            return False
+
+        def conj_hits(expr) -> set[str] | None:
+            """hits_fn for conjunct_candidates: evaluates STRING
+            conjuncts only (the Column probe returns None)."""
+            if not isinstance(expr, str):
+                return None
+            parsed = parse_col_op_literal(expr)
+            if parsed is None:
+                return None
+            col, op, lits = parsed
+            ent = by_col.get(col)
+            if ent is None:
+                return None
+            f, (kind, param) = ent
+            tname = f["dt"].typeName()
+            if not all(lit_ok(v, tname) for v in lits):
+                return None
+            hit: set[str] = set()
+            if kind == "bucket":
+                if op not in ("=", "in"):
+                    return None
+                targets = {py_bucket(v, f["dt"], param) for v in lits}
+                if None in targets:
+                    return None
+                for fp, vals in tuples:
+                    if vals[f["src_name"]] in targets:
+                        hit.add(fp)
+            elif tname == "string":
+                if op not in ("=", "in"):
+                    return None
+                targets = {py_truncate(v, f["dt"], param) for v in lits}
+                for fp, vals in tuples:
+                    if vals[f["src_name"]] in targets:
+                        hit.add(fp)
+            else:  # truncate over int/long: order-preserving
+                if op in ("=", "in"):
+                    targets = {py_truncate(v, f["dt"], param)
+                               for v in lits}
+                    keep = lambda t: t in targets  # noqa: E731
+                else:
+                    v = lits[0]
+                    keep = {
+                        "<": lambda t: t < v,
+                        "<=": lambda t: t <= v,
+                        ">": lambda t: t + param - 1 > v,
+                        ">=": lambda t: t + param - 1 >= v,
+                    }[op]
+                for fp, vals in tuples:
+                    t = vals[f["src_name"]]
+                    if t is not None and keep(t):
+                        hit.add(fp)
+            return hit
+
+        hit, _ = conjunct_candidates(conj_hits, None, predicate_sql)
+        return hit
+
     def _partition_ctx(self, op: str) -> dict | None:
         """Write context for the table's CURRENT partition spec (VERDICT
         r10 #2): None when unpartitioned; otherwise everything the write
@@ -2927,13 +3089,17 @@ class IcebergMetadataReader:
         partition value from the source column (physical name), the
         value's Spark/Avro types for the typed partition record, and the
         spec JSON for the manifest header — so commits publish the SAME
-        spec the table declares instead of the spec-[] hazard. IDENTITY
-        and the date family (year/month/day/hour — the reference's own
+        spec the table declares instead of the spec-[] hazard. IDENTITY,
+        the date family (year/month/day/hour — the reference's own
         `PARTITIONED BY (YEAR(fecha_ingreso))` spec,
-        03.iceberg_primer.py:124; VERDICT r11 #3) are supported;
-        bucket/truncate refuse loudly — evaluating a hash/truncation
-        externally risks wrong partition tuples, which is silent data
-        loss for every other engine."""
+        03.iceberg_primer.py:124; VERDICT r11 #3), and — since the
+        spec-vector-verified murmur3 in iceberg_transforms.py —
+        `bucket[N]` (int/long/date/timestamp/string/binary sources) and
+        `truncate[W]` (int/long/string) are supported. Remaining
+        refusals: bucket/truncate over types whose serialization this
+        writer does not carry (decimal/uuid/ntz), void, and any unknown
+        transform — a wrong tuple is silent data loss for every other
+        engine, so unknowns never guess."""
         spec_id = self.meta.get("default-spec-id", 0)
         spec = next(
             (s for s in (self.meta.get("partition-specs") or [])
@@ -2949,15 +3115,23 @@ class IcebergMetadataReader:
         by_id = {f["id"]: f for f in ice["fields"]}
         mapping = self.name_mapping()
         out = []
+        from lakehouses_spark.tables.iceberg_transforms import (
+            bucket_col,
+            parse_spec_transform,
+            truncate_col,
+        )
+
         for pf in fields:
             tr = (pf.get("transform") or "").lower()
-            if tr != "identity" and tr not in _DATE_TRANSFORMS:
+            bt = parse_spec_transform(tr)
+            if tr != "identity" and tr not in _DATE_TRANSFORMS \
+                    and bt is None:
                 raise IcebergFormatError(
                     f"{op} on a partitioned external Iceberg table with "
                     f"transform {pf.get('transform')!r} is not supported "
-                    "(identity and year/month/day/hour only — evaluating "
-                    "bucket/truncate externally risks wrong partition "
-                    "tuples)"
+                    "(identity, year/month/day/hour, bucket[N], "
+                    "truncate[W] only — an unknown transform risks "
+                    "wrong partition tuples)"
                 )
             src = by_id.get(pf.get("source-id"))
             if src is None or isinstance(src.get("type"), dict):
@@ -2969,6 +3143,22 @@ class IcebergMetadataReader:
             phys = mapping.get(src["id"], src["name"])
             if tr == "identity":
                 pcol, vdt = F.col(phys), dt
+            elif bt is not None:
+                kind, param = bt
+                if kind == "bucket":
+                    pcol = bucket_col(F.col(phys), dt, param)
+                    vdt = T.IntegerType()
+                else:
+                    pcol = truncate_col(F.col(phys), dt, param)
+                    vdt = T.LongType() if dt.typeName() == "long" else (
+                        T.StringType() if dt.typeName() == "string"
+                        else T.IntegerType())
+                if pcol is None:
+                    raise IcebergFormatError(
+                        f"{op}: partition transform {tr!r} over source "
+                        f"type {src['type']!r} is not supported for "
+                        "external writes (serialization not carried)"
+                    )
             else:
                 pcol = _transform_col(tr, F.col(phys), dt)
                 vdt = T.IntegerType()

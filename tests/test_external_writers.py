@@ -738,16 +738,18 @@ def test_iceberg_date_family_partition_transforms(spark, tmp_path):
         years = {d.year - 1970
                  for d in pq.read_table(local).column("d").to_pylist()}
         assert years == {part["d_year"]}
-    # hour() over a DATE source refuses; bucket refuses
+    # hour() over a DATE source refuses; an UNKNOWN transform refuses
+    # (bucket/truncate are supported since the r12 continuation —
+    # tests/test_iceberg_transforms.py pins them)
     with pytest.raises(IcebergFormatError, match="hour"):
         write_iceberg_table(spark, df, tmp_path / "i2",
                             partition_by=["hour(d)"])
     meta_f = sorted((tmp_path / "i" / "metadata").glob("v*.metadata.json"))[-1]
     m = json.loads(meta_f.read_text())
-    m["partition-specs"][0]["fields"][0]["transform"] = "bucket[4]"
+    m["partition-specs"][0]["fields"][0]["transform"] = "zorder[4]"
     meta_f.write_text(json.dumps(m))
     r5 = IcebergMetadataReader(spark, tmp_path / "i")
-    with pytest.raises(IcebergFormatError, match="bucket"):
+    with pytest.raises(IcebergFormatError, match="transform"):
         r5.delete("v > 1000")
 
 

@@ -1234,11 +1234,14 @@ def test_iceberg_plan_files_ignores_nan_bounds(spark, tmp_path):
 
 
 def test_iceberg_nonidentity_partitioned_dml_refused(spark, tmp_path):
-    """A foreign table whose CURRENT spec uses a NON-IDENTITY transform
+    """A foreign table whose CURRENT spec uses an UNSUPPORTED transform
     refuses metadata-rewriting ops loudly (VERDICT r10 #2): evaluating
-    bucket/truncate/days externally risks wrong partition tuples —
-    silent data loss for every other engine. Identity specs are the
-    supported write path (see the identity-partitioned DML tests)."""
+    an unknown transform (or a supported one over a type whose
+    serialization this writer doesn't carry — here truncate over
+    DOUBLE) risks wrong partition tuples — silent data loss for every
+    other engine. Identity/date/bucket/truncate specs are the supported
+    write path (tests/test_iceberg_transforms.py pins bucket/truncate
+    since the r12 continuation)."""
     df = spark.createDataFrame(ROWS, "k long, status string, price double")
     t = LakeTable.create(spark, tmp_path / "lake", df)
     dest = t.export_iceberg_metadata(tmp_path / "ice")
@@ -1248,8 +1251,8 @@ def test_iceberg_nonidentity_partitioned_dml_refused(spark, tmp_path):
     )
     m = json.loads(metas[-1].read_text())
     m["partition-specs"] = [{"spec-id": 0, "fields": [
-        {"name": "k_bucket", "transform": "bucket[4]",
-         "source-id": 1, "field-id": 1000}]}]
+        {"name": "price_trunc", "transform": "truncate[4]",
+         "source-id": 3, "field-id": 1000}]}]
     m["default-spec-id"] = 0
     metas[-1].write_text(json.dumps(m))
 
