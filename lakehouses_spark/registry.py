@@ -102,6 +102,7 @@ _SWEEP_PRIORITY = [
 SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
     "lake_mor_delete",
     "lake_bucket_transform_dml",
+    "lake_generated_identity_dml",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 

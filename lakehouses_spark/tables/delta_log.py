@@ -837,15 +837,18 @@ def merge_widen(df, extra, dtype_of):
 
 
 def merge_insert_required_check(fields, source_cols,
-                                when_not_matched_insert, err_cls) -> None:
+                                when_not_matched_insert, err_cls,
+                                computed: set[str] | None = None) -> None:
     """ADVICE r12: WHEN NOT MATCHED INSERT fills table columns absent
     from the clause with NULL — on a non-nullable (required) column that
     null is schema-invalid and other engines reject the files. Mirror
     append()'s required-column refusal: every non-nullable table column
     must be covered by the source (INSERT *) or an insert SET
-    expression. Shared by the Delta and Iceberg external MERGE."""
+    expression. ``computed`` columns (generated / identity — the writer
+    computes or allocates them) are always covered. Shared by the Delta
+    and Iceberg external MERGE."""
     covered = (set(source_cols) if when_not_matched_insert == "all"
-               else set(when_not_matched_insert))
+               else set(when_not_matched_insert)) | (computed or set())
     missing = [f.name for f in fields
                if not f.nullable and f.name not in covered]
     if missing:
@@ -854,6 +857,99 @@ def merge_insert_required_check(fields, source_cols,
             f"column(s) {missing} unset — cover them in the source or "
             "the insert SET clause"
         )
+
+
+def generated_columns(schema: StructType) -> dict[str, str]:
+    """name -> generation expression (the `delta.generationExpression`
+    schema field metadata; PROTOCOL.md "Writer Requirements for
+    Generated Columns"). The expression is Spark SQL over the row's
+    other columns — evaluated with F.expr, never per-row Python."""
+    out: dict[str, str] = {}
+    for f in schema.fields:
+        expr = (f.metadata or {}).get("delta.generationExpression")
+        if expr:
+            out[f.name] = expr
+    return out
+
+
+def identity_columns(schema: StructType) -> dict[str, dict]:
+    """name -> {start, step, hwm, allow} from the `delta.identity.*`
+    schema field metadata (PROTOCOL.md "Identity Columns"). ``hwm`` is
+    None on a table that never allocated."""
+    out: dict[str, dict] = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if any(k.startswith("delta.identity.") for k in md):
+            hwm = md.get("delta.identity.highWaterMark")
+            out[f.name] = {
+                "start": int(md.get("delta.identity.start", 1)),
+                "step": int(md.get("delta.identity.step", 1) or 1),
+                "hwm": int(hwm) if hwm is not None else None,
+                "allow": bool(md.get(
+                    "delta.identity.allowExplicitInsert", False)),
+            }
+    return out
+
+
+def allocate_identity(df: DataFrame, name: str, start: int, step: int,
+                      hwm: int | None) -> tuple[DataFrame, int]:
+    """Assign identity values ``base + step*k`` (base = hwm+step, or
+    start on a fresh table) to every row of ``df``, returning the frame
+    with the column filled and the NEW high watermark.
+
+    100 TB shape: no global ordering shuffle — the frame is pinned
+    (localCheckpoint), per-partition counts collect driver-side
+    (O(partitions) rows), and a mapInPandas pass assigns each
+    partition's contiguous block from its precomputed offset. Delta's
+    own writer allocates per-task ranges the same way."""
+    base = start if hwm is None else hwm + step
+    df = df.localCheckpoint()  # pin partitioning: both passes agree
+    dfp = df.withColumn("__lh_pid", F.spark_partition_id())
+    counts = {int(r["__lh_pid"]): int(r["n"]) for r in
+              dfp.groupBy("__lh_pid").agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    offs: dict[int, int] = {}
+    acc = 0
+    for p in sorted(counts):
+        offs[p] = acc
+        acc += counts[p]
+    if acc == 0:
+        return df, (hwm if hwm is not None else start - step)
+    out_schema = dfp.schema
+
+    def assign(batches):
+        import pandas as _pd
+
+        used = 0
+        part_off: int | None = None
+        for pdf in batches:
+            if len(pdf):
+                if part_off is None:
+                    part_off = offs[int(pdf["__lh_pid"].iloc[0])]
+                vals = [base + step * (part_off + used + j)
+                        for j in range(len(pdf))]
+                used += len(pdf)
+                pdf = pdf.copy()
+                pdf[name] = _pd.Series(vals, dtype="int64",
+                                       index=pdf.index)
+            yield pdf
+
+    out = dfp.mapInPandas(assign, out_schema).drop("__lh_pid")
+    return out, base + step * (acc - 1)
+
+
+def bump_identity_metadata(metadata: dict,
+                           new_hwms: dict[str, int]) -> dict:
+    """A metaData action payload with `delta.identity.highWaterMark`
+    updated for the named columns — committed in the SAME version as
+    the data it covers, per the protocol."""
+    schema_json = json.loads(metadata["schemaString"])
+    for f in schema_json.get("fields", []):
+        if f["name"] in new_hwms:
+            md = dict(f.get("metadata") or {})
+            md["delta.identity.highWaterMark"] = new_hwms[f["name"]]
+            f["metadata"] = md
+    return {**metadata, "schemaString": json.dumps(schema_json)}
 
 
 def merge_inserts(src, t_all, cond, names, dtype_of, source_cols,
@@ -2134,11 +2230,12 @@ class DeltaLogReader:
     _SUPPORTED_WRITER_FEATURES = {
         "appendOnly", "invariants", "checkConstraints", "columnMapping",
         "changeDataFeed", "deletionVectors", "timestampNtz", "v2Checkpoint",
-        # supported as DECLARED-but-unused: these legacy features ride
-        # along on any minWriterVersion>=4 upgrade to table features
-        # (PROTOCOL.md requires enumerating them); _check_write refuses
-        # the write the moment a schema actually USES one (generation
-        # expressions / identity columns we cannot compute)
+        # fully implemented since the r12 continuation: absent generated
+        # columns compute from delta.generationExpression (provided
+        # values are enforced value==expr in _check_write); identity
+        # columns allocate per-partition blocks and bump
+        # delta.identity.highWaterMark in the same commit
+        # (tests/test_delta_generated_identity.py)
         "generatedColumns", "identityColumns",
     }
 
@@ -2185,21 +2282,21 @@ class DeltaLogReader:
             viols.append(
                 (k, F.expr(snap.configuration[k]) == F.lit(False)))
 
-        # generated / identity columns: the feature is tolerated when
-        # declared, refused when actually USED — we cannot compute
-        # generation expressions or identity allocation for the writer
-        for f in snap.schema.fields:
-            md = f.metadata or {}
-            if "delta.generationExpression" in md:
-                raise DeltaProtocolError(
-                    f"column {f.name!r} declares a generation expression; "
-                    "this engine does not compute generated columns"
-                )
-            if any(k.startswith("delta.identity.") for k in md):
-                raise DeltaProtocolError(
-                    f"column {f.name!r} is an identity column; this "
-                    "engine does not allocate identity values"
-                )
+        # generated columns (r12 continuation — previously refused):
+        # PROTOCOL.md requires writers to enforce value == expression
+        # on every written row; the committing verbs compute/recompute
+        # the column, and this single agg pass PROVES the invariant
+        # held (a provided value that disagrees refuses the write).
+        # NULL-safe equality: a NULL value is valid iff the expression
+        # is NULL too. Identity columns need no row check here — the
+        # verbs allocate them and bump the high watermark in the same
+        # commit.
+        for g, expr in generated_columns(snap.schema).items():
+            if g in df.columns:
+                viols.append((
+                    f"delta.generationExpression({g})",
+                    ~F.col(g).eqNullSafe(F.expr(expr)),
+                ))
 
         def collect_invariants(fields, prefix: str = "") -> None:
             # Delta stores invariants on the declaring field, which may
@@ -2245,7 +2342,15 @@ class DeltaLogReader:
         names/ids belongs to the owning writer). Allowed on appendOnly
         tables — append is the one verb they permit. CDF needs no change
         file: adds-only commits derive `insert` rows (Delta's
-        blind-append optimization)."""
+        blind-append optimization).
+
+        Generated columns absent from the source compute from their
+        `delta.generationExpression` (provided values are enforced
+        value==expr); identity columns absent from the source allocate
+        fresh values and bump `delta.identity.highWaterMark` in the
+        same commit — explicit identity values refuse unless
+        allowExplicitInsert (PROTOCOL.md writer requirements for both
+        features)."""
         import time as _time
 
         snap = self.snapshot()
@@ -2278,8 +2383,12 @@ class DeltaLogReader:
                 **snap.metadata, "schemaString": json.dumps(schema_json),
             }
             schema = StructType.fromJson(schema_json)
+        gen = generated_columns(schema)
+        idc = identity_columns(schema)
+        computed = {c for c in (*gen, *idc) if c not in df.columns}
         required = [f.name for f in schema.fields
-                    if f.name not in df.columns and not f.nullable]
+                    if f.name not in df.columns and not f.nullable
+                    and f.name not in computed]
         if required:
             raise DeltaProtocolError(
                 f"append is missing required column(s) {required}"
@@ -2289,6 +2398,38 @@ class DeltaLogReader:
              else F.lit(None).cast(f.dataType)).alias(f.name)
             for f in schema.fields
         ])
+        # generated columns absent from the source compute from their
+        # generation expression (provided values are checked below)
+        for g, e in gen.items():
+            if g not in df.columns:
+                out = out.withColumn(g, F.expr(e).cast(schema[g].dataType))
+        # identity columns: allocate absent, gate+bump explicit
+        new_hwms: dict[str, int] = {}
+        for c, info in idc.items():
+            if c in df.columns:
+                if not info["allow"]:
+                    raise DeltaProtocolError(
+                        f"identity column {c!r} does not allow explicit "
+                        "inserts (delta.identity.allowExplicitInsert is "
+                        "false) — drop it from the append frame"
+                    )
+                agg = F.max(c) if info["step"] > 0 else F.min(c)
+                mx = out.agg(agg).first()[0]
+                if mx is not None and (
+                        info["hwm"] is None
+                        or (mx > info["hwm"] if info["step"] > 0
+                            else mx < info["hwm"])):
+                    new_hwms[c] = int(mx)
+            else:
+                out, hw = allocate_identity(
+                    out, c, info["start"], info["step"], info["hwm"])
+                out = out.withColumn(c, F.col(c).cast(schema[c].dataType))
+                new_hwms[c] = hw
+        if new_hwms:
+            # the high watermark rides the SAME commit as the data
+            new_metadata = bump_identity_metadata(
+                new_metadata if new_metadata is not None
+                else snap.metadata, new_hwms)
         self._check_write(snap, out)  # writer features + CHECK constraints
         phys_of: dict[str, str] = {}
         if mapping_mode in ("name", "id"):
@@ -2609,9 +2750,18 @@ class DeltaLogReader:
             )
         schema = snap.schema
         names = {f.name for f in schema.fields}
+        gen = generated_columns(schema)
         for c in set_exprs:
             if c not in names:
                 raise ValueError(f"unknown SET column {c!r}")
+        bad = [c for c in set_exprs
+               if c in gen or c in identity_columns(schema)]
+        if bad:
+            raise DeltaProtocolError(
+                f"UPDATE SET on generated/identity column(s) {bad} — "
+                "generated values recompute from their expression; "
+                "identity values are writer-allocated"
+            )
         plan = {"candidate_files": len(snap.files),
                 "rewritten_files": 0, "dv_files": 0, "updated_rows": 0,
                 "version": snap.version}
@@ -2660,6 +2810,11 @@ class DeltaLogReader:
             if f.name in set_exprs else F.col(f.name)
             for f in schema.fields
         ])
+        if gen:  # recompute generated columns over the post-SET row
+            new_rows = new_rows.withColumns({
+                g: F.expr(e).cast(schema[g].dataType)
+                for g, e in gen.items()
+            })
         self._check_write(snap, new_rows)
         mapping_mode = conf.get("delta.columnMapping.mode", "none")
         phys_of: dict[str, str] = {}
@@ -2750,10 +2905,19 @@ class DeltaLogReader:
                 f"{op} on an appendOnly table (delta.appendOnly=true)"
             )
         schema = snap.schema
+        gen = generated_columns(schema)
         if set_exprs:
             for c in set_exprs:
                 if c not in {f.name for f in schema.fields}:
                     raise ValueError(f"unknown SET column {c!r}")
+            bad = [c for c in set_exprs
+                   if c in gen or c in identity_columns(schema)]
+            if bad:
+                raise DeltaProtocolError(
+                    f"UPDATE SET on generated/identity column(s) {bad} — "
+                    "generated values recompute from their expression; "
+                    "identity values are writer-allocated"
+                )
         plan = {"candidate_files": len(snap.files), "rewritten_files": 0,
                 "version": snap.version}
         if not snap.files:
@@ -2792,10 +2956,24 @@ class DeltaLogReader:
                 c: F.when(pred, F.expr(e)).otherwise(F.col(c))
                 for c, e in (set_exprs or {}).items()
             }).drop("__lh_fp")
+            if gen:
+                # recompute generated columns over the post-SET row
+                # (chained projection, so expressions see the new
+                # values); untouched rows already satisfy value==expr,
+                # so the blanket recompute is the identity for them
+                new_rows = new_rows.withColumns({
+                    g: F.expr(e).cast(schema[g].dataType)
+                    for g, e in gen.items()
+                })
             if cdf_on:
                 post = sub.where(pred).withColumns({
                     c: F.expr(e) for c, e in (set_exprs or {}).items()
                 }).drop("__lh_fp")
+                if gen:
+                    post = post.withColumns({
+                        g: F.expr(e).cast(schema[g].dataType)
+                        for g, e in gen.items()
+                    })
                 cdc_parts.append(post.withColumn(
                     "_change_type", F.lit("update_postimage")))
         plan["version"] = self._commit_dml(
@@ -3012,6 +3190,11 @@ class DeltaLogReader:
         them as NULL (refused under column mapping: physical-name/id
         minting belongs to the owning writer).
 
+        Generated columns recompute from their expression on every
+        written row (GENERATED ALWAYS — clauses may not target them);
+        identity columns allocate on the insert leg and are protected
+        from UPDATE-* overwrite.
+
         100 TB shape: matched-file planning is one distributed semi-join
         keyed by `_metadata.file_path`; the rewrite touches only matched
         files and the insert set — O(affected + inserts), never the
@@ -3057,6 +3240,26 @@ class DeltaLogReader:
             return merge_widen(
                 df, extra, {c: schema[c].dataType for c in extra})
 
+        gen = generated_columns(schema)
+        idc = identity_columns(schema)
+        for clause in (when_matched_update, when_not_matched_insert):
+            if isinstance(clause, dict):
+                bad = [c for c in clause if c in gen or c in idc]
+                if bad:
+                    raise DeltaProtocolError(
+                        f"MERGE clause targets generated/identity "
+                        f"column(s) {bad} — generated values recompute "
+                        "from their expression; identity values are "
+                        "writer-allocated"
+                    )
+        if idc and when_matched_update == "all":
+            clash = [c for c in idc if c in source.columns]
+            if clash:
+                raise DeltaProtocolError(
+                    f"MERGE UPDATE * would overwrite identity column(s) "
+                    f"{clash} from the source — drop them from the "
+                    "source frame or use an explicit SET clause"
+                )
         cond = F.expr(on)
         src = source.alias("s")
         t = self.to_df(_with_path=True).alias("t")
@@ -3122,10 +3325,11 @@ class DeltaLogReader:
                         "_change_type", F.lit("update_postimage")))
 
         n_inserted = 0
+        new_hwms: dict[str, int] = {}
         if when_not_matched_insert:
             merge_insert_required_check(
                 schema.fields, source.columns, when_not_matched_insert,
-                DeltaProtocolError)
+                DeltaProtocolError, computed=set(gen) | set(idc))
             ins = merge_inserts(
                 src, self.to_df().alias("t"), cond, names,
                 {f.name: f.dataType for f in schema.fields},
@@ -3138,6 +3342,32 @@ class DeltaLogReader:
             ins = ins.localCheckpoint()
             n_inserted = ins.count()
             if n_inserted:
+                covered = (set(source.columns)
+                           if when_not_matched_insert == "all"
+                           else set(when_not_matched_insert))
+                for c, info in idc.items():
+                    if c in covered:
+                        if not info["allow"]:
+                            raise DeltaProtocolError(
+                                f"identity column {c!r} does not allow "
+                                "explicit inserts — drop it from the "
+                                "MERGE source"
+                            )
+                        agg = (F.max(c) if info["step"] > 0
+                               else F.min(c))
+                        mx = ins.agg(agg).first()[0]
+                        if mx is not None and (
+                                info["hwm"] is None
+                                or (mx > info["hwm"] if info["step"] > 0
+                                    else mx < info["hwm"])):
+                            new_hwms[c] = int(mx)
+                    else:
+                        ins, hw = allocate_identity(
+                            ins, c, info["start"], info["step"],
+                            info["hwm"])
+                        ins = ins.withColumn(
+                            c, F.col(c).cast(schema[c].dataType))
+                        new_hwms[c] = hw
                 out_parts.append(ins)
                 if cdf_on:
                     cdc_parts.append(ins.withColumn(
@@ -3145,9 +3375,26 @@ class DeltaLogReader:
         plan["inserted_rows"] = n_inserted
         if not affected and not n_inserted:
             return plan
+        if new_hwms:
+            new_metadata = bump_identity_metadata(
+                new_metadata if new_metadata is not None
+                else snap.metadata, new_hwms)
         new_rows = out_parts[0]
         for p in out_parts[1:]:
             new_rows = new_rows.unionByName(p)
+        if gen:
+            # GENERATED ALWAYS: every written row recomputes from the
+            # expression (clauses may not target these columns, checked
+            # above) — matched carry-over rows already satisfy
+            # value==expr, so the blanket recompute is their identity
+            new_rows = new_rows.withColumns({
+                g: F.expr(e).cast(schema[g].dataType)
+                for g, e in gen.items()
+            })
+            cdc_parts = [p.withColumns({
+                g: F.expr(e).cast(schema[g].dataType)
+                for g, e in gen.items()
+            }) for p in cdc_parts]
         plan["version"] = self._commit_dml(
             "MERGE", {"predicate": on}, new_rows,
             [rel_of[ap] for ap in affected], cdc_parts, snap,
