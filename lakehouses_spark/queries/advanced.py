@@ -3649,3 +3649,102 @@ def lake_generated_identity_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("price"), 2).alias("total_price"),
             F.round(F.sum("g"), 2).alias("total_g"),
         ).localCheckpoint()
+
+
+@query(
+    "lake_insert_overwrite",
+    # relational replay: replaceWhere deletes the predicate's rows and
+    # inserts the replacement frame (which must satisfy the predicate)
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS ok, o_orderstatus AS st,
+             o_totalprice AS price
+      FROM orders WHERE o_orderkey <= 4000
+    ), repl AS (
+      SELECT ok, st, price * 0.5 AS price
+      FROM base WHERE st = 'F' AND ok % 3 = 0
+    ), t1 AS (
+      SELECT ok, st, price FROM base WHERE st <> 'F'
+      UNION ALL
+      SELECT ok, st, price FROM repl
+    )
+    SELECT st,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(price) AS DOUBLE), 2) AS total_price
+    FROM t1 GROUP BY st ORDER BY st
+    """,
+)
+def lake_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 INSERT OVERWRITE arc: both external formats run the
+    same replaceWhere overwrite — `st = 'F'` rows delete and a halved-
+    price replacement frame (a strict subset of that slice) inserts, in
+    ONE commit/snapshot per format — and must agree row-for-row. The
+    Delta leg drives through the LakeSQL spelling (`INSERT INTO
+    delta.`/p` REPLACE WHERE … SELECT …`); the Iceberg leg through
+    `IcebergMetadataReader.overwrite`. In-query asserts pin atomicity
+    (exactly one new version/snapshot) and the constraint that a
+    written row outside the predicate refuses.
+
+    100 TB shape: the replaced region plans exactly like DELETE —
+    partition/stats-pruned candidate selection, affected-files-only
+    rewrite; the insert is a blind partitioned write. Nothing scans the
+    untouched slice."""
+    from lakehouses_spark.tables.catalog import LakeCatalog
+    from lakehouses_spark.tables.delta_log import (
+        DeltaLogReader,
+        DeltaProtocolError,
+        read_delta,
+        write_delta_table,
+    )
+    from lakehouses_spark.tables.iceberg_meta import (
+        IcebergMetadataReader,
+        read_iceberg,
+        write_iceberg_table,
+    )
+    from lakehouses_spark.tables.sql import LakeSQL
+
+    base = load_table(spark, sf_dir, "orders").where(
+        "o_orderkey <= 4000"
+    ).select(F.col("o_orderkey").alias("ok"),
+             F.col("o_orderstatus").alias("st"),
+             F.col("o_totalprice").alias("price"))
+    repl = base.where("st = 'F' AND ok % 3 = 0").select(
+        "ok", "st", (F.col("price") * 0.5).alias("price"))
+    with tempfile.TemporaryDirectory() as tmp:
+        write_delta_table(spark, base, f"{tmp}/d")
+        write_iceberg_table(spark, base, f"{tmp}/i")
+        # Delta via the SQL spelling
+        lake = LakeSQL(LakeCatalog(spark, f"{tmp}/wh"))
+        repl.createOrReplaceTempView("__ow_repl")
+        lake.sql(f"INSERT INTO delta.`{tmp}/d` REPLACE WHERE st = 'F' "
+                 "SELECT * FROM __ow_repl")
+        rd = DeltaLogReader(spark, f"{tmp}/d")
+        assert rd.snapshot().version == 1  # one atomic commit
+        # Iceberg via the verb
+        ri = IcebergMetadataReader(spark, f"{tmp}/i")
+        n_snaps0 = len(ri.meta.get("snapshots") or [])
+        res = ri.overwrite(repl, replace_where="st = 'F'")
+        assert res["deleted_files"] >= 1, res
+        ri2 = IcebergMetadataReader(spark, f"{tmp}/i")
+        assert len(ri2.meta.get("snapshots") or []) == n_snaps0 + 1
+        # a row outside the predicate refuses (both planes share the
+        # replaceWhere constraint semantics)
+        try:
+            rd.overwrite(base.limit(1), replace_where="st = 'ZZZ'")
+            raise AssertionError("replaceWhere constraint not enforced")
+        except DeltaProtocolError:
+            pass
+
+        def agg(df):
+            return (
+                df.groupBy("st")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.round(F.sum("price"), 2).alias("total_price"))
+                .orderBy("st")
+            )
+
+        out_d = agg(read_delta(spark, f"{tmp}/d")).localCheckpoint()
+        out_i = agg(read_iceberg(spark, f"{tmp}/i")).localCheckpoint()
+        assert [tuple(r) for r in out_d.collect()] == \
+            [tuple(r) for r in out_i.collect()]
+        return out_d

@@ -103,6 +103,7 @@ SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
     "lake_mor_delete",
     "lake_bucket_transform_dml",
     "lake_generated_identity_dml",
+    "lake_insert_overwrite",
 ]
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 

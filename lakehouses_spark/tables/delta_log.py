@@ -2328,6 +2328,42 @@ class DeltaLogReader:
                 f"row(s) violate CHECK constraint/invariant: {bad}"
             )
 
+    def _fill_computed(self, schema: StructType, source_cols: set[str],
+                       out: DataFrame) -> tuple[DataFrame, dict[str, int]]:
+        """Shared insert-shaping for append/overwrite: generated columns
+        absent from the source compute from their expression (provided
+        values are enforced later in _check_write); identity columns
+        allocate when absent (explicit values gate on
+        allowExplicitInsert and bump the watermark when beyond it).
+        Returns (frame, new high watermarks to commit)."""
+        gen = generated_columns(schema)
+        idc = identity_columns(schema)
+        for g, e in gen.items():
+            if g not in source_cols:
+                out = out.withColumn(g, F.expr(e).cast(schema[g].dataType))
+        new_hwms: dict[str, int] = {}
+        for c, info in idc.items():
+            if c in source_cols:
+                if not info["allow"]:
+                    raise DeltaProtocolError(
+                        f"identity column {c!r} does not allow explicit "
+                        "inserts (delta.identity.allowExplicitInsert is "
+                        "false) — drop it from the written frame"
+                    )
+                agg = F.max(c) if info["step"] > 0 else F.min(c)
+                mx = out.agg(agg).first()[0]
+                if mx is not None and (
+                        info["hwm"] is None
+                        or (mx > info["hwm"] if info["step"] > 0
+                            else mx < info["hwm"])):
+                    new_hwms[c] = int(mx)
+            else:
+                out, hw = allocate_identity(
+                    out, c, info["start"], info["step"], info["hwm"])
+                out = out.withColumn(c, F.col(c).cast(schema[c].dataType))
+                new_hwms[c] = hw
+        return out, new_hwms
+
     def append(self, df: DataFrame, merge_schema: bool = False) -> dict:
         """Blind APPEND to an external Delta table (delta-rs/delta-spark's
         `mode("append")`): new data files + adds with dataChange=true at
@@ -2398,33 +2434,7 @@ class DeltaLogReader:
              else F.lit(None).cast(f.dataType)).alias(f.name)
             for f in schema.fields
         ])
-        # generated columns absent from the source compute from their
-        # generation expression (provided values are checked below)
-        for g, e in gen.items():
-            if g not in df.columns:
-                out = out.withColumn(g, F.expr(e).cast(schema[g].dataType))
-        # identity columns: allocate absent, gate+bump explicit
-        new_hwms: dict[str, int] = {}
-        for c, info in idc.items():
-            if c in df.columns:
-                if not info["allow"]:
-                    raise DeltaProtocolError(
-                        f"identity column {c!r} does not allow explicit "
-                        "inserts (delta.identity.allowExplicitInsert is "
-                        "false) — drop it from the append frame"
-                    )
-                agg = F.max(c) if info["step"] > 0 else F.min(c)
-                mx = out.agg(agg).first()[0]
-                if mx is not None and (
-                        info["hwm"] is None
-                        or (mx > info["hwm"] if info["step"] > 0
-                            else mx < info["hwm"])):
-                    new_hwms[c] = int(mx)
-            else:
-                out, hw = allocate_identity(
-                    out, c, info["start"], info["step"], info["hwm"])
-                out = out.withColumn(c, F.col(c).cast(schema[c].dataType))
-                new_hwms[c] = hw
+        out, new_hwms = self._fill_computed(schema, set(df.columns), out)
         if new_hwms:
             # the high watermark rides the SAME commit as the data
             new_metadata = bump_identity_metadata(
@@ -2458,6 +2468,176 @@ class DeltaLogReader:
         new_v = snap.version + 1
         _write_commit(self.log / f"{new_v:020d}.json", actions)
         return {"version": new_v, "added_files": len(adds)}
+
+    def overwrite(self, df: DataFrame,
+                  replace_where: str | None = None) -> dict:
+        """INSERT OVERWRITE / `mode("overwrite")` on an external Delta
+        table, ONE atomic commit (readers never observe an empty table):
+
+        - ``replace_where=None``: every live file removes and ``df``'s
+          files add — the table's contents become exactly ``df``.
+        - ``replace_where``: Delta's arbitrary replaceWhere — matching
+          rows delete (affected files rewrite without them, planned
+          with partition pruning) and ``df`` inserts; every written row
+          must satisfy the predicate or the write refuses (Delta's
+          replaceWhere constraint check).
+
+        Generated/identity columns shape exactly like append (computed /
+        allocated, watermark bumped in the same commit); CDF-enabled
+        tables record delete images for the replaced rows and insert
+        images for the new ones."""
+        snap = self.snapshot()
+        conf = snap.configuration
+        if conf.get("delta.appendOnly") == "true":
+            raise DeltaProtocolError(
+                "overwrite on an appendOnly table (delta.appendOnly=true)"
+            )
+        schema = snap.schema
+        names = {f.name for f in schema.fields}
+        extra = [c for c in df.columns if c not in names]
+        if extra:
+            raise DeltaProtocolError(
+                f"overwrite columns {extra} are not in the table schema")
+        gen = generated_columns(schema)
+        idc = identity_columns(schema)
+        computed = {c for c in (*gen, *idc) if c not in df.columns}
+        required = [f.name for f in schema.fields
+                    if f.name not in df.columns and not f.nullable
+                    and f.name not in computed]
+        if required:
+            raise DeltaProtocolError(
+                f"overwrite is missing required column(s) {required}")
+        out = df.select(*[
+            (F.col(f.name).cast(f.dataType) if f.name in df.columns
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in schema.fields
+        ])
+        out, new_hwms = self._fill_computed(schema, set(df.columns), out)
+        new_metadata = (bump_identity_metadata(snap.metadata, new_hwms)
+                        if new_hwms else None)
+        cdf_on = conf.get("delta.enableChangeDataFeed") == "true"
+        cdc_parts: list[DataFrame] = []
+        kept: DataFrame | None = None
+        if replace_where is None:
+            removed = sorted(snap.files)
+            if cdf_on and removed:
+                cdc_parts.append(self.to_df().withColumn(
+                    "_change_type", F.lit("delete")))
+        else:
+            pred = F.expr(replace_where)
+            bad = out.where(~pred.eqNullSafe(F.lit(True))).count()
+            if bad:
+                raise DeltaProtocolError(
+                    f"{bad} overwrite row(s) do not satisfy "
+                    f"replace_where {replace_where!r}")
+            affected = self._plan_affected(snap, pred, replace_where)
+            rel_of = {str((self.path / p).resolve()): p
+                      for p in snap.files}
+            removed = [rel_of[ap] for ap in affected]
+            if affected:
+                sub = self.to_df(_with_path=True, _paths=set(affected))
+                kept = sub.where(
+                    ~pred.eqNullSafe(F.lit(True))).drop("__lh_fp")
+                if cdf_on:
+                    cdc_parts.append(
+                        sub.where(pred).drop("__lh_fp")
+                        .withColumn("_change_type", F.lit("delete")))
+        if cdf_on:
+            cdc_parts.append(out.withColumn(
+                "_change_type", F.lit("insert")))
+        new_rows = out if kept is None else kept.unionByName(out)
+        version = self._commit_dml(
+            "WRITE",
+            {"mode": "Overwrite",
+             "predicate": replace_where or "true"},
+            new_rows, removed, cdc_parts, snap,
+            new_metadata=new_metadata,
+        )
+        return {"version": version, "removed_files": len(removed)}
+
+    def set_properties(self, props: dict[str, str | None]) -> dict:
+        """ALTER TABLE SET TBLPROPERTIES on an external Delta table: a
+        metadata-only commit merging ``props`` into the table
+        configuration (a None value unsets the key — UNSET
+        TBLPROPERTIES). The write plane honors properties like
+        `delta.enableDeletionVectors` on the next DML; the writer-
+        feature gate runs first so foreign tables this engine cannot
+        write stay refused."""
+        import time as _time
+
+        snap = self.snapshot()
+        self._check_write(snap, None)
+        conf = dict(snap.configuration)
+        for k, v in props.items():
+            if v is None:
+                conf.pop(k, None)
+            else:
+                conf[k] = str(v)
+        new_md = {**snap.metadata, "configuration": conf}
+        ts = int(_time.time() * 1000)
+        actions = [
+            {"commitInfo": {
+                "timestamp": ts, "operation": "SET TBLPROPERTIES",
+                "operationParameters": {
+                    "properties": json.dumps(
+                        {k: v for k, v in props.items()
+                         if v is not None})},
+            }},
+            {"metaData": new_md},
+        ]
+        new_v = snap.version + 1
+        _write_commit(self.log / f"{new_v:020d}.json", actions)
+        return {"version": new_v}
+
+    def add_constraint(self, name: str, expr: str) -> dict:
+        """ALTER TABLE ADD CONSTRAINT on an external Delta table:
+        verify every EXISTING row satisfies the CHECK (Delta scans
+        before adding — a constraint the data already violates must
+        never land), then commit `delta.constraints.<name>` with the
+        protocol raised to carry checkConstraints when needed."""
+        import time as _time
+
+        snap = self.snapshot()
+        self._check_write(snap, None)
+        key = f"delta.constraints.{name}"
+        if key in snap.configuration:
+            raise DeltaProtocolError(
+                f"constraint {name!r} already exists")
+        viol = self.to_df().where(
+            F.expr(expr) == F.lit(False)).count()
+        if viol:
+            raise DeltaProtocolError(
+                f"{viol} existing row(s) violate CHECK ({expr}) — "
+                "constraint not added")
+        conf = {**snap.configuration, key: expr}
+        new_md = {**snap.metadata, "configuration": conf}
+        ts = int(_time.time() * 1000)
+        actions: list[dict] = [{"commitInfo": {
+            "timestamp": ts, "operation": "ADD CONSTRAINT",
+            "operationParameters": {"name": name, "expr": expr},
+        }}]
+        proto = dict(snap.protocol)
+        if proto.get("minWriterVersion", 2) >= 7:
+            feats = list(proto.get("writerFeatures") or [])
+            if "checkConstraints" not in feats:
+                proto["writerFeatures"] = feats + ["checkConstraints"]
+                actions.append({"protocol": proto})
+        elif proto.get("minWriterVersion", 2) < 3:
+            proto["minWriterVersion"] = 3
+            actions.append({"protocol": proto})
+        actions.append({"metaData": new_md})
+        new_v = snap.version + 1
+        _write_commit(self.log / f"{new_v:020d}.json", actions)
+        return {"version": new_v}
+
+    def drop_constraint(self, name: str) -> dict:
+        """ALTER TABLE DROP CONSTRAINT: unset the
+        `delta.constraints.<name>` configuration key."""
+        snap = self.snapshot()
+        key = f"delta.constraints.{name}"
+        if key not in snap.configuration:
+            raise DeltaProtocolError(f"constraint {name!r} does not exist")
+        return self.set_properties({key: None})
 
     def checkpoint(self) -> dict:
         """Write a classic parquet checkpoint of the CURRENT snapshot +

@@ -2541,6 +2541,131 @@ class IcebergMetadataReader:
         )
         return {"snapshot_id": new_id, "added_files": n_added}
 
+    def overwrite(self, df: DataFrame,
+                  replace_where: str | None = None) -> dict:
+        """INSERT OVERWRITE on an external Iceberg v2 table, ONE
+        `overwrite` snapshot (readers never observe an empty table):
+
+        - ``replace_where=None``: every live file DELETED, ``df``'s
+          files ADDED — the table's contents become exactly ``df``.
+        - ``replace_where``: the dynamic form — rows matching the
+          predicate delete (affected files rewrite without them, planned
+          with the same partition/transform pruning as DELETE) and
+          ``df`` appends; every written row must satisfy the predicate
+          or the write refuses (so the replaced region and the new data
+          cover the same slice — Spark's INSERT OVERWRITE ... WHERE /
+          Delta replaceWhere semantics).
+
+        100 TB shape: planning is driver-side manifest arithmetic +
+        at most one restricted scan of the affected files; untouched
+        files stay EXISTING at their sequence numbers."""
+        pctx = self._partition_ctx("OVERWRITE")
+        logical, ice, phys_of, fid_of_phys, dt_of_phys = self._phys_maps()
+        names = {f.name for f in logical.fields}
+        extra = [c for c in df.columns if c not in names]
+        if extra:
+            raise IcebergFormatError(
+                f"overwrite columns {extra} are not in the table schema")
+        required = [f.name for f in logical.fields
+                    if f.name not in df.columns and not f.nullable]
+        if required:
+            raise IcebergFormatError(
+                f"overwrite is missing required column(s) {required}")
+        out = df.select(*[
+            (F.col(f.name).cast(f.dataType) if f.name in df.columns
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in logical.fields
+        ])
+        live = self._live_data_entries()
+        pred = F.expr(replace_where) if replace_where else None
+        if pred is not None:
+            bad = out.where(~pred.eqNullSafe(F.lit(True))).count()
+            if bad:
+                raise IcebergFormatError(
+                    f"{bad} overwrite row(s) do not satisfy "
+                    f"replace_where {replace_where!r}")
+            affected = (self._plan_affected(pred, pctx, live,
+                                            replace_where)
+                        if live else set())
+        else:
+            affected = {
+                str(self._local_data(
+                    e["data_file"]["file_path"]).resolve())
+                for e in live
+            }
+        kept = None
+        if pred is not None and affected:
+            sub = self.to_df(_with_path=True, _paths=set(affected))
+            kept = sub.where(~pred.eqNullSafe(F.lit(True))).drop("__if_fp")
+        for f in logical.fields:  # files store PHYSICAL names
+            if phys_of[f.name] != f.name:
+                out = out.withColumnRenamed(f.name, phys_of[f.name])
+                if kept is not None:
+                    kept = kept.withColumnRenamed(f.name, phys_of[f.name])
+        new_rows = out if kept is None else kept.unionByName(out)
+        new_rels = self._write_cow_files(new_rows, "overwrite", pctx=pctx)
+        new_id, seq = self._next_ids()
+        entries = self._added_entries(
+            new_rels, new_id, seq, fid_of_phys, dt_of_phys)
+        n_added = len(entries)
+        n_deleted = 0
+        for e in live:
+            ap = str(self._local_data(
+                e["data_file"]["file_path"]).resolve())
+            is_affected = ap in affected
+            n_deleted += is_affected
+            entries.append({
+                "status": 2 if is_affected else 0,  # DELETED / EXISTING
+                "snapshot_id": new_id if is_affected
+                else e.get("snapshot_id"),
+                "sequence_number": e.get("sequence_number"),
+                "file_sequence_number": e.get("file_sequence_number"),
+                "data_file": e["data_file"],
+            })
+        # delete manifests carry over like the COW DML: position deletes
+        # bind old paths (inert once those files are DELETED), equality
+        # deletes bind by sequence number (< the new files' seq)
+        snap = self._snapshot()
+        carried = []
+        if snap is not None:
+            _, ml_rows = read_ocf_bytes(
+                self._local(snap["manifest-list"]).read_bytes())
+            carried = [r for r in ml_rows
+                       if int(r.get("content", 0) or 0) == 1]
+        self._commit_snapshot(
+            entries, ice, new_id, seq,
+            operation="overwrite",
+            summary={
+                "added-data-files": str(n_added),
+                "deleted-data-files": str(n_deleted),
+                "total-data-files": str(len(live) - n_deleted + n_added),
+                "lakehouses-replace-where": replace_where or "true",
+            },
+            carried_ml_rows=carried,
+            pctx=pctx,
+        )
+        return {"snapshot_id": new_id, "added_files": n_added,
+                "deleted_files": n_deleted}
+
+    def set_properties(self, props: dict[str, str | None]) -> dict:
+        """ALTER TABLE SET TBLPROPERTIES on an external Iceberg table: a
+        METADATA-ONLY new metadata version (no snapshot) merging
+        ``props`` into the table properties — a None value unsets the
+        key (UNSET TBLPROPERTIES). The write plane itself honors
+        properties like `write.delete.mode` on the next DML."""
+        self._partition_ctx("SET TBLPROPERTIES")  # refuses unknown spec
+        meta = json.loads(json.dumps(self.meta))  # deep copy
+        properties = dict(meta.get("properties") or {})
+        for k, v in props.items():
+            if v is None:
+                properties.pop(k, None)
+            else:
+                properties[k] = str(v)
+        meta["properties"] = properties
+        new_v = self._commit_metadata(meta)
+        return {"metadata_version": new_v,
+                "properties": len(properties)}
+
     def merge(
         self,
         source: DataFrame,

@@ -27,6 +27,10 @@ reference's %sql cells batch statements, e.g. 03.iceberg_primer.py:67-70):
     UPDATE <table> SET c1 = e1, c2 = e2 [WHERE <predicate>]
     UPDATE delta.`/p`|iceberg.`/p` SET ... [WHERE ...]      (external COW, r11)
     INSERT INTO delta.`/p`|iceberg.`/p` VALUES (...)        (external append, r11)
+    INSERT OVERWRITE fmt.`/p` SELECT…|VALUES…               (full overwrite, r12)
+    INSERT INTO fmt.`/p` [REPLACE WHERE p] SELECT…|VALUES…  (replaceWhere / append)
+    ALTER TABLE fmt.`/p` SET|UNSET TBLPROPERTIES (...)      (metadata-only, r12)
+    ALTER TABLE delta.`/p` ADD CONSTRAINT n CHECK (...) / DROP CONSTRAINT n
     VACUUM delta.`/p` [RETAIN n HOURS]                      (external vacuum, r11)
     OPTIMIZE delta.`/p` [ZORDER BY (...)] / OPTIMIZE iceberg.`/p`
     DESCRIBE HISTORY delta.`/p`|iceberg.`/p`
@@ -292,6 +296,41 @@ class LakeSQL:
 
     # --- ALTER TABLE (D9) ----------------------------------------------- #
     def _alter(self, s: str) -> DataFrame | None:
+        # path-target ALTER (r12 continuation): SET/UNSET TBLPROPERTIES
+        # on both formats, ADD/DROP CONSTRAINT on Delta — metadata-only
+        # commits through the external readers, no catalog entry
+        m = _m(
+            rf"ALTER{_WS}TABLE{_WS}(delta|iceberg)\.`([^`]+)`"
+            rf"{_WS}(.+)$", s,
+        )
+        if m:
+            r = self._path_reader(m.group(1), m.group(2))
+            rest = m.group(3)
+            m2 = _m(rf"SET{_WS}TBLPROPERTIES{_WS}?\((.+)\)$", rest)
+            if m2:
+                props = {}
+                for part in _split_top_level(m2.group(1)):
+                    k, _, v = part.partition("=")
+                    props[k.strip().strip("'\"")] = v.strip().strip("'\"")
+                r.set_properties(props)
+                return self._result(ok=len(props))
+            m2 = _m(rf"UNSET{_WS}TBLPROPERTIES{_WS}?\((.+)\)$", rest)
+            if m2:
+                r.set_properties({
+                    p.strip().strip("'\""): None
+                    for p in _split_top_level(m2.group(1))})
+                return self._result(ok=1)
+            m2 = _m(rf"ADD{_WS}CONSTRAINT{_WS}(\w+){_WS}CHECK"
+                    rf"{_WS}?\((.+)\)$", rest)
+            if m2 and m.group(1).lower() == "delta":
+                r.add_constraint(m2.group(1), m2.group(2))
+                return self._result(ok=1)
+            m2 = _m(rf"DROP{_WS}CONSTRAINT{_WS}(\w+)$", rest)
+            if m2 and m.group(1).lower() == "delta":
+                r.drop_constraint(m2.group(1))
+                return self._result(ok=1)
+            raise LakeSQLError(
+                f"unsupported path-target ALTER clause: {rest[:60]}")
         m = _m(rf"ALTER{_WS}TABLE{_WS}({_ID}){_WS}(.+)$", s)
         if not m:
             return None
@@ -341,6 +380,36 @@ class LakeSQL:
 
     # --- DML ----------------------------------------------------------- #
     def _insert(self, s: str) -> DataFrame | None:
+        # INSERT OVERWRITE fmt.`/p` SELECT…|VALUES… (full overwrite) and
+        # INSERT INTO fmt.`/p` REPLACE WHERE <pred> SELECT…|VALUES…
+        # (Delta's replaceWhere / Iceberg's dynamic overwrite) — one
+        # atomic commit through the external readers (r12 continuation)
+        m = _m(
+            rf"INSERT{_WS}(?:OVERWRITE(?:{_WS}TABLE)?|INTO){_WS}"
+            rf"(delta|iceberg)\.`([^`]+)`"
+            rf"(?:{_WS}REPLACE{_WS}WHERE{_WS}(.+?))?"
+            rf"{_WS}((?:SELECT|WITH|VALUES).+)$", s,
+        )
+        if m:
+            from pyspark.sql import functions as F
+
+            fmt, p, pred, body = m.groups()
+            r = self._path_reader(fmt, p)
+            schema = (r.snapshot().schema if fmt.lower() == "delta"
+                      else r.schema())
+            if body.upper().startswith("VALUES"):
+                df = self.spark.sql(
+                    f"SELECT * FROM {body}").toDF(*schema.names)
+            else:
+                df = self._select(body)
+            df = df.select(
+                *[F.col(c).cast(schema[c].dataType)
+                  for c in df.columns if c in schema.names])
+            if pred or s.upper().lstrip().startswith("INSERT OVERWRITE"):
+                r.overwrite(df, replace_where=pred)
+            else:
+                r.append(df)  # INSERT INTO fmt.`/p` SELECT … = append
+            return self._result(rows_affected=df.count())
         # INSERT INTO delta.`/p`|iceberg.`/p` VALUES ... — external blind
         # append through the format reader (r11 write plane)
         m = _m(
