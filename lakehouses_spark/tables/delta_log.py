@@ -1185,7 +1185,9 @@ _CHECKPOINT_SCHEMA = (
     "schemaString:string,partitionColumns:array<string>,"
     "configuration:map<string,string>,createdTime:bigint>, "
     "protocol struct<minReaderVersion:int,minWriterVersion:int,"
-    "readerFeatures:array<string>,writerFeatures:array<string>>"
+    "readerFeatures:array<string>,writerFeatures:array<string>>, "
+    "domainMetadata struct<domain:string,configuration:string,"
+    "removed:boolean>"
 )
 
 
@@ -1198,6 +1200,7 @@ def _write_checkpoint_parquet(
     adds: list[dict],
     txns: dict[str, tuple[int, int]] | None = None,
     removes: list[dict] | None = None,
+    domains: dict[str, str] | None = None,
 ) -> None:
     """Classic single-file parquet checkpoint + `_last_checkpoint` pointer
     (01.parquet_primer.py:386): one row per reconciled action — protocol,
@@ -1210,7 +1213,8 @@ def _write_checkpoint_parquet(
     rows: list[tuple] = [
         (None, None, None, None,
          (protocol["minReaderVersion"], protocol["minWriterVersion"],
-          protocol.get("readerFeatures"), protocol.get("writerFeatures"))),
+          protocol.get("readerFeatures"), protocol.get("writerFeatures")),
+         None),
         (
             None, None, None,
             (
@@ -1219,16 +1223,21 @@ def _write_checkpoint_parquet(
                 metadata["schemaString"], metadata["partitionColumns"],
                 metadata["configuration"], metadata["createdTime"],
             ),
-            None,
+            None, None,
         ),
     ]
+    # live domainMetadata actions survive the checkpoint (PROTOCOL.md
+    # "Domain Metadata": checkpoints must preserve them or the domains
+    # vanish once the JSON log is cleaned)
+    for dom, cfg in sorted((domains or {}).items()):
+        rows.append((None, None, None, None, None, (dom, cfg, False)))
     for app, (v, ts) in sorted((txns or {}).items()):
-        rows.append(((app, v, ts), None, None, None, None))
+        rows.append(((app, v, ts), None, None, None, None, None))
     for r in sorted(removes or [], key=lambda r: r["path"]):
         rows.append((
             None, None,
             (r["path"], r.get("deletionTimestamp"), False),
-            None, None,
+            None, None, None,
         ))
     for a in adds:
         dv = a.get("deletionVector")
@@ -1239,7 +1248,7 @@ def _write_checkpoint_parquet(
                  a["modificationTime"], False, a.get("stats"),
                  (dv["storageType"], dv["pathOrInlineDv"], dv.get("offset"),
                   dv["sizeInBytes"], dv["cardinality"]) if dv else None),
-                None, None, None,
+                None, None, None, None,
             )
         )
     n_parts = max(1, -(-len(rows) // CHECKPOINT_PART_ACTIONS))
@@ -1291,6 +1300,7 @@ def _write_checkpoint_v2(
     adds: list[dict],
     txns: dict[str, tuple[int, int]] | None = None,
     removes: list[dict] | None = None,
+    domains: dict[str, str] | None = None,
 ) -> None:
     """V2 checkpoint (PROTOCOL.md "V2 Checkpoint Table Feature"): a
     UUID-named top-level `<v>.checkpoint.<uuid>.json` holding
@@ -1360,12 +1370,16 @@ def _write_checkpoint_v2(
 # --------------------------------------------------------------------------- #
 class DeltaSnapshot:
     def __init__(self, version: int, files: dict[str, dict], metadata: dict,
-                 protocol: dict, txns: dict[str, int]):
+                 protocol: dict, txns: dict[str, int],
+                 domains: dict[str, str] | None = None):
         self.version = version
         self.files = files  # path -> add action
         self.metadata = metadata
         self.protocol = protocol
         self.txns = txns
+        # domain -> configuration JSON string (PROTOCOL.md "Domain
+        # Metadata"; live = not removed)
+        self.domains = domains or {}
 
     @property
     def schema(self) -> StructType:
@@ -1424,7 +1438,9 @@ _COMMIT_JSON_SCHEMA = (
     "configuration:map<string,string>,createdTime:bigint>,"
     "protocol struct<minReaderVersion:int,minWriterVersion:int,"
     "readerFeatures:array<string>,writerFeatures:array<string>>,"
-    "txn struct<appId:string,version:bigint,lastUpdated:bigint>"
+    "txn struct<appId:string,version:bigint,lastUpdated:bigint>,"
+    "domainMetadata struct<domain:string,configuration:string,"
+    "removed:boolean>"
 )
 
 
@@ -1529,7 +1545,7 @@ class DeltaLogReader:
         for r in rows:
             d = r.asDict(recursive=True)
             for kind in ("protocol", "metaData", "add", "remove", "txn",
-                         "sidecar"):
+                         "sidecar", "domainMetadata"):
                 if d.get(kind) is not None:
                     actions.append({kind: d[kind]})
         return actions
@@ -1544,7 +1560,8 @@ class DeltaLogReader:
             other = other.where(F.col("remove").isNull())
         for r in other.collect():
             d = r.asDict(recursive=True)
-            for kind in ("protocol", "metaData", "txn", "sidecar"):
+            for kind in ("protocol", "metaData", "txn", "sidecar",
+                         "domainMetadata"):
                 if d.get(kind) is not None:
                     actions.append({kind: d[kind]})
         # removes: replay only needs the path (expired tombstones pop keys)
@@ -1754,6 +1771,7 @@ class DeltaLogReader:
         metadata: dict = {}
         protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 1}
         txns: dict[str, int] = {}
+        domains: dict[str, str] = {}
 
         def apply(action: dict) -> None:
             if "protocol" in action:
@@ -1774,6 +1792,12 @@ class DeltaLogReader:
             elif "txn" in action:
                 t = action["txn"]
                 txns[t["appId"]] = t["version"]
+            elif "domainMetadata" in action:
+                dm = action["domainMetadata"]
+                if dm.get("removed"):
+                    domains.pop(dm["domain"], None)
+                else:
+                    domains[dm["domain"]] = dm.get("configuration", "")
 
         for action in base_actions:
             apply(action)
@@ -1788,7 +1812,8 @@ class DeltaLogReader:
         self._check_protocol(protocol)
         if not metadata:
             raise DeltaProtocolError(f"no metaData action found up to version {version}")
-        return DeltaSnapshot(version, files, metadata, protocol, txns)
+        return DeltaSnapshot(version, files, metadata, protocol, txns,
+                             domains)
 
     def _apply_json_tail_dataframe(
         self, paths: list[Path], files: dict[str, dict], apply
@@ -1830,13 +1855,14 @@ class DeltaLogReader:
                 F.col("metaData").isNotNull()
                 | F.col("protocol").isNotNull()
                 | F.col("txn").isNotNull()
+                | F.col("domainMetadata").isNotNull()
             )
-            .select("__v", "metaData", "protocol", "txn")
+            .select("__v", "metaData", "protocol", "txn", "domainMetadata")
             .orderBy("__v")
             .collect()
         ):
             d = r.asDict(recursive=True)
-            for kind in ("protocol", "metaData", "txn"):
+            for kind in ("protocol", "metaData", "txn", "domainMetadata"):
                 if d.get(kind) is not None:
                     apply({kind: {
                         k: v for k, v in d[kind].items() if v is not None
@@ -2230,6 +2256,10 @@ class DeltaLogReader:
     _SUPPORTED_WRITER_FEATURES = {
         "appendOnly", "invariants", "checkConstraints", "columnMapping",
         "changeDataFeed", "deletionVectors", "timestampNtz", "v2Checkpoint",
+        # domainMetadata (r12 continuation): domains replay from the log,
+        # survive checkpoints (the dedicated checkpoint column), and are
+        # exposed/written via snapshot().domains + set_domain_metadata
+        "domainMetadata",
         # fully implemented since the r12 continuation: absent generated
         # columns compute from delta.generationExpression (provided
         # values are enforced value==expr in _check_write); identity
@@ -2639,6 +2669,82 @@ class DeltaLogReader:
             raise DeltaProtocolError(f"constraint {name!r} does not exist")
         return self.set_properties({key: None})
 
+    def set_domain_metadata(self, domain: str, configuration: str) -> dict:
+        """Commit a `domainMetadata` action (PROTOCOL.md "Domain
+        Metadata"): set ``domain``'s configuration string. System
+        domains (`delta.*`) belong to the engines that define them —
+        refused here so this writer never forges state other engines
+        trust (a foreign `delta.clustering` domain still REPLAYS and
+        survives checkpoints; it just cannot be minted externally)."""
+        import time as _time
+
+        if domain.startswith("delta."):
+            raise DeltaProtocolError(
+                f"system domain {domain!r} is controlled by the engine "
+                "that defines it; external writers may only set user "
+                "domains"
+            )
+        snap = self.snapshot()
+        self._check_write(snap, None)
+        proto = dict(snap.protocol)
+        actions: list[dict] = [{"commitInfo": {
+            "timestamp": int(_time.time() * 1000),
+            "operation": "SET DOMAIN METADATA",
+            "operationParameters": {"domain": domain},
+        }}]
+        if proto.get("minWriterVersion", 2) >= 7:
+            feats = list(proto.get("writerFeatures") or [])
+            if "domainMetadata" not in feats:
+                proto["writerFeatures"] = feats + ["domainMetadata"]
+                actions.append({"protocol": proto})
+        else:
+            # domainMetadata is features-only: upgrade to writer 7 with
+            # the implied legacy features enumerated, per PROTOCOL.md
+            legacy = [f for v, fs in
+                      DeltaLogReader._LEGACY_WRITER_FEATURES.items()
+                      if v <= proto.get("minWriterVersion", 2)
+                      for f in fs]
+            proto = {
+                "minReaderVersion": proto.get("minReaderVersion", 1),
+                "minWriterVersion": 7,
+                "writerFeatures": sorted({*legacy, "domainMetadata"}),
+            }
+            actions.append({"protocol": proto})
+        actions.append({"domainMetadata": {
+            "domain": domain, "configuration": configuration,
+            "removed": False,
+        }})
+        new_v = snap.version + 1
+        _write_commit(self.log / f"{new_v:020d}.json", actions)
+        return {"version": new_v}
+
+    def remove_domain_metadata(self, domain: str) -> dict:
+        """Commit a tombstoning `domainMetadata` action (removed=true)
+        for a user domain."""
+        import time as _time
+
+        if domain.startswith("delta."):
+            raise DeltaProtocolError(
+                f"system domain {domain!r} is controlled by the engine "
+                "that defines it"
+            )
+        snap = self.snapshot()
+        self._check_write(snap, None)
+        if domain not in snap.domains:
+            raise DeltaProtocolError(f"domain {domain!r} is not set")
+        actions = [
+            {"commitInfo": {
+                "timestamp": int(_time.time() * 1000),
+                "operation": "REMOVE DOMAIN METADATA",
+                "operationParameters": {"domain": domain},
+            }},
+            {"domainMetadata": {"domain": domain, "configuration": "",
+                                "removed": True}},
+        ]
+        new_v = snap.version + 1
+        _write_commit(self.log / f"{new_v:020d}.json", actions)
+        return {"version": new_v}
+
     def checkpoint(self) -> dict:
         """Write a classic parquet checkpoint of the CURRENT snapshot +
         `_last_checkpoint` pointer — Delta's periodic checkpointing (real
@@ -2650,11 +2756,12 @@ class DeltaLogReader:
         per-file stats then live JVM-side only and a checkpoint written
         without them would permanently drop stats-based skipping for
         downstream readers. Checkpointing is a WRITE (ADVICE r11): the
-        replay tracks only protocol/metaData/add/remove/txn, so on a
-        table whose writerFeatures demand more state (rowTracking per-add
-        fields, domainMetadata actions) the checkpoint would silently
-        drop it — the shared writer-feature gate refuses those tables
-        here exactly like every committing verb."""
+        replay tracks protocol/metaData/add/remove/txn and — since the
+        r12 continuation — domainMetadata (preserved via the dedicated
+        checkpoint column), so on a table whose writerFeatures demand
+        state beyond that (rowTracking per-add fields) the checkpoint
+        would silently drop it — the shared writer-feature gate refuses
+        those tables here exactly like every committing verb."""
         snap = self.snapshot()
         self._check_write(snap, None)
         if any(a.get("__statsPruned") for a in snap.files.values()):
@@ -2693,6 +2800,7 @@ class DeltaLogReader:
             adds=adds,
             txns={app: (v, None) for app, v in (snap.txns or {}).items()},
             removes=removes,
+            domains=snap.domains,
         )
         return {
             "version": snap.version,

