@@ -1114,6 +1114,7 @@ def write_iceberg_table(
     path: str | Path,
     partition_by: list[str] | None = None,
     properties: dict[str, str] | None = None,
+    sort_by: list[str] | None = None,
 ) -> "IcebergMetadataReader":
     """CTAS for Iceberg v2 WITHOUT a LakeTable — the `CREATE TABLE ...
     USING iceberg PARTITIONED BY (...) AS SELECT` surface
@@ -1220,6 +1221,23 @@ def write_iceberg_table(
          "transform": tr, "source-id": top_id[c], "field-id": 1000 + i}
         for i, (tr, c) in enumerate(part)
     ]
+    # WRITE ORDERED BY: each entry is `col [ASC|DESC] [NULLS FIRST|LAST]`
+    # over an identity transform — declared in the metadata AND applied
+    # to every data write (file-local clustering; tighter bounds)
+    sort_fields: list[dict] = []
+    for ent in sort_by or []:
+        parts = ent.split()
+        c = parts[0]
+        if c not in top_id:
+            raise ValueError(f"sort_by column {c!r} not in DataFrame")
+        rest = " ".join(p.upper() for p in parts[1:])
+        desc = "DESC" in rest
+        nf = "NULLS LAST" not in rest if not desc else "NULLS FIRST" in rest
+        sort_fields.append({
+            "transform": "identity", "source-id": top_id[c],
+            "direction": "desc" if desc else "asc",
+            "null-order": "nulls-first" if nf else "nulls-last",
+        })
     now_ms = int(_time.time() * 1000)
     name_mapping = [
         {"field-id": f["id"], "names": [f["name"]]}
@@ -1237,8 +1255,11 @@ def write_iceberg_table(
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "last-partition-id": 999 + len(spec_fields),
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 1 if sort_by else 0,
+        "sort-orders": (
+            [{"order-id": 0, "fields": []}]
+            + ([{"order-id": 1, "fields": sort_fields}] if sort_by else [])
+        ),
         "properties": {
             **(properties or {}),
             "schema.name-mapping.default": json.dumps(name_mapping),
@@ -1983,6 +2004,39 @@ class IcebergMetadataReader:
         seq = int(self.meta.get("last-sequence-number", 0)) + 1
         return new_id, seq
 
+    def _sort_cols(self) -> list:
+        """Spark sort expressions for the table's default sort order
+        (PHYSICAL column names) — identity fields only; any transform or
+        unresolvable source disables the sort (advisory clustering,
+        never a correctness gate)."""
+        so_id = self.meta.get("default-sort-order-id", 0)
+        so = next((s for s in (self.meta.get("sort-orders") or [])
+                   if s.get("order-id") == so_id), None)
+        fields = (so or {}).get("fields") or []
+        if not fields:
+            return []
+        ice = next(s for s in self.meta["schemas"]
+                   if s["schema-id"] == self.meta["current-schema-id"])
+        by_id = {f["id"]: f for f in ice["fields"]}
+        mapping = self.name_mapping()
+        cols = []
+        for sf in fields:
+            if (sf.get("transform") or "").lower() != "identity":
+                return []
+            srcf = by_id.get(sf.get("source-id"))
+            if srcf is None or isinstance(srcf.get("type"), dict):
+                return []
+            phys = mapping.get(srcf["id"], srcf["name"])
+            c = F.col(phys)
+            asc = (sf.get("direction") or "asc").lower() != "desc"
+            nf = (sf.get("null-order") or "nulls-first").lower() \
+                == "nulls-first"
+            c = (c.asc_nulls_first() if nf else c.asc_nulls_last()) \
+                if asc else \
+                (c.desc_nulls_first() if nf else c.desc_nulls_last())
+            cols.append(c)
+        return cols
+
     def _write_cow_files(
         self, df: DataFrame, prefix: str, pctx: dict | None = None,
     ) -> list[tuple[str, dict]]:
@@ -1997,16 +2051,27 @@ class IcebergMetadataReader:
 
         rel_dir = f"data/{prefix}-{uuid.uuid4().hex[:8]}"
         tmp = self.path / f".tmp-{prefix}-{uuid.uuid4().hex}"
+        sort_cols = self._sort_cols()
         dup_of: list[tuple[str, dict]] = []
         if pctx:
             for i, f in enumerate(pctx["fields"]):
                 dup = f"__lhp_{i}"
                 df = df.withColumn(dup, f["pcol"])
                 dup_of.append((dup, f))
+            if sort_cols:
+                # the declared WRITE ORDERED BY, task-local (no
+                # shuffle). Partition dup columns lead the order so the
+                # file writer's required partition ordering is already
+                # satisfied and it does not re-sort (which would
+                # destroy the data clustering)
+                df = df.sortWithinPartitions(
+                    *[F.col(d) for d, _ in dup_of], *sort_cols)
             df.write.partitionBy(*[d for d, _ in dup_of]).parquet(str(tmp))
             parts = sorted(
                 p for p in tmp.rglob("part-*.parquet") if p.is_file())
         else:
+            if sort_cols:
+                df = df.sortWithinPartitions(*sort_cols)
             df.write.parquet(str(tmp))
             parts = sorted(tmp.glob("part-*.parquet"))
         (self.path / rel_dir).mkdir(parents=True, exist_ok=True)
