@@ -969,6 +969,64 @@ def merge_inserts(src, t_all, cond, names, dtype_of, source_cols,
         for c in names])
 
 
+ROW_TRACKING_DOMAIN = "delta.rowTracking"
+
+
+def row_tracking_active(snap) -> bool:
+    """PROTOCOL.md "Row Tracking": active when the writer feature is
+    declared or delta.enableRowTracking is set."""
+    feats = snap.protocol.get("writerFeatures") or []
+    return "rowTracking" in feats or snap.configuration.get(
+        "delta.enableRowTracking") == "true"
+
+
+def row_id_high_watermark(snap) -> int:
+    """Highest assigned fresh row id (-1 when none), from the
+    `delta.rowTracking` domain metadata."""
+    cfg = snap.domains.get(ROW_TRACKING_DOMAIN)
+    if not cfg:
+        return -1
+    try:
+        return int(json.loads(cfg).get("rowIdHighWaterMark", -1))
+    except (ValueError, TypeError):
+        return -1
+
+
+def stamp_row_ids(snap, actions: list[dict], new_version: int,
+                  ) -> dict | None:
+    """Assign fresh `baseRowId`/`defaultRowCommitVersion` to every add
+    action in ``actions`` (PROTOCOL.md: base ids are disjoint ranges
+    sized by the file's numRecords) and return the domainMetadata
+    action carrying the bumped high watermark — or None when row
+    tracking is inactive. The domain action MUST ride the same
+    commit."""
+    if not row_tracking_active(snap):
+        return None
+    hwm = row_id_high_watermark(snap)
+    nxt = hwm + 1
+    for act in actions:
+        a = act.get("add")
+        if a is None:
+            continue
+        stats = a.get("stats")
+        n = json.loads(stats).get("numRecords") if stats else None
+        if n is None:
+            raise DeltaProtocolError(
+                "row tracking needs numRecords in add.stats to size "
+                "the fresh row-id range"
+            )
+        a["baseRowId"] = nxt
+        a["defaultRowCommitVersion"] = new_version
+        nxt += int(n)
+    if nxt == hwm + 1:
+        return None  # no adds
+    return {"domainMetadata": {
+        "domain": ROW_TRACKING_DOMAIN,
+        "configuration": json.dumps({"rowIdHighWaterMark": nxt - 1}),
+        "removed": False,
+    }}
+
+
 def split_top_level_and(s: str) -> list[str]:
     """Split a SQL boolean expression on its TOP-LEVEL ``AND``s —
     quote-aware (single/double quotes with backslash escapes,
@@ -1177,6 +1235,7 @@ _CHECKPOINT_SCHEMA = (
     "txn struct<appId:string,version:bigint,lastUpdated:bigint>, "
     "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
     "modificationTime:bigint,dataChange:boolean,stats:string,"
+    "baseRowId:bigint,defaultRowCommitVersion:bigint,"
     "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
     "offset:int,sizeInBytes:int,cardinality:bigint>>, "
     "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>, "
@@ -1246,6 +1305,7 @@ def _write_checkpoint_parquet(
                 None,
                 (a["path"], a["partitionValues"], a["size"],
                  a["modificationTime"], False, a.get("stats"),
+                 a.get("baseRowId"), a.get("defaultRowCommitVersion"),
                  (dv["storageType"], dv["pathOrInlineDv"], dv.get("offset"),
                   dv["sizeInBytes"], dv["cardinality"]) if dv else None),
                 None, None, None, None,
@@ -1285,6 +1345,7 @@ def _write_checkpoint_parquet(
 _SIDECAR_SCHEMA = (
     "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
     "modificationTime:bigint,dataChange:boolean,stats:string,"
+    "baseRowId:bigint,defaultRowCommitVersion:bigint,"
     "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
     "offset:int,sizeInBytes:int,cardinality:bigint>>, "
     "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
@@ -1327,6 +1388,7 @@ def _write_checkpoint_v2(
         add_rows.append((
             (a["path"], a["partitionValues"], a["size"],
              a["modificationTime"], False, a.get("stats"),
+             a.get("baseRowId"), a.get("defaultRowCommitVersion"),
              (dv["storageType"], dv["pathOrInlineDv"], dv.get("offset"),
               dv["sizeInBytes"], dv["cardinality"]) if dv else None),
             None,
@@ -1356,6 +1418,10 @@ def _write_checkpoint_v2(
     ]
     for app, (v, ts) in sorted((txns or {}).items()):
         lines.append({"txn": {"appId": app, "version": v, "lastUpdated": ts}})
+    # live domainMetadata rides the top-level file (non-file state)
+    for dom, cfg in sorted((domains or {}).items()):
+        lines.append({"domainMetadata": {
+            "domain": dom, "configuration": cfg, "removed": False}})
     lines.extend({"sidecar": sc} for sc in sidecars)
     top = log_dest / f"{version:020d}.checkpoint.{uuid.uuid4()}.json"
     with open(top, "w") as fh:
@@ -1429,6 +1495,7 @@ JSON_TAIL_DATAFRAME_BYTES = 8 * 2**20
 _COMMIT_JSON_SCHEMA = (
     "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
     "modificationTime:bigint,dataChange:boolean,stats:string,"
+    "baseRowId:bigint,defaultRowCommitVersion:bigint,"
     "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
     "offset:int,sizeInBytes:int,cardinality:bigint>>,"
     "remove struct<path:string>,"
@@ -1575,7 +1642,8 @@ class DeltaLogReader:
         sel = [F.col("add.path").alias("path")]
         narrow = [
             f for f in ("partitionValues", "size", "modificationTime",
-                        "dataChange", "deletionVector")
+                        "dataChange", "baseRowId",
+                        "defaultRowCommitVersion", "deletionVector")
             if f in add_fields
         ]
         sel += [F.col(f"add.{f}").alias(f) for f in narrow]
@@ -1873,6 +1941,9 @@ class DeltaLogReader:
             F.col("add.size").alias("size"),
             F.col("add.modificationTime").alias("modificationTime"),
             F.col("add.dataChange").alias("dataChange"),
+            F.col("add.baseRowId").alias("baseRowId"),
+            F.col("add.defaultRowCommitVersion")
+            .alias("defaultRowCommitVersion"),
             F.col("add.deletionVector").alias("deletionVector"),
             F.get_json_object(F.col("add.stats"), "$.numRecords")
             .cast("long").alias("__nr"),
@@ -1940,6 +2011,7 @@ class DeltaLogReader:
         _with_path: bool = False,
         _paths: set[str] | None = None,
         _with_pos: bool = False,
+        _with_row_ids: bool = False,
     ) -> DataFrame:
         """ONE parquet scan over every live file (partition columns are NOT
         in Delta data files — they live in add.partitionValues), with the
@@ -1971,6 +2043,13 @@ class DeltaLogReader:
         mapping_mode = conf.get("delta.columnMapping.mode", "none")
         part_cols = snap.partition_columns
         by_name = {f.name: f for f in schema.fields}
+        # row tracking read surface (PROTOCOL.md "Row Tracking"): the
+        # row id is the MATERIALIZED column when the row was copied by a
+        # preserving rewrite, else baseRowId + physical position; the
+        # commit version likewise falls back to the add's default
+        mat_id = conf.get("delta.rowTracking.materializedRowIdColumnName")
+        mat_rcv = conf.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName")
         for c in list(columns or []) + [c for c, _, _ in (filters or [])]:
             if c not in by_name:
                 raise ValueError(f"unknown column {c!r}")
@@ -1994,6 +2073,10 @@ class DeltaLogReader:
         ]
         phys_schema = StructType(
             [StructField(phys_name(f), f.dataType, f.nullable) for f in data_fields]
+            + ([StructField(mat_id, LongType(), True)]
+               if _with_row_ids and mat_id else [])
+            + ([StructField(mat_rcv, LongType(), True)]
+               if _with_row_ids and mat_rcv else [])
         )
         part_types = {f.name: f.dataType for f in schema.fields if f.name in part_cols}
         empty = self.spark.createDataFrame(
@@ -2004,6 +2087,9 @@ class DeltaLogReader:
                    if _with_path else [])
                 + ([StructField("__lh_pos", LongType())]
                    if _with_pos else [])
+                + ([StructField("__lh_row_id", LongType()),
+                    StructField("__lh_rcv", LongType())]
+                   if _with_row_ids else [])
             )
         )
         if not snap.files:
@@ -2033,6 +2119,7 @@ class DeltaLogReader:
         # scheme stripped), its partition tuple, and any deleted row indexes
         abs_paths: list[str] = []
         pv_rows: list[tuple] = []
+        base_rows: list[tuple] = []
         deleted_rows: list[tuple[str, int]] = []
         for path, a in snap.files.items():
             ap = str((self.path / path).resolve())
@@ -2054,6 +2141,9 @@ class DeltaLogReader:
                 pv[c] if c in pv else pv.get(phys_name(by_name[c]))
                 for c in part_cols
             ]))
+            if _with_row_ids:
+                base_rows.append((ap, a.get("baseRowId"),
+                                  a.get("defaultRowCommitVersion")))
             if a.get("deletionVector"):
                 for idx in _dv.read_descriptor(a["deletionVector"], self.path):
                     deleted_rows.append((ap, idx))
@@ -2067,6 +2157,8 @@ class DeltaLogReader:
             # physical row ordinal, captured at the scan (the DV delete
             # writer needs it; _metadata is only addressable here)
             df = df.withColumn("__lh_pos", F.col("_metadata.row_index"))
+        if _with_row_ids:
+            df = df.withColumn("__lh_ri0", F.col("_metadata.row_index"))
         if deleted_rows:
             df = df.withColumns({"__lh_fp": fp, "__lh_ri": F.col("_metadata.row_index")})
             dv_df = self.spark.createDataFrame(
@@ -2078,8 +2170,29 @@ class DeltaLogReader:
         df = df.select(
             "__lh_fp",
             *(["__lh_pos"] if _with_pos else []),
+            *(["__lh_ri0"] if _with_row_ids else []),
+            *([F.col(mat_id).alias("__lh_mid")]
+              if _with_row_ids and mat_id else []),
+            *([F.col(mat_rcv).alias("__lh_mrcv")]
+              if _with_row_ids and mat_rcv else []),
             *[F.col(phys_name(f)).alias(f.name) for f in data_fields]
         )
+        if _with_row_ids:
+            bmap = self.spark.createDataFrame(
+                base_rows,
+                "__lh_fp string, __lh_base bigint, __lh_drcv bigint")
+            df = df.join(F.broadcast(bmap), "__lh_fp")
+            rid = F.col("__lh_base") + F.col("__lh_ri0")
+            rcv = F.col("__lh_drcv")
+            if mat_id:
+                rid = F.coalesce(F.col("__lh_mid"), rid)
+            if mat_rcv:
+                rcv = F.coalesce(F.col("__lh_mrcv"), rcv)
+            df = df.withColumns(
+                {"__lh_row_id": rid, "__lh_rcv": rcv}
+            ).drop("__lh_ri0", "__lh_base", "__lh_drcv",
+                   *(["__lh_mid"] if mat_id else []),
+                   *(["__lh_mrcv"] if mat_rcv else []))
         if part_cols:
             map_df = self.spark.createDataFrame(
                 pv_rows,
@@ -2102,8 +2215,12 @@ class DeltaLogReader:
             )
         if _with_path:  # internal: COW DML keys rewrites by source file
             return df.select(*out_names, "__lh_fp",
-                             *(["__lh_pos"] if _with_pos else []))
-        return df.select(*out_names)
+                             *(["__lh_pos"] if _with_pos else []),
+                             *(["__lh_row_id", "__lh_rcv"]
+                               if _with_row_ids else []))
+        return df.select(*out_names,
+                         *(["__lh_row_id", "__lh_rcv"]
+                           if _with_row_ids else []))
 
     def describe_history(self) -> DataFrame:
         """DESCRIBE HISTORY for an external Delta table (the DataFrame
@@ -2182,7 +2299,16 @@ class DeltaLogReader:
 
         import time as _time
 
-        df = self.to_df()  # logical names, DVs applied
+        rt = row_tracking_active(snap)
+        mat_md = None
+        if rt:
+            mid_c, mrcv_c, mat_md = self._materialized_row_cols(snap)
+        df = self.to_df(_with_row_ids=rt)  # logical names, DVs applied
+        if rt:
+            # compaction copies rows verbatim (PROTOCOL.md: preserve
+            # row id AND commit version via the materialized columns)
+            df = (df.withColumnRenamed("__lh_row_id", mid_c)
+                  .withColumnRenamed("__lh_rcv", mrcv_c))
         # files store PHYSICAL names under column mapping
         phys_of: dict[str, str] = {}
         meta_conf = snap.configuration
@@ -2232,10 +2358,15 @@ class DeltaLogReader:
                 "operationParameters": {"targetFiles": str(int(n_out))},
             }
         }]
+        if mat_md is not None:
+            actions.append({"metaData": mat_md})
         adds = self._write_data_files(df, "optimized", ts,
                                       data_change=False,
                                       part_cols=part_phys)
         actions.extend(adds)
+        dm = stamp_row_ids(snap, adds, snap.version + 1)
+        if dm is not None:
+            actions.append(dm)
         for old in snap.files:
             actions.append({"remove": {
                 "path": quote(old), "deletionTimestamp": ts,
@@ -2260,6 +2391,14 @@ class DeltaLogReader:
         # survive checkpoints (the dedicated checkpoint column), and are
         # exposed/written via snapshot().domains + set_domain_metadata
         "domainMetadata",
+        # rowTracking (r12 continuation): appends assign fresh
+        # baseRowId ranges + bump the delta.rowTracking watermark
+        # domain in the same commit; COW DELETE/UPDATE, OPTIMIZE and
+        # replaceWhere preserve ids via the materialized columns;
+        # checkpoints carry the per-add fields. MERGE and MOR UPDATE
+        # refuse at the verb with the reason
+        # (tests/test_row_tracking.py)
+        "rowTracking",
         # fully implemented since the r12 continuation: absent generated
         # columns compute from delta.generationExpression (provided
         # values are enforced value==expr in _check_write); identity
@@ -2496,6 +2635,9 @@ class DeltaLogReader:
                                       part_cols=part_cols)
         actions.extend(adds)
         new_v = snap.version + 1
+        dm = stamp_row_ids(snap, adds, new_v)
+        if dm is not None:
+            actions.append(dm)
         _write_commit(self.log / f"{new_v:020d}.json", actions)
         return {"version": new_v, "added_files": len(adds)}
 
@@ -2545,9 +2687,22 @@ class DeltaLogReader:
         out, new_hwms = self._fill_computed(schema, set(df.columns), out)
         new_metadata = (bump_identity_metadata(snap.metadata, new_hwms)
                         if new_hwms else None)
+        rt = row_tracking_active(snap)
+        if rt:
+            # kept rows (replaceWhere survivors) are pure copies:
+            # preserve id+version via the materialized columns; the
+            # inserted frame unions with nulls there -> fresh ids
+            mid_c, mrcv_c, mat_md = self._materialized_row_cols(snap)
+            if mat_md is not None:
+                new_metadata = {
+                    **(new_metadata or snap.metadata),
+                    "configuration":
+                        mat_md["configuration"],
+                }
         cdf_on = conf.get("delta.enableChangeDataFeed") == "true"
         cdc_parts: list[DataFrame] = []
         kept: DataFrame | None = None
+        rid_cols = ["__lh_row_id", "__lh_rcv"] if rt else []
         if replace_where is None:
             removed = sorted(snap.files)
             if cdf_on and removed:
@@ -2565,17 +2720,23 @@ class DeltaLogReader:
                       for p in snap.files}
             removed = [rel_of[ap] for ap in affected]
             if affected:
-                sub = self.to_df(_with_path=True, _paths=set(affected))
+                sub = self.to_df(_with_path=True, _paths=set(affected),
+                                 _with_row_ids=rt)
                 kept = sub.where(
                     ~pred.eqNullSafe(F.lit(True))).drop("__lh_fp")
+                if rt:
+                    kept = (
+                        kept.withColumnRenamed("__lh_row_id", mid_c)
+                        .withColumnRenamed("__lh_rcv", mrcv_c))
                 if cdf_on:
                     cdc_parts.append(
-                        sub.where(pred).drop("__lh_fp")
+                        sub.where(pred).drop("__lh_fp", *rid_cols)
                         .withColumn("_change_type", F.lit("delete")))
         if cdf_on:
             cdc_parts.append(out.withColumn(
                 "_change_type", F.lit("insert")))
-        new_rows = out if kept is None else kept.unionByName(out)
+        new_rows = out if kept is None else kept.unionByName(
+            out, allowMissingColumns=True)
         version = self._commit_dml(
             "WRITE",
             {"mode": "Overwrite",
@@ -3036,6 +3197,13 @@ class DeltaLogReader:
             raise DeltaProtocolError(
                 "UPDATE on an appendOnly table (delta.appendOnly=true)"
             )
+        if row_tracking_active(snap):
+            raise DeltaProtocolError(
+                "merge-on-read UPDATE on a row-tracking table is not "
+                "supported (the appended images would need their ids "
+                "preserved) — copy-on-write UPDATE preserves row ids "
+                "and is the supported path"
+            )
         schema = snap.schema
         names = {f.name for f in schema.fields}
         gen = generated_columns(schema)
@@ -3168,6 +3336,30 @@ class DeltaLogReader:
         plan["version"] = snap.version + 1
         return plan
 
+    def _materialized_row_cols(self, snap: "DeltaSnapshot",
+                                ) -> tuple[str, str, dict | None]:
+        """The configured materialized row-id / row-commit-version
+        column names (PROTOCOL.md "Row Tracking"), minting fresh unique
+        names into the configuration when the table has none yet —
+        returned new_metadata rides the same commit as the first
+        preserving rewrite."""
+        conf = snap.configuration
+        mid = conf.get("delta.rowTracking.materializedRowIdColumnName")
+        mrcv = conf.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName")
+        if mid and mrcv:
+            return mid, mrcv, None
+        suffix = uuid.uuid4().hex[:8]
+        mid = mid or f"_row-id-col-{suffix}"
+        mrcv = mrcv or f"_row-commit-version-col-{suffix}"
+        new_md = {**snap.metadata, "configuration": {
+            **conf,
+            "delta.rowTracking.materializedRowIdColumnName": mid,
+            "delta.rowTracking."
+            "materializedRowCommitVersionColumnName": mrcv,
+        }}
+        return mid, mrcv, new_md
+
     def _cow_dml(self, op: str, predicate: str,
                  set_exprs: dict[str, str] | None,
                  dry_run: bool) -> dict:
@@ -3218,10 +3410,21 @@ class DeltaLogReader:
         rel_of = {
             str((self.path / p).resolve()): p for p in snap.files
         }
-        # the rewrite pass lists and scans ONLY the affected files
-        sub = self.to_df(_with_path=True, _paths=set(affected))
+        # the rewrite pass lists and scans ONLY the affected files.
+        # On a row-tracking table the scan also carries each row's id /
+        # commit version so the rewrite can PRESERVE them (PROTOCOL.md:
+        # copied rows keep both; modified rows keep the id, their
+        # commit version becomes this commit) via the materialized
+        # columns — extra data columns the readers coalesce.
+        rt = row_tracking_active(snap)
+        mat_md = None
+        if rt:
+            mid_c, mrcv_c, mat_md = self._materialized_row_cols(snap)
+        sub = self.to_df(_with_path=True, _paths=set(affected),
+                         _with_row_ids=rt)
         cdf_on = conf.get("delta.enableChangeDataFeed") == "true"
         cdc_parts: list[DataFrame] = []
+        rid_cols = ["__lh_row_id", "__lh_rcv"] if rt else []
         if op == "DELETE":
             # keep rows unless the predicate is TRUE — `~pred` alone would
             # also drop rows where pred evaluates to NULL (e.g. DELETE
@@ -3229,14 +3432,22 @@ class DeltaLogReader:
             # keeps (DeleteCommand filters on !(cond <=> true))
             new_rows = sub.where(
                 ~pred.eqNullSafe(F.lit(True))).drop("__lh_fp")
+            if rt:  # kept rows are pure copies: preserve id AND version
+                new_rows = (
+                    new_rows.withColumnRenamed("__lh_row_id", mid_c)
+                    .withColumnRenamed("__lh_rcv", mrcv_c))
             if cdf_on:
                 cdc_parts.append(
-                    sub.where(pred).drop("__lh_fp")
+                    sub.where(pred).drop("__lh_fp", *rid_cols)
                     .withColumn("_change_type", F.lit("delete"))
                 )
         else:
+            if rt:  # the modified-marker, evaluated on PRE-update values
+                sub = sub.withColumn(
+                    "__lh_mod", pred.eqNullSafe(F.lit(True)))
             if cdf_on:
-                pre = sub.where(pred).drop("__lh_fp")
+                pre = sub.where(pred).drop("__lh_fp", "__lh_mod",
+                                           *rid_cols)
                 cdc_parts.append(
                     pre.withColumn("_change_type", F.lit("update_preimage"))
                 )
@@ -3244,6 +3455,17 @@ class DeltaLogReader:
                 c: F.when(pred, F.expr(e)).otherwise(F.col(c))
                 for c, e in (set_exprs or {}).items()
             }).drop("__lh_fp")
+            if rt:
+                # every rewritten row keeps its id; only UNMODIFIED rows
+                # keep their commit version (modified rows default to
+                # this commit's version via the add)
+                new_rows = (
+                    new_rows.withColumn(mid_c, F.col("__lh_row_id"))
+                    .withColumn(mrcv_c, F.when(
+                        F.col("__lh_mod"),
+                        F.lit(None).cast("long")).otherwise(
+                        F.col("__lh_rcv")))
+                    .drop("__lh_mod", "__lh_row_id", "__lh_rcv"))
             if gen:
                 # recompute generated columns over the post-SET row
                 # (chained projection, so expressions see the new
@@ -3256,7 +3478,7 @@ class DeltaLogReader:
             if cdf_on:
                 post = sub.where(pred).withColumns({
                     c: F.expr(e) for c, e in (set_exprs or {}).items()
-                }).drop("__lh_fp")
+                }).drop("__lh_fp", "__lh_mod", *rid_cols)
                 if gen:
                     post = post.withColumns({
                         g: F.expr(e).cast(schema[g].dataType)
@@ -3267,6 +3489,7 @@ class DeltaLogReader:
         plan["version"] = self._commit_dml(
             op, {"predicate": predicate}, new_rows,
             [rel_of[ap] for ap in affected], cdc_parts, snap,
+            new_metadata=mat_md,
         )
         return plan
 
@@ -3382,10 +3605,12 @@ class DeltaLogReader:
         }]
         if new_metadata is not None:
             actions.append({"metaData": new_metadata})
-        actions.extend(
-            self._write_data_files(new_rows, op.lower(), ts,
-                                   data_change=True, part_cols=part_cols)
-        )
+        adds = self._write_data_files(new_rows, op.lower(), ts,
+                                      data_change=True, part_cols=part_cols)
+        actions.extend(adds)
+        dm = stamp_row_ids(snap, adds, snap.version + 1)
+        if dm is not None:
+            actions.append(dm)
         for rel in removed_rels:
             actions.append({"remove": {
                 "path": quote(rel), "deletionTimestamp": ts,
@@ -3492,6 +3717,13 @@ class DeltaLogReader:
         if conf.get("delta.appendOnly") == "true":
             raise DeltaProtocolError(
                 "MERGE on an appendOnly table (delta.appendOnly=true)"
+            )
+        if row_tracking_active(snap):
+            raise DeltaProtocolError(
+                "MERGE on a row-tracking table is not supported: the "
+                "rewritten-file leg mixes copied and modified rows, "
+                "whose commit-version bookkeeping differs — use MOR "
+                "DELETE + append, or UPDATE/DELETE + append"
             )
         schema = snap.schema
         names = [f.name for f in schema.fields]

@@ -2218,7 +2218,8 @@ class IcebergMetadataReader:
         self._commit_metadata(meta)
 
     def delete(self, predicate: str, dry_run: bool = False,
-               mode: str | None = None) -> dict:
+               mode: str | None = None,
+               strategy: str | None = None) -> dict:
         """DELETE FROM on an external Iceberg v2 table. Mode resolves
         from the argument, else the table's `write.delete.mode`
         property, else copy-on-write (Spark-Iceberg's default):
@@ -2231,16 +2232,198 @@ class IcebergMetadataReader:
           `DeltaLogReader.delete`.
         - ``merge-on-read`` (r12): commit POSITION DELETE files instead
           of rewriting data — the scale path for sparse deletes over
-          huge files (see `_mor_delete`)."""
+          huge files (see `_mor_delete`). With ``strategy="equality"``
+          (r12 continuation — the Flink-upsert shape) the commit is an
+          EQUALITY DELETE file built purely from the predicate's
+          literals: ZERO data read, the cheapest possible delete-by-key
+          (see `_eq_delete`)."""
         mode = mode or (self.meta.get("properties") or {}).get(
             "write.delete.mode", "copy-on-write")
+        if strategy not in (None, "position", "equality"):
+            raise IcebergFormatError(
+                f"unknown delete strategy {strategy!r} "
+                "(position or equality)")
         if mode == "merge-on-read":
+            if strategy == "equality":
+                return self._eq_delete(predicate, dry_run)
             return self._mor_delete(predicate, dry_run)
+        if strategy == "equality":
+            raise IcebergFormatError(
+                "strategy='equality' requires mode='merge-on-read'")
         if mode != "copy-on-write":
             raise IcebergFormatError(
                 f"unknown write.delete.mode {mode!r} (copy-on-write or "
                 "merge-on-read)")
         return self._cow_dml("DELETE", predicate, None, dry_run)
+
+    _EQ_DELETE_MAX_TUPLES = 10_000
+
+    def _eq_delete(self, predicate: str, dry_run: bool) -> dict:
+        """DELETE, merge-on-read via an EQUALITY DELETE file (spec
+        "Equality Delete Files"): the predicate must be a top-level AND
+        of equality / IN literal comparisons over primitive columns —
+        their cartesian product becomes the delete file's value tuples,
+        `equality_ids` names the columns by field id, and the file
+        commits in a content=1 DELETE manifest. A data row is deleted
+        when it matches any tuple and its file's sequence number is
+        STRICTLY below the delete's — which every current file is, so
+        the predicate semantics equal a COW/position delete's, at ZERO
+        data read and O(tuples) write. Unpartitioned tables only (a
+        partition-scoped equality delete needs a derivable tuple per
+        value — use the position strategy there). Anything the
+        conservative parser can't prove equality-shaped refuses
+        loudly."""
+        import itertools
+
+        import pyarrow.parquet as pq
+
+        from lakehouses_spark.tables.delta_log import split_top_level_and
+        from lakehouses_spark.tables.iceberg_transforms import (
+            parse_col_op_literal,
+        )
+
+        if self._partition_ctx("DELETE") is not None:
+            raise IcebergFormatError(
+                "equality-delete strategy supports unpartitioned tables "
+                "only — use the position strategy on a partitioned table"
+            )
+        logical, ice, phys_of, fid_of_phys, dt_of_phys = self._phys_maps()
+        by_name = {f.name: f for f in logical.fields}
+
+        def lit_ok(v: Any, tname: str) -> bool:
+            import datetime as _dt
+
+            if tname in ("integer", "long", "short", "byte"):
+                return isinstance(v, int) and not isinstance(v, bool)
+            if tname == "string":
+                return isinstance(v, str)
+            if tname == "date":
+                return isinstance(v, _dt.date)
+            return False
+
+        cols: list[str] = []
+        value_lists: list[list[Any]] = []
+        for conj in split_top_level_and(predicate):
+            parsed = parse_col_op_literal(conj)
+            if parsed is None or parsed[1] not in ("=", "in"):
+                raise IcebergFormatError(
+                    "equality-delete strategy needs a conjunction of "
+                    f"`col = literal` / `col IN (...)`; {conj!r} is not "
+                    "— use the position strategy"
+                )
+            col, _, vals = parsed
+            f = by_name.get(col)
+            if f is None:
+                raise ValueError(f"unknown column {col!r}")
+            if col in cols:
+                raise IcebergFormatError(
+                    f"column {col!r} constrained twice — fold the "
+                    "values into one IN list"
+                )
+            if not all(lit_ok(v, f.dataType.typeName()) for v in vals):
+                raise IcebergFormatError(
+                    f"literal(s) for {col!r} do not match its type — "
+                    "use the position strategy"
+                )
+            cols.append(col)
+            value_lists.append(vals)
+        n_tuples = 1
+        for vl in value_lists:
+            n_tuples *= len(vl)
+        if n_tuples > self._EQ_DELETE_MAX_TUPLES:
+            raise IcebergFormatError(
+                f"{n_tuples} equality tuples exceed the "
+                f"{self._EQ_DELETE_MAX_TUPLES} cap — use the position "
+                "strategy"
+            )
+        cur = self.meta.get("current-snapshot-id", -1)
+        plan = {"delete_files": 0, "equality_rows": n_tuples,
+                "scanned_files": 0, "snapshot_id": cur}
+        if dry_run:
+            return plan
+        tuples = list(itertools.product(*value_lists))
+        # the delete file stores the equality columns under their
+        # PHYSICAL names (readers resolve them via equality_ids)
+        eq_schema = T.StructType([
+            T.StructField(phys_of[c], by_name[c].dataType, True)
+            for c in cols
+        ])
+        df = self.spark.createDataFrame(tuples, eq_schema).coalesce(1)
+        rel_dir = f"data/eq-delete-{uuid.uuid4().hex[:8]}"
+        tmp = self.path / f".tmp-eqdel-{uuid.uuid4().hex}"
+        df.write.parquet(str(tmp))
+        (self.path / rel_dir).mkdir(parents=True, exist_ok=True)
+        part = next(p for p in sorted(tmp.glob("part-*.parquet")))
+        rel = f"{rel_dir}/eq-delete-00000.parquet"
+        os.replace(part, self.path / rel)
+        shutil.rmtree(tmp, ignore_errors=True)
+        md = pq.ParquetFile(self.path / rel).metadata
+        mins, maxs = exact_footer_bounds(md)
+        lower, upper = [], []
+        for pn in sorted(mins):
+            fid = fid_of_phys.get(pn)
+            dt = dt_of_phys.get(pn)
+            if fid is None or dt is None:
+                continue
+            lo = _encode_bound(mins[pn], dt)
+            hi = _encode_bound(maxs[pn], dt)
+            if lo is not None:
+                lower.append({"key": fid, "value": lo})
+            if hi is not None:
+                upper.append({"key": fid, "value": hi})
+        location = self.meta["location"].rstrip("/")
+        new_id, seq = self._next_ids()
+        delete_entries = [{
+            "status": 1,
+            "snapshot_id": new_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 2,  # EQUALITY_DELETES
+                "file_path": f"{location}/{rel}",
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": md.num_rows,
+                "file_size_in_bytes": (self.path / rel).stat().st_size,
+                "lower_bounds": lower or None,
+                "upper_bounds": upper or None,
+                "equality_ids": [
+                    fid_of_phys[phys_of[c]] for c in cols],
+            },
+        }]
+        live = self._live_data_entries()
+        entries = [{
+            "status": 0,  # every data file stays EXISTING, untouched
+            "snapshot_id": e.get("snapshot_id"),
+            "sequence_number": e.get("sequence_number"),
+            "file_sequence_number": e.get("file_sequence_number"),
+            "data_file": e["data_file"],
+        } for e in live]
+        snap = self._snapshot()
+        carried = []
+        if snap is not None:
+            _, ml_rows = read_ocf_bytes(
+                self._local(snap["manifest-list"]).read_bytes())
+            carried = [r for r in ml_rows
+                       if int(r.get("content", 0) or 0) == 1]
+        self._commit_snapshot(
+            entries, ice, new_id, seq,
+            operation="delete",
+            summary={
+                "added-delete-files": "1",
+                "added-equality-delete-records": str(md.num_rows),
+                "total-data-files": str(len(live)),
+                "lakehouses-delete-mode": "merge-on-read",
+                "lakehouses-delete-strategy": "equality",
+                "lakehouses-delete-predicate": predicate,
+            },
+            carried_ml_rows=carried,
+            pctx=None,
+            delete_entries=delete_entries,
+        )
+        plan["delete_files"] = 1
+        plan["snapshot_id"] = new_id
+        return plan
 
     def _write_position_deletes(self, matches: DataFrame,
                                 affected: set[str], live: list[dict],
