@@ -237,6 +237,23 @@ def main() -> None:
     print(f"[r12+] generated/identity append: 100 ids allocated past "
           f"the watermark (max id {mx}), g computed from its "
           "generation expression — both enforced on every write")
+    # INSERT OVERWRITE: one atomic replaceWhere commit on each format
+    res = DeltaLogReader(spark, gdest).overwrite(
+        dated.select("o_totalprice").limit(10).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 0),
+        replace_where="o_totalprice = 0.0")
+    print(f"[r12+] replaceWhere overwrite: {res['removed_files']} "
+          "file(s) replaced in one commit; rows outside the predicate "
+          "refuse")
+    # equality delete: delete-by-key with ZERO data read
+    eqd = work / "fresh_eq_iceberg"
+    wq = write_iceberg_table(
+        spark, dated.select("o_orderkey", "o_totalprice"), eqd)
+    res = wq.delete("o_orderkey IN (1, 2, 3)", mode="merge-on-read",
+                    strategy="equality")
+    print(f"[r12+] equality delete: {res['equality_rows']} key tuples, "
+          f"{res['scanned_files']} files scanned — the Flink-upsert "
+          "shape; compaction materializes it away")
     print("external-client round trip complete")
     spark.stop()
 

@@ -494,17 +494,19 @@ def test_external_write_enforces_check_constraints(spark, tmp_path):
     with open(log / f"{v:020d}.json", "w") as fh:
         fh.write(_json.dumps({"protocol": {
             "minReaderVersion": 1, "minWriterVersion": 7,
-            "writerFeatures": ["rowTracking"]}}) + "\n")
+            # icebergCompatV2 demands Iceberg-shadow state this engine
+            # does not maintain (rowTracking itself is implemented
+            # since the r12 continuation — tests/test_row_tracking.py)
+            "writerFeatures": ["icebergCompatV2"]}}) + "\n")
     r3 = DeltaLogReader(spark, tmp_path / "d")
     for call in (lambda: r3.append(df.limit(1)),
                  lambda: r3.delete("k = 3"),
                  lambda: r3.optimize(target_files=1),
-                 # ADVICE r12: checkpoint() is a write too — the replay
-                 # tracks only protocol/metaData/add/remove/txn, so a
+                 # ADVICE r12: checkpoint() is a write too — a
                  # checkpoint on such a table would silently drop the
-                 # feature's state (per-add rowTracking fields)
+                 # unknown feature's state
                  lambda: r3.checkpoint()):
-        with pytest.raises(DeltaProtocolError, match="rowTracking"):
+        with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
             call()
 
 

@@ -96,8 +96,10 @@ def test_dml_sequence_matches_model(spark, tmp_path_factory, ops, data):
 _wop = st.one_of(
     st.tuples(st.just("append"), _rows),
     st.tuples(st.just("delete"), st.integers(-50, 50)),
+    st.tuples(st.just("mor_delete"), st.integers(-50, 50)),
     st.tuples(st.just("update"), st.integers(2, 3), st.integers(-50, 50)),
     st.tuples(st.just("merge"), _rows),
+    st.tuples(st.just("overwrite"), _rows),
 )
 
 
@@ -105,7 +107,9 @@ def _apply_writer_model(model, op):
     kind = op[0]
     if kind == "append":
         return model + list(op[1])
-    if kind == "delete":
+    if kind == "overwrite":
+        return list(op[1])
+    if kind in ("delete", "mor_delete"):
         return [(k, v) for k, v in model if not v > op[1]]
     if kind == "update":
         _, factor, thr = op
@@ -175,6 +179,17 @@ def test_external_writer_dml_cross_format(spark, tmp_path_factory, ops):
             rp.delete(f"v > {op[1]}")
             ri.delete(f"v > {op[1]}")
             rip.delete(f"v > {op[1]}")
+        elif kind == "mor_delete":
+            # Delta deletion vectors / Iceberg position deletes (r12):
+            # the MOR layer must agree with COW and the model exactly
+            for r_ in (rd, rp, ri, rip):
+                r_.delete(f"v > {op[1]}", mode="merge-on-read")
+        elif kind == "overwrite":
+            # full atomic overwrite (r12 continuation)
+            rd.overwrite(mk_src(op[1]))
+            rp.overwrite(mk_src(op[1]).selectExpr("k", "v", seg_expr))
+            ri.overwrite(mk_src(op[1]))
+            rip.overwrite(mk_src(op[1]).selectExpr("k", "v", seg_expr))
         elif kind == "update":
             _, factor, thr = op
             rd.update({"v": f"v * {factor}"}, where=f"v > {thr}")
