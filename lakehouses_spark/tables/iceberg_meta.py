@@ -342,6 +342,84 @@ def _transform_col(transform: str, col: Column,
             + F.month(d) - F.lit(1)).cast("int")
 
 
+def parse_partition_by(partition_by: list[str] | None,
+                       dtype_of: dict[str, T.DataType],
+                       ) -> list[tuple[str, str]]:
+    """Parse + validate CTAS/evolution partition spellings — a column
+    name (identity), the date family (`YEAR(col)` / `months(col)` — the
+    reference's own spec, 03.iceberg_primer.py:124), or the Spark SQL
+    `bucket(16, col)` / `truncate(4, col)` — into (spec transform
+    string, source column). Shared by `write_iceberg_table` and
+    `update_spec`."""
+    import re as _re
+
+    from lakehouses_spark.tables.iceberg_transforms import (
+        bucket_col,
+        truncate_col,
+    )
+
+    part: list[tuple[str, str]] = []
+    for ent in partition_by or []:
+        m = _re.fullmatch(
+            r"(years?|months?|days?|hours?)\s*\(\s*(\w+)\s*\)",
+            ent.strip(), _re.IGNORECASE)
+        bm = _re.fullmatch(
+            r"(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)",
+            ent.strip(), _re.IGNORECASE)
+        if m:
+            part.append((m.group(1).lower().rstrip("s"), m.group(2)))
+        elif bm:
+            part.append((f"{bm.group(1).lower()}[{int(bm.group(2))}]",
+                         bm.group(3)))
+        else:
+            part.append(("identity", ent.strip()))
+    missing = [c for _, c in part if c not in dtype_of]
+    if missing:
+        raise ValueError(f"partition_by columns {missing} not found")
+    for tr, c in part:
+        tname = dtype_of[c].typeName()
+        if tr == "identity":
+            if tname not in _PV_AVRO:
+                raise IcebergFormatError(
+                    f"partition column {c!r} has type {tname!r}, not "
+                    "supported as an identity partition source"
+                )
+        elif tr.startswith("bucket["):
+            n = int(tr[7:-1])
+            if n <= 0 or bucket_col(F.col(c), dtype_of[c], n) is None:
+                raise IcebergFormatError(
+                    f"partition transform bucket({n}, {c}) over type "
+                    f"{tname!r} is not supported (int/long/date/"
+                    "timestamp/string/binary sources, N > 0)"
+                )
+        elif tr.startswith("truncate["):
+            w = int(tr[9:-1])
+            if w <= 0 or truncate_col(F.col(c), dtype_of[c], w) is None:
+                raise IcebergFormatError(
+                    f"partition transform truncate({w}, {c}) over type "
+                    f"{tname!r} is not supported (int/long/string "
+                    "sources, W > 0)"
+                )
+        elif _transform_col(tr, F.col(c), dtype_of[c]) is None:
+            raise IcebergFormatError(
+                f"partition transform {tr}({c}) over type {tname!r} is "
+                "not supported (year/month/day take date or timestamp; "
+                "hour takes timestamp)"
+            )
+    return part
+
+
+def spec_field_name(tr: str, c: str) -> str:
+    """Avro-safe spec field names matching Iceberg's own conventions."""
+    if tr == "identity":
+        return c
+    if tr.startswith("bucket["):
+        return f"{c}_bucket"
+    if tr.startswith("truncate["):
+        return f"{c}_trunc"
+    return f"{c}_{tr}"
+
+
 def _pv_from_dir(raw: str | None, dt: T.DataType) -> Any:
     """A hive directory value (already %XX-unescaped) back to the typed
     partition value the manifest stores."""
@@ -1135,69 +1213,8 @@ def write_iceberg_table(
     if meta_dir.exists() and any(meta_dir.iterdir()):
         raise IcebergFormatError(
             f"an Iceberg table already exists at {path}")
-    # each partition_by entry is a column name (identity), a date-family
-    # transform spelling — `YEAR(col)` / `months(col)` / … — the
-    # reference's own spec (PARTITIONED BY (YEAR(fecha_ingreso)),
-    # 03.iceberg_primer.py:124), or the Spark SQL bucket/truncate
-    # spellings `bucket(16, col)` / `truncate(4, col)`. Parsed to
-    # (spec transform string, source col).
-    import re as _re
-
-    from lakehouses_spark.tables.iceberg_transforms import (
-        bucket_col,
-        truncate_col,
-    )
-
-    part: list[tuple[str, str]] = []
-    for ent in partition_by or []:
-        m = _re.fullmatch(
-            r"(years?|months?|days?|hours?)\s*\(\s*(\w+)\s*\)",
-            ent.strip(), _re.IGNORECASE)
-        bm = _re.fullmatch(
-            r"(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)",
-            ent.strip(), _re.IGNORECASE)
-        if m:
-            part.append((m.group(1).lower().rstrip("s"), m.group(2)))
-        elif bm:
-            part.append((f"{bm.group(1).lower()}[{int(bm.group(2))}]",
-                         bm.group(3)))
-        else:
-            part.append(("identity", ent.strip()))
-    missing = [c for _, c in part if c not in df.columns]
-    if missing:
-        raise ValueError(f"partition_by columns {missing} not in DataFrame")
-    for tr, c in part:
-        tname = df.schema[c].dataType.typeName()
-        if tr == "identity":
-            if tname not in _PV_AVRO:
-                raise IcebergFormatError(
-                    f"partition column {c!r} has type {tname!r}, not "
-                    "supported as an identity partition source"
-                )
-        elif tr.startswith("bucket["):
-            n = int(tr[7:-1])
-            if n <= 0 or bucket_col(
-                    F.col(c), df.schema[c].dataType, n) is None:
-                raise IcebergFormatError(
-                    f"partition transform bucket({n}, {c}) over type "
-                    f"{tname!r} is not supported (int/long/date/"
-                    "timestamp/string/binary sources, N > 0)"
-                )
-        elif tr.startswith("truncate["):
-            w = int(tr[9:-1])
-            if w <= 0 or truncate_col(
-                    F.col(c), df.schema[c].dataType, w) is None:
-                raise IcebergFormatError(
-                    f"partition transform truncate({w}, {c}) over type "
-                    f"{tname!r} is not supported (int/long/string "
-                    "sources, W > 0)"
-                )
-        elif _transform_col(tr, F.col(c), df.schema[c].dataType) is None:
-            raise IcebergFormatError(
-                f"partition transform {tr}({c}) over type {tname!r} is "
-                "not supported (year/month/day take date or timestamp; "
-                "hour takes timestamp)"
-            )
+    part = parse_partition_by(
+        partition_by, {c: df.schema[c].dataType for c in df.columns})
     meta_dir.mkdir(parents=True, exist_ok=True)
     location = str(path.resolve())
     path_ids: dict[str, int] = {}
@@ -1211,13 +1228,7 @@ def write_iceberg_table(
     ice_schema = {"schema-id": 0, **ice_struct}
     top_id = {f["name"]: f["id"] for f in ice_schema["fields"]}
     spec_fields = [
-        # Avro-safe field names matching Iceberg's own conventions:
-        # identity keeps the column name, bucket[N] -> col_bucket,
-        # truncate[W] -> col_trunc, date family -> col_year etc.
-        {"name": c if tr == "identity"
-         else f"{c}_bucket" if tr.startswith("bucket[")
-         else f"{c}_trunc" if tr.startswith("truncate[")
-         else f"{c}_{tr}",
+        {"name": spec_field_name(tr, c),
          "transform": tr, "source-id": top_id[c], "field-id": 1000 + i}
         for i, (tr, c) in enumerate(part)
     ]
@@ -1373,16 +1384,17 @@ class IcebergMetadataReader:
             jobs = {
                 str(self._local(m["manifest_path"])):
                     (int(m.get("content", 0) or 0),
-                     int(m.get("sequence_number") or 0))
+                     int(m.get("sequence_number") or 0),
+                     int(m.get("partition_spec_id", 0) or 0))
                 for m in ml_rows
             }
             decoded = self._decode_manifests_distributed(jobs)
             if decoded is not None:
                 return (
-                    [self._inherit_seq(r, s)
-                     for (c, s), r in decoded if c != 1],
-                    [self._inherit_seq(r, s)
-                     for (c, s), r in decoded if c == 1],
+                    [{**self._inherit_seq(r, s), "__spec_id": sid}
+                     for (c, s, sid), r in decoded if c != 1],
+                    [{**self._inherit_seq(r, s), "__spec_id": sid}
+                     for (c, s, sid), r in decoded if c == 1],
                 )
             # else: by-value shipping unavailable — sequential fallback
         data_entries: list[dict] = []
@@ -1390,7 +1402,12 @@ class IcebergMetadataReader:
         for m in ml_rows:
             _, rows = read_ocf_bytes(self._local(m["manifest_path"]).read_bytes())
             ml_seq = int(m.get("sequence_number") or 0)
-            rows = [self._inherit_seq(r, ml_seq) for r in rows]
+            sid = int(m.get("partition_spec_id", 0) or 0)
+            # the entry remembers its manifest's partition spec so a
+            # relisting commit can keep it under a SAME-SPEC manifest
+            # (a manifest has exactly one spec; mixing breaks readers)
+            rows = [{**self._inherit_seq(r, ml_seq), "__spec_id": sid}
+                    for r in rows]
             (delete_entries if m.get("content", 0) == 1 else data_entries).extend(rows)
         return data_entries, delete_entries
 
@@ -1966,6 +1983,7 @@ class IcebergMetadataReader:
                 "sequence_number": e.get("sequence_number"),
                 "file_sequence_number": e.get("file_sequence_number"),
                 "data_file": e["data_file"],
+                "__spec_id": e.get("__spec_id"),
             })
         self._commit_snapshot(
             entries, ice, new_id, seq,
@@ -2146,6 +2164,60 @@ class IcebergMetadataReader:
             })
         return entries
 
+    def _spec_record_ctx(self, spec_id: int) -> dict | None:
+        """A RELISTING partition-record context for ``spec_id`` — the
+        typed field layout a manifest of that spec declares (pname /
+        field-id / Avro value type / spec JSON), WITHOUT the write-side
+        transform evaluation `_partition_ctx` builds. Used when a
+        commit must relist EXISTING entries whose manifests were
+        written under an OLDER spec: a manifest has exactly ONE spec,
+        so those entries keep their own (multi-spec tables — partition
+        evolution). None when the spec is unpartitioned; unknown
+        transforms refuse loudly (their value TYPE is unknowable)."""
+        spec = next(
+            (s for s in (self.meta.get("partition-specs") or [])
+             if s.get("spec-id") == spec_id), None)
+        fields = (spec or {}).get("fields") or []
+        if not fields:
+            return None
+        from lakehouses_spark.tables.iceberg_transforms import (
+            parse_spec_transform,
+        )
+
+        ice = next(s for s in self.meta["schemas"]
+                   if s["schema-id"] == self.meta["current-schema-id"])
+        by_id = {f["id"]: f for f in ice["fields"]}
+        out = []
+        for pf in fields:
+            tr = (pf.get("transform") or "").lower()
+            bt = parse_spec_transform(tr)
+            src = by_id.get(pf.get("source-id"))
+            if tr == "identity" or (bt and bt[0] == "truncate"):
+                if src is None or isinstance(src.get("type"), dict):
+                    raise IcebergFormatError(
+                        f"partition field {pf.get('name')!r} of spec "
+                        f"{spec_id} has no resolvable primitive source"
+                    )
+                dt = _iceberg_type_to_spark(src["type"])
+                avro_t = _PV_AVRO.get(dt.typeName())
+            elif tr in _DATE_TRANSFORMS or (bt and bt[0] == "bucket"):
+                avro_t = "int"
+            else:
+                raise IcebergFormatError(
+                    f"cannot relist entries of spec {spec_id}: unknown "
+                    f"transform {pf.get('transform')!r}"
+                )
+            if avro_t is None:
+                raise IcebergFormatError(
+                    f"cannot relist entries of spec {spec_id}: value "
+                    f"type of {pf.get('name')!r} is not encodable"
+                )
+            out.append({"pname": pf["name"],
+                        "field_id": pf.get("field-id", 1000),
+                        "avro": avro_t})
+        return {"spec_id": spec_id, "fields": out,
+                "spec_json": json.dumps(fields)}
+
     def _commit_snapshot(self, entries: list[dict], ice: dict,
                          new_id: int, seq: int, operation: str,
                          summary: dict,
@@ -2157,20 +2229,44 @@ class IcebergMetadataReader:
         manifests that must keep applying), and the next metadata.json
         with the snapshot appended and main ref advanced. ``pctx``
         threads the identity partition-write context so partitioned
-        tables commit typed partition records under the declared spec."""
+        tables commit typed partition records under the declared spec.
+
+        Multi-spec tables (partition evolution): entries tagged with a
+        DIFFERENT ``__spec_id`` than the current spec relist in their
+        own per-spec manifests — a manifest has exactly one partition
+        spec, and mixing tuple layouts corrupts real readers."""
         import time as _time
 
         location = self.meta["location"].rstrip("/")
         now_ms = int(_time.time() * 1000)
-        m = _write_manifest(self.meta_dir, entries, json.dumps(ice),
+        cur_spec = (pctx or {}).get(
+            "spec_id", self.meta.get("default-spec-id", 0))
+        by_spec: dict[int, list[dict]] = {}
+        main_entries: list[dict] = []
+        for e in entries:
+            sid = e.get("__spec_id", cur_spec)
+            e = {k: v for k, v in e.items() if k != "__spec_id"}
+            if e.get("status") == 1 or sid == cur_spec:
+                main_entries.append(e)  # fresh files use the current spec
+            else:
+                by_spec.setdefault(sid, []).append(e)
+        m = _write_manifest(self.meta_dir, main_entries, json.dumps(ice),
                             new_id, seq, pctx=pctx)
         ml_rows = [m["ml_row"]]
+        for sid in sorted(by_spec):
+            mo = _write_manifest(
+                self.meta_dir, by_spec[sid], json.dumps(ice),
+                new_id, seq, pctx=self._spec_record_ctx(sid))
+            ml_rows.append(mo["ml_row"])
         if delete_entries:
             # merge-on-read DML: the new row-level delete files commit in
             # their own DELETE manifest (manifest-list content=1)
-            dm = _write_manifest(self.meta_dir, delete_entries,
-                                 json.dumps(ice), new_id, seq, pctx=pctx,
-                                 content=1)
+            dm = _write_manifest(
+                self.meta_dir,
+                [{k: v for k, v in e.items() if k != "__spec_id"}
+                 for e in delete_entries],
+                json.dumps(ice), new_id, seq, pctx=pctx,
+                content=1)
             ml_rows.append(dm["ml_row"])
         for r in carried_ml_rows or []:
             # normalize to our manifest-list schema (foreign rows may
@@ -2398,6 +2494,7 @@ class IcebergMetadataReader:
             "sequence_number": e.get("sequence_number"),
             "file_sequence_number": e.get("file_sequence_number"),
             "data_file": e["data_file"],
+            "__spec_id": e.get("__spec_id"),
         } for e in live]
         snap = self._snapshot()
         carried = []
@@ -2542,6 +2639,7 @@ class IcebergMetadataReader:
             "sequence_number": e.get("sequence_number"),
             "file_sequence_number": e.get("file_sequence_number"),
             "data_file": e["data_file"],
+            "__spec_id": e.get("__spec_id"),
         } for e in live]
         snap = self._snapshot()
         carried = []
@@ -2648,6 +2746,7 @@ class IcebergMetadataReader:
                 "sequence_number": e.get("sequence_number"),
                 "file_sequence_number": e.get("file_sequence_number"),
                 "data_file": e["data_file"],
+                "__spec_id": e.get("__spec_id"),
             })
         snap = self._snapshot()
         carried = []
@@ -2767,6 +2866,7 @@ class IcebergMetadataReader:
                 "sequence_number": e.get("sequence_number"),
                 "file_sequence_number": e.get("file_sequence_number"),
                 "data_file": e["data_file"],
+                "__spec_id": e.get("__spec_id"),
             })
         snap = self._snapshot()
         carried = []
@@ -2869,6 +2969,7 @@ class IcebergMetadataReader:
                 "sequence_number": e.get("sequence_number"),
                 "file_sequence_number": e.get("file_sequence_number"),
                 "data_file": e["data_file"],
+                "__spec_id": e.get("__spec_id"),
             })
         # delete manifests carry over like the COW DML: position deletes
         # bind old paths (inert once those files are DELETED), equality
@@ -2894,6 +2995,59 @@ class IcebergMetadataReader:
         )
         return {"snapshot_id": new_id, "added_files": n_added,
                 "deleted_files": n_deleted}
+
+    def update_spec(self, partition_by: list[str] | None) -> dict:
+        """PARTITION EVOLUTION (spec "Partition Evolution" / Spark's
+        `ALTER TABLE ... ADD/REPLACE PARTITION FIELD`): REPLACE the
+        default partition spec with one built from the CTAS spellings
+        (identity / YEAR(col) / bucket(16, col) / truncate(4, col));
+        None or [] evolves to unpartitioned. METADATA-ONLY — no data
+        moves: existing files keep their spec (their manifests already
+        declare it), new writes group under the new one, and every
+        commit relists old-spec entries in per-spec manifests (a
+        manifest has exactly one spec). Field-ids continue from
+        last-partition-id; a field keeping the same (source, transform)
+        keeps its id, so its stored tuples stay addressable."""
+        logical = self.schema()
+        dtype_of = {f.name: f.dataType for f in logical.fields}
+        part = parse_partition_by(partition_by, dtype_of)
+        meta = json.loads(json.dumps(self.meta))  # deep copy
+        specs = list(meta.get("partition-specs") or
+                     [{"spec-id": 0, "fields": []}])
+        ice = next(s for s in meta["schemas"]
+                   if s["schema-id"] == meta["current-schema-id"])
+        top_id = {f["name"]: f["id"] for f in ice["fields"]}
+        # reuse field-ids for (source, transform) pairs any existing
+        # spec already names; mint fresh ones past last-partition-id
+        known: dict[tuple[int, str], int] = {}
+        last_pid = int(meta.get("last-partition-id", 999))
+        for s in specs:
+            for f in s.get("fields") or []:
+                known[(f["source-id"], f["transform"])] = f["field-id"]
+                last_pid = max(last_pid, int(f.get("field-id", 0)))
+        fields = []
+        for tr, c in part:
+            key = (top_id[c], tr)
+            if key in known:
+                fid = known[key]
+            else:
+                last_pid += 1
+                fid = last_pid
+            fields.append({"name": spec_field_name(tr, c),
+                           "transform": tr, "source-id": top_id[c],
+                           "field-id": fid})
+        cur = next(s for s in specs
+                   if s["spec-id"] == meta.get("default-spec-id", 0))
+        if cur.get("fields") == fields:
+            return {"spec_id": cur["spec-id"], "changed": False}
+        new_sid = max(s["spec-id"] for s in specs) + 1
+        specs.append({"spec-id": new_sid, "fields": fields})
+        meta["partition-specs"] = specs
+        meta["default-spec-id"] = new_sid
+        meta["last-partition-id"] = last_pid
+        new_v = self._commit_metadata(meta)
+        return {"spec_id": new_sid, "changed": True,
+                "metadata_version": new_v}
 
     def set_properties(self, props: dict[str, str | None]) -> dict:
         """ALTER TABLE SET TBLPROPERTIES on an external Iceberg table: a
@@ -3055,6 +3209,7 @@ class IcebergMetadataReader:
                 "sequence_number": e.get("sequence_number"),
                 "file_sequence_number": e.get("file_sequence_number"),
                 "data_file": e["data_file"],
+                "__spec_id": e.get("__spec_id"),
             })
         snap = self._snapshot()
         carried = []
@@ -3630,6 +3785,7 @@ class IcebergMetadataReader:
                 "sequence_number": e.get("sequence_number"),
                 "file_sequence_number": e.get("file_sequence_number"),
                 "data_file": e["data_file"],
+                "__spec_id": e.get("__spec_id"),
             })
         # live delete manifests carry over: their position deletes
         # target only paths (rewritten files' paths are gone — inert) and
@@ -3697,6 +3853,7 @@ class IcebergMetadataReader:
                 "sequence_number": e.get("sequence_number"),
                 "file_sequence_number": e.get("file_sequence_number"),
                 "data_file": e["data_file"],
+                "__spec_id": e.get("__spec_id"),
             }
             for e in live
         ]

@@ -31,6 +31,7 @@ reference's %sql cells batch statements, e.g. 03.iceberg_primer.py:67-70):
     INSERT INTO fmt.`/p` [REPLACE WHERE p] SELECT…|VALUES…  (replaceWhere / append)
     ALTER TABLE fmt.`/p` SET|UNSET TBLPROPERTIES (...)      (metadata-only, r12)
     ALTER TABLE delta.`/p` ADD CONSTRAINT n CHECK (...) / DROP CONSTRAINT n
+    ALTER TABLE iceberg.`/p` ADD|DROP PARTITION FIELD <spelling>  (evolution)
     VACUUM delta.`/p` [RETAIN n HOURS]                      (external vacuum, r11)
     OPTIMIZE delta.`/p` [ZORDER BY (...)] / OPTIMIZE iceberg.`/p`
     DESCRIBE HISTORY delta.`/p`|iceberg.`/p`
@@ -329,6 +330,25 @@ class LakeSQL:
             if m2 and m.group(1).lower() == "delta":
                 r.drop_constraint(m2.group(1))
                 return self._result(ok=1)
+            # Iceberg partition evolution (Spark-Iceberg's SQL
+            # extensions): ADD/DROP PARTITION FIELD <spelling>
+            m2 = _m(rf"(ADD|DROP){_WS}PARTITION{_WS}FIELD{_WS}(.+)$",
+                    rest)
+            if m2 and m.group(1).lower() == "iceberg":
+                cur = self._spec_spellings(r)
+                ent = m2.group(2).strip()
+                if m2.group(1).upper() == "ADD":
+                    res = r.update_spec(cur + [ent])
+                else:
+                    canon = ent.replace(" ", "").lower()
+                    kept = [s for s in cur
+                            if s.replace(" ", "").lower() != canon]
+                    if len(kept) == len(cur):
+                        raise LakeSQLError(
+                            f"partition field {ent!r} not in the "
+                            f"current spec {cur}")
+                    res = r.update_spec(kept)
+                return self._result(ok=1, spec_id=res["spec_id"])
             raise LakeSQLError(
                 f"unsupported path-target ALTER clause: {rest[:60]}")
         m = _m(rf"ALTER{_WS}TABLE{_WS}({_ID}){_WS}(.+)$", s)
@@ -445,6 +465,30 @@ class LakeSQL:
         df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
         t.append(df)
         return self._result(rows_affected=df.count())
+
+    @staticmethod
+    def _spec_spellings(r) -> list[str]:
+        """The current default Iceberg spec as CTAS spellings (the
+        inverse of parse_partition_by) — so ADD/DROP PARTITION FIELD
+        can edit it field-by-field."""
+        meta = r.meta
+        spec = next(s for s in meta["partition-specs"]
+                    if s["spec-id"] == meta.get("default-spec-id", 0))
+        ice = next(s for s in meta["schemas"]
+                   if s["schema-id"] == meta["current-schema-id"])
+        name_of = {f["id"]: f["name"] for f in ice["fields"]}
+        out = []
+        for f in spec.get("fields") or []:
+            tr, col = f["transform"], name_of[f["source-id"]]
+            if tr == "identity":
+                out.append(col)
+            elif tr.startswith("bucket["):
+                out.append(f"bucket({tr[7:-1]}, {col})")
+            elif tr.startswith("truncate["):
+                out.append(f"truncate({tr[9:-1]}, {col})")
+            else:
+                out.append(f"{tr}({col})")
+        return out
 
     def _path_reader(self, fmt: str, p: str):
         """External reader for a format-qualified path target — the
