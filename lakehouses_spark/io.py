@@ -101,6 +101,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def explode_nonempty(df: DataFrame, arr, alias: str, *keep) -> DataFrame:
+    """``df.select(*keep, F.explode(arr).alias(alias))`` minus the duplicated
+    evaluation of ``arr`` (r12, guide §4.4's duplicate-eval hazard with
+    built-ins): for a plain ``explode`` over a COMPUTED array, Catalyst's
+    ``InferFiltersFromGenerate`` adds ``size(arr) > 0`` and pushes it below
+    the projection, substituting the alias — so the full array expression
+    (e.g. the 32-hash MinHash signature, a per-doc n-gram transform) is
+    evaluated TWICE per row, once in the Filter and once in the Project
+    (measured: the minhash banding stage dropped ~25% when the filter went).
+
+    ``explode_outer`` is exempt from the rule. For an array that is never
+    empty the two differ only in the NULL row an outer explode emits for an
+    empty/null array; the ``isNotNull`` filter on the GENERATED column
+    removes exactly those rows, so the composition equals plain ``explode``
+    whenever the array's ELEMENTS are non-null (every call site explodes
+    arrays of hashes / concat_ws strings / struct pairs, which are never
+    null — a null element would be dropped here where explode would keep it,
+    so don't use this on arrays with nullable elements)."""
+    from pyspark.sql import functions as _F
+
+    return df.select(*keep, _F.explode_outer(arr).alias(alias)).where(
+        _F.col(alias).isNotNull()
+    )
+
+
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Round-robin repartition before CPU-heavy per-row work.
 

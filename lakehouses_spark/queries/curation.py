@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakehouses_spark.io import load_table, spread
+from lakehouses_spark.io import explode_nonempty, load_table, spread
 from lakehouses_spark.registry import query
 
 BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 => held-out "benchmark" split
@@ -99,7 +99,9 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams would be pre-hashed to 8-byte keys before the probe (same plan,
     smaller rows)."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    grams = _with_words(d).select("doc_id", F.explode(_word_ngrams()).alias("g"))
+    # explode_nonempty (r12): plain explode duplicates the n-gram array
+    # build inside the inferred size>0 filter; gram strings are never null.
+    grams = explode_nonempty(_with_words(d), _word_ngrams(), "g", "doc_id")
     bench = (
         grams.where(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
     )
@@ -244,7 +246,9 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract. Ties at the K boundary break on the gram string, so the top
     set is deterministic and engine-independent."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    grams = _with_words(d).select("doc_id", F.explode(_word_ngrams()).alias("g"))
+    # explode_nonempty (r12): plain explode duplicates the n-gram array
+    # build inside the inferred size>0 filter; gram strings are never null.
+    grams = explode_nonempty(_with_words(d), _word_ngrams(), "g", "doc_id")
     top = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -299,7 +303,13 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, first cut the count table to top-K by frequency (TakeOrdered,
     like text_boilerplate_ngrams) so the broadcast stays bounded."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    # explode_nonempty (r12): avoids the inferred size>0 filter re-running
+    # split() per row (guide §4.4 duplicate-eval; measured ~9% on this
+    # query). A dc-rewrite (groupBy(doc_id, w) first so the corpus is
+    # tokenized once) was measured SLOWER at bench scale — the extra
+    # (doc_id, w)-keyed exchange costs more than the second tokenize — and
+    # was rejected; see OPTIMIZATION_r12.md.
+    toks = explode_nonempty(d, F.split("text", " "), "w", "doc_id")
     counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").alias("n"))
     logp = counts.crossJoin(F.broadcast(total)).select(

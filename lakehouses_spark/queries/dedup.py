@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-from lakehouses_spark.io import load_table, spread
+from lakehouses_spark.io import explode_nonempty, load_table, spread
 from lakehouses_spark.registry import query
 
 # --- shared shingle expression (3-word shingles over whitespace tokens) -----
@@ -572,10 +572,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle_sets = hashed_shingle_sets(d).localCheckpoint()
     # signature + banding via the shared minhash_buckets helper (zero-shuffle
     # per-row map; see its docstring) — identical hash values to the inline
-    # formulation it replaced.
-    banded = minhash_buckets(shingle_sets).select(
-        "doc_id", F.explode("buckets").alias("bucket")
-    )
+    # formulation it replaced. explode_nonempty (r12): a plain explode here
+    # makes InferFiltersFromGenerate evaluate the full 32-hash signature
+    # TWICE per row (once in the inferred size>0 filter, once in the
+    # projection); buckets always has LSH_BANDS non-null elements.
+    banded = explode_nonempty(minhash_buckets(shingle_sets), "buckets", "bucket", "doc_id")
     # single-pass pair generation: bucket members → sorted id array → all
     # (i<j) pairs via nested transform. Avoids the banded-self-join, which
     # would execute the whole signature lineage twice. Buckets are tiny by

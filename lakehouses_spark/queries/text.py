@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F
 
-from lakehouses_spark.io import load_table, spread
+from lakehouses_spark.io import explode_nonempty, load_table, spread
 from lakehouses_spark.registry import query
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -253,9 +253,11 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size(w) - 2),
         lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
     )
+    # explode_nonempty (r12): plain explode makes InferFiltersFromGenerate
+    # rebuild the whole bigram array a second time per row inside the
+    # inferred size>0 filter; concat_ws elements are never null.
     return (
-        d.select(_words().alias("__w"))
-        .select(F.explode(bigrams).alias("bigram"))
+        explode_nonempty(d.select(_words().alias("__w")), bigrams, "bigram")
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
@@ -423,9 +425,9 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = spread(load_table(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
-    )
+    # explode_nonempty (r12): avoids the inferred size>0 filter re-running
+    # split() per row; split elements are never null.
+    toks = explode_nonempty(d, F.split("text", " "), "term", "doc_id", "lang")
     n_docs = d.count()
     df_tbl = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     tf_tbl = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
