@@ -177,8 +177,15 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load_table(spark, sf_dir, "documents"))
     sets = hashed_shingle_sets(d).localCheckpoint()
+    # r12: candidate generation now passes jaccard_prefix=0.3 like
+    # dedup_ngram_jaccard (this was the one threshold caller still on the
+    # unfiltered inverted-index self-join): the PPJoin prefix+length+
+    # positional set is recall-exact for the 0.3 threshold and exact
+    # verification gates every pair, so the edge set is unchanged while the
+    # candidate join prunes ~t of all postings before the pair shuffle.
+    cand = ngram_candidate_pairs(sets, jaccard_prefix=0.3).localCheckpoint()
     edges = (
-        verify_jaccard(ngram_candidate_pairs(sets), sets, threshold=0.3)
+        verify_jaccard(cand, sets, threshold=0.3)
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )

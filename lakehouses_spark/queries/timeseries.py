@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakehouses_spark.io import load_table
+from lakehouses_spark.io import explode_nonempty, load_table
 from lakehouses_spark.registry import query
 
 
@@ -263,7 +263,9 @@ def ts_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bucketed(df: DataFrame, prefix: str) -> DataFrame:
         lo = F.floor(F.col(f"{prefix}_start").cast("long") / OVERLAP_BUCKET_S)
         hi = F.floor(F.col(f"{prefix}_end").cast("long") / OVERLAP_BUCKET_S)
-        return df.withColumn("bucket", F.explode(F.sequence(lo, hi)))
+        # explode_nonempty (r12): plain explode re-builds the sequence array
+        # in the inferred size>0 filter; lo <= hi so it is never empty.
+        return explode_nonempty(df, F.sequence(lo, hi), "bucket", *df.columns)
 
     p = bucketed(intervals("purchase", OVERLAP_P_MIN, "p"), "p")
     c = bucketed(intervals("click", OVERLAP_C_MIN, "c"), "c")
@@ -511,14 +513,11 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(F.round(F.avg("value"), 4).alias("avg_value"))
-    grid = (
+    grid = explode_nonempty(
         daily.groupBy("user_id")
-        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-        .select(
-            "user_id",
-            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
-        )
-    )
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1")),
+        F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY")), "day", "user_id",
+    )  # explode_nonempty (r12): no duplicated sequence build; d0 <= d1
     w = (
         Window.partitionBy("user_id")
         .orderBy("day")
@@ -834,16 +833,11 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "bucket", epoch.alias("t_obs"), "value")
     )
-    grid = (
+    grid = explode_nonempty(
         bucketed.groupBy("user_id")
-        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
-        .select(
-            "user_id",
-            F.explode(F.sequence("b0", "b1", F.expr("INTERVAL 6 HOURS"))).alias(
-                "bucket"
-            ),
-        )
-    )
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1")),
+        F.sequence("b0", "b1", F.expr("INTERVAL 6 HOURS")), "bucket", "user_id",
+    )  # explode_nonempty (r12): no duplicated sequence build; b0 <= b1
     wb = (
         Window.partitionBy("user_id")
         .orderBy("bucket")
