@@ -919,7 +919,9 @@ def lake_rewrite_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert not r2.position_delete_files()
         assert r2.plan_files(filters=[("c_custkey", ">", 10_000_000)]) == []
         assert r2.meta["refs"]["main"]["snapshot-id"] == res["snapshot_id"]
-        assert r2.to_df(snapshot_id=pre_head).count() > 0
+        # existence check, not a cardinality check — limit(1) short-circuits
+        # the time-travel scan instead of counting every pre-rewrite row (r12)
+        assert r2.to_df(snapshot_id=pre_head).limit(1).count() > 0
         out = (
             r2.to_df()
             .groupBy("c_mktsegment")

@@ -632,21 +632,24 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        )
+        # the change flag rides INSIDE the checkpointed frame (r12): the
+        # fixpoint test was a separate join of the two checkpointed label
+        # tables per iteration; comparing old vs new label in the same
+        # projection makes it a limit-1 scan of the checkpoint instead.
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("__chg"),
             )
             .localCheckpoint()  # cut lineage: iterative plans otherwise explode
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .where(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
-        labels = updated
+        changed = updated.where("__chg").limit(1).count()
+        labels = updated.select("id", "label")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
