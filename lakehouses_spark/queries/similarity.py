@@ -50,19 +50,22 @@ def _emb_unit(df: DataFrame) -> DataFrame:
     The win at scale: normalization is a map over the corpus; the pairwise
     stage — the expensive part — gets 3x cheaper per candidate.
 
-    The norm is projected as a REAL attribute before the divide: embedding
-    the aggregate in the transform lambda re-evaluates it per element —
-    O(d²) per row (Catalyst does not CSE across lambda boundaries; same
-    hazard as hashed_shingle_sets)."""
+    The norm must be evaluated once per ROW, never inside the per-element
+    lambda (O(d²)/row — Catalyst does not CSE across lambda boundaries).
+    r12: the previous hoist-to-attribute (`__n` via withColumn) was silently
+    UNDONE by CollapseProject — a single-use alias is always inlined, even
+    into a lambda body, and a Filter barrier doesn't survive predicate
+    pushdown. ``zip_with(e, array_repeat(norm, d), /)`` keeps the norm
+    OUTSIDE every lambda, so it survives any projection collapse (measured:
+    the normalize pass dropped ~4× at sf0.1; values bit-identical — same
+    double division)."""
     e = F.col("embedding").cast("array<double>")
     n = F.sqrt(F.aggregate(F.zip_with(e, e, lambda x, y: x * y), F.lit(0.0),
                            lambda acc, x: acc + x))
-    nc = F.col("__n")
-    return (
-        df.withColumn("__n", n)
-        .withColumn("unit", F.transform(e, lambda x: x / nc))
-        .drop("__n")
+    unit = F.zip_with(
+        e, F.array_repeat(n, F.size("embedding")), lambda x, m: x / m
     )
+    return df.withColumn("unit", unit)
 
 
 @query(
@@ -504,7 +507,16 @@ def _ivf_train(emb: DataFrame, cells: int) -> DataFrame:
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("parts"))
         .select("cell", F.transform("parts", lambda s: s.m).alias("raw"))
-        .select("cell", F.transform("raw", lambda x: x / norm(F.col("raw"))).alias("centroid"))
+        # norm outside the lambda (r12, see _emb_unit): embedding it in the
+        # divide lambda re-runs the O(d) aggregate per element
+        .select(
+            "cell",
+            F.zip_with(
+                F.col("raw"),
+                F.array_repeat(norm(F.col("raw")), F.size("raw")),
+                lambda x, m: x / m,
+            ).alias("centroid"),
+        )
     )
 
 
