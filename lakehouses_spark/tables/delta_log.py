@@ -3061,13 +3061,19 @@ class DeltaLogReader:
         if not snap.files:
             return plan
         pred = F.expr(predicate)
-        affected = self._plan_affected(snap, pred, predicate)
-        if dry_run or not affected:
+        # ONE data pass (r12): the planning scan (_plan_affected's exact
+        # half) and the position scan used to be two reads of the candidate
+        # files; the position scan alone determines both the affected set
+        # and the bitmaps, so plan only the partition-prune half and scan
+        # once. Files with no matching rows drop out via the n_new tag.
+        cand, _exact = self._plan_candidates(snap, pred, predicate)
+        if cand is not None and not cand:
             return plan
         rel_of = {str((self.path / p).resolve()): p for p in snap.files}
-        sub = self.to_df(_with_path=True, _with_pos=True,
-                         _paths=set(affected))
-        matched = sub.where(pred)
+        sub = self.to_df(_with_path=True, _with_pos=True, _paths=cand)
+        matched = sub.where(pred)  # analysis validates the predicate
+        if dry_run:
+            return plan
         cdf_on = conf.get("delta.enableChangeDataFeed") == "true"
         if cdf_on:
             matched = matched.localCheckpoint()  # one scan feeds both
@@ -3080,28 +3086,41 @@ class DeltaLogReader:
                 "fp": [pdf["__lh_fp"].iloc[0]],
                 "payload": [dvmod.encode_dv_payload(idxs)],
                 "card": [len(idxs)],
+                "n_new": [int(pdf["__new"].sum())],
             })
 
         # union the files' EXISTING deleted ordinals (a DV descriptor
-        # REPLACES the old one, so the new bitmap must cover both)
+        # REPLACES the old one, so the new bitmap must cover both). Old
+        # ordinals ride for every CANDIDATE file with a DV — to_df decoded
+        # those descriptors for the scan anyway — tagged __new=False so a
+        # file whose group holds only old ordinals (no matching row) is
+        # dropped instead of pointlessly re-committed.
+        cand_files = sorted(rel_of) if cand is None else sorted(
+            cand & set(rel_of))
         old_rows = [
             (ap, idx)
-            for ap in sorted(affected)
+            for ap in cand_files
             for idx in (
                 dvmod.read_descriptor(
                     snap.files[rel_of[ap]]["deletionVector"], self.path)
                 if snap.files[rel_of[ap]].get("deletionVector") else ()
             )
         ]
-        pos = matched.select("__lh_fp", "__lh_pos")
+        pos = matched.select(
+            "__lh_fp", "__lh_pos", F.lit(True).alias("__new"))
         if old_rows:
             pos = pos.unionByName(self.spark.createDataFrame(
-                old_rows, "__lh_fp string, __lh_pos bigint"))
+                old_rows, "__lh_fp string, __lh_pos bigint"
+            ).withColumn("__new", F.lit(False)))
         encoded = {
             r["fp"]: (bytes(r["payload"]), int(r["card"]))
             for r in pos.groupBy("__lh_fp").applyInPandas(
-                encode, "fp string, payload binary, card long").collect()
+                encode,
+                "fp string, payload binary, card long, n_new long").collect()
+            if r["n_new"] > 0
         }
+        if not encoded:
+            return plan
         ts = int(_time.time() * 1000)
         actions: list[dict] = [{
             "commitInfo": {
@@ -3224,13 +3243,19 @@ class DeltaLogReader:
         if not snap.files:
             return plan
         pred = F.expr(predicate)
-        affected = self._plan_affected(snap, pred, predicate)
-        if dry_run or not affected:
+        # ONE data pass (r12, same restructure as _dv_delete): plan only
+        # the partition-prune half, scan the candidates once — the
+        # checkpointed match set feeds the bitmaps AND the SET-applied
+        # images; files with no matching rows drop out via the n_new tag.
+        cand, _exact = self._plan_candidates(snap, pred, predicate)
+        if cand is not None and not cand:
             return plan
         rel_of = {str((self.path / p).resolve()): p for p in snap.files}
-        sub = self.to_df(_with_path=True, _with_pos=True,
-                         _paths=set(affected))
-        matched = sub.where(pred).localCheckpoint()
+        sub = self.to_df(_with_path=True, _with_pos=True, _paths=cand)
+        matched = sub.where(pred)  # analysis validates the predicate
+        if dry_run:
+            return plan
+        matched = matched.localCheckpoint()
 
         def encode(pdf):
             import pandas as pd
@@ -3240,26 +3265,35 @@ class DeltaLogReader:
                 "fp": [pdf["__lh_fp"].iloc[0]],
                 "payload": [dvmod.encode_dv_payload(idxs)],
                 "card": [len(idxs)],
+                "n_new": [int(pdf["__new"].sum())],
             })
 
+        cand_files = sorted(rel_of) if cand is None else sorted(
+            cand & set(rel_of))
         old_rows = [
             (ap, idx)
-            for ap in sorted(affected)
+            for ap in cand_files
             for idx in (
                 dvmod.read_descriptor(
                     snap.files[rel_of[ap]]["deletionVector"], self.path)
                 if snap.files[rel_of[ap]].get("deletionVector") else ()
             )
         ]
-        pos = matched.select("__lh_fp", "__lh_pos")
+        pos = matched.select(
+            "__lh_fp", "__lh_pos", F.lit(True).alias("__new"))
         if old_rows:
             pos = pos.unionByName(self.spark.createDataFrame(
-                old_rows, "__lh_fp string, __lh_pos bigint"))
+                old_rows, "__lh_fp string, __lh_pos bigint"
+            ).withColumn("__new", F.lit(False)))
         encoded = {
             r["fp"]: (bytes(r["payload"]), int(r["card"]))
             for r in pos.groupBy("__lh_fp").applyInPandas(
-                encode, "fp string, payload binary, card long").collect()
+                encode,
+                "fp string, payload binary, card long, n_new long").collect()
+            if r["n_new"] > 0
         }
+        if not encoded:
+            return plan
         # the SET-applied images, checked like every row-writing verb
         new_rows = matched.select(*[
             F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
@@ -3506,6 +3540,26 @@ class DeltaLogReader:
         superset — then runs the exact scan over the candidates only.
         Only a predicate with no evaluable conjunct falls back to the
         full one-pass scan keyed by `_metadata.file_path`."""
+        cand, exact = self._plan_candidates(snap, pred, predicate_sql)
+        if exact:
+            return sorted(cand)
+        if cand is not None and not cand:
+            return []
+        df = self.to_df(_with_path=True, _paths=cand)
+        return [
+            r["__lh_fp"] for r in
+            df.where(pred).select("__lh_fp").distinct().collect()
+        ]
+
+    def _plan_candidates(
+        self, snap: "DeltaSnapshot", pred: Column,
+        predicate_sql: str | None = None,
+    ) -> tuple[set[str] | None, bool]:
+        """Partition-pruning half of `_plan_affected` (r12, shared with
+        the one-pass merge-on-read verbs): (candidate absolute paths,
+        exact). ``exact`` means the predicate was partition-only and the
+        set IS the affected list (zero data read); ``None`` candidates
+        mean no conjunct was partition-evaluable (scan everything)."""
         schema = snap.schema
         part_cols = snap.partition_columns
         cand: set[str] | None = None
@@ -3550,15 +3604,9 @@ class DeltaLogReader:
             hit, exact = conjunct_candidates(
                 tuple_hits, pred, predicate_sql)
             if exact:
-                return sorted(hit)
+                return hit, True
             cand = hit  # None when no conjunct was partition-only
-            if cand is not None and not cand:
-                return []
-        df = self.to_df(_with_path=True, _paths=cand)
-        return [
-            r["__lh_fp"] for r in
-            df.where(pred).select("__lh_fp").distinct().collect()
-        ]
+        return cand, False
 
     def _commit_dml(self, op: str, params: dict[str, str],
                     new_rows: DataFrame, removed_rels: list[str],

@@ -2523,7 +2523,7 @@ class IcebergMetadataReader:
         return plan
 
     def _write_position_deletes(self, matches: DataFrame,
-                                affected: set[str], live: list[dict],
+                                live: list[dict],
                                 new_id: int, seq: int,
                                 ) -> tuple[list[dict], int]:
         """Write spec-shaped POSITION DELETE files for ``matches``
@@ -2531,7 +2531,10 @@ class IcebergMetadataReader:
         ordinal): one sorted (file_path, pos) parquet set per partition
         tuple of the files they target, returning the ADDED delete
         manifest entries + tombstone count. Shared by the merge-on-read
-        DELETE and UPDATE paths."""
+        DELETE and UPDATE paths. The hit-file set is derived from the
+        checkpointed match rows themselves (r12) — one O(files) collect —
+        so callers no longer pre-compute an affected list with a second
+        data pass."""
         import pyarrow.parquet as pq
 
         # resolved local path -> (manifest URI, partition tuple)
@@ -2544,15 +2547,20 @@ class IcebergMetadataReader:
         uri_map = self.spark.createDataFrame(
             [(k, u) for k, (u, _) in info.items()],
             "__if_fp string, file_path string")
-        # materialized ONCE: the per-tuple writes below re-read blocks,
-        # not the match scan
+        # materialized ONCE: the hit-file collect and the per-tuple writes
+        # below re-read blocks, not the match scan
         rows = (matches
                 .join(F.broadcast(uri_map), "__if_fp")
                 .select("file_path", F.col("__if_pos").alias("pos"))
                 .localCheckpoint())
+        hit_uris = {
+            r["file_path"]
+            for r in rows.select("file_path").distinct().collect()
+        }
         by_tuple: dict[str, tuple[dict, set[str]]] = {}
-        for ap in affected:
-            u, pv = info[ap]
+        for u, pv in info.values():
+            if u not in hit_uris:
+                continue
             key = json.dumps(pv, sort_keys=True, default=str)
             by_tuple.setdefault(key, (pv, set()))[1].add(u)
         rel_dir = f"data/mor-delete-{uuid.uuid4().hex[:8]}"
@@ -2621,16 +2629,21 @@ class IcebergMetadataReader:
         if not live:
             return plan
         pred = F.expr(predicate)
-        affected = self._plan_affected(pred, pctx, live, predicate)
-        if dry_run or not affected:
+        # ONE data pass (r12): plan only the partition/transform-prune
+        # half and scan the candidates once — the match rows determine
+        # both the hit files and the tombstones; _write_position_deletes
+        # drops files with no matching rows itself.
+        cand, _exact = self._plan_candidates(pred, pctx, live, predicate)
+        if cand is not None and not cand:
             return plan
         logical, ice, phys_of, fid_of_phys, dt_of_phys = self._phys_maps()
-        sub = self.to_df(_with_path=True, _with_pos=True,
-                         _paths=set(affected))
+        sub = self.to_df(_with_path=True, _with_pos=True, _paths=cand)
         matches = sub.where(pred).select("__if_fp", "__if_pos")
+        if dry_run:
+            return plan
         new_id, seq = self._next_ids()
         delete_entries, n_deleted = self._write_position_deletes(
-            matches, affected, live, new_id, seq)
+            matches, live, new_id, seq)
         if not delete_entries:
             return plan
         entries = [{
@@ -2715,16 +2728,21 @@ class IcebergMetadataReader:
             if c not in names:
                 raise ValueError(f"unknown SET column {c!r}")
         pred = F.expr(predicate)
-        affected = self._plan_affected(pred, pctx, live, predicate)
-        if dry_run or not affected:
+        # ONE data pass (r12, same restructure as _mor_delete): the
+        # checkpointed match set feeds the tombstones AND the SET-applied
+        # images.
+        cand, _exact = self._plan_candidates(pred, pctx, live, predicate)
+        if cand is not None and not cand:
             return plan
-        sub = self.to_df(_with_path=True, _with_pos=True,
-                         _paths=set(affected))
-        matches = sub.where(pred).localCheckpoint()
+        sub = self.to_df(_with_path=True, _with_pos=True, _paths=cand)
+        matches = sub.where(pred)  # analysis validates the predicate
+        if dry_run:
+            return plan
+        matches = matches.localCheckpoint()
         new_id, seq = self._next_ids()
         delete_entries, n_updated = self._write_position_deletes(
             matches.select("__if_fp", "__if_pos"),
-            affected, live, new_id, seq)
+            live, new_id, seq)
         if not delete_entries:
             return plan
         upd = matches.select(*[
@@ -3303,6 +3321,27 @@ class IcebergMetadataReader:
         exact scan over the candidates only. Only a predicate with no
         evaluable conjunct falls back to the full one-pass scan keyed by
         `_metadata.file_path`."""
+        cand, exact = self._plan_candidates(pred, pctx, live, predicate_sql)
+        if exact:
+            return cand
+        if cand is not None and not cand:
+            return set()
+        df = self.to_df(_with_path=True, _paths=cand)
+        return {
+            r["__if_fp"] for r in
+            df.where(pred).select("__if_fp").distinct().collect()
+        }
+
+    def _plan_candidates(self, pred, pctx: dict | None,
+                         live: list[dict],
+                         predicate_sql: str | None = None,
+                         ) -> tuple[set[str] | None, bool]:
+        """Partition/transform-pruning half of `_plan_affected` (r12,
+        shared with the one-pass merge-on-read verbs): (candidate
+        absolute paths, exact). ``exact`` means the predicate was
+        identity-tuple-only and the set IS the affected list (zero data
+        read); ``None`` candidates mean nothing was evaluable
+        driver-side (scan everything)."""
         from lakehouses_spark.tables.delta_log import (
             _quiet_analysis_probe,
             conjunct_candidates,
@@ -3359,7 +3398,8 @@ class IcebergMetadataReader:
                 hit, exact = conjunct_candidates(
                     tuple_hits, pred, predicate_sql)
                 if exact:
-                    return hit  # tuple-exact: every row shares its tuple
+                    # tuple-exact: every row shares its tuple
+                    return hit, True
                 cand = hit
         # date-family transform specs: prune candidates by enumerating
         # each tuple's finite date domain (sound superset), then run the
@@ -3374,13 +3414,7 @@ class IcebergMetadataReader:
                                                    predicate_sql)
         if cand_bt is not None:
             cand = cand_bt if cand is None else cand & cand_bt
-        if cand is not None and not cand:
-            return set()
-        df = self.to_df(_with_path=True, _paths=cand)
-        return {
-            r["__if_fp"] for r in
-            df.where(pred).select("__if_fp").distinct().collect()
-        }
+        return cand, False
 
     # days a tuple of each enumerable transform can span (year: leap)
     _ENUM_CAP_ROWS = 250_000
