@@ -230,7 +230,11 @@ def main() -> None:
                 "loadavg_start": loadavg_start,
                 "loadavg_gate": gate,
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-                "cpus": os.cpu_count(),
+                # effective master parallelism (local[$SPARK_GRAFT_CPUS]), not
+                # the host's core count — the low-core scaling artifact must
+                # self-report the core count it actually ran with (VERDICT r12
+                # what's-wrong #4)
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count()),
                 "scan_probe_s": scan_probe,
                 "cold_pass_wall_s": cold_wall,
                 "warm_pass_wall_s": warm_wall,

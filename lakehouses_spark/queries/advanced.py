@@ -1135,8 +1135,10 @@ def lake_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-event-per-key computation — which holds only if batch sequencing,
     within-batch collapse, and the delete/upsert MERGE routing are all
     correct. Exercises the from-scratch transaction log end-to-end:
-    8 sequential MERGE commits (delete + upsert per batch) replaying a
-    month of changes in 4 time-ordered batches.
+    4 sequential conditional MERGE commits (WHEN MATCHED AND <del> THEN
+    DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED AND NOT <del>
+    THEN INSERT, one per batch) replaying a month of changes in 4
+    time-ordered batches.
 
     100 TB shape: each batch collapses to its per-key LAST change first
     (one window over the batch — batch-sized, not table-sized), so every
@@ -1166,26 +1168,28 @@ def lake_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.select("user_id", "value", "ts").limit(0),
         )
         for b in batches:
+            # one conditional MERGE per batch (r13): terminal rows whose op
+            # is the delete marker tombstone their key, the rest upsert —
+            # one affected-file scan / write / commit instead of the
+            # delete-merge + upsert-merge pair
             terminal = (
                 b.withColumn("rn", F.row_number().over(w))
                 .where(F.col("rn") == 1)
-                .select("user_id", "value", "ts", "event_type")
-                .localCheckpoint()  # one collapse job; both merges reuse it
-            )
-            deletes = terminal.where(F.col("event_type") == "error").select(
-                "user_id"
-            )
-            upserts = terminal.where(F.col("event_type") != "error").select(
-                "user_id", "value", "ts"
+                .select(
+                    "user_id", "value", "ts",
+                    (F.col("event_type") == "error").alias("__del"),
+                )
+                .localCheckpoint()  # one collapse job; the merge legs reuse it
             )
             t.merge(
-                deletes,
+                terminal,
                 "t.user_id = s.user_id",
-                when_matched_update=None,
-                when_not_matched_insert=None,
-                when_matched_delete=True,
+                when_matched_delete="s.__del",
+                when_not_matched_insert_condition="NOT __del",
+                # uniqueness is structural: the rn=1 collapse is keyed on
+                # the merge key, so skip the multiple-match check job
+                source_unique_on_key=True,
             )
-            t.merge(upserts, "t.user_id = s.user_id")
         out = (
             t.read()
             .select(
@@ -2092,8 +2096,18 @@ def streaming_cdf_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.update({"o_totalprice": "o_totalprice * 1.25"},
                  where="o_orderpriority = '2-HIGH'")              # v2
         t.delete("o_orderstatus = 'F' AND o_totalprice < 60000")  # v3
+        # schema supplied driver-side (base + the 3 CDF metadata columns):
+        # skips the planner-worker schema() round trip per stream start (r13)
+        from pyspark.sql.types import LongType, StringType, StructField, TimestampType
+        cdf_schema = StructType(
+            list(t.schema().fields)
+            + [StructField("_change_type", StringType()),
+               StructField("_commit_version", LongType()),
+               StructField("_commit_timestamp", TimestampType())]
+        )
         q = (
             spark.readStream.format("laketable")
+            .schema(cdf_schema)
             .option("path", str(t.path))
             .option("readChangeFeed", "true")
             .load()

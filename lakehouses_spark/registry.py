@@ -53,40 +53,44 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # emitted FIRST, so the hard signal lands on them; everything already
 # driver-verified in round 1 follows in registration order.
 _SWEEP_PRIORITY = [
-    # Round-12 rotation (VERDICT r11 #1), sized to the 50-entry budget:
-    #   1. the 2 never-swept queries — the r11-deferred partitioned-DML
-    #      flagship and round 12's new transform+evolution arc — so the
-    #      hard signal lands on them first,
-    #   2. the 7 remaining rows whose latest driver row is round 7 (the
-    #      tail of the r7 cohort the r11 rotation worked down),
-    #   3. 41 of the 50 rows whose latest driver row is round 8 (now the
-    #      oldest cohort). The 9 left for round 13 — fn_conv_family,
-    #      fn_encode_family, fn_hash_family, fn_levenshtein_family,
-    #      fn_url_family, window_lag_delta, window_rank_dense,
-    #      window_running_sum, window_zscore — are the simplest
-    #      single-operator scalar/window shapes in that cohort
-    #      (replica-green every session); they lead the r13 rotation.
-    # After r12: r12:50, r11:50, r10:50, r9:50, r8:9 — no row older than r8.
+    # Round-13 rotation (VERDICT r12 next-round #1), sized to the 50-entry
+    # budget:
+    #   1. the 4 never-swept lake arcs from SWEEP_DEFERRED_TO_NEXT_ROUND —
+    #      lake_mor_delete and lake_bucket_transform_dml lead so the hard
+    #      signal lands on the single-pass MOR/DV DML rewrite of the r12
+    #      snapshot commit (VERDICT r12 what's-wrong #1),
+    #   2. the 9 remaining rows whose latest driver row is round 8 (the
+    #      scalar/window tail the r12 rotation left),
+    #   3. 37 of the 50 rows whose latest driver row is round 9 (now the
+    #      oldest cohort). The 13 left for round 14 — fn_array_family,
+    #      fn_cast_family, fn_date_family, fn_json_family, fn_map_family,
+    #      fn_math_conditional, fn_string_family, fn_struct_expand,
+    #      join_full_outer, join_inner_agg, join_left_outer, join_semi,
+    #      pivot_status_by_priority — are the simplest single-operator
+    #      scalar/join shapes in that cohort (replica-green every session);
+    #      they lead the r14 rotation.
+    # After r13: r13:50, r12:50, r11:50, r10:50, r9:13 — no row older than r9.
     # --- 1. never-swept: first driver rows land here ---
-    "lake_partitioned_external_dml", "lake_transform_evolution_dml",
-    # --- 2. the 7 r7-stale rows ---
-    "agg_corr_stats", "agg_filtered", "agg_histogram", "agg_mode",
-    "fn_bitwise_family", "fn_variant_family", "window_cume_dist",
-    # --- 3. 41 of the 50 r8-stale rows ---
-    "agg_bool_family", "agg_count_by_key", "agg_cube", "agg_entropy_gini",
-    "agg_global_scalars", "agg_grouping_sets", "agg_having_topk",
-    "agg_percentiles", "agg_rollup", "agg_skew_kurtosis", "agg_string_agg",
-    "agg_sum_all_numeric", "agg_weighted_median", "dedup_clusters",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_ngram_jaccard",
-    "join_anti", "join_broadcast_dims", "join_count_distribution",
-    "lake_delta_pruned_read", "pack_sequences", "q12_priority_split",
-    "set_except_intersect_all", "sim_ann_drift_recall", "sim_knn_batch",
-    "subquery_correlated_min", "subquery_exists",
-    "subquery_exists_not_exists", "subquery_in_having",
-    "subquery_not_exists_avg", "subquery_scalar", "text_repetition_filter",
-    "ts_seasonal_decompose", "udaf_weighted_avg", "udtf_tokenize",
-    "window_dedup_keep_latest", "window_lead_ntile", "window_nth_value",
-    "window_range_frame", "window_topk_per_group",
+    "lake_mor_delete", "lake_bucket_transform_dml",
+    "lake_generated_identity_dml", "lake_insert_overwrite",
+    # --- 2. the 9 r8-stale rows ---
+    "fn_conv_family", "fn_encode_family", "fn_hash_family",
+    "fn_levenshtein_family", "fn_url_family", "window_lag_delta",
+    "window_rank_dense", "window_running_sum", "window_zscore",
+    # --- 3. 37 of the 50 r9-stale rows ---
+    "curation_keeplist", "dedup_minhash_lsh", "dedup_simhash",
+    "join_bloom_prefilter", "join_bucketed_colocated", "lake_cdf_read",
+    "lake_delta_log_export", "lake_delta_v2_checkpoint",
+    "lake_expire_snapshots", "lake_iceberg_refs", "lake_scd2_build",
+    "lake_uniform_export", "lateral_tokens_posexplode",
+    "multimodal_image_pipeline", "multimodal_metadata", "q2_best_supplier",
+    "q4_priority_check", "sim_ann_incremental", "sim_ann_ivf",
+    "sim_centroids", "sim_pairs_threshold", "sim_range_search",
+    "streaming_cdf_drain", "text_bigram_topk", "text_bpe_token_count",
+    "text_fingerprint", "text_langid", "text_quality_score",
+    "text_token_stats", "ts_asof_nearest", "ts_daily_rollup", "ts_funnel",
+    "ts_range_join", "ts_retention_cohorts", "ts_sliding_window",
+    "ts_tumbling_window", "unpivot_measures",
 ]
 
 # Queries registered after the current round's 50-entry sweep budget
@@ -95,16 +99,11 @@ _SWEEP_PRIORITY = [
 # them with the driver's exact comparison in the meantime). The sweep-window
 # guard asserts any never-swept query outside the 50-entry window appears
 # HERE, so a new query can never silently fall outside the rotation.
-# Round 12's budget: 2 never-swept + 7 r7-stale + 41 r8-stale = 50. The
-# merge-on-read DELETE arc and the bucket/truncate-transform arc
-# registered after it filled wait here for their first driver rows; they
-# join the 9 remaining r8 rows at the head of the round-13 rotation.
-SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = [
-    "lake_mor_delete",
-    "lake_bucket_transform_dml",
-    "lake_generated_identity_dml",
-    "lake_insert_overwrite",
-]
+# Round 13's budget: 4 never-swept + 9 r8-stale + 37 r9-stale = 50. All
+# previously deferred lake arcs rotated into the head of the r13 window;
+# round 13 is an optimization round and registers no new queries, so
+# nothing waits here.
+SWEEP_DEFERRED_TO_NEXT_ROUND: list[str] = []
 _SWEEP_PRIORITY += SWEEP_DEFERRED_TO_NEXT_ROUND
 
 

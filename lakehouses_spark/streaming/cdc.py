@@ -34,6 +34,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
 
 from lakehouses_spark.tables import LakeTable
 from lakehouses_spark.tables import log as txlog
@@ -58,16 +59,26 @@ def start_apply_changes(
     on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in seq_cols])
 
+    # supply the source schema from the transaction log (driver-side file
+    # read) so Spark skips the planner-worker schema() round trip the
+    # Python data source otherwise pays per stream start (r13)
     stream = (
         spark.readStream.format("laketable")
+        .schema(LakeTable(spark, source_table).schema())
         .option("path", str(source_table))
         .load()
     )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if not txlog.list_versions(state_path):
+            # build the empty state table from a driver-side frame (r13):
+            # limit(0) over batch_df would still plan+run a job through the
+            # Python stream source just to write zero rows
+            by_name = {f.name: f for f in batch_df.schema.fields}
+            fields = [by_name[c] for c in (*keys, *carry_cols)]
             LakeTable.create(
-                spark, state_path, batch_df.select(*keys, *carry_cols).limit(0)
+                spark, state_path,
+                spark.createDataFrame([], StructType(fields)),
             )
         t = LakeTable(spark, state_path)
         if batch_id <= t.last_txn_version(app_id):
@@ -75,29 +86,33 @@ def start_apply_changes(
             # materialized.py::upsert for why the batch must still run)
             batch_df.count()
             return
+        # ONE conditional MERGE per micro-batch (r13): the terminal row set
+        # carries a precomputed delete flag; keys whose terminal op matches
+        # ``delete_when`` delete, the rest update-or-insert. One affected-
+        # file scan + one write + one commit, where the delete-merge +
+        # upsert-merge + bookkeeping-commit triple paid three of each —
+        # and the (app_id, batch_id) stamp rides the MERGE commit, so the
+        # exactly-once replay guard is unchanged.
         terminal = (
             batch_df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .drop("__rn")
-            .localCheckpoint()  # one collapse job; both merges reuse it
-        )
-        deletes = terminal.where(delete_when).select(*keys)
-        upserts = terminal.where(f"NOT ({delete_when})").select(
-            *keys, *carry_cols
+            .withColumn("__del", F.expr(delete_when))
+            .select(*keys, *carry_cols, "__del")
+            .localCheckpoint()  # one collapse job; the merge legs reuse it
         )
         t.merge(
-            deletes,
+            terminal,
             on,
-            when_matched_update=None,
-            when_not_matched_insert=None,
-            when_matched_delete=True,
-        )
-        t.merge(upserts, on)
-        # stamp the batch id so a retry of THIS batch is skipped
-        t._commit(
-            t.version + 1,
-            operation="STREAMING UPDATE",
-            operation_parameters={"txn_app": app_id, "txn_version": batch_id},
+            when_matched_update="all",
+            when_not_matched_insert="all",
+            when_matched_delete="s.__del",
+            when_not_matched_insert_condition="NOT __del",
+            txn_app=app_id,
+            txn_version=batch_id,
+            # uniqueness is structural: terminal is the row_number()=1
+            # collapse keyed on exactly the merge keys
+            source_unique_on_key=True,
         )
 
     return (

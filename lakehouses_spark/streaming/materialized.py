@@ -48,8 +48,11 @@ def start_rollup_view(
     app_id = f"rollup_view:{gold_path.name}"
     keys = ["window_start", "window_end", *group_cols]
 
+    # schema supplied from the transaction log (driver-side read): skips
+    # the planner-worker schema() round trip per stream start (r13)
     stream = (
         spark.readStream.format("laketable")
+        .schema(LakeTable(spark, source_table).schema())
         .option("path", str(source_table))
         .load()
     )
@@ -75,13 +78,13 @@ def start_rollup_view(
         cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
         batch_df.persist()
         try:
-            gold.merge(batch_df, cond)
-            # stamp the batch id so a retry of THIS batch is skipped
-            gold._commit(
-                gold.version + 1,
-                operation="STREAMING UPDATE",
-                operation_parameters={"txn_app": app_id, "txn_version": batch_id},
-            )
+            # the (app_id, batch_id) stamp rides the MERGE commit (r13):
+            # a retry of THIS batch is still skipped by the guard above,
+            # and the per-micro-batch bookkeeping commit disappears
+            # source_unique_on_key: batch_df is a groupBy over exactly the
+            # merge keys, so the multiple-match check job can never fire
+            gold.merge(batch_df, cond, txn_app=app_id, txn_version=batch_id,
+                       source_unique_on_key=True)
         finally:
             batch_df.unpersist()
 

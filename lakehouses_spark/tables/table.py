@@ -906,16 +906,20 @@ class LakeTable:
         exceeds the transaction log's live-file count: impossible for
         healthy metadata (distinct _metadata.file_path over a scan of N
         files yields ≤ N values), so a breach means log/scan mismatch and
-        the guard trips before driver memory does."""
-        out: list[str] = []
-        for r in hits.toLocalIterator():
-            out.append(_strip_scheme(r["__fp"]))
-            if len(out) > max_files:
-                raise RuntimeError(
-                    "matched-file set exceeded the transaction log's "
-                    f"live-file count ({max_files}): log/scan mismatch"
-                )
-        return out
+        the guard trips before driver memory does.
+
+        r13: the bound now rides INSIDE the plan — ``limit(max_files + 1)``
+        caps what can ever reach the driver at the same N-strings budget,
+        and one collect() replaces toLocalIterator()'s sequential
+        per-partition round trips (32 of them per DML plan on the local
+        shuffle config — measured ~1s of pure fetch latency per verb)."""
+        rows = hits.limit(max_files + 1).collect()
+        if len(rows) > max_files:
+            raise RuntimeError(
+                "matched-file set exceeded the transaction log's "
+                f"live-file count ({max_files}): log/scan mismatch"
+            )
+        return [_strip_scheme(r["__fp"]) for r in rows]
 
     def _affected_files(self, cond) -> list[str]:
         """Distributed file-index lookup: which live files contain rows
@@ -1193,8 +1197,12 @@ class LakeTable:
         on: str,
         when_matched_update: dict[str, str] | str | None = "all",
         when_not_matched_insert: dict[str, str] | str | None = "all",
-        when_matched_delete: bool = False,
+        when_matched_delete: bool | str = False,
         merge_schema: bool = False,
+        when_not_matched_insert_condition: str | None = None,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
+        source_unique_on_key: bool = False,
     ) -> dict[str, int]:
         """D4/J1: MERGE INTO — upsert with matched-update / not-matched-insert
         (02.delta_lake_primer.py:312-320, 03.iceberg_primer.py:203-215).
@@ -1202,6 +1210,28 @@ class LakeTable:
         `on` references columns as t.<col> / s.<col>. Only files containing
         matched rows are rewritten; inserts are appended. A source row that
         matches nothing inserts; matching target rows update in place.
+
+        Conditional clauses (r13, Delta's whenMatchedDelete(condition=...) /
+        whenNotMatchedInsert(condition=...)): a STRING ``when_matched_delete``
+        deletes only the matched rows where the condition (over the joined
+        ``t``/``s`` pair) is TRUE — other matched rows fall through to the
+        update clause — and ``when_not_matched_insert_condition`` (evaluated
+        on the unmatched SOURCE row) gates the insert leg. Together they fold
+        a delete-merge + upsert-merge pair into ONE pass: one affected-file
+        scan, one rewrite+insert write, one commit.
+
+        ``txn_app``/``txn_version`` stamp Delta's idempotent-writer
+        transaction identity onto the MERGE's own commit (readable via
+        ``last_txn_version``), so exactly-once streaming sinks don't pay a
+        separate metadata commit per micro-batch.
+
+        ``source_unique_on_key=True`` asserts the source carries at most one
+        row per merge key, skipping the multiple-match detection job (the
+        runtime check Delta raises MergeMultipleMatchesError from). Only for
+        callers whose uniqueness is STRUCTURAL — an aggregation or
+        row_number()=1 collapse keyed on the merge key — where the check can
+        never fire and is one pure-overhead scan of the affected files per
+        call.
         """
         st = self.state()
         schema = StructType.fromJson(json.loads(st.schema_json))
@@ -1223,9 +1253,17 @@ class LakeTable:
         out_parts: list[DataFrame] = []
         cdf_on = self._cdf_enabled(st)
         cdc_parts: list[tuple[DataFrame, str]] = []
+        # conditional delete: TRUE-only semantics (a NULL condition keeps
+        # the row), matching Delta's clause evaluation
+        dcond = (
+            F.expr(when_matched_delete).eqNullSafe(F.lit(True))
+            if isinstance(when_matched_delete, str)
+            else None
+        )
         if affected:
             t_aff = self._snapshot(st, affected).alias("t")
-            if when_matched_update and not when_matched_delete:
+            if (when_matched_update and when_matched_delete is not True
+                    and not source_unique_on_key):
                 # Delta raises when several source rows match one target row
                 # and the merge updates it (the result would depend on join
                 # order). Detect with a synthetic row id — one extra job,
@@ -1249,7 +1287,16 @@ class LakeTable:
                         "row with an update clause; dedupe the source on the "
                         "merge key first"
                     )
-            if when_matched_delete:
+            is_matched = F.col("s.__m__").isNotNull()
+            # matched rows being conditionally deleted drop out of the
+            # rewrite before any update clause applies; unmatched target
+            # rows (s.* NULL) never satisfy is_matched & dcond
+            drop_deleted = (
+                (lambda df: df.where(~(is_matched & dcond)))
+                if dcond is not None
+                else (lambda df: df)
+            )
+            if when_matched_delete is True:
                 rewritten = t_aff.join(src, cond, "left_anti").select(
                     *[
                         F.col(f"t.{c}").alias(c) if c in old_schema.names
@@ -1261,8 +1308,6 @@ class LakeTable:
                 # UPDATE SET *: matched rows take source values VERBATIM —
                 # a NULL in the source must overwrite a non-NULL target
                 # (coalesce would not), so gate on an explicit matched flag.
-                is_matched = F.col("s.__m__").isNotNull()
-
                 def matched_col(c: str):
                     in_src = c in source.columns
                     in_tgt = c in old_schema.names
@@ -1276,13 +1321,16 @@ class LakeTable:
                         return F.col(f"s.{c}").alias(c)
                     return F.col(f"t.{c}").alias(c)
 
-                rewritten = t_aff.join(
-                    src.withColumn("__m__", F.lit(1)).alias("s"), cond, "left"
+                rewritten = drop_deleted(
+                    t_aff.join(
+                        src.withColumn("__m__", F.lit(1)).alias("s"), cond, "left"
+                    )
                 ).select(*[matched_col(c) for c in schema.names])
             elif when_matched_update:
-                is_matched = F.col("s.__m__").isNotNull()
-                marked = t_aff.join(
-                    src.withColumn("__m__", F.lit(1)).alias("s"), cond, "left"
+                marked = drop_deleted(
+                    t_aff.join(
+                        src.withColumn("__m__", F.lit(1)).alias("s"), cond, "left"
+                    )
                 )
                 rewritten = marked.select(
                     *[
@@ -1291,6 +1339,21 @@ class LakeTable:
                         .alias(c)
                         if c in when_matched_update
                         else F.col(f"t.{c}").alias(c)
+                        for c in schema.names
+                    ]
+                )
+            elif dcond is not None:
+                # delete-only conditional clause: anti-join on cond AND the
+                # delete condition — keeps every target row no source row
+                # deletes, and (unlike a left join + filter) never duplicates
+                # a target row matched by several source rows
+                rewritten = t_aff.join(
+                    src.withColumn("__m__", F.lit(1)).alias("s"),
+                    cond & dcond, "left_anti"
+                ).select(
+                    *[
+                        F.col(f"t.{c}").alias(c) if c in old_schema.names
+                        else F.lit(None).cast(schema[c].dataType).alias(c)
                         for c in schema.names
                     ]
                 )
@@ -1307,7 +1370,44 @@ class LakeTable:
                 # source matched; post = those rows with the clause applied
                 t_cdf = self._snapshot(st, affected).alias("t")
                 pre = _conform(t_cdf.join(src, cond, "left_semi"), schema)
-                if when_matched_delete:
+                if dcond is not None:
+                    # conditional clauses: deleted rows = semi-join on
+                    # cond AND dcond (each once, like the rewrite); the
+                    # update images cover only the matched-not-deleted rows
+                    del_pre = _conform(
+                        t_cdf.join(
+                            src.withColumn("__m__", F.lit(1)).alias("s"),
+                            cond & dcond, "left_semi"),
+                        schema)
+                    cdc_parts.append((del_pre, "delete"))
+                    if when_matched_update:
+                        surv = t_cdf.join(
+                            src.withColumn("__m__", F.lit(1)).alias("s"),
+                            cond, "inner").where(~dcond)
+                        upd_pre = surv.select(
+                            *[F.col(f"t.{c}").alias(c)
+                              if c in old_schema.names
+                              else F.lit(None)
+                              .cast(schema[c].dataType).alias(c)
+                              for c in schema.names])
+                        if when_matched_update == "all":
+                            post = surv.select(
+                                *[(F.col(f"s.{c}") if c in source.columns
+                                   else F.col(f"t.{c}")).alias(c)
+                                  for c in schema.names])
+                        else:
+                            post = surv.select(
+                                *[F.expr(when_matched_update[c])
+                                  .cast(schema[c].dataType).alias(c)
+                                  if c in when_matched_update
+                                  else (F.col(f"t.{c}").alias(c)
+                                        if c in old_schema.names
+                                        else F.lit(None)
+                                        .cast(schema[c].dataType).alias(c))
+                                  for c in schema.names])
+                        cdc_parts += [(upd_pre, "update_preimage"),
+                                      (post, "update_postimage")]
+                elif when_matched_delete:
                     cdc_parts.append((pre, "delete"))
                 elif when_matched_update == "all":
                     post = t_cdf.join(src, cond, "inner").select(
@@ -1332,11 +1432,27 @@ class LakeTable:
             n_rewritten = len(affected)
 
         if when_not_matched_insert:
-            if paths:
-                t_all = self._snapshot(st).alias("t")
+            if paths and affected:
+                # (r13) anti-join against the AFFECTED files only, not the
+                # whole table: any target row matching a source row lives in
+                # an affected file by construction (affected = files with at
+                # least one semi-join hit), so the unmatched-source set is
+                # identical and the insert leg stops re-scanning the table.
+                t_all = self._snapshot(st, affected).alias("t")
                 inserts = src.join(t_all, cond, "left_anti")
             else:
+                # no live files, or no file holds any matched row — every
+                # source row is unmatched by construction, so the anti-join
+                # (against an empty, stats-less frame it would sort-merge)
+                # drops out entirely
                 inserts = src
+            if when_not_matched_insert_condition:
+                # Delta's whenNotMatchedInsert(condition=...): evaluated on
+                # the unmatched source row, TRUE-only semantics
+                inserts = inserts.where(
+                    F.expr(when_not_matched_insert_condition)
+                    .eqNullSafe(F.lit(True))
+                )
             if when_not_matched_insert == "all":
                 ins = _conform(inserts, schema)
             else:
@@ -1360,10 +1476,16 @@ class LakeTable:
             adds = self._write_files(out, st.partition_by, state=st)
 
         cdc = self._write_change_data(cdc_parts, schema) if cdf_on else None
+        op_params: dict = {"predicate": on}
+        if txn_app is not None:
+            # idempotent-writer identity rides the MERGE commit itself —
+            # no separate bookkeeping commit per streaming micro-batch
+            op_params["txn_app"] = txn_app
+            op_params["txn_version"] = txn_version
         self._commit(
             st.version + 1,
             operation="MERGE",
-            operation_parameters={"predicate": on},
+            operation_parameters=op_params,
             add=adds,
             remove=[_rel(self.path, p) for p in affected],
             schema=schema.json() if schema != old_schema else None,
@@ -1792,7 +1914,33 @@ class LakeTable:
         if mapping:
             # files always store physical names (rename is metadata-only)
             df = df.select(*[F.col(c).alias(mapping.get(c, c)) for c in df.columns])
-        df.write.parquet(str(abs_dir))
+        # Size output files by DATA VOLUME, not core count (r13, guide §6).
+        # Two hazards, both scoped to THIS write action on the session the
+        # written frame actually executes under:
+        # 1. foreachBatch hands sinks a SESSION CLONE with
+        #    spark.sql.adaptive.enabled=false (streaming plans don't AQE),
+        #    so every streaming-merge commit fanned its shuffle into
+        #    shuffle.partitions near-empty part-files (measured: 32 files /
+        #    74 KiB per commit) and every later scan of the state table
+        #    paid 32 file opens. The write here is a plain BATCH query, so
+        #    re-enable AQE for it.
+        # 2. parallelismFirst=false makes the write's AQE coalescing target
+        #    advisoryPartitionSizeInBytes instead of local parallelism —
+        #    size-targeted output files (guide §6's 128 MB–1 GB goal on a
+        #    cluster, one file for tiny commits). Compute queries keep the
+        #    parallelism-first default the r12 round measured as faster.
+        sess = df.sparkSession
+        aqe_key = "spark.sql.adaptive.enabled"
+        pf_key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+        prev_aqe = sess.conf.get(aqe_key, "true")
+        prev_pf = sess.conf.get(pf_key, "true")
+        try:
+            sess.conf.set(aqe_key, "true")
+            sess.conf.set(pf_key, "false")
+            df.write.parquet(str(abs_dir))
+        finally:
+            sess.conf.set(aqe_key, prev_aqe)
+            sess.conf.set(pf_key, prev_pf)
         files = sorted(str(p) for p in abs_dir.rglob("*.parquet"))
         if not files:
             return []
