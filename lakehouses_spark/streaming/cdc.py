@@ -5,10 +5,12 @@ pieces (the streaming sibling of the batch `lake_cdc_apply` query):
     laketable stream source (change feed, log-tail offsets)
       → per-micro-batch LAST-change collapse per key (one window over the
         batch — batch-sized, never table-sized)
-      → delete/upsert MERGE routing into the state LakeTable (keys whose
-        terminal op matches ``delete_when`` tombstone; the rest upsert)
-      → (app_id, batch_id) idempotency guard → exactly-once across
-        restarts and replayed micro-batches
+      → ONE conditional MERGE into the state LakeTable (r13): keys whose
+        terminal op matches ``delete_when`` tombstone via the
+        WHEN MATCHED AND <del> THEN DELETE clause, the rest update-or-insert
+        — one affected-file scan / write / commit per batch
+      → (app_id, batch_id) idempotency guard, riding the MERGE commit
+        itself → exactly-once across restarts and replayed micro-batches
 
 Sequencing contract: micro-batches arrive in FEED ORDER (the laketable
 source replays commits in log order), so within-batch collapse plus

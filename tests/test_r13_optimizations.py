@@ -191,3 +191,88 @@ def test_foreachbatch_write_is_aqe_coalesced(spark, tmp_path):
     # the merge writes a handful of aggregated rows: AQE must coalesce the
     # write to a small file count, not the session's shuffle.partitions
     assert 0 in gold_files and gold_files[0] <= 2, gold_files
+
+
+def test_sim_ann_drift_recall_golden_values_sf001(spark):
+    """VERDICT r12 #4: sim_ann_drift_recall is rows-only for the driver
+    (no SQL oracle), and r12 restructured 104 lines of it on a bit-identical
+    claim with no pin. These are the exact sf0.01 metric values of the
+    shipped implementation — any future restructure that moves recall,
+    postings cost, or the concentration trigger fails loudly here."""
+    from lakehouses_spark.queries.similarity import sim_ann_drift_recall
+
+    got = [tuple(r) for r in sim_ann_drift_recall(spark, SF).collect()]
+    assert got == [
+        (1, 625, 1.0, 1.0, 97.88, 94.6, 0.16, 0.392, True),
+        (2, 750, 1.0, 1.0, 145.36, 91.04, 0.16, 0.6, True),
+        (3, 875, 1.0, 1.0, 139.04, 100.88, 0.16, 0.456, True),
+    ]
+
+
+def _count_scans(monkeypatch, cls):
+    """Count invocations of the candidate-data scan builder (`to_df`) —
+    the structural form of the single-pass MOR/DV DML claim: the verb
+    builds ONE scan over candidate data (feeding both the affected-file
+    set and the bitmaps/images), never a separate planning scan."""
+    calls = {"n": 0}
+    orig = cls.to_df
+
+    def counting(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(cls, "to_df", counting)
+    return calls
+
+
+def test_dv_delete_update_single_candidate_scan(spark, tmp_path, monkeypatch):
+    """VERDICT r12 #1 pin: Delta DV DELETE and UPDATE build exactly one
+    scan over candidate data files per verb (the r12 snapshot commit's
+    one-pass restructure, previously unattested)."""
+    from lakehouses_spark.tables.delta_log import (
+        DeltaLogReader,
+        write_delta_table,
+    )
+
+    base = load_table(spark, SF, "orders").where("o_orderkey <= 2000").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    rd = write_delta_table(
+        spark, base, tmp_path / "d",
+        properties={"delta.enableDeletionVectors": "true"})
+    calls = _count_scans(monkeypatch, DeltaLogReader)
+    res = rd.delete("o_orderstatus = 'F' AND o_totalprice < 100000")
+    assert res["rewritten_files"] == 0 and res["dv_files"] > 0
+    assert calls["n"] == 1, f"DV DELETE built {calls['n']} candidate scans"
+    rd2 = DeltaLogReader(spark, tmp_path / "d")
+    calls["n"] = 0
+    res = rd2.update({"o_totalprice": "o_totalprice * 2"},
+                     where="o_orderstatus = 'P'")
+    assert res["rewritten_files"] == 0 and res["updated_rows"] > 0
+    assert calls["n"] == 1, f"DV UPDATE built {calls['n']} candidate scans"
+
+
+def test_iceberg_mor_delete_update_single_candidate_scan(
+    spark, tmp_path, monkeypatch
+):
+    """Same pin for the Iceberg merge-on-read verbs (position deletes)."""
+    from lakehouses_spark.tables.iceberg_meta import (
+        IcebergMetadataReader,
+        write_iceberg_table,
+    )
+
+    base = load_table(spark, SF, "orders").where("o_orderkey <= 2000").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    ri = write_iceberg_table(
+        spark, base, tmp_path / "i",
+        properties={"write.delete.mode": "merge-on-read",
+                    "write.update.mode": "merge-on-read"})
+    calls = _count_scans(monkeypatch, IcebergMetadataReader)
+    res = ri.delete("o_orderstatus = 'F' AND o_totalprice < 100000")
+    assert res["rewritten_files"] == 0
+    assert calls["n"] == 1, f"MOR DELETE built {calls['n']} candidate scans"
+    ri2 = IcebergMetadataReader(spark, tmp_path / "i")
+    calls["n"] = 0
+    res = ri2.update({"o_totalprice": "o_totalprice * 2"},
+                     where="o_orderstatus = 'P'")
+    assert res["rewritten_files"] == 0 and res["updated_rows"] > 0
+    assert calls["n"] == 1, f"MOR UPDATE built {calls['n']} candidate scans"
